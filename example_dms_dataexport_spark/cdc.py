@@ -1,0 +1,80 @@
+"""incremental_load analogue (ref :271-428) — the pipeline's crown jewel.
+
+Reference flow → Spark mapping:
+
+1. metadata fetch incl. watermark + primary_keys (ref :277-299)
+   → MetadataStore.get
+2. CDC file pattern ``.*/<schema>/<table>/2.*\\.csv`` (ref :301)
+   → regex over the stage listing
+3. new-files check ``max(metadata$filename) > watermark`` (ref :358-367)
+   → driver-side: prune the *file list* by lexicographic watermark before
+     any Spark read is planned.  The reference pushes the filter into the
+     stage scan; pruning the listing is the same optimization one level
+     earlier (SURVEY §4 — the biggest 100 TB lever), and the early-exit
+     "No files to process." (ref :421-423) falls out for free.
+4. schema introspection + positional casts (ref :307-348)
+   → target schema applied in the CSV read (sources/csv_stage.py)
+5. latest-wins dedup + MERGE (ref :369-409)
+   → merge.apply_changes: window dedup + full-outer join
+6. advance watermark to max processed file (ref :412-416)
+   → MetadataStore.update_watermarks, after the write commits
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .listing import list_stage
+from .merge import apply_changes
+from .metadata import MetadataStore
+from .sources.csv_stage import cdc_schema, read_stage_csv
+from .sources.warehouse import ParquetWarehouse
+
+# ref :301 — CDC files start with '2' (2YYYYMMDD-nnnnnnnnn.csv).
+CDC_PATTERN = r".*/{schema}/{table}/2.*\.csv"
+
+
+def incremental_load(
+    spark: SparkSession,
+    store: MetadataStore,
+    warehouse: ParquetWarehouse,
+    full_path: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Apply all CDC files newer than the watermark; returns a status
+    string shaped like the reference's returns (ref :418-426)."""
+    meta = store.get(full_path)
+    if meta is None:
+        return "Specified full_path doesn't exist in dms_metadata table."
+    if not meta.stage or not meta.primary_keys:
+        return "The fields stage and primary_keys can't be null"  # ref :303-305
+
+    pattern = CDC_PATTERN.format(schema=meta.db_schema, table=meta.db_table)
+    all_cdc = list_stage(spark, meta.stage, pattern)
+    # Watermark compares *file names* lexicographically (ref :359,393) —
+    # DMS names encode time as 2YYYYMMDD-nnnnnnnnn so name order = time
+    # order; the full-load sentinel '0' sorts before every CDC file.
+    new_files = [
+        f.path
+        for f in all_cdc
+        if f.path.rsplit("/", 1)[-1] > meta.last_incremental_file
+    ]
+    if not new_files:
+        return "No files to process."  # ref :421-423
+
+    target = warehouse.read(spark, meta.target_table)
+    changes = read_stage_csv(
+        spark, new_files, cdc_schema(target.schema), with_file_metadata=True
+    )
+    merged = apply_changes(
+        target,
+        changes,
+        pks=meta.primary_keys,
+        order_by=[F.desc("_dms_filename"), F.desc("_dms_rownum")],  # ref :382
+    )
+    n = merged.count()  # materialization also validates before the swap
+    warehouse.overwrite(merged, meta.target_table, partition_by=partition_by)
+    last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
+    store.update_watermarks(full_path, last_incremental_file=last_file)
+    return f"Rows affected: {n}."

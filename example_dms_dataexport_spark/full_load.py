@@ -1,0 +1,64 @@
+"""full_load analogue (ref :215-259): truncate-and-reload one table.
+
+Reference flow: look up metadata by full_path (:221-223) → build the
+full-load file pattern ``.*/<schema>/<table>/LOAD[0-9]+\\.csv`` (:235) →
+TRUNCATE target (:242, to defeat Snowflake's COPY load-history and make
+re-runs idempotent) → COPY INTO (:243) → reset watermarks
+``last_full_load_date = SYSDATE(), last_incremental_file = '0'`` (:244).
+
+Spark: an overwrite-mode write *is* the truncate+copy, atomically — a
+failed job leaves the previous table intact (strictly stronger than the
+reference's TRUNCATE-then-COPY window).  Schema comes from the registered
+target (or an explicit StructType on first load), applied directly in the
+CSV read — the positional-cast generation of ref :341-348.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from .listing import list_stage
+from .metadata import MetadataStore
+from .sources.csv_stage import read_stage_csv
+from .sources.warehouse import ParquetWarehouse
+
+# ref :235 — full-load file pattern within the table directory.
+FULL_LOAD_PATTERN = r".*/{schema}/{table}/LOAD[0-9]+\.csv"
+
+
+def full_load(
+    spark: SparkSession,
+    store: MetadataStore,
+    warehouse: ParquetWarehouse,
+    full_path: str,
+    schema: StructType | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Run one full load; returns rows loaded (ref :255 returns the same).
+
+    ``schema``: required on first load; later loads introspect the existing
+    target (``information_schema.columns`` analogue, ref :307-321).
+    """
+    meta = store.get(full_path)
+    if meta is None:
+        raise KeyError(f"full_path {full_path!r} not registered in metadata")
+    if schema is None:
+        if not warehouse.exists(meta.target_table):
+            raise ValueError(
+                f"no schema given and target {meta.target_table!r} does not exist"
+            )
+        schema = warehouse.read(spark, meta.target_table).schema
+    pattern = FULL_LOAD_PATTERN.format(schema=meta.db_schema, table=meta.db_table)
+    files = [f.path for f in list_stage(spark, meta.stage, pattern)]
+    df = read_stage_csv(spark, files, schema)
+    warehouse.overwrite(df, meta.target_table, partition_by=partition_by)
+    n = warehouse.read(spark, meta.target_table).count()
+    store.update_watermarks(
+        full_path,
+        last_full_load_date=datetime.now(timezone.utc).isoformat(),
+        last_incremental_file="0",  # sentinel reset, ref :244
+    )
+    return n

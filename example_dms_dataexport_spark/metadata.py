@@ -1,0 +1,112 @@
+"""DMS control metadata store.
+
+Mirrors the reference's ``DMS_METADATA`` table
+(control_migration_schema_script.sql:20-37): one row per source table, keyed
+by ``full_path`` (the stage-relative ``<schema>/<table>`` directory prefix),
+carrying target naming, the comma-separated ``primary_keys`` string
+(ref :27, split at :298-299), and the two per-table watermarks:
+
+- ``last_full_load_date`` (timestamp) — advanced by full_load (ref :244)
+- ``last_incremental_file`` (string)  — advanced by incremental_load
+  (ref :412-416); reset to the sentinel ``'0'`` on full reload (ref :244).
+  CDC file names (``2YYYYMMDD-nnnnnnnnn.csv``) sort lexicographically by
+  time, so a plain string comparison is the watermark predicate (ref :359).
+
+The control table is tiny (one row per table), driver-resident, and mutated
+read-modify-write, so it is stored as a single JSON document written
+atomically (tmp + rename) — the SURVEY §1.1 "single JSON state store"
+option.  At 100 TB the data plane never touches this store; only the
+planner/loader driver code does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class TableMeta:
+    """One DMS_METADATA row (ref :20-37)."""
+
+    full_path: str  # '<db_schema>/<db_table>' stage-relative prefix
+    db_schema: str
+    db_table: str
+    stage: str  # stage root URI/path (LIST @stage target)
+    primary_keys: list[str] = field(default_factory=list)
+    file_format: str = "csv"
+    target_table: str = ""  # warehouse table name (sf_table analogue)
+    cloud_provider: str = ""
+    bucket: str = ""
+    db_prefix: str = ""
+    additional_config: str = "{}"  # JSON string (ref 'variant' column :34)
+    last_full_load_date: str | None = None  # ISO-8601 UTC
+    last_incremental_file: str = "0"  # sentinel '0' (ref :244)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.primary_keys, str):
+            # ref :298-299: comma-split, spaces stripped
+            self.primary_keys = [
+                c for c in self.primary_keys.replace(" ", "").split(",") if c
+            ]
+        if not self.target_table:
+            self.target_table = f"{self.db_schema}_{self.db_table}"
+
+
+class MetadataStore:
+    """Atomic JSON-backed store of TableMeta rows, keyed by full_path."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+        self._rows: dict[str, TableMeta] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                raw = json.load(f)
+            self._rows = {k: TableMeta(**v) for k, v in raw.items()}
+
+    def _flush(self) -> None:
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({k: asdict(v) for k, v in self._rows.items()}, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def register(self, meta: TableMeta, overwrite: bool = True) -> None:
+        with self._lock:
+            if not overwrite and meta.full_path in self._rows:
+                return
+            self._rows[meta.full_path] = meta
+            self._flush()
+
+    def get(self, full_path: str) -> TableMeta | None:
+        with self._lock:
+            return self._rows.get(full_path)
+
+    def all(self) -> list[TableMeta]:
+        with self._lock:
+            return list(self._rows.values())
+
+    def distinct_stages(self) -> list[str]:
+        """SELECT DISTINCT stage ... WHERE stage IS NOT NULL (ref :96)."""
+        with self._lock:
+            return sorted({m.stage for m in self._rows.values() if m.stage})
+
+    def update_watermarks(
+        self,
+        full_path: str,
+        last_full_load_date: str | None = None,
+        last_incremental_file: str | None = None,
+    ) -> None:
+        """Advance per-table watermark (ref :244, :412-416)."""
+        with self._lock:
+            meta = self._rows[full_path]
+            if last_full_load_date is not None:
+                meta.last_full_load_date = last_full_load_date
+            if last_incremental_file is not None:
+                meta.last_incremental_file = last_incremental_file
+            self._flush()

@@ -1,0 +1,702 @@
+"""Oracle-paired relational query suite — SURVEY §2 coverage.
+
+Each entry is a (PySpark callable, DuckDB oracle SQL) pair over the
+driver-generated tables (TESTDATA.md).  The Spark side is expressed with
+the DataFrame API (Catalyst is the optimizer); the oracle is ANSI SQL run
+by DuckDB on the same parquet — the driver hash-compares results.
+
+Conventions for hash parity (driver sorts columns by name, then compares
+order-insensitive value hashes):
+- every computed column is aliased identically on both sides;
+- float aggregates are wrapped in round(x, 2..4) on both sides so
+  last-ulp differences from summation order can't flip the hash;
+- LIMIT appears only under a total order (unique tiebreaker column).
+
+Registry: ``QUERIES[name] -> fn(spark, sf_dir) -> DataFrame`` and
+``ORACLES[name] -> sql | None`` (None = rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str | None] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY A1/A2/A6, F8) — TPC-H Q1 flavor
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + agg (SURVEY J1) — TPC-H Q5 flavor; dims broadcast
+# ---------------------------------------------------------------------------
+
+@query(
+    "q02_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q02_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + join + group + total-order LIMIT (SURVEY O2) — TPC-H Q3 flavor
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_top_orders",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (SURVEY A2, F8) — the planner's CASE-sum shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_priority_counts",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           round(sum(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END), 2) AS big_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("big_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range filter + global agg (SURVEY A5, P5) — TPC-H Q6 flavor
+# ---------------------------------------------------------------------------
+
+@query(
+    "q05_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q05_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT projection (SURVEY P2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q06_distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 0",
+)
+def q06_distinct_segments(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION DISTINCT (SURVEY U1 — Snowflake UNION = distinct, §7.5 trap 1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q07_union_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q07_union_nation_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi joins (SURVEY J3/J4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q08_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q08_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q09_active_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def q09_active_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Window: top-N per group (SURVEY W1 + P6 — rank + filter rank<=k)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q10_top_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: latest-wins per key (SURVEY W1 — the CDC dedup shape, ref :380-397)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q11_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String/regex functions (SURVEY F1-F6, P8, P9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_part_name_parsing",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substring(p_name, position(' ' IN p_name) + 1)  AS second_word,
+           regexp_replace(p_name, ' .*$', '')              AS first_word,
+           CASE WHEN regexp_matches(p_name, '^(red|blue|green) .*') THEN 1 ELSE 0 END AS is_color,
+           CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END AS brand1x
+    FROM part
+    """,
+)
+def q12_part_name_parsing(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("name_upper"),
+        # substring-from-computed-offset, ref :131 shape (F4/F5)
+        F.expr("substring(p_name, locate(' ', p_name) + 1)").alias("second_word"),
+        F.regexp_replace(name, r" .*$", "").alias("first_word"),
+        F.when(name.rlike(r"^(red|blue|green) .*"), 1).otherwise(0).alias("is_color"),
+        F.when(F.col("p_brand").like("Brand#1%"), 1).otherwise(0).alias("brand1x"),
+    )
+
+
+@query(
+    "q13_file_prefix_grouping",
+    """
+    SELECT regexp_replace(fname, '/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})..*$', '') AS file_prefix,
+           max(CASE WHEN regexp_matches(fname, '.*/LOAD.*\\..*$') THEN '0'
+                    ELSE regexp_extract(fname, '([^/]+)$', 1) END) AS last_incremental_file,
+           count(*) AS n_files
+    FROM (
+        SELECT 'dms/sch' || CAST(user_id % 3 AS VARCHAR) || '/tbl' || CAST(user_id % 5 AS VARCHAR) ||
+               CASE WHEN event_id % 3 = 0
+                    THEN '/LOAD000000' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '.csv'
+                    ELSE '/2024010' || CAST(event_id % 10 AS VARCHAR) || '-' ||
+                         lpad(CAST(event_id AS VARCHAR), 9, '0') || '.csv'
+               END AS fname
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q13_file_prefix_grouping(spark, sf_dir):
+    """The planner's listing-group shape (ref :126-139) over a listing
+    synthesized deterministically from the events table — covers F1/F2/F3
+    + A3 string-max exactly as stage_summary_df does."""
+    ev = _t(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("dms/sch"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit("/tbl"),
+        (F.col("user_id") % 5).cast("string"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/LOAD000000"),
+                F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+                F.lit(".csv"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/2024010"),
+                (F.col("event_id") % 10).cast("string"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 9, "0"),
+                F.lit(".csv"),
+            )
+        ),
+    )
+    listing = ev.select(fname.alias("fname"))
+    return listing.groupBy(
+        F.regexp_replace(
+            "fname", r"/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})..*$", ""
+        ).alias("file_prefix")
+    ).agg(
+        F.max(
+            F.when(F.col("fname").rlike(r".*/LOAD.*\..*$"), F.lit("0")).otherwise(
+                F.regexp_extract("fname", r"([^/]+)$", 1)
+            )
+        ).alias("last_incremental_file"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / variant access (SURVEY §1.2 variant → from_json/get_json_object)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_json_props",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q14_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp bucketing (SURVEY F7/F10 family; streaming tumbling-window shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_orders_by_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q15_orders_by_month(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q16_hourly_event_windows",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q16_hourly_event_windows(spark, sf_dir):
+    """Tumbling 1-hour window via F.window — identical semantics to the
+    Structured Streaming windowed agg (streaming/ uses the same expression
+    inside readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The load-type planner decision as a query (SURVEY E1.4, ref :113-148)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_load_plan",
+    """
+    WITH listing AS (
+        SELECT 'lake' AS stage,
+               'dms/sch' || CAST(user_id % 3 AS VARCHAR) || '/tbl' || CAST(user_id % 5 AS VARCHAR) ||
+               CASE WHEN event_id % 3 = 0
+                    THEN '/LOAD000000' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '.csv'
+                    ELSE '/2024010' || CAST(event_id % 10 AS VARCHAR) || '-' ||
+                         lpad(CAST(event_id AS VARCHAR), 9, '0') || '.csv'
+               END AS file,
+               ts AS file_date
+        FROM events
+    ),
+    summary AS (
+        SELECT stage,
+               regexp_replace(file, '/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})..*$', '') AS file_prefix,
+               max(CASE WHEN regexp_matches(file, '.*/LOAD.*\\..*$') THEN '0'
+                        ELSE regexp_extract(file, '([^/]+)$', 1) END) AS last_incremental_file,
+               max(CASE WHEN regexp_matches(file, '.*/LOAD.*\\..*$') THEN file_date ELSE NULL END) AS full_load_file_date
+        FROM listing GROUP BY 1, 2
+    ),
+    dms AS (
+        SELECT DISTINCT
+               'dms/sch' || CAST(user_id % 3 AS VARCHAR) || '/tbl' || CAST(user_id % 5 AS VARCHAR) AS full_path,
+               'LAKE' AS stage,
+               CASE WHEN user_id % 2 = 0 THEN '0' ELSE '20240109-999999999' END AS last_incremental_file,
+               CASE WHEN user_id % 4 = 0 THEN TIMESTAMP '2099-01-01' ELSE TIMESTAMP '2024-01-01' END AS last_full_load_date
+        FROM events
+    )
+    SELECT dms.full_path,
+           CASE WHEN s.last_incremental_file > dms.last_incremental_file
+                     AND s.full_load_file_date > dms.last_full_load_date THEN 'B'
+                WHEN s.last_incremental_file > dms.last_incremental_file THEN 'I'
+                WHEN s.full_load_file_date   > dms.last_full_load_date   THEN 'F'
+                ELSE 'N'
+           END AS load_type
+    FROM dms
+    JOIN summary s
+      ON dms.full_path = s.file_prefix
+     AND upper(dms.stage) = upper(s.stage)
+     AND (s.last_incremental_file > dms.last_incremental_file
+          OR s.full_load_file_date > dms.last_full_load_date)
+    """,
+)
+def q17_load_plan(spark, sf_dir):
+    """planner.load_plan_df over a listing + metadata synthesized from
+    events — the full reference planner join/CASE (ref :113-148), oracle-
+    checked.  Worker assignment (xxhash64) is excluded: not portable SQL."""
+    from .planner import load_plan_df
+
+    ev = _t(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("dms/sch"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit("/tbl"),
+        (F.col("user_id") % 5).cast("string"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/LOAD000000"),
+                F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+                F.lit(".csv"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/2024010"),
+                (F.col("event_id") % 10).cast("string"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 9, "0"),
+                F.lit(".csv"),
+            )
+        ),
+    )
+    listing = ev.select(
+        F.lit("lake").alias("stage"), fname.alias("file"), F.col("ts").alias("file_date")
+    )
+    dms = ev.select(
+        F.concat(
+            F.lit("dms/sch"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit("/tbl"),
+            (F.col("user_id") % 5).cast("string"),
+        ).alias("full_path"),
+        F.lit("LAKE").alias("stage"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("0"))
+        .otherwise(F.lit("20240109-999999999"))
+        .alias("last_incremental_file"),
+        F.when(
+            F.col("user_id") % 4 == 0, F.lit("2099-01-01").cast("timestamp")
+        )
+        .otherwise(F.lit("2024-01-01").cast("timestamp"))
+        .alias("last_full_load_date"),
+    ).distinct()
+    return load_plan_df(listing, dms).select("full_path", "load_type")
+
+
+# ---------------------------------------------------------------------------
+# The CDC MERGE as a query (SURVEY S11/J2/W1, ref :369-408)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH changes AS (
+        SELECT CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+                    WHEN o_orderkey % 10 < 6 THEN 'U'
+                    ELSE 'I' END AS op,
+               CASE WHEN o_orderkey % 10 >= 6 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS c_custkey,
+               'chg-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+               o_totalprice + 1000 AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderdate AS _file,
+               o_orderkey AS _rownum
+        FROM orders
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _file DESC, _rownum DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t
+    FULL OUTER JOIN deduped s ON t.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL OR s.op <> 'D'
+"""
+
+
+@query("q18_cdc_merge", _CDC_ORACLE)
+def q18_cdc_merge(spark, sf_dir):
+    """merge.apply_changes applied to a change-set derived deterministically
+    from orders: op by orderkey%10 (D/U/I), I-rows target absent keys
+    (insert path), latest-wins ordered by (o_orderdate, o_orderkey) —
+    exercising every MERGE branch of ref :401-407 plus the ref :380-397
+    dedup, hash-checked against a pure-SQL restatement."""
+    from .merge import apply_changes
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = orders.select(
+        F.when(opmod < 2, "D").when(opmod < 6, "U").otherwise("I").alias("op"),
+        F.when(opmod >= 6, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        # exact double add — stays off round-boundary parity traps
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+    return apply_changes(
+        cust,
+        changes,
+        pks=["c_custkey"],
+        order_by=[F.desc("_file"), F.desc("_rownum")],
+    )

@@ -1,0 +1,89 @@
+"""Task-DAG analogue (ref :163-203, :494-552): orchestrate the loads.
+
+Reference: a scheduled root task runs the planner, then 5 child tasks each
+loop claim-one-item / DELETE / dispatch on load type (B → full then
+incremental, ref :191-193; F → full; I → incremental) until the queue is
+empty.  The claim-then-delete there is not atomic (ref E2 boundary note);
+tasks avoid races only via disjoint ``task_in_charge`` assignment.
+
+Here: one Spark application, a thread-safe ``queue.Queue``, and a
+``ThreadPoolExecutor`` — Spark's scheduler is thread-safe, so N workers
+submit independent jobs that run concurrently in the one cluster, and
+Spark additionally parallelizes *within* each table load (the reference
+cannot).  FAIR scheduling keeps one giant table from starving the rest.
+"""
+
+from __future__ import annotations
+
+import queue
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from .cdc import incremental_load
+from .full_load import full_load
+from .metadata import MetadataStore
+from .planner import WorkItem, prepare_migration_queue
+from .sources.warehouse import ParquetWarehouse
+
+
+@dataclass
+class RunResult:
+    processed: list[tuple[str, str, str]] = field(default_factory=list)  # (path, type, status)
+    errors: list[tuple[str, str]] = field(default_factory=list)
+
+
+def run_migration(
+    spark: SparkSession,
+    store: MetadataStore,
+    warehouse: ParquetWarehouse,
+    schemas: dict[str, StructType] | None = None,
+    task_count: int = 5,
+) -> RunResult:
+    """Plan + execute one migration round (root task + children, ref :494-552)."""
+    items = prepare_migration_queue(spark, store, task_count=task_count)
+    return run_queue(spark, store, warehouse, items, schemas, task_count)
+
+
+def run_queue(
+    spark: SparkSession,
+    store: MetadataStore,
+    warehouse: ParquetWarehouse,
+    items: list[WorkItem],
+    schemas: dict[str, StructType] | None = None,
+    task_count: int = 5,
+) -> RunResult:
+    q: queue.Queue[WorkItem] = queue.Queue()
+    for it in items:
+        if it.load_type != "N":
+            q.put(it)
+    result = RunResult()
+
+    def worker() -> None:
+        # claim loop (ref :173-200); Queue.get_nowait is the atomic
+        # claim+delete the reference approximates with LIMIT 1 + DELETE
+        while True:
+            try:
+                it = q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                schema = (schemas or {}).get(it.full_path)
+                if it.load_type in ("B", "F"):
+                    n = full_load(spark, store, warehouse, it.full_path, schema)
+                    result.processed.append((it.full_path, "F", f"Rows loaded: {n}."))
+                if it.load_type in ("B", "I"):  # B = full then incremental, ref :191-193
+                    msg = incremental_load(spark, store, warehouse, it.full_path)
+                    result.processed.append((it.full_path, "I", msg))
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                result.errors.append((it.full_path, repr(e)))
+            finally:
+                q.task_done()
+
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dms")
+    with ThreadPoolExecutor(max_workers=task_count) as ex:
+        for _ in range(task_count):
+            ex.submit(worker)
+    return result

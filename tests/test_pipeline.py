@@ -1,0 +1,203 @@
+"""End-to-end DMS pipeline tests against a synthesized landing directory.
+
+Fixture layout mirrors the reference's input contract (FIXTURES.md §B,
+ref control_migration_schema_script.sql:235,291,301):
+
+    <stage>/<db_schema>/<db_table>/LOAD00000001.csv        full load
+    <stage>/<db_schema>/<db_table>/20240101-000000001.csv  CDC batch
+
+Covered behaviors (each maps to a reference line, see SURVEY §5.3):
+latest-row-in-file wins (:382,388); later-file wins (:382); D deletes
+(:401-402); D on absent row is a no-op (:405); U/I on absent row inserts
+(:403-407); re-run with no new files changes nothing (:421-423); full
+reload resets the watermark to '0' (:244).
+"""
+
+import os
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from example_dms_dataexport_spark.cdc import incremental_load
+from example_dms_dataexport_spark.discover import fill_dms_metadata, parse_stage_path
+from example_dms_dataexport_spark.full_load import full_load
+from example_dms_dataexport_spark.metadata import MetadataStore, TableMeta
+from example_dms_dataexport_spark.runner import run_queue
+from example_dms_dataexport_spark.planner import WorkItem, prepare_migration_queue
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+CUST_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_acctbal", DoubleType()),
+    ]
+)
+
+
+def write_file(root, rel, lines):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    return stage
+
+
+def make_env(tmp_path, landing, last_incremental_file="0"):
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=["c_custkey"],
+            last_incremental_file=last_incremental_file,
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    return store, wh
+
+
+def rows_of(spark, wh):
+    return {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+
+
+def test_full_load_and_watermark_reset(spark, tmp_path, landing):
+    store, wh = make_env(tmp_path, landing, last_incremental_file="20990101-0")
+    n = full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    assert n == 3
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob", 20.0),
+        (3, "carol", 30.25),
+    }
+    meta = store.get("erp/customer")
+    assert meta.last_incremental_file == "0"  # sentinel reset, ref :244
+    assert meta.last_full_load_date is not None
+
+
+def test_incremental_latest_wins_and_ops(spark, tmp_path, landing):
+    store, wh = make_env(tmp_path, landing)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    # file 1: two ops for pk=2 in one file → last row in file wins (U 2 bob2b)
+    #         D for pk=3 → delete; D for pk=99 (absent) → no-op
+    write_file(
+        landing,
+        "erp/customer/20240101-000000001.csv",
+        ["U,2,bob2a,21.0", "U,2,bob2b,22.0", "D,3,carol,0", "D,99,ghost,0"],
+    )
+    # file 2 (later): overrides file 1 for pk=2; U for absent pk=4 → insert
+    write_file(
+        landing,
+        "erp/customer/20240102-000000002.csv",
+        ["U,2,bob3,23.0", "U,4,dave,40.0"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer")
+    assert msg.startswith("Rows affected:")
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob3", 23.0),
+        (4, "dave", 40.0),
+    }
+    assert store.get("erp/customer").last_incremental_file == "20240102-000000002.csv"
+    # re-run with no new files → early exit, nothing changes (ref :421-423)
+    assert incremental_load(spark, store, wh, "erp/customer") == "No files to process."
+    assert rows_of(spark, wh) == {(1, "alice", 10.5), (2, "bob3", 23.0), (4, "dave", 40.0)}
+
+
+def test_incremental_requires_pks(spark, tmp_path, landing):
+    store, wh = make_env(tmp_path, landing)
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=[],
+        )
+    )
+    assert "can't be null" in incremental_load(spark, store, wh, "erp/customer")
+
+
+def test_discover_and_planner_types(spark, tmp_path, landing):
+    # second table with only a full-load file
+    write_file(landing, "erp/orders/LOAD00000001.csv", ["1,100.0"])
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    n = fill_dms_metadata(
+        spark, store, landing, primary_keys={"customer": ["c_custkey"]}
+    )
+    assert n == 2
+    metas = {m.full_path: m for m in store.all()}
+    assert set(metas) == {"erp/customer", "erp/orders"}
+    assert metas["erp/customer"].primary_keys == ["c_custkey"]
+
+    # fresh tables (watermark '0'/NULL) + LOAD and CDC files present → B;
+    # only LOAD present → F (since NULL full-load date coalesced to epoch)
+    write_file(landing, "erp/customer/20240101-000000001.csv", ["U,1,a,1.0"])
+    items = {i.full_path: i for i in prepare_migration_queue(spark, store)}
+    assert items["erp/customer"].load_type == "B"
+    assert items["erp/orders"].load_type == "F"
+    assert all(1 <= i.worker <= 5 for i in items.values())
+
+    # after loading, with no new files → table drops out of the plan (N/absent)
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    run_queue(
+        spark,
+        store,
+        wh,
+        list(items.values()),
+        schemas={
+            "erp/customer": CUST_SCHEMA,
+            "erp/orders": StructType(
+                [StructField("o_id", LongType()), StructField("amt", DoubleType())]
+            ),
+        },
+    )
+    items2 = prepare_migration_queue(spark, store)
+    assert [i for i in items2 if i.load_type != "N"] == []
+
+
+def test_parse_stage_path_uri():
+    p = parse_stage_path("s3://bkt/dms/prod/erp/customer/LOAD00000001.csv")
+    assert p == {
+        "full_path": "s3://bkt/dms/prod/erp/customer",
+        "cloud_provider": "s3",
+        "bucket": "bkt",
+        "db_prefix": "dms/prod",
+        "db_schema": "erp",
+        "db_table": "customer",
+    }
+
+
+def test_runner_end_to_end(spark, tmp_path, landing):
+    store, wh = make_env(tmp_path, landing)
+    write_file(landing, "erp/customer/20240103-000000001.csv", ["I,5,eve,50.0"])
+    res = run_queue(
+        spark,
+        store,
+        wh,
+        [WorkItem("erp/customer", "B", 1)],
+        schemas={"erp/customer": CUST_SCHEMA},
+    )
+    assert not res.errors
+    assert (5, "eve", 50.0) in rows_of(spark, wh)

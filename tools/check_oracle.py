@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a scale factor and compares against
+``oracle_sql()`` via DuckDB: row count, sorted column names, and an
+order-insensitive value comparison (floats rounded to 6 significant
+decimals before comparing).  Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from example_dms_dataexport_spark.session import get_spark
+from example_dms_dataexport_spark.tables import TABLE_NAMES
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {e!r}"[:500])
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {e!r}"[:500])
+            failed.append(name)
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if ns != nd:
+                diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                print(f"FAIL {name}: values differ, e.g. {diffs}")
+                ok = False
+        if ok:
+            print(f"ok {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+        else:
+            failed.append(name)
+    print("FAILED:", failed) if failed else print("ALL OK")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
