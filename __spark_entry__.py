@@ -15,21 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: TPC-H-Q1-style pricing summary at sf0.001."""
-    from example_dms_dataexport_spark.queries_relational import QUERIES
+    from example_dms_dataexport_spark.registry import load_all
 
-    return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    queries, _ = load_all()
+    return queries["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from example_dms_dataexport_spark.queries_relational import QUERIES
+    from example_dms_dataexport_spark.registry import load_all
 
-    return dict(QUERIES)
+    return dict(load_all()[0])
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (None entries omitted →
     driver records a weaker rows-only check for those)."""
-    from example_dms_dataexport_spark.queries_relational import ORACLES
+    from example_dms_dataexport_spark.registry import load_all
 
-    return {k: v for k, v in ORACLES.items() if v is not None}
+    return {k: v for k, v in load_all()[1].items() if v is not None}

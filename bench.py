@@ -39,7 +39,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from example_dms_dataexport_spark.queries_relational import QUERIES
+    from example_dms_dataexport_spark.registry import load_all
+
+    QUERIES, _ = load_all()
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Warm the JVM + file-listing caches once with the cheapest query so

@@ -1,0 +1,12 @@
+"""North-star operators for large-scale training-data pipelines.
+
+text_analysis  token stats, language ID, quality score, fingerprint
+dedup          exact / MinHash-LSH / SimHash / n-gram-Jaccard near-dup
+simsearch      embedding cosine k-NN: brute-force, LSH- and IVF-pruned
+multimodal     opaque binary media columns + Arrow-batched decode stubs
+
+All hot-path math is built from ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage codegen); Python appears only in the multimodal
+decode stubs (Arrow-batched ``mapInPandas``), mirroring how a real
+image/audio decoder would slot in.
+"""

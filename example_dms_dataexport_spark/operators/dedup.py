@@ -1,0 +1,321 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, in increasing fuzziness:
+
+- exact: content-hash groupBy, keep the lowest id (one shuffle on the hash)
+- MinHash + LSH: char-shingle signatures -> banded buckets -> candidate
+  pairs -> exact-Jaccard verification (the Broder/LSH construction used by
+  every large-scale corpus dedup; all joins shuffle on bounded keys)
+- SimHash: 32-bit token-hash sketch, byte-banded candidate pairs, Hamming
+  verification (Charikar; used by web-crawl dedup)
+- n-gram Jaccard: exact word-n-gram set overlap with stop-shingle pruning
+  (document-frequency cap) to block the quadratic blowup
+
+100 TB design notes:
+- every pairwise step is *blocked* (LSH band key / simhash byte / shared
+  rare n-gram) — there is no unblocked crossJoin anywhere;
+- signature computation is a single explode + partial-aggregated groupBy
+  per doc (map-side combine shrinks the shuffle to one row per doc);
+- candidate pair sets are orders of magnitude smaller than the corpus, so
+  the verification joins broadcast the pair list when it fits;
+- the frequency cap in n-gram dedup is the standard "stop shingle" guard:
+  an n-gram appearing in >max_df docs generates O(max_df^2) pairs, so it is
+  dropped from BOTH the candidate and the verification sets (documented,
+  mirrored in the oracle SQL).
+
+All arithmetic matches ``functions.texthash`` bit-for-bit with the DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+SIMHASH_BITS = 32
+SIMHASH_BYTES = 4
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (lowest id) per distinct content hash (md5).
+
+    groupBy on the 128-bit content hash: uniform keys, no skew, one shuffle.
+    """
+    h = df.withColumn("_chash", F.md5(F.col(text_col)))
+    keep = h.groupBy("_chash").agg(F.min(id_col).alias(id_col))
+    return (
+        h.join(keep, [id_col, "_chash"], "left_semi").drop("_chash")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def shingle_set(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) rows — distinct char-k shingles per document."""
+    return df.select(
+        id_col, F.explode(TH.char_shingles(F.col(text_col))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, mh0..mh{N-1}) MinHash signature via explode + one groupBy.
+
+    The N permutation-mins are N agg expressions over the same shingle-hash
+    column: Spark's hash aggregate computes partial mins map-side, so the
+    shuffle carries exactly one row per document.
+    """
+    h = shingle_set(df, id_col, text_col).select(
+        id_col, TH.poly_hash(F.col("shingle")).alias("h")
+    )
+    return h.groupBy(id_col).agg(
+        *[
+            F.min(TH.minhash_perm(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(TH.NUM_HASHES)
+        ]
+    )
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, key): signature split into LSH_BANDS banded keys."""
+    r = TH.NUM_HASHES // TH.LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                ).alias("key"),
+            )
+            for b in range(TH.LSH_BANDS)
+        ]
+    )
+    return sigs.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+
+    Self-equi-join on (band, key): Catalyst shuffles both sides on the
+    bucket key; bucket sizes are the skew lever — more rows per band
+    lowers collision probability (tune LSH_BANDS/NUM_HASHES).
+    """
+    b = lsh_bands(sigs, id_col)
+    a_side, b_side = b.alias("a"), b.alias("b")
+    return (
+        a_side.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    cand: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    cand is small relative to the corpus — joining it into the exploded
+    shingle relation keeps only candidate docs' shingles in flight.
+    """
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> verified
+    (id_a, id_b, jaccard) pairs at or above threshold."""
+    # The shingle relation feeds both signature computation and exact
+    # verification, and the band self-join reads the signatures twice:
+    # persist both so the (expensive) hash scan runs once, not four times.
+    shingles = shingle_set(df, id_col, text_col).persist()
+    h = shingles.select(id_col, TH.poly_hash(F.col("shingle")).alias("h"))
+    sigs = h.groupBy(id_col).agg(
+        *[
+            F.min(TH.minhash_perm(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(TH.NUM_HASHES)
+        ]
+    ).persist()
+    cand = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_verify(cand, shingles, id_col, threshold)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): 32-bit Charikar sketch over token hashes.
+
+    One explode + one groupBy; the 32 per-bit sign sums are partial-agg'd
+    map-side like any other SUM, so the shuffle is one row per doc.
+    """
+    h = df.select(
+        id_col, F.explode(TH.tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, TH.poly_hash(F.col("tok")).alias("h"))
+    per_doc = h.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"2 * ((h div {1 << j}) % 2) - 1")).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    val = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0),
+    )
+    return per_doc.select(id_col, val.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within max_hamming bits.
+
+    Pigeonhole blocking: the 32 bits are split into 4 bytes and pairs are
+    generated on exact byte equality. Recall is guaranteed only for
+    distance < 4 (some byte must then be untouched); beyond that it is the
+    standard simhash blocking trade-off — pairs differing in all 4 bytes
+    are missed by construction (mirrored exactly in the oracle SQL).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(simhash div {1 << (8 * i)}) % 256").alias("key"),
+            )
+            for i in range(SIMHASH_BYTES)
+        ]
+    )
+    # persist: the band relation is read by both sides of the self-join
+    b = sim.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.key"
+    ).persist()
+    a_side, b_side = b.alias("a"), b.alias("b")
+    return (
+        a_side.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 20,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over word-n-gram sets, blocked by shared rare
+    n-grams.
+
+    Stop-shingle pruning: n-grams in > max_df docs are dropped from both
+    the blocking AND the measured sets (Jaccard is over pruned sets —
+    deliberate and mirrored in the oracle). This is what caps the
+    worst-case pair fan-out at max_df^2 per n-gram at any corpus size.
+    """
+    t = df.select(id_col, TH.tokens(F.col(text_col)).alias("toks"))
+    # persist: g feeds df-count pruning, sizes, and both self-join sides
+    g = t.select(
+        id_col, F.explode(TH.word_ngrams(F.col("toks"), n)).alias("g")
+    ).persist()
+    rare = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("g")
+    )
+    g = g.join(F.broadcast(rare), "g")
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n"))
+    ga = g.select(F.col(id_col).alias("id_a"), "g")
+    gb = g.select(F.col(id_col).alias("id_b"), "g")
+    shared = (
+        ga.join(gb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

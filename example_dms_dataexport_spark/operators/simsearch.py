@@ -1,0 +1,239 @@
+"""Embedding similarity search over ``embeddings`` (array<float>, 64-dim).
+
+Three k-NN strategies with one shared scoring kernel:
+
+- brute-force: probes broadcast against the corpus, exact cosine, window
+  top-k. The *baseline and oracle*: exact, but scores |corpus| x |probes|
+  rows — at 100 TB you only run it for evaluation slices.
+- LSH-pruned: 8 fixed random hyperplanes -> 256 sign-buckets; probes only
+  score vectors in their own bucket (candidate set ~ corpus/256). The
+  hyperplanes are deterministic integer literals, so the bucket function is
+  reproducible in the DuckDB oracle.
+- IVF-pruned: the corpus's coarse cluster id (``label``) is the inverted
+  index; probes score only their own cluster. In a real pipeline the label
+  comes from a k-means fit; here it ships with the table.
+
+Scale notes: cosine is unrolled builtin arithmetic inside whole-stage
+codegen (cast to double once — no UDF, no Python, no interpreted lambda).
+The pruned variants turn the crossJoin into an equi-join on (bucket) /
+(label), which Catalyst shuffles or broadcasts like any other join key;
+the window top-k then runs on the pruned candidate set only. Norms are
+precomputed once per side. The summation association order is fixed and
+mirrored by the SQL generator, so DuckDB reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.texthash import _lcg
+
+N_PLANES = 8
+PLANE_DIM = 64
+# deterministic hyperplane components in [-1000, 1000] (integer -> exact)
+HYPERPLANES = [
+    [v - 1000 for v in _lcg(1000 + p, PLANE_DIM, 0, 2001)] for p in range(N_PLANES)
+]
+
+
+EMBED_DIM = 64  # the embeddings table's vector width
+DOT_CHUNK = 8
+
+
+def dot(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """Unrolled fixed-dimension dot product in double.
+
+    Chunked left-associated sums: ((a1b1+a2b2)+...)+... per 8-wide chunk,
+    then chunks combined left-to-right. Fully builtin arithmetic -> runs in
+    whole-stage codegen (an interpreted zip_with/aggregate fold benchmarked
+    ~10x slower), and the DuckDB oracle generator emits the IDENTICAL
+    association order, so scores stay bit-for-bit reproducible.
+
+    Pass MATERIALIZED array columns (attribute refs), not inline
+    expressions — each element access references the argument again.
+    """
+    chunks = []
+    for c0 in range(0, dim, DOT_CHUNK):
+        acc = None
+        for i in range(c0 + 1, min(c0 + DOT_CHUNK, dim) + 1):
+            term = F.element_at(a, i) * F.element_at(b, i)
+            acc = term if acc is None else acc + term
+        chunks.append(acc)
+    out = chunks[0]
+    for ch in chunks[1:]:
+        out = out + ch
+    return out
+
+
+def dot_any(a: Column, b: Column) -> Column:
+    """Generic-dimension fold fallback (interpreted; eval/debug only)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sql_dot(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB twin of ``dot`` — identical association order."""
+    chunks = []
+    for c0 in range(0, dim, DOT_CHUNK):
+        terms = [
+            f"{a}[{i}] * {b}[{i}]"
+            for i in range(c0 + 1, min(c0 + DOT_CHUNK, dim) + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        chunks.append(acc)
+    out = chunks[0]
+    for ch in chunks[1:]:
+        out = f"({out} + {ch})"
+    return out
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-bucket id in [0, 2^N_PLANES) from fixed integer hyperplanes."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[p]])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_on: list[str] | None = None,
+) -> DataFrame:
+    """Top-k neighbours per probe: (probe_id, vec_id, score, rank).
+
+    prune_on: optional equi-join columns (e.g. ["bucket"] or ["label"])
+    that must exist on both sides — this is what turns the crossJoin into
+    a pruned candidate join for the LSH/IVF variants. Self-matches
+    (probe_id == vec_id) are excluded. Scores stay UNROUNDED: both engines
+    fold the dot product sequentially in double, so the scores — and the
+    (score desc, vec_id asc) order — are bit-identical; rounding would
+    actually break parity at half-boundaries where round() implementations
+    disagree.
+    """
+    keep = prune_on or []
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"), *keep
+    ).withColumn("v_norm", norm(F.col("v")))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(vec_col).alias("q"), *keep
+    ).withColumn("q_norm", norm(F.col("q")))
+    joined = c.join(F.broadcast(p), on=keep) if keep else c.crossJoin(F.broadcast(p))
+    scored = joined.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        (
+            dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "score", "rank")
+    )
+
+
+def knn_brute(
+    corpus: DataFrame, probes: DataFrame, k: int = 5, **kw
+) -> DataFrame:
+    """Exact brute-force k-NN (baseline / evaluation path)."""
+    return cosine_topk(corpus, probes, k, **kw)
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate k-NN: candidates share the sign-bucket."""
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        # materialize the double vector before the 8x64-term bucket
+        # expression references it, then drop the scratch column
+        return (
+            df.withColumn("_v", as_double(vec_col))
+            .withColumn("bucket", lsh_bucket(F.col("_v")))
+            .drop("_v")
+        )
+
+    return cosine_topk(
+        with_bucket(corpus), with_bucket(probes), k, id_col, vec_col,
+        prune_on=["bucket"],
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-style k-NN: probe scores only its coarse cluster's vectors."""
+    return cosine_topk(corpus, probes, k, id_col, vec_col, prune_on=[cluster_col])
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, score) near-duplicate pairs by cosine, LSH-blocked.
+
+    Pairs are generated only within a sign-bucket (the scale guard), then
+    verified exactly — same structure as the MinHash dedup pipeline.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
+        "n", norm(F.col("v"))
+    )
+    a_side = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b_side = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,439 @@
+"""Oracle-paired LLM-training-data pipeline queries (SURVEY §7.2 step 5).
+
+Covers the north-star operator families over ``documents`` /
+``embeddings``: text analysis, exact + fuzzy dedup (MinHash-LSH, SimHash,
+n-gram Jaccard), and embedding similarity search (brute / LSH / IVF).
+
+Every oracle here is GENERATED from the same constants as the Spark
+expressions (functions.texthash / operators.simsearch), so both engines
+compute bit-identical hashes, signatures, buckets, and (sequential-fold)
+cosine scores — the driver's value-hash comparison is exact, not
+approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import texthash as TH
+from .operators import dedup, simsearch, text_analysis
+from .registry import query
+from .tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+    SELECT doc_id,
+           {TH.sql_token_count('text')}                    AS n_tokens,
+           {TH.sql_bpe_token_count('text')}                AS n_bpe_tokens,
+           len(list_distinct({TH.sql_tokens('text')}))     AS n_uniq_tokens,
+           {TH.sql_avg_token_len('text')}                  AS avg_token_len,
+           {TH.sql_lang_id('text')}                        AS lang_pred,
+           {TH.sql_quality_score('text')}                  AS quality,
+           {TH.sql_fingerprint('text')}                    AS fingerprint
+    FROM documents
+"""
+
+
+@query("q19_text_features", _Q19_ORACLE)
+def q19_text_features(spark, sf_dir):
+    """Per-document token stats, language ID, quality, fingerprint —
+    one narrow no-shuffle projection over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.text_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_uniq_tokens",
+        "avg_token_len",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+_Q20_ORACLE = f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg({TH.sql_quality_score('text')}), 4) AS avg_quality,
+           sum(CASE WHEN {TH.sql_lang_id('text')} = 'en' THEN 1 ELSE 0 END) AS n_en,
+           round(avg({TH.sql_token_count('text')}), 4) AS avg_tokens
+    FROM documents
+    GROUP BY source
+"""
+
+
+@query("q20_corpus_profile", _Q20_ORACLE)
+def q20_corpus_profile(spark, sf_dir):
+    """Corpus profiling rollup per source (the dataset-card query) —
+    per-doc features computed once, then one partial-agg'd groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = text_analysis.text_features(docs)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias("n_en"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+_Q21_ORACLE = f"""
+    SELECT doc_id, source, n_chars, {TH.sql_quality_score('text')} AS quality
+    FROM documents
+    WHERE {TH.sql_quality_score('text')} >= 0.5
+"""
+
+
+@query("q21_quality_filter", _Q21_ORACLE)
+def q21_quality_filter(spark, sf_dir):
+    """The corpus-cleaning gate: keep docs above a quality threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = text_analysis.text_features(docs)
+    return feats.filter(F.col("quality") >= 0.5).select(
+        "doc_id", "source", "n_chars", "quality"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy keep-lowest-id)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    keep AS (SELECT md5(text) AS ch, min(doc_id) AS doc_id FROM u GROUP BY 1)
+    SELECT u.doc_id, u.text
+    FROM u JOIN keep ON u.doc_id = keep.doc_id AND md5(u.text) = keep.ch
+"""
+
+
+@query("q22_exact_dedup", _Q22_ORACLE)
+def q22_exact_dedup(spark, sf_dir):
+    """Exact dedup over a corpus with injected duplicates (even docs are
+    duplicated under shifted ids; the lowest id survives)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(docs.unionByName(dupes))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+_MH_COLS = ", ".join(
+    f"min({TH.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(TH.NUM_HASHES)
+)
+
+_SIG_CTES = f"""
+    sh AS (
+        SELECT doc_id, unnest({TH.sql_char_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    hv AS (SELECT doc_id, {TH.sql_poly_hash('shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {_MH_COLS} FROM hv GROUP BY doc_id)
+"""
+
+_Q23_ORACLE = f"WITH {_SIG_CTES} SELECT * FROM sig"
+
+
+@query("q23_minhash_signatures", _Q23_ORACLE)
+def q23_minhash_signatures(spark, sf_dir):
+    """16-permutation MinHash signature per document (explode + one
+    partial-aggregated groupBy; shuffle = one row per doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+def _band_key_sql(b: int) -> str:
+    r = TH.NUM_HASHES // TH.LSH_BANDS
+    return " || '-' || ".join(
+        f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+    )
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig"
+    for b in range(TH.LSH_BANDS)
+)
+
+_Q24_ORACLE = f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT s.id_a, s.id_b,
+               CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) AS jaccard
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.id_a
+        JOIN sizes nb ON nb.doc_id = s.id_b
+    ) WHERE jaccard >= 0.5
+"""
+
+
+@query("q24_minhash_dedup_pairs", _Q24_ORACLE)
+def q24_minhash_dedup_pairs(spark, sf_dir):
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash + Hamming pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(2 * ((h // {1 << j}) % 2) - 1) AS b{j}" for j in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(dedup.SIMHASH_BITS)
+)
+
+_SIMHASH_CTES = f"""
+    tok AS (SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents),
+    hv AS (SELECT doc_id, {TH.sql_poly_hash('tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM hv GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)
+"""
+
+_Q25_ORACLE = f"WITH {_SIMHASH_CTES} SELECT * FROM sim"
+
+
+@query("q25_simhash", _Q25_ORACLE)
+def q25_simhash(spark, sf_dir):
+    """32-bit SimHash sketch per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+_SIMBANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {i} AS band,"
+    f" (simhash // {1 << (8 * i)}) % 256 AS key FROM sim"
+    for i in range(dedup.SIMHASH_BYTES)
+)
+
+_Q26_ORACLE = f"""
+    WITH {_SIMHASH_CTES},
+    bands AS ({_SIMBANDS_SQL})
+    SELECT * FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+"""
+
+
+@query("q26_simhash_pairs", _Q26_ORACLE)
+def q26_simhash_pairs(spark, sf_dir):
+    """Byte-banded SimHash pairs within Hamming distance 3 — the radius
+    where 4-byte pigeonhole blocking guarantees full recall."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup with stop-shingle pruning
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents),
+    gr AS (SELECT doc_id, unnest({TH.sql_word_ngrams('toks', 3)}) AS g FROM t),
+    rare AS (
+        SELECT g FROM (SELECT g, count(*) AS c FROM gr GROUP BY g)
+        WHERE c <= 20
+    ),
+    gp AS (SELECT gr.doc_id, gr.g FROM gr JOIN rare USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM gp GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM gp a JOIN gp b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT s.id_a, s.id_b,
+               CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) AS jaccard
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.id_a
+        JOIN sizes nb ON nb.doc_id = s.id_b
+    ) WHERE jaccard >= 0.4
+"""
+
+
+@query("q27_ngram_jaccard_pairs", _Q27_ORACLE)
+def q27_ngram_jaccard_pairs(spark, sf_dir):
+    """Word-3-gram Jaccard >= 0.4 pairs, blocked by shared rare n-grams
+    (doc-frequency cap 20 = the stop-shingle guard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_df=20)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+_sql_dot = simsearch.sql_dot  # chunk-unrolled, same association order
+
+
+_EMB_CTES = f"""
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cn AS (SELECT vec_id, label, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM c)
+"""
+
+_PROBE_FILTER = "vec_id % 50 = 0"
+
+
+_Q28_ORACLE = f"""
+    WITH {_EMB_CTES},
+    p AS (SELECT vec_id AS probe_id, v AS q, nrm AS qn FROM cn
+          WHERE {_PROBE_FILTER}),
+    scored AS (
+        SELECT p.probe_id, cn.vec_id,
+               {_sql_dot('cn.v', 'p.q')} / (cn.nrm * p.qn) AS score
+        FROM cn, p WHERE cn.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, vec_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("q28_knn_brute", _Q28_ORACLE)
+def q28_knn_brute(spark, sf_dir):
+    """Exact cosine top-5 for every 50th vector as probe (the ANN
+    baseline/evaluation path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return simsearch.knn_brute(emb, probes, k=5)
+
+
+def _sql_plane_literal(p: int) -> str:
+    vals = ", ".join(f"{float(v)}" for v in simsearch.HYPERPLANES[p])
+    return f"([{vals}]::DOUBLE[])"
+
+
+_SQL_BUCKET = " + ".join(
+    f"CASE WHEN {_sql_dot('v', _sql_plane_literal(p))} > 0"
+    f" THEN {1 << p} ELSE 0 END"
+    for p in range(simsearch.N_PLANES)
+)
+
+_Q29_ORACLE = f"""
+    WITH {_EMB_CTES},
+    cb AS (SELECT vec_id, v, nrm, {_SQL_BUCKET} AS bucket FROM cn),
+    p AS (SELECT vec_id AS probe_id, v AS q, nrm AS qn, bucket FROM cb
+          WHERE {_PROBE_FILTER}),
+    scored AS (
+        SELECT p.probe_id, cb.vec_id,
+               {_sql_dot('cb.v', 'p.q')} / (cb.nrm * p.qn) AS score
+        FROM cb JOIN p ON cb.bucket = p.bucket AND cb.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, vec_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("q29_knn_lsh", _Q29_ORACLE)
+def q29_knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: probes only score vectors sharing their
+    8-hyperplane sign bucket (candidate set ~ corpus/256)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return simsearch.knn_lsh(emb, probes, k=5)
+
+
+_Q30_ORACLE = f"""
+    WITH {_EMB_CTES},
+    p AS (SELECT vec_id AS probe_id, v AS q, nrm AS qn, label FROM cn
+          WHERE {_PROBE_FILTER}),
+    scored AS (
+        SELECT p.probe_id, cn.vec_id,
+               {_sql_dot('cn.v', 'p.q')} / (cn.nrm * p.qn) AS score
+        FROM cn JOIN p ON cn.label = p.label AND cn.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, vec_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("q30_knn_ivf", _Q30_ORACLE)
+def q30_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: probes score only their coarse cluster (label) —
+    the inverted-file pruning pattern."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return simsearch.knn_ivf(emb, probes, k=5)
+
+
+_Q31_ORACLE = f"""
+    WITH u AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               [CASE WHEN i = 1 THEN w[i] * 1.05 ELSE w[i] END
+                FOR i IN generate_series(1, len(w))] AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS w FROM embeddings)
+        WHERE vec_id % 25 = 0
+    ),
+    cn AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM u),
+    cb AS (SELECT vec_id, v, nrm, {_SQL_BUCKET} AS bucket FROM cn)
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS score
+        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE score >= 0.95
+"""
+
+
+@query("q31_embedding_dup_pairs", _Q31_ORACLE)
+def q31_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicates over a corpus with planted perturbed
+    copies (every 25th vector, first coordinate scaled 1.05x): cosine
+    >= 0.95 pairs, LSH-bucket-blocked. A perturbed copy whose bucket
+    flips is missed identically in both engines (same bucket function)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = simsearch.as_double("embedding")
+    base = emb.select("vec_id", v.alias("embedding"))
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("embedding"),
+    )
+    return simsearch.embedding_dup_pairs(
+        base.unionByName(perturbed), threshold=0.95
+    )

@@ -18,25 +18,11 @@ Registry: ``QUERIES[name] -> fn(spark, sf_dir) -> DataFrame`` and
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .registry import QUERIES, ORACLES, query  # noqa: F401  (re-exported)
 from .tables import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str | None] = {}
-
-
-def query(name: str, oracle: str | None):
-    def deco(fn):
-        QUERIES[name] = fn
-        ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 def _t(spark, sf_dir, name):
