@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media is carried as an opaque ``binary`` column plus a typed metadata
+struct — the schema pattern for multimodal training data at 100 TB:
+
+    media: binary, media_meta: struct<format:string, width:int, height:int>
+
+Decode / feature-extraction runs through Arrow-batched ``mapInPandas``:
+the ONLY sanctioned Python hot path in the engine (real codecs are C
+libraries behind Python APIs, so the UDF boundary is unavoidable — but it
+is vectorized per Arrow batch, never per row). The actual image/audio
+libraries are not in this container, so:
+
+- ``decode_media`` with the default ``codec="fake"`` runs a deterministic
+  byte-statistics decoder (REAL plumbing: schema, Arrow batching,
+  partition-preserving mapInPandas — fake only in what the bytes mean),
+  which makes the whole path oracle-checkable;
+- ``codec="pil"`` / ``codec="av"`` raise NotImplementedError at the import
+  gate, marking exactly where Pillow / PyAV would slot in.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling, no
+full-partition materialization); decode is stateless per row so any
+partitioning works — keep upstream file-size-based partitioning and
+repartition only if decode skew (giant videos) shows up, ideally by a
+size-bucket column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frames", ArrayType(IntegerType())),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from ``documents``: utf-8 bytes as the
+    opaque payload + deterministic metadata (the test-fixture generator —
+    a real pipeline lands actual image/audio bytes in the same shape)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            ((F.col("n_chars") % 64) + 16).cast("int").alias("width"),
+            ((F.col("doc_id") % 32) + 8).cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def _require(codec: str) -> None:
+    if codec == "fake":
+        return
+    if codec == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib absent by design
+            raise NotImplementedError(
+                "codec='pil' needs Pillow (not in this environment); the "
+                "decode pipeline below is identical — only the per-batch "
+                "decode function changes"
+            ) from e
+    elif codec == "av":
+        try:
+            import av  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "codec='av' needs PyAV (not in this environment)"
+            ) from e
+    else:
+        raise ValueError(f"unknown codec: {codec}")
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """(doc_id, n_bytes, mean_intensity, width, height) per media row.
+
+    Arrow-batched; numpy does the byte math per batch. Integer byte sums
+    are exact in float64, so mean_intensity is bit-reproducible in SQL.
+    """
+    _require(codec)
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            buf = pdf["media"]
+            meta = pdf["media_meta"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": buf.map(len).astype("int32"),
+                    "mean_intensity": buf.map(
+                        lambda b: float(np.frombuffer(b, dtype=np.uint8).sum())
+                        / len(b)
+                        if len(b)
+                        else 0.0
+                    ),
+                    "width": meta.map(lambda m: m["width"]).astype("int32"),
+                    "height": meta.map(lambda m: m["height"]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every: int = 32, codec: str = "fake") -> DataFrame:
+    """Sample every ``every``-th byte as a 'frame' value (the video
+    frame-sampling pattern: decode only the sampled offsets)."""
+    _require(codec)
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            frames = pdf["media"].map(
+                lambda b: [
+                    int(x) for x in np.frombuffer(b, dtype=np.uint8)[::every]
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": frames.map(len).astype("int32"),
+                    "frames": frames,
+                }
+            )
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Where a real resize would run (needs Pillow) — schema-correct stub."""
+    raise NotImplementedError(
+        "resize needs Pillow; wire it as a mapInPandas identical in shape "
+        "to decode_media (binary in -> binary out + updated media_meta)"
+    )

@@ -1,0 +1,9 @@
+"""Physical-plan introspection helpers (the .explain() feedback loop)."""
+
+from .introspect import (  # noqa: F401
+    broadcast_join_count,
+    exchange_count,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)

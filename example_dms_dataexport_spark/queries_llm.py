@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .functions import texthash as TH
-from .operators import dedup, simsearch, text_analysis
+from .operators import dedup, multimodal, simsearch, text_analysis
 from .registry import query
 from .tables import load_table
 
@@ -437,3 +437,52 @@ def q31_embedding_dup_pairs(spark, sf_dir):
     return simsearch.embedding_dup_pairs(
         base.unionByName(perturbed), threshold=0.95
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary media columns + Arrow-batched decode (operators/multimodal)
+# ---------------------------------------------------------------------------
+
+# The fake decoder computes byte statistics over the utf-8 payload; text is
+# pure ASCII, so DuckDB reproduces them with character-code arithmetic.
+# Integer byte sums are exact in float64 -> mean_intensity matches exactly.
+
+_Q32_ORACLE = """
+    SELECT doc_id,
+           CAST(len(text) AS INTEGER) AS n_bytes,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(text)),
+                               i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                (a, b) -> a + b) AS DOUBLE) / len(text) AS mean_intensity,
+           CAST((n_chars % 64) + 16 AS INTEGER) AS width,
+           CAST((doc_id % 32) + 8 AS INTEGER) AS height
+    FROM documents
+"""
+
+
+@query("q32_media_decode", _Q32_ORACLE)
+def q32_media_decode(spark, sf_dir):
+    """Binary media decode through Arrow-batched mapInPandas (the one
+    sanctioned Python hot path): byte stats per media payload."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.media_from_documents(docs))
+
+
+_Q33_ORACLE = """
+    SELECT doc_id,
+           CAST(len(frames) AS INTEGER) AS n_frames,
+           frames
+    FROM (
+        SELECT doc_id,
+               [CAST(ascii(substring(text, i, 1)) AS INTEGER)
+                FOR i IN generate_series(1, len(text), 32)] AS frames
+        FROM documents
+    )
+"""
+
+
+@query("q33_frame_sample", _Q33_ORACLE)
+def q33_frame_sample(spark, sf_dir):
+    """Frame sampling over binary media (every 32nd byte) via mapInPandas."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.media_from_documents(docs), every=32)

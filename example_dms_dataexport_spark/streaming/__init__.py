@@ -1,0 +1,8 @@
+"""Structured Streaming surfaces of the engine.
+
+cdc_stream   file-source CDC stream -> foreachBatch(apply_changes);
+             the checkpoint replaces the reference's per-table
+             last_incremental_file bookkeeping entirely (SURVEY §2.9)
+windows      watermarked tumbling-window aggregation over an event stream
+             (same expression as the batch q16 query)
+"""

@@ -1,0 +1,206 @@
+"""Unit tests for the LLM-pipeline operators.
+
+The hash primitives get a THIRD independent implementation here (pure
+Python, same constants) — the DuckDB oracle already cross-checks Spark at
+the query level, and this pins the primitive semantics themselves.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from example_dms_dataexport_spark.functions import texthash as TH
+from example_dms_dataexport_spark.operators import dedup, multimodal, simsearch
+from example_dms_dataexport_spark.sources.jdbc import jdbc_options
+
+
+# --- pure-Python reference implementations ---------------------------------
+
+
+def py_poly_hash(s: str) -> int:
+    padded = (s[: TH.HASH_MAXLEN] + "\x01" * TH.HASH_MAXLEN)[: TH.HASH_MAXLEN]
+    acc = 0
+    for ch in padded:
+        acc = (acc * TH.HASH_B + ord(ch)) % TH.HASH_P
+    return acc
+
+
+def py_minhash(text: str) -> list[int]:
+    shingles = {text[i : i + TH.SHINGLE_K] for i in range(len(text) - TH.SHINGLE_K + 1)}
+    hs = [py_poly_hash(s) for s in shingles]
+    return [
+        min((a * h + b) % TH.MINHASH_P for h in hs)
+        for a, b in zip(TH.MINHASH_A, TH.MINHASH_B)
+    ]
+
+
+def py_simhash(text: str) -> int:
+    toks = [t for t in text.lower().strip().split() if t]
+    hs = [py_poly_hash(t) for t in toks]
+    val = 0
+    for j in range(dedup.SIMHASH_BITS):
+        s = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if s > 0:
+            val |= 1 << j
+    return val
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different content with unrelated words here"),
+    (3, "der hund und die katze sind freunde und das ist gut"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_poly_hash_matches_python(spark):
+    texts = ["abc", "hello", "a" * 40, "the quick brown fox", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", TH.poly_hash(F.col("s")).alias("h")).collect()
+    }
+    for t in texts:
+        assert got[t] == py_poly_hash(t), t
+
+
+def test_minhash_signatures_match_python(docs_df):
+    rows = dedup.minhash_signatures(docs_df).collect()
+    by_id = {r["doc_id"]: [r[f"mh{i}"] for i in range(TH.NUM_HASHES)] for r in rows}
+    for doc_id, text in DOCS:
+        assert by_id[doc_id] == py_minhash(text), doc_id
+
+
+def test_simhash_matches_python(docs_df):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == py_simhash(text), doc_id
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other"), (7, "same")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_dedup_finds_near_duplicates(docs_df):
+    pairs = dedup.minhash_dedup_pairs(docs_df, threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # one-word difference -> high jaccard
+    assert all(p[0] < p[1] for p in found)
+    # the unrelated docs never pair with anything
+    assert not any(2 in p or 3 in p for p in found)
+
+
+def test_ngram_jaccard_requires_min_tokens(spark):
+    df = spark.createDataFrame([(0, "one two"), (1, "one two")], ["doc_id", "text"])
+    # both docs have < 3 tokens -> no 3-grams -> no pairs (and no crash)
+    assert dedup.ngram_jaccard_pairs(df, n=3).count() == 0
+
+
+def test_word_ngrams_values(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    out = df.select(
+        TH.word_ngrams(TH.tokens(F.col("text")), 2).alias("g")
+    ).collect()[0]["g"]
+    assert out == ["a§b", "b§c", "c§d"]
+
+
+def test_dot_matches_numpy(spark):
+    import numpy as np
+
+    a = [float(i) / 7 for i in range(64)]
+    b = [float(64 - i) / 11 for i in range(64)]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(simsearch.dot(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    assert got == pytest.approx(float(np.dot(a, b)), rel=1e-12)
+
+
+def test_knn_ivf_stays_in_cluster(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    probes = df.filter(F.col("vec_id") < 3)
+    out = simsearch.knn_ivf(df, probes, k=5)
+    joined = out.join(
+        df.select("vec_id", F.col("label").alias("n_label")), "vec_id"
+    ).join(
+        df.select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("p_label")
+        ),
+        "probe_id",
+    )
+    bad = joined.filter(F.col("n_label") != F.col("p_label")).count()
+    assert bad == 0
+    assert out.count() > 0
+
+
+def test_knn_brute_rank_is_total_order(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(25)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") == 0)
+    out = simsearch.knn_brute(df, probes, k=5).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["vec_id"] != 0 for r in out)  # self excluded
+
+
+def test_media_decode_roundtrip(spark):
+    df = spark.createDataFrame([(5, "abcd", 4)], ["doc_id", "text", "n_chars"])
+    out = multimodal.decode_media(multimodal.media_from_documents(df)).collect()[0]
+    assert out["n_bytes"] == 4
+    assert out["mean_intensity"] == pytest.approx(
+        (ord("a") + ord("b") + ord("c") + ord("d")) / 4
+    )
+    assert out["width"] == (4 % 64) + 16 and out["height"] == (5 % 32) + 8
+
+
+def test_frame_sample_every_n(spark):
+    df = spark.createDataFrame([(1, "abcdefgh", 8)], ["doc_id", "text", "n_chars"])
+    out = multimodal.frame_sample(
+        multimodal.media_from_documents(df), every=3
+    ).collect()[0]
+    assert out["frames"] == [ord("a"), ord("d"), ord("g")]
+    assert out["n_frames"] == 3
+
+
+def test_resize_and_real_codecs_are_stubbed(spark):
+    df = spark.createDataFrame([(1, "x", 1)], ["doc_id", "text", "n_chars"])
+    media = multimodal.media_from_documents(df)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(media, 8, 8)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="pil")
+
+
+def test_jdbc_options_validation():
+    opts = jdbc_options(
+        url="jdbc:postgresql://host/db",
+        table="public.orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "16"
+    with pytest.raises(ValueError, match="needs partitionColumn"):
+        jdbc_options(url="u", table="t", partition_column="c")
+    with pytest.raises(ValueError, match="not both"):
+        jdbc_options(url="u", table="t", query="SELECT 1")

@@ -1,0 +1,147 @@
+"""Streaming CDC + windowed aggregation tests (Trigger.AvailableNow)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from example_dms_dataexport_spark.merge import apply_changes
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+from example_dms_dataexport_spark.streaming.cdc_stream import start_cdc_stream
+from example_dms_dataexport_spark.streaming.windows import hourly_event_windows
+from example_dms_dataexport_spark.tables import load_table
+
+
+def _write_cdc_file(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+
+
+def test_cdc_stream_matches_batch_merge(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        ["id", "name", "val"],
+    )
+    wh.overwrite(target, "t")
+
+    # two CDC files: update id=1, delete id=2, insert id=4; later file
+    # overrides id=1 again (latest-wins across files)
+    _write_cdc_file(
+        landing / "20240101-000000001.csv",
+        [("U", 1, "alice2", 11.0), ("D", 2, "bob", 20.0), ("I", 4, "dave", 40.0)],
+    )
+    _write_cdc_file(
+        landing / "20240102-000000001.csv",
+        [("U", 1, "alice3", 12.0)],
+    )
+
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.csv"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force one micro-batch per file
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got == {
+        1: ("alice3", 12.0),
+        3: ("carol", 30.0),
+        4: ("dave", 40.0),
+    }
+
+    # restart with same checkpoint: no files left -> no change (exactly-once)
+    q2 = start_cdc_stream(
+        spark,
+        str(landing / "2*.csv"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    got2 = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got2 == got
+
+
+def test_cdc_stream_agrees_with_batch_operator(spark, tmp_path):
+    """The streaming path and a direct batch apply_changes must coincide."""
+    wh = ParquetWarehouse(str(tmp_path / "wh2"))
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    target = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(10)], ["id", "name", "val"]
+    )
+    wh.overwrite(target, "t")
+    rows = [
+        ("U" if i % 3 == 0 else ("D" if i % 3 == 1 else "I"), i, f"c{i}", i + 0.5)
+        for i in range(15)
+    ]
+    _write_cdc_file(landing / "20240101-000000001.csv", rows)
+
+    q = start_cdc_stream(
+        spark, str(landing / "2*.csv"), wh, "t", ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+
+    changes = spark.createDataFrame(rows, ["op", "id", "name", "val"])
+    expected = apply_changes(target, changes, pks=["id"])
+    got = {tuple(r) for r in wh.read(spark, "t").collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+
+
+def test_windowed_agg_matches_batch_query(spark, tmp_path):
+    """Streaming windowed agg (availableNow over a file stream) emits only
+    watermark-closed windows; every emitted row must match the batch
+    computation of the same expression."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "events_src"
+    events.select(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("ts"),
+    ).coalesce(1).write.json(str(src))
+
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+    )
+    agg = hourly_event_windows(stream, watermark="2 hours")
+    out = tmp_path / "win_out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(out))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows, "stream emitted no closed windows"
+    assert got_rows <= batch_rows  # every emitted window is exact
