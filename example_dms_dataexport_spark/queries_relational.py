@@ -686,3 +686,45 @@ def q18_cdc_merge(spark, sf_dir):
         pks=["c_custkey"],
         order_by=[F.desc("_file"), F.desc("_rownum")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (streaming/sessions.py batch path) — the custom
+# stateful-operator family's oracle-checkable face
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sid
+"""
+
+
+@query("q34_sessionize", _Q34_ORACLE)
+def q34_sessionize(spark, sf_dir):
+    """Gap-based session windows over events via the built-in
+    F.session_window (one shuffle, codegen'd); the oracle restates the
+    same split with lag/cumsum. The streaming twin
+    (sessions.sessionize_stream, applyInPandasWithState) emits identical
+    sessions incrementally — tests/test_streaming.py checks parity."""
+    from .streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap="30 minutes")

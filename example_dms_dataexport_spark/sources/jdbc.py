@@ -14,9 +14,11 @@ which gives three things DMS CSVs cannot:
   directly instead of the reference's information_schema round-trip
   (ref :307-348).
 
-No database ships in this environment, so ``read_jdbc`` is exercised in
-tests only up to option construction; the call shape is the standard
-spark.read.format("jdbc") and works unchanged against a real URL.
+Tested end-to-end against the Derby embedded database that ships in
+Spark's jars (tests/test_jdbc.py): partitioned reads, predicate pushdown
+into the remote SQL, and the full JDBC→warehouse sync. The same call
+shape works unchanged against Oracle/Postgres/MySQL URLs with their
+drivers on the classpath.
 """
 
 from __future__ import annotations
@@ -74,3 +76,27 @@ def jdbc_options(
 def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
     """spark.read over a JDBC source; kwargs as in ``jdbc_options``."""
     return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()
+
+
+def sync_to_warehouse(
+    spark: SparkSession,
+    warehouse,
+    target_table: str,
+    partition_by: list[str] | None = None,
+    **jdbc_kwargs,
+) -> int:
+    """The north-star ETL in one call: RDBMS → warehouse full sync.
+
+    This is the direct-connect equivalent of the reference's whole
+    DMS-export → stage → COPY INTO path (ref :215-259): a partitioned JDBC
+    read (shards the source table across executors) landed as an atomic
+    warehouse overwrite — same TRUNCATE+COPY idempotency, no intermediate
+    CSV hop. Returns rows synced.
+
+    Scale: pass partition_column/bounds sized so each of numPartitions
+    range-shards fits an executor; the write is a straight narrow pipeline
+    (no shuffle) of scan → parquet encode.
+    """
+    df = read_jdbc(spark, **jdbc_kwargs)
+    warehouse.overwrite(df, target_table, partition_by=partition_by)
+    return warehouse.read(spark, target_table).count()

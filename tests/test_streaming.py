@@ -145,3 +145,123 @@ def test_windowed_agg_matches_batch_query(spark, tmp_path):
     batch_rows = {tuple(r) for r in batch.collect()}
     assert got_rows, "stream emitted no closed windows"
     assert got_rows <= batch_rows  # every emitted window is exact
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a later-batch event beyond the
+    gap closes the prior session and emits it exactly once; the trailing
+    open session stays in state (not emitted)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from example_dms_dataexport_spark.streaming.sessions import (
+        start_session_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    # batch 1: user 1 has two events 5 min apart; user 2 one event
+    (landing / "b1.csv").write_text(
+        "1,2024-01-01 10:00:00,1.0\n"
+        "1,2024-01-01 10:05:00,2.0\n"
+        "2,2024-01-01 10:00:00,5.0\n"
+    )
+    # batch 2: user 1 event 60 min later -> closes session 1 (n=2, sum=3.0);
+    # user 2 event 10 min later -> same session, nothing closes
+    (landing / "b2.csv").write_text(
+        "1,2024-01-01 11:05:00,9.0\n2,2024-01-01 10:10:00,6.0\n"
+    )
+
+    out = tmp_path / "sessions"
+    q = start_session_stream(
+        spark,
+        str(landing / "*.csv"),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt-sess"),
+        out_path=str(out),
+        gap_minutes=30,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_start"].minute == 0 and r["session_end"].minute == 5
+
+
+def test_session_batch_stream_parity(spark, tmp_path):
+    """Batch session_window and the stateful streaming sessionizer agree
+    on closed sessions for the same input."""
+    import pyspark.sql.functions as F
+
+    from example_dms_dataexport_spark.streaming.sessions import (
+        sessionize_batch,
+        start_session_stream,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    landing = tmp_path / "ev2"
+    landing.mkdir()
+    lines = []
+    # 3 users x 3 sessions of 2 events, sessions 45 min apart
+    for u in range(1, 4):
+        for s in range(3):
+            base_min = s * 45
+            lines.append(f"{u},2024-01-01 {10 + base_min // 60:02d}:{base_min % 60:02d}:00,{u}.0")
+            lines.append(f"{u},2024-01-01 {10 + (base_min + 5) // 60:02d}:{(base_min + 5) % 60:02d}:00,{s}.0")
+    (landing / "all.csv").write_text("\n".join(lines) + "\n")
+    # a far-future closer event per user so every real session closes
+    (landing / "zz_closer.csv").write_text(
+        "\n".join(f"{u},2024-01-02 00:00:00,0.0" for u in range(1, 4)) + "\n"
+    )
+
+    batch = spark.read.schema(schema).csv(str(landing / "all.csv"))
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize_batch(batch, "30 minutes").collect()
+    }
+
+    out = tmp_path / "sessions2"
+    q = start_session_stream(
+        spark,
+        str(landing / "*.csv"),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt-sess2"),
+        out_path=str(out),
+        gap_minutes=30,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == expect
