@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from example_dms_dataexport_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # relational / pipeline core
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders",
@@ -29,6 +30,12 @@ HEADLINE = [
     "q11_latest_event_per_user",
     "q17_load_plan",
     "q18_cdc_merge",
+    # LLM-training-data operators
+    "q19_text_features",
+    "q22_exact_dedup",
+    "q24_minhash_dedup_pairs",
+    "q28_knn_brute",
+    "q34_sessionize",
 ]
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..partitioning import spread
 
 SIMHASH_BITS = 32
 SIMHASH_BYTES = 4
@@ -78,8 +79,9 @@ def minhash_signatures(
     column: Spark's hash aggregate computes partial mins map-side, so the
     shuffle carries exactly one row per document.
     """
+    df = spread(df)  # hashing is the cost — unlock every core first
     h = shingle_set(df, id_col, text_col).select(
-        id_col, TH.poly_hash(F.col("shingle")).alias("h")
+        id_col, TH.poly_hash_short(F.col("shingle"), TH.SHINGLE_K).alias("h")
     )
     return h.groupBy(id_col).agg(
         *[
@@ -133,35 +135,30 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def jaccard_verify(
     cand: DataFrame,
-    shingles: DataFrame,
+    shingle_sets: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs.
+    """Exact Jaccard for candidate pairs over per-doc shingle ARRAYS.
 
-    cand is small relative to the corpus — joining it into the exploded
-    shingle relation keeps only candidate docs' shingles in flight.
+    ``shingle_sets``: (id, _sh array<string>) — one row per doc. Joining
+    the arrays onto the (small) pair list and intersecting JVM-side costs
+    two hash joins of |cand| rows instead of re-shuffling the exploded
+    shingle relation (|corpus| * shingles rows) through a shingle-keyed
+    self-join — the candidate list, not the corpus, pays for verification.
     """
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    shared = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                inter
+                / (F.size("_sa") + F.size("_sb") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -176,11 +173,17 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> verified
     (id_a, id_b, jaccard) pairs at or above threshold."""
-    # The shingle relation feeds both signature computation and exact
-    # verification, and the band self-join reads the signatures twice:
-    # persist both so the (expensive) hash scan runs once, not four times.
-    shingles = shingle_set(df, id_col, text_col).persist()
-    h = shingles.select(id_col, TH.poly_hash(F.col("shingle")).alias("h"))
+    # The per-doc shingle arrays feed signature computation (exploded) and
+    # exact verification (as arrays), and the band self-join reads the
+    # signatures twice: persist both so the expensive scan runs once.
+    sets = (
+        spread(df)
+        .select(id_col, TH.char_shingles(F.col(text_col)).alias("_sh"))
+        .persist()
+    )
+    h = sets.select(
+        id_col, F.explode("_sh").alias("shingle")
+    ).select(id_col, TH.poly_hash_short(F.col("shingle"), TH.SHINGLE_K).alias("h"))
     sigs = h.groupBy(id_col).agg(
         *[
             F.min(TH.minhash_perm(F.col("h"), i)).alias(f"mh{i}")
@@ -188,7 +191,7 @@ def minhash_dedup_pairs(
         ]
     ).persist()
     cand = lsh_candidate_pairs(sigs, id_col)
-    return jaccard_verify(cand, shingles, id_col, threshold)
+    return jaccard_verify(cand, sets, id_col, threshold)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -202,6 +205,7 @@ def simhash(
     One explode + one groupBy; the 32 per-bit sign sums are partial-agg'd
     map-side like any other SUM, so the shuffle is one row per doc.
     """
+    df = spread(df)
     h = df.select(
         id_col, F.explode(TH.tokens(F.col(text_col))).alias("tok")
     ).select(id_col, TH.poly_hash(F.col("tok")).alias("h"))
@@ -283,7 +287,7 @@ def ngram_jaccard_pairs(
     deliberate and mirrored in the oracle). This is what caps the
     worst-case pair fan-out at max_df^2 per n-gram at any corpus size.
     """
-    t = df.select(id_col, TH.tokens(F.col(text_col)).alias("toks"))
+    t = spread(df).select(id_col, TH.tokens(F.col(text_col)).alias("toks"))
     # persist: g feeds df-count pruning, sizes, and both self-join sides
     g = t.select(
         id_col, F.explode(TH.word_ngrams(F.col("toks"), n)).alias("g")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.texthash import _lcg
+from ..partitioning import spread
 
 N_PLANES = 8
 PLANE_DIM = 64
@@ -136,7 +137,9 @@ def cosine_topk(
     disagree.
     """
     keep = prune_on or []
-    c = corpus.select(
+    # scoring cost is |corpus| x |probes| dot products — spread the corpus
+    # so a narrow scan doesn't serialize it on one core
+    c = spread(corpus).select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"), *keep
     ).withColumn("v_norm", norm(F.col("v")))
     p = probes.select(
@@ -176,9 +179,10 @@ def knn_lsh(
 
     def with_bucket(df: DataFrame) -> DataFrame:
         # materialize the double vector before the 8x64-term bucket
-        # expression references it, then drop the scratch column
+        # expression references it, then drop the scratch column;
+        # spread BEFORE the bucket projection so it computes on all cores
         return (
-            df.withColumn("_v", as_double(vec_col))
+            spread(df).withColumn("_v", as_double(vec_col))
             .withColumn("bucket", lsh_bucket(F.col("_v")))
             .drop("_v")
         )
@@ -212,7 +216,7 @@ def embedding_dup_pairs(
     Pairs are generated only within a sign-bucket (the scale guard), then
     verified exactly — same structure as the MinHash dedup pipeline.
     """
-    b = df.select(
+    b = spread(df).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
         "n", norm(F.col("v"))

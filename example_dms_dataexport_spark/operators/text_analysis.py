@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..partitioning import spread
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -30,7 +31,7 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     toks = F.col("_toks")
     return (
-        df.withColumn("_toks", TH.tokens(c))
+        spread(df).withColumn("_toks", TH.tokens(c))
         .withColumns(
             {
                 "n_tokens": F.size(toks),

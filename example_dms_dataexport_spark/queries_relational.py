@@ -570,9 +570,10 @@ def q17_load_plan(spark, sf_dir):
     """planner.load_plan_df over a listing + metadata synthesized from
     events — the full reference planner join/CASE (ref :113-148), oracle-
     checked.  Worker assignment (xxhash64) is excluded: not portable SQL."""
+    from .partitioning import spread
     from .planner import load_plan_df
 
-    ev = _t(spark, sf_dir, "events")
+    ev = spread(_t(spark, sf_dir, "events"))
     fname = F.concat(
         F.lit("dms/sch"),
         (F.col("user_id") % 3).cast("string"),
