@@ -1,0 +1,89 @@
+"""Property-based CDC merge test (SURVEY §5.4).
+
+Invariant: for ANY change sequence, ``apply_changes`` equals replaying the
+ops in (file, rownum) order into a Python dict — latest-wins per key
+(ref :382), delete tombstones (ref :401-402), delete-of-absent no-op
+(ref :405), insert/update of absent/present keys (ref :403-407).
+
+Hypothesis generates op sequences; the Spark side sees them SHUFFLED (the
+window dedup must restore the order); the model side applies them in
+order. One spark job per example, so max_examples stays small — breadth
+comes from the sequence generator, not the example count.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from example_dms_dataexport_spark.merge import apply_changes
+
+KEYS = list(range(6))  # few keys -> many per-key collisions (the hard case)
+
+change = st.tuples(
+    st.integers(min_value=1, max_value=3),  # file number
+    st.sampled_from(KEYS),  # pk
+    st.sampled_from(["I", "U", "D"]),  # op
+    st.integers(min_value=0, max_value=99),  # payload value
+)
+
+
+def model_replay(initial: dict[int, int], seq) -> dict[int, int]:
+    state = dict(initial)
+    for _file, key, op, val in seq:  # seq already in (file, rownum) order
+        if op == "D":
+            state.pop(key, None)
+        else:
+            state[key] = val
+    return state
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=st.lists(change, min_size=0, max_size=25), data=st.data())
+def test_apply_changes_equals_model_replay(spark, seq, data):
+    initial = {k: -k for k in KEYS[::2]}  # target starts with even keys
+    target = spark.createDataFrame(
+        [(k, v) for k, v in initial.items()], "id long, val long"
+    )
+
+    # assign rownum = position within file (the total order), then shuffle
+    # the batch so the merge's dedup window has to reconstruct the order
+    ordered = sorted(
+        [(f, k, op, v) for f, k, op, v in seq], key=lambda c: c[0]
+    )
+    with_rownum = []
+    per_file_count: dict[int, int] = {}
+    for f, k, op, v in ordered:
+        per_file_count[f] = per_file_count.get(f, 0) + 1
+        with_rownum.append((f, per_file_count[f], k, op, v))
+    shuffled = list(with_rownum)
+    random.Random(data.draw(st.integers(0, 999))).shuffle(shuffled)
+
+    expected = model_replay(
+        initial, [(f, k, op, v) for f, r, k, op, v in with_rownum]
+    )
+
+    if shuffled:
+        changes = spark.createDataFrame(
+            [(op, k, v, f, r) for f, r, k, op, v in shuffled],
+            "op string, id long, val long, _file int, _rownum int",
+        )
+        merged = apply_changes(
+            target,
+            changes,
+            pks=["id"],
+            order_by=[F.desc("_file"), F.desc("_rownum")],
+        )
+    else:
+        merged = target
+
+    got = {r["id"]: r["val"] for r in merged.collect()}
+    assert got == expected
