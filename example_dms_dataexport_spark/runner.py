@@ -63,7 +63,10 @@ def run_queue(
 
     def worker() -> None:
         # claim loop (ref :173-200); Queue.get_nowait is the atomic
-        # claim+delete the reference approximates with LIMIT 1 + DELETE
+        # claim+delete the reference approximates with LIMIT 1 + DELETE.
+        # Local properties are per-thread: the pool must be set HERE, in
+        # the worker thread, for FAIR scheduling to group its jobs.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dms")
         while True:
             try:
                 it = q.get_nowait()
@@ -82,7 +85,6 @@ def run_queue(
             finally:
                 q.task_done()
 
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dms")
     with ThreadPoolExecutor(max_workers=task_count) as ex:
         for _ in range(task_count):
             ex.submit(worker)

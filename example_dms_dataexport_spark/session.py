@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the runner's N loader threads submit
+        # concurrent jobs; FAIR keeps one giant table's load from starving
+        # the other workers (ref :510-538's 5-way task parallelism).
+        .config("spark.scheduler.mode", "FAIR")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -57,3 +57,30 @@ def test_q30_ivf_join_is_pruned_equi_join(spark):
     pf = pushed_filters(df)
     # label isnotnull pushes to both scans via the equi-join condition
     assert any("label" in f.lower() for f in pf), pf
+
+
+def test_q03_lineitem_filter_pushed(spark):
+    df = _q(spark, "q03_top_orders")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "o_orderdate" in pushed, pushed
+
+
+def test_q24_no_cartesian_product(spark):
+    from example_dms_dataexport_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, "q24_minhash_dedup_pairs"))
+    assert "CartesianProduct" not in plan
+    # band self-join must be a hash/sort-merge EQUI join on the bucket key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q34_single_shuffle_sessionize(spark):
+    # session assignment + aggregation = one exchange on the session keys
+    df = _q(spark, "q34_sessionize")
+    assert exchange_count(df) <= 1
+
+
+def test_q19_text_features_scan_prunes_columns(spark):
+    cols = scan_columns(_q(spark, "q19_text_features"))[0]
+    # only doc_id + text are needed from documents (source/n_chars unused)
+    assert "text" in cols and "embedding_seed" not in cols
