@@ -67,14 +67,44 @@ def incremental_load(
     changes = read_stage_csv(
         spark, new_files, cdc_schema(target.schema), with_file_metadata=True
     )
-    merged = apply_changes(
-        target,
-        changes,
-        pks=meta.primary_keys,
-        order_by=[F.desc("_dms_filename"), F.desc("_dms_rownum")],  # ref :382
-    )
-    n = merged.count()  # materialization also validates before the swap
-    warehouse.overwrite(merged, meta.target_table, partition_by=partition_by)
+    order_by = [F.desc("_dms_filename"), F.desc("_dms_rownum")]  # ref :382
+
+    if partition_by:
+        # Partition-scoped merge — the 100 TB path (SURVEY §7.3a). The
+        # partition columns must be stable per PK (e.g. a pk-derived
+        # bucket or an immutable date): then a change only ever touches
+        # its own partition, so the target scan is partition-pruned to
+        # the batch's partitions and the rewrite is proportional to the
+        # CDC batch, not the table.
+        touched = [
+            tuple(r[c] for c in partition_by)
+            for r in changes.select(*partition_by).distinct().collect()
+        ]
+        pred = F.lit(False)
+        for vals in touched:
+            m = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                m = m & (F.col(c) == F.lit(v))
+            pred = pred | m
+        merged = apply_changes(
+            target.filter(pred),  # partition-pruned scan
+            changes,
+            pks=meta.primary_keys,
+            order_by=order_by,
+        )
+        merged = merged.persist()
+        n = merged.count()  # materialize before overwriting what we read
+        warehouse.replace_partitions(
+            merged, meta.target_table, partition_by, touched
+        )
+        merged.unpersist()
+    else:
+        merged = apply_changes(
+            target, changes, pks=meta.primary_keys, order_by=order_by
+        )
+        n = merged.count()  # materialization also validates before the swap
+        warehouse.overwrite(merged, meta.target_table)
+
     last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
     store.update_watermarks(full_path, last_incremental_file=last_file)
     return f"Rows affected: {n}."

@@ -77,3 +77,32 @@ class ParquetWarehouse:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(table))
         )
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str],
+        touched: list[tuple],
+    ) -> None:
+        """Partition-scoped replace for a merge result restricted to
+        ``touched`` partition-value tuples.
+
+        Dynamic overwrite only rewrites partitions PRESENT in ``df`` — a
+        CDC batch that deletes every row of a partition leaves the stale
+        directory behind. So: write dynamically, then drop the directories
+        of touched partitions that the merge emptied (hive-style
+        ``col=value`` paths). The untouched partitions' files are never
+        read or written.
+        """
+        still_present = {
+            tuple(r[c] for c in partition_by)
+            for r in df.select(*partition_by).distinct().collect()
+        }
+        self.overwrite_partitions(df, table, partition_by)
+        for vals in touched:
+            if tuple(vals) not in still_present:
+                d = self.path(table)
+                for c, v in zip(partition_by, vals):
+                    d = os.path.join(d, f"{c}={v}")
+                shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,106 @@
+"""Partition-scoped CDC (SURVEY §7.3a): the rewrite is proportional to
+the CDC batch, not the table.
+
+Target partitioned by a stable column (``region``, immutable per PK):
+- a batch touching one region must leave the other regions' parquet
+  files untouched on disk (same paths, same mtimes);
+- a batch deleting every row of a region must remove its directory
+  (the dynamic-overwrite stale-partition trap).
+"""
+
+import os
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from example_dms_dataexport_spark.cdc import incremental_load
+from example_dms_dataexport_spark.full_load import full_load
+from example_dms_dataexport_spark.metadata import MetadataStore, TableMeta
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("region", StringType()),
+        StructField("val", LongType()),
+    ]
+)
+
+
+def _snapshot(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _setup(spark, tmp_path):
+    stage = tmp_path / "stage"
+    tdir = stage / "sch" / "tbl"
+    tdir.mkdir(parents=True)
+    rows = [(i, "abc"[i % 3], i * 10) for i in range(9)]
+    (tdir / "LOAD00000001.csv").write_text(
+        "\n".join(f"{i},{r},{v}" for i, r, v in rows) + "\n"
+    )
+    store = MetadataStore(str(tmp_path / "meta"))
+    store.register(
+        TableMeta(
+            full_path="sch/tbl",
+            stage=str(stage),
+            db_schema="sch",
+            db_table="tbl",
+            target_table="t",
+            primary_keys=["id"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "sch/tbl", SCHEMA, partition_by=["region"])
+    return stage, store, wh, tdir
+
+
+def test_partition_scoped_rewrite(spark, tmp_path):
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+    before = _snapshot(wh.path("t"))
+    assert any("region=b" in p for p in before)
+
+    # CDC touches ONLY region a: update id=0, delete id=3, insert id=100.
+    # Column order follows the partitioned target's read schema:
+    # op, id, val, region (partition column last).
+    (tdir / "20240101-000000001.csv").write_text(
+        "U,0,999,a\nD,3,30,a\nI,100,1000,a\n"
+    )
+    msg = incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    assert msg.startswith("Rows affected")
+
+    got = {
+        r["id"]: (r["region"], r["val"])
+        for r in wh.read(spark, "t").collect()
+    }
+    assert got[0] == ("a", 999)
+    assert 3 not in got
+    assert got[100] == ("a", 1000)
+    assert got[1] == ("b", 10) and got[8] == ("c", 80)  # untouched rows
+
+    after = _snapshot(wh.path("t"))
+    for p, mtime in before.items():
+        if "region=b" in p or "region=c" in p:
+            assert after.get(p) == mtime, f"untouched partition rewritten: {p}"
+
+
+def test_emptied_partition_directory_removed(spark, tmp_path):
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+    # delete every region-c row (ids 2,5,8)
+    (tdir / "20240102-000000001.csv").write_text(
+        "D,2,0,c\nD,5,0,c\nD,8,0,c\n"
+    )
+    incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+    got = {r["id"] for r in wh.read(spark, "t").collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
