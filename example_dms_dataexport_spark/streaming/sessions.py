@@ -72,13 +72,39 @@ SESSION_SCHEMA = StructType(
 )
 
 
-def _sessionizer(gap_minutes: int):
+def _sessionizer(gap_minutes: int, timeout: bool = False):
     gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit(closed):
+        out = pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "sum_value",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+
+        # Timer fired: the watermark passed this key's session end + gap
+        # with no new events — flush the open session and evict the state
+        # (this is what bounds state to O(active keys) on a real stream).
+        if state.hasTimedOut:
+            cur_start, cur_end, cur_n, cur_sum = state.get
+            state.remove()
+            yield emit([(user_id, cur_start, cur_end, cur_n, cur_sum)])
+            return
+
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         # Arrow hands ts over as datetime64[ns]; normalize to epoch micros.
         ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
@@ -100,37 +126,44 @@ def _sessionizer(gap_minutes: int):
                 cur_start, cur_end, cur_n, cur_sum = t, t, 1, float(v)
 
         state.update((int(cur_start), int(cur_end), int(cur_n), float(cur_sum)))
+        if timeout:
+            # close this session once the event-time watermark passes its
+            # gap boundary (epoch millis, the GroupState timestamp unit)
+            state.setTimeoutTimestamp((int(cur_end) + gap_us) // 1000)
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "session_start",
-                    "session_end",
-                    "n_events",
-                    "sum_value",
-                ],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            out["sum_value"] = out["sum_value"].round(2)
-            yield out
+            yield emit(closed)
 
     return fn
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = 30
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
-    """Streaming sessionization: emits each session once, when a later
-    event for the same user closes it. ``events`` must be a streaming
-    DataFrame with (user_id, ts, value)."""
+    """Streaming sessionization: emits each session once — when a later
+    event for the same user closes it, or (with ``watermark_delay``) when
+    the event-time watermark passes its gap boundary with no new events.
+
+    ``watermark_delay=None``: no timeout — sessions only close on a
+    subsequent event (simple, but idle keys hold state forever).
+    ``watermark_delay='10 minutes'``: withWatermark + EventTimeTimeout —
+    idle keys are flushed and evicted once the watermark passes
+    session_end + gap, so state is O(active keys) on an unbounded stream.
+
+    ``events`` must be a streaming DataFrame with (user_id, ts, value).
+    """
+    use_timeout = watermark_delay is not None
+    if use_timeout:
+        events = events.withWatermark("ts", watermark_delay)
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionizer(gap_minutes),
+        _sessionizer(gap_minutes, timeout=use_timeout),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout
+        if use_timeout
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -142,6 +175,7 @@ def start_session_stream(
     out_path: str,
     gap_minutes: int = 30,
     max_files_per_trigger: int = 1,
+    watermark_delay: str | None = None,
 ):
     """CSV file source -> stateful sessionizer -> parquet append sink."""
     events = (
@@ -149,7 +183,7 @@ def start_session_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .csv(source_glob)
     )
-    sessions = sessionize_stream(events, gap_minutes)
+    sessions = sessionize_stream(events, gap_minutes, watermark_delay)
     return (
         sessions.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -265,3 +265,56 @@ def test_session_batch_stream_parity(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == expect
+
+
+def test_sessionizer_event_time_timeout(spark, tmp_path):
+    """With a watermark, an idle user's open session is flushed once the
+    watermark passes session_end + gap — no closing event needed."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from example_dms_dataexport_spark.streaming.sessions import (
+        start_session_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    landing = tmp_path / "ev3"
+    landing.mkdir()
+    # batch 1: user 1's only session (10:00-10:05)
+    (landing / "b1.csv").write_text(
+        "1,2024-01-01 10:00:00,1.0\n1,2024-01-01 10:05:00,2.0\n"
+    )
+    # batch 2: another user far in the future -> watermark jumps past
+    # user 1's (session_end + gap); batch 3 triggers the timer sweep
+    (landing / "b2.csv").write_text("2,2024-01-01 13:00:00,5.0\n")
+    (landing / "b3.csv").write_text("2,2024-01-01 13:01:00,6.0\n")
+
+    out = tmp_path / "sessions3"
+    q = start_session_stream(
+        spark,
+        str(landing / "*.csv"),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt-sess3"),
+        out_path=str(out),
+        gap_minutes=30,
+        max_files_per_trigger=1,
+        watermark_delay="0 seconds",
+    )
+    q.awaitTermination(120)
+
+    rows = {r["user_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert 1 in rows, "idle user's session was never flushed by timeout"
+    r = rows[1]
+    assert r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_end"].hour == 10 and r["session_end"].minute == 5
