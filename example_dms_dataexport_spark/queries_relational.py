@@ -729,3 +729,67 @@ def q34_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return sessionize_batch(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (corpus length stats) — linear-interpolation quantiles
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+    SELECT source,
+           count(*) AS n_docs,
+           quantile_cont(n_chars, 0.5)  AS p50_chars,
+           quantile_cont(n_chars, 0.95) AS p95_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+"""
+
+
+@query("q35_length_percentiles", _Q35_ORACLE)
+def q35_length_percentiles(spark, sf_dir):
+    """Per-source document length percentiles: Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the sorted
+    linear-interpolation definition, so values match exactly. (The
+    approximate path at 100 TB is percentile_approx — same plan shape,
+    bounded memory; exact is used here for oracle parity.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy aggregation
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("q36_rollup_acctbal", _Q36_ORACLE)
+def q36_rollup_acctbal(spark, sf_dir):
+    """Region/nation hierarchy rollup (subtotals + grand total) — one
+    shuffle; Spark expands grouping sets map-side."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
