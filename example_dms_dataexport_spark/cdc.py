@@ -15,7 +15,7 @@ Reference flow → Spark mapping:
 4. schema introspection + positional casts (ref :307-348)
    → target schema applied in the CSV read (sources/csv_stage.py)
 5. latest-wins dedup + MERGE (ref :369-409)
-   → merge.apply_changes: window dedup + full-outer join
+   → merge.apply_changes: max_by latest-wins dedup + full-outer join
 6. advance watermark to max processed file (ref :412-416)
    → MetadataStore.update_watermarks, after the write commits
 """
@@ -67,7 +67,7 @@ def incremental_load(
     changes = read_stage_csv(
         spark, new_files, cdc_schema(target.schema), with_file_metadata=True
     )
-    order_by = [F.desc("_dms_filename"), F.desc("_dms_rownum")]  # ref :382
+    version_cols = ["_dms_filename", "_dms_rownum"]  # ref :382 total order
 
     if partition_by:
         # Partition-scoped merge — the 100 TB path (SURVEY §7.3a). The
@@ -90,7 +90,7 @@ def incremental_load(
             target.filter(pred),  # partition-pruned scan
             changes,
             pks=meta.primary_keys,
-            order_by=order_by,
+            version_cols=version_cols,
         )
         merged = merged.persist()
         n = merged.count()  # materialize before overwriting what we read
@@ -100,7 +100,7 @@ def incremental_load(
         merged.unpersist()
     else:
         merged = apply_changes(
-            target, changes, pks=meta.primary_keys, order_by=order_by
+            target, changes, pks=meta.primary_keys, version_cols=version_cols
         )
         n = merged.count()  # materialization also validates before the swap
         warehouse.overwrite(merged, meta.target_table)

@@ -20,8 +20,9 @@ Scale notes (100 TB):
 - The join shuffles both sides by PK once; Catalyst/AQE picks sort-merge or
   broadcast (a CDC batch is usually small → broadcast) and splits skewed
   keys.  No driver-side collect anywhere.
-- The latest-wins dedup window shrinks the change-set to ≤1 row per PK
-  *before* the join (ref :380-397 does the same inside the USING clause).
+- The latest-wins dedup aggregation shrinks the change-set to ≤1 row per
+  PK *before* the join (ref :380-397 does the same inside the USING
+  clause), with map-side partial aggregation absorbing hot-PK skew.
 - Rewrite amplification is bounded by partitioning the target and
   overwriting only touched partitions (``partitionOverwriteMode=dynamic``,
   see sources/warehouse.py) — not part of this operator, which is pure
@@ -30,32 +31,39 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 OP_COL = "op"
 DELETE_OP = "D"
 
 
 def latest_wins_dedup(
-    changes: DataFrame, pks: list[str], order_by: list[Column]
+    changes: DataFrame, pks: list[str], version_cols: list[str]
 ) -> DataFrame:
     """Keep the latest change per PK (ref :380-397).
 
     The reference ranks by ``metadata$filename DESC, _dms_file_control_rownum
-    DESC`` — a total order over change records — and keeps rank 1.
-    ``row_number`` is used instead of ``rank`` deliberately: identical
-    output when (file, rownum) is unique per record (it is — a row has one
-    position in one file), and safe if an upstream ever duplicates a record
-    (SURVEY §7.5 trap 2).
+    DESC`` — a total order over change records — and keeps rank 1. Here
+    "latest" is the row whose ``version_cols`` tuple is lexicographically
+    MAX, computed as ``max_by(struct(all), struct(version_cols))`` in one
+    hash aggregation.
+
+    Why an aggregation and not the window it replaced: a rank-1 window
+    must shuffle EVERY change row to its PK's partition and sort — a hot
+    PK (millions of updates to one row) lands on one task. ``max_by``
+    partial-aggregates map-side, so each input partition forwards at most
+    one row per PK: the shuffle shrinks to ~|distinct PKs| and the skew is
+    absorbed before it can concentrate. Ties are impossible by
+    construction — (file, row-in-file) is unique per record (SURVEY §7.5
+    trap 2).
     """
-    w = Window.partitionBy(*[F.col(c) for c in pks]).orderBy(*order_by)
-    return (
-        changes.withColumn("_dms_control_rank", F.row_number().over(w))
-        .filter(F.col("_dms_control_rank") == 1)
-        .drop("_dms_control_rank")
-    )
+    payload = changes.columns
+    ver = F.struct(*[F.col(c) for c in version_cols])
+    row = F.struct(*[F.col(c) for c in payload])
+    return changes.groupBy(*pks).agg(
+        F.max_by(row, ver).alias("_latest")
+    ).select("_latest.*")
 
 
 def apply_changes(
@@ -63,13 +71,14 @@ def apply_changes(
     changes: DataFrame,
     pks: list[str],
     op_col: str = OP_COL,
-    order_by: list[Column] | None = None,
+    version_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply an I/U/D change-set to ``target``; returns the new target.
 
     ``changes`` must contain ``op_col`` plus every target column.  When
-    ``order_by`` is given the change-set is latest-wins deduped first;
-    pass None if it is already ≤1 row per PK.
+    ``version_cols`` is given (e.g. ``["_file", "_rownum"]``, ascending
+    version order — latest = lexicographic max) the change-set is
+    latest-wins deduped first; pass None if it is already ≤1 row per PK.
 
     Output column order/types = target's schema exactly.
     """
@@ -80,8 +89,8 @@ def apply_changes(
     if missing:
         raise ValueError(f"changes is missing required columns: {missing}")
     s = changes
-    if order_by is not None:
-        s = latest_wins_dedup(s, pks, order_by)
+    if version_cols is not None:
+        s = latest_wins_dedup(s, pks, version_cols)
     s = s.select(op_col, *data_cols)
 
     t = target.withColumn("_t_exists", F.lit(True)).alias("T")

@@ -685,7 +685,7 @@ def q18_cdc_merge(spark, sf_dir):
         cust,
         changes,
         pks=["c_custkey"],
-        order_by=[F.desc("_file"), F.desc("_rownum")],
+        version_cols=["_file", "_rownum"],
     )
 
 

@@ -85,7 +85,7 @@ def start_cdc_stream(
             target,
             changes,
             pks=pks,
-            order_by=[F.desc("_dms_filename"), F.desc("_dms_rownum")],
+            version_cols=["_dms_filename", "_dms_rownum"],
         )
         # foreachBatch may retry a batch on failure; the atomic overwrite
         # makes the retry idempotent (same input -> same table state).

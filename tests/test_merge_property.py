@@ -80,7 +80,7 @@ def test_apply_changes_equals_model_replay(spark, seq, data):
             target,
             changes,
             pks=["id"],
-            order_by=[F.desc("_file"), F.desc("_rownum")],
+            version_cols=["_file", "_rownum"],
         )
     else:
         merged = target
