@@ -49,12 +49,16 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row (lowest id) per distinct content hash (md5).
 
-    groupBy on the 128-bit content hash: uniform keys, no skew, one shuffle.
+    One min_by aggregation on the 128-bit content hash: uniform keys, one
+    shuffle, partial-combined map-side (each partition forwards one
+    candidate row per hash), and no join-back to fetch the kept row.
     """
-    h = df.withColumn("_chash", F.md5(F.col(text_col)))
-    keep = h.groupBy("_chash").agg(F.min(id_col).alias(id_col))
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
-        h.join(keep, [id_col, "_chash"], "left_semi").drop("_chash")
+        df.withColumn("_chash", F.md5(F.col(text_col)))
+        .groupBy("_chash")
+        .agg(F.min_by(row, F.col(id_col)).alias("_keep"))
+        .select("_keep.*")
     )
 
 
