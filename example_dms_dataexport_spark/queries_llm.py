@@ -137,14 +137,18 @@ _MH_COLS = ", ".join(
     f"min({TH.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(TH.NUM_HASHES)
 )
 
-_SIG_CTES = f"""
+def _sig_ctes(src: str) -> str:
+    return f"""
     sh AS (
         SELECT doc_id, unnest({TH.sql_char_shingles('text')}) AS shingle
-        FROM documents
+        FROM {src}
     ),
     hv AS (SELECT doc_id, {TH.sql_poly_hash('shingle')} AS h FROM sh),
     sig AS (SELECT doc_id, {_MH_COLS} FROM hv GROUP BY doc_id)
 """
+
+
+_SIG_CTES = _sig_ctes("documents")
 
 _Q23_ORACLE = f"WITH {_SIG_CTES} SELECT * FROM sig"
 
@@ -486,3 +490,90 @@ def q33_frame_sample(spark, sf_dir):
     """Frame sampling over binary media (every 32nd byte) via mapInPandas."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.frame_sample(multimodal.media_from_documents(docs), every=32)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter + the end-to-end cleaning pipeline
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = f"""
+    SELECT doc_id, {TH.sql_repetition_ratio(TH.sql_tokens('text'))} AS rep_ratio
+    FROM documents
+"""
+
+
+@query("q37_repetition_ratio", _Q37_ORACLE)
+def q37_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition filter: duplicate-2-gram mass per doc —
+    a narrow no-shuffle projection over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TH.repetition_ratio(TH.tokens(F.col("text"))).alias("rep_ratio"),
+    )
+
+
+_PAIRS_CORE = f"""
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT * FROM (
+            SELECT s.id_a, s.id_b,
+                   CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) AS jaccard
+            FROM shared s
+            JOIN sizes na ON na.doc_id = s.id_a
+            JOIN sizes nb ON nb.doc_id = s.id_b
+        ) WHERE jaccard >= 0.5
+    )
+"""
+
+_Q38_ORACLE = f"""
+    WITH pass1 AS (
+        SELECT doc_id, text, {TH.sql_quality_score('text')} AS quality
+        FROM documents
+        WHERE {TH.sql_quality_score('text')} >= 0.5
+          AND {TH.sql_lang_id('text')} = 'en'
+    ),
+    keep AS (SELECT md5(text) AS ch, min(doc_id) AS doc_id FROM pass1 GROUP BY 1),
+    kept AS (
+        SELECT p.* FROM pass1 p
+        JOIN keep k ON p.doc_id = k.doc_id AND md5(p.text) = k.ch
+    ),
+    {_sig_ctes('kept').lstrip()},
+    {_PAIRS_CORE.strip()}
+    SELECT doc_id, round(quality, 4) AS quality
+    FROM kept
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
+@query("q38_cleaning_pipeline", _Q38_ORACLE)
+def q38_cleaning_pipeline(spark, sf_dir):
+    """The flagship LLM-corpus query: quality gate -> language gate ->
+    exact dedup -> MinHash near-dup removal, composed from the operator
+    library — each stage feeds the next without materializing, so
+    Catalyst plans the whole pipeline as one DAG."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = text_analysis.text_features(docs)
+    pass1 = feats.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality")
+    kept = dedup.exact_dedup(pass1)
+    losers = dedup.minhash_dedup_pairs(kept, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return kept.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    )
