@@ -14,11 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: TPC-H-Q1-style pricing summary at sf0.001."""
+    """Flagship query: the end-to-end corpus cleaning pipeline (quality →
+    language → exact dedup → MinHash near-dup removal) at sf0.001."""
     from example_dms_dataexport_spark.registry import load_all
 
     queries, _ = load_all()
-    return queries["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return queries["q38_cleaning_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,6 +36,7 @@ HEADLINE = [
     "q24_minhash_dedup_pairs",
     "q28_knn_brute",
     "q34_sessionize",
+    "q38_cleaning_pipeline",
 ]
 
 
