@@ -5,4 +5,7 @@ cdc_stream   file-source CDC stream -> foreachBatch(apply_changes);
              last_incremental_file bookkeeping entirely (SURVEY §2.9)
 windows      watermarked tumbling-window aggregation over an event stream
              (same expression as the batch q16 query)
+sessions     gap-based sessionization: session_window batch twin (q34) +
+             applyInPandasWithState stateful stream with event-time
+             timeout eviction
 """
