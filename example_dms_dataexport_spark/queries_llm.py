@@ -577,3 +577,103 @@ def q38_cleaning_pipeline(spark, sf_dir):
     return kept.join(losers, "doc_id", "left_anti").select(
         "doc_id", F.round("quality", 4).alias("quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + vocabulary building (corpus-preparation operators)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no natural PII, so — like q22's planted
+# duplicates — both engines deterministically inject emails/phones first,
+# then redact them. RE2 (DuckDB) and Java regex agree on these patterns.
+
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_PAT = r"555-[0-9]{4}"
+
+_Q40_ORACLE = f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-0142' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS INTEGER)
+               AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS clean
+    FROM pii
+"""
+
+
+@query("q40_pii_redaction", _Q40_ORACLE)
+def q40_pii_redaction(spark, sf_dir):
+    """PII scrubbing: count + redact emails/phone numbers over a corpus
+    with planted PII — narrow no-shuffle regex projection over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-0142")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", pii_text.alias("text")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_PAT), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"),
+            _PHONE_PAT,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+
+
+_Q41_ORACLE = f"""
+    SELECT tok, count(*) AS df
+    FROM (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok
+              FROM documents)
+    )
+    GROUP BY tok
+    ORDER BY df DESC, tok
+    LIMIT 20
+"""
+
+
+@query("q41_vocab_df", _Q41_ORACLE)
+def q41_vocab_df(spark, sf_dir):
+    """Vocabulary building: top-20 tokens by document frequency.
+    ``array_distinct`` dedups per-doc BEFORE the explode, so the groupBy
+    shuffle carries each (doc, token) once and the global DISTINCT
+    disappears — at 100 TB that is the difference between shuffling the
+    token stream and shuffling the vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.array_distinct(TH.tokens(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(20)
+    )

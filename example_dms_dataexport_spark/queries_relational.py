@@ -793,3 +793,46 @@ def q36_rollup_acctbal(spark, sf_dir):
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — operators/asof.py; oracle is DuckDB's
+# native ASOF JOIN, an independent implementation of the same semantics
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, c.click_ts,
+           date_diff('microsecond', c.click_ts, e.ts) AS gap_us
+    FROM e ASOF JOIN c ON e.user_id = c.user_id AND c.click_ts < e.ts
+"""
+
+
+@query("q39_asof_attribution", _Q39_ORACLE)
+def q39_asof_attribution(spark, sf_dir):
+    """Attribution as-of join: for every error event, the latest click by
+    the same user strictly before it (union + running-last formulation:
+    one shuffle on user_id, no timestamp-range cross product)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    from .operators.asof import asof_backward
+
+    out = asof_backward(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        carry=["click_ts"], strict=True, how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
