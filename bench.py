@@ -37,6 +37,7 @@ HEADLINE = [
     "q28_knn_brute",
     "q34_sessionize",
     "q38_cleaning_pipeline",
+    "q39_asof_attribution",
 ]
 
 
