@@ -836,3 +836,45 @@ def q39_asof_attribution(spark, sf_dir):
             "gap_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag analytics — inter-event gaps per user
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+    SELECT user_id,
+           count(*) AS n_gaps,
+           max(gap_us) AS max_gap_us,
+           CAST(round(avg(gap_us), 0) AS BIGINT) AS avg_gap_us
+    FROM (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@query("q42_event_gaps", _Q42_ORACLE)
+def q42_event_gaps(spark, sf_dir):
+    """Inter-arrival analytics: per-user gap between consecutive events
+    via lag() — one shuffle on user_id shared by the window AND the
+    groupBy (same key, so Catalyst reuses the partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.avg("gap_us"), 0).cast("long").alias("avg_gap_us"),
+    )
