@@ -296,13 +296,18 @@ def ngram_jaccard_pairs(
     g = t.select(
         id_col, F.explode(TH.word_ngrams(F.col("toks"), n)).alias("g")
     ).persist()
-    rare = (
+    # Prune by anti-joining against the FREQUENT n-grams (df > max_df): the
+    # frequent relation shrinks as max_df grows and is ~corpus/max_df at
+    # worst, whereas the rare complement grows linearly with the corpus —
+    # broadcasting it OOMs executors at 100 TB. No join hint: AQE picks
+    # broadcast when frequent happens to be small, shuffle otherwise.
+    frequent = (
         g.groupBy("g")
         .agg(F.count("*").alias("df_count"))
-        .filter(F.col("df_count") <= max_df)
+        .filter(F.col("df_count") > max_df)
         .select("g")
     )
-    g = g.join(F.broadcast(rare), "g")
+    g = g.join(frequent, "g", "left_anti")
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n"))
     ga = g.select(F.col(id_col).alias("id_a"), "g")
     gb = g.select(F.col(id_col).alias("id_b"), "g")

@@ -145,7 +145,12 @@ def cosine_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), as_double(vec_col).alias("q"), *keep
     ).withColumn("q_norm", norm(F.col("q")))
-    joined = c.join(F.broadcast(p), on=keep) if keep else c.crossJoin(F.broadcast(p))
+    # Broadcast the probes ONLY on the brute-force path, where the contract
+    # is an eval-sized probe slice. The pruned (LSH/IVF) paths are plain
+    # equi-joins: at corpus-vs-corpus retrieval scale the probe side is as
+    # big as the corpus, so a forced broadcast would OOM — let AQE pick
+    # broadcast when the probe side really is small.
+    joined = c.join(p, on=keep) if keep else c.crossJoin(F.broadcast(p))
     scored = joined.filter(F.col("vec_id") != F.col("probe_id")).select(
         "probe_id",
         "vec_id",

@@ -1,6 +1,7 @@
 """Physical-plan introspection helpers (the .explain() feedback loop)."""
 
 from .introspect import (  # noqa: F401
+    broadcast_hint_count,
     broadcast_join_count,
     exchange_count,
     physical_plan,

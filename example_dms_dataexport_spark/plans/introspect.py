@@ -47,6 +47,17 @@ def broadcast_join_count(df: DataFrame) -> int:
     return physical_plan(df).count("BroadcastHashJoin")
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """FORCED broadcasts: ResolvedHint nodes in the analyzed logical plan.
+
+    Distinguishes a hard ``F.broadcast(...)`` hint (applies at any scale —
+    dangerous on unbounded relations) from a broadcast that AQE/statistics
+    freely chose for a small input (fine, and re-decided at real scale).
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"(?i)resolvedhint", plan))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle-exchange operators in the plan (lower = fewer shuffles).
 

@@ -59,15 +59,29 @@ def q19_text_features(spark, sf_dir):
     )
 
 
+# Bit-identical dual-dialect rounding: DuckDB sums BIGINT into HUGEINT (which
+# the harness hashes differently from int64) and round() can land on a
+# different double than Spark's HALF_UP, so sums are pinned with CAST and
+# rounded doubles use the shared floor(x*10^k + 0.5)/10^k form — the floor
+# absorbs the engines' last-ulp disagreement in the mean, and the integer /
+# power-of-ten division is then the same IEEE op on both sides.
 _Q20_ORACLE = f"""
     SELECT source,
            count(*) AS n_docs,
-           round(avg({TH.sql_quality_score('text')}), 4) AS avg_quality,
-           sum(CASE WHEN {TH.sql_lang_id('text')} = 'en' THEN 1 ELSE 0 END) AS n_en,
-           round(avg({TH.sql_token_count('text')}), 4) AS avg_tokens
+           floor(avg({TH.sql_quality_score('text')}) * 10000 + 0.5) / 10000.0
+               AS avg_quality,
+           CAST(sum(CASE WHEN {TH.sql_lang_id('text')} = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en,
+           floor(avg({TH.sql_token_count('text')}) * 10000 + 0.5) / 10000.0
+               AS avg_tokens
     FROM documents
     GROUP BY source
 """
+
+
+def _round4(col):
+    """floor(x*1e4 + 0.5)/1e4 — bit-identical to the DuckDB oracle's form."""
+    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
 
 
 @query("q20_corpus_profile", _Q20_ORACLE)
@@ -78,9 +92,9 @@ def q20_corpus_profile(spark, sf_dir):
     feats = text_analysis.text_features(docs)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        _round4(F.avg("quality")).alias("avg_quality"),
         F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias("n_en"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        _round4(F.avg("n_tokens").cast("double")).alias("avg_tokens"),
     )
 
 
@@ -475,7 +489,7 @@ def q32_media_decode(spark, sf_dir):
 _Q33_ORACLE = """
     SELECT doc_id,
            CAST(len(frames) AS INTEGER) AS n_frames,
-           frames
+           array_to_string(frames, ',') AS frames_csv
     FROM (
         SELECT doc_id,
                [CAST(ascii(substring(text, i, 1)) AS INTEGER)
@@ -487,9 +501,19 @@ _Q33_ORACLE = """
 
 @query("q33_frame_sample", _Q33_ORACLE)
 def q33_frame_sample(spark, sf_dir):
-    """Frame sampling over binary media (every 32nd byte) via mapInPandas."""
+    """Frame sampling over binary media (every 32nd byte) via mapInPandas.
+
+    The sampled bytes are serialized to a CSV string for the harness: the
+    driver's pandas canonicalizer cannot hash raw array cells, so both
+    engines emit ``array_join(frames, ',')`` / ``array_to_string`` instead.
+    """
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.frame_sample(multimodal.media_from_documents(docs), every=32)
+    sampled = multimodal.frame_sample(multimodal.media_from_documents(docs), every=32)
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        F.array_join(F.col("frames").cast("array<string>"), ",").alias("frames_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

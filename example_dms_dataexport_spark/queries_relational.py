@@ -162,12 +162,16 @@ def q03_top_orders(spark, sf_dir):
 
 @query(
     "q04_priority_counts",
+    # Hash-parity pins: DuckDB sums BIGINT into HUGEINT (hashes differently
+    # from int64) -> CAST the CASE-sums; the double sum is emitted as exact
+    # integer cents so the engines' last-ulp summation difference cannot
+    # surface in the hashed value.
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           round(sum(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END), 2) AS big_value
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(floor(sum(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END) * 100 + 0.5) AS BIGINT) AS big_value_cents
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -180,14 +184,17 @@ def q04_priority_counts(spark, sf_dir):
             "n_finished"
         ),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
-        F.round(
+        F.floor(
             F.sum(
                 F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice")).otherwise(
                     0.0
                 )
-            ),
-            2,
-        ).alias("big_value"),
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("big_value_cents"),
     )
 
 
@@ -448,7 +455,7 @@ def q13_file_prefix_grouping(spark, sf_dir):
     "q14_json_props",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type

@@ -4,8 +4,10 @@ properties that decide whether a query survives a 100x scale-up."""
 from __future__ import annotations
 
 from example_dms_dataexport_spark.plans import (
+    broadcast_hint_count,
     broadcast_join_count,
     exchange_count,
+    physical_plan,
     pushed_filters,
     scan_columns,
 )
@@ -45,10 +47,11 @@ def test_q05_no_shuffle_before_global_agg(spark):
 
 def test_q28_knn_probes_broadcast_no_shuffle_scoring(spark):
     df = _q(spark, "q28_knn_brute")
-    plan_broadcasts = broadcast_join_count(df)
-    # probe side must broadcast: scoring then happens map-side; the only
-    # exchange is the window's partition-by-probe shuffle of scored rows
-    assert plan_broadcasts >= 0  # BroadcastNestedLoopJoin for crossJoin
+    # the brute path's probe slice IS force-broadcast: scoring happens
+    # map-side via BroadcastNestedLoopJoin; the only exchange is the
+    # window's partition-by-probe shuffle of scored rows
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
+    assert broadcast_hint_count(df) == 1
     assert exchange_count(df) <= 1
 
 
@@ -57,6 +60,27 @@ def test_q30_ivf_join_is_pruned_equi_join(spark):
     pf = pushed_filters(df)
     # label isnotnull pushes to both scans via the equi-join condition
     assert any("label" in f.lower() for f in pf), pf
+
+
+def test_q29_q30_pruned_paths_never_force_probe_broadcast(spark):
+    # corpus-vs-corpus retrieval makes the probe side corpus-sized: a hard
+    # broadcast hint on the LSH/IVF paths would OOM at 100 TB. AQE may still
+    # CHOOSE broadcast for small inputs — what we pin is the absence of the
+    # hint, and that the candidate join is a real equi-join (no cartesian).
+    for name in ("q29_knn_lsh", "q30_knn_ivf"):
+        df = _q(spark, name)
+        assert broadcast_hint_count(df) == 0, name
+        assert "CartesianProduct" not in physical_plan(df), name
+
+
+def test_q27_ngram_prune_is_anti_join_not_broadcast_rare(spark):
+    # the rare-n-gram relation grows linearly with the corpus; pruning must
+    # be a LEFT ANTI join against the (small) frequent set, never a forced
+    # broadcast of rare
+    df = _q(spark, "q27_ngram_jaccard_pairs")
+    assert broadcast_hint_count(df) == 0
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
 
 
 def test_q03_lineitem_filter_pushed(spark):
