@@ -49,8 +49,10 @@ def asof_backward(
 
     ``carry`` defaults to every right column that is neither a key nor the
     timestamp; carried names must not collide with left columns (rename on
-    the right side first). A right row with NULL in a carried column lets
-    the previous non-null value show through (``last`` ignores nulls).
+    the right side first). Carried values come from the matched right row
+    ATOMICALLY — a NULL in one of its carried columns stays NULL (DuckDB
+    ASOF semantics), it does not let an older row's value show through.
+    ``carry=[]`` is allowed: the join then only filters/keeps left rows.
     ``how``: "inner" drops unmatched left rows, "left" keeps them.
     """
     keys = list(on)
@@ -66,23 +68,29 @@ def asof_backward(
     # sort BEFORE a left row to be visible to it (inclusive match) and
     # AFTER it to be hidden (strict match).
     left_side = 0 if strict else 2
+    # The matched right row travels as ONE struct (`_rrow`): the struct is
+    # non-null for every right row even when all its carried fields are
+    # NULL, so (a) `last(ignorenulls=True)` propagates the latest row
+    # atomically — a newer row's NULL field is NOT overridden by an older
+    # row's value (DuckDB ASOF semantics), (b) struct-null IS the match
+    # flag, so inner mode works for all-NULL carries and for carry == [].
     lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    rrow = F.struct(F.lit(True).alias("_matched"), *carry).alias("_rrow")
+    lrow_type = left.select(lrow).schema["_lrow"].dataType
+    rrow_type = right.select(rrow).schema["_rrow"].dataType
     l2 = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(left_side).alias("_side"),
         lrow,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in carry
-        ],
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     r2 = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
-        *carry,
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        rrow,
     )
     w = (
         Window.partitionBy(*keys)
@@ -94,16 +102,10 @@ def asof_backward(
         .select(
             "_side",
             "_lrow",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+            F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
         )
         .filter(F.col("_side") != 1)
-        .select("_lrow.*", *carry)
     )
     if how == "inner":
-        # a left row with no earlier right row carries all-null columns
-        cond = None
-        for c in carry:
-            t = F.col(c).isNotNull()
-            cond = t if cond is None else (cond | t)
-        matched = matched.filter(cond)
-    return matched
+        matched = matched.filter(F.col("_rrow").isNotNull())
+    return matched.select("_lrow.*", *[F.col(f"_rrow.{c}").alias(c) for c in carry])

@@ -59,3 +59,57 @@ def test_carry_collision_raises(spark):
     df = _mk(spark, [(1, 1, "x")], ["k", "ts", "tag"])
     with pytest.raises(ValueError, match="collide"):
         asof_backward(df, df, on=["k"], left_ts="ts", right_ts="ts", carry=["tag"])
+
+
+def test_inner_keeps_match_with_all_null_carry(spark):
+    # a MATCHED right row whose carried columns are all NULL must survive
+    # inner mode (DuckDB ASOF keeps it) — match is a row property, not
+    # "any carry non-null"
+    left = _mk(spark, [(1, 20, "e")], ["k", "ts", "eid"])
+    right = spark.createDataFrame(
+        [(1, 10, None)], "k int, rts int, tag string"
+    )
+    out = asof_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", carry=["tag"]
+    )
+    assert [(r.eid, r.tag) for r in out.collect()] == [("e", None)]
+
+
+def test_null_carry_is_atomic_not_show_through(spark):
+    # latest matching row wins ATOMICALLY: its NULL field is NOT backfilled
+    # from an older row (DuckDB ASOF semantics, verified below)
+    left = _mk(spark, [(1, 100, "e")], ["k", "ts", "eid"])
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 50, None)], "k int, rts int, tag string"
+    )
+    out = asof_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", carry=["tag"]
+    )
+    assert [(r.eid, r.tag) for r in out.collect()] == [("e", None)]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l AS SELECT 1 k, 100 ts, 'e' eid")
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES (1, 10, 'old'), (1, 50, NULL))"
+        " t(k, rts, tag)"
+    )
+    oracle = con.execute(
+        "SELECT eid, tag FROM l ASOF JOIN r ON l.k = r.k AND r.rts < l.ts"
+    ).fetchall()
+    assert oracle == [("e", None)]
+
+
+def test_empty_carry_inner_and_left(spark):
+    # carry=[] = pure point-in-time filter; used to crash on .filter(None)
+    left = _mk(spark, [(1, 5, "early"), (1, 20, "late")], ["k", "ts", "eid"])
+    right = _mk(spark, [(1, 10, "c")], ["k", "rts", "tag"])
+    inner = asof_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", carry=[]
+    )
+    assert [r.eid for r in inner.collect()] == ["late"]
+    kept = asof_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", carry=[], how="left"
+    )
+    assert sorted(r.eid for r in kept.collect()) == ["early", "late"]
