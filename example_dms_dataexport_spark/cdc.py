@@ -80,12 +80,24 @@ def incremental_load(
             tuple(r[c] for c in partition_by)
             for r in changes.select(*partition_by).distinct().collect()
         ]
-        pred = F.lit(False)
-        for vals in touched:
-            m = F.lit(True)
-            for c, v in zip(partition_by, vals):
-                m = m & (F.col(c) == F.lit(v))
-            pred = pred | m
+        # One struct-IN predicate, not an OR-chain of equality conjunctions:
+        # thousands of touched partitions would otherwise build a huge
+        # expression tree that slows analysis/codegen. Catalyst converts
+        # this to a single INSET and it still lands in PartitionFilters
+        # (verified by tests/test_partitioned_cdc.py), so the target scan
+        # stays partition-pruned. Literal fields are aliased+cast to the
+        # target's column names/types so the struct types unify.
+        pred = F.struct(*partition_by).isin(
+            [
+                F.struct(
+                    *[
+                        F.lit(v).cast(target.schema[c].dataType).alias(c)
+                        for c, v in zip(partition_by, vals)
+                    ]
+                )
+                for vals in touched
+            ]
+        )
         merged = apply_changes(
             target.filter(pred),  # partition-pruned scan
             changes,

@@ -73,6 +73,13 @@ def run_queue(
             except queue.Empty:
                 return
             try:
+                # QUERY_TAG analogue (ref :225,281,540-544): every job a
+                # load submits is tagged with its table + load type, so a
+                # hung load is findable in the Spark UI / REST API by
+                # full_path — setJobGroup is per-thread, like the pool.
+                spark.sparkContext.setJobGroup(
+                    it.full_path, f"dms load_type={it.load_type} {it.full_path}"
+                )
                 schema = (schemas or {}).get(it.full_path)
                 if it.load_type in ("B", "F"):
                     n = full_load(spark, store, warehouse, it.full_path, schema)

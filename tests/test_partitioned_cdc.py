@@ -104,3 +104,59 @@ def test_emptied_partition_directory_removed(spark, tmp_path):
     assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
     got = {r["id"] for r in wh.read(spark, "t").collect()}
     assert got == {0, 1, 3, 4, 6, 7}
+
+
+def test_many_touched_partitions_struct_in_predicate(spark, tmp_path):
+    # >100 touched partitions: the pruning predicate must stay one compact
+    # struct-IN (INSET), not an OR-chain whose expression tree grows with
+    # the partition count — and untouched partitions stay untouched.
+    stage = tmp_path / "stage"
+    tdir = stage / "sch" / "wide"
+    tdir.mkdir(parents=True)
+    n_parts, touched_parts = 150, 120
+    rows = [(i, i % n_parts, i * 10) for i in range(n_parts * 2)]
+    (tdir / "LOAD00000001.csv").write_text(
+        "\n".join(f"{i},{b},{v}" for i, b, v in rows) + "\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("val", LongType()),
+        ]
+    )
+    store = MetadataStore(str(tmp_path / "meta"))
+    store.register(
+        TableMeta(
+            full_path="sch/wide",
+            stage=str(stage),
+            db_schema="sch",
+            db_table="wide",
+            target_table="wide",
+            primary_keys=["id"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "sch/wide", schema, partition_by=["bucket"])
+    before = _snapshot(wh.path("wide"))
+
+    # one update in each of buckets [0, touched_parts); column order follows
+    # the partitioned target's read schema: op, id, val, bucket (partition
+    # column last)
+    (tdir / "20240103-000000001.csv").write_text(
+        "\n".join(f"U,{b},{b * 1000},{b}" for b in range(touched_parts)) + "\n"
+    )
+    msg = incremental_load(spark, store, wh, "sch/wide", partition_by=["bucket"])
+    assert msg.startswith("Rows affected")
+
+    got = {r["id"]: r["val"] for r in wh.read(spark, "wide").collect()}
+    assert len(got) == n_parts * 2
+    for b in range(touched_parts):
+        assert got[b] == b * 1000
+    assert got[touched_parts] == touched_parts * 10  # untouched bucket
+
+    after = _snapshot(wh.path("wide"))
+    for p, mtime in before.items():
+        b = int(p.split("bucket=")[1].split("/")[0])
+        if b >= touched_parts:
+            assert after.get(p) == mtime, f"untouched partition rewritten: {p}"

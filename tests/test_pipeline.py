@@ -201,3 +201,74 @@ def test_runner_end_to_end(spark, tmp_path, landing):
     )
     assert not res.errors
     assert (5, "eve", 50.0) in rows_of(spark, wh)
+
+
+def test_decimal_column_survives_full_then_cdc_merge(spark, tmp_path):
+    # NUMBER(p,s) end-to-end (ref control_migration_schema_script.sql:341-348):
+    # a DecimalType(12,2) column must survive full load -> CDC merge with
+    # exact decimal values — no double round-trip anywhere in the pipeline.
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", DecimalType(12, 2)),
+        ]
+    )
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "fin/ledger/LOAD00000001.csv",
+        ["1,1234567890.12", "2,0.01", "3,-999.99"],
+    )
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="fin/ledger",
+            db_schema="fin",
+            db_table="ledger",
+            stage=stage,
+            primary_keys=["id"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    assert full_load(spark, store, wh, "fin/ledger", schema=schema) == 3
+
+    loaded = wh.read(spark, "fin_ledger")
+    assert loaded.schema["amount"].dataType == DecimalType(12, 2)
+
+    # CDC: update id=2 to a value that is NOT double-representable exactly,
+    # insert id=4 at the scale boundary, delete id=3
+    write_file(
+        stage,
+        "fin/ledger/20240101-000000001.csv",
+        ["U,2,0.10", "I,4,9999999999.99", "D,3,-999.99"],
+    )
+    msg = incremental_load(spark, store, wh, "fin/ledger")
+    assert msg.startswith("Rows affected:")
+    final = wh.read(spark, "fin_ledger")
+    assert final.schema["amount"].dataType == DecimalType(12, 2)
+    got = {r.id: r.amount for r in final.collect()}
+    assert got == {
+        1: Decimal("1234567890.12"),
+        2: Decimal("0.10"),
+        4: Decimal("9999999999.99"),
+    }
+
+
+def test_runner_tags_job_groups_per_load(spark, tmp_path, landing):
+    # QUERY_TAG analogue (ref :225,281,540-544): every load's Spark jobs
+    # are grouped under its full_path, so an operator can find a hung
+    # load's jobs in the UI/REST API by table name.
+    store, wh = make_env(tmp_path, landing)
+    items = [WorkItem(full_path="erp/customer", load_type="F", worker=0)]
+    res = run_queue(
+        spark, store, wh, items, schemas={"erp/customer": CUST_SCHEMA}
+    )
+    assert not res.errors
+    tracker = spark.sparkContext.statusTracker()
+    assert tracker.getJobIdsForGroup("erp/customer"), (
+        "no Spark jobs recorded under the load's job group"
+    )
