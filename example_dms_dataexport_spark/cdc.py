@@ -87,17 +87,33 @@ def incremental_load(
         # (verified by tests/test_partitioned_cdc.py), so the target scan
         # stays partition-pruned. Literal fields are aliased+cast to the
         # target's column names/types so the struct types unify.
-        pred = F.struct(*partition_by).isin(
-            [
-                F.struct(
-                    *[
-                        F.lit(v).cast(target.schema[c].dataType).alias(c)
-                        for c, v in zip(partition_by, vals)
-                    ]
+        # A NULL inside a tuple would make struct-IN evaluate to NULL and
+        # silently exclude that partition's target rows from the merge while
+        # replace_partitions still rewrites it — so NULL-bearing tuples get
+        # a null-safe eqNullSafe conjunction instead (rare: partition
+        # columns are normally non-null by construction).
+        non_null = [vals for vals in touched if all(v is not None for v in vals)]
+        with_null = [vals for vals in touched if any(v is None for v in vals)]
+        pred = F.lit(False)
+        if non_null:
+            pred = F.struct(*partition_by).isin(
+                [
+                    F.struct(
+                        *[
+                            F.lit(v).cast(target.schema[c].dataType).alias(c)
+                            for c, v in zip(partition_by, vals)
+                        ]
+                    )
+                    for vals in non_null
+                ]
+            )
+        for vals in with_null:
+            conj = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                conj = conj & F.col(c).eqNullSafe(
+                    F.lit(v).cast(target.schema[c].dataType)
                 )
-                for vals in touched
-            ]
-        )
+            pred = pred | conj
         merged = apply_changes(
             target.filter(pred),  # partition-pruned scan
             changes,

@@ -61,6 +61,10 @@ def asof_backward(
     clash = set(carry) & set(left.columns)
     if clash:
         raise ValueError(f"carry columns collide with left columns: {sorted(clash)}")
+    if "_matched" in carry:
+        # The match flag lives inside the _rrow struct; a carried column of
+        # the same name would make `_rrow._matched` ambiguous.
+        raise ValueError("carry column '_matched' collides with the internal match flag")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 

@@ -55,7 +55,10 @@ def broadcast_hint_count(df: DataFrame) -> int:
     freely chose for a small input (fine, and re-decided at real scale).
     """
     plan = df._jdf.queryExecution().analyzed().toString()
-    return len(re.findall(r"(?i)resolvedhint", plan))
+    # Only the broadcast strategy counts: a repartition/rebalance/merge hint
+    # is also a ResolvedHint node but is not a forced broadcast, and the
+    # ==0/==1 plan tests must not trip on it.
+    return len(re.findall(r"(?i)resolvedhint.*broadcast", plan))
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -163,15 +163,16 @@ def q03_top_orders(spark, sf_dir):
 @query(
     "q04_priority_counts",
     # Hash-parity pins: DuckDB sums BIGINT into HUGEINT (hashes differently
-    # from int64) -> CAST the CASE-sums; the double sum is emitted as exact
-    # integer cents so the engines' last-ulp summation difference cannot
-    # surface in the hashed value.
+    # from int64) -> CAST the CASE-sums; the price is converted to exact
+    # integer cents PER ROW before summing, so the sum is order-independent
+    # integer arithmetic on both engines — no summation-order ulp drift at
+    # any scale factor.
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-           CAST(floor(sum(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END) * 100 + 0.5) AS BIGINT) AS big_value_cents
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_value_cents
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -184,17 +185,12 @@ def q04_priority_counts(spark, sf_dir):
             "n_finished"
         ),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
-        F.floor(
-            F.sum(
-                F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice")).otherwise(
-                    0.0
-                )
-            )
-            * 100
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("big_value_cents"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 150000,
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("big_value_cents"),
     )
 
 

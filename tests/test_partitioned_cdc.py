@@ -106,6 +106,41 @@ def test_emptied_partition_directory_removed(spark, tmp_path):
     assert got == {0, 1, 3, 4, 6, 7}
 
 
+def test_null_partition_value_not_dropped(spark, tmp_path):
+    # A NULL partition value must be merged null-safely: plain struct-IN
+    # evaluates to NULL for the tuple and would silently exclude the
+    # partition's existing rows from the merge while still rewriting it.
+    stage = tmp_path / "stage"
+    tdir = stage / "sch" / "tbl"
+    tdir.mkdir(parents=True)
+    # ids 0,1 have an empty (NULL) region; 2,3 are region a.
+    (tdir / "LOAD00000001.csv").write_text("0,,10\n1,,20\n2,a,30\n3,a,40\n")
+    store = MetadataStore(str(tmp_path / "meta"))
+    store.register(
+        TableMeta(
+            full_path="sch/tbl",
+            stage=str(stage),
+            db_schema="sch",
+            db_table="tbl",
+            target_table="t",
+            primary_keys=["id"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "sch/tbl", SCHEMA, partition_by=["region"])
+
+    # update one row in the NULL partition and one in region a
+    (tdir / "20240104-000000001.csv").write_text("U,0,999,\nU,2,777,a\n")
+    msg = incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    assert msg.startswith("Rows affected")
+
+    got = {r["id"]: (r["region"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got[0] == (None, 999)
+    assert got[1] == (None, 20)  # sibling row in NULL partition survives
+    assert got[2] == ("a", 777)
+    assert got[3] == ("a", 40)
+
+
 def test_many_touched_partitions_struct_in_predicate(spark, tmp_path):
     # >100 touched partitions: the pruning predicate must stay one compact
     # struct-IN (INSET), not an OR-chain whose expression tree grows with
