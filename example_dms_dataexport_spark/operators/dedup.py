@@ -198,6 +198,92 @@ def minhash_dedup_pairs(
     return jaccard_verify(cand, sets, id_col, threshold)
 
 
+# --- connected-components clustering ---------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id in the pair list: connected components
+    with ``cluster_id`` = the minimum id of the component.
+
+    Per-pair survivor selection (drop ``id_b`` of every pair) over-deletes
+    on chains: A~B, B~C (A!~C) removes both B and C, where component-level
+    dedup keeps one of them. This is the clustering step the
+    RefinedWeb/Dolma-style corpus pipelines run between candidate
+    generation and deletion.
+
+    Algorithm: iterative min-label propagation (hash-to-min). Every node
+    starts labeled with itself; each round every node takes the min label
+    over itself and its neighbors. Rounds needed = the largest component's
+    diameter — near-dup components are shallow star/chain shapes in
+    practice, and ``max_iter`` guards the pathological chain. (The
+    alternating large-star/small-star variant converges in O(log^2 n)
+    rounds; with diameters this small the simpler propagation wins on
+    per-round cost: one equi-join + one partial-aggregated groupBy, both
+    shuffling on uniformly-distributed ids.)
+
+    Each round is ``localCheckpoint``-ed: iterative plans otherwise grow a
+    lineage that makes Catalyst analysis itself the bottleneck. On a real
+    cluster with executor loss, swap for reliable ``checkpoint`` with a
+    checkpoint dir.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels.select(F.col("id").alias("dst"), "cluster_id"), "dst"
+        ).select(F.col("src").alias("id"), "cluster_id")
+        new_labels = (
+            neighbor_min.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one row per near-dup component (the min id) plus every row not
+    in any pair — component-level survivor selection over a pair list."""
+    losers = (
+        dedup_clusters(pairs, id_a, id_b)
+        .filter(F.col("cluster_id") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -563,8 +563,46 @@ _PAIRS_CORE = f"""
     )
 """
 
+# Connected components over the verified pair list (recursive reachability
+# closure; the engine side is iterative min-label propagation —
+# dedup.dedup_clusters). cluster_id = min id of the component.
+_CLUSTER_CTES = """
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    clusters AS (SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id)
+"""
+
+_Q43_ORACLE = f"""
+    WITH RECURSIVE {_SIG_CTES.strip()},
+    {_PAIRS_CORE.strip()},
+    {_CLUSTER_CTES.strip()}
+    SELECT id AS doc_id, cluster_id FROM clusters
+"""
+
+
+@query("q43_dedup_clusters", _Q43_ORACLE)
+def q43_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the verified MinHash
+    pair list (q24), cluster_id = min doc_id per component. The step
+    between candidate pairs and deletion in large-corpus dedup — per-pair
+    deletion over-deletes on chains A~B~C."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    return dedup.dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 _Q38_ORACLE = f"""
-    WITH pass1 AS (
+    WITH RECURSIVE pass1 AS (
         SELECT doc_id, text, {TH.sql_quality_score('text')} AS quality
         FROM documents
         WHERE {TH.sql_quality_score('text')} >= 0.5
@@ -576,29 +614,30 @@ _Q38_ORACLE = f"""
         JOIN keep k ON p.doc_id = k.doc_id AND md5(p.text) = k.ch
     ),
     {_sig_ctes('kept').lstrip()},
-    {_PAIRS_CORE.strip()}
+    {_PAIRS_CORE.strip()},
+    {_CLUSTER_CTES.strip()}
     SELECT doc_id, round(quality, 4) AS quality
     FROM kept
-    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
 """
 
 
 @query("q38_cleaning_pipeline", _Q38_ORACLE)
 def q38_cleaning_pipeline(spark, sf_dir):
     """The flagship LLM-corpus query: quality gate -> language gate ->
-    exact dedup -> MinHash near-dup removal, composed from the operator
-    library — each stage feeds the next without materializing, so
-    Catalyst plans the whole pipeline as one DAG."""
+    exact dedup -> MinHash near-dup clustering + component-level survivor
+    selection, composed from the operator library — each stage feeds the
+    next without materializing, so Catalyst plans the whole pipeline as
+    one DAG (the iterative clustering step materializes per round by
+    construction)."""
     docs = _t(spark, sf_dir, "documents")
     feats = text_analysis.text_features(docs)
     pass1 = feats.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "quality")
     kept = dedup.exact_dedup(pass1)
-    losers = dedup.minhash_dedup_pairs(kept, threshold=0.5).select(
-        F.col("id_b").alias("doc_id")
-    ).distinct()
-    return kept.join(losers, "doc_id", "left_anti").select(
+    pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
+    return dedup.cluster_survivors(kept, pairs).select(
         "doc_id", F.round("quality", 4).alias("quality")
     )
 

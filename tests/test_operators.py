@@ -100,6 +100,49 @@ def test_minhash_dedup_finds_near_duplicates(docs_df):
     assert not any(2 in p or 3 in p for p in found)
 
 
+def test_dedup_clusters_chain_topology(spark):
+    # A~B, B~C with A!~C: component-level dedup keeps exactly one of the
+    # chain (the min id); per-pair deletion would drop both B and C.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    labels = {
+        r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dedup_clusters_long_path_converges(spark):
+    # a 12-node path graph (diameter 11) — exercises multiple propagation
+    # rounds, not just the 1-hop star case
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    rows = dedup.dedup_clusters(pairs).collect()
+    assert {r["id"] for r in rows} == set(range(13))
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_cluster_survivors_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in dedup.cluster_survivors(docs, pairs).collect()}
+    # one survivor per component (1 and 10), plus untouched doc 5
+    assert kept == {1, 5, 10}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dedup_clusters(pairs).count() == 0
+
+
 def test_ngram_jaccard_requires_min_tokens(spark):
     df = spark.createDataFrame([(0, "one two"), (1, "one two")], ["doc_id", "text"])
     # both docs have < 3 tokens -> no 3-grams -> no pairs (and no crash)
