@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Results are materialized via a count over the full query (no collect of
-payload rows to the driver — mirrors how a 100 TB run would sink to
-storage rather than the driver).
+Results are materialized via a pruning-proof hash-reduce: xxhash64 over
+every output column, summed. A plain count() lets Catalyst prune the
+projection itself, so a narrow map query (e.g. q19's feature expressions)
+would measure only the scan; hashing every column forces the full
+computed output while still shipping just one row to the driver — mirrors
+how a 100 TB run would sink all columns to storage.
 """
 
 from __future__ import annotations
@@ -38,7 +41,19 @@ HEADLINE = [
     "q34_sessionize",
     "q38_cleaning_pipeline",
     "q39_asof_attribution",
+    "q43_dedup_clusters",
 ]
+
+
+def materialize(df) -> None:
+    """Force full computation of every output column (defeats count()'s
+    column pruning) while returning a single row to the driver."""
+    from pyspark.sql import functions as F
+
+    # decimal(38,0) sum: a long sum of 64-bit hashes overflows under ANSI
+    df.select(F.xxhash64(*df.columns).cast("decimal(38,0)").alias("_h")).agg(
+        F.sum("_h")
+    ).collect()
 
 
 def main() -> None:
@@ -55,13 +70,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     # Warm the JVM + file-listing caches once with the cheapest query so
     # per-query numbers measure the plan, not session cold-start.
-    QUERIES[names[0]](spark, sf_dir).count()
+    materialize(QUERIES[names[0]](spark, sf_dir))
 
     times: dict[str, float] = {}
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        materialize(QUERIES[name](spark, sf_dir))
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
