@@ -21,11 +21,15 @@ itself (Spark reads lazily while the job overwrites the same files), so
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Pending-cleanup marker for replace_partitions (see _reconcile).
+TOMBSTONE_FILE = "_tombstones.json"
 
 
 class ParquetWarehouse:
@@ -40,7 +44,32 @@ class ParquetWarehouse:
         return os.path.isdir(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        self._reconcile(table)
         return spark.read.parquet(self.path(table))
+
+    def _tombstone_path(self, table: str) -> str:
+        return os.path.join(self.path(table), TOMBSTONE_FILE)
+
+    def _reconcile(self, table: str) -> None:
+        """Finish any interrupted ``replace_partitions`` cleanup.
+
+        The tombstone file lists partition directories a committed (or
+        pending) CDC batch empties. Applying it is idempotent — rmtree of
+        dirs that may already be gone — so a crash anywhere in the window
+        is healed by the next read or write. If the crash happened BEFORE
+        the dynamic overwrite committed, applying the tombstones early is
+        still correct: they name partitions whose every row the pending
+        batch deletes, the watermark has not advanced, and re-running the
+        batch re-derives the same empty state (deletes are idempotent).
+        """
+        tp = self._tombstone_path(table)
+        if not os.path.isfile(tp):
+            return
+        with open(tp) as f:
+            rel_dirs = json.load(f)
+        for rel in rel_dirs:
+            shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
+        os.remove(tp)
 
     def overwrite(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -90,19 +119,40 @@ class ParquetWarehouse:
 
         Dynamic overwrite only rewrites partitions PRESENT in ``df`` — a
         CDC batch that deletes every row of a partition leaves the stale
-        directory behind. So: write dynamically, then drop the directories
-        of touched partitions that the merge emptied (hive-style
-        ``col=value`` paths). The untouched partitions' files are never
-        read or written.
+        directory behind, resurrecting deleted rows. The cleanup is made
+        crash-atomic with a tombstone protocol:
+
+        1. reconcile any tombstones a previous crashed run left behind;
+        2. atomically write ``_tombstones.json`` naming the partition
+           dirs this batch empties (temp file + rename);
+        3. dynamic overwrite (commits the non-empty partitions);
+        4. reconcile — rmtree the tombstoned dirs, then drop the marker.
+
+        A crash between 3 and 4 (the old resurrection window) leaves the
+        marker in place, and the next ``read``/write applies it. The
+        untouched partitions' files are never read or written.
         """
+        self._reconcile(table)
         still_present = {
             tuple(r[c] for c in partition_by)
             for r in df.select(*partition_by).distinct().collect()
         }
-        self.overwrite_partitions(df, table, partition_by)
+        emptied = []
         for vals in touched:
             if tuple(vals) not in still_present:
-                d = self.path(table)
-                for c, v in zip(partition_by, vals):
-                    d = os.path.join(d, f"{c}={v}")
-                shutil.rmtree(d, ignore_errors=True)
+                # hive layout; Spark writes NULL partition values as the
+                # default-partition sentinel
+                emptied.append(
+                    "/".join(
+                        f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{c}={v}"
+                        for c, v in zip(partition_by, vals)
+                    )
+                )
+        if emptied:
+            os.makedirs(self.path(table), exist_ok=True)
+            tmp = self._tombstone_path(table) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(emptied, f)
+            os.replace(tmp, self._tombstone_path(table))
+        self.overwrite_partitions(df, table, partition_by)
+        self._reconcile(table)

@@ -106,6 +106,29 @@ def test_emptied_partition_directory_removed(spark, tmp_path):
     assert got == {0, 1, 3, 4, 6, 7}
 
 
+def test_crash_between_overwrite_and_cleanup_heals(spark, tmp_path, monkeypatch):
+    # Simulate a crash AFTER the dynamic overwrite committed but BEFORE the
+    # emptied-partition cleanup ran: the tombstone marker must survive and
+    # the next reader must not resurrect the deleted rows.
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+    (tdir / "20240102-000000001.csv").write_text("D,2,0,c\nD,5,0,c\nD,8,0,c\n")
+
+    monkeypatch.setattr(ParquetWarehouse, "_reconcile", lambda self, table: None)
+    incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    monkeypatch.undo()
+
+    # crash state: stale region=c dir still on disk, tombstone pending
+    assert os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+    assert os.path.isfile(os.path.join(wh.path("t"), "_tombstones.json"))
+
+    # "re-open" the warehouse: the read reconciles, deleted rows stay dead
+    wh2 = ParquetWarehouse(str(tmp_path / "wh"))
+    got = {r["id"] for r in wh2.read(spark, "t").collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+    assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+    assert not os.path.isfile(os.path.join(wh.path("t"), "_tombstones.json"))
+
+
 def test_null_partition_value_not_dropped(spark, tmp_path):
     # A NULL partition value must be merged null-safely: plain struct-IN
     # evaluates to NULL for the tuple and would silently exclude the
