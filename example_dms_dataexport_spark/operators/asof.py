@@ -42,6 +42,7 @@ def asof_backward(
     carry: list[str] | None = None,
     strict: bool = True,
     how: str = "inner",
+    salt: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``carry`` columns from the latest right
     row with the same ``on`` key and ``right_ts`` < ``left_ts`` (``<=``
@@ -54,6 +55,16 @@ def asof_backward(
     ASOF semantics), it does not let an older row's value show through.
     ``carry=[]`` is allowed: the join then only filters/keeps left rows.
     ``how``: "inner" drops unmatched left rows, "left" keeps them.
+
+    ``salt``: hot-key mitigation. A single hot key serializes its window
+    sort in one task; ``salt=N`` splits each key's LEFT rows into N
+    hash-buckets, replicates the RIGHT side into every bucket, and windows
+    on (key, bucket) — each left row still sees every earlier right row
+    for its key, so the output is bit-identical to unsalted, while the
+    largest task sort shrinks to |L_key|/N + |R_key| rows at the price of
+    shuffling the right side N times. Use when the left side dominates a
+    skewed key (the common shape: many events per entity, few dimension
+    versions).
     """
     keys = list(on)
     if carry is None:
@@ -96,8 +107,18 @@ def asof_backward(
         F.lit(None).cast(lrow_type).alias("_lrow"),
         rrow,
     )
+    part_cols = list(keys)
+    if salt is not None and salt > 1:
+        # left rows hash into a bucket; right rows fan out to every bucket
+        l2 = l2.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col("_lrow")), F.lit(salt))
+        )
+        r2 = r2.withColumn(
+            "_bucket", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        part_cols.append("_bucket")
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -113,3 +113,43 @@ def test_empty_carry_inner_and_left(spark):
         left, right, on=["k"], left_ts="ts", right_ts="rts", carry=[], how="left"
     )
     assert sorted(r.eid for r in kept.collect()) == ["early", "late"]
+
+
+def test_matched_carry_name_raises(spark):
+    left = _mk(spark, [(1, 10, "e1")], ["k", "ts", "eid"])
+    right = _mk(spark, [(1, 5, True)], ["k", "rts", "_matched"])
+    with pytest.raises(ValueError, match="_matched"):
+        asof_backward(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            carry=["_matched"],
+        )
+
+
+def test_salted_hot_key_matches_unsalted(spark):
+    import pyspark.sql.functions as F
+    from example_dms_dataexport_spark.plans.introspect import physical_plan
+
+    # one hot key carrying 100k left rows, plus a normal key; a handful of
+    # right versions per key
+    left = (
+        spark.range(100_000)
+        .select(
+            F.when(F.col("id") % 10 == 0, "cold").otherwise("hot").alias("k"),
+            (F.col("id") + 1000).alias("ts"),
+            F.col("id").alias("eid"),
+        )
+    )
+    right = spark.createDataFrame(
+        [("hot", t, f"h{t}") for t in (0, 5_000, 50_000, 99_000)]
+        + [("cold", 2_000, "c")],
+        ["k", "rts", "tag"],
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="rts", carry=["tag"], how="left")
+    plain = asof_backward(left, right, **kw)
+    salted = asof_backward(left, right, salt=8, **kw)
+    # the salted window must partition on the bucket (N-way parallelism)
+    assert "_bucket" in physical_plan(salted)
+    assert "_bucket" not in physical_plan(plain)
+    a = {(r.eid, r.tag) for r in plain.collect()}
+    b = {(r.eid, r.tag) for r in salted.collect()}
+    assert a == b and len(a) == 100_000
