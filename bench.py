@@ -80,6 +80,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
+
+    # Streaming CDC end-to-end at bench scale: q18's change-set served as
+    # CSV files through the file source + foreachBatch merge
+    # (Trigger.AvailableNow, multiple micro-batches).
+    import shutil
+    import tempfile
+
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_cdc_stream_fixture,
+    )
+
+    td = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        t0 = time.perf_counter()
+        run_cdc_stream_fixture(spark, sf_dir, td)
+        dt = time.perf_counter() - t0
+        times["cdc_stream_e2e"] = round(dt, 3)
+        total += dt
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
     print(
         json.dumps(
             {

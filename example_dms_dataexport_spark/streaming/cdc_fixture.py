@@ -1,0 +1,104 @@
+"""Bench-scale streaming-CDC fixture: the q18 change-set, served as CSV
+files through Structured Streaming's file source + foreachBatch MERGE.
+
+Builds a landing zone from ``orders`` (same deterministic op/key derivation
+as q18), full-loads ``customer`` as the target, runs the stream to
+completion with ``Trigger.AvailableNow``, and exposes the batch-path
+expectation (one global ``apply_changes`` over the same files) for parity
+checks — used by tests/test_streaming.py at sf0.01 and by bench.py at the
+bench scale factor.
+
+Changes are bucketed so each primary key lands in exactly ONE file: the
+final table state is then independent of the order the file source picks
+micro-batches in (mtime vs name order), which is what makes the
+stream-vs-batch comparison exact rather than racy. Cross-file latest-wins
+ordering is covered separately by test_cdc_stream_matches_batch_merge.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import apply_changes
+from ..sources.csv_stage import cdc_schema, read_stage_csv
+from ..sources.warehouse import ParquetWarehouse
+from ..tables import load_table
+from .cdc_stream import start_cdc_stream
+
+CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18's deterministic change-set: D/U/I by orderkey%10, I rows target
+    absent keys. Column order matches the CDC positional layout
+    (op, then target columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    return orders.select(
+        F.when(opmod < 2, "D").when(opmod < 6, "U").otherwise("I").alias("op"),
+        F.when(opmod >= 6, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+
+
+def run_cdc_stream_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 8,
+    max_files_per_trigger: int = 2,
+) -> ParquetWarehouse:
+    """Full-load customer, write the change-set as ``n_files`` CSVs
+    (PK-per-file bucketing), stream-merge them to completion. Returns the
+    warehouse holding the final ``customer`` table."""
+    wh = ParquetWarehouse(os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    wh.overwrite(cust, "customer")
+
+    landing = os.path.join(workdir, "landing")
+    (
+        _changes(spark, sf_dir)
+        .withColumn("_b", F.pmod(F.col("c_custkey"), F.lit(n_files)))
+        .repartition(n_files, "_b")
+        .drop("_b")
+        .write.mode("overwrite")
+        .csv(landing)
+    )
+    q = start_cdc_stream(
+        spark,
+        os.path.join(landing, "part-*.csv"),
+        wh,
+        "customer",
+        pks=["c_custkey"],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q.awaitTermination(600)
+    return wh
+
+
+def batch_expected(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The batch-path answer over the SAME landed files: one global
+    latest-wins apply_changes — what the stream must converge to."""
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    files = sorted(glob.glob(os.path.join(workdir, "landing", "part-*.csv")))
+    changes = read_stage_csv(
+        spark, files, cdc_schema(cust.schema), with_file_metadata=True
+    )
+    return apply_changes(
+        cust,
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_dms_filename", "_dms_rownum"],
+    )

@@ -108,3 +108,11 @@ def test_q19_text_features_scan_prunes_columns(spark):
     cols = scan_columns(_q(spark, "q19_text_features"))[0]
     # only doc_id + text are needed from documents (source/n_chars unused)
     assert "text" in cols and "embedding_seed" not in cols
+
+
+def test_q17_fixture_base_is_cached_single_scan(spark):
+    # listing and dms both derive from events; the shared base must be
+    # persisted so the parquet scan fills one cache and every downstream
+    # branch reads InMemoryTableScan (one physical events read, not two).
+    plan = physical_plan(_q(spark, "q17_load_plan"))
+    assert "InMemoryTableScan" in plan

@@ -318,3 +318,23 @@ def test_sessionizer_event_time_timeout(spark, tmp_path):
     r = rows[1]
     assert r["n_events"] == 2 and r["sum_value"] == 3.0
     assert r["session_end"].hour == 10 and r["session_end"].minute == 5
+
+
+def test_cdc_stream_bench_fixture_parity(spark, tmp_path):
+    """The bench-scale CDC fixture (q18's change-set served as streamed CSV
+    files, multiple micro-batches) converges to the batch apply_changes
+    answer. Run at sf0.01 here; bench.py drives the same code at the bench
+    scale factor."""
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        batch_expected,
+        run_cdc_stream_fixture,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    wd = str(tmp_path / "cdcfix")
+    wh = run_cdc_stream_fixture(spark, sf_dir, wd, n_files=8,
+                                max_files_per_trigger=2)
+    got = {tuple(r) for r in wh.read(spark, "customer").collect()}
+    want = {tuple(r) for r in batch_expected(spark, sf_dir, wd).collect()}
+    assert len(got) > 1000
+    assert got == want
