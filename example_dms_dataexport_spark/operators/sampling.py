@@ -1,0 +1,59 @@
+"""Deterministic (hash-based) sampling for corpus construction.
+
+`df.sample()` draws from an RNG seeded per-partition: the selected rows
+change whenever partitioning, file order, or cluster size changes — which
+makes corpus mixes irreproducible across runs. Hash sampling instead makes
+the keep/drop decision a pure function of the row's KEY: keep iff
+``poly_hash(key) % BUCKETS < rate * BUCKETS``. Properties a training-data
+pipeline needs:
+
+- reproducible across runs, partitionings, clusters, and engines (the
+  DuckDB oracle computes the identical decision);
+- consistent under rate changes: the 10% sample is a superset of the 5%
+  sample (same bucket order), so a mix can be dialed up without resampling;
+- auditable: membership is re-derivable from the key alone.
+
+Narrow no-shuffle filter over the scan; whole-stage codegen'd arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS) from the row key."""
+    return TH.poly_hash(key.cast("string")) % SAMPLE_BUCKETS
+
+
+def sql_sample_bucket(e: str) -> str:
+    """DuckDB twin of sample_bucket — bit-identical buckets."""
+    return f"({TH.sql_poly_hash(f'CAST({e} AS VARCHAR)')} % {SAMPLE_BUCKETS})"
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic Bernoulli sample at ``rate``."""
+    thr = int(round(rate * SAMPLE_BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col)) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 80% of wiki, 25% of web crawl)."""
+    thr = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
+    for s, r in rates.items():
+        thr = F.when(
+            F.col(strata_col) == s, F.lit(int(round(r * SAMPLE_BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key_col)) < thr)

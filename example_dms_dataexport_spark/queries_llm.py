@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .functions import texthash as TH
-from .operators import dedup, multimodal, simsearch, text_analysis
+from .operators import dedup, multimodal, sampling, simsearch, text_analysis
 from .registry import query
 from .tables import load_table
 
@@ -640,6 +640,75 @@ def q38_cleaning_pipeline(spark, sf_dir):
     return dedup.cluster_survivors(kept, pairs).select(
         "doc_id", F.round("quality", 4).alias("quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + deterministic sampling
+# ---------------------------------------------------------------------------
+
+# benchmark = every 97th doc (deterministic held-out set); candidates = rest
+_Q44_ORACLE = f"""
+    WITH bench_t AS (
+        SELECT {TH.sql_tokens('text')} AS toks FROM documents
+        WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest({TH.sql_word_ngrams('toks', 3)}) AS g
+        FROM bench_t
+    ),
+    cand_t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+        WHERE doc_id % 97 <> 0
+    ),
+    cg AS (
+        SELECT doc_id, unnest({TH.sql_word_ngrams('toks', 3)}) AS g
+        FROM cand_t
+    )
+    SELECT doc_id, count(*) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY doc_id
+"""
+
+
+@query("q44_decontaminate", _Q44_ORACLE)
+def q44_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-candidate count of distinct word-3-
+    grams shared with the held-out set (docs where doc_id%97=0). The
+    reference gram set is the natural broadcast side at scale (AQE
+    decides; no forced hint)."""
+    from .operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.ngram_overlap(cand, bench, n=3)
+
+
+_SAMPLE_RATES = {"src0": 0.8, "src1": 0.5}
+_SAMPLE_DEFAULT = 0.25
+
+_Q45_ORACLE = f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {sampling.sql_sample_bucket('doc_id')} <
+          CASE WHEN source = 'src0' THEN 8000
+               WHEN source = 'src1' THEN 5000
+               ELSE 2500 END
+"""
+
+
+@query("q45_stratified_sample", _Q45_ORACLE)
+def q45_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (80% src0, 50% src1, 25% rest):
+    keep/drop is a pure hash of doc_id, so the sample is reproducible
+    across runs, partitionings, and engines — a narrow codegen'd filter,
+    no shuffle."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, _SAMPLE_RATES, _SAMPLE_DEFAULT
+    ).select("doc_id", "source")
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,52 @@ def test_jdbc_options_validation():
         jdbc_options(url="u", table="t", partition_column="c")
     with pytest.raises(ValueError, match="not both"):
         jdbc_options(url="u", table="t", query="SELECT 1")
+
+
+def test_decontaminate_flags_overlapping_doc(spark):
+    from example_dms_dataexport_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz answer the capital of france is paris"),  # leaks 3-grams
+            (2, "a completely unrelated training document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    overlap = {r["doc_id"]: r["n_shared"] for r in
+               decontam.ngram_overlap(docs, bench, n=3).collect()}
+    assert 1 in overlap and overlap[1] >= 3
+    assert 2 not in overlap
+    clean = {r["doc_id"] for r in decontam.decontaminate(docs, bench).collect()}
+    assert clean == {2}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from example_dms_dataexport_spark.operators import sampling
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s10a = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.10).collect()}
+    s10b = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.10).collect()}
+    s05 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.05).collect()}
+    assert s10a == s10b  # reproducible
+    assert s05 <= s10a  # dialing the rate up extends, never reshuffles
+    assert 100 < len(s10a) < 320  # ~10% of 2000, loose tolerance
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from example_dms_dataexport_spark.operators import sampling
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = sampling.stratified_sample(
+        df, {"s0": 0.9, "s1": 0.1}, 0.5
+    ).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in out}
+    assert 800 < counts["s0"] <= 1000
+    assert 40 < counts["s1"] < 200
+    assert 380 < counts["s2"] < 620
