@@ -56,3 +56,47 @@ def quality_filter(
         .filter(TH.quality_score(F.col("_toks")) >= min_quality)
         .drop("_toks")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed token-budget chunks — the
+    context-window packing step before tokenizer/training ingestion.
+
+    Emits (id, chunk_id, chunk_text, n_tokens): chunk k covers tokens
+    [1 + k*stride, 1 + k*stride + chunk_size) with stride =
+    chunk_size - overlap; the final chunk may be short, and a chunk is
+    only emitted if it contributes at least one token beyond the
+    previous chunk's overlap. Zero-token docs emit nothing.
+
+    Plan shape: one generator (posexplode of the start sequence) over a
+    narrow projection — no shuffle, no UDF; output rows ~ total_tokens /
+    stride, each built by JVM slice/join expressions.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    t = df.select(id_col, TH.tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks") - overlap, F.lit(1)), F.lit(stride)
+    )
+    e = t.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    return e.select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice("_toks", F.col("_start"), F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.size("_toks") - F.col("_start") + 1, F.lit(chunk_size)
+        ).alias("n_tokens"),
+    )

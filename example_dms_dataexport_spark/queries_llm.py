@@ -711,6 +711,40 @@ def q45_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_Q46_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}
+               )) AS start
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           array_to_string(
+               list_slice(toks, start, start + {_CHUNK_SIZE} - 1), ' '
+           ) AS chunk_text,
+           least(len(toks) - start + 1, {_CHUNK_SIZE}) AS n_tokens
+    FROM st
+"""
+
+
+@query("q46_token_chunks", _Q46_ORACLE)
+def q46_token_chunks(spark, sf_dir):
+    """Context-window chunking: 64-token chunks with 16-token overlap —
+    one posexplode generator over a narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.chunk_tokens(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + vocabulary building (corpus-preparation operators)
 # ---------------------------------------------------------------------------

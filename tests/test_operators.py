@@ -296,3 +296,33 @@ def test_stratified_sample_rates_per_stratum(spark):
     assert 800 < counts["s0"] <= 1000
     assert 40 < counts["s1"] < 200
     assert 380 < counts["s2"] < 620
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from example_dms_dataexport_spark.operators import text_analysis
+
+    # 10 tokens, chunk 4, overlap 2 -> starts 1,3,5,7 (start 9 adds nothing
+    # beyond overlap); last chunk is full here, tail covered by start 7
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, ""), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = text_analysis.chunk_tokens(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc emits nothing
+    assert [(r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] == [
+        (0, "a b", 2)
+    ]
+    got = [(r["chunk_id"], r["chunk_text"], r["n_tokens"])
+           for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+    assert got == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t5 t6 t7 t8", 4),
+        (3, "t7 t8 t9 t10", 4),
+    ]
+    with pytest.raises(ValueError):
+        text_analysis.chunk_tokens(df, chunk_size=4, overlap=4)
