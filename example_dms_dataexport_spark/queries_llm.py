@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .functions import texthash as TH
-from .operators import dedup, multimodal, sampling, simsearch, text_analysis
+from .operators import dedup, lines, multimodal, sampling, simsearch, text_analysis
 from .registry import query
 from .tables import load_table
 
@@ -743,6 +743,79 @@ def q46_token_chunks(spark, sf_dir):
     return text_analysis.chunk_tokens(
         docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
     )
+
+
+# The corpus has no newlines, so — like q22's planted duplicates — both
+# engines first synthesize lines deterministically (a line break every
+# _LINE_W tokens), then run the generic line-dedup operator on the result.
+_LINE_W = 5  # tokens per synthesized line
+_LINE_MAX_DOCS = 2  # drop lines appearing in more than this many docs
+
+_Q47_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    lined AS (
+        SELECT doc_id, array_to_string(
+            [array_to_string(list_slice(toks, i, i + {_LINE_W - 1}), ' ')
+             FOR i IN generate_series(1, greatest(len(toks), 1), {_LINE_W})],
+            chr(10)) AS text
+        FROM t
+    ),
+    split_l AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined
+    ),
+    l AS (
+        SELECT doc_id,
+               unnest([{{'ln': i, 'line': lines[i]}}
+                       FOR i IN generate_series(1, len(lines))],
+                      recursive := true)
+        FROM split_l
+    ),
+    freq AS (
+        SELECT line FROM l
+        GROUP BY line HAVING count(DISTINCT doc_id) > {_LINE_MAX_DOCS}
+    ),
+    kept AS (SELECT l.* FROM l ANTI JOIN freq USING (line)),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+               count(*) AS n_lines_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, len(lines) AS n_lines,
+           coalesce(n_lines_kept, 0) AS n_lines_kept,
+           coalesce(clean_text, '') AS clean_text
+    FROM split_l d LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+@query("q47_line_dedup", _Q47_ORACLE)
+def q47_line_dedup(spark, sf_dir):
+    """C4/CCNet-style line-level boilerplate removal: lines occurring in
+    more than _LINE_MAX_DOCS distinct documents are dropped; surviving
+    lines are reassembled in order. One DF shuffle on the line value, an
+    AQE-broadcast anti join against the (small) frequent set, one
+    reassembly shuffle on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    lined = (
+        docs.withColumn("_toks", TH.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(_LINE_W),
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i, _LINE_W), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return lines.remove_boilerplate_lines(lined, max_docs=_LINE_MAX_DOCS)
 
 
 # ---------------------------------------------------------------------------

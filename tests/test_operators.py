@@ -326,3 +326,31 @@ def test_chunk_tokens_overlap_and_tail(spark):
     ]
     with pytest.raises(ValueError):
         text_analysis.chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_line_dedup_drops_frequent_preserves_order(spark):
+    from example_dms_dataexport_spark.operators import lines
+
+    boiler = "subscribe now"
+    docs = [
+        (1, f"alpha one\n{boiler}\nalpha two"),
+        (2, f"{boiler}\nbeta one"),
+        (3, f"gamma one\n{boiler}"),
+        (4, boiler),  # every line is boilerplate
+        (5, "delta one\ndelta two"),
+        (6, "shared twice\nepsilon"),
+        (7, "shared twice\nzeta"),  # 2 docs == max_docs -> kept
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in lines.remove_boilerplate_lines(df, max_docs=2).collect()
+    }
+    assert len(out) == 7  # emptied docs survive as rows
+    assert out[1]["clean_text"] == "alpha one\nalpha two"  # order kept
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 2)
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["clean_text"] == "delta one\ndelta two"
+    # exactly at the threshold is NOT boilerplate
+    assert out[6]["clean_text"].startswith("shared twice")
+    assert out[7]["clean_text"].startswith("shared twice")
