@@ -12,11 +12,17 @@ so the correctness oracles hash-compare bit-identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
 from ..partitioning import spread
+
+# Per-token log10-probabilities are rounded to this fixed-point scale
+# BEFORE the per-document sum: int64 addition is order-independent, so the
+# (shuffle-order-nondeterministic) aggregation stays bit-identical across
+# engines — doubles summed in different orders would not.
+LP_SCALE = 1_000_000
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -55,6 +61,61 @@ def quality_filter(
         df.withColumn("_toks", TH.tokens(F.col(text_col)))
         .filter(TH.quality_score(F.col("_toks")) >= min_quality)
         .drop("_toks")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's own
+    unigram model — the KenLM-perplexity proxy CCNet-style pipelines use
+    to rank documents (closer to 0 = more typical text; very negative =
+    rare-token soup).
+
+    Plan shape: the token stream shuffles ONCE to build the term-frequency
+    relation, which is vocabulary-sized — tiny relative to the corpus — so
+    the global-total window over it and the join back onto the token
+    stream (AQE broadcasts the vocab side) are both cheap; the final
+    per-document aggregation is the only other shuffle.  Per-token scores
+    are fixed-point int64 (see LP_SCALE), so sums are exact.
+    """
+    stream = df.select(
+        F.col(id_col), F.explode(TH.tokens(F.col(text_col))).alias("tok")
+    )
+    tf = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    lp = tf.withColumn(
+        "_total", F.sum("_tf").over(Window.partitionBy())
+    ).select(
+        "tok",
+        F.floor(
+            F.log10(F.col("_tf").cast("double") / F.col("_total"))
+            * LP_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_lp"),
+    )
+    return (
+        stream.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("_slp").cast("double")
+                    / F.col("n_tokens")
+                    / LP_SCALE
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("logprob"),
+        )
     )
 
 

@@ -818,6 +818,35 @@ def q47_line_dedup(spark, sf_dir):
     return lines.remove_boilerplate_lines(lined, max_docs=_LINE_MAX_DOCS)
 
 
+_Q48_ORACLE = f"""
+    WITH stream AS (
+        SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS tf FROM stream GROUP BY tok),
+    lp AS (
+        SELECT tok,
+               CAST(floor(log10(CAST(tf AS DOUBLE) / (SELECT sum(tf) FROM tf))
+                          * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS lp
+        FROM tf
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                 / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4 AS logprob
+    FROM stream JOIN lp USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@query("q48_unigram_logprob", _Q48_ORACLE)
+def q48_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity proxy: mean unigram log10-prob per document
+    under the corpus's own unigram model. Per-token scores are fixed-point
+    int64 before the (order-nondeterministic) sum, so both engines
+    aggregate exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.unigram_logprob(docs)
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + vocabulary building (corpus-preparation operators)
 # ---------------------------------------------------------------------------

@@ -354,3 +354,32 @@ def test_line_dedup_drops_frequent_preserves_order(spark):
     # exactly at the threshold is NOT boilerplate
     assert out[6]["clean_text"].startswith("shared twice")
     assert out[7]["clean_text"].startswith("shared twice")
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    from example_dms_dataexport_spark.operators import text_analysis as TA
+
+    docs = [(1, "a a b"), (2, "b c"), (3, "a c c d")]
+    toks = {i: t.split() for i, t in docs}
+    tf = {}
+    for ts in toks.values():
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+    total = sum(tf.values())
+    lp = {
+        t: math.floor(math.log10(c / total) * TA.LP_SCALE + 0.5)
+        for t, c in tf.items()
+    }
+    expect = {
+        i: math.floor(
+            sum(lp[t] for t in ts) / len(ts) / TA.LP_SCALE * 1e4 + 0.5
+        )
+        / 1e4
+        for i, ts in toks.items()
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TA.unigram_logprob(df).collect()}
+    assert {i: r["n_tokens"] for i, r in out.items()} == {1: 3, 2: 2, 3: 4}
+    assert {i: r["logprob"] for i, r in out.items()} == expect
