@@ -900,3 +900,80 @@ def q42_event_gaps(spark, sf_dir):
         F.max("gap_us").alias("max_gap_us"),
         F.round(F.avg("gap_us"), 0).cast("long").alias("avg_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view update under CDC)
+# ---------------------------------------------------------------------------
+
+# Fixture: the base rollup is orders grouped by priority (integer cents);
+# the change-set is synthesized deterministically — orderkey%10==3 rows are
+# updated (+100 cents), %10==7 deleted, %10==1 re-inserted under a new key
+# and an 'X-NEW' priority (a group that only exists post-merge).  The
+# oracle is a FULL RECOMPUTE over the merged snapshot; the Spark side goes
+# through operators.incremental.update_rollup, which never re-reads the
+# fact rows — that equivalence is exactly what the hash compare pins.
+_Q49_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    snapshot AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 10 = 3 THEN cents + 100 ELSE cents END
+                   AS cents
+        FROM base WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey * 1000, 'X-NEW', cents
+        FROM base WHERE o_orderkey % 10 = 1
+    )
+    SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           count(*) AS n_rows
+    FROM snapshot GROUP BY o_orderpriority
+"""
+
+
+@query("q49_incremental_rollup", _Q49_ORACLE)
+def q49_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: fold an I/U/D change-set
+    into a per-priority SUM/COUNT rollup without rescanning the fact
+    table — O(changes)+O(rollup), vs the oracle's full recompute."""
+    from .operators import incremental
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    start = incremental.rollup(base, ["o_orderpriority"], ["cents"])
+    mod = F.col("o_orderkey") % 10
+    updates = base.filter(mod == 3).select(
+        F.lit("U").alias("op"),
+        F.col("o_orderpriority").alias("before_o_orderpriority"),
+        F.col("cents").alias("before_cents"),
+        F.col("o_orderpriority").alias("after_o_orderpriority"),
+        (F.col("cents") + 100).alias("after_cents"),
+    )
+    deletes = base.filter(mod == 7).select(
+        F.lit("D").alias("op"),
+        F.col("o_orderpriority").alias("before_o_orderpriority"),
+        F.col("cents").alias("before_cents"),
+        F.lit(None).cast("string").alias("after_o_orderpriority"),
+        F.lit(None).cast("long").alias("after_cents"),
+    )
+    inserts = base.filter(mod == 1).select(
+        F.lit("I").alias("op"),
+        F.lit(None).cast("string").alias("before_o_orderpriority"),
+        F.lit(None).cast("long").alias("before_cents"),
+        F.lit("X-NEW").alias("after_o_orderpriority"),
+        F.col("cents").alias("after_cents"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return incremental.update_rollup(
+        start, changes, ["o_orderpriority"], ["cents"]
+    ).select(
+        "o_orderpriority",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        "n_rows",
+    )

@@ -383,3 +383,39 @@ def test_unigram_logprob_matches_python(spark):
     out = {r["doc_id"]: r for r in TA.unigram_logprob(df).collect()}
     assert {i: r["n_tokens"] for i, r in out.items()} == {1: 3, 2: 2, 3: 4}
     assert {i: r["logprob"] for i, r in out.items()} == expect
+
+
+def test_update_rollup_moves_empties_and_creates_groups(spark):
+    from example_dms_dataexport_spark.operators import incremental
+
+    fact = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], ["grp", "v"]
+    )
+    start = incremental.rollup(fact, ["grp"], ["v"])
+    changes = spark.createDataFrame(
+        [
+            # U moving a row a -> b, value 20 -> 25
+            ("U", "a", 20, "b", 25),
+            # D emptying group c
+            ("D", "c", 7, None, None),
+            # I creating group d
+            ("I", None, None, "d", 100),
+        ],
+        ["op", "before_grp", "before_v", "after_grp", "after_v"],
+    )
+    out = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in incremental.update_rollup(
+            start, changes, ["grp"], ["v"]
+        ).collect()
+    }
+    assert out == {"a": (10, 1), "b": (30, 2), "d": (100, 1)}  # c gone
+    # parity with a full recompute of the merged snapshot
+    snapshot = spark.createDataFrame(
+        [("a", 10), ("b", 25), ("b", 5), ("d", 100)], ["grp", "v"]
+    )
+    full = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in incremental.rollup(snapshot, ["grp"], ["v"]).collect()
+    }
+    assert out == full
