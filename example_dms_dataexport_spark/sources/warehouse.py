@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -30,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Pending-cleanup marker for replace_partitions (see _reconcile).
 TOMBSTONE_FILE = "_tombstones.json"
+
+# Bucket layout descriptor for write_bucketed/read_bucketed. Underscore
+# prefix keeps it invisible to parquet file discovery, like _SUCCESS.
+BUCKET_SPEC_FILE = "_bucket_spec.json"
 
 
 class ParquetWarehouse:
@@ -106,6 +111,82 @@ class ParquetWarehouse:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(table))
         )
+
+    def _catalog_name(self, table: str) -> str:
+        return "wh_" + re.sub(r"[^A-Za-z0-9_]", "_", table)
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Write ``table`` hash-bucketed on ``bucket_by`` (optionally
+        sorted within each bucket).
+
+        This is the co-located-join path at 100 TB: two tables bucketed on
+        the same key into the same bucket count join with ZERO shuffle on
+        either side — each task reads matching bucket files directly
+        (pinned by tests/test_plans.py).  Bucket+sort on the merge key is
+        also the right layout for CDC targets: the MERGE's join hits
+        pre-clustered files instead of reshuffling the whole table.
+
+        Spark keeps bucketing metadata in the catalog, not in parquet, so
+        the spec is also persisted to ``_bucket_spec.json`` in the table
+        directory and ``read_bucketed`` re-registers the table in a fresh
+        session's (in-memory) catalog from that file.
+        """
+        spark = df.sparkSession
+        name = self._catalog_name(table)
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        final = self.path(table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        w = df.write.format("parquet").mode("overwrite")
+        w = w.bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.option("path", final).saveAsTable(name)
+        spec = {
+            "bucket_by": list(bucket_by),
+            "n_buckets": n_buckets,
+            "sort_by": list(sort_by or []),
+        }
+        tmp = os.path.join(final, BUCKET_SPEC_FILE + f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, os.path.join(final, BUCKET_SPEC_FILE))
+
+    def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read a bucketed table THROUGH the catalog so joins/aggregations
+        on the bucket key can use the existing layout instead of
+        shuffling.  If the catalog entry is gone (fresh session), it is
+        recreated as an external bucketed table over the same files from
+        the persisted spec.
+        """
+        name = self._catalog_name(table)
+        final = self.path(table)
+        if not spark.catalog.tableExists(name):
+            with open(os.path.join(final, BUCKET_SPEC_FILE)) as f:
+                spec = json.load(f)
+            schema = spark.read.parquet(final).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in spec["bucket_by"])
+            sorted_by = (
+                " SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_by"]) + ")"
+                if spec["sort_by"]
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE `{name}` ({cols}) USING parquet "
+                f"CLUSTERED BY ({bcols}){sorted_by} "
+                f"INTO {spec['n_buckets']} BUCKETS LOCATION '{final}'"
+            )
+        return spark.table(name)
 
     def replace_partitions(
         self,

@@ -116,3 +116,39 @@ def test_q17_fixture_base_is_cached_single_scan(spark):
     # branch reads InMemoryTableScan (one physical events read, not two).
     plan = physical_plan(_q(spark, "q17_load_plan"))
     assert "InMemoryTableScan" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    wh.write_bucketed(left, "bleft", ["k"], 4, sort_by=["k"])
+    wh.write_bucketed(right, "bright", ["k"], 4, sort_by=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = wh.read_bucketed(spark, "bleft").join(
+            wh.read_bucketed(spark, "bright"), "k"
+        )
+        # co-located: bucket files join directly, zero exchange either side
+        assert exchange_count(j) == 0, physical_plan(j)
+        assert j.count() == 1000
+        # fresh-session path: drop the catalog entries, re-register from
+        # the persisted _bucket_spec.json — still shuffle-free
+        spark.sql("DROP TABLE wh_bleft")
+        spark.sql("DROP TABLE wh_bright")
+        j2 = wh.read_bucketed(spark, "bleft").join(
+            wh.read_bucketed(spark, "bright"), "k"
+        )
+        assert exchange_count(j2) == 0, physical_plan(j2)
+        assert j2.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
