@@ -22,6 +22,7 @@ itself (Spark reads lazily while the job overwrites the same files), so
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import shutil
@@ -111,6 +112,68 @@ class ParquetWarehouse:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(table))
         )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Bin-pack small files up to ``target_file_bytes`` per output file.
+        Returns the number of directories rewritten.
+
+        Every incremental CDC batch appends a few small files per touched
+        partition; after thousands of syncs a 100 TB table degenerates
+        into millions of tiny files and scan planning + open() overhead
+        dominate reads.  Compaction rewrites each leaf data directory
+        whose file count exceeds ceil(bytes/target) with ``coalesce`` (a
+        shuffle-free narrow repack), using the same temp-dir + rename swap
+        as ``overwrite`` so readers never observe a partial directory, and
+        a crash mid-compaction leaves the original intact.
+
+        Partitions already at their target file count are skipped — their
+        files are neither read nor touched (mtimes stable), so repeated
+        compaction is idempotent and cheap.  Directories are processed in
+        a driver loop (one Spark job each), the same per-partition
+        bin-packing shape as Delta's OPTIMIZE; at cluster scale the loop
+        body is what you'd fan out over a thread pool exactly like
+        runner.py does for loads.
+
+        Bucketed tables are refused: their file layout IS the bucket
+        spec — rewrite them with ``write_bucketed`` instead.
+        """
+        final = self.path(table)
+        if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
+            raise ValueError(
+                f"{table} is bucketed; its file layout is the bucket spec — "
+                "rewrite with write_bucketed instead of compact"
+            )
+        self._reconcile(table)
+        rewritten = 0
+        for d in sorted(self._leaf_data_dirs(table)):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+            n = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= n:
+                continue
+            df = spark.read.parquet(d)
+            tmp = d + f".compact-{uuid.uuid4().hex}"
+            df.coalesce(n).write.mode("overwrite").parquet(tmp)
+            old = d + f".old-{uuid.uuid4().hex}"
+            os.replace(d, old)
+            os.replace(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+            rewritten += 1
+        return rewritten
+
+    def _leaf_data_dirs(self, table: str) -> list[str]:
+        """Directories under ``table`` that directly hold parquet files —
+        the table root itself, or each hive partition leaf."""
+        out = []
+        for dirpath, _dirs, files in os.walk(self.path(table)):
+            if any(f.endswith(".parquet") for f in files):
+                out.append(dirpath)
+        return out
 
     def _catalog_name(self, table: str) -> str:
         return "wh_" + re.sub(r"[^A-Za-z0-9_]", "_", table)

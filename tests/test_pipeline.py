@@ -272,3 +272,64 @@ def test_runner_tags_job_groups_per_load(spark, tmp_path, landing):
     assert tracker.getJobIdsForGroup("erp/customer"), (
         "no Spark jobs recorded under the load's job group"
     )
+
+
+def _parquet_files(d):
+    out = []
+    for dirpath, _dirs, files in os.walk(d):
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    wh.overwrite(df.repartition(16), "t")
+    assert len(_parquet_files(wh.path("t"))) >= 16
+    before = sorted(tuple(r) for r in wh.read(spark, "t").collect())
+    assert wh.compact(spark, "t", target_file_bytes=1 << 30) == 1
+    assert len(_parquet_files(wh.path("t"))) == 1
+    assert sorted(tuple(r) for r in wh.read(spark, "t").collect()) == before
+    # second pass: already compact, nothing rewritten, files untouched
+    mtimes = {f: os.path.getmtime(f) for f in _parquet_files(wh.path("t"))}
+    assert wh.compact(spark, "t", target_file_bytes=1 << 30) == 0
+    assert {f: os.path.getmtime(f) for f in _parquet_files(wh.path("t"))} == mtimes
+
+
+def test_compact_partitioned_skips_compact_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    wh.overwrite(df.repartition(8), "t", partition_by=["p"])
+    before = sorted(tuple(r) for r in wh.read(spark, "t").collect())
+    p0 = os.path.join(wh.path("t"), "p=0")
+    assert len(_parquet_files(p0)) > 1
+    assert wh.compact(spark, "t", target_file_bytes=1 << 30) == 4
+    assert all(
+        len(_parquet_files(os.path.join(wh.path("t"), f"p={i}"))) == 1
+        for i in range(4)
+    )
+    assert sorted(tuple(r) for r in wh.read(spark, "t").collect()) == before
+    # already-compact partitions are not rewritten on a second pass
+    mtimes = {f: os.path.getmtime(f) for f in _parquet_files(wh.path("t"))}
+    assert wh.compact(spark, "t", target_file_bytes=1 << 30) == 0
+    assert {f: os.path.getmtime(f) for f in _parquet_files(wh.path("t"))} == mtimes
+
+
+def test_compact_refuses_bucketed(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    wh.write_bucketed(df, "bt", ["k"], 4)
+    with pytest.raises(ValueError, match="bucketed"):
+        wh.compact(spark, "bt")
