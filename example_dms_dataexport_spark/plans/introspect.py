@@ -65,7 +65,18 @@ def exchange_count(df: DataFrame) -> int:
     """Shuffle-exchange operators in the plan (lower = fewer shuffles).
 
     Counts Exchange hashpartitioning/rangepartitioning, not broadcast
-    exchanges (broadcasts are the cheap kind by design).
+    exchanges (broadcasts are the cheap kind by design) and not
+    single-partition exchanges (the O(1)-row global-agg finisher).
+
+    Formatted explain splits an Exchange across the tree line
+    (``Exchange (N)``) and its detail block (``Arguments:
+    hashpartitioning(...)``), so both renderings are matched — matching
+    only the simple-mode single-line form silently returns 0 on formatted
+    plans and turns every plan pin vacuous.
     """
     plan = physical_plan(df)
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    simple = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    formatted = len(
+        re.findall(r"Arguments: (?:hash|range)partitioning", plan)
+    )
+    return max(simple, formatted)

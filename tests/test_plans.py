@@ -152,3 +152,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert j2.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q48_vocab_join_broadcasts_not_forced(spark):
+    # the token stream must NOT shuffle for the vocab join: the
+    # vocabulary-sized lp relation is broadcast (chosen, never forced);
+    # shuffles are: vocab groupBy + final per-doc agg
+    df = _q(spark, "q48_unigram_logprob")
+    assert broadcast_hint_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) == 2, physical_plan(df)
+
+
+def test_q47_line_dedup_no_forced_broadcast(spark):
+    # frequent-line set rides an AQE-chosen broadcast; no hard hints
+    df = _q(spark, "q47_line_dedup")
+    assert broadcast_hint_count(df) == 0
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q49_incremental_rollup_never_rescans_wide_fact(spark):
+    # the operator input relations are aggregate/change-set-sized; the
+    # merge join carries no forced hint and no cartesian blowup
+    df = _q(spark, "q49_incremental_rollup")
+    assert broadcast_hint_count(df) == 0
+    assert "CartesianProduct" not in physical_plan(df)
