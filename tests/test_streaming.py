@@ -338,3 +338,61 @@ def test_cdc_stream_bench_fixture_parity(spark, tmp_path):
     want = {tuple(r) for r in batch_expected(spark, sf_dir, wd).collect()}
     assert len(got) > 1000
     assert got == want
+
+
+def test_stream_dedup_first_wins_and_survives_restart(spark, tmp_path):
+    from example_dms_dataexport_spark.streaming.dedup_stream import (
+        dedup_doc_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write_docs(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-01-01 00:10:00"
+    import datetime as dt
+
+    ts0 = dt.datetime.fromisoformat(t0)
+    ts1 = dt.datetime.fromisoformat(t1)
+    write_docs("f1", [(1, ts0, "alpha beta"), (2, ts0, "gamma delta")])
+    write_docs("f2", [(3, ts1, "alpha beta"), (4, ts1, "epsilon")])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            dedup_doc_stream(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # doc 3 duplicates doc 1's content -> dropped; first arrival kept
+    assert got == {1, 2, 4}
+    # restart with a new file: state in the checkpoint still rejects
+    # duplicates of already-admitted content
+    ts2 = dt.datetime.fromisoformat("2024-01-01 00:20:00")
+    write_docs("f3", [(5, ts2, "gamma delta"), (6, ts2, "zeta")])
+    run_once()
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got2 == {1, 2, 4, 6}
