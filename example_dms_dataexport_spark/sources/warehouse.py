@@ -78,11 +78,32 @@ class ParquetWarehouse:
         os.remove(tp)
 
     def overwrite(
-        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
     ) -> None:
-        """Full atomic replace: materialize to temp dir, swap, drop old."""
+        """Full atomic replace: materialize to temp dir, swap, drop old.
+
+        ``cluster_by`` range-partitions and sorts the data on the given
+        columns before writing, so each parquet file (and each row group
+        within it) covers a narrow min/max band of the cluster key.  At
+        100 TB that's the data-skipping lever: a pushed-down range filter
+        on the cluster key lets the scan drop whole files/row groups from
+        their footer statistics instead of reading them.  Costs one range
+        shuffle at write time; pinned by tests/test_pipeline.py.
+        """
         final = self.path(table)
         tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        if cluster_by:
+            # explicit count opts out of AQE coalescing (e.g. to target a
+            # file size); default lets AQE size the range partitions
+            args = ([cluster_partitions] if cluster_partitions else []) + list(
+                cluster_by
+            )
+            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -333,3 +333,35 @@ def test_compact_refuses_bucketed(spark, tmp_path):
     wh.write_bucketed(df, "bt", ["k"], 4)
     with pytest.raises(ValueError, match="bucketed"):
         wh.compact(spark, "bt")
+
+
+def test_overwrite_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    # write shuffled ids so clustering has real work to do
+    df = spark.range(0, 20000).select(
+        (F.xxhash64("id") % 100000).alias("scrambled"), F.col("id").alias("k")
+    )
+    wh.overwrite(
+        df.repartition(8), "t", cluster_by=["k"], cluster_partitions=8
+    )
+    ranges = []
+    for f in _parquet_files(wh.path("t")):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) > 1  # multiple files/row groups exist
+    ranges.sort()
+    # row-group key ranges are non-overlapping -> a range predicate can
+    # skip every group outside its band
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # rows survive intact
+    assert wh.read(spark, "t").count() == 20000
