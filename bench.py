@@ -42,6 +42,9 @@ HEADLINE = [
     "q38_cleaning_pipeline",
     "q39_asof_attribution",
     "q43_dedup_clusters",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q49_incremental_rollup",
 ]
 
 
