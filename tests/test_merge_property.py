@@ -87,3 +87,70 @@ def test_apply_changes_equals_model_replay(spark, seq, data):
 
     got = {r["id"]: r["val"] for r in merged.collect()}
     assert got == expected
+
+
+# --- incremental rollup property --------------------------------------------
+
+GROUPS = ["g0", "g1", "g2"]
+
+fact_row = st.tuples(
+    st.sampled_from(GROUPS), st.integers(min_value=-50, max_value=50)
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(fact_row, min_size=0, max_size=15),
+    data=st.data(),
+)
+def test_update_rollup_equals_full_recompute(spark, facts, data):
+    """For ANY base facts and ANY consistent I/U/D change-set (including
+    group-moving updates and group-emptying deletes), folding the deltas
+    into the rollup equals recomputing the rollup over the final
+    snapshot."""
+    from example_dms_dataexport_spark.operators import incremental
+
+    # build a consistent change-set against the drawn facts: each fact row
+    # is kept / updated (possibly moving groups) / deleted; plus inserts
+    snapshot, changes = [], []
+    for grp, v in facts:
+        action = data.draw(st.sampled_from(["keep", "update", "delete"]))
+        if action == "keep":
+            snapshot.append((grp, v))
+        elif action == "update":
+            ngrp = data.draw(st.sampled_from(GROUPS))
+            nv = data.draw(st.integers(min_value=-50, max_value=50))
+            changes.append(("U", grp, v, ngrp, nv))
+            snapshot.append((ngrp, nv))
+        else:
+            changes.append(("D", grp, v, None, None))
+    for _ in range(data.draw(st.integers(min_value=0, max_value=4))):
+        grp = data.draw(st.sampled_from(GROUPS))
+        v = data.draw(st.integers(min_value=-50, max_value=50))
+        changes.append(("I", None, None, grp, v))
+        snapshot.append((grp, v))
+
+    fact_schema = "grp string, v long"
+    chg_schema = (
+        "op string, before_grp string, before_v long, "
+        "after_grp string, after_v long"
+    )
+    start = incremental.rollup(
+        spark.createDataFrame(facts, fact_schema), ["grp"], ["v"]
+    )
+    out = incremental.update_rollup(
+        start,
+        spark.createDataFrame(changes, chg_schema),
+        ["grp"],
+        ["v"],
+    )
+    got = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in out.collect()}
+    expect = {}
+    for grp, v in snapshot:
+        s, n = expect.get(grp, (0, 0))
+        expect[grp] = (s + v, n + 1)
+    assert got == expect
