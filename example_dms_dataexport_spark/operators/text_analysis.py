@@ -64,6 +64,52 @@ def quality_filter(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign token chunks to fixed-budget context windows ("packs") —
+    the training-batch packing step after ``chunk_tokens``.
+
+    A single global running total would serialize the corpus through one
+    task, so packing is SHARDED: each document hashes to one of
+    ``n_shards`` streams, and the running token total (and therefore pack
+    assignment) is computed per shard — window parallelism = n_shards,
+    each shard's state is a running sum, and any shard can be materialized
+    independently.  At cluster scale n_shards is the write parallelism of
+    the packed dataset (thousands, not 8).
+
+    A chunk belongs to the pack where it STARTS (greedy concat packing:
+    packs are budget-sized slices of the shard's concatenated chunk
+    stream).  All arithmetic is integer, so results are deterministic and
+    engine-exact.  Emits shard, pack_id (within shard) and pack_pos (token
+    offset of the chunk inside its pack).
+    """
+    shard = TH.poly_hash(F.col(id_col).cast("string")) % n_shards
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).alias("_start")
+    out = chunks.withColumn("shard", shard).withColumn("_start", start)
+    return out.select(
+        id_col,
+        chunk_col,
+        tokens_col,
+        "shard",
+        F.floor(F.col("_start") / budget).cast("long").alias("pack_id"),
+        (F.col("_start") % budget).alias("pack_pos"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

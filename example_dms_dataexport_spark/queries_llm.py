@@ -745,6 +745,57 @@ def q46_token_chunks(spark, sf_dir):
     )
 
 
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+
+_Q50_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 64)) AS start
+        FROM t WHERE len(toks) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((start - 1) // 64 AS INTEGER) AS chunk_id,
+               least(len(toks) - start + 1, 64) AS n_tokens,
+               ({{shard}}) AS shard
+        FROM st
+    ),
+    cum AS (
+        SELECT doc_id, chunk_id, n_tokens, shard,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_tok
+        FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens, shard,
+           CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id,
+           start_tok % {_PACK_BUDGET} AS pack_pos
+    FROM cum
+""".replace(
+    "{shard}",
+    f"{TH.sql_poly_hash('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS}",
+)
+
+
+@query("q50_pack_chunks", _Q50_ORACLE)
+def q50_pack_chunks(spark, sf_dir):
+    """Sequence packing: 64-token chunks greedily packed into 256-token
+    context windows, sharded by a document hash so the running-total
+    window parallelizes (window parallelism = shard count)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text_analysis.chunk_tokens(docs, chunk_size=64, overlap=0).drop(
+        "chunk_text"
+    )
+    return text_analysis.pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
 # The corpus has no newlines, so — like q22's planted duplicates — both
 # engines first synthesize lines deterministically (a line break every
 # _LINE_W tokens), then run the generic line-dedup operator on the result.

@@ -419,3 +419,32 @@ def test_update_rollup_moves_empties_and_creates_groups(spark):
         for r in incremental.rollup(snapshot, ["grp"], ["v"]).collect()
     }
     assert out == full
+
+
+def test_pack_chunks_budget_and_offsets(spark):
+    from example_dms_dataexport_spark.operators import text_analysis as TA
+
+    # single shard so the packing order is fully deterministic
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (3, 0, 40), (4, 0, 30)],
+        ["doc_id", "chunk_id", "n_tokens"],
+    )
+    out = TA.pack_chunks(chunks, budget=100, n_shards=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["pack_id"], r["pack_pos"])
+        for r in out.collect()
+    )
+    # order (doc,chunk): starts 0,60,120,180,220 -> packs 0,0,1,1,2
+    assert rows == [
+        (1, 0, 0, 0),
+        (1, 1, 0, 60),
+        (2, 0, 1, 20),
+        (3, 0, 1, 80),
+        (4, 0, 2, 20),
+    ]
+    # sharded: every chunk of one doc stays in one shard
+    out8 = TA.pack_chunks(chunks, budget=100, n_shards=8)
+    shards = {
+        (r["doc_id"], r["shard"]) for r in out8.select("doc_id", "shard").collect()
+    }
+    assert len({d for d, _ in shards}) == len(shards)
