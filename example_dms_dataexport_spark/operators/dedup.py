@@ -418,3 +418,77 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- exact-substring (span-level) -------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every ``window``-
+    token run that also occurs in ANOTHER document, and merge overlapping/
+    adjacent runs into maximal spans — the spans a pipeline would cut out
+    of the text (rather than dropping whole near-identical documents).
+
+    Emits (id, span_start, span_end, n_windows): 1-based inclusive token
+    positions of each maximal duplicated span.
+
+    Plan shape: one generator producing the rolling word-grams, ONE
+    shuffle on the gram to find cross-document repeats (partial-aggregated
+    countDistinct), a join of occurrences against that (much smaller)
+    repeated-gram set — AQE broadcasts it when it fits — and a per-doc
+    window for the gaps-and-islands merge whose state is bounded by
+    windows-per-doc, never the corpus.  At 100 TB the gram string riding
+    the first shuffle can be replaced by ``poly_hash(gram)`` (64-bit) at
+    the cost of collision false-positives; strings are kept here so the
+    oracle comparison is exact.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+        lambda i: F.array_join(F.slice(toks, i, window), "§"),
+    )
+    g = (
+        df.withColumn("_toks", TH.tokens(F.col(text_col)))
+        .filter(F.size(toks) >= window)
+        .select(
+            id_col, F.posexplode(grams).alias("_p0", "gram")
+        )
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
+    )
+    repeated = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram")
+    )
+    occ = g.join(repeated, "gram").select(
+        id_col, "pos", (F.col("pos") + (window - 1)).alias("_end")
+    )
+    w_ord = W.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("_end").over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+    ).otherwise(0)
+    islands = occ.withColumn(
+        "_island",
+        F.sum(brk).over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("_end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )

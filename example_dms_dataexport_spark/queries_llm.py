@@ -898,6 +898,64 @@ def q48_unigram_logprob(spark, sf_dir):
     return text_analysis.unigram_logprob(docs)
 
 
+_SPAN_W = 5  # rolling window width (tokens) for exact-substring dedup
+
+_Q51_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([{{'pos': i,
+                         'gram': array_to_string(
+                             list_slice(toks, i, i + {_SPAN_W - 1}), chr(167))}}
+                       FOR i IN generate_series(1, len(toks) - {_SPAN_W - 1})],
+                      recursive := true)
+        FROM t WHERE len(toks) >= {_SPAN_W}
+    ),
+    repeated AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ),
+    occ AS (
+        SELECT g.doc_id, g.pos, g.pos + {_SPAN_W - 1} AS e
+        FROM g JOIN repeated USING (gram)
+    ),
+    marked AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) + 1
+               THEN 1 ELSE 0 END AS brk
+        FROM occ
+    ),
+    islands AS (
+        SELECT doc_id, pos, e,
+               sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    )
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+           count(*) AS n_windows
+    FROM islands GROUP BY doc_id, island
+"""
+
+
+@query("q51_duplicate_spans", _Q51_ORACLE)
+def q51_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup: maximal spans of 5-token runs that repeat in
+    another document — the cut-list span-level dedup produces. One gram
+    shuffle + AQE-broadcast repeat join + per-doc islands window."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, window=_SPAN_W)
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + vocabulary building (corpus-preparation operators)
 # ---------------------------------------------------------------------------

@@ -448,3 +448,30 @@ def test_pack_chunks_budget_and_offsets(spark):
         (r["doc_id"], r["shard"]) for r in out8.select("doc_id", "shard").collect()
     }
     assert len({d for d, _ in shards}) == len(shards)
+
+
+def test_duplicate_spans_merge_and_boundaries(spark):
+    # docs 1 and 2 share two overlapping 3-runs ("b c d e") and a separate
+    # run at the end of doc 1; doc 3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z p q r"),
+            (2, "m b c d e n o k p q r"),
+            (3, "entirely unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_spans(df, window=3).collect()
+    )
+    # "b c d e" = windows at pos 2,3 -> one span [2,5]; "p q r" at 9..11
+    assert out == [
+        (1, 2, 5, 2),
+        (1, 9, 11, 1),
+        (2, 2, 5, 2),
+        (2, 9, 11, 1),
+    ]
+    # short docs (< window tokens) emit nothing and don't crash
+    short = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    assert dedup.duplicate_spans(short, window=3).count() == 0
