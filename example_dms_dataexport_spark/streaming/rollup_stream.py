@@ -1,0 +1,61 @@
+"""Continuous materialized-view maintenance: a change-row stream folded
+into a stored rollup via ``operators.incremental.update_rollup``.
+
+Batch q49 proves the fold equals a full recompute; this driver runs the
+same fold per micro-batch, so the stored aggregate tracks the fact
+table's CDC feed with per-batch cost O(|batch| + |rollup|) and the fact
+table is never scanned.  One code path for the fold semantics, two
+drivers — the same structure as cdc_stream vs the batch merge.
+
+Exactly-once: the file source tracks consumed files in the checkpoint and
+the sink is the warehouse's idempotent atomic overwrite, so a batch
+replayed after a crash converges to the same table state (the fold is
+re-applied to the PRE-batch rollup, which the overwrite only replaces on
+success).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.incremental import update_rollup
+from ..sources.warehouse import ParquetWarehouse
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    warehouse: ParquetWarehouse,
+    rollup_table: str,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a STREAMING DataFrame of I/U/D change rows (op + before_*/
+    after_* images, see operators.incremental) into ``rollup_table``,
+    which must already exist (seed it with ``incremental.rollup``)."""
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        current = warehouse.read(spark, rollup_table)
+        merged = update_rollup(current, batch, keys, measures)
+        # materialize BEFORE the overwrite: the fold reads the table it
+        # replaces, and a failed/retried batch must re-read the old state
+        merged.persist()
+        merged.count()
+        warehouse.overwrite(merged, rollup_table)
+        merged.unpersist()
+
+    writer = (
+        changes.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -396,3 +396,54 @@ def test_stream_dedup_first_wins_and_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got2 == {1, 2, 4, 6}
+
+
+def test_rollup_stream_tracks_batch_recompute(spark, tmp_path):
+    from example_dms_dataexport_spark.operators import incremental
+    from example_dms_dataexport_spark.streaming.rollup_stream import (
+        start_rollup_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    facts = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], ["grp", "v"]
+    )
+    wh.overwrite(incremental.rollup(facts, ["grp"], ["v"]), "agg")
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    schema = (
+        "op string, before_grp string, before_v long, "
+        "after_grp string, after_v long"
+    )
+    # file 1: move a(20) -> b(25); file 2: delete c, insert d
+    spark.createDataFrame(
+        [("U", "a", 20, "b", 25)], schema
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+    spark.createDataFrame(
+        [("D", "c", 7, None, None), ("I", None, None, "d", 100)], schema
+    ).coalesce(1).write.parquet(str(chg / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chg / "*"))
+    )
+    q = start_rollup_stream(
+        spark, stream, wh, "agg", ["grp"], ["v"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in wh.read(spark, "agg").collect()
+    }
+    snapshot = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("b", 25), ("d", 100)], ["grp", "v"]
+    )
+    expect = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in incremental.rollup(snapshot, ["grp"], ["v"]).collect()
+    }
+    assert got == expect
