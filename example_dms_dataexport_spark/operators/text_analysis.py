@@ -110,6 +110,74 @@ def pack_chunks(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the classic keyword /
+    relevance primitive (df here is document frequency over the corpus
+    itself).
+
+    Exactness: idf = log10(N/df) is rounded to fixed-point int64 ONCE per
+    vocabulary term; per-doc scores are then tf × idf_scaled — pure
+    integer products — so ranking and values are engine-exact (ties break
+    on the term string).
+
+    Plan shape: one shuffle to count (doc, term) pairs, a vocabulary-sized
+    document-frequency aggregation joined back (AQE broadcast), one
+    per-doc window for the top-k.  The corpus-size scalar N rides a
+    1-row broadcast join, not a driver collect.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(TH.tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.floor(
+            F.log10(F.col("_n").cast("double") / F.col("_df")) * LP_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_idf"),
+    )
+    scored = tf.join(idf, "tok").select(
+        id_col,
+        "tok",
+        "tf",
+        (F.col("tf") * F.col("_idf")).alias("_score_scaled"),
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("_score_scaled"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "tok",
+            "tf",
+            (
+                F.floor(
+                    F.col("_score_scaled").cast("double") / LP_SCALE * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("tfidf"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

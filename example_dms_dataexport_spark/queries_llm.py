@@ -898,6 +898,44 @@ def q48_unigram_logprob(spark, sf_dir):
     return text_analysis.unigram_logprob(docs)
 
 
+_Q52_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT tok,
+               CAST(floor(log10(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                                / df) * {text_analysis.LP_SCALE} + 0.5)
+                    AS BIGINT) AS idf
+        FROM dfreq
+    ),
+    scored AS (
+        SELECT doc_id, tok, tf, tf * idf AS s,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tf * idf DESC, tok
+               ) AS rank
+        FROM tf JOIN idf USING (tok)
+    )
+    SELECT doc_id, rank, tok, tf,
+           floor(CAST(s AS DOUBLE) / {text_analysis.LP_SCALE} * 1e4 + 0.5)
+               / 1e4 AS tfidf
+    FROM scored WHERE rank <= 3
+"""
+
+
+@query("q52_tfidf_top_terms", _Q52_ORACLE)
+def q52_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: vocabulary-sized idf relation
+    joined back (AQE broadcast), integer tf x fixed-point idf products so
+    ranking is engine-exact, one per-doc top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.tfidf_top_terms(docs, k=3)
+
+
 _SPAN_W = 5  # rolling window width (tokens) for exact-substring dedup
 
 _Q51_ORACLE = f"""

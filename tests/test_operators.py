@@ -475,3 +475,30 @@ def test_duplicate_spans_merge_and_boundaries(spark):
     # short docs (< window tokens) emit nothing and don't crash
     short = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
     assert dedup.duplicate_spans(short, window=3).count() == 0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    import math
+
+    from example_dms_dataexport_spark.operators import text_analysis as TA
+
+    # "rare" appears only in doc 1 (idf high); "common" in all docs (idf 0)
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common x"),
+            (2, "common y y"),
+            (3, "common z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["tok"], r["tf"], r["tfidf"])
+        for r in TA.tfidf_top_terms(df, k=2).collect()
+    }
+    idf3 = math.floor(math.log10(3) * TA.LP_SCALE + 0.5)  # df=1 -> log10(3)
+    exp_rare = math.floor(2 * idf3 / TA.LP_SCALE * 1e4 + 0.5) / 1e4
+    assert out[(1, 1)] == ("rare", 2, exp_rare)
+    assert out[(1, 2)][0] == "x"
+    # idf of "common" is log10(3/3)=0 -> score 0 regardless of tf
+    assert out[(2, 1)][0] == "y"
+    assert out[(3, 2)] == ("common", 1, 0.0)
