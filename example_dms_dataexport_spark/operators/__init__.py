@@ -5,6 +5,7 @@ dedup          exact / MinHash-LSH / SimHash / n-gram-Jaccard near-dup
 simsearch      embedding cosine k-NN: brute-force, LSH- and IVF-pruned
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
+rangejoin      interval containment join (bucketed equi-join, no NLJ)
 
 All hot-path math is built from ``pyspark.sql.functions`` expressions
 (JVM-side, whole-stage codegen); Python appears only in the multimodal

@@ -977,3 +977,52 @@ def q49_incremental_rollup(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — operators.rangejoin
+# ---------------------------------------------------------------------------
+
+# Fixture: every event with value >= 200 opens a 10-minute alert window;
+# count the events (and distinct users) landing inside each window — "what
+# happened right after every large transaction", with NO equi-key between
+# the sides.  The oracle is DuckDB's native inequality join; the Spark side
+# goes through operators.rangejoin.range_join, whose bucketed plan is a
+# plain equi-join on floor(epoch/600) — that equivalence (and the absence
+# of a nested-loop/cartesian node, pinned in test_plans) is what's graded.
+_Q53_ORACLE = """
+    WITH win AS (
+        SELECT event_id AS w_id, event_type AS w_type, ts AS w_start,
+               ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE value >= 200.0
+    )
+    SELECT w_id, w_type, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN win w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w_id, w_type
+"""
+
+
+@query("q53_range_join_windows", _Q53_ORACLE)
+def q53_range_join_windows(spark, sf_dir):
+    """Interval containment without an equi-key: events joined into the
+    10-minute windows opened by high-value events, via the bucketed
+    range_join (one shuffle each side on the derived bucket key)."""
+    from .operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    win = ev.filter(F.col("value") >= 200.0).select(
+        F.col("event_id").alias("w_id"),
+        F.col("event_type").alias("w_type"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    left = ev.select(F.col("ts").alias("e_ts"), F.col("user_id").alias("e_user"))
+    joined = range_join(
+        left, win, point="e_ts", start="w_start", end="w_end", bucket_width=600.0
+    )
+    return joined.groupBy("w_id", "w_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("e_user").alias("n_users"),
+    )

@@ -502,3 +502,47 @@ def test_tfidf_top_terms_ranking(spark):
     # idf of "common" is log10(3/3)=0 -> score 0 regardless of tf
     assert out[(2, 1)][0] == "y"
     assert out[(3, 2)] == ("common", 1, 0.0)
+
+
+def test_range_join_boundaries_and_extra_on(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 10.0), (3, "b", 10.0), (4, "a", 25.0),
+         (5, "a", -3.0)],
+        ["lid", "grp", "p"],
+    )
+    right = spark.createDataFrame(
+        [(100, "a", 5.0, 10.0),   # [5,10): contains p=5, not p=10
+         (200, "a", 10.0, 30.0),  # [10,30): contains 10 and 25
+         (300, "b", 0.0, 20.0),   # other group
+         (400, "a", 7.0, 7.0),    # empty interval matches nothing
+         (500, "a", -10.0, 0.0)], # negative range: contains -3
+        ["rid", "rgrp", "lo", "hi"],
+    )
+    # no equi key: group is ignored, buckets much smaller than ranges
+    out = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right.drop("rgrp"), "p", "lo", "hi", bucket_width=3.0
+        ).collect()
+    )
+    assert out == [(1, 100), (1, 300), (2, 200), (2, 300), (3, 200),
+                   (3, 300), (4, 200), (5, 500)]
+    # with extra_on the b-side row only matches the b-group interval
+    out2 = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left,
+            right.withColumnRenamed("rgrp", "grp"),
+            "p", "lo", "hi", bucket_width=100.0, extra_on=["grp"],
+        ).collect()
+    )
+    assert out2 == [(1, 100), (2, 200), (3, 300), (4, 200), (5, 500)]
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(left, right.drop("rgrp"), "p", "lo", "hi", bucket_width=0)
+    with _pytest.raises(ValueError, match="collision"):
+        range_join(left, right.withColumnRenamed("rid", "lid"),
+                   "p", "lo", "hi", bucket_width=1.0)

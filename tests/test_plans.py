@@ -177,3 +177,14 @@ def test_q49_incremental_rollup_never_rescans_wide_fact(spark):
     df = _q(spark, "q49_incremental_rollup")
     assert broadcast_hint_count(df) == 0
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q53_range_join_is_bucketed_equi_join(spark):
+    # the bucketed range join must plan as an equi-join on the derived
+    # bucket key — never a cartesian / nested-loop pair scan, and with no
+    # forced broadcast (AQE may still choose one for the window side)
+    df = _q(spark, "q53_range_join_windows")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_hint_count(df) == 0
