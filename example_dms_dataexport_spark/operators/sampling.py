@@ -42,6 +42,52 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(sample_bucket(F.col(key_col)) < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    parts: dict[str, int],
+    budget: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Dial a corpus to a TARGET MIXTURE: keep ≈``budget`` rows overall,
+    distributed across strata proportionally to integer weights ``parts``
+    (the "40% web, 40% books, 20% code" recipe of pretraining mixes).
+
+    Per-stratum keep-thresholds are derived from the observed stratum
+    sizes: thr_s = min(BUCKETS, floor(BUCKETS * budget * part_s /
+    (sum_parts * n_s))) — all int64, so the decision (and the oracle's)
+    is exact. A stratum smaller than its target keeps everything
+    (capped at 100%; no oversampling), one absent from ``parts`` drops.
+
+    Plan shape: one stratum-sized count aggregation joined back onto the
+    scan (AQE broadcasts it), then the same narrow hash filter as
+    ``hash_sample`` — no extra shuffle of the fact side, no driver
+    collect.
+    """
+    if budget < 0 or any(p < 0 for p in parts.values()) or not parts:
+        raise ValueError("need non-empty parts with non-negative weights, budget >= 0")
+    total = sum(parts.values())
+    part_of = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in parts.items() for x in kv]
+        )[F.col(strata_col)],
+        F.lit(0),
+    ).cast("long")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    thr = F.least(
+        F.lit(SAMPLE_BUCKETS).cast("long"),
+        F.floor(
+            F.lit(SAMPLE_BUCKETS) * F.lit(budget) * part_of
+            / (F.lit(total) * F.col("_n"))
+        ),
+    )
+    return (
+        df.join(counts, strata_col)
+        .filter(sample_bucket(F.col(key_col)) < thr)
+        .drop("_n")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -178,6 +178,39 @@ def tfidf_top_terms(
     )
 
 
+def adjacent_pair_counts(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent token-pair frequencies, top-``k`` — the
+    statistic a BPE tokenizer-training iteration consumes (the next merge
+    is argmax over exactly this relation), and the bigram feed for
+    collocation/language-model work.
+
+    Plan shape: pairs are built inside the row (zip of the token array
+    with its own tail — JVM higher-order functions, no UDF), then ONE
+    explode + ONE groupBy shuffle on the pair string; the top-k is a
+    global sort of the (vocabulary²-bounded, frequency-truncated)
+    aggregate, not of the corpus. Ties break on the pair string so the
+    LIMIT is a total order.
+    """
+    t = TH.tokens(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+        ),
+    )
+    return (
+        df.select(t.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

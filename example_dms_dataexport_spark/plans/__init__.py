@@ -1,5 +1,7 @@
-"""Physical-plan introspection helpers (the .explain() feedback loop)."""
+"""Physical-plan introspection helpers (the .explain() feedback loop) and
+table statistics collection (the ANALYZE surface)."""
 
+from .stats import profile, sql_profile  # noqa: F401
 from .introspect import (  # noqa: F401
     broadcast_hint_count,
     broadcast_join_count,

@@ -1092,3 +1092,59 @@ def q41_vocab_df(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(20)
     )
+
+
+_Q55_ORACLE = f"""
+    WITH t AS (
+        SELECT {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 100
+"""
+
+
+@query("q55_bpe_pair_counts", _Q55_ORACLE)
+def q55_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training statistic: corpus-wide adjacent token-pair
+    frequencies (the relation one BPE merge iteration argmaxes over),
+    top-100 under a total order. In-row pair construction, one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.adjacent_pair_counts(docs, k=100)
+
+
+_MIX_PARTS = {"en": 5, "de": 2, "fr": 2, "es": 1}  # zh absent -> dropped
+_MIX_BUDGET = 200
+_MIX_TOTAL = sum(_MIX_PARTS.values())
+
+_Q56_ORACLE = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT doc_id, d.lang, source
+    FROM documents d JOIN c USING (lang)
+    WHERE {sampling.sql_sample_bucket('doc_id')} <
+          least({sampling.SAMPLE_BUCKETS}, floor(
+              {sampling.SAMPLE_BUCKETS}::BIGINT * {_MIX_BUDGET} *
+              CASE d.lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                          WHEN 'fr' THEN 2 WHEN 'es' THEN 1 ELSE 0 END
+              / ({_MIX_TOTAL} * n)))
+"""
+
+
+@query("q56_mixture_sample", _Q56_ORACLE)
+def q56_mixture_sample(spark, sf_dir):
+    """Corpus mixture dialing: keep ~200 docs split 5:2:2:1 across
+    en/de/fr/es (zh unweighted -> dropped), thresholds derived from the
+    observed per-language counts in exact integer math — one tiny count
+    agg broadcast back, then a narrow hash filter."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, _MIX_PARTS, _MIX_BUDGET, strata_col="lang"
+    ).select("doc_id", "lang", "source")

@@ -1026,3 +1026,33 @@ def q53_range_join_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("e_user").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE) — plans.stats
+# ---------------------------------------------------------------------------
+
+_Q54_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "other"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _q54_oracle():
+    from .plans.stats import sql_profile
+
+    return sql_profile("orders", _Q54_COLS)
+
+
+@query("q54_profile_orders", _q54_oracle())
+def q54_profile_orders(spark, sf_dir):
+    """Exact per-column statistics of ``orders`` in one aggregation pass
+    (counts, NDV via Expand + one shuffle, typed min/max) — the stats a
+    cost-based planner feeds on; ``approx=True`` is the 100 TB mode."""
+    from .plans.stats import profile
+
+    return profile(_t(spark, sf_dir, "orders"), [c for c, _ in _Q54_COLS])

@@ -546,3 +546,57 @@ def test_range_join_boundaries_and_extra_on(spark):
     with _pytest.raises(ValueError, match="collision"):
         range_join(left, right.withColumnRenamed("rid", "lid"),
                    "p", "lo", "hi", bucket_width=1.0)
+
+
+def test_mixture_sample_caps_and_drops(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators import sampling
+
+    # stratum "tiny" is smaller than its target -> keeps ALL rows (capped,
+    # never oversampled); "big" is cut down; unweighted "other" drops
+    rows = [(i, "big") for i in range(400)] + \
+           [(i + 1000, "tiny") for i in range(3)] + \
+           [(i + 2000, "other") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.mixture_sample(df, {"big": 1, "tiny": 1}, budget=100)
+    got = {s: n for s, n in out.groupBy("source").count().collect()}
+    assert got.get("tiny") == 3
+    assert "other" not in got
+    # big's target is 50 of 400 (12.5%); hash uniformity keeps it near 50
+    assert 25 <= got["big"] <= 75, got
+    # nested-sample property holds per stratum: halving the budget keeps a
+    # subset of the kept ids
+    half = sampling.mixture_sample(df, {"big": 1, "tiny": 1}, budget=50)
+    kept_full = {r["doc_id"] for r in out.collect()}
+    kept_half = {r["doc_id"] for r in half.collect()}
+    assert kept_half <= kept_full
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(df, {}, budget=10)
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(df, {"big": -1}, budget=10)
+
+
+def test_profile_stats_types_and_nulls(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.plans import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, None), (2, None, -1.25, None), (2, "b", None, None)],
+        "k long, s string, v double, dead string",
+    )
+    out = {r["col_name"]: r for r in profile(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["ndv"] == 2
+    assert (out["k"]["min_num"], out["k"]["max_num"]) == (1.0, 2.0)
+    assert out["k"]["min_str"] is None
+    assert out["s"]["n_nulls"] == 1 and out["s"]["ndv"] == 2
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    assert out["v"]["min_num"] == -1.25 and out["v"]["max_num"] == 2.5
+    assert out["dead"]["ndv"] == 0 and out["dead"]["n_nulls"] == 3
+    # approx mode still returns plausible NDV without the Expand
+    appr = {r["col_name"]: r for r in profile(df, approx=True).collect()}
+    assert appr["k"]["ndv"] >= 1
+    with _pytest.raises(ValueError, match="unknown"):
+        profile(df, ["nope"])
