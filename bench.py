@@ -45,6 +45,8 @@ HEADLINE = [
     "q47_line_dedup",
     "q48_unigram_logprob",
     "q49_incremental_rollup",
+    "q52_tfidf_top_terms",
+    "q53_range_join_windows",
 ]
 
 

@@ -1148,3 +1148,23 @@ def q56_mixture_sample(spark, sf_dir):
     return sampling.mixture_sample(
         docs, _MIX_PARTS, _MIX_BUDGET, strata_col="lang"
     ).select("doc_id", "lang", "source")
+
+
+_KM_K, _KM_ITERS = 4, 2
+
+
+def _q57_oracle():
+    from .operators import kmeans as KM
+
+    return KM.sql_kmeans_assign(k=_KM_K, iters=_KM_ITERS)
+
+
+@query("q57_kmeans_assign", _q57_oracle())
+def q57_kmeans_assign(spark, sf_dir):
+    """IVF centroid training: 2 Lloyd's iterations from a deterministic
+    seed, exact fixed-point centroid means so the unrolled SQL oracle
+    reproduces every centroid and assignment bit-for-bit."""
+    from .operators import kmeans as KM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return KM.kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)

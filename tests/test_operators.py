@@ -600,3 +600,30 @@ def test_profile_stats_types_and_nulls(spark):
     assert appr["k"]["ndv"] >= 1
     with _pytest.raises(ValueError, match="unknown"):
         profile(df, ["nope"])
+
+
+def test_kmeans_separates_clear_clusters(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators import kmeans as KM
+
+    # three tight blobs along one axis, 4-dim vectors; seeds 0,1 start in
+    # blob A so convergence must move a centroid out
+    def vec(base, j):
+        return [base + j * 0.01, base, 0.0, 0.0]
+
+    rows = (
+        [(i, vec(0.0, i)) for i in range(4)]
+        + [(10 + i, vec(5.0, i)) for i in range(4)]
+        + [(20 + i, vec(9.0, i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = KM.kmeans_assign(df, k=2, iters=3, dim=4).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] // 10)
+    # blob 0 alone in one cluster; blobs at 5.0 and 9.0 share the other
+    assert sorted(map(sorted, by_cluster.values())) == [[0], [1, 2]]
+    assert all(r["dist"] >= 0 for r in out)
+    with _pytest.raises(ValueError):
+        KM.kmeans_assign(df, k=0)
