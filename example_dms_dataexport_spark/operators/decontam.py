@@ -50,6 +50,56 @@ def ngram_overlap(
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, n_eval_hits, max_score) for training vectors whose cosine to
+    ANY eval vector reaches ``threshold`` — the embedding-space
+    complement of n-gram decontamination (catches paraphrases n-grams
+    miss).
+
+    LSH-blocked like ``simsearch.embedding_dup_pairs``: candidates must
+    share the 8-hyperplane sign bucket, then are verified with the exact
+    cosine — at corpus scale the bucket equi-join replaces the
+    |train| x |eval| cross product (same recall trade as any single-table
+    LSH: near-misses across a bucket boundary are missed; add band
+    rotations for higher recall). max_score is an element pick, not a
+    sum, so it stays engine-exact unrounded.
+    """
+    from .simsearch import as_double, dot, lsh_bucket, norm
+    from ..partitioning import spread
+
+    def prep(df: DataFrame, id_out: str, v_out: str, n_out: str) -> DataFrame:
+        return (
+            spread(df)
+            .select(F.col(id_col).alias(id_out), as_double(vec_col).alias(v_out))
+            .withColumn("bucket", lsh_bucket(F.col(v_out)))
+            .withColumn(n_out, norm(F.col(v_out)))
+        )
+
+    t = prep(train, "id", "v", "vn")
+    e = prep(evalset, "eval_id", "q", "qn")
+    return (
+        t.join(e, "bucket")
+        .select(
+            "id",
+            (dot(F.col("v"), F.col("q")) / (F.col("vn") * F.col("qn"))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     ref: DataFrame,

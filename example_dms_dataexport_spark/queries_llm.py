@@ -1168,3 +1168,36 @@ def q57_kmeans_assign(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return KM.kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+_EC_THRESHOLD = 0.1
+
+_Q58_ORACLE = f"""
+    WITH {_EMB_CTES},
+    cb AS (SELECT vec_id, v, nrm, {_SQL_BUCKET} AS bucket FROM cn),
+    e AS (SELECT vec_id AS eval_id, v AS q, nrm AS qn, bucket FROM cb
+          WHERE {_PROBE_FILTER}),
+    t AS (SELECT vec_id AS id, v, nrm, bucket FROM cb
+          WHERE NOT ({_PROBE_FILTER})),
+    scored AS (
+        SELECT t.id, {_sql_dot('t.v', 'e.q')} / (t.nrm * e.qn) AS score
+        FROM t JOIN e ON t.bucket = e.bucket
+    )
+    SELECT id, count(*) AS n_eval_hits, max(score) AS max_score
+    FROM scored WHERE score >= {_EC_THRESHOLD}
+    GROUP BY id
+"""
+
+
+@query("q58_embedding_decontam", _Q58_ORACLE)
+def q58_embedding_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination: training vectors whose
+    cosine to any held-out eval vector (every 50th) reaches the
+    threshold, LSH-bucket-blocked then exactly verified — the paraphrase
+    catcher n-gram decontam misses."""
+    from .operators.decontam import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    return embedding_contamination(tr, ev, _EC_THRESHOLD)
