@@ -97,6 +97,65 @@ def profile(
     )
 
 
+def equi_width_histogram(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: k buckets spanning
+    [min, max], returning (bucket, lo, hi, n_rows) for non-empty buckets.
+
+    Fully parallel two-pass shape — a 1-row min/max aggregate broadcast
+    back over the scan, then one groupBy on the derived bucket — which is
+    why it's the histogram a 100 TB stats job runs (an equi-DEPTH
+    histogram needs a global sort or quantile sketch; use
+    ``approx_percentile`` for that). All-equal columns land in bucket 0.
+    NULLs are excluded. Bounds are computed in double exactly as the
+    oracle does, so bucket edges match bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    c = F.col(col).cast("double")
+    mm = df.filter(c.isNotNull()).agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(k))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.floor((c - F.col("_lo")) / width), F.lit(k - 1))
+    ).cast("long")
+    return (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(F.col("_lo") + F.col("bucket") * width), 4).alias("lo"),
+            F.round(F.min(F.col("_lo") + (F.col("bucket") + 1) * width), 4).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def sql_equi_width_histogram(table: str, col: str, k: int = 10) -> str:
+    """DuckDB twin of ``equi_width_histogram``."""
+    return f"""
+    WITH mm AS (
+        SELECT min(CAST({col} AS DOUBLE)) AS _lo,
+               max(CAST({col} AS DOUBLE)) AS _hi
+        FROM {table} WHERE {col} IS NOT NULL
+    ),
+    b AS (
+        SELECT CASE WHEN _hi = _lo THEN 0
+                    ELSE least(CAST(floor((CAST({col} AS DOUBLE) - _lo)
+                                          / ((_hi - _lo) / {k}.0)) AS BIGINT),
+                               {k - 1}) END AS bucket,
+               _lo, _hi
+        FROM {table} CROSS JOIN mm WHERE {col} IS NOT NULL
+    )
+    SELECT bucket,
+           round(min(_lo + bucket * ((_hi - _lo) / {k}.0)), 4) AS lo,
+           round(min(_lo + (bucket + 1) * ((_hi - _lo) / {k}.0)), 4) AS hi,
+           count(*) AS n_rows
+    FROM b GROUP BY bucket
+    """
+
+
 def sql_profile(table: str, cols: list[tuple[str, str]]) -> str:
     """DuckDB twin of ``profile(approx=False)`` for the q54 oracle:
     ``cols`` is [(name, kind)] with kind in {"num", "str", "other"}."""

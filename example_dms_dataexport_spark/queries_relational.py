@@ -1056,3 +1056,72 @@ def q54_profile_orders(spark, sf_dir):
     from .plans.stats import profile
 
     return profile(_t(spark, sf_dir, "orders"), [c for c, _ in _Q54_COLS])
+
+
+def _q59_oracle():
+    from .plans.stats import sql_equi_width_histogram
+
+    return sql_equi_width_histogram("orders", "o_totalprice", k=10)
+
+
+@query("q59_histogram_totalprice", _q59_oracle())
+def q59_histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram of order totals: 1-row min/max aggregate
+    broadcast back over the scan + one bucket groupBy — the fully
+    parallel histogram a stats job runs (equi-depth needs a sketch)."""
+    from .plans.stats import equi_width_histogram
+
+    return equi_width_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", k=10)
+
+
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+_Q60_ORACLE = f"""
+    SELECT lang,
+           {", ".join(
+               f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {s}"
+               for s in _PIVOT_SOURCES
+           )}
+    FROM documents GROUP BY lang
+"""
+
+
+@query("q60_pivot_lang_source", _Q60_ORACLE)
+def q60_pivot_lang_source(spark, sf_dir):
+    """Pivot: document counts as a lang x source cross-tab, written as
+    explicit CASE-sums rather than ``.pivot()`` — the built-in plans TWO
+    shuffles ((lang,source) pre-agg + pivotfirst), while static pivot
+    values as conditional sums are ONE map-side-combined shuffle with a
+    fixed schema. That rewrite is what pivot should compile to at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        *[
+            F.sum(F.when(F.col("source") == s, 1).otherwise(0)).alias(s)
+            for s in _PIVOT_SOURCES
+        ]
+    )
+
+
+_Q61_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q61_cube_flag_status", _Q61_ORACLE)
+def q61_cube_flag_status(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    map-side Expand + a single shuffle; integer-quantity sums so every
+    grouping level is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -627,3 +627,24 @@ def test_kmeans_separates_clear_clusters(spark):
     assert all(r["dist"] >= 0 for r in out)
     with _pytest.raises(ValueError):
         KM.kmeans_assign(df, k=0)
+
+
+def test_equi_width_histogram_edges(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.plans import stats
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (4.9,), (5.0,), (10.0,), (None,)], "x double"
+    )
+    out = {r["bucket"]: r for r in stats.equi_width_histogram(df, "x", k=2).collect()}
+    # [0,5) and [5,10]; max lands in the last bucket via the clamp
+    assert out[0]["n_rows"] == 3 and out[1]["n_rows"] == 2
+    assert (out[0]["lo"], out[0]["hi"]) == (0.0, 5.0)
+    assert (out[1]["lo"], out[1]["hi"]) == (5.0, 10.0)
+    # all-equal column: everything in bucket 0, no div-by-zero
+    same = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    s = stats.equi_width_histogram(same, "x", k=4).collect()
+    assert len(s) == 1 and s[0]["bucket"] == 0 and s[0]["n_rows"] == 2
+    with _pytest.raises(ValueError):
+        stats.equi_width_histogram(df, "x", k=0)

@@ -188,3 +188,35 @@ def test_q53_range_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert broadcast_hint_count(df) == 0
+
+
+def test_q57_kmeans_broadcasts_are_bounded(spark):
+    # each Lloyd's assign force-broadcasts the k-row centroid relation
+    # (bounded by the constant k) — iters+1 = 3 hints, and nothing plans
+    # as an unbounded cartesian pair scan
+    df = _q(spark, "q57_kmeans_assign")
+    assert broadcast_hint_count(df) == 3
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q58_embedding_decontam_is_bucket_equi_join(spark):
+    df = _q(spark, "q58_embedding_decontam")
+    plan = physical_plan(df)
+    assert broadcast_hint_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q59_histogram_single_pass_plus_broadcast(spark):
+    # the only forced broadcast is the 1-row min/max bound relation
+    df = _q(spark, "q59_histogram_totalprice")
+    assert broadcast_hint_count(df) == 1
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q60_q61_single_shuffle_grouping_sets(spark):
+    # pivot and cube both aggregate with map-side partials into ONE
+    # hash-partitioned exchange (pivot CASE-sums / cube Expand)
+    for name in ("q60_pivot_lang_source", "q61_cube_flag_status"):
+        df = _q(spark, name)
+        assert exchange_count(df) == 1, (name, physical_plan(df))
