@@ -1125,3 +1125,22 @@ def q61_cube_flag_status(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q62_oracle():
+    from .operators.funnel import sql_funnel
+
+    return sql_funnel(_FUNNEL_STEPS)
+
+
+@query("q62_funnel_stages", _q62_oracle())
+def q62_funnel_stages(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): dependent sequential
+    min-aggregation chained per step, all keyed on user_id so one hash
+    partitioning serves every join and groupBy in the chain."""
+    from .operators.funnel import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), _FUNNEL_STEPS)

@@ -648,3 +648,32 @@ def test_equi_width_histogram_edges(spark):
     assert len(s) == 1 and s[0]["bucket"] == 0 and s[0]["n_rows"] == 2
     with _pytest.raises(ValueError):
         stats.equi_width_histogram(df, "x", k=0)
+
+
+def test_funnel_strict_order_and_breaks(spark):
+    from datetime import datetime as DT
+
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.funnel import funnel
+
+    t = lambda s: DT(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes all three in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click -> funnel stops at click
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # u3: click at the same instant as view -> strictly-after fails
+        (3, t(5), "view"), (3, t(5), "click"),
+        # u4 never views -> absent entirely
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == 3 and out[1]["t3"] == t(3)
+    assert out[2]["stage"] == 2 and out[2]["t3"] is None
+    assert out[3]["stage"] == 1 and out[3]["t2"] is None
+    with _pytest.raises(ValueError):
+        funnel(df, [])
