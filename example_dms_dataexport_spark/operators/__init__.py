@@ -6,6 +6,9 @@ simsearch      embedding cosine k-NN: brute-force, LSH- and IVF-pruned
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
 rangejoin      interval containment join (bucketed equi-join, no NLJ)
+kmeans         Lloyd's centroid training (broadcast assign, exact means)
+funnel         ordered-funnel progression (dependent sequential min-agg)
+timeseries     fixed-grid resample + forward fill (sequence + as-of join)
 
 All hot-path math is built from ``pyspark.sql.functions`` expressions
 (JVM-side, whole-stage codegen); Python appears only in the multimodal

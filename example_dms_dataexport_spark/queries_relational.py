@@ -1144,3 +1144,66 @@ def q62_funnel_stages(spark, sf_dir):
     from .operators.funnel import funnel
 
     return funnel(_t(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+_Q63_ORACLE = """
+    SELECT 'both' AS side, k AS n_nationkey FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    )
+    UNION ALL
+    SELECT 'cust_only' AS side, k AS n_nationkey FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT
+        SELECT s_nationkey AS k FROM supplier
+    )
+"""
+
+
+@query("q63_intersect_except", _Q63_ORACLE)
+def q63_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT surface: nation keys having both customers and
+    suppliers vs customer-only — Catalyst compiles both to semi/anti
+    joins over distinct keys, so each is one dedup + one pruned join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = cust.intersect(supp).select(
+        F.lit("both").alias("side"), "n_nationkey"
+    )
+    only = cust.subtract(supp).select(
+        F.lit("cust_only").alias("side"), "n_nationkey"
+    )
+    return both.unionByName(only)
+
+
+_Q64_ORACLE = """
+    WITH span AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+        FROM span
+    ),
+    obs AS (SELECT user_id, ts AS obs_ts, value FROM events)
+    SELECT g.user_id, g.grid_ts, o.obs_ts, o.value
+    FROM grid g ASOF JOIN obs o
+      ON g.user_id = o.user_id AND o.obs_ts <= g.grid_ts
+"""
+
+
+@query("q64_resample_ffill", _Q64_ORACLE)
+def q64_resample_ffill(spark, sf_dir):
+    """Gap-filling resample: each user's events regularized onto a
+    6-hour grid with the last observation carried forward — grid by
+    sequence-explode (no shuffle), fill by the as-of join's single
+    union + running-last shuffle. Oracle = DuckDB native ASOF JOIN."""
+    from .operators.timeseries import resample_ffill
+
+    return resample_ffill(_t(spark, sf_dir, "events"), "6 hours")

@@ -677,3 +677,31 @@ def test_funnel_strict_order_and_breaks(spark):
     assert out[3]["stage"] == 1 and out[3]["t2"] is None
     with _pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    from datetime import datetime as DT
+
+    from example_dms_dataexport_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (1, DT(2024, 1, 1, 5, 30), 10.0),   # grid starts at day-trunc 00:00
+        (1, DT(2024, 1, 1, 17, 0), 20.0),   # exactly on a grid point
+        (1, DT(2024, 1, 2, 2, 0), 30.0),
+        (2, DT(2024, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["grid_ts"]): (r["obs_ts"], r["value"])
+        for r in resample_ffill(df, "6 hours").collect()
+    }
+    # u1 grid: 00:00 (no obs yet -> dropped), 06:00, 12:00, 18:00, 00:00+1d
+    u1 = sorted(k[1] for k in out if k[0] == 1)
+    assert u1 == [DT(2024, 1, 1, 6), DT(2024, 1, 1, 12), DT(2024, 1, 1, 18),
+                  DT(2024, 1, 2, 0)]
+    assert out[(1, DT(2024, 1, 1, 6))] == (DT(2024, 1, 1, 5, 30), 10.0)
+    # 18:00 carries the 17:00 observation (at-or-before, inclusive)
+    assert out[(1, DT(2024, 1, 1, 18))] == (DT(2024, 1, 1, 17), 20.0)
+    assert out[(1, DT(2024, 1, 2, 0))] == (DT(2024, 1, 1, 17), 20.0)
+    # u2's single event sits exactly on its first grid point -> ties match
+    assert out[(2, DT(2024, 1, 1, 0))] == (DT(2024, 1, 1, 0), 5.0)
