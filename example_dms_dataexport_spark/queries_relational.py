@@ -1207,3 +1207,45 @@ def q64_resample_ffill(spark, sf_dir):
     from .operators.timeseries import resample_ffill
 
     return resample_ffill(_t(spark, sf_dir, "events"), "6 hours")
+
+
+_HOUR_US = 3_600 * 1_000_000
+
+_Q65_ORACLE = f"""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_hour,
+           round(CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+                      AS DOUBLE)
+                 / (count(*) OVER w * 1000.0), 4) AS avg_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN {_HOUR_US - 1} PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@query("q65_trailing_hour_avg", _Q65_ORACLE)
+def q65_trailing_hour_avg(spark, sf_dir):
+    """Trailing 1-hour moving aggregate per user via a RANGE window frame
+    over event-time microseconds — one shuffle on user_id; values go
+    through per-row fixed-point int64 before the frame sum so the moving
+    average is order-independent and engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(_HOUR_US - 1), 0)
+    )
+    scaled = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.round(
+            F.sum(scaled).over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.lit(1000.0)),
+            4,
+        ).alias("avg_value"),
+    )

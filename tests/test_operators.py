@@ -705,3 +705,36 @@ def test_resample_ffill_grid_and_carry(spark):
     assert out[(1, DT(2024, 1, 2, 0))] == (DT(2024, 1, 1, 17), 20.0)
     # u2's single event sits exactly on its first grid point -> ties match
     assert out[(2, DT(2024, 1, 1, 0))] == (DT(2024, 1, 1, 0), 5.0)
+
+
+def test_read_jsonl_explicit_schema_and_quarantine(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from example_dms_dataexport_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "extra": true}\n'
+        '{"doc_id": 2, "text": "zwei"}\n'
+        "this is not json\n"
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    ok = read_jsonl(spark, str(p), schema)
+    rows = {r["doc_id"]: r["text"] for r in ok.collect()}
+    # undeclared fields are pruned, declared ones parsed; type-mismatched
+    # and unparsable lines are dropped
+    assert rows == {1: "hello world", 2: "zwei"}
+    assert ok.columns == ["doc_id", "text"]
+    # quarantine mode keeps the bad lines with the raw text attached
+    q = read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    bad = [r for r in q.collect() if r["_corrupt"] is not None]
+    assert len(bad) == 2 and any("not json" in r["_corrupt"] for r in bad)
+    with _pytest.raises(ValueError, match="_corrupt"):
+        read_jsonl(spark, str(p), StructType([StructField("_corrupt", StringType())]))
