@@ -8,4 +8,9 @@ windows      watermarked tumbling-window aggregation over an event stream
 sessions     gap-based sessionization: session_window batch twin (q34) +
              applyInPandasWithState stateful stream with event-time
              timeout eviction
+dedup_stream watermark-bounded streaming exact dedup
+             (dropDuplicatesWithinWatermark on the content fingerprint)
+rollup_stream incremental materialized-view maintenance fed by a stream
+joins        watermarked stream-stream interval join (click attribution)
+             with time-bounded state eviction
 """

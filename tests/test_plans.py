@@ -220,3 +220,18 @@ def test_q60_q61_single_shuffle_grouping_sets(spark):
     for name in ("q60_pivot_lang_source", "q61_cube_flag_status"):
         df = _q(spark, name)
         assert exchange_count(df) == 1, (name, physical_plan(df))
+
+
+def test_q62_to_q65_shapes(spark):
+    # funnel: dependent agg chain, all keyed on user — joins/aggs only,
+    # no cartesian, no forced broadcast
+    df = _q(spark, "q62_funnel_stages")
+    assert broadcast_hint_count(df) == 0
+    assert "CartesianProduct" not in physical_plan(df)
+    assert exchange_count(df) <= 6
+    # set ops compile to dedup + semi/anti joins: one exchange per side
+    assert exchange_count(_q(spark, "q63_intersect_except")) == 2
+    # resample: span agg + the as-of union's window shuffle, nothing else
+    assert exchange_count(_q(spark, "q64_resample_ffill")) == 2
+    # RANGE-frame moving agg: the single user_id window shuffle
+    assert exchange_count(_q(spark, "q65_trailing_hour_avg")) == 1

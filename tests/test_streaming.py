@@ -447,3 +447,46 @@ def test_rollup_stream_tracks_batch_recompute(spark, tmp_path):
         for r in incremental.rollup(snapshot, ["grp"], ["v"]).collect()
     }
     assert got == expect
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (click attribution) over a
+    closed file stream must emit exactly the batch join's rows."""
+    from example_dms_dataexport_spark.streaming.joins import (
+        attribute_clicks_to_views,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    vsrc, csrc = tmp_path / "views_src", tmp_path / "clicks_src"
+    events.filter(F.col("event_type") == "view").select(*cols)\
+        .coalesce(1).write.json(str(vsrc))
+    events.filter(F.col("event_type") == "click").select(*cols)\
+        .coalesce(1).write.json(str(csrc))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    sv = spark.readStream.schema(schema).json(str(vsrc))
+    sc = spark.readStream.schema(schema).json(str(csrc))
+    out = tmp_path / "attr_out"
+    q = (
+        attribute_clicks_to_views(sv, sc)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(out))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    # batch side reads the SAME landed JSON (the writer truncates
+    # timestamps to millis, so comparing against the parquet originals
+    # would differ in sub-milli digits)
+    batch = attribute_clicks_to_views(
+        spark.read.schema(schema).json(str(vsrc)),
+        spark.read.schema(schema).json(str(csrc)),
+    )
+    expect = {tuple(r) for r in batch.collect()}
+    assert got, "stream join emitted nothing"
+    assert got == expect
