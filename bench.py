@@ -47,6 +47,9 @@ HEADLINE = [
     "q49_incremental_rollup",
     "q52_tfidf_top_terms",
     "q53_range_join_windows",
+    "q62_funnel_stages",
+    "q64_resample_ffill",
+    "q65_trailing_hour_avg",
 ]
 
 

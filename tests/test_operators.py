@@ -738,3 +738,32 @@ def test_read_jsonl_explicit_schema_and_quarantine(spark, tmp_path):
     assert len(bad) == 2 and any("not json" in r["_corrupt"] for r in bad)
     with _pytest.raises(ValueError, match="_corrupt"):
         read_jsonl(spark, str(p), StructType([StructField("_corrupt", StringType())]))
+
+
+def test_range_join_matches_naive_on_random_intervals(spark):
+    import random
+
+    from example_dms_dataexport_spark.operators.rangejoin import range_join
+
+    rng = random.Random(123)
+    pts = [(i, rng.uniform(-50.0, 150.0)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = rng.uniform(-60.0, 140.0)
+        ivs.append((1000 + j, lo, lo + rng.uniform(0.0, 25.0)))
+    left = spark.createDataFrame(pts, ["lid", "p"])
+    right = spark.createDataFrame(ivs, ["rid", "lo", "hi"])
+    naive = {
+        (lid, rid)
+        for lid, p in pts
+        for rid, lo, hi in ivs
+        if lo <= p < hi
+    }
+    # equivalence must hold for any bucket width, including widths far
+    # smaller and far larger than the interval lengths
+    for w in (0.7, 5.0, 400.0):
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(left, right, "p", "lo", "hi", bucket_width=w).collect()
+        }
+        assert got == naive, f"width {w}"
