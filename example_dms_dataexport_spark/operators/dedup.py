@@ -169,17 +169,15 @@ def jaccard_verify(
     )
 
 
-def minhash_dedup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Full near-dup pipeline: signatures -> LSH candidates -> verified
-    (id_a, id_b, jaccard) pairs at or above threshold."""
-    # The per-doc shingle arrays feed signature computation (exploded) and
-    # exact verification (as arrays), and the band self-join reads the
-    # signatures twice: persist both so the expensive scan runs once.
+def corpus_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(sets, sigs): per-doc shingle arrays and MinHash signatures, both
+    persisted — the dedup "index" relations. Persist because the shingle
+    arrays feed signature computation (exploded) AND exact verification
+    (as arrays), and the band join reads signatures twice. In a live
+    corpus these two relations ARE the signature store: write them to the
+    warehouse and feed them back through ``incremental_dedup_pairs``."""
     sets = (
         spread(df)
         .select(id_col, TH.char_shingles(F.col(text_col)).alias("_sh"))
@@ -194,8 +192,63 @@ def minhash_dedup_pairs(
             for i in range(TH.NUM_HASHES)
         ]
     ).persist()
+    return sets, sigs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> verified
+    (id_a, id_b, jaccard) pairs at or above threshold."""
+    sets, sigs = corpus_signatures(df, id_col, text_col)
     cand = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cand, sets, id_col, threshold)
+
+
+def incremental_dedup_pairs(
+    new_df: DataFrame,
+    store_sets: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INTRODUCED by a new batch: new-vs-store plus
+    new-vs-new, verified exactly — without ever re-pairing the store
+    against itself.
+
+    This is what continuous corpus ingestion needs: per batch the cost is
+    O(|batch| signatures) + band joins of batch-bands against store-bands
+    — the store contributes only its (persisted, warehouse-resident)
+    ``corpus_signatures`` relations, never a re-scan of its text. Output
+    ids are ordered id_a < id_b, so the result equals the full-recompute
+    ``minhash_dedup_pairs`` over (store + batch) restricted to pairs that
+    touch the batch (pinned by test + the q67 oracle).
+    """
+    new_sets, new_sigs = corpus_signatures(new_df, id_col, text_col)
+    nb = lsh_bands(new_sigs, id_col)
+    sb = lsh_bands(store_sigs, id_col)
+    cross = (
+        nb.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    within = lsh_candidate_pairs(new_sigs, id_col)
+    cand = cross.unionByName(within).distinct()
+    all_sets = new_sets.unionByName(store_sets)
+    return jaccard_verify(cand, all_sets, id_col, threshold)
 
 
 # --- connected-components clustering ---------------------------------------

@@ -1201,3 +1201,25 @@ def q58_embedding_decontam(spark, sf_dir):
     ev = emb.filter(F.col("vec_id") % 50 == 0)
     tr = emb.filter(F.col("vec_id") % 50 != 0)
     return embedding_contamination(tr, ev, _EC_THRESHOLD)
+
+
+_INCR_SPLIT = 300  # docs with doc_id >= split arrive as the "new batch"
+
+_Q67_ORACLE = f"""
+    SELECT * FROM ({_Q24_ORACLE})
+    WHERE id_a >= {_INCR_SPLIT} OR id_b >= {_INCR_SPLIT}
+"""
+
+
+@query("q67_incremental_neardup", _Q67_ORACLE)
+def q67_incremental_neardup(spark, sf_dir):
+    """Continuous-ingestion near-dup: docs >= 300 arrive as a batch and
+    pair against the existing corpus's persisted signature store plus
+    themselves — never re-pairing the store. The oracle is the FULL
+    recompute restricted to batch-touching pairs: their equality is the
+    incremental-maintenance guarantee."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    store_sets, store_sigs = dedup.corpus_signatures(store)
+    return dedup.incremental_dedup_pairs(batch, store_sets, store_sigs)

@@ -1249,3 +1249,32 @@ def q65_trailing_hour_avg(spark, sf_dir):
             4,
         ).alias("avg_value"),
     )
+
+
+_Q66_ORACLE = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+@query("q66_grouping_sets", _Q66_ORACLE)
+def q66_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS via the engine's SQL entry point (the
+    DataFrame API has rollup/cube but not free-form sets): two
+    independent one-column groupings share one scan + one Expand +
+    one shuffle instead of two scans and a union."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               count(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )

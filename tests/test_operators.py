@@ -767,3 +767,34 @@ def test_range_join_matches_naive_on_random_intervals(spark):
             for r in range_join(left, right, "p", "lo", "hi", bucket_width=w).collect()
         }
         assert got == naive, f"width {w}"
+
+
+def test_incremental_neardup_equals_full_recompute(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different content with unrelated words here"),
+            (10, "the quick brown fox jumps over the lazy dot"),
+            (11, "completely different content with unrelated words there"),
+            (12, "fresh new material sharing nothing with anyone at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    store_df = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    sets, sigs = dedup.corpus_signatures(store_df)
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_dedup_pairs(
+            batch, sets, sigs, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    touched = {p for p in full if p[0] >= 10 or p[1] >= 10}
+    assert incr == touched
+    # sanity: the batch really does pair across the store boundary
+    assert any(a < 10 <= b for a, b in incr)
