@@ -1,0 +1,121 @@
+"""Data-quality auditing — declarative constraint checks over a table
+(the dbt-test / Deequ pattern), plus the skew report you run on a join
+key before deciding to salt it.
+
+``audit`` evaluates every rule in ONE aggregation pass where possible:
+not-null and predicate rules are CASE-sums sharing a single scan;
+uniqueness needs its own keyed aggregation; referential integrity needs
+an anti-join per foreign key. Output is a tidy (rule, n_violations)
+relation — the shape a monitoring sink wants.
+
+At 100 TB: the CASE-sum pass is a map-side-combined single shuffle; each
+unique check shuffles on its key (the same shuffle a dedup would pay);
+each FK check is an anti-join whose dimension side AQE broadcasts. Rules
+are data, not code — the audit of 50 rules is still O(rules) aggregate
+relations, never O(rules) scans for the predicate family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def audit(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    predicates: dict[str, Column] | None = None,
+    foreign_keys: list[tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """(rule, n_violations) for every declared constraint.
+
+    - not_null: columns that must not contain NULL
+      (rule name ``not_null:<col>``);
+    - unique: key lists that must identify rows uniquely
+      (``unique:<c1,c2>`` counts rows IN EXCESS of one per key);
+    - predicates: named boolean expressions every row must satisfy
+      (NULL counts as a violation — constraints are three-valued-proof);
+    - foreign_keys: (cols, parent_df, parent_cols) — child rows (with
+      fully non-null keys) whose key is absent from the parent
+      (``fk:<c1->p1>``).
+    """
+    checks: list[DataFrame] = []
+    sums = []
+    for c in not_null or []:
+        sums.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+        )
+    for name, pred in (predicates or {}).items():
+        # violation when the predicate is false OR null
+        sums.append(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(
+                f"predicate:{name}"
+            )
+        )
+    if sums:
+        wide = df.agg(*sums)
+        names = wide.columns
+        checks.append(
+            wide.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(n).alias("rule"),
+                                F.col(f"`{n}`").alias("n_violations"),
+                            )
+                            for n in names
+                        ]
+                    )
+                ).alias("_r")
+            ).select("_r.rule", "_r.n_violations")
+        )
+    for keys in unique or []:
+        rule = f"unique:{','.join(keys)}"
+        excess = (
+            df.groupBy(*keys)
+            .agg((F.count(F.lit(1)) - 1).alias("_x"))
+            .agg(F.sum("_x").cast("long").alias("n_violations"))
+            .select(F.lit(rule).alias("rule"), "n_violations")
+        )
+        checks.append(excess)
+    for cols, parent, pcols in foreign_keys or []:
+        rule = f"fk:{','.join(cols)}->{','.join(pcols)}"
+        child = df.select(*cols).na.drop(subset=cols)
+        p = parent.select(
+            *[F.col(pc).alias(c) for c, pc in zip(cols, pcols)]
+        ).distinct()
+        orphans = (
+            child.join(p, cols, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(rule).alias("rule"), "n_violations")
+        )
+        checks.append(orphans)
+    if not checks:
+        raise ValueError("no rules declared")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top: int = 10
+) -> DataFrame:
+    """Top-``top`` heaviest key values with their row share — the
+    pre-join skew diagnostic (a key holding >~20% of rows is a salting /
+    AQE-skew-join candidate). One groupBy shuffle; the global total rides
+    a single-partition aggregate of the (already small) key counts."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top)
+    )

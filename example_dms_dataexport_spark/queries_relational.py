@@ -1278,3 +1278,65 @@ def q66_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
     )
+
+
+_Q68_ORACLE = """
+    SELECT 'not_null:o_custkey' AS rule,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'predicate:positive_total',
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(coalesce(sum(x), 0) AS BIGINT)
+    FROM (SELECT count(*) - 1 AS x FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', count(*)
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+"""
+
+
+@query("q68_quality_audit", _Q68_ORACLE)
+def q68_quality_audit(spark, sf_dir):
+    """Declarative constraint audit of orders (not-null, row predicate,
+    PK uniqueness, FK into customer) — CASE-sum rules share one scan;
+    uniqueness is one keyed agg; the FK check is an anti-join whose
+    parent side AQE broadcasts."""
+    from .quality import audit
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return audit(
+        orders,
+        not_null=["o_custkey"],
+        unique=[["o_orderkey"]],
+        predicates={"positive_total": F.col("o_totalprice") > 0},
+        foreign_keys=[(["o_custkey"], cust, ["c_custkey"])],
+    )
+
+
+_Q69_ORACLE = """
+    WITH c AS (SELECT user_id, count(*) AS n_rows FROM events
+               GROUP BY user_id),
+    t AS (SELECT sum(n_rows) AS _t FROM c)
+    SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / _t, 6) AS share
+    FROM c, t
+    ORDER BY n_rows DESC, user_id LIMIT 10
+"""
+
+
+@query("q69_skew_report", _Q69_ORACLE)
+def q69_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic: the 10 heaviest user_id values with
+    their row share — the report that decides salting / AQE skew-join
+    before a big join ships."""
+    from .quality import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top=10)

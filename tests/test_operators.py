@@ -798,3 +798,38 @@ def test_incremental_neardup_equals_full_recompute(spark):
     assert incr == touched
     # sanity: the batch really does pair across the store boundary
     assert any(a < 10 <= b for a, b in incr)
+
+
+def test_quality_audit_counts_violations(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.quality import audit
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 10, -2.0),      # dup key 1; negative value
+            (2, 99, None),                     # orphan FK; NULL value
+            (3, None, 1.0),                    # NULL FK (not an orphan)
+        ],
+        "k long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in audit(
+            child,
+            not_null=["fk"],
+            unique=[["k"]],
+            predicates={"v_positive": F.col("v") > 0},
+            foreign_keys=[(["fk"], parent, ["pk"])],
+        ).collect()
+    }
+    assert out == {
+        "not_null:fk": 1,
+        # v <= 0 or NULL: -2.0 and the NULL both violate
+        "predicate:v_positive": 2,
+        "unique:k": 1,
+        "fk:fk->pk": 1,  # fk=99; the NULL fk is excluded by definition
+    }
+    with _pytest.raises(ValueError):
+        audit(child)
