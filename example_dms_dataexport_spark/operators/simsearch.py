@@ -246,3 +246,128 @@ def embedding_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# --- int8 scalar quantization (the 4x memory/bandwidth lever for ANN) -------
+
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+def quantize(vec: Column, dim: int = EMBED_DIM) -> Column:
+    """(q array<int>, scale double): symmetric per-vector int8 scalar
+    quantization — q[i] = round(v[i] * 127 / max|v|). At corpus scale the
+    int8 codes are what the scoring pass reads (4x less than float32,
+    8x less than double); the float vector is only touched for optional
+    exact re-ranking of the top candidates.
+
+    round() here is Spark's HALF_UP on an exact double product, mirrored
+    by the SQL twin, so codes are engine-exact; all-zero vectors get
+    scale 0 and all-zero codes.
+    """
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(float(QUANT_LEVELS))).otherwise(F.lit(0.0))
+    q = F.when(
+        mx > 0,
+        F.transform(vec, lambda x: F.round(x * F.lit(float(QUANT_LEVELS)) / mx)
+                    .cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dot_int(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """Unrolled integer dot product over int8 codes (exact int64 sums —
+    no association-order caveat at all, unlike the float kernel)."""
+    chunks = []
+    for c0 in range(0, dim, DOT_CHUNK):
+        acc = None
+        for i in range(c0 + 1, min(c0 + DOT_CHUNK, dim) + 1):
+            term = F.element_at(a, i).cast("long") * F.element_at(b, i).cast("long")
+            acc = term if acc is None else acc + term
+        chunks.append(acc)
+    out = chunks[0]
+    for ch in chunks[1:]:
+        out = out + ch
+    return out
+
+
+def sql_quantize_cte(src: str, vec: str = "v") -> str:
+    """DuckDB CTE body computing (q, scale) from relation ``src`` —
+    bit-identical to ``quantize``."""
+    mx = f"list_max(list_transform({vec}, x -> abs(x)))"
+    return (
+        f"SELECT *, CASE WHEN {mx} > 0 THEN {mx} / {QUANT_LEVELS}.0 ELSE 0.0 END"
+        f" AS scale,"
+        f" CASE WHEN {mx} > 0 THEN list_transform({vec},"
+        f" x -> CAST(round(x * {QUANT_LEVELS}.0 / {mx}) AS INTEGER))"
+        f" ELSE list_transform({vec}, x -> 0) END AS q"
+        f" FROM {src}"
+    )
+
+
+def sql_dot_int(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB twin of ``dot_int``."""
+    chunks = []
+    for c0 in range(0, dim, DOT_CHUNK):
+        terms = [
+            f"CAST({a}[{i}] AS BIGINT) * CAST({b}[{i}] AS BIGINT)"
+            for i in range(c0 + 1, min(c0 + DOT_CHUNK, dim) + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        chunks.append(acc)
+    out = chunks[0]
+    for ch in chunks[1:]:
+        out = f"({out} + {ch})"
+    return out
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute k-NN over int8 codes: approximate cosine =
+    (q_a . q_b) * scale_a * scale_b / (|v_a| |v_b|), with norms carried
+    from quantization time. Same plan shape as the exact brute path
+    (probes broadcast, one window shuffle), but the scored relation is
+    int8 codes + two doubles per vector — the memory/bandwidth profile a
+    100 TB ANN sweep actually ships. Integer products make the scores
+    themselves reproducible to the last bit with zero float-order caveats.
+    """
+    def prep(df: DataFrame, idn: str, qn: str, sn: str, nn: str) -> DataFrame:
+        v = as_double(vec_col)
+        return spread(df).select(
+            F.col(id_col).alias(idn), v.alias("_v")
+        ).select(
+            idn,
+            quantize(F.col("_v")).alias("_qs"),
+            norm(F.col("_v")).alias(nn),
+        ).filter(
+            # cosine is undefined for the zero vector: exclude rather
+            # than divide by zero (ANSI mode raises)
+            F.col(nn) > 0
+        ).select(
+            idn, F.col("_qs.q").alias(qn), F.col("_qs.scale").alias(sn), nn
+        )
+
+    c = prep(corpus, "vec_id", "cq", "cs", "cn")
+    p = prep(probes, "probe_id", "pq", "ps", "pn")
+    scored = c.crossJoin(F.broadcast(p)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        (
+            dot_int(F.col("cq"), F.col("pq")).cast("double")
+            * F.col("cs") * F.col("ps") / (F.col("cn") * F.col("pn"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "score", "rank")
+    )

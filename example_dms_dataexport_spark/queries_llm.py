@@ -1223,3 +1223,33 @@ def q67_incremental_neardup(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
     store_sets, store_sigs = dedup.corpus_signatures(store)
     return dedup.incremental_dedup_pairs(batch, store_sets, store_sigs)
+
+
+_Q70_ORACLE = f"""
+    WITH {_EMB_CTES},
+    cq AS ({simsearch.sql_quantize_cte('cn')}),
+    p AS (SELECT vec_id AS probe_id, q AS pq, scale AS ps, nrm AS pn
+          FROM cq WHERE {_PROBE_FILTER}),
+    scored AS (
+        SELECT p.probe_id, cq.vec_id,
+               CAST({simsearch.sql_dot_int('cq.q', 'p.pq')} AS DOUBLE)
+                   * cq.scale * p.ps / (cq.nrm * p.pn) AS score
+        FROM cq, p WHERE cq.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, vec_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("q70_knn_quantized", _Q70_ORACLE)
+def q70_knn_quantized(spark, sf_dir):
+    """ANN over int8 scalar-quantized codes: the scored relation is 4x
+    smaller than float32 and the integer dot products carry no
+    float-order caveat — the memory/bandwidth profile a 100 TB sweep
+    ships, with exact re-rank of survivors as the optional tail step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return simsearch.knn_quantized(emb, probes, k=5)

@@ -833,3 +833,21 @@ def test_quality_audit_counts_violations(spark):
     }
     with _pytest.raises(ValueError):
         audit(child)
+
+
+def test_knn_quantized_finds_clear_neighbor_and_zero_vec(spark):
+    import random
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x * 1.001 + 0.0005 for x in base]
+    rows = [(0, base), (1, near), (99, [0.0] * 64)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = simsearch.knn_quantized(df, df.filter(F.col("vec_id") == 0), k=3)
+    top = sorted(out.collect(), key=lambda r: r["rank"])
+    # int8 quantization error (~1%) cannot displace a ~parallel vector
+    assert top[0]["vec_id"] == 1 and top[0]["score"] > 0.99
+    # the all-zero vector (undefined cosine) is excluded entirely
+    assert all(r["vec_id"] != 99 for r in top)
