@@ -5,12 +5,16 @@ centroid-training step that produces the coarse quantizer a real IVF index
 Each iteration is two relational steps, both expressed as DataFrame ops:
 
 - ASSIGN: every vector scores against all k centroids and keeps the
-  nearest (squared-L2). Centroids are a k-row relation, force-broadcast —
-  the same bounded-small-side pattern as the brute k-NN probes — so
-  scoring is map-side; the only shuffle is the per-vector argmin
-  aggregation (partial min pushed map-side).
+  nearest (squared-L2). Centroids are collected to the driver between
+  iterations (k x dim doubles — the bounded per-round collect MLlib's
+  KMeans also does) and embedded as literal arrays, so assignment is a
+  pure per-row codegen'd projection: no join, no shuffle, and each
+  iteration's plan stays flat instead of re-executing all earlier rounds
+  (the quadratic-lineage trap of a chained-DataFrame formulation).
 - UPDATE: member vectors are exploded to (cluster, dim, value) and
-  averaged per (cluster, dim), then re-assembled into centroid arrays.
+  averaged per (cluster, dim), then re-assembled into centroid arrays —
+  one partial-aggregated shuffle per iteration, the only shuffle k-means
+  pays.
 
 Exactness (what lets q57 hash-compare a 2-iteration fit against a DuckDB
 restatement): per-dimension values are rounded to fixed-point int64
@@ -75,16 +79,27 @@ def sql_sqdist(a: str, b: str, dim: int = EMBED_DIM) -> str:
     return out
 
 
-def _assign(v: DataFrame, cent: DataFrame, dim: int) -> DataFrame:
-    """Nearest centroid per vector: broadcast-scored, one argmin shuffle."""
-    scored = v.crossJoin(F.broadcast(cent)).select(
+def _assign(v: DataFrame, centroids: list[tuple[int, list[float]]], dim: int) -> DataFrame:
+    """Nearest centroid per vector, with the k centroids embedded as
+    LITERALS: assignment is a pure per-row projection — no join, no
+    shuffle, whole-stage codegen'd. Ties break on cluster id via the
+    (dist, cid) struct min."""
+    best = F.least(
+        *[
+            F.struct(
+                sqdist(F.col("_v"), F.array(*[F.lit(x) for x in cv]), dim).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return v.select(
         "vec_id",
         "_v",
-        F.struct(sqdist(F.col("_v"), F.col("_cv"), dim).alias("d"), "cid").alias("_s"),
+        best.alias("_best"),
+    ).select(
+        "vec_id", "_v", F.col("_best.cid").alias("cid"), F.col("_best.d").alias("dist")
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("_v").alias("_v"), F.min("_s").alias("_best")
-    ).select("vec_id", "_v", F.col("_best.cid").alias("cid"), F.col("_best.d").alias("dist"))
 
 
 def _update(assigned: DataFrame, dim: int) -> DataFrame:
@@ -120,11 +135,20 @@ def kmeans_assign(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
-    cent = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("_v").alias("_cv")
+    # Centroids live on the DRIVER between iterations (k x dim doubles —
+    # the same bounded collect MLlib's KMeans does every round). Embedding
+    # them as literals keeps each iteration's plan flat: a chained-DataFrame
+    # formulation would re-execute every earlier round inside each later
+    # one (quadratic lineage) and pay a corpus shuffle per assignment.
+    cent = sorted(
+        (r["vec_id"], list(r["_v"]))
+        for r in v.filter(F.col("vec_id") < k).collect()
     )
+    if not cent:
+        raise ValueError(f"seeding needs vectors with {id_col} < k")
     for _ in range(iters):
-        cent = _update(_assign(v, cent, dim), dim)
+        upd = _update(_assign(v, cent, dim), dim)
+        cent = sorted((r["cid"], list(r["_cv"])) for r in upd.collect())
     final = _assign(v, cent, dim)
     return final.select(
         "vec_id", F.col("cid").alias("cluster"), F.round("dist", 4).alias("dist")

@@ -190,13 +190,15 @@ def test_q53_range_join_is_bucketed_equi_join(spark):
     assert broadcast_hint_count(df) == 0
 
 
-def test_q57_kmeans_broadcasts_are_bounded(spark):
-    # each Lloyd's assign force-broadcasts the k-row centroid relation
-    # (bounded by the constant k) — iters+1 = 3 hints, and nothing plans
-    # as an unbounded cartesian pair scan
+def test_q57_kmeans_final_assign_is_joinless_scan(spark):
+    # centroids are driver-collected literals: the returned assignment
+    # plan is a pure projection over the scan — no join of any kind, no
+    # exchange, no hints
     df = _q(spark, "q57_kmeans_assign")
-    assert broadcast_hint_count(df) == 3
-    assert "CartesianProduct" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert broadcast_hint_count(df) == 0
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert exchange_count(df) == 0, plan
 
 
 def test_q58_embedding_decontam_is_bucket_equi_join(spark):
