@@ -851,3 +851,52 @@ def test_knn_quantized_finds_clear_neighbor_and_zero_vec(spark):
     assert top[0]["vec_id"] == 1 and top[0]["score"] > 0.99
     # the all-zero vector (undefined cosine) is excluded entirely
     assert all(r["vec_id"] != 99 for r in top)
+
+
+def test_funnel_matches_python_reference_on_random_events(spark):
+    import random
+    from datetime import datetime as DT, timedelta as TD
+
+    from example_dms_dataexport_spark.operators.funnel import funnel
+
+    rng = random.Random(77)
+    t0 = DT(2024, 3, 1)
+    types = ["view", "click", "purchase", "noise"]
+    rows = [
+        (rng.randrange(20), t0 + TD(seconds=rng.randrange(100000)),
+         rng.choice(types))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+
+    def py_funnel():
+        out = {}
+        by_user: dict = {}
+        for u, ts, ty in rows:
+            by_user.setdefault(u, []).append((ts, ty))
+        for u, evs in by_user.items():
+            tks = []
+            prev = None
+            for s in steps:
+                cand = [
+                    ts for ts, ty in evs
+                    if ty == s and (prev is None or ts > prev)
+                ]
+                if prev is None and s == steps[0] and not cand:
+                    break
+                t = min(cand) if cand else None
+                tks.append(t)
+                if t is None:
+                    tks += [None] * (len(steps) - len(tks))
+                    break
+                prev = t
+            if tks:
+                out[u] = (tuple(tks), sum(1 for t in tks if t is not None))
+        return out
+
+    got = {
+        r["user_id"]: ((r["t1"], r["t2"], r["t3"]), r["stage"])
+        for r in funnel(df, steps).collect()
+    }
+    assert got == py_funnel()
