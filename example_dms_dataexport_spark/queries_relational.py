@@ -1340,3 +1340,25 @@ def q69_skew_report(spark, sf_dir):
     from .quality import skew_report
 
     return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top=10)
+
+
+@query("q71_distinct_sketch_rollup", None)  # HLL binary: no DuckDB-
+# bit-compatible oracle exists; accuracy + merge/rollup equality are
+# pinned by tests/test_operators.py::test_hll_sketch_rollup_merge_and_accuracy
+def q71_distinct_sketch_rollup(spark, sf_dir):
+    """Mergeable distinct-user sketches per (day, event_type), estimated
+    — the storable HLL state that answers any coarser rollup without
+    re-touching the fact table (the COUNT(DISTINCT) scale pattern)."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sketches.distinct_sketch_rollup(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            "user_id",
+        ),
+        ["day", "event_type"],
+        "user_id",
+    )
+    return sketches.estimate(daily)

@@ -900,3 +900,65 @@ def test_funnel_matches_python_reference_on_random_events(spark):
         for r in funnel(df, steps).collect()
     }
     assert got == py_funnel()
+
+
+def test_hll_sketch_rollup_merge_and_accuracy(spark):
+    from example_dms_dataexport_spark.operators import sketches
+    from example_dms_dataexport_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily = sketches.distinct_sketch_rollup(
+        ev.select(day, "event_type", "user_id"),
+        ["day", "event_type"], "user_id",
+    ).persist()
+
+    # accuracy: estimates within HLL error of the exact distinct counts
+    est = {
+        (r["day"], r["event_type"]): r["n_distinct"]
+        for r in sketches.estimate(daily).collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["x"]
+        for r in ev.select(day, "event_type", "user_id").distinct()
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("x")).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, x in exact.items():
+        assert abs(est[k] - x) <= max(3, 0.05 * x), (k, est[k], x)
+
+    # incremental maintenance: sketches built from two disjoint batches
+    # and merged must estimate EXACTLY like sketches built in one pass
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sketches.merge_rollups(
+        sketches.distinct_sketch_rollup(
+            b1.select(day, "event_type", "user_id"), ["day", "event_type"],
+            "user_id"),
+        sketches.distinct_sketch_rollup(
+            b2.select(day, "event_type", "user_id"), ["day", "event_type"],
+            "user_id"),
+        ["day", "event_type"],
+    )
+    m = {
+        (r["day"], r["event_type"]): r["n_distinct"]
+        for r in sketches.estimate(merged).collect()
+    }
+    assert m == est
+
+    # rollup to coarser grain (per event_type) without the fact table
+    coarse = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketches.estimate(
+            sketches.rollup_to(daily, ["event_type"])
+        ).collect()
+    }
+    exact_coarse = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x")).collect()
+    }
+    for k, x in exact_coarse.items():
+        assert abs(coarse[k] - x) <= max(3, 0.05 * x)
+    daily.unpersist()
