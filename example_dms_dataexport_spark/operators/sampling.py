@@ -88,6 +88,36 @@ def mixture_sample(
     )
 
 
+def exact_stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-stratum sample sizes (vs the Bernoulli samplers'
+    in-expectation rates): rank rows within each stratum by their hash
+    bucket (tie-break on the key) and keep the first ``quotas[s]``.
+    Still fully deterministic and nested (a larger quota keeps a
+    superset), at the price of one rank window per stratum partition —
+    use when the budget is a contract, Bernoulli when a shuffle-free
+    filter matters more. Strata without a quota drop."""
+    if any(n < 0 for n in quotas.values()) or not quotas:
+        raise ValueError("need non-empty quotas with non-negative counts")
+    from pyspark.sql.window import Window
+
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(strata_col)]
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.coalesce(quota, F.lit(0)))
+        .drop("_rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

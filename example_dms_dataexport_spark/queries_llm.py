@@ -1253,3 +1253,32 @@ def q70_knn_quantized(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     return simsearch.knn_quantized(emb, probes, k=5)
+
+
+_EXACT_QUOTAS = {"en": 100, "de": 40, "zh": 10}
+
+_Q72_ORACLE = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {sampling.sql_sample_bucket('doc_id')}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+                          WHEN 'zh' THEN 10 ELSE 0 END
+"""
+
+
+@query("q72_exact_stratified_sample", _Q72_ORACLE)
+def q72_exact_stratified_sample(spark, sf_dir):
+    """Exact-count corpus sampling: precisely 100 en / 40 de / 10 zh
+    docs (others dropped), chosen by hash-bucket rank so the draw is
+    reproducible and nested under quota increases."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.exact_stratified_sample(
+        docs, _EXACT_QUOTAS, strata_col="lang"
+    ).select("doc_id", "lang")

@@ -962,3 +962,30 @@ def test_hll_sketch_rollup_merge_and_accuracy(spark):
     for k, x in exact_coarse.items():
         assert abs(coarse[k] - x) <= max(3, 0.05 * x)
     daily.unpersist()
+
+
+def test_exact_stratified_sample_counts_and_nesting(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators import sampling
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.exact_stratified_sample(df, {"a": 50, "b": 7})
+    got = {s: n for s, n in out.groupBy("source").count().collect()}
+    assert got == {"a": 50, "b": 7}  # exact, not in-expectation
+    # quota larger than the stratum keeps the whole stratum
+    all_b = sampling.exact_stratified_sample(df, {"b": 10**6})
+    assert all_b.count() == 100
+    # nesting: quota 25 selects a subset of quota 50's picks
+    small = {
+        r["doc_id"]
+        for r in sampling.exact_stratified_sample(df, {"a": 25}).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.exact_stratified_sample(df, {"a": 50}).collect()
+    }
+    assert small <= big and len(small) == 25
+    with _pytest.raises(ValueError):
+        sampling.exact_stratified_sample(df, {})
