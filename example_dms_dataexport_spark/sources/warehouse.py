@@ -84,6 +84,7 @@ class ParquetWarehouse:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Full atomic replace: materialize to temp dir, swap, drop old.
 
@@ -94,7 +95,25 @@ class ParquetWarehouse:
         on the cluster key lets the scan drop whole files/row groups from
         their footer statistics instead of reading them.  Costs one range
         shuffle at write time; pinned by tests/test_pipeline.py.
+
+        ``zorder_by`` (mutually exclusive) clusters on an interleaved-bit
+        Morton key instead: lexicographic clustering localizes only its
+        leading column, Z-order gives every listed column
+        ~|files|^(1/n_cols) of the value range per file, so range filters
+        on ANY of them skip files (partitioning.zorder_key).
         """
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            from ..partitioning import zorder_key
+
+            df, zcol = zorder_key(df, zorder_by)
+            n = [cluster_partitions] if cluster_partitions else []
+            df = (
+                df.repartitionByRange(*n, zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
         final = self.path(table)
         tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
         if cluster_by:

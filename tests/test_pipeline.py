@@ -365,3 +365,48 @@ def test_overwrite_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, (hi1, lo2)
     # rows survive intact
     assert wh.read(spark, "t").count() == 20000
+
+
+def test_overwrite_zorder_localizes_every_listed_column(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "whz"))
+    # two independent uniform columns: lexicographic clustering can
+    # localize only its leading column; Z-order must localize both
+    df = spark.range(0, 20000).select(
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64(F.col("id") + 7) % 1000).alias("b"),
+    )
+
+    def per_file_coverage(table, col):
+        spans = []
+        for f in _parquet_files(wh.path(table)):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mn = min(md.row_group(g).column(ci).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(ci).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((mx - mn) / 2000.0)  # global span ~[-1000,1000)
+        return sum(spans) / len(spans), len(spans)
+
+    wh.overwrite(df.repartition(8), "lex", cluster_by=["a", "b"],
+                 cluster_partitions=16)
+    wh.overwrite(df.repartition(8), "zed", zorder_by=["a", "b"],
+                 cluster_partitions=16)
+    lex_b, _ = per_file_coverage("lex", "b")
+    z_a, nfa = per_file_coverage("zed", "a")
+    z_b, _ = per_file_coverage("zed", "b")
+    assert nfa >= 8  # clustering actually split files
+    # lexicographic files span essentially all of b ...
+    assert lex_b > 0.8, lex_b
+    # ... while z-order files cover a fraction of BOTH dimensions
+    assert z_a < 0.55 and z_b < 0.55, (z_a, z_b)
+    # content unchanged, mutual exclusion enforced
+    assert wh.read(spark, "zed").count() == 20000
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        wh.overwrite(df, "x", cluster_by=["a"], zorder_by=["b"])
