@@ -1282,3 +1282,79 @@ def q72_exact_stratified_sample(spark, sf_dir):
     return sampling.exact_stratified_sample(
         docs, _EXACT_QUOTAS, strata_col="lang"
     ).select("doc_id", "lang")
+
+
+_Q73_ORACLE = f"""
+    WITH RECURSIVE pass1 AS (
+        SELECT doc_id, text, {TH.sql_quality_score('text')} AS quality
+        FROM documents
+        WHERE {TH.sql_quality_score('text')} >= 0.5
+          AND {TH.sql_lang_id('text')} = 'en'
+    ),
+    keep AS (SELECT md5(text) AS ch, min(doc_id) AS doc_id FROM pass1 GROUP BY 1),
+    kept AS (
+        SELECT p.* FROM pass1 p
+        JOIN keep k ON p.doc_id = k.doc_id AND md5(p.text) = k.ch
+    ),
+    {_sig_ctes('kept').lstrip()},
+    {_PAIRS_CORE.strip()},
+    {_CLUSTER_CTES.strip()},
+    surv AS (
+        SELECT doc_id, text FROM kept
+        WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+    ),
+    bench_t AS (
+        SELECT {TH.sql_tokens('text')} AS toks FROM documents
+        WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest({TH.sql_word_ngrams('toks', 3)}) AS g
+        FROM bench_t
+    ),
+    st AS (SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM surv),
+    sg AS (SELECT doc_id, unnest({TH.sql_word_ngrams('toks', 3)}) AS g FROM st),
+    dirty AS (SELECT DISTINCT sg.doc_id FROM sg JOIN bg USING (g)),
+    clean AS (
+        SELECT doc_id, toks FROM st
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+          AND {sampling.sql_sample_bucket('doc_id')} < 5000
+          AND len(toks) > 0
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}
+               )) AS start
+        FROM clean
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           least(len(toks) - start + 1, {_CHUNK_SIZE}) AS n_tokens
+    FROM starts
+"""
+
+
+@query("q73_corpus_build", _Q73_ORACLE)
+def q73_corpus_build(spark, sf_dir):
+    """The COMPLETE corpus-build pipeline in one Catalyst DAG: quality ->
+    language -> exact dedup -> MinHash cluster dedup -> benchmark
+    decontamination -> deterministic 50% sample -> 64/16 token chunking.
+    Seven composed operators, one declarative plan — the end-to-end
+    path a pretraining data job runs, hash-pinned stage-for-stage
+    against the SQL restatement."""
+    from .operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = text_analysis.text_features(docs)
+    pass1 = feats.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality")
+    kept = dedup.exact_dedup(pass1)
+    pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
+    surv = dedup.cluster_survivors(kept, pairs).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = decontam.decontaminate(surv, bench, n=3)
+    sampled = sampling.hash_sample(clean, "doc_id", 0.5)
+    return text_analysis.chunk_tokens(
+        sampled, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "n_tokens")
