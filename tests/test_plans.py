@@ -237,3 +237,13 @@ def test_q62_to_q65_shapes(spark):
     assert exchange_count(_q(spark, "q64_resample_ffill")) == 2
     # RANGE-frame moving agg: the single user_id window shuffle
     assert exchange_count(_q(spark, "q65_trailing_hour_avg")) == 1
+
+
+def test_q73_corpus_build_no_cartesian_no_hints(spark):
+    # seven composed stages must stay hint-free and cartesian-free end
+    # to end (the MinHash band join, decontam gram join, and chunk
+    # explode are all equi/generator shapes)
+    df = _q(spark, "q73_corpus_build")
+    plan = physical_plan(df)
+    assert broadcast_hint_count(df) == 0
+    assert "CartesianProduct" not in plan
