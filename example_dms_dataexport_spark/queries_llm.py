@@ -1349,7 +1349,9 @@ def q73_corpus_build(spark, sf_dir):
     pass1 = feats.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "quality")
-    kept = dedup.exact_dedup(pass1)
+    # kept feeds BOTH the signature branch and the survivor join:
+    # persist it so the quality/lang/dedup prefix runs once, not twice
+    kept = dedup.exact_dedup(pass1).persist()
     pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
     surv = dedup.cluster_survivors(kept, pairs).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
