@@ -9,6 +9,8 @@ rangejoin      interval containment join (bucketed equi-join, no NLJ)
 kmeans         Lloyd's centroid training (broadcast assign, exact means)
 funnel         ordered-funnel progression (dependent sequential min-agg)
 timeseries     fixed-grid resample + forward fill (sequence + as-of join)
+scd            SCD Type-2 history from a change stream (one shared shuffle)
+sketches       mergeable HLL distinct-count rollup state
 
 All hot-path math is built from ``pyspark.sql.functions`` expressions
 (JVM-side, whole-stage codegen); Python appears only in the multimodal

@@ -1362,3 +1362,40 @@ def q71_distinct_sketch_rollup(spark, sf_dir):
         "user_id",
     )
     return sketches.estimate(daily)
+
+
+_Q74_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to
+    FROM versions
+"""
+
+
+@query("q74_scd2_history", _Q74_ORACLE)
+def q74_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension build from the event stream: per user, one
+    versioned row per event_type CHANGE (no-op repeats collapse) with
+    half-open validity intervals — the history table point-in-time joins
+    consume. Both windows share one user_id shuffle."""
+    from .operators.scd import scd2_from_changes
+
+    return scd2_from_changes(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )

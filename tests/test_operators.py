@@ -989,3 +989,38 @@ def test_exact_stratified_sample_counts_and_nesting(spark):
     assert small <= big and len(small) == 25
     with _pytest.raises(ValueError):
         sampling.exact_stratified_sample(df, {})
+
+
+def test_scd2_collapses_noops_and_closes_intervals(spark):
+    from datetime import datetime as DT
+
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.scd import scd2_from_changes
+
+    t = lambda s: DT(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), "gold", 10),
+        (1, t(2), "gold", 10),    # no-op: collapses
+        (1, t(3), "silver", 10),  # tier change -> new version
+        (1, t(4), "silver", 20),  # second attr change -> new version
+        (2, t(5), None, 1),
+        (2, t(6), None, 1),       # NULL -> NULL is a no-op
+        (2, t(7), "bronze", 1),   # NULL -> value is a change
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "tier", "limit_v"])
+    out = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["tier"], r["limit_v"])
+        for r in scd2_from_changes(
+            df, ["k"], "ts", ["tier", "limit_v"]
+        ).collect()
+    )
+    assert out == [
+        (1, t(1), t(3), "gold", 10),
+        (1, t(3), t(4), "silver", 10),
+        (1, t(4), None, "silver", 20),
+        (2, t(5), t(7), None, 1),
+        (2, t(7), None, "bronze", 1),
+    ]
+    with _pytest.raises(ValueError):
+        scd2_from_changes(df, [], "ts", ["tier"])
