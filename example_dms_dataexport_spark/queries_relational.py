@@ -1399,3 +1399,61 @@ def q74_scd2_history(spark, sf_dir):
         attr_cols=["event_type"],
         tiebreak_cols=["event_id"],
     )
+
+
+_Q75_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type AS state, ts AS valid_from FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           v.state AS state_at_purchase, v.valid_from AS version_from
+    FROM p ASOF JOIN versions v
+      ON p.user_id = v.user_id AND v.valid_from <= p.ts
+"""
+
+
+@query("q75_scd2_point_in_time", _Q75_ORACLE)
+def q75_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time dimension lookup: every purchase event joined to
+    the SCD2 version valid at its timestamp — scd2_from_changes composed
+    with the as-of join (at-or-before semantics), the read pattern the
+    history table exists for."""
+    from .operators.asof import asof_backward
+    from .operators.scd import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("version_from"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_backward(
+        purchases,
+        hist,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="version_from",
+        carry=["state", "version_from"],
+        strict=False,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state").alias("state_at_purchase"),
+        "version_from",
+    )
