@@ -1457,3 +1457,51 @@ def q75_scd2_point_in_time(spark, sf_dir):
         F.col("state").alias("state_at_purchase"),
         "version_from",
     )
+
+
+_Q76_ORACLE = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 < 5
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 7 > 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                ELSE n.o_totalprice END AS o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
+@query("q76_snapshot_diff", _Q76_ORACLE)
+def q76_snapshot_diff(spark, sf_dir):
+    """CDC generation from full snapshots: diff two orders snapshots into
+    the I/U/D change-set apply_changes consumes — the integration path
+    when the source system can't emit CDC and only hands over dumps.
+    One full-outer PK join; unchanged rows dropped in-stage."""
+    from .operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 < 5)
+    new = o.filter(F.col("o_orderkey") % 7 > 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

@@ -1024,3 +1024,46 @@ def test_scd2_collapses_noops_and_closes_intervals(spark):
     ]
     with _pytest.raises(ValueError):
         scd2_from_changes(df, [], "ts", ["tier"])
+
+
+def test_snapshot_diff_roundtrip_and_ops(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.merge import apply_changes
+    from example_dms_dataexport_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged -> no row
+            (2, "b", 20.0),   # value change -> U
+            (3, "c", None),   # deleted -> D
+            (4, None, 40.0),  # NULL -> value -> U
+            (5, None, 50.0),  # NULL == NULL -> no row
+        ],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b2", 20.0),
+            (4, "x", 40.0),
+            (5, None, 50.0),
+            (6, "f", 60.0),   # inserted -> I
+        ],
+        ["k", "s", "v"],
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    got = sorted((r["op"], r["k"], r["s"], r["v"]) for r in diff.collect())
+    assert got == [
+        ("D", 3, "c", None),
+        ("I", 6, "f", 60.0),
+        ("U", 2, "b2", 20.0),
+        ("U", 4, "x", 40.0),
+    ]
+    # Round-trip law: applying the diff to old reproduces new exactly.
+    replayed = sorted(map(tuple, apply_changes(old, diff, ["k"]).collect()))
+    assert replayed == sorted(map(tuple, new.collect()))
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new.select("k", "v", "s"), ["k"])
