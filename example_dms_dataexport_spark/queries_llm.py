@@ -1360,3 +1360,48 @@ def q73_corpus_build(spark, sf_dir):
     return text_analysis.chunk_tokens(
         sampled, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
     ).select("doc_id", "chunk_id", "n_tokens")
+
+
+_Q78_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({TH.sql_tokens('text')})) AS term
+        FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM toks
+    GROUP BY term
+    ORDER BY df DESC, term ASC
+    LIMIT 50
+"""
+
+
+@query("q78_inverted_index", _Q78_ORACLE)
+def q78_inverted_index(spark, sf_dir):
+    """Inverted-index build: term -> sorted posting list of doc ids (the
+    retrieval structure a search/RAG corpus ships with), top-50 terms by
+    document frequency under a total order. Per-doc ``array_distinct``
+    BEFORE the explode keeps the shuffle at |doc, term| pairs, and the
+    posting list is assembled by the same single aggregation that counts
+    df — one shuffle total. Postings serialize to a CSV string so the
+    harness canonicalizer hashes them stably (q33 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(TH.tokens(F.col("text")))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

@@ -1505,3 +1505,81 @@ def q76_snapshot_diff(spark, sf_dir):
         ),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_Q77_ORACLE = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide
+"""
+
+
+@query("q77_unpivot_metrics", _Q77_ORACLE)
+def q77_unpivot_metrics(spark, sf_dir):
+    """Wide-to-long reshape (UNPIVOT/melt, the inverse of q60's pivot):
+    per-flag measure columns melted to (key, metric, value) rows.
+    ``DataFrame.unpivot`` is a single in-stage Expand node — the 3x row
+    multiplication happens after the aggregation, on the tiny wide
+    relation, never on the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        "metric",
+        "value",
+    )
+
+
+_Q79_GAP_US = 3600 * 1_000_000  # 1-hour debounce window
+
+_Q79_ORACLE = f"""
+    WITH o AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM o
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > {_Q79_GAP_US}
+"""
+
+
+@query("q79_event_debounce", _Q79_ORACLE)
+def q79_event_debounce(spark, sf_dir):
+    """Time-proximity event dedup: double-fired telemetry chains into
+    bursts (each event within the gap of its predecessor), and only the
+    first event of each burst survives — a row is a burst start iff its
+    raw predecessor is more than the gap away, so no burst-id or second
+    pass is needed. One window shuffle on (user, type); microsecond
+    epoch arithmetic keeps both engines exact."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    is_start = prev_ts.isNull() | (
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > _Q79_GAP_US
+    )
+    return (
+        ev.withColumn("_start", is_start)
+        .filter(F.col("_start"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
