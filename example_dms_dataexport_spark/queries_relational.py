@@ -1583,3 +1583,41 @@ def q79_event_debounce(spark, sf_dir):
         .filter(F.col("_start"))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+_Q80_ORACLE = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+"""
+
+
+@query("q80_bloom_semi_join", _Q80_ORACLE)
+def q80_bloom_semi_join(spark, sf_dir):
+    """Urgent-order revenue via bloom-pruned semi join: the fact table is
+    filtered by a constant-folded bloom predicate (k element_at probes,
+    no exchange added) before the exact left_semi join, so only candidate
+    rows reach the join shuffle — the explicit form of Spark's
+    InjectRuntimeFilter, reusable ahead of aggregation-first plans."""
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, urgent, ["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -1067,3 +1067,42 @@ def test_snapshot_diff_roundtrip_and_ops(spark):
         snapshot_diff(old, new, [])
     with _pytest.raises(ValueError):
         snapshot_diff(old, new.select("k", "v", "s"), ["k"])
+
+
+def test_bloom_semi_join_exact_and_bounded_fpr(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    dim = spark.range(0, 900, 3).withColumnRenamed("id", "k")
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    got = sorted(map(tuple, bloom_semi_join(fact, dim, ["k"]).collect()))
+    want = sorted(map(tuple, fact.join(dim, "k", "left_semi").collect()))
+    assert got == want  # bloom pruning never changes the exact result
+
+    words, m, k = bloom_build(dim, ["k"])
+    # no false negatives: every member passes the membership predicate
+    assert dim.filter(bloom_might_contain(words, m, k, ["k"])).count() == dim.count()
+    # false-positive rate stays near the design point (12 bits/key ~ 0.3%)
+    nonmem = spark.range(10_000, 30_000).withColumnRenamed("id", "k")
+    fpr = nonmem.filter(bloom_might_contain(words, m, k, ["k"])).count() / 20_000
+    assert fpr < 0.05
+    # empty dim -> empty result, no blow-up
+    assert bloom_semi_join(fact, dim.filter(F.lit(False)), ["k"]).count() == 0
+    # composite keys hash as a tuple
+    d2 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    f2 = spark.createDataFrame([(1, "a", 9), (1, "x", 8), (2, "b", 7)], ["k", "s", "v"])
+    assert sorted(
+        (r["k"], r["s"], r["v"])
+        for r in bloom_semi_join(f2, d2, ["k", "s"]).collect()
+    ) == [(1, "a", 9), (2, "b", 7)]
+    with _pytest.raises(ValueError):
+        bloom_semi_join(fact, dim, [])
+    with _pytest.raises(ValueError):
+        bloom_semi_join(fact, dim, ["nope"])
