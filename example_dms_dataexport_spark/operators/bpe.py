@@ -1,0 +1,136 @@
+"""Distributed BPE tokenizer training — merge-rule learning at corpus scale.
+
+Byte-pair encoding training (Sennrich et al. 2016, public algorithm)
+iterates: count adjacent symbol pairs, merge the most frequent pair
+everywhere, repeat. The q55 pair-count query is ONE iteration's argmax
+relation; this operator runs the full loop.
+
+Scale shape: the corpus is folded to its WORD-FREQUENCY relation first
+(vocabulary-sized — millions of rows at 100 TB, not trillions), and every
+iteration works on that relation only:
+
+    words(syms: array<string>, cnt: long)        persisted, re-localCheckpointed
+      -> adjacent-pair explode weighted by cnt   (in-row transform)
+      -> groupBy(pair) sum(cnt)                  (one small shuffle)
+      -> argmax collect(1 row)                   (driver picks the merge)
+      -> apply merge via in-row aggregate() fold (no shuffle)
+
+The driver holds only the merge table (num_merges rows); per-iteration
+lineage is truncated with ``localCheckpoint`` so iteration N's plan does
+not replay iterations 1..N-1 (the same driver-anchoring k-means uses).
+The greedy left-to-right fold reproduces reference BPE exactly:
+merging (a,a) over "aaa" yields ["aa","a"].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (syms: array<string> of characters, cnt) word relation."""
+    return (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("syms"),
+            "cnt",
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge(
+    words: DataFrame, left: str, right: str, extra_cols: tuple[str, ...] = ("cnt",)
+) -> DataFrame:
+    """Replace every adjacent (left, right) with the fused symbol via a
+    greedy left-to-right aggregate() fold — in-row, no shuffle."""
+    l, r = _sql_quote(left), _sql_quote(right)
+    fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} AND x = {r} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({l} || {r})) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    return words.select(F.expr(fold).alias("syms"), *extra_cols)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``num_merges`` BPE merge rules from a document corpus.
+
+    Returns ``[(left, right, pair_count), ...]`` in merge order. Stops
+    early when no pair reaches ``min_pair_count``. Ties break
+    lexicographically on (left, right) so training is deterministic.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = word_counts(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+            merges.append((l, r, int(n)))
+            prev = words
+            words = _apply_merge(words, l, r).localCheckpoint()
+            prev.unpersist()
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merges to a corpus: (token, syms array) per distinct
+    word — the lookup table an encoder ships. Merges replay in training
+    order (BPE's apply rule)."""
+    out = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            F.col("w"),
+            F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("syms"),
+        )
+    )
+    for l, r, _ in merges:
+        out = _apply_merge(out, l, r, extra_cols=("w",))
+    return out.select("w", "syms")

@@ -1405,3 +1405,22 @@ def q78_inverted_index(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+@query("q81_bpe_merges", None)  # iterative argmax loop: not SQL-expressible,
+# rows-only check (same contract as q71's sketch rollup)
+def q81_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training over the corpus: the full merge-learning
+    loop (q55 is one iteration's pair relation). Every iteration touches
+    only the vocabulary-sized word-frequency relation — one small
+    shuffle + a 1-row argmax collect per merge — with localCheckpoint
+    truncating lineage (driver-anchored like q57's k-means). Returns the
+    learned merge table in training order."""
+    from .operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8, min_pair_count=2)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, pair_count BIGINT",
+    )

@@ -1106,3 +1106,73 @@ def test_bloom_semi_join_exact_and_bounded_fpr(spark):
         bloom_semi_join(fact, dim, [])
     with _pytest.raises(ValueError):
         bloom_semi_join(fact, dim, ["nope"])
+
+
+def _py_bpe(words, num_merges, min_count):
+    """Reference BPE on a {word: count} dict, greedy left-to-right apply."""
+    tbl = [([c for c in w], n) for w, n in words.items()]
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, n in tbl:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_count:
+            break
+        merges.append((l, r, n))
+        new_tbl = []
+        for syms, cnt in tbl:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_tbl.append((out, cnt))
+        tbl = new_tbl
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.bpe import bpe_segment, bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "widow widow window",
+        "aaa aaa banana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    # word counts for the python reference (same tokenizer: lowercase split)
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _py_bpe(freqs, num_merges=8, min_count=2)
+    got = bpe_train(docs, num_merges=8, min_pair_count=2)
+    assert got == want
+    # greedy overlap rule: merging (a,a) over "aaa" -> ["aa","a"]
+    seg = {
+        r["w"]: list(r["syms"])
+        for r in bpe_segment(docs, got).collect()
+    }
+    # reference segmentation: replay merges greedily per word
+    for w in freqs:
+        syms = list(w)
+        for l, r, _ in got:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        assert seg[w] == syms, w
+    with _pytest.raises(ValueError):
+        bpe_train(docs, num_merges=0)
