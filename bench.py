@@ -50,6 +50,8 @@ HEADLINE = [
     "q62_funnel_stages",
     "q64_resample_ffill",
     "q65_trailing_hour_avg",
+    "q76_snapshot_diff",
+    "q80_bloom_semi_join",
 ]
 
 

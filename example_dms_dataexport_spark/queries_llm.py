@@ -417,8 +417,10 @@ def q30_knn_ivf(spark, sf_dir):
     return simsearch.knn_ivf(emb, probes, k=5)
 
 
-_Q31_ORACLE = f"""
-    WITH u AS (
+# Shared by q31/q82: planted-duplicate embedding corpus (every 25th vector
+# gets a perturbed copy under a shifted id) + bucket-blocked cosine pairs.
+_EMB_DUP_CTES = f"""
+    u AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
@@ -428,13 +430,31 @@ _Q31_ORACLE = f"""
         WHERE vec_id % 25 = 0
     ),
     cn AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM u),
-    cb AS (SELECT vec_id, v, nrm, {_SQL_BUCKET} AS bucket FROM cn)
-    SELECT * FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS score
-        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE score >= 0.95
+    cb AS (SELECT vec_id, v, nrm, {_SQL_BUCKET} AS bucket FROM cn),
+    epairs AS (
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS score
+            FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE score >= 0.95
+    )
 """
+
+_Q31_ORACLE = f"WITH {_EMB_DUP_CTES} SELECT id_a, id_b, score FROM epairs"
+
+
+def _planted_embedding_corpus(emb):
+    """(vec_id, embedding double[]) with perturbed copies of every 25th
+    vector planted under shifted ids — the Spark half of _EMB_DUP_CTES."""
+    v = simsearch.as_double("embedding")
+    base = emb.select("vec_id", v.alias("embedding"))
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("embedding"),
+    )
+    return base.unionByName(perturbed)
 
 
 @query("q31_embedding_dup_pairs", _Q31_ORACLE)
@@ -444,16 +464,8 @@ def q31_embedding_dup_pairs(spark, sf_dir):
     >= 0.95 pairs, LSH-bucket-blocked. A perturbed copy whose bucket
     flips is missed identically in both engines (same bucket function)."""
     emb = _t(spark, sf_dir, "embeddings")
-    v = simsearch.as_double("embedding")
-    base = emb.select("vec_id", v.alias("embedding"))
-    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            v, lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
-        ).alias("embedding"),
-    )
     return simsearch.embedding_dup_pairs(
-        base.unionByName(perturbed), threshold=0.95
+        _planted_embedding_corpus(emb), threshold=0.95
     )
 
 
@@ -1423,4 +1435,29 @@ def q81_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "merge_rank INT, left STRING, right STRING, pair_count BIGINT",
+    )
+
+
+_Q82_ORACLE = f"""
+    WITH RECURSIVE {_EMB_DUP_CTES.strip()},
+    pairs AS (SELECT id_a, id_b FROM epairs),
+    {_CLUSTER_CTES.strip()}
+    SELECT vec_id FROM u
+    WHERE vec_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+"""
+
+
+@query("q82_semantic_dedup", _Q82_ORACLE)
+def q82_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): prune a
+    corpus by EMBEDDING similarity rather than text overlap — cosine >=
+    0.95 pairs (LSH-bucket-blocked, q31), connected components over the
+    pair graph, keep the min-id survivor per component. Catches
+    paraphrases and re-encodings that MinHash can't see; the planted
+    perturbed copies must all be pruned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_embedding_corpus(emb)
+    pairs = simsearch.embedding_dup_pairs(corpus, threshold=0.95)
+    return dedup.cluster_survivors(
+        corpus.select("vec_id"), pairs, id_col="vec_id"
     )

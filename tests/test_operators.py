@@ -1089,7 +1089,7 @@ def test_bloom_semi_join_exact_and_bounded_fpr(spark):
     words, m, k = bloom_build(dim, ["k"])
     # no false negatives: every member passes the membership predicate
     assert dim.filter(bloom_might_contain(words, m, k, ["k"])).count() == dim.count()
-    # false-positive rate stays near the design point (12 bits/key ~ 0.3%)
+    # false-positive rate stays near the design point (8 bits/key, k<=6 ~ 2%)
     nonmem = spark.range(10_000, 30_000).withColumnRenamed("id", "k")
     fpr = nonmem.filter(bloom_might_contain(words, m, k, ["k"])).count() / 20_000
     assert fpr < 0.05
