@@ -316,6 +316,16 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted without converging: the partial labels would split
+        # components (survivor selection would under-delete) — never return
+        # silently-wrong clusters
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); a component's diameter "
+            "exceeds max_iter — raise max_iter"
+        )
     edges.unpersist()
     return labels
 

@@ -30,8 +30,17 @@ keeps exact strings so the DuckDB oracle can hash-compare it.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _regex_literal(sep: str) -> str:
+    """Escape ``sep`` so ``F.split`` (Java regex) treats it literally —
+    callers and the DuckDB oracle both treat the separator as a literal
+    string, so a sep like ``'.'`` or ``'|'`` must not act as a pattern."""
+    return re.sub(r"([\\.\[\]{}()*+?^$|])", r"\\\1", sep)
 
 
 def remove_boilerplate_lines(
@@ -51,7 +60,9 @@ def remove_boilerplate_lines(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_ln", "line"),
+        F.posexplode(F.split(F.col(text_col), _regex_literal(sep))).alias(
+            "_ln", "line"
+        ),
     )
     frequent = (
         lines.groupBy("line")
@@ -73,7 +84,9 @@ def remove_boilerplate_lines(
     return (
         df.select(
             F.col(id_col),
-            F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+            F.size(F.split(F.col(text_col), _regex_literal(sep)))
+            .cast("long")
+            .alias("n_lines"),
         )
         .join(rebuilt, id_col, "left")
         .select(

@@ -42,14 +42,16 @@ def audit(
     """
     checks: list[DataFrame] = []
     sums = []
+    # sums over an EMPTY table are NULL; the (rule, count) contract wants 0
+    def _sum0(col: Column) -> Column:
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
+
     for c in not_null or []:
-        sums.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
-        )
+        sums.append(_sum0(F.col(c).isNull().cast("long")).alias(f"not_null:{c}"))
     for name, pred in (predicates or {}).items():
         # violation when the predicate is false OR null
         sums.append(
-            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(
+            _sum0((~F.coalesce(pred, F.lit(False))).cast("long")).alias(
                 f"predicate:{name}"
             )
         )
@@ -76,7 +78,13 @@ def audit(
         excess = (
             df.groupBy(*keys)
             .agg((F.count(F.lit(1)) - 1).alias("_x"))
-            .agg(F.sum("_x").cast("long").alias("n_violations"))
+            .agg(
+                # empty input → sum over zero groups is NULL; the (rule,
+                # count) contract wants 0
+                F.coalesce(F.sum("_x"), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
             .select(F.lit(rule).alias("rule"), "n_violations")
         )
         checks.append(excess)

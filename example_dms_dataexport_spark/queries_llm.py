@@ -647,7 +647,11 @@ def q38_cleaning_pipeline(spark, sf_dir):
     pass1 = feats.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "quality")
-    kept = dedup.exact_dedup(pass1)
+    # kept feeds BOTH the MinHash signature branch and the survivor
+    # anti-join: persist it so the quality/lang/exact-dedup prefix runs
+    # once, not once per consumer (the clustering step's first action
+    # materializes it)
+    kept = dedup.exact_dedup(pass1).persist()
     pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
     return dedup.cluster_survivors(kept, pairs).select(
         "doc_id", F.round("quality", 4).alias("quality")
@@ -786,7 +790,7 @@ _Q50_ORACLE = f"""
     SELECT doc_id, chunk_id, n_tokens, shard,
            CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
                AS pack_id,
-           start_tok % {_PACK_BUDGET} AS pack_pos
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_pos
     FROM cum
 """.replace(
     "{shard}",

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 # Pending-cleanup marker for replace_partitions (see _reconcile).
 TOMBSTONE_FILE = "_tombstones.json"
 
+# Small JSON sidecar committed atomically WITH an ``overwrite`` (written
+# into the temp dir before the swap) — e.g. the streaming rollup's
+# last-applied batch id. Underscore prefix hides it from file discovery.
+META_FILE = "_meta.json"
+
 # Bucket layout descriptor for write_bucketed/read_bucketed. Underscore
 # prefix keeps it invisible to parquet file discovery, like _SUCCESS.
 BUCKET_SPEC_FILE = "_bucket_spec.json"
@@ -56,24 +61,35 @@ class ParquetWarehouse:
     def _tombstone_path(self, table: str) -> str:
         return os.path.join(self.path(table), TOMBSTONE_FILE)
 
-    def _reconcile(self, table: str) -> None:
+    def _reconcile(self, table: str, writer: bool = False) -> None:
         """Finish any interrupted ``replace_partitions`` cleanup.
 
-        The tombstone file lists partition directories a committed (or
-        pending) CDC batch empties. Applying it is idempotent — rmtree of
-        dirs that may already be gone — so a crash anywhere in the window
-        is healed by the next read or write. If the crash happened BEFORE
-        the dynamic overwrite committed, applying the tombstones early is
-        still correct: they name partitions whose every row the pending
-        batch deletes, the watermark has not advanced, and re-running the
-        batch re-derives the same empty state (deletes are idempotent).
+        The tombstone marker records the batch identity, the partition
+        directories that batch empties, and whether the batch's dynamic
+        overwrite COMMITTED. Readers apply only committed markers — a
+        marker whose batch never committed must not delete partitions
+        whose upserts are absent (that would be a torn state). Writers
+        (``writer=True``, i.e. the next ``replace_partitions`` on this
+        table) additionally DROP uncommitted markers without applying
+        them: the abandoned batch's deletes are superseded by the new
+        batch, which re-derives the merge from the un-advanced watermark.
+
+        Applying a committed marker is idempotent (rmtree of dirs that may
+        already be gone), so a crash anywhere after the commit flip is
+        healed by the next read or write.
         """
         tp = self._tombstone_path(table)
         if not os.path.isfile(tp):
             return
         with open(tp) as f:
-            rel_dirs = json.load(f)
-        for rel in rel_dirs:
+            marker = json.load(f)
+        if isinstance(marker, list):  # legacy format: dirs of a committed batch
+            marker = {"batch": None, "committed": True, "dirs": marker}
+        if not marker.get("committed"):
+            if writer:
+                os.remove(tp)
+            return
+        for rel in marker["dirs"]:
             shutil.rmtree(os.path.join(self.path(table), rel), ignore_errors=True)
         os.remove(tp)
 
@@ -85,8 +101,14 @@ class ParquetWarehouse:
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
         zorder_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Full atomic replace: materialize to temp dir, swap, drop old.
+
+        ``meta`` (JSON-serializable) is written into the temp directory
+        BEFORE the swap, so it commits atomically with the data — the
+        hook exactly-once consumers use to record the identity of the
+        batch a table state includes (``read_meta``).
 
         ``cluster_by`` range-partitions and sorts the data on the given
         columns before writing, so each parquet file (and each row group
@@ -127,6 +149,9 @@ class ParquetWarehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        if meta is not None:
+            with open(os.path.join(tmp, META_FILE), "w") as f:
+                json.dump(meta, f)
         old = None
         if os.path.exists(final):
             old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
@@ -134,6 +159,15 @@ class ParquetWarehouse:
         os.replace(tmp, final)
         if old:
             shutil.rmtree(old, ignore_errors=True)
+
+    def read_meta(self, table: str) -> dict:
+        """Sidecar committed by the last ``overwrite(..., meta=...)`` —
+        empty dict if the table has none."""
+        p = os.path.join(self.path(table), META_FILE)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
@@ -303,20 +337,30 @@ class ParquetWarehouse:
 
         Dynamic overwrite only rewrites partitions PRESENT in ``df`` — a
         CDC batch that deletes every row of a partition leaves the stale
-        directory behind, resurrecting deleted rows. The cleanup is made
-        crash-atomic with a tombstone protocol:
+        directory behind, resurrecting deleted rows. The cleanup uses a
+        batch-identified tombstone protocol:
 
-        1. reconcile any tombstones a previous crashed run left behind;
-        2. atomically write ``_tombstones.json`` naming the partition
-           dirs this batch empties (temp file + rename);
+        1. reconcile: apply any COMMITTED marker a crashed run left
+           behind; drop (without applying) a marker whose batch never
+           committed — this batch supersedes it;
+        2. atomically write ``_tombstones.json`` (temp file + rename)
+           recording {batch, committed: false, dirs} for the partition
+           dirs this batch empties;
         3. dynamic overwrite (commits the non-empty partitions);
-        4. reconcile — rmtree the tombstoned dirs, then drop the marker.
+        4. atomically flip the marker to committed: true;
+        5. reconcile — rmtree the tombstoned dirs, then drop the marker.
 
-        A crash between 3 and 4 (the old resurrection window) leaves the
-        marker in place, and the next ``read``/write applies it. The
-        untouched partitions' files are never read or written.
+        Crash windows (plain parquet dirs have no multi-partition atomic
+        commit — that is Delta's log — so the residual windows are STALE
+        reads, never torn ones): between 2 and 3 readers skip the
+        uncommitted marker and see the intact pre-batch table; between 3
+        and 4 readers see the batch's upserts plus the not-yet-removed
+        emptied partitions (stale deletes) until the batch re-runs from
+        the un-advanced watermark; after 4 any read/write completes the
+        cleanup. The untouched partitions' files are never read or
+        written.
         """
-        self._reconcile(table)
+        self._reconcile(table, writer=True)
         still_present = {
             tuple(r[c] for c in partition_by)
             for r in df.select(*partition_by).distinct().collect()
@@ -332,11 +376,19 @@ class ParquetWarehouse:
                         for c, v in zip(partition_by, vals)
                     )
                 )
+        batch = uuid.uuid4().hex
         if emptied:
             os.makedirs(self.path(table), exist_ok=True)
-            tmp = self._tombstone_path(table) + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(emptied, f)
-            os.replace(tmp, self._tombstone_path(table))
+            self._write_tombstone(table, batch, emptied, committed=False)
         self.overwrite_partitions(df, table, partition_by)
+        if emptied:
+            self._write_tombstone(table, batch, emptied, committed=True)
         self._reconcile(table)
+
+    def _write_tombstone(
+        self, table: str, batch: str, dirs: list[str], committed: bool
+    ) -> None:
+        tmp = self._tombstone_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"batch": batch, "committed": committed, "dirs": dirs}, f)
+        os.replace(tmp, self._tombstone_path(table))

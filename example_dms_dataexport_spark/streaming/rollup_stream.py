@@ -7,11 +7,14 @@ table's CDC feed with per-batch cost O(|batch| + |rollup|) and the fact
 table is never scanned.  One code path for the fold semantics, two
 drivers — the same structure as cdc_stream vs the batch merge.
 
-Exactly-once: the file source tracks consumed files in the checkpoint and
-the sink is the warehouse's idempotent atomic overwrite, so a batch
-replayed after a crash converges to the same table state (the fold is
-re-applied to the PRE-batch rollup, which the overwrite only replaces on
-success).
+Exactly-once: foreachBatch alone is at-least-once — if the driver dies
+AFTER the warehouse overwrite succeeds but BEFORE the checkpoint records
+the batch, the source replays it and a naive fold would re-apply the same
+deltas to the POST-batch rollup, double-counting them.  The sink
+therefore records the last-applied batch_id IN the same atomic overwrite
+(``warehouse.overwrite(..., meta=...)`` writes the sidecar into the temp
+dir before the swap), and ``fold_batch`` skips any batch_id it has
+already applied — the standard idempotent-foreachBatch recipe.
 """
 
 from __future__ import annotations
@@ -42,13 +45,20 @@ def start_rollup_stream(
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        last = warehouse.read_meta(rollup_table).get("last_batch_id")
+        if last is not None and batch_id <= last:
+            # crash-replay of a batch whose overwrite already committed —
+            # folding it again would double-apply its deltas
+            return
         current = warehouse.read(spark, rollup_table)
         merged = update_rollup(current, batch, keys, measures)
         # materialize BEFORE the overwrite: the fold reads the table it
         # replaces, and a failed/retried batch must re-read the old state
         merged.persist()
         merged.count()
-        warehouse.overwrite(merged, rollup_table)
+        warehouse.overwrite(
+            merged, rollup_table, meta={"last_batch_id": batch_id}
+        )
         merged.unpersist()
 
     writer = (

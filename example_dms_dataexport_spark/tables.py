@@ -26,22 +26,41 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; shims parquet TIMESTAMP(NANOS) columns.
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of ``events.ts`` from the parquet footer ("ns"/"us").
 
-    ``events.ts`` is written as nanosecond-precision parquet, which Spark's
-    reader rejects outright (PARQUET_TYPE_ILLEGAL).  The legacy conf reads
-    nanos as a plain long; integer-dividing by 1000 (``div`` — exact long
-    arithmetic, no double round-trip) truncates toward zero exactly like
-    DuckDB's ns→µs conversion, so both engines see identical microsecond
-    timestamps.
+    Driver-side, one footer read — the generated data has used both
+    nanosecond- and microsecond-precision timestamps across versions, and
+    the two need different read paths.
+    """
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type.unit)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; shims parquet timestamp precision for ``events.ts``.
+
+    Nanosecond parquet timestamps are rejected outright by Spark's reader
+    (PARQUET_TYPE_ILLEGAL); the legacy conf reads them as a plain long and
+    integer-dividing by 1000 (``div`` — exact long arithmetic, no double
+    round-trip) truncates toward zero exactly like DuckDB's ns→µs
+    conversion.  Microsecond timestamps read natively as TIMESTAMP_NTZ and
+    are cast to the session-zone type (session tz is pinned UTC, so the
+    cast is value-preserving) — both paths land on identical
+    TimestampType microsecond values.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = os.path.join(sf_dir, "events.parquet")
+        if _events_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -143,6 +143,16 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup.dedup_clusters(pairs).count() == 0
 
 
+def test_dedup_clusters_nonconvergence_raises(spark):
+    # diameter 5 > max_iter 2: returning the partial labels would silently
+    # split the component — must raise instead
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iter=2)
+
+
 def test_ngram_jaccard_requires_min_tokens(spark):
     df = spark.createDataFrame([(0, "one two"), (1, "one two")], ["doc_id", "text"])
     # both docs have < 3 tokens -> no 3-grams -> no pairs (and no crash)
@@ -354,6 +364,44 @@ def test_line_dedup_drops_frequent_preserves_order(spark):
     # exactly at the threshold is NOT boilerplate
     assert out[6]["clean_text"].startswith("shared twice")
     assert out[7]["clean_text"].startswith("shared twice")
+
+
+def test_line_dedup_regex_metachar_separator(spark):
+    # sep is a LITERAL for callers and the DuckDB oracle; '.' or '|' must
+    # not be interpreted as a Java regex by F.split
+    from example_dms_dataexport_spark.operators import lines
+
+    docs = [
+        (1, "alpha|common|beta"),
+        (2, "common|gamma"),
+        (3, "common|delta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in lines.remove_boilerplate_lines(df, sep="|", max_docs=2).collect()
+    }
+    assert out[1]["n_lines"] == 3  # not len("alpha|common|beta")+1
+    assert out[1]["clean_text"] == "alpha|beta"
+    assert out[2]["clean_text"] == "gamma"
+
+
+def test_quality_audit_empty_input_zero_counts(spark):
+    from example_dms_dataexport_spark.quality import audit
+
+    empty = spark.createDataFrame([], "k long, v double")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in audit(
+            empty,
+            not_null=["v"],
+            unique=[["k"]],
+            predicates={"v_positive": F.col("v") > 0},
+        ).collect()
+    }
+    # (rule, count) contract: every declared rule reports 0, never NULL
+    assert out["unique:k"] == 0
+    assert all(v == 0 for v in out.values())
 
 
 def test_unigram_logprob_matches_python(spark):

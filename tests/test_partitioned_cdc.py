@@ -113,7 +113,9 @@ def test_crash_between_overwrite_and_cleanup_heals(spark, tmp_path, monkeypatch)
     stage, store, wh, tdir = _setup(spark, tmp_path)
     (tdir / "20240102-000000001.csv").write_text("D,2,0,c\nD,5,0,c\nD,8,0,c\n")
 
-    monkeypatch.setattr(ParquetWarehouse, "_reconcile", lambda self, table: None)
+    monkeypatch.setattr(
+        ParquetWarehouse, "_reconcile", lambda self, table, writer=False: None
+    )
     incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     monkeypatch.undo()
 
@@ -127,6 +129,50 @@ def test_crash_between_overwrite_and_cleanup_heals(spark, tmp_path, monkeypatch)
     assert got == {0, 1, 3, 4, 6, 7}
     assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
     assert not os.path.isfile(os.path.join(wh.path("t"), "_tombstones.json"))
+
+
+def test_uncommitted_tombstone_not_applied_on_read(spark, tmp_path):
+    # A marker whose batch never committed (crash between the tombstone
+    # write and the dynamic overwrite) must NOT delete partitions on read:
+    # the batch's upserts are absent, so applying its deletes would be a
+    # torn state. Readers keep the intact pre-batch table; the next writer
+    # drops the stale marker without applying it.
+    import json
+
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+    wh._write_tombstone(
+        "t", batch="deadbeef", dirs=["region=c"], committed=False
+    )
+
+    got = {r["id"] for r in wh.read(spark, "t").collect()}
+    assert got == set(range(9))  # region=c rows (2,5,8) still alive
+    assert os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+    tp = os.path.join(wh.path("t"), "_tombstones.json")
+    assert os.path.isfile(tp)  # reader leaves the pending marker in place
+
+    # next batch (the writer path) supersedes the abandoned marker
+    (tdir / "20240102-000000001.csv").write_text("U,0,999,a\n")
+    incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    got = {r["id"]: r["val"] for r in wh.read(spark, "t").collect()}
+    assert got[0] == 999 and 2 in got and 5 in got and 8 in got
+    if os.path.isfile(tp):  # any marker left must be this batch's, committed
+        with open(tp) as f:
+            assert json.load(f)["committed"]
+
+
+def test_legacy_list_tombstone_still_applied(spark, tmp_path):
+    # Markers written by the previous (bare-list) format are treated as
+    # committed and applied on read.
+    import json
+
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+    tp = os.path.join(wh.path("t"), "_tombstones.json")
+    with open(tp, "w") as f:
+        json.dump(["region=c"], f)
+    got = {r["id"] for r in wh.read(spark, "t").collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+    assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+    assert not os.path.isfile(tp)
 
 
 def test_null_partition_value_not_dropped(spark, tmp_path):

@@ -449,6 +449,58 @@ def test_rollup_stream_tracks_batch_recompute(spark, tmp_path):
     assert got == expect
 
 
+def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the warehouse
+    overwrite and the checkpoint commit, the source replays the batch.
+    The sink records last_batch_id atomically with the rollup and must
+    skip the replay instead of folding the same deltas twice."""
+    import shutil
+
+    from example_dms_dataexport_spark.operators import incremental
+    from example_dms_dataexport_spark.streaming.rollup_stream import (
+        start_rollup_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    facts = spark.createDataFrame([("a", 10), ("b", 5)], ["grp", "v"])
+    wh.overwrite(incremental.rollup(facts, ["grp"], ["v"]), "agg")
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    schema = (
+        "op string, before_grp string, before_v long, "
+        "after_grp string, after_v long"
+    )
+    spark.createDataFrame(
+        [("I", None, None, "a", 100)], schema
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(chg / "*"))
+        q = start_rollup_stream(
+            spark, stream, wh, "agg", ["grp"], ["v"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt"))
+    expect = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in wh.read(spark, "agg").collect()
+    }
+    assert expect["a"] == (110, 2)
+    assert wh.read_meta("agg") == {"last_batch_id": 0}
+
+    # crash-replay: wipe the checkpoint so the SAME file re-arrives as
+    # batch 0 again — the sink must recognize it as already applied
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run(str(tmp_path / "ckpt2"))
+    got = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in wh.read(spark, "agg").collect()
+    }
+    assert got == expect  # not (210, 3): replay skipped
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join (click attribution) over a
     closed file stream must emit exactly the batch join's rows."""
