@@ -297,6 +297,21 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Labels only ever DECREASE (new = min(old, neighbor labels)). For
+    # numeric ids the decimal sum of labels is therefore a monotone
+    # convergence witness — unchanged sum <=> no label changed — costing
+    # one scan-aggregate over the just-checkpointed relation per round
+    # instead of a join (an extra shuffle) against the previous labels.
+    # Non-numeric id types fall back to the join-based change count.
+    numeric_ids = dict(edges.dtypes)["src"] not in ("string", "binary")
+
+    def _label_sum(rel: DataFrame):
+        return rel.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
+    changed = True
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels.select(F.col("id").alias("dst"), "cluster_id"), "dst"
@@ -307,14 +322,20 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+                > 0
+            )
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     else:
         # loop exhausted without converging: the partial labels would split
@@ -323,8 +344,8 @@ def dedup_clusters(
         edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} iterations "
-            f"({changed} labels still changing); a component's diameter "
-            "exceeds max_iter — raise max_iter"
+            "(labels still changing); a component's diameter exceeds "
+            "max_iter — raise max_iter"
         )
     edges.unpersist()
     return labels

@@ -643,10 +643,16 @@ def q38_cleaning_pipeline(spark, sf_dir):
     one DAG (the iterative clustering step materializes per round by
     construction)."""
     docs = _t(spark, sf_dir, "documents")
-    feats = text_analysis.text_features(docs)
-    pass1 = feats.filter(
-        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
-    ).select("doc_id", "text", "quality")
+    # compute only the gate features (quality, lang) — text_features'
+    # fingerprint/BPE columns are regex-heavy and unused here
+    pass1 = (
+        docs.withColumn("_toks", TH.tokens(F.col("text")))
+        .withColumn("quality", TH.quality_score(F.col("_toks")))
+        .filter(
+            (F.col("quality") >= 0.5) & (TH.lang_id(F.col("_toks")) == "en")
+        )
+        .select("doc_id", "text", "quality")
+    )
     # kept feeds BOTH the MinHash signature branch and the survivor
     # anti-join: persist it so the quality/lang/exact-dedup prefix runs
     # once, not once per consumer (the clustering step's first action
@@ -1361,10 +1367,16 @@ def q73_corpus_build(spark, sf_dir):
     from .operators import decontam
 
     docs = _t(spark, sf_dir, "documents")
-    feats = text_analysis.text_features(docs)
-    pass1 = feats.filter(
-        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
-    ).select("doc_id", "text", "quality")
+    # compute only the gate features (quality, lang) — text_features'
+    # fingerprint/BPE columns are regex-heavy and unused here
+    pass1 = (
+        docs.withColumn("_toks", TH.tokens(F.col("text")))
+        .withColumn("quality", TH.quality_score(F.col("_toks")))
+        .filter(
+            (F.col("quality") >= 0.5) & (TH.lang_id(F.col("_toks")) == "en")
+        )
+        .select("doc_id", "text", "quality")
+    )
     # kept feeds BOTH the signature branch and the survivor join:
     # persist it so the quality/lang/dedup prefix runs once, not twice
     kept = dedup.exact_dedup(pass1).persist()
