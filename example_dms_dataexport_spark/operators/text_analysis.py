@@ -12,6 +12,8 @@ so the correctness oracles hash-compare bit-identical values.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -174,6 +176,91 @@ def tfidf_top_terms(
                 )
                 / 1e4
             ).alias("tfidf"),
+        )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed ``terms`` set —
+    the retrieval/quality-signal scorer (Robertson/Sparck Jones; the
+    ranking function behind Lucene/Elasticsearch ``BM25Similarity``).
+
+    Scale shape: for a FIXED small term set nothing explodes — per-doc
+    term frequencies and document length are higher-order array
+    expressions in ONE narrow projection over the scan, the corpus
+    statistics (N, total length, per-term document frequencies) are a
+    single 1-row aggregate broadcast back, and scoring is a second
+    stateless projection.  No shuffle wider than one row.
+
+    Exactness: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) is fixed-pointed
+    to int64 once per term (absorbing last-ulp ln() disagreement between
+    engines); each term's contribution is floored to int64 before the
+    (fixed-order) sum, so totals are engine-exact.  Documents matching
+    none of the terms are excluded.
+    """
+    toks = TH.tokens(F.col(text_col))
+
+    def _tf(word: str):
+        # NB: a closure, not a default-arg lambda — F.filter treats a
+        # two-parameter lambda as (element, index)
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    proj = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[_tf(w).alias(f"_tf{i}") for i, w in enumerate(terms)],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("_dl") / avgdl
+    )
+
+    def idf6(i: int):
+        n, d = F.col("_n").cast("double"), F.col(f"_df{i}").cast("double")
+        return (
+            F.floor(
+                F.log((n - d + F.lit(0.5)) / (d + F.lit(0.5)) + F.lit(1.0))
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+        ).cast("long")
+
+    def contrib6(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        return F.floor(
+            idf6(i) * tf * F.lit(BM25_K1 + 1.0) / (tf + norm) + F.lit(0.5)
+        ).cast("long")
+
+    total6 = reduce(lambda a, b: a + b, [contrib6(i) for i in range(len(terms))])
+    matched = reduce(
+        lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(terms))]
+    )
+    return (
+        scored.filter(matched)
+        .select(
+            id_col,
+            F.col("_dl").alias("dl"),
+            (F.floor(total6 / F.lit(100.0) + F.lit(0.5)) / F.lit(1e4)).alias(
+                "bm25"
+            ),
         )
     )
 

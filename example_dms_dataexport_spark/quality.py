@@ -108,6 +108,46 @@ def audit(
     return out
 
 
+def percentile_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Exact ``percent_rank()`` of ``value_col`` within each group,
+    WITHOUT a row-level window — the per-group score-calibration step
+    (e.g. quality thresholds that differ per language/source).
+
+    A naive ``Window.partitionBy(group).orderBy(value)`` sorts each
+    group's every row in ONE task — with a handful of giant groups (five
+    languages at 100 TB) that's a single-machine sort.  Instead the
+    distribution is compressed first: count rows per (group, value) —
+    a partial-aggregated shuffle on a uniform key — then cumulate counts
+    over the (small) distinct-value relation, and join the per-value
+    rank back to the rows as a broadcast.  percent_rank = (rows strictly
+    below) / (group size - 1); single-row groups get 0.0 like the window
+    function.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dist = counts.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(W.partitionBy(group_col))
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_cum") - F.col("_c")).cast("double") / (F.col("_n") - 1)
+    )
+    ranks = dist.select(group_col, value_col, pct.alias(out_col))
+    return df.join(ranks, [group_col, value_col])
+
+
 def skew_report(
     df: DataFrame, key_cols: list[str], top: int = 10
 ) -> DataFrame:

@@ -1477,3 +1477,161 @@ def q82_semantic_dedup(spark, sf_dir):
     return dedup.cluster_survivors(
         corpus.select("vec_id"), pairs, id_col="vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring, per-group score calibration, mixture weights
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+def _q83_oracle() -> str:
+    from .operators.text_analysis import BM25_B, BM25_K1
+
+    k1p1, one_b, b, k1 = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B), repr(BM25_B), repr(BM25_K1)
+    tfs = ",\n               ".join(
+        f"len(list_filter(toks, t -> t = '{w}')) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    idf = lambda i: (
+        f"CAST(floor(ln((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5)"
+        f" + 1.0) * 1000000 + 0.5) AS BIGINT)"
+    )
+    contrib = lambda i: (
+        f"CAST(floor({idf(i)} * CAST(tf{i} AS DOUBLE) * {k1p1}"
+        f" / (tf{i} + {k1} * ({one_b} + {b} * dl / avgdl)) + 0.5) AS BIGINT)"
+    )
+    total = " + ".join(contrib(i) for i in range(len(_BM25_TERMS)))
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    proj AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tfs}
+        FROM t
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS sumdl,
+               {dfs}
+        FROM proj
+    ),
+    s AS (
+        SELECT proj.*, stats.*, CAST(sumdl AS DOUBLE) / n AS avgdl
+        FROM proj, stats
+    )
+    SELECT doc_id, dl,
+           floor(({total}) / 100.0 + 0.5) / 10000.0 AS bm25
+    FROM s WHERE {matched}
+"""
+
+
+@query("q83_bm25_rank", _q83_oracle())
+def q83_bm25_rank(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query-term set —
+    the Lucene/Elasticsearch ranking function as two narrow projections
+    plus one 1-row broadcast stats aggregate (operators.text_analysis.
+    bm25_scores); nothing explodes and no shuffle is wider than a row."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bm25_scores(docs, _BM25_TERMS)
+
+
+_Q84_ORACLE = f"""
+    WITH q AS (
+        SELECT doc_id, lang, {TH.sql_quality_score('text')} AS quality
+        FROM documents
+    )
+    SELECT doc_id, lang, quality,
+           percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pct
+    FROM q
+"""
+
+
+@query("q84_quality_percentile", _Q84_ORACLE)
+def q84_quality_percentile(spark, sf_dir):
+    """Per-language percent_rank of the quality score — the calibration
+    step behind language-specific quality thresholds. The engine side
+    avoids the naive one-task-per-language row window: counts per
+    (lang, quality) compress the distribution first, the cumulative rank
+    runs over that small relation, and rows get their percentile back by
+    an AQE-broadcast equi-join (quality.percentile_rank)."""
+    from .quality import percentile_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        TH.quality_score(TH.tokens(F.col("text"))).alias("quality"),
+    )
+    return percentile_rank(scored, "lang", "quality")
+
+
+_MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt scaling)
+
+_Q85_ORACLE = f"""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({TH.sql_token_count('text')}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                               / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s))
+                          * 1000000 + 0.5) AS BIGINT) AS w6
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE)
+                 / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s)
+                 * 1000000 + 0.5) / 1000000.0 AS token_share,
+           floor(CAST(w6 AS DOUBLE)
+                 / (SELECT CAST(sum(w6) AS DOUBLE) FROM w)
+                 * 1000000 + 0.5) / 1000000.0 AS mix_weight
+    FROM w
+"""
+
+
+@query("q85_mixture_weights", _Q85_ORACLE)
+def q85_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha = 0.5) sampling weights per source — the
+    mixture-design step that upweights small domains (the multilingual /
+    domain-balancing recipe). One partial-agg'd groupBy to source stats,
+    then two window totals over the sources-sized relation; sqrt weights
+    are fixed-pointed to int64 before normalizing so both engines divide
+    identical integers."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TH.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = F.sum("n_tokens").over(W.partitionBy())
+    share = F.col("n_tokens").cast("double") / tot.cast("double")
+    w6 = F.floor(F.sqrt(share) * F.lit(1_000_000) + F.lit(0.5)).cast("long")
+    stats = stats.withColumn("_w6", w6)
+    tot_w6 = F.sum("_w6").over(W.partitionBy())
+    return stats.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(share * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "token_share"
+        ),
+        (
+            F.floor(
+                F.col("_w6").cast("double") / tot_w6.cast("double")
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mix_weight"),
+    )

@@ -160,6 +160,84 @@ class ParquetWarehouse:
         if old:
             shutil.rmtree(old, ignore_errors=True)
 
+    def write_shards(
+        self,
+        df: DataFrame,
+        table: str,
+        max_records_per_file: int = 1_000_000,
+        shuffle_by: list[str] | None = None,
+    ) -> dict:
+        """Training-shard export: size-bounded parquet files plus a
+        ``_manifest.json`` naming every shard with its row/byte counts —
+        the hand-off format a training loader consumes (shard list =
+        work units, counts = progress accounting).
+
+        ``shuffle_by``: deterministic decorrelation. Training wants
+        examples de-clustered from their source ordering; range-
+        partitioning + sorting on ``xxhash64(shuffle_by)`` is a
+        reproducible global shuffle (same input -> same shard contents),
+        unlike ``ORDER BY rand()``.  ``maxRecordsPerFile`` then bounds
+        each file without an extra repartition — at 100 TB the write
+        parallelism stays the full cluster and no task writes an
+        oversized shard.
+
+        Uses the same temp-dir + atomic swap as ``overwrite``; the
+        manifest is written into the temp dir first, so shards and
+        manifest commit together.  Returns the manifest dict.
+        """
+        from pyspark.sql import functions as F
+
+        if shuffle_by:
+            key = F.xxhash64(*[F.col(c) for c in shuffle_by])
+            df = (
+                df.withColumn("_shuffle_key", key)
+                .repartitionByRange("_shuffle_key")
+                .sortWithinPartitions("_shuffle_key")
+                .drop("_shuffle_key")
+            )
+        final = self.path(table)
+        tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(tmp)
+        )
+        import pyarrow.parquet as pq
+
+        shards = []
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(tmp, name)
+            shards.append(
+                {
+                    "file": name,
+                    "rows": pq.read_metadata(p).num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+        manifest = {
+            "table": table,
+            "n_shards": len(shards),
+            "total_rows": sum(s["rows"] for s in shards),
+            "shards": shards,
+        }
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        old = None
+        if os.path.exists(final):
+            old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
+            os.replace(final, old)
+        os.replace(tmp, final)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        return manifest
+
+    def read_manifest(self, table: str) -> dict:
+        """Manifest committed by the last ``write_shards``."""
+        with open(os.path.join(self.path(table), "_manifest.json")) as f:
+            return json.load(f)
+
     def read_meta(self, table: str) -> dict:
         """Sidecar committed by the last ``overwrite(..., meta=...)`` —
         empty dict if the table has none."""

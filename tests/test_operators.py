@@ -1224,3 +1224,75 @@ def test_bpe_train_matches_python_reference(spark):
         assert seg[w] == syms, w
     with _pytest.raises(ValueError):
         bpe_train(docs, num_merges=0)
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+
+    from example_dms_dataexport_spark.operators import text_analysis as TA
+
+    docs = [
+        (1, "spark join hash join"),
+        (2, "hash table scan"),
+        (3, "sort merge only"),
+        (4, "spark spark spark filter"),
+    ]
+    terms = ["spark", "join"]
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {w: sum(1 for v in toks.values() if w in v) for w in terms}
+    idf6 = {
+        w: math.floor(
+            math.log((n - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0) * 1e6 + 0.5
+        )
+        for w in terms
+    }
+
+    def score(i):
+        dl = len(toks[i])
+        t6 = 0
+        for w in terms:
+            tf = toks[i].count(w)
+            if tf:
+                t6 += math.floor(
+                    idf6[w] * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    + 0.5
+                )
+        return math.floor(t6 / 100.0 + 0.5) / 1e4
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in TA.bm25_scores(df, terms).collect()
+    }
+    assert set(got) == {1, 4}  # docs 2 and 3 contain neither term
+    for i in got:
+        assert got[i] == score(i), i
+    # two distinct matching terms beat one term stuffed (tf saturation)
+    assert got[1] > got[4]
+
+
+def test_percentile_rank_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from example_dms_dataexport_spark.quality import percentile_rank
+
+    rows = [("a", float(v)) for v in [1, 2, 2, 3]] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, ["grp", "val"]).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    got = {
+        (r["grp"], r["val"], r["pct"])
+        for r in percentile_rank(df, "grp", "val").collect()
+    }
+    ref = {
+        (r["grp"], r["val"], r["pct"])
+        for r in df.withColumn(
+            "pct", F.percent_rank().over(W.partitionBy("grp").orderBy("val"))
+        ).collect()
+    }
+    assert got == ref
+    # single-row group gets 0.0, ties share the min rank
+    assert ("b", 7.0, 0.0) in got
+    assert ("a", 2.0, 1 / 3) in got
