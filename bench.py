@@ -52,6 +52,8 @@ HEADLINE = [
     "q65_trailing_hour_avg",
     "q76_snapshot_diff",
     "q80_bloom_semi_join",
+    "q83_bm25_rank",
+    "q84_quality_percentile",
 ]
 
 

@@ -247,3 +247,26 @@ def test_q73_corpus_build_no_cartesian_no_hints(spark):
     plan = physical_plan(df)
     assert broadcast_hint_count(df) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_q83_bm25_stats_broadcast_no_wide_shuffle(spark):
+    df = _q(spark, "q83_bm25_rank")
+    plan = physical_plan(df)
+    # per-doc tf/dl are in-row array expressions; the only join is the
+    # 1-row corpus-stats broadcast (BroadcastNestedLoopJoin of a scalar
+    # relation), and the only exchange feeds that 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert exchange_count(df) <= 1, physical_plan(df)
+
+
+def test_q84_percentile_no_row_level_window(spark):
+    df = _q(spark, "q84_quality_percentile")
+    plan = physical_plan(df)
+    # the window must run over the compressed (lang, quality) counts, so a
+    # partial (map-side) aggregate precedes the first exchange, and the
+    # rank join-back is not a forced broadcast
+    assert plan.count("Window") >= 1
+    assert "partial" in plan.lower(), plan
+    assert broadcast_hint_count(df) == 0
+    assert exchange_count(df) <= 3, plan
