@@ -298,12 +298,19 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     # Labels only ever DECREASE (new = min(old, neighbor labels)). For
-    # numeric ids the decimal sum of labels is therefore a monotone
+    # INTEGRAL ids the decimal sum of labels is therefore a monotone
     # convergence witness — unchanged sum <=> no label changed — costing
     # one scan-aggregate over the just-checkpointed relation per round
     # instead of a join (an extra shuffle) against the previous labels.
-    # Non-numeric id types fall back to the join-based change count.
-    numeric_ids = dict(edges.dtypes)["src"] not in ("string", "binary")
+    # Only integral types qualify: the decimal(38,0) cast ROUNDS, so a
+    # sub-integer decrease (fractional ids) could leave the sum unchanged
+    # before convergence. Everything else uses the join-based count.
+    numeric_ids = dict(edges.dtypes)["src"] in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
 
     def _label_sum(rel: DataFrame):
         return rel.agg(

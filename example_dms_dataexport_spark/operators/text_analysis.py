@@ -55,6 +55,32 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_lang_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """The corpus-cleaning entry gate: keep documents at or above
+    ``min_quality`` whose predicted language is ``lang``; emits the
+    original columns plus ``quality``.
+
+    Computes ONLY the gate features — the token array is materialized
+    once and feeds the quality score and language guess; text_features'
+    regex-heavy fingerprint/BPE columns are never built.  Shared by the
+    q38/q73 pipelines so the gate semantics cannot drift between them.
+    """
+    return (
+        df.withColumn("_toks", TH.tokens(F.col(text_col)))
+        .withColumn("quality", TH.quality_score(F.col("_toks")))
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (TH.lang_id(F.col("_toks")) == lang)
+        )
+        .drop("_toks")
+    )
+
+
 def quality_filter(
     df: DataFrame, text_col: str = "text", min_quality: float = 0.5
 ) -> DataFrame:

@@ -144,8 +144,19 @@ def percentile_rank(
     pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
         (F.col("_cum") - F.col("_c")).cast("double") / (F.col("_n") - 1)
     )
-    ranks = dist.select(group_col, value_col, pct.alias(out_col))
-    return df.join(ranks, [group_col, value_col])
+    ranks = dist.select(
+        F.col(group_col).alias("_rg"),
+        F.col(value_col).alias("_rv"),
+        pct.alias(out_col),
+    )
+    # null-SAFE keys: groupBy ranks NULL groups/values like any other,
+    # and a plain equi-join would silently drop those rows on the way back
+    joined = df.join(
+        ranks,
+        df[group_col].eqNullSafe(ranks["_rg"])
+        & df[value_col].eqNullSafe(ranks["_rv"]),
+    )
+    return joined.drop("_rg", "_rv")
 
 
 def skew_report(

@@ -643,20 +643,15 @@ def q38_cleaning_pipeline(spark, sf_dir):
     one DAG (the iterative clustering step materializes per round by
     construction)."""
     docs = _t(spark, sf_dir, "documents")
-    # compute only the gate features (quality, lang) — text_features'
-    # fingerprint/BPE columns are regex-heavy and unused here
-    pass1 = (
-        docs.withColumn("_toks", TH.tokens(F.col("text")))
-        .withColumn("quality", TH.quality_score(F.col("_toks")))
-        .filter(
-            (F.col("quality") >= 0.5) & (TH.lang_id(F.col("_toks")) == "en")
-        )
-        .select("doc_id", "text", "quality")
+    pass1 = text_analysis.quality_lang_gate(docs).select(
+        "doc_id", "text", "quality"
     )
     # kept feeds BOTH the MinHash signature branch and the survivor
     # anti-join: persist it so the quality/lang/exact-dedup prefix runs
     # once, not once per consumer (the clustering step's first action
-    # materializes it)
+    # materializes it). Session-scoped cache by design — the declarative
+    # return means no post-consumption unpersist hook; Spark's LRU evicts
+    # it under memory pressure.
     kept = dedup.exact_dedup(pass1).persist()
     pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
     return dedup.cluster_survivors(kept, pairs).select(
@@ -1367,15 +1362,8 @@ def q73_corpus_build(spark, sf_dir):
     from .operators import decontam
 
     docs = _t(spark, sf_dir, "documents")
-    # compute only the gate features (quality, lang) — text_features'
-    # fingerprint/BPE columns are regex-heavy and unused here
-    pass1 = (
-        docs.withColumn("_toks", TH.tokens(F.col("text")))
-        .withColumn("quality", TH.quality_score(F.col("_toks")))
-        .filter(
-            (F.col("quality") >= 0.5) & (TH.lang_id(F.col("_toks")) == "en")
-        )
-        .select("doc_id", "text", "quality")
+    pass1 = text_analysis.quality_lang_gate(docs).select(
+        "doc_id", "text", "quality"
     )
     # kept feeds BOTH the signature branch and the survivor join:
     # persist it so the quality/lang/dedup prefix runs once, not twice
@@ -1565,15 +1553,15 @@ def q84_quality_percentile(spark, sf_dir):
     from .quality import percentile_rank
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        TH.quality_score(TH.tokens(F.col("text"))).alias("quality"),
+    # materialize the token array once — quality_score references it in
+    # four sub-expressions, and inlining the tokenizer would re-tokenize
+    # per reference inside interpreted higher-order lambdas
+    scored = (
+        docs.withColumn("_toks", TH.tokens(F.col("text")))
+        .withColumn("quality", TH.quality_score(F.col("_toks")))
+        .select("doc_id", "lang", "quality")
     )
     return percentile_rank(scored, "lang", "quality")
-
-
-_MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt scaling)
 
 _Q85_ORACLE = f"""
     WITH s AS (

@@ -152,6 +152,11 @@ class ParquetWarehouse:
         if meta is not None:
             with open(os.path.join(tmp, META_FILE), "w") as f:
                 json.dump(meta, f)
+        self._commit_swap(tmp, final, table)
+
+    def _commit_swap(self, tmp: str, final: str, table: str) -> None:
+        """Atomically promote ``tmp`` to ``final`` (rename), then drop
+        the displaced previous table directory."""
         old = None
         if os.path.exists(final):
             old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
@@ -166,6 +171,7 @@ class ParquetWarehouse:
         table: str,
         max_records_per_file: int = 1_000_000,
         shuffle_by: list[str] | None = None,
+        n_tasks: int | None = None,
     ) -> dict:
         """Training-shard export: size-bounded parquet files plus a
         ``_manifest.json`` naming every shard with its row/byte counts —
@@ -173,13 +179,15 @@ class ParquetWarehouse:
         work units, counts = progress accounting).
 
         ``shuffle_by``: deterministic decorrelation. Training wants
-        examples de-clustered from their source ordering; range-
-        partitioning + sorting on ``xxhash64(shuffle_by)`` is a
-        reproducible global shuffle (same input -> same shard contents),
-        unlike ``ORDER BY rand()``.  ``maxRecordsPerFile`` then bounds
-        each file without an extra repartition — at 100 TB the write
-        parallelism stays the full cluster and no task writes an
-        oversized shard.
+        examples de-clustered from their source ordering; HASH-
+        partitioning on ``xxhash64(shuffle_by)`` into a FIXED ``n_tasks``
+        partition count, sorted within each partition, is a reproducible
+        global shuffle (same input -> same shard contents) — unlike
+        ``ORDER BY rand()``, and unlike ``repartitionByRange``, whose
+        boundaries come from per-run random sampling and so differ
+        between identical runs.  ``maxRecordsPerFile`` then bounds each
+        file without another exchange — at 100 TB ``n_tasks`` is the
+        write parallelism and no task writes an oversized shard.
 
         Uses the same temp-dir + atomic swap as ``overwrite``; the
         manifest is written into the temp dir first, so shards and
@@ -189,10 +197,13 @@ class ParquetWarehouse:
 
         if shuffle_by:
             key = F.xxhash64(*[F.col(c) for c in shuffle_by])
+            n = n_tasks or df.sparkSession.sparkContext.defaultParallelism
             df = (
                 df.withColumn("_shuffle_key", key)
-                .repartitionByRange("_shuffle_key")
-                .sortWithinPartitions("_shuffle_key")
+                .repartition(n, "_shuffle_key")
+                # shuffle_by columns break hash-collision ties so the
+                # within-partition order is total
+                .sortWithinPartitions("_shuffle_key", *shuffle_by)
                 .drop("_shuffle_key")
             )
         final = self.path(table)
@@ -224,13 +235,7 @@ class ParquetWarehouse:
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
-        old = None
-        if os.path.exists(final):
-            old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
-            os.replace(final, old)
-        os.replace(tmp, final)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        self._commit_swap(tmp, final, table)
         return manifest
 
     def read_manifest(self, table: str) -> dict:

@@ -45,8 +45,21 @@ def start_rollup_stream(
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        last = warehouse.read_meta(rollup_table).get("last_batch_id")
-        if last is not None and batch_id <= last:
+        meta = warehouse.read_meta(rollup_table)
+        last = meta.get("last_batch_id")
+        # Batch ids are monotonic only WITHIN one checkpoint lineage, so
+        # the replay guard is scoped to it: a fresh checkpoint restarts
+        # ids at 0 and its batch 0 may contain genuinely new files —
+        # skipping it on the old lineage's last_batch_id would silently
+        # drop that data. (Resetting the checkpoint without resetting the
+        # rollup table therefore re-applies everything — at-least-once
+        # across lineages; reseed the rollup when you reset the
+        # checkpoint.)
+        if (
+            last is not None
+            and meta.get("checkpoint") == checkpoint_dir
+            and batch_id <= last
+        ):
             # crash-replay of a batch whose overwrite already committed —
             # folding it again would double-apply its deltas
             return
@@ -57,7 +70,9 @@ def start_rollup_stream(
         merged.persist()
         merged.count()
         warehouse.overwrite(
-            merged, rollup_table, meta={"last_batch_id": batch_id}
+            merged,
+            rollup_table,
+            meta={"checkpoint": checkpoint_dir, "last_batch_id": batch_id},
         )
         merged.unpersist()
 

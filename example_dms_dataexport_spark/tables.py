@@ -31,11 +31,23 @@ def _events_ts_unit(path: str) -> str:
 
     Driver-side, one footer read — the generated data has used both
     nanosecond- and microsecond-precision timestamps across versions, and
-    the two need different read paths.
+    the two need different read paths.  Handles a directory-shaped table
+    (reads the first part file's footer) and defaults to "us" (the native
+    read path) when the column isn't an annotated timestamp at all.
     """
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(path).field("ts").type.unit)
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return "us"
+        path = os.path.join(path, parts[0])
+    try:
+        return str(pq.read_schema(path).field("ts").type.unit)
+    except (KeyError, AttributeError):
+        return "us"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

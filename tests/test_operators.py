@@ -1296,3 +1296,17 @@ def test_percentile_rank_matches_window(spark):
     # single-row group gets 0.0, ties share the min rank
     assert ("b", 7.0, 0.0) in got
     assert ("a", 2.0, 1 / 3) in got
+
+
+def test_percentile_rank_keeps_null_keys(spark):
+    # NULL group/value rows must come back ranked (null-safe join), not
+    # silently dropped like a plain equi-join would
+    from example_dms_dataexport_spark.quality import percentile_rank
+
+    rows = [("a", 1.0), ("a", None), (None, 5.0), (None, 6.0)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = percentile_rank(df, "grp", "val").collect()
+    assert len(out) == 4
+    by_key = {(r["grp"], r["val"]): r["pct"] for r in out}
+    assert (None, 5.0) in by_key and (None, 6.0) in by_key
+    assert ("a", None) in by_key

@@ -417,8 +417,10 @@ def test_write_shards_bounds_files_and_manifest(spark, tmp_path):
 
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     df = spark.range(0, 5000).withColumn("v", F.col("id") * 2)
+    # explicit n_tasks > 1: determinism must hold across a REAL
+    # multi-partition hash shuffle, not via AQE collapsing to one task
     m = wh.write_shards(df, "shards", max_records_per_file=500,
-                        shuffle_by=["id"])
+                        shuffle_by=["id"], n_tasks=4)
     assert m["total_rows"] == 5000
     assert m["n_shards"] >= 10
     assert all(s["rows"] <= 500 for s in m["shards"])
@@ -426,8 +428,24 @@ def test_write_shards_bounds_files_and_manifest(spark, tmp_path):
     got = {r["id"] for r in wh.read(spark, "shards").collect()}
     assert got == set(range(5000))
 
-    # deterministic: a second identical write produces identical shard
-    # row-count layout (reproducible global shuffle, not rand())
+    # deterministic: a second identical write produces identical
+    # per-shard contents (reproducible hash shuffle + total sort order,
+    # not rand() and not range-sampled boundaries)
+    def shard_contents(manifest):
+        # file names embed a per-job uuid; position in the sorted
+        # manifest is the stable identity
+        return [
+            sorted(
+                (r["id"], r["v"])
+                for r in spark.read.parquet(
+                    os.path.join(wh.path("shards"), s["file"])
+                ).collect()
+            )
+            for s in manifest["shards"]
+        ]
+
+    first = shard_contents(m)
     m2 = wh.write_shards(df, "shards", max_records_per_file=500,
-                         shuffle_by=["id"])
+                         shuffle_by=["id"], n_tasks=4)
     assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m["shards"]]
+    assert shard_contents(m2) == first

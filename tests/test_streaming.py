@@ -454,7 +454,7 @@ def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
     overwrite and the checkpoint commit, the source replays the batch.
     The sink records last_batch_id atomically with the rollup and must
     skip the replay instead of folding the same deltas twice."""
-    import shutil
+    import os
 
     from example_dms_dataexport_spark.operators import incremental
     from example_dms_dataexport_spark.streaming.rollup_stream import (
@@ -476,29 +476,61 @@ def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
     ).coalesce(1).write.parquet(str(chg / "f1"))
 
     def run(ckpt):
+        import time
+
         stream = spark.readStream.schema(schema).parquet(str(chg / "*"))
         q = start_rollup_stream(
             spark, stream, wh, "agg", ["grp"], ["v"], checkpoint_dir=ckpt
         )
         q.awaitTermination(120)
+        q.stop()  # deregister before a restart reuses the checkpoint
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
 
-    run(str(tmp_path / "ckpt"))
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
     expect = {
         r["grp"]: (r["sum_v"], r["n_rows"])
         for r in wh.read(spark, "agg").collect()
     }
     assert expect["a"] == (110, 2)
-    assert wh.read_meta("agg") == {"last_batch_id": 0}
+    assert wh.read_meta("agg") == {"checkpoint": ckpt, "last_batch_id": 0}
 
-    # crash-replay: wipe the checkpoint so the SAME file re-arrives as
-    # batch 0 again — the sink must recognize it as already applied
-    shutil.rmtree(str(tmp_path / "ckpt"))
-    run(str(tmp_path / "ckpt2"))
+    # crash-replay within the SAME checkpoint lineage: remove the latest
+    # commit marker (the sink wrote, the checkpoint didn't record), so
+    # the restarted stream re-delivers batch 0 — must be skipped
+    commits = os.path.join(ckpt, "commits")
+    latest = sorted(f for f in os.listdir(commits) if not f.startswith("."))[-1]
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks the rewrite
+        os.remove(crc)
+    run(ckpt)
     got = {
         r["grp"]: (r["sum_v"], r["n_rows"])
         for r in wh.read(spark, "agg").collect()
     }
     assert got == expect  # not (210, 3): replay skipped
+
+    # a NEW checkpoint lineage restarts batch ids at 0; its batch 0 can
+    # hold genuinely new files and must NOT be skipped on the old
+    # lineage's last_batch_id
+    spark.createDataFrame(
+        [("I", None, None, "b", 40)],
+        "op string, before_grp string, before_v long, "
+        "after_grp string, after_v long",
+    ).coalesce(1).write.parquet(str(chg / "f2"))
+    run(str(tmp_path / "ckpt2"))
+    got2 = {
+        r["grp"]: (r["sum_v"], r["n_rows"])
+        for r in wh.read(spark, "agg").collect()
+    }
+    # lineage reset without a table reset re-applies f1 (documented
+    # at-least-once across lineages) and must include f2's insert
+    assert got2["b"] == (5 + 40, 2)
+    assert got2["a"] == (110 + 100, 3)
 
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
