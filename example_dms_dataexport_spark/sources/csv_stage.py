@@ -36,23 +36,47 @@ def cdc_schema(target_schema: StructType) -> StructType:
     return StructType([OP_FIELD, *target_schema.fields])
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_stage_csv(
     spark: SparkSession,
     files: list[str],
     schema: StructType,
     with_file_metadata: bool = False,
+    on_error: str = "permissive",
 ) -> DataFrame:
     """Read an explicit (driver-pruned) list of positional CSVs.
 
     The caller prunes ``files`` by watermark *before* this call — the scan
     never touches already-loaded files (SURVEY §4: the biggest scale lever).
+
+    ``on_error`` mirrors the warehouse COPY INTO error contract (the
+    reference's loads run Snowflake's default ABORT_STATEMENT):
+
+    - ``"permissive"`` (default): malformed fields become NULLs — the
+      lenient mode the positional-cast pipeline has always used;
+    - ``"failfast"``: abort the load on the first malformed row
+      (ABORT_STATEMENT parity);
+    - ``"quarantine"``: keep every row and append ``_corrupt_record``
+      holding the raw line for rows that failed the schema — split
+      good/bad with ``split_quarantine`` (ON_ERROR = CONTINUE plus an
+      errors table, without a second scan).
     """
     if not files:
         return spark.createDataFrame([], schema)
+    if on_error == "quarantine":
+        schema = StructType(
+            [*schema.fields, StructField(CORRUPT_COL, StringType(), True)]
+        )
+    mode = {"permissive": "PERMISSIVE", "quarantine": "PERMISSIVE"}.get(
+        on_error, "FAILFAST"
+    )
     reader = (
         spark.read.schema(schema)
         .option("header", "false")
-        .option("mode", "PERMISSIVE")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
     if with_file_metadata:
         # one split per file → intra-file order is intact for the rownum
@@ -64,3 +88,18 @@ def read_stage_csv(
         )
         return df.withColumn("_dms_rownum", F.row_number().over(w))
     return reader.csv(files)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, bad_rows) for a ``on_error="quarantine"`` read.
+
+    Bad rows keep only the raw ``_corrupt_record`` line (their typed
+    columns are NULL-padded noise); good rows drop the marker column.
+    The input is cached: one scan serves both sides, and Spark refuses
+    to project ONLY the internal corrupt column from a raw CSV scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the relation is cached.
+    """
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad

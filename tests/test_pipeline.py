@@ -449,3 +449,32 @@ def test_write_shards_bounds_files_and_manifest(spark, tmp_path):
                          shuffle_by=["id"], n_tasks=4)
     assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m["shards"]]
     assert shard_contents(m2) == first
+
+
+def test_csv_on_error_modes(spark, tmp_path):
+    # COPY INTO error-contract parity: permissive nulls bad fields,
+    # failfast aborts (ABORT_STATEMENT), quarantine keeps the raw line
+    from example_dms_dataexport_spark.sources.csv_stage import (
+        read_stage_csv,
+        split_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", LongType())]
+    )
+    f = tmp_path / "data.csv"
+    f.write_text("1,10\n2,notanumber\n3,30\n")
+    files = [str(f)]
+
+    lenient = read_stage_csv(spark, files, schema).collect()
+    assert {(r["id"], r["val"]) for r in lenient} == {
+        (1, 10), (2, None), (3, 30),
+    }
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST|BAD_RECORD"):
+        read_stage_csv(spark, files, schema, on_error="failfast").collect()
+
+    q = read_stage_csv(spark, files, schema, on_error="quarantine")
+    good, bad = split_quarantine(q)
+    assert {(r["id"], r["val"]) for r in good.collect()} == {(1, 10), (3, 30)}
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["2,notanumber"]
