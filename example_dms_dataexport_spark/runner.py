@@ -16,6 +16,7 @@ cannot).  FAIR scheduling keeps one giant table from starving the rest.
 from __future__ import annotations
 
 import queue
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -54,11 +55,22 @@ def run_queue(
     items: list[WorkItem],
     schemas: dict[str, StructType] | None = None,
     task_count: int = 5,
+    retries: int = 0,
+    backoff_s: float = 1.0,
 ) -> RunResult:
-    q: queue.Queue[WorkItem] = queue.Queue()
+    """Drain the work queue with ``task_count`` workers.
+
+    ``retries``: per-item re-attempts after a failure (the reference's
+    scheduled tasks get this for free — a failed item stays in the DMS
+    queue table and the next tick re-claims it; here the requeue is
+    explicit). Attempt n waits ``backoff_s * 2^(n-1)`` first, idempotency
+    is what the loads already guarantee (atomic overwrite / un-advanced
+    watermark), and only the final failure lands in ``errors``.
+    """
+    q: queue.Queue[tuple[WorkItem, int]] = queue.Queue()
     for it in items:
         if it.load_type != "N":
-            q.put(it)
+            q.put((it, 0))
     result = RunResult()
 
     def worker() -> None:
@@ -69,10 +81,12 @@ def run_queue(
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dms")
         while True:
             try:
-                it = q.get_nowait()
+                it, attempt = q.get_nowait()
             except queue.Empty:
                 return
             try:
+                if attempt:
+                    time.sleep(backoff_s * (2 ** (attempt - 1)))
                 # QUERY_TAG analogue (ref :225,281,540-544): every job a
                 # load submits is tagged with its table + load type, so a
                 # hung load is findable in the Spark UI / REST API by
@@ -88,7 +102,10 @@ def run_queue(
                     msg = incremental_load(spark, store, warehouse, it.full_path)
                     result.processed.append((it.full_path, "I", msg))
             except Exception as e:  # noqa: BLE001 — per-item isolation
-                result.errors.append((it.full_path, repr(e)))
+                if attempt < retries:
+                    q.put((it, attempt + 1))
+                else:
+                    result.errors.append((it.full_path, repr(e)))
             finally:
                 q.task_done()
 

@@ -478,3 +478,38 @@ def test_csv_on_error_modes(spark, tmp_path):
     good, bad = split_quarantine(q)
     assert {(r["id"], r["val"]) for r in good.collect()} == {(1, 10), (3, 30)}
     assert [r["_corrupt_record"] for r in bad.collect()] == ["2,notanumber"]
+
+
+def test_run_queue_retries_transient_failures(spark, tmp_path, landing, monkeypatch):
+    import example_dms_dataexport_spark.runner as runner_mod
+
+    store, wh = make_env(tmp_path, landing)
+    real_full_load = runner_mod.full_load
+    calls = {"n": 0}
+
+    def flaky_full_load(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient storage hiccup")
+        return real_full_load(*a, **kw)
+
+    monkeypatch.setattr(runner_mod, "full_load", flaky_full_load)
+    res = run_queue(
+        spark, store, wh, [WorkItem("erp/customer", "F", 1)],
+        schemas={"erp/customer": CUST_SCHEMA},
+        retries=2, backoff_s=0.01,
+    )
+    assert res.errors == []
+    assert calls["n"] == 3
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 30.25),
+    }
+
+    # without retries the same failure is terminal and lands in errors
+    calls["n"] = 0
+    store2, wh2 = make_env(tmp_path, landing)
+    res2 = run_queue(
+        spark, store2, wh2, [WorkItem("erp/customer", "F", 1)],
+        schemas={"erp/customer": CUST_SCHEMA},
+    )
+    assert len(res2.errors) == 1 and "transient" in res2.errors[0][1]
