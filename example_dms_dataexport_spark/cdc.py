@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .listing import list_stage
 from .merge import apply_changes
@@ -41,9 +42,19 @@ def incremental_load(
     warehouse: ParquetWarehouse,
     full_path: str,
     partition_by: list[str] | None = None,
+    schema: StructType | None = None,
 ) -> str:
     """Apply all CDC files newer than the watermark; returns a status
-    string shaped like the reference's returns (ref :418-426)."""
+    string shaped like the reference's returns (ref :418-426).
+
+    ``schema``: additive schema evolution. When the source grows a column
+    the CDC files carry an extra positional field the stored target
+    doesn't have; pass the EVOLVED target schema and the load reads the
+    files against it while back-filling the new columns as NULL on the
+    existing rows (the merge then writes the evolved layout). Columns may
+    only be added — a schema missing stored columns raises rather than
+    silently dropping data.
+    """
     meta = store.get(full_path)
     if meta is None:
         return "Specified full_path doesn't exist in dms_metadata table."
@@ -64,8 +75,24 @@ def incremental_load(
         return "No files to process."  # ref :421-423
 
     target = warehouse.read(spark, meta.target_table)
+    if schema is not None:
+        dropped = [c for c in target.columns if c not in schema.fieldNames()]
+        if dropped:
+            raise ValueError(
+                f"schema evolution is additive-only; missing stored columns: "
+                f"{dropped}"
+            )
+        for f_ in schema.fields:
+            if f_.name not in target.columns:
+                target = target.withColumn(
+                    f_.name, F.lit(None).cast(f_.dataType)
+                )
+        target = target.select(*schema.fieldNames())
+        read_schema = schema
+    else:
+        read_schema = target.schema
     changes = read_stage_csv(
-        spark, new_files, cdc_schema(target.schema), with_file_metadata=True
+        spark, new_files, cdc_schema(read_schema), with_file_metadata=True
     )
     version_cols = ["_dms_filename", "_dms_rownum"]  # ref :382 total order
 

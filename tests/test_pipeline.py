@@ -513,3 +513,57 @@ def test_run_queue_retries_transient_failures(spark, tmp_path, landing, monkeypa
         schemas={"erp/customer": CUST_SCHEMA},
     )
     assert len(res2.errors) == 1 and "transient" in res2.errors[0][1]
+
+
+def test_cdc_schema_evolution_adds_column(spark, tmp_path, landing):
+    # the source grows a column: CDC files carry an extra positional
+    # field; existing rows back-fill NULL, merged rows carry the value
+    store, wh = make_env(tmp_path, landing)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+
+    evolved = StructType(
+        [*CUST_SCHEMA.fields, StructField("c_tier", StringType())]
+    )
+    write_file(
+        landing,
+        "erp/customer/20240105-000000001.csv",
+        ["U,2,bob2,22.0,gold", "I,4,dave,40.0,silver"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer", schema=evolved)
+    assert msg.startswith("Rows affected")
+    got = {
+        (r.c_custkey, r.c_name, r.c_acctbal, r.c_tier)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+    assert got == {
+        (1, "alice", 10.5, None),   # untouched row: NULL back-fill
+        (3, "carol", 30.25, None),
+        (2, "bob2", 22.0, "gold"),
+        (4, "dave", 40.0, "silver"),
+    }
+
+    # a later batch WITHOUT passing the schema keeps working against the
+    # evolved stored layout
+    write_file(
+        landing,
+        "erp/customer/20240106-000000001.csv",
+        ["U,1,alice2,11.0,bronze"],
+    )
+    incremental_load(spark, store, wh, "erp/customer")
+    got = {
+        (r.c_custkey, r.c_tier)
+        for r in wh.read(spark, "erp_customer").collect()
+        if r.c_custkey == 1
+    }
+    assert got == {(1, "bronze")}
+
+    # dropping a stored column is refused (needs a pending file to reach
+    # the merge path — the no-new-files early exit comes first)
+    write_file(
+        landing, "erp/customer/20240107-000000001.csv", ["U,1,a,1.0,x"]
+    )
+    with pytest.raises(ValueError, match="additive-only"):
+        incremental_load(
+            spark, store, wh, "erp/customer",
+            schema=StructType(CUST_SCHEMA.fields[:2]),
+        )
