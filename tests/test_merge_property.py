@@ -154,3 +154,40 @@ def test_update_rollup_equals_full_recompute(spark, facts, data):
         s, n = expect.get(grp, (0, 0))
         expect[grp] = (s + v, n + 1)
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([0.0, 1.0, 1.5, 2.0, 7.25]),  # forces ties
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_percentile_rank_equals_window_reference(spark, rows):
+    """quality.percentile_rank (compressed-distribution algorithm) must
+    equal percent_rank() over a row window for any group/tie structure."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from example_dms_dataexport_spark.quality import percentile_rank
+
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    got = sorted(
+        (r["grp"], r["val"], r["pct"])
+        for r in percentile_rank(df, "grp", "val").collect()
+    )
+    ref = sorted(
+        (r["grp"], r["val"], r["pct"])
+        for r in df.withColumn(
+            "pct", F.percent_rank().over(W.partitionBy("grp").orderBy("val"))
+        ).collect()
+    )
+    assert got == ref
