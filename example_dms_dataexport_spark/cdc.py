@@ -96,13 +96,42 @@ def incremental_load(
     )
     version_cols = ["_dms_filename", "_dms_rownum"]  # ref :382 total order
 
+    n = merge_and_write(
+        warehouse,
+        meta.target_table,
+        target,
+        changes,
+        pks=meta.primary_keys,
+        version_cols=version_cols,
+        partition_by=partition_by,
+    )
+
+    last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
+    store.update_watermarks(full_path, last_incremental_file=last_file)
+    return f"Rows affected: {n}."
+
+
+def merge_and_write(
+    warehouse: ParquetWarehouse,
+    target_table: str,
+    target,
+    changes,
+    pks: list[str],
+    version_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """MERGE ``changes`` into ``target`` and commit to ``target_table``;
+    returns the written row count. ONE code path for the merge+write,
+    shared by the batch loader and the streaming foreachBatch driver.
+
+    With ``partition_by`` the merge is partition-scoped — the 100 TB path
+    (SURVEY §7.3a): partition columns must be stable per PK (a pk-derived
+    bucket or immutable date), so a change only touches its own
+    partition, the target scan is partition-pruned to the batch's
+    partitions, and the rewrite is proportional to the CDC batch, not
+    the table.
+    """
     if partition_by:
-        # Partition-scoped merge — the 100 TB path (SURVEY §7.3a). The
-        # partition columns must be stable per PK (e.g. a pk-derived
-        # bucket or an immutable date): then a change only ever touches
-        # its own partition, so the target scan is partition-pruned to
-        # the batch's partitions and the rewrite is proportional to the
-        # CDC batch, not the table.
         touched = [
             tuple(r[c] for c in partition_by)
             for r in changes.select(*partition_by).distinct().collect()
@@ -144,22 +173,18 @@ def incremental_load(
         merged = apply_changes(
             target.filter(pred),  # partition-pruned scan
             changes,
-            pks=meta.primary_keys,
+            pks=pks,
             version_cols=version_cols,
         )
         merged = merged.persist()
         n = merged.count()  # materialize before overwriting what we read
-        warehouse.replace_partitions(
-            merged, meta.target_table, partition_by, touched
-        )
+        warehouse.replace_partitions(merged, target_table, partition_by, touched)
         merged.unpersist()
     else:
         merged = apply_changes(
-            target, changes, pks=meta.primary_keys, version_cols=version_cols
-        )
+            target, changes, pks=pks, version_cols=version_cols
+        ).persist()
         n = merged.count()  # materialization also validates before the swap
-        warehouse.overwrite(merged, meta.target_table)
-
-    last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
-    store.update_watermarks(full_path, last_incremental_file=last_file)
-    return f"Rows affected: {n}."
+        warehouse.overwrite(merged, target_table)
+        merged.unpersist()
+    return n

@@ -34,7 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
-from ..merge import apply_changes
+from ..cdc import merge_and_write
 from ..sources.csv_stage import cdc_schema
 from ..sources.warehouse import ParquetWarehouse
 
@@ -68,9 +68,18 @@ def start_cdc_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 100,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuously (or catch-up once, with available_now) merge CDC files
-    into ``target_table``. The target must already exist (full load)."""
+    into ``target_table``. The target must already exist (full load).
+
+    ``partition_by`` makes every micro-batch's merge partition-scoped
+    (cdc.merge_and_write): at 100 TB a continuous stream CANNOT full-
+    rewrite the target per batch, so the same pruned-merge +
+    replace_partitions path the batch loader uses is the only shape that
+    survives — per-batch cost proportional to the batch's touched
+    partitions, untouched partition files never read or written.
+    """
     target_schema = warehouse.read(spark, target_table).schema
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -81,18 +90,17 @@ def start_cdc_stream(
         )
         changes = batch.withColumn("_dms_rownum", F.row_number().over(w))
         target = warehouse.read(spark, target_table)
-        merged = apply_changes(
+        # foreachBatch may retry a batch on failure; the atomic overwrite
+        # (or tombstoned partition replace) makes the retry idempotent.
+        merge_and_write(
+            warehouse,
+            target_table,
             target,
             changes,
             pks=pks,
             version_cols=["_dms_filename", "_dms_rownum"],
+            partition_by=partition_by,
         )
-        # foreachBatch may retry a batch on failure; the atomic overwrite
-        # makes the retry idempotent (same input -> same table state).
-        merged.persist()
-        merged.count()
-        warehouse.overwrite(merged, target_table)
-        merged.unpersist()
 
     stream = read_cdc_stream(
         spark, landing_glob, target_schema, max_files_per_trigger

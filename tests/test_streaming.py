@@ -574,3 +574,65 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     expect = {tuple(r) for r in batch.collect()}
     assert got, "stream join emitted nothing"
     assert got == expect
+
+
+def test_cdc_stream_partition_scoped_merge(spark, tmp_path):
+    """Streaming CDC with partition_by must rewrite only touched
+    partitions per micro-batch — untouched partition files keep their
+    paths and mtimes (the 100 TB continuous-merge shape)."""
+    import os
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    target = spark.createDataFrame(
+        [(i, "abc"[i % 3], i * 10) for i in range(9)],
+        ["id", "region", "val"],
+    )
+    wh.overwrite(target, "t", partition_by=["region"])
+
+    def snapshot():
+        out = {}
+        for dirpath, _d, files in os.walk(wh.path("t")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+
+    # touch only region=a (ids 0,3,6); delete every region=c row.
+    # NB positional order follows the read-back schema of a partitioned
+    # table: data columns first, partition column LAST -> (op,id,val,region)
+    _write_cdc_file(
+        landing / "20240101-000000001.csv",
+        [("U", 0, 999, "a"), ("I", 100, 1000, "a")],
+    )
+    _write_cdc_file(
+        landing / "20240102-000000001.csv",
+        [("D", 2, 20, "c"), ("D", 5, 50, "c"), ("D", 8, 80, "c")],
+    )
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.csv"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        partition_by=["region"],
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["region"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got[0] == ("a", 999) and got[100] == ("a", 1000)
+    assert not any(r == "c" for r, _ in got.values())
+    assert got[1] == ("b", 10) and got[7] == ("b", 70)
+
+    after = snapshot()
+    for p, m in before.items():
+        if "region=b" in p:  # never touched by either batch
+            assert after.get(p) == m, f"untouched partition rewritten: {p}"
+    assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
