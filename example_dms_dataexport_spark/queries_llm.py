@@ -1623,3 +1623,52 @@ def q85_mixture_weights(spark, sf_dir):
             / F.lit(1e6)
         ).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/holdout split
+# ---------------------------------------------------------------------------
+
+_SPLIT_PCT = 90  # train share of the 0-99 hash buckets
+
+_Q86_ORACLE = f"""
+    WITH RECURSIVE {_SIG_CTES.strip()},
+    {_PAIRS_CORE.strip()},
+    {_CLUSTER_CTES.strip()}
+    SELECT d.doc_id,
+           CASE WHEN {TH.sql_poly_hash(
+               "CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")}
+                     % 100 < {_SPLIT_PCT}
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents d
+    LEFT JOIN clusters c ON c.id = d.doc_id
+"""
+
+
+@query("q86_leakage_safe_split", _Q86_ORACLE)
+def q86_leakage_safe_split(spark, sf_dir):
+    """Deterministic train/holdout split that cannot leak near-dups
+    across the boundary: the split key is the document's near-dup
+    CLUSTER id (min doc_id of its MinHash component), so every member of
+    a component lands in the same split — hashing raw doc_ids would put
+    a train document's near-copy into the holdout set and contaminate
+    evaluation. Unclustered docs hash their own id. The pair list is the
+    small relation; assignment is one hash expression after a left join
+    of docs against the (pairs-sized) cluster labels — AQE broadcasts
+    it."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string")
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(TH.poly_hash(key) % 100 < _SPLIT_PCT, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )

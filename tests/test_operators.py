@@ -1310,3 +1310,36 @@ def test_percentile_rank_keeps_null_keys(spark):
     by_key = {(r["grp"], r["val"]): r["pct"] for r in out}
     assert (None, 5.0) in by_key and (None, 6.0) in by_key
     assert ("a", None) in by_key
+
+
+def test_leakage_safe_split_coassigns_near_dups(spark):
+    # paired docs (same component) must land in the same split, whatever
+    # the hash says about their individual ids
+    from example_dms_dataexport_spark.functions import texthash as TH2
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 30)], ["id_a", "id_b"]
+    )
+    clusters = dedup.dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(TH2.poly_hash(key) % 100 < 90, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+        .collect()
+    }
+    assert len(out) == 40
+    assert out[0] == out[1] == out[2]
+    assert out[5] == out[6]
+    assert out[10] == out[30]
