@@ -75,6 +75,7 @@ def incremental_load(
         return "No files to process."  # ref :421-423
 
     target = warehouse.read(spark, meta.target_table)
+    evolved = False
     if schema is not None:
         dropped = [c for c in target.columns if c not in schema.fieldNames()]
         if dropped:
@@ -87,6 +88,7 @@ def incremental_load(
                 target = target.withColumn(
                     f_.name, F.lit(None).cast(f_.dataType)
                 )
+                evolved = True
         target = target.select(*schema.fieldNames())
         read_schema = schema
     else:
@@ -104,6 +106,12 @@ def incremental_load(
         pks=meta.primary_keys,
         version_cols=version_cols,
         partition_by=partition_by,
+        # An evolution batch must not be partition-scoped: rewriting only
+        # touched partitions would leave untouched partition dirs on the
+        # OLD parquet layout, and a later plain read (mergeSchema off) can
+        # resolve the table schema from an old-layout footer — silently
+        # losing the new column. Force the one-time full rewrite.
+        full_rewrite=evolved,
     )
 
     last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
@@ -119,6 +127,7 @@ def merge_and_write(
     pks: list[str],
     version_cols: list[str],
     partition_by: list[str] | None = None,
+    full_rewrite: bool = False,
 ) -> int:
     """MERGE ``changes`` into ``target`` and commit to ``target_table``;
     returns the written row count. ONE code path for the merge+write,
@@ -130,8 +139,14 @@ def merge_and_write(
     partition, the target scan is partition-pruned to the batch's
     partitions, and the rewrite is proportional to the CDC batch, not
     the table.
+
+    ``full_rewrite`` disables the partition-scoped path for one batch
+    while KEEPING the hive partition layout on disk — the schema-
+    evolution case, where every partition dir must be rewritten to the
+    evolved layout so no reader can resolve the table schema from a
+    stale old-layout footer.
     """
-    if partition_by:
+    if partition_by and not full_rewrite:
         touched = [
             tuple(r[c] for c in partition_by)
             for r in changes.select(*partition_by).distinct().collect()
@@ -185,6 +200,8 @@ def merge_and_write(
             target, changes, pks=pks, version_cols=version_cols
         ).persist()
         n = merged.count()  # materialization also validates before the swap
-        warehouse.overwrite(merged, target_table)
+        # full_rewrite keeps the partition layout: the atomic whole-table
+        # swap also drops any pending tombstone marker with the old dir.
+        warehouse.overwrite(merged, target_table, partition_by=partition_by)
         merged.unpersist()
     return n

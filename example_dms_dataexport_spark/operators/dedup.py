@@ -329,11 +329,16 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        if numeric_ids:
-            cur_sum = _label_sum(new_labels)
+        if numeric_ids and not (
+            (cur_sum := _label_sum(new_labels)) is None or prev_sum is None
+        ):
             changed = cur_sum != prev_sum
             prev_sum = cur_sum
         else:
+            # Non-integral ids — or a NULL sum, i.e. decimal(38,0)
+            # overflow (non-ANSI Spark returns NULL; None != None would
+            # read as "converged" and silently return unconverged
+            # labels): decide with the join-based count instead.
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
@@ -341,6 +346,8 @@ def dedup_clusters(
                 .count()
                 > 0
             )
+            if numeric_ids:
+                prev_sum = cur_sum
         labels = new_labels
         if not changed:
             break

@@ -63,6 +63,12 @@ def read_stage_csv(
       good/bad with ``split_quarantine`` (ON_ERROR = CONTINUE plus an
       errors table, without a second scan).
     """
+    if on_error not in ("permissive", "failfast", "quarantine"):
+        # a typo must not silently fall through to an aborting FAILFAST load
+        raise ValueError(
+            f"on_error must be 'permissive', 'failfast' or 'quarantine', "
+            f"got {on_error!r}"
+        )
     if not files:
         return spark.createDataFrame([], schema)
     if on_error == "quarantine":

@@ -19,6 +19,7 @@ already applied — the standard idempotent-foreachBatch recipe.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,11 @@ def start_rollup_stream(
     """Fold a STREAMING DataFrame of I/U/D change rows (op + before_*/
     after_* images, see operators.incremental) into ``rollup_table``,
     which must already exist (seed it with ``incremental.rollup``)."""
+    # Lineage identity is the checkpoint PATH — normalize it so the same
+    # lineage restarted with a differently spelled path (trailing slash,
+    # relative vs absolute) still matches the stored guard and a crash-
+    # replayed batch is not re-folded.
+    lineage = os.path.realpath(checkpoint_dir)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -54,10 +60,12 @@ def start_rollup_stream(
         # drop that data. (Resetting the checkpoint without resetting the
         # rollup table therefore re-applies everything — at-least-once
         # across lineages; reseed the rollup when you reset the
-        # checkpoint.)
+        # checkpoint. tests/test_streaming.py pins both directions.)
+        stored = meta.get("checkpoint")
         if (
             last is not None
-            and meta.get("checkpoint") == checkpoint_dir
+            and stored is not None
+            and os.path.realpath(stored) == lineage
             and batch_id <= last
         ):
             # crash-replay of a batch whose overwrite already committed —
@@ -72,7 +80,7 @@ def start_rollup_stream(
         warehouse.overwrite(
             merged,
             rollup_table,
-            meta={"checkpoint": checkpoint_dir, "last_batch_id": batch_id},
+            meta={"checkpoint": lineage, "last_batch_id": batch_id},
         )
         merged.unpersist()
 

@@ -264,3 +264,55 @@ def test_many_touched_partitions_struct_in_predicate(spark, tmp_path):
         b = int(p.split("bucket=")[1].split("/")[0])
         if b >= touched_parts:
             assert after.get(p) == mtime, f"untouched partition rewritten: {p}"
+
+
+def test_schema_evolution_forces_full_rewrite_of_all_partitions(
+    spark, tmp_path
+):
+    """An evolution batch on a partitioned target must rewrite EVERY
+    partition dir to the evolved layout: a partition-scoped rewrite would
+    leave untouched dirs on the old footer schema, and a later plain read
+    (mergeSchema off) could resolve the table schema from one of them —
+    silently dropping the new column."""
+    stage, store, wh, tdir = _setup(spark, tmp_path)
+
+    # read order of the partitioned target: data cols, partition col last
+    base_cols = wh.read(spark, "t").schema
+    assert base_cols.fieldNames() == ["id", "val", "region"]
+    evolved = StructType(
+        [*base_cols.fields, StructField("tier", StringType())]
+    )
+    # CDC touches ONLY region a, but the layout change is table-wide
+    (tdir / "20240103-000000001.csv").write_text("U,0,999,a,gold\n")
+    msg = incremental_load(
+        spark, store, wh, "sch/tbl", partition_by=["region"], schema=evolved
+    )
+    assert msg.startswith("Rows affected")
+
+    # every partition leaf now carries the evolved layout — read each dir
+    # directly (no mergeSchema) and the new column must be there
+    for leaf in ("region=a", "region=b", "region=c"):
+        leaf_dir = os.path.join(wh.path("t"), leaf)
+        assert os.path.isdir(leaf_dir)
+        assert "tier" in spark.read.parquet(leaf_dir).columns, leaf
+
+    got = {
+        r["id"]: (r["region"], r["val"], r["tier"])
+        for r in wh.read(spark, "t").collect()
+    }
+    assert got[0] == ("a", 999, "gold")
+    assert got[1] == ("b", 10, None)  # untouched row: NULL back-fill
+    assert got[8] == ("c", 80, None)
+
+    # later partition-scoped batches against the evolved layout keep
+    # working without passing a schema (positional order = read order)
+    order = wh.read(spark, "t").schema.fieldNames()
+    assert order == ["id", "val", "tier", "region"]
+    (tdir / "20240104-000000001.csv").write_text("U,1,111,silver,b\n")
+    incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
+    got = {
+        r["id"]: (r["val"], r["tier"])
+        for r in wh.read(spark, "t").collect()
+    }
+    assert got[1] == (111, "silver")
+    assert got[0] == (999, "gold")

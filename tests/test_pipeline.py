@@ -479,6 +479,10 @@ def test_csv_on_error_modes(spark, tmp_path):
     assert {(r["id"], r["val"]) for r in good.collect()} == {(1, 10), (3, 30)}
     assert [r["_corrupt_record"] for r in bad.collect()] == ["2,notanumber"]
 
+    # a typo must raise, not silently fall through to an aborting FAILFAST
+    with pytest.raises(ValueError, match="on_error"):
+        read_stage_csv(spark, files, schema, on_error="permisive")
+
 
 def test_run_queue_retries_transient_failures(spark, tmp_path, landing, monkeypatch):
     import example_dms_dataexport_spark.runner as runner_mod

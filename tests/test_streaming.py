@@ -496,7 +496,10 @@ def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
         for r in wh.read(spark, "agg").collect()
     }
     assert expect["a"] == (110, 2)
-    assert wh.read_meta("agg") == {"checkpoint": ckpt, "last_batch_id": 0}
+    assert wh.read_meta("agg") == {
+        "checkpoint": os.path.realpath(ckpt),
+        "last_batch_id": 0,
+    }
 
     # crash-replay within the SAME checkpoint lineage: remove the latest
     # commit marker (the sink wrote, the checkpoint didn't record), so
@@ -531,6 +534,99 @@ def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
     # at-least-once across lineages) and must include f2's insert
     assert got2["b"] == (5 + 40, 2)
     assert got2["a"] == (110 + 100, 3)
+
+
+def _rollup_env(spark, tmp_path):
+    """Seeded rollup table + one pending change file + a runner helper."""
+    import time
+
+    from example_dms_dataexport_spark.operators import incremental
+    from example_dms_dataexport_spark.streaming.rollup_stream import (
+        start_rollup_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    facts = spark.createDataFrame([("a", 10), ("b", 5)], ["grp", "v"])
+    wh.overwrite(incremental.rollup(facts, ["grp"], ["v"]), "agg")
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    schema = (
+        "op string, before_grp string, before_v long, "
+        "after_grp string, after_v long"
+    )
+    spark.createDataFrame(
+        [("I", None, None, "a", 100)], schema
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(chg / "*"))
+        q = start_rollup_stream(
+            spark, stream, wh, "agg", ["grp"], ["v"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    def agg_state():
+        return {
+            r["grp"]: (r["sum_v"], r["n_rows"])
+            for r in wh.read(spark, "agg").collect()
+        }
+
+    return wh, run, agg_state
+
+
+def test_rollup_stream_lineage_guard_normalizes_path(spark, tmp_path):
+    """The replay guard's lineage identity is the checkpoint PATH; the
+    same lineage restarted with a differently spelled path (trailing
+    slash) must still match the stored guard and skip the crash-replayed
+    batch instead of double-applying it."""
+    import os
+
+    wh, run, agg_state = _rollup_env(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    expect = agg_state()
+    assert expect["a"] == (110, 2)
+
+    # crash window: sink committed, checkpoint didn't record the batch
+    commits = os.path.join(ckpt, "commits")
+    latest = sorted(f for f in os.listdir(commits) if not f.startswith("."))[-1]
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(ckpt + "/")  # same lineage, different spelling
+    assert agg_state() == expect  # replay skipped, not (210, 3)
+
+
+def test_rollup_stream_reseed_prevents_cross_lineage_double_apply(
+    spark, tmp_path
+):
+    """Resetting the checkpoint makes the new lineage re-read every source
+    file (documented at-least-once across lineages). Reseeding the rollup
+    to the PRE-stream base state alongside the reset yields the correct
+    final state — the recovery recipe the docstring mandates."""
+    from example_dms_dataexport_spark.operators import incremental
+
+    wh, run, agg_state = _rollup_env(spark, tmp_path)
+    run(str(tmp_path / "ckpt1"))
+    assert agg_state()["a"] == (110, 2)
+
+    # reset WITHOUT reseeding: the new lineage re-folds f1 → double-apply
+    run(str(tmp_path / "ckpt2"))
+    assert agg_state()["a"] == (210, 3)
+
+    # reset WITH reseed to the base rollup: replay lands exactly once
+    base = spark.createDataFrame([("a", 10), ("b", 5)], ["grp", "v"])
+    wh.overwrite(incremental.rollup(base, ["grp"], ["v"]), "agg")
+    run(str(tmp_path / "ckpt3"))
+    got = agg_state()
+    assert got["a"] == (110, 2)
+    assert got["b"] == (5, 1)
 
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
