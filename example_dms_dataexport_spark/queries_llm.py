@@ -1423,8 +1423,78 @@ def q78_inverted_index(spark, sf_dir):
     )
 
 
-@query("q81_bpe_merges", None)  # iterative argmax loop: not SQL-expressible,
-# rows-only check (same contract as q71's sketch rollup)
+def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
+    """Unrolled DuckDB oracle for BPE merge training (one CTE stage per
+    merge). The greedy left-to-right merge fold is expressed as a plain
+    string ``replace``: each symbol is wrapped as ``\\x01sym\\x01`` and
+    symbols concatenated, so the pair (l, r) is the substring
+    ``\\x01l\\x01\\x01r\\x01``. Because every symbol carries its OWN
+    flanking sentinels, adjacent matches never share characters — greedy
+    non-overlapping replace therefore consumes pairs strictly left to
+    right, exactly like the ``aggregate()`` fold in operators/bpe.py
+    (["a","a","a","a"] + merge (a,a) -> ["aa","aa"] on both sides), and a
+    symbol whose text happens to end with ``l`` can never false-match.
+    CTEs are MATERIALIZED: each stage is referenced by both the next
+    pair-count and the next rewrite, so inlining would blow up
+    exponentially in num_merges."""
+    stages = [
+        f"""
+    w0 AS MATERIALIZED (
+        SELECT rtrim(chr(1) || regexp_replace(w, '(.)',
+                   '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({TH.sql_tokens('text')}) AS w FROM documents)
+        GROUP BY w
+    )"""
+    ]
+    prev = "w0"
+    for k in range(1, num_merges + 1):
+        p, m, w = f"p{k}", f"m{k}", f"w{k}"
+        stages.append(
+            f"""
+    {p} AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(syms) - 1),
+                       i -> {{'l': trim(syms[i], chr(1)),
+                             'r': trim(syms[i + 1], chr(1))}})) AS p,
+                   cnt
+            FROM (SELECT string_split(s, chr(1) || chr(1)) AS syms, cnt
+                  FROM {prev})
+            WHERE len(syms) >= 2
+        )
+        GROUP BY p.l, p.r
+    ),
+    {m} AS MATERIALIZED (
+        SELECT l, r, n,
+               chr(1) || l || chr(1) || chr(1) || r || chr(1) AS pat,
+               chr(1) || l || r || chr(1) AS rep
+        FROM {p} WHERE n >= {min_pair_count}
+        ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    ),
+    {w} AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT pat FROM {m}) IS NULL THEN s
+                    ELSE replace(s, (SELECT pat FROM {m}),
+                                 (SELECT rep FROM {m}))
+               END AS s, cnt
+        FROM {prev}
+    )"""
+        )
+        prev = w
+    union = "\n        UNION ALL ".join(
+        f'SELECT {k} AS merge_rank, l AS "left", r AS "right",'
+        f" n AS pair_count FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+@query("q81_bpe_merges", _bpe_oracle_sql(num_merges=8, min_pair_count=2))
 def q81_bpe_merges(spark, sf_dir):
     """BPE tokenizer training over the corpus: the full merge-learning
     loop (q55 is one iteration's pair relation). Every iteration touches

@@ -1364,6 +1364,52 @@ def q71_distinct_sketch_rollup(spark, sf_dir):
     return sketches.estimate(daily)
 
 
+_Q87_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q87_sketch_accuracy", _Q87_ORACLE)
+def q87_sketch_accuracy(spark, sf_dir):
+    """Oracle-checkable accuracy contract for the HLL sketch family —
+    the driver-verifiable companion to q71's rows-only rollup. Daily
+    (day, event_type) sketches are MERGED up to event_type grain
+    (exercising hll_union_agg, the storable-state path) and the estimate
+    must land within ±5% of the exact distinct count (lg_k=12 gives
+    ~1.6% standard error, so 5% ≈ 3σ). The oracle pins
+    ``within_tol = TRUE`` per group: an out-of-tolerance estimate
+    value-hash-mismatches instead of hiding behind a rows-only check.
+    The exact side is one count_distinct shuffle; the estimate side is
+    sketch-sized, and the final join is a per-event-type broadcast."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sketches.distinct_sketch_rollup(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            "user_id",
+        ),
+        ["day", "event_type"],
+        "user_id",
+    )
+    est = sketches.estimate(sketches.rollup_to(daily, ["event_type"]))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
 _Q74_ORACLE = """
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
