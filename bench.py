@@ -9,6 +9,13 @@ projection itself, so a narrow map query (e.g. q19's feature expressions)
 would measure only the scan; hashing every column forces the full
 computed output while still shipping just one row to the driver — mirrors
 how a 100 TB run would sink all columns to storage.
+
+Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); ``queries``
+and the headline total report the per-query MEDIAN, ``queries_min`` the
+per-query best. Sub-5-second timings at sf0.1 are dominated by ambient
+sandbox load (single-shot rounds drifted ~2x with zero plan changes), so
+the median is the comparable number and median/min spread is the noise
+floor: treat a delta as real only if it clears ``noise.max_median_over_min``.
 """
 
 from __future__ import annotations
@@ -84,14 +91,26 @@ def main() -> None:
     # per-query numbers measure the plan, not session cold-start.
     materialize(QUERIES[names[0]](spark, sf_dir))
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def timed(fn) -> tuple[float, float]:
+        """(median, min) wall seconds over n_runs invocations."""
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        return runs[len(runs) // 2], runs[0]
+
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
-        total += dt
+        med, best = timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
+        times[name] = round(med, 3)
+        times_min[name] = round(best, 3)
+        total += med
 
     # Streaming CDC end-to-end at bench scale: q18's change-set served as
     # CSV files through the file source + foreachBatch merge
@@ -103,15 +122,21 @@ def main() -> None:
         run_cdc_stream_fixture,
     )
 
-    td = tempfile.mkdtemp(prefix="bench-cdc-")
-    try:
-        t0 = time.perf_counter()
-        run_cdc_stream_fixture(spark, sf_dir, td)
-        dt = time.perf_counter() - t0
-        times["cdc_stream_e2e"] = round(dt, 3)
-        total += dt
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    def run_stream() -> None:
+        td = tempfile.mkdtemp(prefix="bench-cdc-")
+        try:
+            run_cdc_stream_fixture(spark, sf_dir, td)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_stream)
+    times["cdc_stream_e2e"] = round(med, 3)
+    times_min["cdc_stream_e2e"] = round(best, 3)
+    total += med
+
+    spread = max(
+        (times[n] / times_min[n]) for n in times if times_min[n] > 0
+    )
     print(
         json.dumps(
             {
@@ -119,6 +144,16 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_min": times_min,
+                "runs_per_query": n_runs,
+                "noise": {
+                    "max_median_over_min": round(spread, 3),
+                    "note": (
+                        "values are per-query medians; deltas below the "
+                        "median/min spread are ambient-load noise, not "
+                        "plan changes"
+                    ),
+                },
                 "sf": sf,
             }
         )

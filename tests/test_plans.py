@@ -270,3 +270,23 @@ def test_q84_percentile_no_row_level_window(spark):
     assert "partial" in plan.lower(), plan
     assert broadcast_hint_count(df) == 0
     assert exchange_count(df) <= 3, plan
+
+
+def test_q86_split_no_cartesian_cluster_join_not_forced(spark):
+    df = _q(spark, "q86_leakage_safe_split")
+    plan = physical_plan(df)
+    # the doc->cluster-label join must stay an equi join on doc_id (the
+    # label side is pairs-sized; AQE may broadcast it at runtime) — never
+    # a cartesian, and never a forced broadcast pinned into the plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
+
+
+def test_q87_sketch_join_is_broadcast_estimate_side(spark):
+    df = _q(spark, "q87_sketch_accuracy")
+    plan = physical_plan(df)
+    # the merged-sketch estimate relation is per-event-type tiny and is
+    # joined back to the exact counts via an explicit broadcast — the
+    # fact table is never reshuffled for the comparison
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
