@@ -15,8 +15,13 @@ libraries are not in this container, so:
   byte-statistics decoder (REAL plumbing: schema, Arrow batching,
   partition-preserving mapInPandas — fake only in what the bytes mean),
   which makes the whole path oracle-checkable;
-- ``codec="pil"`` / ``codec="av"`` raise NotImplementedError at the import
-  gate, marking exactly where Pillow / PyAV would slot in.
+- ``codec="pil"`` decodes real images through Pillow in the SAME
+  mapInPandas shape (width/height/mean intensity come from the decoded
+  pixels), and ``resize`` re-encodes through Pillow; both raise
+  NotImplementedError at the import gate when Pillow is absent (it is
+  not in this container — tests skipif-gate on it);
+- ``codec="av"`` (video) raises NotImplementedError at the import gate,
+  marking exactly where PyAV would slot in.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling, no
 full-partition materialization); decode is stateless per row so any
@@ -33,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -109,8 +115,11 @@ def _require(codec: str) -> None:
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     """(doc_id, n_bytes, mean_intensity, width, height) per media row.
 
-    Arrow-batched; numpy does the byte math per batch. Integer byte sums
-    are exact in float64, so mean_intensity is bit-reproducible in SQL.
+    Arrow-batched. ``codec="fake"``: numpy byte math per batch — integer
+    byte sums are exact in float64, so mean_intensity is bit-reproducible
+    in SQL. ``codec="pil"``: the same per-batch contract, but
+    width/height/mean_intensity come from Pillow-DECODED pixels
+    (grayscale mean), not the metadata struct — the real-image path.
     """
     _require(codec)
 
@@ -136,7 +145,36 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(decode, DECODE_SCHEMA)
+    def decode_pil(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        from io import BytesIO
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            n_bytes, mean_i, widths, heights = [], [], [], []
+            for b in pdf["media"]:
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                with Image.open(BytesIO(raw)) as im:
+                    px = np.asarray(im.convert("L"), dtype=np.uint8)
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    mean_i.append(float(px.mean()) if px.size else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "mean_intensity": pd.Series(mean_i, dtype="float64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode_pil if codec == "pil" else decode, DECODE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every: int = 32, codec: str = "fake") -> DataFrame:
@@ -165,9 +203,49 @@ def frame_sample(df: DataFrame, every: int = 32, codec: str = "fake") -> DataFra
     return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Pillow resize: binary in -> re-encoded PNG binary out + updated
+    media_meta, in the same Arrow-batched mapInPandas shape as
+    ``decode_media`` (gated on Pillow like ``codec="pil"``)."""
+    _require("pil")
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from io import BytesIO
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                with Image.open(BytesIO(bytes(b))) as im:
+                    buf = BytesIO()
+                    im.resize((width, height)).save(buf, format="PNG")
+                    out.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "media_meta": [
+                        {"format": "png", "width": width, "height": height}
+                    ]
+                    * len(out),
+                }
+            )
+
+    return df.mapInPandas(do, RESIZE_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Where a real resize would run (needs Pillow) — schema-correct stub."""
-    raise NotImplementedError(
-        "resize needs Pillow; wire it as a mapInPandas identical in shape "
-        "to decode_media (binary in -> binary out + updated media_meta)"
-    )
+    """Backwards-compatible alias for the pre-Pillow gate: delegates to
+    ``resize`` (raises NotImplementedError when Pillow is absent)."""
+    return resize(df, width, height)

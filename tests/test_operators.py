@@ -233,13 +233,68 @@ def test_frame_sample_every_n(spark):
     assert out["n_frames"] == 3
 
 
-def test_resize_and_real_codecs_are_stubbed(spark):
+_HAS_PIL = __import__("importlib").util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: pil paths are live")
+def test_resize_and_pil_codec_gate_without_pillow(spark):
     df = spark.createDataFrame([(1, "x", 1)], ["doc_id", "text", "n_chars"])
     media = multimodal.media_from_documents(df)
     with pytest.raises(NotImplementedError):
         multimodal.resize_stub(media, 8, 8)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, codec="pil")
+
+
+def _png_media_df(spark):
+    """Two solid-gray PNGs of known size/intensity as a media table."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png(w, h, val):
+        buf = BytesIO()
+        Image.new("L", (w, h), val).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, bytearray(png(4, 3, 100)), ("png", 4, 3)),
+        (2, bytearray(png(2, 5, 255)), ("png", 2, 5)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, "
+        "media_meta struct<format:string,width:int,height:int>",
+    )
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_pil_decode_real_png(spark):
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media(
+            _png_media_df(spark), codec="pil"
+        ).collect()
+    }
+    # dimensions and intensity come from the DECODED pixels, not metadata
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert out[1]["mean_intensity"] == pytest.approx(100.0)
+    assert (out[2]["width"], out[2]["height"]) == (2, 5)
+    assert out[2]["mean_intensity"] == pytest.approx(255.0)
+    assert out[1]["n_bytes"] > 0
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_pil_resize_roundtrip(spark):
+    resized = multimodal.resize(_png_media_df(spark), 8, 8)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media(resized, codec="pil").collect()
+    }
+    for doc_id, r in out.items():
+        assert (r["width"], r["height"]) == (8, 8), doc_id
+    # solid-color images stay solid through resize
+    assert out[2]["mean_intensity"] == pytest.approx(255.0)
 
 
 def test_jdbc_options_validation():
