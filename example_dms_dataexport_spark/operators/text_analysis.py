@@ -379,6 +379,89 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram log10-probability under the corpus's own
+    add-one-smoothed bigram model — the next step up from
+    ``unigram_logprob``'s perplexity proxy: fluency, not just vocabulary
+    typicality (word-salad documents with common words score well under
+    a unigram model but badly here). p(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V), V = vocabulary size.
+
+    Plan shape mirrors unigram_logprob: the bigram relation shuffles
+    once into corpus counts, which are vocabulary²-bounded (in practice
+    near-linear in the corpus's DISTINCT bigrams — still tiny next to
+    the token stream); the unigram/vocab side is vocabulary-sized; both
+    join back onto the per-document bigram stream (AQE broadcasts when
+    they fit) and the per-document aggregation is the only other
+    shuffle. Per-bigram scores are fixed-point int64 (LP_SCALE) so the
+    shuffle-ordered sum is exact. Documents with fewer than two tokens
+    have no bigrams and are excluded (same contract as the oracle).
+    """
+    toks = df.select(F.col(id_col), TH.tokens(F.col(text_col)).alias("_t"))
+    big = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, size(_t) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(_t, i + 2) AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(TH.tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+        .withColumn("_v", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    model = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log10(
+                    (F.col("_c2") + F.lit(1)).cast("double")
+                    / (F.col("_c1") + F.col("_v"))
+                )
+                * LP_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_lp"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp").alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("_slp").cast("double")
+                    / F.col("n_bigrams")
+                    / LP_SCALE
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("logprob"),
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str = "doc_id",

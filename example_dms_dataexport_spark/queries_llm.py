@@ -1742,3 +1742,45 @@ def q86_leakage_safe_split(spark, sf_dir):
             .alias("split"),
         )
     )
+
+
+_Q88_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {TH.sql_tokens('text')} AS t FROM documents),
+    stream AS (SELECT doc_id, unnest(t) AS w1 FROM toks),
+    uni AS (SELECT w1, count(*) AS c1 FROM stream GROUP BY w1),
+    big AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    model AS (
+        SELECT w1, w2,
+               CAST(floor(log10(CAST(c2 + 1 AS DOUBLE)
+                                / (c1 + (SELECT count(*) FROM uni)))
+                          * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS lp
+        FROM (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+        JOIN uni USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                 / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4 AS logprob
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+
+@query("q88_bigram_logprob", _Q88_ORACLE)
+def q88_bigram_logprob(spark, sf_dir):
+    """Fluency scoring one step past q48's unigram perplexity proxy:
+    per-document mean log10-probability under the corpus's own add-one
+    bigram model. Word-salad documents built from common words pass a
+    unigram filter but fail this one — the standard second-stage quality
+    signal. Per-bigram scores are fixed-point int64 before the
+    order-nondeterministic sum (q48 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bigram_logprob(docs)

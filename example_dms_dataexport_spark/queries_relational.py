@@ -1667,3 +1667,69 @@ def q80_bloom_semi_join(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+_Q89_ORACLE = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+    sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY cohort_day),
+    r AS (
+        SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+               CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY f.cohort_day, day_offset
+    )
+    SELECT r.cohort_day, r.day_offset, r.n_users, sz.cohort_size,
+           floor(r.n_users / sz.cohort_size * 1e4 + 0.5) / 1e4 AS retention
+    FROM r JOIN sz USING (cohort_day)
+"""
+
+
+@query("q89_retention_cohorts", _Q89_ORACLE)
+def q89_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users grouped by
+    first-seen day, distinct active users per (cohort, day-offset), and
+    the retained share — the product-analytics rollup every events
+    warehouse serves.
+
+    Scale shape: the fact table is first collapsed to DISTINCT
+    (user_id, day) — bounded by users x days, far smaller than raw
+    events, and the only fact-sized shuffle. Cohort assignment is a
+    per-user min; the (cohort, offset) aggregation and the cohort-size
+    join both run on user-sized or matrix-sized relations (AQE
+    broadcasts the per-cohort sizes). Share is fixed-pointed to 1e-4 on
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = user_day.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    sz = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    r = (
+        user_day.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return r.join(sz, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        (
+            F.floor(
+                F.col("n_users") / F.col("cohort_size") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("retention"),
+    )

@@ -77,6 +77,8 @@ PRIORITY = [
     # oracle added/changed this round
     "q81_bpe_merges",
     "q87_sketch_accuracy",
+    "q88_bigram_logprob",
+    "q89_retention_cohorts",
 ]
 
 

@@ -45,6 +45,15 @@ def _events_ts_unit(path: str) -> str:
             return "us"
         path = os.path.join(path, parts[0])
     try:
+        # INT96 (Spark's default writer type) also surfaces as
+        # timestamp[ns] in the arrow schema, but Spark reads it natively —
+        # only an int64 column ANNOTATED nanos needs the legacy-long shim.
+        phys = pq.ParquetFile(path).schema
+        for i in range(len(phys)):
+            if phys.column(i).name == "ts":
+                if phys.column(i).physical_type == "INT96":
+                    return "us"
+                break
         return str(pq.read_schema(path).field("ts").type.unit)
     except (KeyError, AttributeError):
         return "us"

@@ -1398,3 +1398,86 @@ def test_leakage_safe_split_coassigns_near_dups(spark):
     assert out[0] == out[1] == out[2]
     assert out[5] == out[6]
     assert out[10] == out[30]
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Pin the add-one bigram model against a direct python computation
+    on a corpus small enough to enumerate by hand."""
+    import math
+    from collections import Counter
+
+    from example_dms_dataexport_spark.operators import text_analysis
+
+    corpus = {1: "a b a b", 2: "a a", 3: "x"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in text_analysis.bigram_logprob(docs).collect()
+    }
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    vocab = len(uni)
+    big = {
+        k: list(zip(ts, ts[1:])) for k, ts in toks.items() if len(ts) >= 2
+    }
+    c2 = Counter(b for bs in big.values() for b in bs)
+    lp = {
+        b: math.floor(
+            math.log10((c2[b] + 1) / (uni[b[0]] + vocab))
+            * text_analysis.LP_SCALE
+            + 0.5
+        )
+        for b in c2
+    }
+    expect = {}
+    for k, bs in big.items():
+        s = sum(lp[b] for b in bs)
+        expect[k] = (
+            len(bs),
+            math.floor(s / len(bs) / text_analysis.LP_SCALE * 1e4 + 0.5)
+            / 1e4,
+        )
+    assert out == expect
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_retention_cohorts_small_fixture(spark, tmp_path):
+    """u1/u2 join on day 1, u3 on day 2; retention shares computed by
+    hand. The query reads events from an sf_dir, so the fixture lands as
+    a parquet table."""
+    import datetime as dt
+
+    from example_dms_dataexport_spark.registry import load_all
+
+    rows = []
+    eid = 0
+    for user, days in [(1, [1, 2, 3]), (2, [1, 3]), (3, [2])]:
+        for d in days:
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 12, 0), user, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    qs, _ = load_all()
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): (
+            r["n_users"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in qs["q89_retention_cohorts"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 2): (2, 2, 1.0),
+        ("2024-01-02", 0): (1, 1, 1.0),
+    }

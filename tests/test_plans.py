@@ -290,3 +290,22 @@ def test_q87_sketch_join_is_broadcast_estimate_side(spark):
     # fact table is never reshuffled for the comparison
     assert broadcast_join_count(df) >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q88_bigram_model_joins_not_forced(spark):
+    df = _q(spark, "q88_bigram_logprob")
+    plan = physical_plan(df)
+    # model sides are vocab-sized: joins must stay equi (AQE decides
+    # broadcast at runtime), never cartesian or pinned broadcast
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
+
+
+def test_q89_retention_collapses_facts_first(spark):
+    df = _q(spark, "q89_retention_cohorts")
+    plan = physical_plan(df)
+    # the only fact-sized shuffle feeds the DISTINCT (user, day)
+    # collapse; everything after runs on user- or matrix-sized relations
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
+    assert "partial" in plan.lower()  # map-side partials before exchanges
