@@ -1733,3 +1733,101 @@ def q89_retention_cohorts(spark, sf_dir):
             / 1e4
         ).alias("retention"),
     )
+
+
+_Q90_ORACLE = """
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v, max(value) AS max_v
+    FROM t GROUP BY event_type, decile
+"""
+
+
+@query("q90_value_deciles", _Q90_ORACLE)
+def q90_value_deciles(spark, sf_dir):
+    """Per-event-type decile summary of the value distribution (ntile
+    bucketing with a deterministic event_id tiebreak, then per-decile
+    count/min/max) — the banded-distribution report that feeds outlier
+    thresholds and monitoring dashboards.
+
+    The ntile window is the honest cost: one shuffle per event_type
+    partition, each sorted in a task — acceptable because event_type
+    cardinality is tiny and per-type volume bounded; for a heavy-tailed
+    partition column the q84 compressed-distribution calibration is the
+    scale path, and this query exists for the exact-bucket semantics
+    (equal-count bands, not equal-value bands)."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10)
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("decile"),
+    )
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+_Q91_ORACLE = """
+    WITH p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(path, 'view>click>purchase'))
+                AS BIGINT) AS n_triples
+    FROM p
+"""
+
+
+@query("q91_event_path_patterns", _Q91_ORACLE)
+def q91_event_path_patterns(spark, sf_dir):
+    """Sequential pattern mining over per-user event paths: each user's
+    events collapse (ordered by ts with an event_id tiebreak) into one
+    path string, and the engine counts non-overlapping occurrences of
+    the adjacent view>click>purchase triple — the MATCH_RECOGNIZE-style
+    behavioral query funnels (q62) can't express (funnels are
+    first-occurrence, this is every-occurrence on adjacency).
+
+    One shuffle on user_id; per-user state is bounded by that user's
+    event count (the sessionize/SCD bound, not corpus-sized). The path
+    assembles via sort_array over (ts, event_id, type) structs, so the
+    order is total and identical to the oracle's ORDER BY."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("_path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.regexp_count(F.col("_path"), F.lit("view>click>purchase"))
+            .cast("long")
+            .alias("n_triples"),
+        )
+    )

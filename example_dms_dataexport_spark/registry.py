@@ -79,6 +79,8 @@ PRIORITY = [
     "q87_sketch_accuracy",
     "q88_bigram_logprob",
     "q89_retention_cohorts",
+    "q90_value_deciles",
+    "q91_event_path_patterns",
 ]
 
 

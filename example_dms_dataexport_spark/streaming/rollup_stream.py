@@ -13,20 +13,75 @@ the batch, the source replays it and a naive fold would re-apply the same
 deltas to the POST-batch rollup, double-counting them.  The sink
 therefore records the last-applied batch_id IN the same atomic overwrite
 (``warehouse.overwrite(..., meta=...)`` writes the sidecar into the temp
-dir before the swap), and ``fold_batch`` skips any batch_id it has
-already applied — the standard idempotent-foreachBatch recipe.
+dir before the swap), and the guarded fold skips any batch_id it has
+already applied — the standard idempotent-foreachBatch recipe, shared
+with ``sketch_stream`` via ``guarded_fold``.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.incremental import update_rollup
 from ..sources.warehouse import ParquetWarehouse
+
+
+def guarded_fold(
+    warehouse: ParquetWarehouse,
+    table: str,
+    checkpoint_dir: str,
+    fold: Callable[[DataFrame], DataFrame],
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a per-batch ``fold(batch) -> new_table_state`` into an
+    idempotent foreachBatch callback: the last-applied batch_id commits
+    atomically WITH the state (overwrite meta sidecar), and a
+    crash-replayed batch of the same checkpoint lineage is skipped.
+
+    Lineage identity is the checkpoint PATH — normalized with realpath
+    so the same lineage restarted with a differently spelled path
+    (trailing slash, relative vs absolute) still matches the stored
+    guard. Batch ids are monotonic only WITHIN one lineage: a fresh
+    checkpoint restarts ids at 0 and its batch 0 may contain genuinely
+    new files, so the guard never fires across lineages. (Resetting the
+    checkpoint without resetting the state table therefore re-applies
+    everything — at-least-once across lineages; reseed the table when
+    you reset the checkpoint. tests/test_streaming.py pins both
+    directions.)
+    """
+    lineage = os.path.realpath(checkpoint_dir)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        meta = warehouse.read_meta(table)
+        last = meta.get("last_batch_id")
+        stored = meta.get("checkpoint")
+        if (
+            last is not None
+            and stored is not None
+            and os.path.realpath(stored) == lineage
+            and batch_id <= last
+        ):
+            # crash-replay of a batch whose overwrite already committed —
+            # folding it again would double-apply its deltas
+            return
+        merged = fold(batch)
+        # materialize BEFORE the overwrite: the fold reads the table it
+        # replaces, and a failed/retried batch must re-read the old state
+        merged.persist()
+        merged.count()
+        warehouse.overwrite(
+            merged,
+            table,
+            meta={"checkpoint": lineage, "last_batch_id": batch_id},
+        )
+        merged.unpersist()
+
+    return fold_batch
 
 
 def start_rollup_stream(
@@ -42,50 +97,15 @@ def start_rollup_stream(
     """Fold a STREAMING DataFrame of I/U/D change rows (op + before_*/
     after_* images, see operators.incremental) into ``rollup_table``,
     which must already exist (seed it with ``incremental.rollup``)."""
-    # Lineage identity is the checkpoint PATH — normalize it so the same
-    # lineage restarted with a differently spelled path (trailing slash,
-    # relative vs absolute) still matches the stored guard and a crash-
-    # replayed batch is not re-folded.
-    lineage = os.path.realpath(checkpoint_dir)
 
-    def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        meta = warehouse.read_meta(rollup_table)
-        last = meta.get("last_batch_id")
-        # Batch ids are monotonic only WITHIN one checkpoint lineage, so
-        # the replay guard is scoped to it: a fresh checkpoint restarts
-        # ids at 0 and its batch 0 may contain genuinely new files —
-        # skipping it on the old lineage's last_batch_id would silently
-        # drop that data. (Resetting the checkpoint without resetting the
-        # rollup table therefore re-applies everything — at-least-once
-        # across lineages; reseed the rollup when you reset the
-        # checkpoint. tests/test_streaming.py pins both directions.)
-        stored = meta.get("checkpoint")
-        if (
-            last is not None
-            and stored is not None
-            and os.path.realpath(stored) == lineage
-            and batch_id <= last
-        ):
-            # crash-replay of a batch whose overwrite already committed —
-            # folding it again would double-apply its deltas
-            return
+    def fold(batch: DataFrame) -> DataFrame:
         current = warehouse.read(spark, rollup_table)
-        merged = update_rollup(current, batch, keys, measures)
-        # materialize BEFORE the overwrite: the fold reads the table it
-        # replaces, and a failed/retried batch must re-read the old state
-        merged.persist()
-        merged.count()
-        warehouse.overwrite(
-            merged,
-            rollup_table,
-            meta={"checkpoint": lineage, "last_batch_id": batch_id},
-        )
-        merged.unpersist()
+        return update_rollup(current, batch, keys, measures)
 
     writer = (
-        changes.writeStream.foreachBatch(fold_batch)
+        changes.writeStream.foreachBatch(
+            guarded_fold(warehouse, rollup_table, checkpoint_dir, fold)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -1,0 +1,67 @@
+"""Continuous COUNT(DISTINCT) maintenance: a fact-row stream folded into
+a stored HLL sketch rollup (``operators.sketches``).
+
+Exact incremental rollups (``rollup_stream``) cannot maintain distinct
+counts — a delete/duplicate cannot be un-counted without the full value
+set. Mergeable sketches can: each micro-batch is sketched
+(``distinct_sketch_rollup`` — one vocabulary-sized aggregation over the
+batch only) and UNION-merged into the stored per-group state
+(``merge_rollups``), so "distinct users per (day, dimension)" tracks an
+append-only event feed with per-batch cost O(|batch| + |rollup|) and the
+fact table is never rescanned. Estimates at any coarser grain come from
+``rollup_to`` + ``estimate`` on the stored state alone.
+
+Inserts only: an HLL is a monotone set summary, so retracting a deleted
+row is undefined — the right semantics for append-only telemetry/event
+feeds (q71/q87's family). Exactly-once via the same ``guarded_fold``
+recipe as the exact rollup stream: the last-applied batch id commits
+atomically with the sketch state, replays within a checkpoint lineage
+are skipped, and a lineage reset requires reseeding
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import sketches
+from ..sources.warehouse import ParquetWarehouse
+from .rollup_stream import guarded_fold
+
+
+def start_sketch_stream(
+    spark: SparkSession,
+    rows: DataFrame,
+    warehouse: ParquetWarehouse,
+    sketch_table: str,
+    keys: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+    lg_k: int = sketches.LG_K,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a STREAMING DataFrame of fact rows into ``sketch_table``
+    ((keys..., sketch) per group), which must already exist — seed it
+    with ``sketches.distinct_sketch_rollup`` over the initial facts (or
+    an empty relation with the same schema)."""
+
+    def fold(batch: DataFrame) -> DataFrame:
+        delta = sketches.distinct_sketch_rollup(
+            batch.select(*keys, value_col), list(keys), value_col, lg_k
+        )
+        current = warehouse.read(spark, sketch_table)
+        return sketches.merge_rollups(current, delta, list(keys))
+
+    writer = (
+        rows.writeStream.foreachBatch(
+            guarded_fold(warehouse, sketch_table, checkpoint_dir, fold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

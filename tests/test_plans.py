@@ -309,3 +309,11 @@ def test_q89_retention_collapses_facts_first(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_hint_count(df) == 0
     assert "partial" in plan.lower()  # map-side partials before exchanges
+
+
+def test_q90_q91_no_cartesian_no_hints(spark):
+    for name in ("q90_value_deciles", "q91_event_path_patterns"):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert broadcast_hint_count(df) == 0, name

@@ -732,3 +732,57 @@ def test_cdc_stream_partition_scoped_merge(spark, tmp_path):
         if "region=b" in p:  # never touched by either batch
             assert after.get(p) == m, f"untouched partition rewritten: {p}"
     assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
+
+
+def test_sketch_stream_matches_full_rebuild(spark, tmp_path):
+    """Distinct-count sketch state maintained across micro-batches must
+    estimate exactly like a sketch rebuilt from ALL rows at once (the
+    DataSketches merge law, here exercised through the streaming
+    driver), and the estimates must be exact on this tiny value set."""
+    from example_dms_dataexport_spark.operators import sketches
+    from example_dms_dataexport_spark.streaming.sketch_stream import (
+        start_sketch_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    seed = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], ["grp", "uid"]
+    )
+    wh.overwrite(
+        sketches.distinct_sketch_rollup(seed, ["grp"], "uid"), "sk"
+    )
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    # batch 1: new users + a duplicate that must NOT double-count;
+    # batch 2: a brand-new group
+    spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 9)], ["grp", "uid"]
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+    spark.createDataFrame(
+        [("c", 7), ("c", 7)], ["grp", "uid"]
+    ).coalesce(1).write.parquet(str(chg / "f2"))
+
+    stream = (
+        spark.readStream.schema("grp string, uid long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chg / "*"))
+    )
+    q = start_sketch_stream(
+        spark, stream, wh, "sk", ["grp"], "uid",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["grp"]: r["n_distinct"]
+        for r in sketches.estimate(wh.read(spark, "sk")).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+    # stored state answers a coarser grain without any fact access
+    total = sketches.estimate(
+        sketches.rollup_to(wh.read(spark, "sk"), [])
+        .withColumn("_all", F.lit(1))
+    ).collect()[0]["n_distinct"]
+    assert total == 5  # users 1,2,3,9,7
