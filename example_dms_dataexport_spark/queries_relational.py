@@ -1831,3 +1831,119 @@ def q91_event_path_patterns(spark, sf_dir):
             .alias("n_triples"),
         )
     )
+
+
+_Q92_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q92_sketch_merge_accuracy", _Q92_ORACLE)
+def q92_sketch_merge_accuracy(spark, sf_dir):
+    """Driver-verified contract for BATCH sketch merging (q87 covers the
+    grain rollup; this pins ``merge_rollups``, the stored-state-update
+    path the streaming sketch driver folds through): the fact table is
+    split into two disjoint halves by event_id parity, each half is
+    sketched independently, the sketches are union-merged group-wise,
+    and the merged estimate must land within ±5% of the exact distinct
+    count over the WHOLE table. Catches any merge bug that loses or
+    double-counts registers — a half-sketch would undercount badly."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    halves = [
+        sketches.distinct_sketch_rollup(
+            ev.filter(F.col("event_id") % 2 == i).select(
+                "event_type", "user_id"
+            ),
+            ["event_type"],
+            "user_id",
+        )
+        for i in (0, 1)
+    ]
+    merged = sketches.merge_rollups(halves[0], halves[1], ["event_type"])
+    est = sketches.estimate(merged)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
+_Q93_ORACLE = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    cover AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(
+                   CAST(day AS TIMESTAMP),
+                   CAST(day + 6 AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        FROM ud
+    ),
+    wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM cover GROUP BY day),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY day)
+    SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+           floor(coalesce(d.dau, 0) / w.wau * 1e4 + 0.5) / 1e4
+               AS stickiness
+    FROM wau w LEFT JOIN dau d USING (day), bounds b
+    WHERE w.day <= b.hi
+"""
+
+
+@query("q93_rolling_active_users", _Q93_ORACLE)
+def q93_rolling_active_users(spark, sf_dir):
+    """DAU / rolling-7-day WAU / stickiness per day — the engagement
+    rollup that naively needs a sliding self-join per day. Instead each
+    DISTINCT (user, day) activity row is exploded into the 7 trailing
+    report days it covers (a bounded 7x fan-out of the user-day
+    relation, NOT the fact table) and one distinct aggregation per day
+    finishes the job — the scale-safe shape for any trailing-window
+    distinct count. Days past the data's max are trimmed on both
+    engines; leading days (first week) naturally report partial
+    windows, same as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    hi = ud.agg(F.max("day").alias("_hi"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .join(F.broadcast(hi), F.col("day") <= F.col("_hi"))
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            (
+                F.floor(
+                    F.coalesce(F.col("dau"), F.lit(0))
+                    / F.col("wau")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("stickiness"),
+        )
+    )

@@ -81,6 +81,8 @@ PRIORITY = [
     "q89_retention_cohorts",
     "q90_value_deciles",
     "q91_event_path_patterns",
+    "q92_sketch_merge_accuracy",
+    "q93_rolling_active_users",
 ]
 
 

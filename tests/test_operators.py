@@ -1481,3 +1481,36 @@ def test_retention_cohorts_small_fixture(spark, tmp_path):
         ("2024-01-01", 2): (2, 2, 1.0),
         ("2024-01-02", 0): (1, 1, 1.0),
     }
+
+
+def test_rolling_active_users_small_fixture(spark, tmp_path):
+    """u1 active d1,d2; u2 active d1 only: WAU covers trailing windows,
+    stickiness = dau/wau, and days past the data max are trimmed."""
+    import datetime as dt
+
+    from example_dms_dataexport_spark.registry import load_all
+
+    rows = []
+    eid = 0
+    for user, days in [(1, [1, 2]), (2, [1])]:
+        for d in days:
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 9, 0), user, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    qs, _ = load_all()
+    out = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in qs["q93_rolling_active_users"](spark, str(tmp_path)).collect()
+    }
+    # max data day is Jan 2 -> report days Jan 1..2 only
+    assert out == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-02": (1, 2, 0.5),
+    }

@@ -317,3 +317,17 @@ def test_q90_q91_no_cartesian_no_hints(spark):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, name
         assert broadcast_hint_count(df) == 0, name
+
+
+def test_q92_q93_shapes(spark):
+    df = _q(spark, "q92_sketch_merge_accuracy")
+    plan = physical_plan(df)
+    # merged-estimate side broadcast back onto exact counts, no cartesian
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+    df = _q(spark, "q93_rolling_active_users")
+    plan = physical_plan(df)
+    # the 7x fan-out runs on the DISTINCT (user, day) relation; the only
+    # joins are day-keyed or the 1-row max-day bound (broadcast BNLJ)
+    assert "CartesianProduct" not in plan
