@@ -1784,3 +1784,78 @@ def q88_bigram_logprob(spark, sf_dir):
     order-nondeterministic sum (q48 pattern)."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.bigram_logprob(docs)
+
+
+_Q95_ORACLE = f"""
+    WITH s AS (
+        SELECT source, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+    ),
+    c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY source, tok),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS vocab
+          FROM c GROUP BY source),
+    t AS (
+        SELECT c.source, c.c, n.n, n.vocab,
+               CAST(floor(log10(CAST(c.c AS DOUBLE) / n.n)
+                          * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS lp
+        FROM c JOIN n USING (source)
+    )
+    SELECT source, max(n) AS n_tokens, max(vocab) AS vocab,
+           floor(-CAST(sum(CAST(c AS HUGEINT) * lp) AS DOUBLE)
+                 / max(n) / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4
+               AS entropy
+    FROM t GROUP BY source
+"""
+
+
+@query("q95_source_token_entropy", _Q95_ORACLE)
+def q95_source_token_entropy(spark, sf_dir):
+    """Shannon entropy (log10) of each source's token distribution — the
+    corpus-diversity diagnostic for mixture design: a low-entropy source
+    is repetitive/templated and should be down-weighted (q85) or
+    boilerplate-stripped (q47) before training. Per-token -p*log p terms
+    are fixed-pointed (LP_SCALE) and weighted by EXACT integer counts in
+    decimal arithmetic, so the order-nondeterministic sum is exact and
+    engine-identical. Shape: one shuffle to (source, token) counts —
+    vocabulary-sized — then a per-source fold over that small relation;
+    the fact-sized stream is touched once."""
+    docs = _t(spark, sf_dir, "documents")
+    stream = docs.select(
+        "source", F.explode(TH.tokens(F.col("text"))).alias("tok")
+    )
+    c = stream.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window as W
+
+    withn = c.withColumn(
+        "_n", F.sum("_c").over(W.partitionBy("source"))
+    ).withColumn("_vocab", F.count(F.lit(1)).over(W.partitionBy("source")))
+    lp = F.floor(
+        F.log10(F.col("_c").cast("double") / F.col("_n"))
+        * text_analysis.LP_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        withn.select(
+            "source",
+            "_n",
+            "_vocab",
+            (F.col("_c").cast("decimal(38,0)") * lp.cast("decimal(38,0)"))
+            .alias("_term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            F.max("_vocab").alias("vocab"),
+            (
+                F.floor(
+                    -F.sum("_term").cast("double")
+                    / F.max("_n")
+                    / text_analysis.LP_SCALE
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("entropy"),
+        )
+    )

@@ -1947,3 +1947,76 @@ def q93_rolling_active_users(spark, sf_dir):
             ).alias("stickiness"),
         )
     )
+
+
+_Q94_ORACLE = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(ts AS DATE) - (SELECT min(CAST(ts AS DATE)) FROM events)
+                   AS x,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(x AS BIGINT) * y) AS BIGINT) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                      AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                        AS DOUBLE)
+                 / 1e4 * 1e6 + 0.5) / 1e6 AS slope_per_day,
+           floor(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                      AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                        AS DOUBLE)
+                 / 1e4 * 1e4 + 0.5) / 1e4 AS intercept
+    FROM s
+"""
+
+
+@query("q94_value_trend_regression", _Q94_ORACLE)
+def q94_value_trend_regression(spark, sf_dir):
+    """Per-dimension least-squares trend of event value over time (drift
+    monitoring: is this metric creeping up?). Ordinary double sums of
+    x*y across a shuffle are order-dependent in their last bits, so the
+    inputs are integerized first — x = days since the corpus's first day
+    (small), y = value at 1e-4 resolution — making every partial sum
+    EXACT in int64; the closed-form slope/intercept combine those exact
+    sums in wider integer arithmetic (decimal / HUGEINT) and convert to
+    double once, so both engines round identically. One shuffle for the
+    per-group sums; the global min-day is a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.to_date("ts")).alias("_lo"))
+    base = ev.join(F.broadcast(lo)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("_lo")).cast("long").alias("x"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double") / den
+    intercept = (d("sy") * d("sxx") - d("sx") * d("sxy")).cast(
+        "double"
+    ) / den
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(slope / 1e4 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "slope_per_day"
+        ),
+        (F.floor(intercept / 1e4 * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "intercept"
+        ),
+    )

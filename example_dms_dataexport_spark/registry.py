@@ -83,6 +83,8 @@ PRIORITY = [
     "q91_event_path_patterns",
     "q92_sketch_merge_accuracy",
     "q93_rolling_active_users",
+    "q94_value_trend_regression",
+    "q95_source_token_entropy",
 ]
 
 

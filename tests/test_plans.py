@@ -331,3 +331,17 @@ def test_q92_q93_shapes(spark):
     # the 7x fan-out runs on the DISTINCT (user, day) relation; the only
     # joins are day-keyed or the 1-row max-day bound (broadcast BNLJ)
     assert "CartesianProduct" not in plan
+
+
+def test_q94_q95_shapes(spark):
+    df = _q(spark, "q94_value_trend_regression")
+    plan = physical_plan(df)
+    # min-day is a 1-row broadcast scalar attach; sums are one shuffle
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) + ("BroadcastNestedLoopJoin" in plan) >= 1
+
+    df = _q(spark, "q95_source_token_entropy")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
+    assert "partial" in plan.lower()  # map-side combine on the token stream
