@@ -2020,3 +2020,114 @@ def q94_value_trend_regression(spark, sf_dir):
             "intercept"
         ),
     )
+
+
+_Q96_ORACLE = """
+    WITH y AS (
+        SELECT event_id, event_type, value,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS yi
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yi) AS BIGINT) AS sy,
+               CAST(sum(CAST(yi AS HUGEINT) * yi) AS HUGEINT) AS syy
+        FROM y GROUP BY event_type
+    )
+    SELECT y.event_id, y.event_type, y.value
+    FROM y JOIN s USING (event_type)
+    WHERE (CAST(s.n AS HUGEINT) * y.yi - s.sy)
+          * (CAST(s.n AS HUGEINT) * y.yi - s.sy)
+          > 9 * (CAST(s.n AS HUGEINT) * s.syy
+                 - CAST(s.sy AS HUGEINT) * s.sy)
+"""
+
+
+@query("q96_value_outliers", _Q96_ORACLE)
+def q96_value_outliers(spark, sf_dir):
+    """|z| > 3 outlier detection per dimension with ZERO floating-point
+    comparisons: values integerize to 1e-4 resolution and the z-score
+    test rearranges to (n*y - Sy)^2 > 9*(n*Syy - Sy^2) — pure wide-
+    integer (decimal / HUGEINT) arithmetic, so the flagged set is
+    bit-identical across engines and scales (a double-based z-score
+    flips rows at the threshold between runs). One shuffle for the
+    per-dimension moments (a handful of rows, broadcast back); the fact
+    scan is touched once."""
+    ev = _t(spark, sf_dir, "events")
+    y = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("yi"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = y.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yi").alias("sy"),
+        F.sum(d("yi") * d("yi")).alias("syy"),
+    )
+    dev = d("n") * d("yi") - d("sy")
+    rhs = F.lit(9) * (d("n") * F.col("syy") - d("sy") * d("sy"))
+    return (
+        y.join(F.broadcast(s), "event_type")
+        .filter(dev * dev > rhs)
+        .select("event_id", "event_type", "value")
+    )
+
+
+_Q97_ORACLE = """
+    WITH w AS (
+        SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sv
+        FROM events GROUP BY event_type, week
+    )
+    SELECT event_type, week, sv / 1e4 AS sum_value,
+           CASE WHEN prev IS NULL THEN NULL
+                ELSE floor(CAST(sv - prev AS DOUBLE) / prev * 1e4 + 0.5)
+                     / 1e4
+           END AS wow_pct
+    FROM (SELECT *, lag(sv) OVER (
+              PARTITION BY event_type ORDER BY week) AS prev
+          FROM w)
+"""
+
+
+@query("q97_weekly_value_wow", _Q97_ORACLE)
+def q97_weekly_value_wow(spark, sf_dir):
+    """Week-over-week change of the value total per dimension — the
+    reporting query behind every growth dashboard. Weekly totals sum
+    EXACT 1e-4-integerized values (order-independent), so the lag and
+    the percent change divide identical integers on both engines; the
+    window runs over the tiny (dimension, week) relation, never the
+    facts. First week per dimension reports NULL change."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).alias("sv")
+        )
+    )
+    prev = F.lag("sv").over(
+        W.partitionBy("event_type").orderBy("week")
+    )
+    return w.select(
+        "event_type",
+        "week",
+        (F.col("sv") / 1e4).alias("sum_value"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                (F.col("sv") - prev).cast("double") / prev * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        )
+        .alias("wow_pct"),
+    )

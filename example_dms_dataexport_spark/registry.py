@@ -85,6 +85,8 @@ PRIORITY = [
     "q93_rolling_active_users",
     "q94_value_trend_regression",
     "q95_source_token_entropy",
+    "q96_value_outliers",
+    "q97_weekly_value_wow",
 ]
 
 

@@ -345,3 +345,17 @@ def test_q94_q95_shapes(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_hint_count(df) == 0
     assert "partial" in plan.lower()  # map-side combine on the token stream
+
+
+def test_q96_q97_shapes(spark):
+    df = _q(spark, "q96_value_outliers")
+    plan = physical_plan(df)
+    # per-dimension moments broadcast back onto the fact scan
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+    df = _q(spark, "q97_weekly_value_wow")
+    plan = physical_plan(df)
+    # the lag window runs over the (dimension, week) relation
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
