@@ -61,6 +61,12 @@ HEADLINE = [
     "q80_bloom_semi_join",
     "q83_bm25_rank",
     "q84_quality_percentile",
+    # round 6 additions
+    "q88_bigram_logprob",
+    "q89_retention_cohorts",
+    "q93_rolling_active_users",
+    "q95_source_token_entropy",
+    "q96_value_outliers",
 ]
 
 
