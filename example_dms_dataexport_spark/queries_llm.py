@@ -1859,3 +1859,53 @@ def q95_source_token_entropy(spark, sf_dir):
             ).alias("entropy"),
         )
     )
+
+
+_Q98_ORACLE = f"""
+    WITH {_SIG_CTES.strip()},
+    {_PAIRS_CORE.strip()}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+"""
+
+
+@query("q98_cross_source_dup_matrix", _Q98_ORACLE)
+def q98_cross_source_dup_matrix(spark, sf_dir):
+    """Which sources duplicate which: the MinHash near-dup pair list
+    (q24) aggregated into an unordered source-pair matrix — the
+    curation diagnostic that decides which feed to drop when two crawls
+    overlap (a heavy diagonal means internal duplication; a heavy
+    off-diagonal cell means one source mirrors another). The pair list
+    is the small relation; attaching each side's source is two joins
+    against the (doc_id, source) projection — AQE broadcasts the pair
+    side — and the matrix aggregation is source-cardinality-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    withsrc = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        withsrc.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -87,6 +87,7 @@ PRIORITY = [
     "q95_source_token_entropy",
     "q96_value_outliers",
     "q97_weekly_value_wow",
+    "q98_cross_source_dup_matrix",
 ]
 
 

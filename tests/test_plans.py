@@ -359,3 +359,10 @@ def test_q96_q97_shapes(spark):
     # the lag window runs over the (dimension, week) relation
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q98_matrix_no_cartesian(spark):
+    df = _q(spark, "q98_cross_source_dup_matrix")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
