@@ -5,11 +5,22 @@ Runs every ``queries()`` entry at a scale factor and compares against
 order-insensitive value comparison (floats rounded to 6 significant
 decimals before comparing).  Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--exact] [sf_dir] [query ...]
+
+``--exact`` compares dtype-faithful renderings with NO rounding — the
+local equivalent of the driver's value-hash strictness.  The default
+6-decimal rounding is looser than the driver (that looseness is how the
+q18 DECIMAL drift slipped through the r6 local gate); run ``--exact``
+for any query whose schema carries DECIMAL/float columns.  Exact mode
+also flags ``decimal.Decimal`` cells on either engine: DECIMAL renders
+differently across engines at the driver's hash layer and must never
+appear in driver-facing output (cast to double/string in BOTH the Spark
+query and the oracle's final SELECT).
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -37,17 +48,51 @@ def norm_cell(v):
     return v
 
 
-def norm_rows(cols, rows):
+_SAW_DECIMAL = False
+
+
+def norm_cell_exact(v):
+    """Dtype-faithful rendering: full-precision repr tagged with a type
+    class, so float-vs-Decimal / float-vs-int drift that 6-decimal
+    rounding hides shows up as a mismatch (the driver's hash behaves
+    like this)."""
+    global _SAW_DECIMAL
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, decimal.Decimal):
+        _SAW_DECIMAL = True
+        return ("dec", str(v))
+    if isinstance(v, int):
+        return ("i", str(v))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell_exact(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows, cell=norm_cell):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        (tuple(norm_cell(r[i]) for i in order) for r in rows),
+        (tuple(cell(r[i]) for i in order) for r in rows),
         key=lambda t: tuple(str(x) for x in t),
     )
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global _SAW_DECIMAL
+    argv = sys.argv[1:]
+    exact = "--exact" in argv
+    argv = [a for a in argv if a != "--exact"]
+    cell = norm_cell_exact if exact else norm_cell
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -61,6 +106,7 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        _SAW_DECIMAL = False
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -88,13 +134,22 @@ def main():
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             ok = False
         else:
-            ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+            ns = norm_rows(scols, srows, cell)
+            nd = norm_rows(dcols, drows, cell)
             if ns != nd:
                 diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 print(f"FAIL {name}: values differ, e.g. {diffs}")
                 ok = False
+        if ok and exact and _SAW_DECIMAL:
+            print(
+                f"FAIL {name}: decimal.Decimal in driver-facing output "
+                "(fragile at the driver hash layer — cast to double/string "
+                "in both engines)"
+            )
+            ok = False
         if ok:
-            print(f"ok {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+            mode = " [exact]" if exact else ""
+            print(f"ok{mode} {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
         else:
             failed.append(name)
     print("FAILED:", failed) if failed else print("ALL OK")
