@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 LG_K = 12  # 2^12 registers — ~1.6% relative error, ~4 KB per sketch
 
 
+def rel_tolerance(lg_k: int = LG_K, sigmas: float = 4.0) -> float:
+    """Relative-error tolerance for accuracy contracts, derived from the
+    sketch's configured precision instead of a hard-coded percentage:
+    HLL's standard error is 1.04/sqrt(2^lg_k) (~1.6% at lg_k=12), and the
+    contracts allow ``sigmas`` of it (default 4 -> ~6.5%), so a freshly
+    regenerated dataset can't legitimately flip a contract red on an
+    unlucky-but-in-spec group."""
+    return sigmas * 1.04 / (2.0 ** lg_k) ** 0.5
+
+
 def distinct_sketch_rollup(
     df: DataFrame, keys: list[str], value_col: str, lg_k: int = LG_K
 ) -> DataFrame:

@@ -1347,26 +1347,49 @@ def q69_skew_report(spark, sf_dir):
     return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top=10)
 
 
-@query("q71_distinct_sketch_rollup", None)  # HLL binary: no DuckDB-
-# bit-compatible oracle exists; accuracy + merge/rollup equality are
-# pinned by tests/test_operators.py::test_hll_sketch_rollup_merge_and_accuracy
+_Q71_ORACLE = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("q71_distinct_sketch_rollup", _Q71_ORACLE)
 def q71_distinct_sketch_rollup(spark, sf_dir):
-    """Mergeable distinct-user sketches per (day, event_type), estimated
-    — the storable HLL state that answers any coarser rollup without
-    re-touching the fact table (the COUNT(DISTINCT) scale pattern)."""
+    """Mergeable distinct-user sketches per (day, event_type) — the
+    storable HLL state that answers any coarser rollup without
+    re-touching the fact table (the COUNT(DISTINCT) scale pattern).
+    Oracle face (same contract shape as q87/q92): each stored daily
+    sketch's estimate must land within rel_tolerance() of the exact
+    per-group distinct count, so the driver hash-verifies the finest
+    grain of the sketch family; the binary sketch emission itself is
+    pinned by tests/test_operators.py::
+    test_hll_sketch_rollup_merge_and_accuracy."""
     from .operators import sketches
 
     ev = _t(spark, sf_dir, "events")
-    daily = sketches.distinct_sketch_rollup(
-        ev.select(
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            "event_type",
-            "user_id",
-        ),
-        ["day", "event_type"],
+    grouped = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
         "user_id",
     )
-    return sketches.estimate(daily)
+    daily = sketches.distinct_sketch_rollup(
+        grouped, ["day", "event_type"], "user_id"
+    )
+    est = sketches.estimate(daily)
+    exact = grouped.groupBy("day", "event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(est), ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+            <= sketches.rel_tolerance() * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
 
 
 _Q87_ORACLE = """
@@ -1383,8 +1406,9 @@ def q87_sketch_accuracy(spark, sf_dir):
     the driver-verifiable companion to q71's rows-only rollup. Daily
     (day, event_type) sketches are MERGED up to event_type grain
     (exercising hll_union_agg, the storable-state path) and the estimate
-    must land within ±5% of the exact distinct count (lg_k=12 gives
-    ~1.6% standard error, so 5% ≈ 3σ). The oracle pins
+    must land within rel_tolerance() of the exact distinct count
+    (4x the 1.04/sqrt(2^lg_k) standard error — margin for freshly
+    regenerated data, see sketches.rel_tolerance). The oracle pins
     ``within_tol = TRUE`` per group: an out-of-tolerance estimate
     value-hash-mismatches instead of hiding behind a rows-only check.
     The exact side is one count_distinct shuffle; the estimate side is
@@ -1410,7 +1434,7 @@ def q87_sketch_accuracy(spark, sf_dir):
         "exact_distinct",
         (
             F.abs(F.col("n_distinct") - F.col("exact_distinct"))
-            <= 0.05 * F.col("exact_distinct")
+            <= sketches.rel_tolerance() * F.col("exact_distinct")
         ).alias("within_tol"),
     )
 
@@ -1853,8 +1877,10 @@ def q92_sketch_merge_accuracy(spark, sf_dir):
     path the streaming sketch driver folds through): the fact table is
     split into two disjoint halves by event_id parity, each half is
     sketched independently, the sketches are union-merged group-wise,
-    and the merged estimate must land within ±5% of the exact distinct
-    count over the WHOLE table. Catches any merge bug that loses or
+    and the merged estimate must land within rel_tolerance() of the
+    exact distinct count over the WHOLE table (4x standard error at the
+    configured lg_k — see sketches.rel_tolerance). Catches any merge
+    bug that loses or
     double-counts registers — a half-sketch would undercount badly."""
     from .operators import sketches
 
@@ -1881,7 +1907,7 @@ def q92_sketch_merge_accuracy(spark, sf_dir):
         "exact_distinct",
         (
             F.abs(F.col("n_distinct") - F.col("exact_distinct"))
-            <= 0.05 * F.col("exact_distinct")
+            <= sketches.rel_tolerance() * F.col("exact_distinct")
         ).alias("within_tol"),
     )
 

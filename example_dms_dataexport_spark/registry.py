@@ -31,63 +31,66 @@ def query(name: str, oracle: str | None):
 # queries each round (CORRECTNESS_r{N}.json is a 50-row window over
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a green
-# driver row on record (README "Driver correctness window"). Round 6:
-# the 20 queries that had never had a driver row through round 5, then
-# the 16 whose last row predates round 5, then the queries whose oracle
-# changed this round, then everything else in registration order.
+# driver row on record (README "Driver correctness window"). Round 7:
+# the 48 queries whose latest driver row is r5 (everything NOT in the r6
+# window), plus the two r6 rows that changed this round — q18 (decimal
+# column now rendered driver-safely; r6 row was hash-red) and q71 (gained
+# an accuracy-contract oracle; r6 row was no_oracle). 48 + 2 = exactly
+# the 50-row window: after this round every query's latest driver row is
+# current-green.
 PRIORITY = [
-    # never driver-checked through r5
-    "q49_incremental_rollup",
-    "q53_range_join_windows",
-    "q54_profile_orders",
-    "q59_histogram_totalprice",
-    "q60_pivot_lang_source",
-    "q61_cube_flag_status",
-    "q62_funnel_stages",
-    "q63_intersect_except",
-    "q64_resample_ffill",
-    "q65_trailing_hour_avg",
-    "q66_grouping_sets",
-    "q68_quality_audit",
-    "q69_skew_report",
-    "q71_distinct_sketch_rollup",
-    "q74_scd2_history",
-    "q75_scd2_point_in_time",
-    "q76_snapshot_diff",
-    "q77_unpivot_metrics",
-    "q79_event_debounce",
-    "q80_bloom_semi_join",
-    # last driver row predates round 5
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q12_part_name_parsing",
-    "q13_file_prefix_grouping",
-    "q14_json_props",
-    "q15_orders_by_month",
-    "q16_hourly_event_windows",
-    "q17_load_plan",
+    # latest driver row is r5
+    "q20_corpus_profile",
+    "q21_quality_filter",
+    "q22_exact_dedup",
+    "q23_minhash_signatures",
+    "q24_minhash_dedup_pairs",
+    "q25_simhash",
+    "q26_simhash_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q28_knn_brute",
+    "q29_knn_lsh",
+    "q30_knn_ivf",
+    "q31_embedding_dup_pairs",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q37_repetition_ratio",
+    "q43_dedup_clusters",
+    "q38_cleaning_pipeline",
+    "q44_decontaminate",
+    "q45_stratified_sample",
+    "q46_token_chunks",
+    "q50_pack_chunks",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q52_tfidf_top_terms",
+    "q51_duplicate_spans",
+    "q40_pii_redaction",
+    "q41_vocab_df",
+    "q55_bpe_pair_counts",
+    "q56_mixture_sample",
+    "q57_kmeans_assign",
+    "q58_embedding_decontam",
+    "q67_incremental_neardup",
+    "q70_knn_quantized",
+    "q72_exact_stratified_sample",
+    "q73_corpus_build",
+    "q78_inverted_index",
+    "q82_semantic_dedup",
+    "q83_bm25_rank",
+    "q84_quality_percentile",
+    "q85_mixture_weights",
+    "q86_leakage_safe_split",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_priority_counts",
+    "q05_forecast_revenue",
+    "q06_distinct_segments",
+    "q07_union_nation_keys",
+    # r6 rows superseded by this round's changes
     "q18_cdc_merge",
-    "q34_sessionize",
-    "q35_length_percentiles",
-    "q36_rollup_acctbal",
-    "q39_asof_attribution",
-    "q42_event_gaps",
-    # oracle added/changed this round
-    "q81_bpe_merges",
-    "q87_sketch_accuracy",
-    "q88_bigram_logprob",
-    "q89_retention_cohorts",
-    "q90_value_deciles",
-    "q91_event_path_patterns",
-    "q92_sketch_merge_accuracy",
-    "q93_rolling_active_users",
-    "q94_value_trend_regression",
-    "q95_source_token_entropy",
-    "q96_value_outliers",
-    "q97_weekly_value_wow",
-    "q98_cross_source_dup_matrix",
+    "q71_distinct_sketch_rollup",
 ]
 
 
