@@ -140,6 +140,33 @@ def main() -> None:
     times_min["cdc_stream_e2e"] = round(best, 3)
     total += med
 
+    # Partition-scoped batch CDC (q18's merge against a hive-partitioned
+    # target, changes confined to a few buckets): regressions in rewrite
+    # amplification / partition pruning show up here, not in q18 (which
+    # merges unpartitioned).
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_partitioned_cdc_fixture,
+    )
+
+    pcdc_info: dict[str, int] = {}
+
+    def run_pcdc() -> None:
+        td = tempfile.mkdtemp(prefix="bench-pcdc-")
+        try:
+            n, touched, buckets = run_partitioned_cdc_fixture(spark, sf_dir, td)
+            pcdc_info.update(
+                rows_affected=n,
+                touched_partitions=touched,
+                total_partitions=buckets,
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_pcdc)
+    times["q18p_partitioned_cdc"] = round(med, 3)
+    times_min["q18p_partitioned_cdc"] = round(best, 3)
+    total += med
+
     spread = max(
         (times[n] / times_min[n]) for n in times if times_min[n] > 0
     )
@@ -149,6 +176,11 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
+                # methodology marker: r01-r05 were single-shot sums; r06+
+                # sum per-query medians over runs_per_query runs. Cross-
+                # round deltas are comparable only within one method.
+                "method": "sum_of_medians",
+                "partitioned_cdc": pcdc_info,
                 "queries": times,
                 "queries_min": times_min,
                 "runs_per_query": n_runs,

@@ -86,6 +86,67 @@ def run_cdc_stream_fixture(
     return wh
 
 
+def run_partitioned_cdc_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_buckets: int = 32,
+    touched_buckets: int = 4,
+) -> tuple[int, int, int]:
+    """Partition-scoped BATCH merge at bench scale (SURVEY §7.3a — the
+    100 TB CDC path): customer is stored hive-partitioned by a stable
+    pk-derived bucket, the q18 change-set is restricted to
+    ``touched_buckets`` of ``n_buckets`` partitions, and
+    ``merge_and_write`` must prune the target scan to — and rewrite
+    only — those partitions. Benchmarked per-round so rewrite-
+    amplification regressions (a merge that silently rescans or
+    rewrites the whole table) show up as a wall-time jump in BENCH
+    deltas. Returns (rows_affected, touched_buckets, n_buckets)."""
+    from ..cdc import merge_and_write
+
+    def bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    wh = ParquetWarehouse(os.path.join(workdir, "wh"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(*CUST_COLS)
+        .withColumn("c_bucket", bucket(F.col("c_custkey")))
+    )
+    wh.overwrite(cust, "customer", partition_by=["c_bucket"])
+
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = (
+        orders.select(
+            F.when(opmod < 2, "D").when(opmod < 6, "U").otherwise("I").alias("op"),
+            F.when(opmod >= 6, F.col("o_custkey") + 1000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+            (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+            F.col("o_orderpriority").alias("c_mktsegment"),
+            F.col("o_orderdate").alias("_file"),
+            F.col("o_orderkey").alias("_rownum"),
+        )
+        .withColumn("c_bucket", bucket(F.col("c_custkey")))
+        .filter(F.col("c_bucket") < touched_buckets)
+    )
+    n = merge_and_write(
+        wh,
+        "customer",
+        wh.read(spark, "customer"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+        partition_by=["c_bucket"],
+    )
+    return n, touched_buckets, n_buckets
+
+
 def batch_expected(
     spark: SparkSession, sf_dir: str, workdir: str
 ) -> DataFrame:

@@ -316,3 +316,63 @@ def test_schema_evolution_forces_full_rewrite_of_all_partitions(
     }
     assert got[1] == (111, "silver")
     assert got[0] == (999, "gold")
+
+
+def test_bench_fixture_matches_global_merge(spark, tmp_path):
+    # The bench's partition-scoped fixture (q18p) must land on exactly the
+    # state a single global (unpartitioned) apply_changes would produce —
+    # partition scoping is a physical optimization, never a semantic one.
+    from pyspark.sql import functions as F
+
+    from example_dms_dataexport_spark.merge import apply_changes
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        CUST_COLS,
+        run_partitioned_cdc_fixture,
+    )
+    from example_dms_dataexport_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    n, touched, buckets = run_partitioned_cdc_fixture(
+        spark, sf_dir, str(tmp_path), n_buckets=8, touched_buckets=3
+    )
+    assert 0 < touched < buckets
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    got = wh.read(spark, "customer")
+
+    def bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(8)).cast("int")
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(*CUST_COLS)
+        .withColumn("c_bucket", bucket(F.col("c_custkey")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = (
+        orders.select(
+            F.when(opmod < 2, "D").when(opmod < 6, "U").otherwise("I").alias("op"),
+            F.when(opmod >= 6, F.col("o_custkey") + 1000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+            (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+            F.col("o_orderpriority").alias("c_mktsegment"),
+            F.col("o_orderdate").alias("_file"),
+            F.col("o_orderkey").alias("_rownum"),
+        )
+        .withColumn("c_bucket", bucket(F.col("c_custkey")))
+        .filter(F.col("c_bucket") < 3)
+    )
+    expected = apply_changes(
+        cust, changes, pks=["c_custkey"], version_cols=["_file", "_rownum"]
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(expected.columns)
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    e = sorted(map(tuple, expected.select(*cols).collect()))
+    assert g == e
