@@ -20,8 +20,12 @@ libraries are not in this container, so:
   pixels), and ``resize`` re-encodes through Pillow; both raise
   NotImplementedError at the import gate when Pillow is absent (it is
   not in this container — tests skipif-gate on it);
-- ``codec="av"`` (video) raises NotImplementedError at the import gate,
-  marking exactly where PyAV would slot in.
+- ``codec="av"`` decodes real video through PyAV in the same shape:
+  ``decode_media`` probes the first video stream (dimensions + first-
+  frame mean luminance), ``frame_sample`` decodes and keeps every
+  N-th frame's mean luminance — gated identically (NotImplementedError
+  when PyAV is absent; tests skipif-gate the real path and pin the
+  gate).
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling, no
 full-partition materialization); decode is stateless per row so any
@@ -120,6 +124,10 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     in SQL. ``codec="pil"``: the same per-batch contract, but
     width/height/mean_intensity come from Pillow-DECODED pixels
     (grayscale mean), not the metadata struct — the real-image path.
+    ``codec="av"``: the real-video path — dimensions from the first
+    video stream, mean_intensity from the FIRST decoded frame's
+    grayscale mean (the cheap probe; whole-video statistics go through
+    ``frame_sample``, which decodes only sampled frames).
     """
     _require(codec)
 
@@ -174,12 +182,52 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(decode_pil if codec == "pil" else decode, DECODE_SCHEMA)
+    def decode_av(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        from io import BytesIO
+
+        import av
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, mean_i, widths, heights = [], [], [], []
+            for b in pdf["media"]:
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                with av.open(BytesIO(raw)) as container:
+                    stream = container.streams.video[0]
+                    stream.thread_type = "AUTO"  # frame-parallel decode
+                    widths.append(stream.codec_context.width)
+                    heights.append(stream.codec_context.height)
+                    frame = next(container.decode(stream), None)
+                    if frame is None:
+                        mean_i.append(0.0)
+                    else:
+                        px = frame.to_ndarray(format="gray")
+                        mean_i.append(float(px.mean()) if px.size else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "mean_intensity": pd.Series(mean_i, dtype="float64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    fns = {"fake": decode, "pil": decode_pil, "av": decode_av}
+    return df.mapInPandas(fns[codec], DECODE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every: int = 32, codec: str = "fake") -> DataFrame:
-    """Sample every ``every``-th byte as a 'frame' value (the video
-    frame-sampling pattern: decode only the sampled offsets)."""
+    """Every ``every``-th frame per media row, as one int per sampled
+    frame. ``codec="fake"``: every N-th byte IS the frame value (the
+    oracle-checkable plumbing twin). ``codec="av"``: real video — decode
+    the first video stream and keep every N-th frame's mean grayscale
+    luminance, skipping the frames in between (the decode-only-what-you-
+    sample pattern; PyAV still demuxes every packet, but the ndarray
+    conversion + stats run only on sampled frames)."""
     _require(codec)
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -200,7 +248,34 @@ def frame_sample(df: DataFrame, every: int = 32, codec: str = "fake") -> DataFra
                 }
             )
 
-    return df.mapInPandas(sample, FRAME_SCHEMA)
+    def sample_av(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from io import BytesIO
+
+        import av
+        import pandas as pd
+
+        for pdf in batches:
+            counts, vals = [], []
+            for b in pdf["media"]:
+                with av.open(BytesIO(bytes(b))) as container:
+                    stream = container.streams.video[0]
+                    stream.thread_type = "AUTO"
+                    fr = [
+                        int(f.to_ndarray(format="gray").mean())
+                        for i, f in enumerate(container.decode(stream))
+                        if i % every == 0
+                    ]
+                counts.append(len(fr))
+                vals.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.Series(counts, dtype="int32"),
+                    "frames": vals,
+                }
+            )
+
+    return df.mapInPandas(sample_av if codec == "av" else sample, FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

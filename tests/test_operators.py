@@ -297,6 +297,69 @@ def test_pil_resize_roundtrip(spark):
     assert out[2]["mean_intensity"] == pytest.approx(255.0)
 
 
+_HAS_AV = __import__("importlib").util.find_spec("av") is not None
+
+
+@pytest.mark.skipif(_HAS_AV, reason="PyAV installed: av paths are live")
+def test_av_codec_gate_without_pyav(spark):
+    # Same gate contract as the Pillow pattern: the video paths raise
+    # NotImplementedError at the import gate, before any Spark job runs.
+    df = spark.createDataFrame([(1, "x", 1)], ["doc_id", "text", "n_chars"])
+    media = multimodal.media_from_documents(df)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="av")
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(media, every=2, codec="av")
+
+
+def _mp4_media_df(spark, n_frames=9, w=16, h=8):
+    """One tiny generated mpeg4 video of solid gray frames whose
+    luminance ramps 50, 60, 70, ... — frame index recoverable from the
+    sampled mean."""
+    from io import BytesIO
+
+    import av
+    import numpy as np
+
+    buf = BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        for i in range(n_frames):
+            arr = np.full((h, w), 50 + 10 * i, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="gray")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    return spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), ("mp4", w, h))],
+        "doc_id long, media binary, "
+        "media_meta struct<format:string,width:int,height:int>",
+    )
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="PyAV not installed")
+def test_av_decode_real_video(spark):
+    out = multimodal.decode_media(_mp4_media_df(spark), codec="av").collect()[0]
+    # dimensions come from the DECODED stream; intensity from frame 0
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["mean_intensity"] == pytest.approx(50.0, abs=3.0)  # lossy codec
+    assert out["n_bytes"] > 0
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="PyAV not installed")
+def test_av_frame_sample_every_n(spark):
+    out = multimodal.frame_sample(
+        _mp4_media_df(spark, n_frames=9), every=3, codec="av"
+    ).collect()[0]
+    # frames 0, 3, 6 -> luminance ~50, ~80, ~110 (lossy-codec tolerance)
+    assert out["n_frames"] == 3
+    for got, want in zip(out["frames"], [50, 80, 110]):
+        assert abs(got - want) <= 3
+
+
 def test_jdbc_options_validation():
     opts = jdbc_options(
         url="jdbc:postgresql://host/db",
