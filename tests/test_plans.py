@@ -331,6 +331,15 @@ def test_q92_q93_shapes(spark):
     # the 7x fan-out runs on the DISTINCT (user, day) relation; the only
     # joins are day-keyed or the 1-row max-day bound (broadcast BNLJ)
     assert "CartesianProduct" not in plan
+    # wau-dau stays a day-keyed EQUI join (hash or sort-merge); the only
+    # non-equi join allowed is the single 1-row max-day range bound, and
+    # the only forced broadcast is that 1-row relation (formatted explain
+    # names each node twice — count the numbered detail headers)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert broadcast_hint_count(df) == 1
 
 
 def test_q94_q95_shapes(spark):
@@ -366,3 +375,9 @@ def test_q98_matrix_no_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert broadcast_hint_count(df) == 0
+    # the source-attach joins are pure equi joins on doc id — a non-equi
+    # join here would mean the pair list stopped being the small keyed
+    # relation and the matrix degenerated toward all-pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+    # matrix aggregation map-side combines before the source-pair shuffle
+    assert "partial" in plan.lower()
