@@ -67,6 +67,10 @@ HEADLINE = [
     "q93_rolling_active_users",
     "q95_source_token_entropy",
     "q96_value_outliers",
+    # round 7 additions
+    "q99_quantile_sketch_accuracy",
+    "q100_heavy_hitters",
+    "q101_token_budget_shards",
 ]
 
 

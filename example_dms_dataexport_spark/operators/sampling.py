@@ -133,3 +133,68 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(r * SAMPLE_BUCKETS)))
         ).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col)) < thr)
+
+
+def token_budget_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign every row a ``shard_id`` so that consecutive rows (in the
+    deterministic global order ``(order_col % n_buckets, order_col)``)
+    pack into shards of ~``budget`` total ``weight_col`` — the training-
+    shard manifest ("each output file holds ≈100M tokens") without a
+    global sort.
+
+    A naive running total is a window over ONE partition — the whole
+    corpus through a single task. Instead the classic two-level
+    decomposition: (1) per-bucket weight totals (one map-side-combined
+    aggregation, ``n_buckets`` rows), (2) exclusive bucket offsets via a
+    window over those ``n_buckets`` rows (bounded, never fact-sized),
+    (3) a within-bucket running sum — ``n_buckets`` independent window
+    partitions running in parallel. shard_id = floor(exclusive_global_
+    cumsum / budget), exact in int64 arithmetic, reproducible on any
+    cluster layout, and restatable in ANSI SQL (one global window) for
+    the oracle. Scale ``n_buckets`` with the corpus (10k buckets at
+    100 TB keeps each in-bucket sort ~10 GB)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = F.pmod(F.col(order_col), F.lit(n_buckets)).cast("int")
+    rows = df.withColumn("_b", b)
+    offsets = (
+        rows.groupBy("_b")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_bw"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bw").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_bw")
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_start",
+            F.col("_off")
+            + F.coalesce(F.sum(F.col(weight_col).cast("long")).over(win), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id", F.floor(F.col("_start") / F.lit(budget)).cast("int")
+        )
+        .drop("_b", "_off", "_start")
+    )

@@ -73,3 +73,79 @@ def estimate(sketches: DataFrame) -> DataFrame:
     return sketches.withColumn(
         "n_distinct", F.hll_sketch_estimate("sketch").cast("long")
     ).drop("sketch")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile state: equi-width histogram sketch
+# ---------------------------------------------------------------------------
+# The percentile analogue of the HLL rollup above: exact percentiles need
+# a full sort (or a whole-group window) per re-aggregation, while a
+# (keys..., bin, n) histogram is a few KB per group, merges by SUM across
+# partitions/batches/grains, and answers any percentile to within one bin
+# width WITHOUT re-touching the fact table. Bin edges are fixed up front
+# ([lo, hi) in n_bins equal steps), so two independently-built histograms
+# are always bin-compatible — the property that makes the state mergeable.
+
+
+def histogram_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(keys..., bin, n): equi-width histogram of ``value_col`` per group
+    — the storable/mergeable quantile state. One shuffle on
+    (keys..., bin) with map-side partial counts; values outside [lo, hi)
+    clamp into the edge bins so totals are preserved."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    step = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two histogram states group-wise (new batch into stored
+    state): union + sum — bin-aligned by construction."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_percentile(
+    hist: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(keys..., estimate): the q-th percentile reconstructed from stored
+    histogram state — the UPPER EDGE of the first bin whose cumulative
+    count reaches ceil(q * total), which is within one bin width above
+    the exact value-based percentile. The cumulative window runs over
+    n_bins rows per group (sketch-sized, never fact-sized)."""
+    from pyspark.sql import Window
+
+    step = (hi - lo) / n_bins
+    w = Window.partitionBy(*keys).orderBy("bin")
+    tot = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("_cum", F.sum("n").over(w))
+        .withColumn("_tot", F.sum("n").over(tot))
+        .filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_tot")))
+    )
+    first = cum.groupBy(*keys).agg(F.min("bin").alias("_bin"))
+    return first.select(
+        *keys,
+        (F.lit(lo) + (F.col("_bin") + 1) * F.lit(step)).alias("estimate"),
+    )

@@ -1911,3 +1911,82 @@ def q98_cross_source_dup_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact recount) and token-budget
+# shard assignment (scalable ordered cumsum) — round-7 scale patterns
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({TH.sql_tokens('text')}) AS item FROM documents
+    )
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY item
+    ORDER BY n DESC, item ASC
+    LIMIT 20
+"""
+
+
+@query("q100_heavy_hitters", _Q100_ORACLE)
+def q100_heavy_hitters(spark, sf_dir):
+    """Exact top-20 corpus tokens WITHOUT shuffling the long tail: each
+    partition runs a Misra-Gries summary (candidate pass, no shuffle),
+    only candidates cross the wire for the exact recount, and a runtime
+    certificate (k-th count > N/(capacity+1)) proves no tail item could
+    displace the answer — the vocabulary/stopword diagnostic that stays
+    cheap when the distinct-token count explodes at 100 TB. Oracle is
+    the plain exact top-k: the pruned path must match it hash-for-hash."""
+    from .operators import freq
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(F.explode(TH.tokens(F.col("text"))).alias("item"))
+    return freq.heavy_hitters(items, "item", k=20, capacity=2048)
+
+
+_SHARD_BUDGET = 20_000
+_SHARD_BUCKETS = 16
+
+_Q101_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {_SHARD_BUCKETS} AS b,
+               len({TH.sql_tokens('text')}) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               coalesce(sum(w) OVER (
+                   ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start
+        FROM t
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+           CAST(start // {_SHARD_BUDGET} AS INTEGER) AS shard_id
+    FROM c
+"""
+
+
+@query("q101_token_budget_shards", _Q101_ORACLE)
+def q101_token_budget_shards(spark, sf_dir):
+    """Training-shard manifest: documents packed, in a deterministic
+    global order, into shards of ~{budget} tokens each — without the
+    single-task global sort a naive running total needs. The global
+    cumulative sum decomposes two-level (per-bucket totals -> bounded
+    offset window over n_buckets rows -> parallel within-bucket running
+    sums); the oracle restates it as ONE global window, and the int64
+    arithmetic makes the match exact. The pattern behind every "each
+    output file holds =B tokens" exporter."""
+    from .operators.sampling import token_budget_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", F.size(TH.tokens(F.col("text"))).cast("long").alias("w")
+    )
+    out = token_budget_shards(
+        weighted, "doc_id", "w", _SHARD_BUDGET, n_buckets=_SHARD_BUCKETS
+    )
+    return out.select(
+        "doc_id", F.col("w").alias("n_tokens"), "shard_id"
+    )

@@ -2162,3 +2162,78 @@ def q97_weekly_value_wow(spark, sf_dir):
         )
         .alias("wow_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile state (histogram sketch) — accuracy contract
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, value AS exact_p95, TRUE AS within_tol
+    FROM ranked
+    WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+"""
+
+
+@query("q99_quantile_sketch_accuracy", _Q99_ORACLE)
+def q99_quantile_sketch_accuracy(spark, sf_dir):
+    """Accuracy contract for the histogram-sketch quantile family (the
+    percentile analogue of q87/q92's HLL contracts): per-event_type
+    p95 reconstructed from MERGED equi-width histogram state — the fact
+    table split into halves by event_id parity, each half sketched
+    independently, states merged bin-wise — must land within one bin
+    width ABOVE the exact rank-based p95 (the reconstruction returns
+    the covering bin's upper edge, so 0 < estimate - exact <= step by
+    construction; a merge bug that loses or double-counts bins breaks
+    the cumulative rank and flips within_tol). exact_p95 is a RAW data
+    value picked by a deterministic rank rule, restated identically in
+    the oracle — no float interpolation to drift between engines. The
+    exact side is one window per group; the sketch side never exceeds
+    (groups x n_bins) rows."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    ).collect()[0]  # bounded: 1 row of scalars
+    lo, hi, n_bins = float(b["_lo"]), float(b["_hi"]) + 1.0, 256
+    step = (hi - lo) / n_bins
+
+    halves = [
+        sketches.histogram_sketch(
+            ev.filter(F.col("event_id") % 2 == i),
+            ["event_type"],
+            "value",
+            lo,
+            hi,
+            n_bins,
+        )
+        for i in (0, 1)
+    ]
+    merged = sketches.merge_histograms(halves[0], halves[1], ["event_type"])
+    est = sketches.histogram_percentile(
+        merged, ["event_type"], 0.95, lo, hi, n_bins
+    )
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = Window.partitionBy("event_type")
+    exact = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("_rn") == F.ceil(F.lit(0.95) * F.col("_n")))
+        .select("event_type", F.col("value").alias("exact_p95"))
+    )
+    diff = F.col("estimate") - F.col("exact_p95")
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_p95",
+        ((diff > 0) & (diff <= F.lit(step) + F.lit(1e-9))).alias("within_tol"),
+    )

@@ -65,3 +65,46 @@ def start_sketch_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_histogram_stream(
+    spark: SparkSession,
+    rows: DataFrame,
+    warehouse: ParquetWarehouse,
+    hist_table: str,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    checkpoint_dir: str,
+    n_bins: int = 256,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The quantile twin of ``start_sketch_stream``: fold a streaming
+    fact feed into stored per-group histogram state
+    (``sketches.histogram_sketch`` — (keys..., bin, n) rows), so any
+    percentile is answerable from the state alone
+    (``histogram_percentile``) without rescanning the feed. Per-batch
+    cost O(|batch| + groups x n_bins); bin edges are fixed at stream
+    start, which is what keeps every delta mergeable with the stored
+    state. Same exactly-once guarded fold and append-only semantics as
+    the HLL maintainer; ``hist_table`` must be seeded first (initial
+    facts, or an empty (keys..., bin, n) relation)."""
+
+    def fold(batch: DataFrame) -> DataFrame:
+        delta = sketches.histogram_sketch(
+            batch.select(*keys, value_col), list(keys), value_col, lo, hi, n_bins
+        )
+        current = warehouse.read(spark, hist_table)
+        return sketches.merge_histograms(current, delta, list(keys))
+
+    writer = (
+        rows.writeStream.foreachBatch(
+            guarded_fold(warehouse, hist_table, checkpoint_dir, fold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

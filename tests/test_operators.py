@@ -1577,3 +1577,117 @@ def test_rolling_active_users_small_fixture(spark, tmp_path):
         "2024-01-01": (2, 2, 1.0),
         "2024-01-02": (1, 2, 0.5),
     }
+
+
+# ---------------------------------------------------------------------------
+# round 7: histogram quantile sketch, MG heavy hitters, token-budget shards
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_sketch_merge_equals_whole(spark):
+    # merging half-sketches must produce the IDENTICAL state as sketching
+    # the whole input — the mergeability contract (bin edges are fixed,
+    # counts are exact, so this is equality, not approximation)
+    from example_dms_dataexport_spark.operators import sketches
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    whole = sketches.histogram_sketch(df, ["g"], "v", 0.0, 100.0, 32)
+    halves = [
+        sketches.histogram_sketch(
+            df.filter(F.col("id") % 2 == i), ["g"], "v", 0.0, 100.0, 32
+        )
+        for i in (0, 1)
+    ]
+    merged = sketches.merge_histograms(halves[0], halves[1], ["g"])
+    w = sorted(map(tuple, whole.collect()))
+    m = sorted(map(tuple, merged.collect()))
+    assert w == m
+
+
+def test_histogram_percentile_within_one_bin(spark):
+    from example_dms_dataexport_spark.operators import sketches
+
+    df = spark.range(1, 10001).select(
+        F.lit(0).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    lo, hi, bins = 0.0, 10001.0, 64
+    hist = sketches.histogram_sketch(df, ["g"], "v", lo, hi, bins)
+    est = sketches.histogram_percentile(hist, ["g"], 0.5, lo, hi, bins).collect()[0]
+    exact = 5000.0  # ceil(0.5 * 10000)-th of 1..10000
+    step = (hi - lo) / bins
+    assert 0 < est["estimate"] - exact <= step + 1e-9
+
+
+def test_histogram_sketch_rejects_bad_range(spark):
+    from example_dms_dataexport_spark.operators import sketches
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        sketches.histogram_sketch(df, [], "v", 5.0, 5.0)
+
+
+def test_heavy_hitters_exact_on_skewed(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    # zipf-ish: item i appears 2^(10-i) times -> unambiguous top-3
+    rows = [(f"w{i}",) for i in range(10) for _ in range(2 ** (10 - i))]
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    got = [tuple(r) for r in freq.heavy_hitters(df, "item", k=3).collect()]
+    assert got == [("w0", 1024), ("w1", 512), ("w2", 256)]
+
+
+def test_heavy_hitters_fallback_still_exact_on_flat(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    # perfectly flat data: the certificate CANNOT hold with a tiny
+    # capacity, so the exact fallback must kick in and still be right
+    # (ties broken by item ascending)
+    rows = [(f"x{i:03d}",) for i in range(50) for _ in range(4)]
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    got = [tuple(r) for r in freq.heavy_hitters(df, "item", k=5, capacity=5).collect()]
+    assert got == [(f"x{i:03d}", 4) for i in range(5)]
+
+
+def test_heavy_hitters_validates_args(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with pytest.raises(ValueError):
+        freq.heavy_hitters(df, "item", k=0)
+    with pytest.raises(ValueError):
+        freq.heavy_hitters(df, "item", k=10, capacity=5)
+
+
+def test_token_budget_shards_matches_serial_cumsum(spark):
+    from example_dms_dataexport_spark.operators.sampling import (
+        token_budget_shards,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), ((F.col("id") % 7) + 1).alias("w")
+    ).repartition(8)
+    out = {
+        r["doc_id"]: r["shard_id"]
+        for r in token_budget_shards(df, "doc_id", "w", 20, n_buckets=4).collect()
+    }
+    # serial restatement: order by (doc_id % 4, doc_id), running start // 20
+    order = sorted(range(100), key=lambda i: (i % 4, i))
+    start = 0
+    for i in order:
+        assert out[i] == start // 20, i
+        start += (i % 7) + 1
+    # shard ids are contiguous from 0
+    assert min(out.values()) == 0
+    assert set(out.values()) == set(range(max(out.values()) + 1))
+
+
+def test_token_budget_shards_validates_budget(spark):
+    from example_dms_dataexport_spark.operators.sampling import (
+        token_budget_shards,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+    with pytest.raises(ValueError):
+        token_budget_shards(df, "doc_id", "w", 0)

@@ -381,3 +381,26 @@ def test_q98_matrix_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # matrix aggregation map-side combines before the source-pair shuffle
     assert "partial" in plan.lower()
+
+
+def test_q99_sketch_estimate_broadcast_no_cartesian(spark):
+    df = _q(spark, "q99_quantile_sketch_accuracy")
+    plan = physical_plan(df)
+    # the (groups x bins)-sized estimate relation broadcasts back onto
+    # the exact side; no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert broadcast_hint_count(df) == 1
+
+
+def test_q101_shard_cumsum_is_two_level_not_global_window(spark):
+    df = _q(spark, "q101_token_budget_shards")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only forced broadcast is the n_buckets-row offsets relation
+    assert broadcast_hint_count(df) == 1
+    # the fact-side running sum is partitioned by bucket — the global
+    # (unpartitioned) window exists only over the n_buckets offset rows,
+    # never over the fact table: fact-sized shuffles are the bucket
+    # groupBy and the bucket-partitioned window, nothing more
+    assert exchange_count(df) <= 2, plan

@@ -786,3 +786,69 @@ def test_sketch_stream_matches_full_rebuild(spark, tmp_path):
         .withColumn("_all", F.lit(1))
     ).collect()[0]["n_distinct"]
     assert total == 5  # users 1,2,3,9,7
+
+
+def test_histogram_stream_matches_full_rebuild(spark, tmp_path):
+    """Histogram state maintained across micro-batches must equal the
+    histogram built from ALL rows at once — bin-exact, not approximate
+    (counts merge by sum over fixed edges)."""
+    from example_dms_dataexport_spark.operators import sketches
+    from example_dms_dataexport_spark.streaming.sketch_stream import (
+        start_histogram_stream,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 10
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    seed = spark.createDataFrame(
+        [("a", 5.0), ("a", 15.0), ("b", 95.0)], ["grp", "v"]
+    )
+    wh.overwrite(
+        sketches.histogram_sketch(seed, ["grp"], "v", lo, hi, bins), "hist"
+    )
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    spark.createDataFrame(
+        [("a", 15.5), ("a", 99.0), ("b", 5.0)], ["grp", "v"]
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+    spark.createDataFrame(
+        [("c", 50.0), ("c", 51.0)], ["grp", "v"]
+    ).coalesce(1).write.parquet(str(chg / "f2"))
+
+    stream = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chg / "*"))
+    )
+    q = start_histogram_stream(
+        spark, stream, wh, "hist", ["grp"], "v", lo, hi,
+        checkpoint_dir=str(tmp_path / "ckpt"), n_bins=bins,
+    )
+    q.awaitTermination(120)
+
+    everything = seed.union(
+        spark.createDataFrame(
+            [("a", 15.5), ("a", 99.0), ("b", 5.0), ("c", 50.0), ("c", 51.0)],
+            ["grp", "v"],
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sketches.histogram_sketch(
+                everything, ["grp"], "v", lo, hi, bins
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, wh.read(spark, "hist").collect()))
+    assert got == want
+
+    # the stored state answers percentiles without the fact feed
+    est = {
+        r["grp"]: r["estimate"]
+        for r in sketches.histogram_percentile(
+            wh.read(spark, "hist"), ["grp"], 0.5, lo, hi, bins
+        ).collect()
+    }
+    # grp a values {5,15,15.5,99}: median bin is [10,20) -> upper edge 20
+    assert est["a"] == 20.0
