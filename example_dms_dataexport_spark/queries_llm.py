@@ -647,12 +647,13 @@ def q38_cleaning_pipeline(spark, sf_dir):
         "doc_id", "text", "quality"
     )
     # kept feeds BOTH the MinHash signature branch and the survivor
-    # anti-join. Eager localCheckpoint (not a session persist): the
-    # quality/lang/exact-dedup prefix computes exactly once, and the
-    # checkpoint blocks have an owner — they're reclaimed by the
-    # ContextCleaner when the returned DataFrame is released, so a
-    # shared cluster isn't left holding an unowned LRU cache entry.
-    kept = dedup.exact_dedup(pass1).localCheckpoint(eager=True)
+    # anti-join. Lazy localCheckpoint (not a session persist): the
+    # quality/lang/exact-dedup prefix computes exactly once — inside the
+    # first consuming action, no extra materialization job — and the
+    # checkpoint blocks have an owner: the ContextCleaner reclaims them
+    # when the returned DataFrame is released, so a shared cluster isn't
+    # left holding an unowned LRU cache entry.
+    kept = dedup.exact_dedup(pass1).localCheckpoint(eager=False)
     pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
     return dedup.cluster_survivors(kept, pairs).select(
         "doc_id", F.round("quality", 4).alias("quality")
@@ -1365,11 +1366,12 @@ def q73_corpus_build(spark, sf_dir):
     pass1 = text_analysis.quality_lang_gate(docs).select(
         "doc_id", "text", "quality"
     )
-    # kept feeds BOTH the signature branch and the survivor join: eager
-    # localCheckpoint runs the quality/lang/dedup prefix once, with the
-    # block lifetime owned by the returned DataFrame (ContextCleaner
-    # reclaims on release — no unowned session-scoped cache)
-    kept = dedup.exact_dedup(pass1).localCheckpoint(eager=True)
+    # kept feeds BOTH the signature branch and the survivor join: lazy
+    # localCheckpoint runs the quality/lang/dedup prefix once (inside
+    # the first consuming action), with the block lifetime owned by the
+    # returned DataFrame (ContextCleaner reclaims on release — no
+    # unowned session-scoped cache)
+    kept = dedup.exact_dedup(pass1).localCheckpoint(eager=False)
     pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
     surv = dedup.cluster_survivors(kept, pairs).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
