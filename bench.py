@@ -71,6 +71,9 @@ HEADLINE = [
     "q99_quantile_sketch_accuracy",
     "q100_heavy_hitters",
     "q101_token_budget_shards",
+    "q102_audio_decode",
+    "q103_cms_accuracy",
+    "q104_domain_cap",
 ]
 
 

@@ -124,3 +124,84 @@ def heavy_hitters(
         return df.sparkSession.createDataFrame(got, "item string, n long")
     # certificate failed (tiny or pathologically flat data): exact path
     return topk(items.groupBy("item").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate frequency state
+# ---------------------------------------------------------------------------
+# The frequency analogue of operators.sketches' HLL/histogram states:
+# Misra-Gries above answers "what are the top items" exactly but its state
+# is not group-mergeable (two MG summaries can't be combined without loss
+# of the certificate); a count-min sketch is a depth x width counter
+# matrix that merges by cell-wise SUM — storable next to a rollup,
+# foldable batch-by-batch, and queryable for ANY item later, with the
+# classic one-sided guarantee: estimate >= true count always, and
+# P(estimate > true + e*N/width) <= (1/e)^depth per lookup (Markov bound
+# per hash row, independent rows via distinct hash salts).
+#
+# Representation is SPARSE relational state: (d, slot, n) rows — at most
+# depth*width rows regardless of data size — built with one scan + one
+# shuffle (explode depth slots per item, map-side partial count). Hashing
+# is JVM-side xxhash64(item, d): the depth salt rides as a hash input, so
+# no Python and no UDF anywhere in the sketch path.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, slot, n) sparse count-min state over ``item_col`` — one scan,
+    one shuffle on the (d, slot) pair (at most depth*width groups, with
+    map-side partial aggregation doing the heavy lifting)."""
+    if depth <= 0 or width <= 0:
+        raise ValueError("need positive depth and width")
+    slot_arr = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(d)), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(slot_arr).alias("d", "slot"))
+        .groupBy("d", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS states cell-wise (new batch into stored state) —
+    a sketch-sized union + sum, the fact table is never consulted."""
+    return a.unionByName(b).groupBy("d", "slot").agg(F.sum("n").alias("n"))
+
+
+def cms_lookup(
+    state: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(item_col..., est_n) — the count-min estimate for each probe item:
+    min over the depth rows of the item's counter cells (0 when a cell
+    was never touched). The state is at most depth*width rows, so the
+    probe join broadcasts it; per probe item this is depth joined rows
+    reduced by MIN — never a fact-table scan."""
+    slot_arr = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(d)), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+    probes = items.select(
+        item_col, F.posexplode(slot_arr).alias("d", "slot")
+    )
+    return (
+        probes.join(F.broadcast(state), ["d", "slot"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

@@ -324,3 +324,157 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Backwards-compatible alias for the pre-Pillow gate: delegates to
     ``resize`` (raises NotImplementedError when Pillow is absent)."""
     return resize(df, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAV decode through the stdlib ``wave`` parser
+# ---------------------------------------------------------------------------
+# Unlike the image (Pillow) and video (PyAV) paths, the audio path needs no
+# external library: WAV is a stdlib-parseable container, so this modality is
+# REAL end-to-end in this environment — actual RIFF header parsing, actual
+# 16-bit PCM sample extraction — in the same Arrow-batched mapInPandas shape
+# as the other codecs. Feature outputs are integer-exact (sum of squares in
+# int64) so the whole decode is oracle-checkable; float features (duration,
+# RMS) are derived from the exact integers by the caller in JVM SQL.
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize real WAV files from ``documents``: each utf-8 byte of
+    ``text`` becomes one 16-bit PCM sample ``(byte - 128) * 256`` at a
+    per-doc sample rate ``8000 + (doc_id % 4) * 4000`` — a deterministic
+    fixture (like ``media_from_documents``), but the payload is a
+    conformant RIFF/WAV container written through the stdlib ``wave``
+    module, so downstream decode exercises a real parser."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+        from io import BytesIO
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = (
+                    np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+                        np.int16
+                    )
+                    - 128
+                ) * 256
+                buf = BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000 + (int(doc_id) % 4) * 4000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, sample_rate, n_samples, sum_sq) per WAV payload.
+
+    Real decode: the stdlib ``wave`` parser reads the RIFF header
+    (sample rate, frame count) and the PCM frames; samples go through
+    numpy as int16 and ``sum_sq`` accumulates their squares in exact
+    int64 — the caller derives float features (duration = n_samples /
+    sample_rate, RMS = sqrt(sum_sq / n_samples)) JVM-side, keeping this
+    UDF integer-only and bit-reproducible."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+        from io import BytesIO
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, rates, counts, sums = [], [], [], []
+            for b in pdf["media"]:
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                with wave.open(BytesIO(raw), "rb") as w:
+                    rates.append(w.getframerate())
+                    n = w.getnframes()
+                    counts.append(n)
+                    samples = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                sums.append(int((samples * samples).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+RESAMPLE_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+)
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """Linear-interpolation resample to ``target_rate``: WAV in -> WAV
+    out (same mapInPandas shape as ``resize``). Sample count scales by
+    target_rate / source_rate (endpoints preserved); the interpolation
+    runs vectorized in numpy per payload, and the result re-encodes
+    through the stdlib ``wave`` writer so the output is again a real
+    container any WAV reader can open."""
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+        from io import BytesIO
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                with wave.open(BytesIO(bytes(b)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    samples = np.frombuffer(w.readframes(n), dtype="<i2")
+                if n == 0:
+                    res = samples
+                else:
+                    m = max(1, int(round(n * target_rate / rate)))
+                    # endpoint-preserving sample positions in source time
+                    pos = np.linspace(0.0, n - 1, m)
+                    res = np.interp(
+                        pos, np.arange(n), samples.astype(np.float64)
+                    ).astype(np.int16)
+                buf = BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(target_rate)
+                    w.writeframes(res.tobytes())
+                out.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out})
+
+    return df.mapInPandas(do, RESAMPLE_SCHEMA)

@@ -198,3 +198,60 @@ def token_budget_shards(
         )
         .drop("_b", "_off", "_start")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    preprune: bool = True,
+) -> DataFrame:
+    """Keep only the top ``k`` rows per group under ``order_cols`` — the
+    domain-capping primitive of web-corpus construction (C4/RefinedWeb
+    style: at most k documents per domain/source, best-quality first).
+    ``order_cols`` are (expr, 'asc'|'desc') pairs; make the total order
+    strict (tie-break on a unique key) or the result is nondeterministic.
+
+    Exact semantics come from one rank window (one shuffle on
+    ``group_col``). At 100 TB the shuffle INPUT is the problem — a hot
+    domain with 10M pages sends all 10M across the wire to keep 20 — so
+    ``preprune`` first reduces each partition to its local top-k per group
+    (a row outside its partition's top-k cannot be in the global top-k):
+    a shuffle-free Arrow-batched pass that bounds shuffle input to
+    k * n_partitions rows per group regardless of skew.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    ordering = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in order_cols
+    ]
+    src = df
+    if preprune:
+        cols = list(df.columns)
+        sort_by = [group_col, *(c for c, _ in order_cols)]
+        asc = [True, *(d != "desc" for _, d in order_cols)]
+
+        def local_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                both = pdf if acc is None else pd.concat((acc, pdf))
+                acc = (
+                    both.sort_values(sort_by, ascending=asc, kind="mergesort")
+                    .groupby(group_col, sort=False)
+                    .head(k)
+                )
+            yield acc if acc is not None else pd.DataFrame(columns=cols)
+
+        src = df.mapInPandas(local_topk, df.schema)
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        src.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -528,6 +528,53 @@ def q33_frame_sample(spark, sf_dir):
     )
 
 
+_Q102_ORACLE = """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(len(text) AS INTEGER) AS n_samples,
+           CAST(len(text) AS DOUBLE) / (8000 + (doc_id % 4) * 4000)
+               AS duration_s,
+           CASE WHEN len(text) = 0 THEN 0.0
+                ELSE sqrt(
+                    CAST(COALESCE(list_sum(
+                        [CAST((ascii(substring(text, i, 1)) - 128) * 256
+                              AS BIGINT)
+                         * CAST((ascii(substring(text, i, 1)) - 128) * 256
+                                AS BIGINT)
+                         FOR i IN generate_series(1, len(text), 1)]
+                    ), 0) AS DOUBLE) / len(text))
+           END AS rms
+    FROM documents
+"""
+
+
+@query("q102_audio_decode", _Q102_ORACLE)
+def q102_audio_decode(spark, sf_dir):
+    """REAL audio decode: documents -> conformant RIFF/WAV containers
+    (stdlib ``wave`` writer, one 16-bit PCM sample per text byte) ->
+    stdlib ``wave`` parse back out through Arrow-batched mapInPandas.
+    Unlike the Pillow/PyAV gates this modality needs no external library,
+    so the decode is real end-to-end in this environment. The UDF emits
+    only exact integers (frame count, rate, int64 sum of squares); float
+    features — duration and RMS loudness — are derived JVM-side so both
+    engines run the identical single division + sqrt."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_audio(multimodal.wav_from_documents(docs))
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        (F.col("n_samples").cast("double") / F.col("sample_rate")).alias(
+            "duration_s"
+        ),
+        F.when(F.col("n_samples") == 0, F.lit(0.0))
+        .otherwise(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples"))
+        )
+        .alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition filter + the end-to-end cleaning pipeline
 # ---------------------------------------------------------------------------
@@ -1991,4 +2038,102 @@ def q101_token_budget_shards(spark, sf_dir):
     )
     return out.select(
         "doc_id", F.col("w").alias("n_tokens"), "shard_id"
+    )
+
+
+_Q103_ORACLE = f"""
+    SELECT t AS item, CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS within_bounds
+    FROM (SELECT unnest({TH.sql_tokens('text')}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY exact_n DESC, item
+    LIMIT 50
+"""
+
+# Markov margin for the CMS over-estimate bound: per hash row
+# P(overcount > c*N/width) <= 1/c, so with depth independent rows the
+# per-item flip probability is (1/c)^depth — c=16, depth=4 puts one
+# contract row's failure odds at ~1.5e-5 even on freshly regenerated
+# data (the q87/q92 tolerance lesson applied to frequencies).
+_CMS_MARGIN = 16.0
+
+
+@query("q103_cms_accuracy", _Q103_ORACLE)
+def q103_cms_accuracy(spark, sf_dir):
+    """Driver-verified accuracy contract for the count-min sketch (the
+    mergeable-frequency companion to q87/q92's HLL and q99's histogram
+    contracts). Tokens stream into a (d, slot, n) CMS state — one scan,
+    one sketch-sized shuffle, JVM xxhash64 hashing, zero UDFs — then the
+    exact top-50 tokens probe it: every estimate must respect the CMS
+    guarantee est >= exact AND est <= exact + margin*N/width, or
+    within_bounds flips FALSE and the driver's value-hash catches it.
+    The oracle pins the exact counts and TRUE per row."""
+    from .operators import freq
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(F.explode(TH.tokens(F.col("text"))).alias("item"))
+    state = freq.cms_sketch(items, "item").persist()
+    try:
+        n_total = state.filter(F.col("d") == 0).agg(
+            F.sum("n")
+        ).collect()[0][0] or 0
+        top = (
+            items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .orderBy(F.desc("exact_n"), F.asc("item"))
+            .limit(50)
+        )
+        est = freq.cms_lookup(state, top.select("item"), "item")
+        slack = _CMS_MARGIN * n_total / freq.CMS_WIDTH
+        out = top.join(est, "item").select(
+            "item",
+            "exact_n",
+            (
+                (F.col("est_n") >= F.col("exact_n"))
+                & (F.col("est_n") <= F.col("exact_n") + F.lit(slack))
+            ).alias("within_bounds"),
+        )
+        out = spark.createDataFrame(
+            out.collect(), "item string, exact_n long, within_bounds boolean"
+        )
+    finally:
+        state.unpersist()
+    return out
+
+
+_CAP_K = 25
+
+_Q104_ORACLE = f"""
+    SELECT doc_id, source, quality FROM (
+        SELECT doc_id, source,
+               {TH.sql_quality_score('text')} AS quality,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {TH.sql_quality_score('text')} DESC, doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= {_CAP_K}
+"""
+
+
+@query("q104_domain_cap", _Q104_ORACLE)
+def q104_domain_cap(spark, sf_dir):
+    """Domain capping (C4/RefinedWeb style): keep at most K documents
+    per source, best quality first, deterministic tie-break on doc_id.
+    Semantics are one rank window, but the shuffle input is pre-pruned
+    shuffle-free — each partition locally keeps only its own top-K per
+    source (an Arrow-batched pass), so a hot domain with millions of
+    pages ships k * n_partitions rows instead of all of them. The
+    oracle restates the plain window; the pruned path must match it
+    hash-for-hash."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.text_features(docs).select(
+        "doc_id", "source", "quality"
+    )
+    return sampling.cap_per_group(
+        scored,
+        "source",
+        [("quality", "desc"), ("doc_id", "asc")],
+        _CAP_K,
     )

@@ -1691,3 +1691,141 @@ def test_token_budget_shards_validates_budget(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
     with pytest.raises(ValueError):
         token_budget_shards(df, "doc_id", "w", 0)
+
+
+# --- WAV audio decode (the no-external-lib real modality) -------------------
+
+
+def test_wav_roundtrip_decode_matches_python(spark):
+    import math
+    import wave
+    from io import BytesIO
+
+    rows = [(0, "hello world"), (1, ""), (2, "abc"), (7, "Zz 9!")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    wavs = multimodal.wav_from_documents(docs)
+    # the payload is a conformant RIFF/WAV any stdlib reader can open
+    for r in wavs.collect():
+        with wave.open(BytesIO(bytes(r["media"])), "rb") as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == 8000 + (r["doc_id"] % 4) * 4000
+    got = {
+        r["doc_id"]: r for r in multimodal.decode_audio(wavs).collect()
+    }
+    for doc_id, text in rows:
+        b = text.encode()
+        r = got[doc_id]
+        assert r["n_samples"] == len(b)
+        assert r["sample_rate"] == 8000 + (doc_id % 4) * 4000
+        assert r["sum_sq"] == sum(((x - 128) * 256) ** 2 for x in b)
+        assert r["n_bytes"] == 44 + 2 * len(b)  # header + 16-bit payload
+        assert not math.isnan(r["sum_sq"])
+
+
+def test_resample_audio_scales_sample_count(spark):
+    import wave
+    from io import BytesIO
+
+    docs = spark.createDataFrame(
+        [(0, "0123456789abcdef")], ["doc_id", "text"]
+    )
+    wavs = multimodal.wav_from_documents(docs)  # doc 0 -> 8000 Hz, 16 samples
+    out = multimodal.resample_audio(wavs, 4000).collect()[0]
+    with wave.open(BytesIO(bytes(out["media"])), "rb") as w:
+        assert w.getframerate() == 4000
+        assert w.getnframes() == 8  # 16 * 4000/8000
+    # upsampling is endpoint-preserving: first/last samples survive
+    up = multimodal.resample_audio(wavs, 16000).collect()[0]
+    src = multimodal.decode_audio(wavs).collect()[0]
+    with wave.open(BytesIO(bytes(up["media"])), "rb") as w:
+        assert w.getnframes() == 32
+        import numpy as np
+
+        res = np.frombuffer(w.readframes(32), dtype="<i2")
+    text_bytes = "0123456789abcdef".encode()
+    assert res[0] == (text_bytes[0] - 128) * 256
+    assert res[-1] == (text_bytes[-1] - 128) * 256
+    assert src["n_samples"] == 16
+
+
+def test_resample_audio_validates_rate(spark):
+    docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        multimodal.resample_audio(multimodal.wav_from_documents(docs), 0)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_cms_merge_equals_whole(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    items = [(i, f"t{i % 7}") for i in range(200)] + [(200, "rare")]
+    df = spark.createDataFrame(items, ["i", "item"])
+    a, b = df.filter(F.col("i") < 100), df.filter(F.col("i") >= 100)
+    whole = freq.cms_sketch(df, "item", depth=3, width=64)
+    merged = freq.merge_cms(
+        freq.cms_sketch(a, "item", depth=3, width=64),
+        freq.cms_sketch(b, "item", depth=3, width=64),
+    )
+    w = {(r["d"], r["slot"]): r["n"] for r in whole.collect()}
+    m = {(r["d"], r["slot"]): r["n"] for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    items = [(f"w{i % 13}",) for i in range(500)]
+    df = spark.createDataFrame(items, ["item"])
+    state = freq.cms_sketch(df, "item", depth=4, width=32)  # tiny: collisions
+    probes = df.distinct()
+    est = {
+        r["item"]: r["est_n"]
+        for r in freq.cms_lookup(state, probes, "item", depth=4, width=32).collect()
+    }
+    true = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for item, n in true.items():
+        assert est[item] >= n, item
+
+
+def test_cms_validates_args(spark):
+    from example_dms_dataexport_spark.operators import freq
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with pytest.raises(ValueError):
+        freq.cms_sketch(df, "item", depth=0)
+
+
+# --- per-group cap (domain capping) ----------------------------------------
+
+
+def test_cap_per_group_matches_plain_window(spark):
+    from example_dms_dataexport_spark.operators import sampling
+
+    rows = [
+        (i, f"s{i % 3}", float((i * 37) % 11))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"]).repartition(6)
+    order = [("quality", "desc"), ("doc_id", "asc")]
+    pruned = sampling.cap_per_group(df, "source", order, 5, preprune=True)
+    plain = sampling.cap_per_group(df, "source", order, 5, preprune=False)
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, plain.collect()))
+    per_src = {}
+    for r in pruned.collect():
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v == 5 for v in per_src.values())
+
+
+def test_cap_per_group_validates_k(spark):
+    from example_dms_dataexport_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a", 0.5)], ["doc_id", "source", "quality"])
+    with pytest.raises(ValueError):
+        sampling.cap_per_group(df, "source", [("quality", "desc")], 0)

@@ -404,3 +404,31 @@ def test_q101_shard_cumsum_is_two_level_not_global_window(spark):
     # never over the fact table: fact-sized shuffles are the bucket
     # groupBy and the bucket-partitioned window, nothing more
     assert exchange_count(df) <= 2, plan
+
+
+def test_q104_domain_cap_single_shuffle_no_cartesian(spark):
+    df = _q(spark, "q104_domain_cap")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # preprune is a shuffle-free mapInPandas; the only exchange is the
+    # rank window's partition-by-source shuffle (over pruned rows)
+    assert exchange_count(df) == 1, plan
+    assert broadcast_hint_count(df) == 0
+
+
+def test_cms_sketch_and_lookup_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from example_dms_dataexport_spark.operators import freq
+
+    items = spark.range(1000).select(
+        F.concat(F.lit("t"), (F.col("id") % 50)).alias("item")
+    )
+    state = freq.cms_sketch(items, "item")
+    # state build: the explode stays narrow; one sketch-sized shuffle
+    assert exchange_count(state) == 1
+    est = freq.cms_lookup(state, items.distinct(), "item")
+    plan = physical_plan(est)
+    assert "CartesianProduct" not in plan
+    # probes join the (<= depth*width)-row state broadcast, never shuffled
+    assert broadcast_hint_count(est) == 1
