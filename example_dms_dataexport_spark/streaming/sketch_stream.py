@@ -67,6 +67,49 @@ def start_sketch_stream(
     return writer.start()
 
 
+def start_cms_stream(
+    spark: SparkSession,
+    rows: DataFrame,
+    warehouse: ParquetWarehouse,
+    cms_table: str,
+    item_col: str,
+    checkpoint_dir: str,
+    depth: int | None = None,
+    width: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The frequency twin of ``start_sketch_stream``: fold a streaming
+    item feed into stored count-min state (``operators.freq.cms_sketch``
+    — (d, slot, n) rows, at most depth*width regardless of feed size),
+    so any item's approximate count is answerable from the state alone
+    (``cms_lookup``) without rescanning the feed. Per-batch cost
+    O(|batch| + depth*width); depth/width are fixed at stream start —
+    that cell alignment is what keeps every delta mergeable. Same
+    exactly-once guarded fold and append-only semantics as the HLL and
+    histogram maintainers; ``cms_table`` must be seeded first (initial
+    items, or an empty (d, slot, n) relation)."""
+    from ..operators import freq
+
+    d = depth if depth is not None else freq.CMS_DEPTH
+    w = width if width is not None else freq.CMS_WIDTH
+
+    def fold(batch: DataFrame) -> DataFrame:
+        delta = freq.cms_sketch(batch.select(item_col), item_col, d, w)
+        current = warehouse.read(spark, cms_table)
+        return freq.merge_cms(current, delta)
+
+    writer = (
+        rows.writeStream.foreachBatch(
+            guarded_fold(warehouse, cms_table, checkpoint_dir, fold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_histogram_stream(
     spark: SparkSession,
     rows: DataFrame,

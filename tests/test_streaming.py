@@ -852,3 +852,67 @@ def test_histogram_stream_matches_full_rebuild(spark, tmp_path):
     }
     # grp a values {5,15,15.5,99}: median bin is [10,20) -> upper edge 20
     assert est["a"] == 20.0
+
+
+def test_cms_stream_matches_full_rebuild(spark, tmp_path):
+    """Count-min state maintained across micro-batches must equal the
+    state built from ALL items at once — cell-exact (counts merge by sum
+    over fixed hash cells), and lookups from the stored state alone must
+    never undercount any item."""
+    import pyspark.sql.functions as F
+
+    from example_dms_dataexport_spark.operators import freq
+    from example_dms_dataexport_spark.streaming.sketch_stream import (
+        start_cms_stream,
+    )
+
+    depth, width = 3, 32
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    seed = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], ["item"]
+    )
+    wh.overwrite(freq.cms_sketch(seed, "item", depth, width), "cms")
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    spark.createDataFrame(
+        [("x",), ("z",), ("z",)], ["item"]
+    ).coalesce(1).write.parquet(str(chg / "f1"))
+    spark.createDataFrame(
+        [("y",), ("w",)], ["item"]
+    ).coalesce(1).write.parquet(str(chg / "f2"))
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chg / "*"))
+    )
+    q = start_cms_stream(
+        spark, stream, wh, "cms", "item",
+        checkpoint_dir=str(tmp_path / "ckpt"), depth=depth, width=width,
+    )
+    q.awaitTermination(120)
+
+    all_items = [("x",), ("x",), ("y",), ("x",), ("z",), ("z",), ("y",), ("w",)]
+    everything = spark.createDataFrame(all_items, ["item"])
+    want = sorted(
+        map(tuple, freq.cms_sketch(everything, "item", depth, width).collect())
+    )
+    got = sorted(map(tuple, wh.read(spark, "cms").collect()))
+    assert got == want
+
+    # the stored state answers frequency probes without the fact feed
+    est = {
+        r["item"]: r["est_n"]
+        for r in freq.cms_lookup(
+            wh.read(spark, "cms"), everything.distinct(), "item", depth, width
+        ).collect()
+    }
+    true = {
+        r["item"]: r["n"]
+        for r in everything.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for item, n in true.items():
+        assert est[item] >= n, item
