@@ -29,11 +29,13 @@ from pyspark.sql.types import StructType
 from .listing import list_stage
 from .merge import apply_changes
 from .metadata import MetadataStore
-from .sources.csv_stage import cdc_schema, read_stage_csv
+from .sources.csv_stage import cdc_schema
+from .sources.stage import read_stage, stage_extension
 from .sources.warehouse import ParquetWarehouse
 
-# ref :301 — CDC files start with '2' (2YYYYMMDD-nnnnnnnnn.csv).
-CDC_PATTERN = r".*/{schema}/{table}/2.*\.csv"
+# ref :301 — CDC files start with '2' (2YYYYMMDD-nnnnnnnnn.<ext>); the
+# extension follows the table's metadata file_format (ref :26).
+CDC_PATTERN = r".*/{schema}/{table}/2.*\.{ext}"
 
 
 def incremental_load(
@@ -61,7 +63,11 @@ def incremental_load(
     if not meta.stage or not meta.primary_keys:
         return "The fields stage and primary_keys can't be null"  # ref :303-305
 
-    pattern = CDC_PATTERN.format(schema=meta.db_schema, table=meta.db_table)
+    pattern = CDC_PATTERN.format(
+        schema=meta.db_schema,
+        table=meta.db_table,
+        ext=stage_extension(meta.file_format),
+    )
     all_cdc = list_stage(spark, meta.stage, pattern)
     # Watermark compares *file names* lexicographically (ref :359,393) —
     # DMS names encode time as 2YYYYMMDD-nnnnnnnnn so name order = time
@@ -93,8 +99,12 @@ def incremental_load(
         read_schema = schema
     else:
         read_schema = target.schema
-    changes = read_stage_csv(
-        spark, new_files, cdc_schema(read_schema), with_file_metadata=True
+    changes = read_stage(
+        spark,
+        new_files,
+        cdc_schema(read_schema),
+        file_format=meta.file_format,
+        with_file_metadata=True,
     )
     version_cols = ["_dms_filename", "_dms_rownum"]  # ref :382 total order
 

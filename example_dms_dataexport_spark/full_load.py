@@ -22,11 +22,12 @@ from pyspark.sql.types import StructType
 
 from .listing import list_stage
 from .metadata import MetadataStore
-from .sources.csv_stage import read_stage_csv
+from .sources.stage import read_stage, stage_extension
 from .sources.warehouse import ParquetWarehouse
 
-# ref :235 — full-load file pattern within the table directory.
-FULL_LOAD_PATTERN = r".*/{schema}/{table}/LOAD[0-9]+\.csv"
+# ref :235 — full-load file pattern within the table directory; the
+# extension follows the table's metadata file_format (ref :26).
+FULL_LOAD_PATTERN = r".*/{schema}/{table}/LOAD[0-9]+\.{ext}"
 
 
 def full_load(
@@ -51,9 +52,13 @@ def full_load(
                 f"no schema given and target {meta.target_table!r} does not exist"
             )
         schema = warehouse.read(spark, meta.target_table).schema
-    pattern = FULL_LOAD_PATTERN.format(schema=meta.db_schema, table=meta.db_table)
+    pattern = FULL_LOAD_PATTERN.format(
+        schema=meta.db_schema,
+        table=meta.db_table,
+        ext=stage_extension(meta.file_format),
+    )
     files = [f.path for f in list_stage(spark, meta.stage, pattern)]
-    df = read_stage_csv(spark, files, schema)
+    df = read_stage(spark, files, schema, file_format=meta.file_format)
     warehouse.overwrite(df, meta.target_table, partition_by=partition_by)
     n = warehouse.read(spark, meta.target_table).count()
     store.update_watermarks(

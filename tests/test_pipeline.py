@@ -571,3 +571,98 @@ def test_cdc_schema_evolution_adds_column(spark, tmp_path, landing):
             spark, store, wh, "erp/customer",
             schema=StructType(CUST_SCHEMA.fields[:2]),
         )
+
+
+# --- parquet stage format (metadata file_format honored, ref :26) ----------
+
+
+def _write_stage_parquet(root, rel, rows, names):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    pq.write_table(
+        pa.table({n: list(c) for n, c in zip(names, cols)}), path
+    )
+
+
+def test_parquet_stage_full_then_incremental(spark, tmp_path):
+    stage = str(tmp_path / "stage")
+    # DMS parquet full-load files carry real source column names; the
+    # reader's contract is positional, so names need not match the target
+    _write_stage_parquet(
+        stage,
+        "erp/customer/LOAD00000001.parquet",
+        [(1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 30.25)],
+        ["C_CUSTKEY", "C_NAME", "C_ACCTBAL"],
+    )
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=stage,
+            primary_keys=["c_custkey"],
+            file_format="parquet",
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    assert full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA) == 3
+
+    # CDC batch: op column first (DMS names it 'Op'); intra-file order
+    # matters (two ops for pk=2 -> last row in file wins), and a second,
+    # later file overrides the first
+    _write_stage_parquet(
+        stage,
+        "erp/customer/20240101-000000001.parquet",
+        [
+            ("U", 2, "bob2a", 21.0),
+            ("U", 2, "bob2b", 22.0),
+            ("D", 3, "carol", 0.0),
+        ],
+        ["Op", "C_CUSTKEY", "C_NAME", "C_ACCTBAL"],
+    )
+    _write_stage_parquet(
+        stage,
+        "erp/customer/20240102-000000002.parquet",
+        [("U", 2, "bob3", 23.0), ("I", 4, "dave", 40.0)],
+        ["Op", "C_CUSTKEY", "C_NAME", "C_ACCTBAL"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer")
+    assert msg.startswith("Rows affected:")
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob3", 23.0),
+        (4, "dave", 40.0),
+    }
+    meta = store.get("erp/customer")
+    assert meta.last_incremental_file == "20240102-000000002.parquet"
+    assert (
+        incremental_load(spark, store, wh, "erp/customer")
+        == "No files to process."
+    )
+
+
+def test_parquet_stage_rejects_column_count_mismatch(spark, tmp_path):
+    from example_dms_dataexport_spark.sources.parquet_stage import (
+        read_stage_parquet,
+    )
+
+    stage = str(tmp_path / "stage")
+    _write_stage_parquet(
+        stage, "f.parquet", [(1, "a")], ["x", "y"]
+    )
+    with pytest.raises(ValueError, match="positional"):
+        read_stage_parquet(
+            spark, [os.path.join(stage, "f.parquet")], CUST_SCHEMA
+        )
+
+
+def test_unknown_stage_format_raises(spark, tmp_path):
+    from example_dms_dataexport_spark.sources.stage import stage_extension
+
+    with pytest.raises(ValueError, match="unsupported"):
+        stage_extension("avro")
