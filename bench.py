@@ -74,6 +74,7 @@ HEADLINE = [
     "q102_audio_decode",
     "q103_cms_accuracy",
     "q104_domain_cap",
+    "q105_global_shuffle_index",
 ]
 
 

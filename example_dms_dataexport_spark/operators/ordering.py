@@ -1,0 +1,134 @@
+"""Global row ordering at corpus scale — distributed zipWithIndex.
+
+A training run wants every example numbered 0..N-1 in a deterministic
+(usually pseudo-random) order: the global index drives shard assignment,
+resume offsets, and epoch-stable shuffling. The naive Spark spelling —
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY — collapses
+the whole corpus into ONE task and is exactly the plan a 100 TB job
+cannot run.
+
+This module numbers rows with no global window:
+
+1. ``repartitionByRange(n, keys)`` + ``sortWithinPartitions(keys)`` —
+   one range shuffle gives a total sort split across n partitions
+   (partition i holds a contiguous key range below partition i+1).
+2. ``localCheckpoint(eager=False)`` pins that layout so the two
+   downstream jobs (count, assign) read the same blocks instead of
+   re-running the shuffle — the same two-pass shape as RDD
+   ``zipWithIndex``, with the recompute traded for cached blocks.
+3. A count per partition id — an n-row aggregate — is collected and
+   prefix-summed on the driver (n = shuffle partitions, never data
+   scale).
+4. An Arrow-batched ``mapInPandas`` pass assigns
+   ``offset[pid] + position-within-partition`` with a running counter
+   per partition — in-place, no further shuffle, no per-row Python.
+
+Because step 1 is a TOTAL sort under a strict total order (callers must
+include a unique tie-break key), the assigned index equals the row's
+global rank regardless of where the range sampler happened to place
+partition boundaries — the output is deterministic even though the
+boundary sampling is not.
+
+The reference's engine exposes no ordering primitive at all (its row
+numbering happens inside Snowflake, ref
+control_migration_schema_script.sql:395-399 uses ROW_NUMBER only within
+a per-key MERGE dedup); this operator is part of the training-pipeline
+extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions import texthash as TH
+
+
+def global_index(
+    df: DataFrame,
+    order_by: list[Column | str],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``index_col`` = the row's 0-based global rank under
+    ``order_by``.
+
+    ``order_by`` MUST be a strict total order (include a unique key as
+    the last sort column) — uniqueness is what makes the assignment
+    independent of range-boundary placement. Ascending order only; wrap
+    a column in a descending-friendly expression (e.g. negate) if
+    needed.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    if index_col in df.columns:
+        raise ValueError(f"column {index_col!r} already exists")
+    pid_col = "__gidx_pid"
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ordered = (
+        df.repartitionByRange(int(n), *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(pid_col, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # n-row collect: one count per shuffle partition, driver-bounded.
+    counts = ordered.groupBy(pid_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r[pid_col]):
+        offsets[row[pid_col]] = acc
+        acc += row["c"]
+
+    out_schema = StructType(
+        [f for f in ordered.schema.fields if f.name != pid_col]
+        + [StructField(index_col, LongType(), False)]
+    )
+
+    def assign(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf[pid_col].iloc[0])
+            start = offsets[pid] + seen.get(pid, 0)
+            seen[pid] = seen.get(pid, 0) + len(pdf)
+            pdf = pdf.drop(columns=[pid_col])
+            pdf[index_col] = np.arange(start, start + len(pdf), dtype=np.int64)
+            yield pdf
+
+    return ordered.mapInPandas(assign, schema=out_schema)
+
+
+def shuffle_index(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "epoch0",
+    index_col: str = "shuffle_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random global ordering: rank rows by
+    ``poly_hash(seed || key)`` (tie-broken by the key itself, so the
+    order is strict). Different ``seed`` strings give independent
+    epoch shuffles; the same seed replays bit-identically — resumable
+    training order without materializing a permutation table.
+    """
+    h = TH.poly_hash(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    shuffled = df.withColumn("__gidx_h", h)
+    out = global_index(
+        shuffled,
+        [F.col("__gidx_h"), F.col(key_col)],
+        index_col=index_col,
+        num_partitions=num_partitions,
+    )
+    return out.drop("__gidx_h")
+
+
+def sql_shuffle_rank(key_expr: str, seed: str = "epoch0") -> str:
+    """DuckDB twin of ``shuffle_index``'s ordering: an ORDER BY clause
+    string ranking by the same poly_hash — for oracle restatements."""
+    h = TH.sql_poly_hash(f"concat('{seed}:', CAST({key_expr} AS VARCHAR))")
+    return f"{h}, {key_expr}"

@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .functions import texthash as TH
-from .operators import dedup, lines, multimodal, sampling, simsearch, text_analysis
+from .operators import (
+    dedup,
+    lines,
+    multimodal,
+    ordering,
+    sampling,
+    simsearch,
+    text_analysis,
+)
 from .registry import query
 from .tables import load_table
 
@@ -2137,3 +2145,32 @@ def q104_domain_cap(spark, sf_dir):
         [("quality", "desc"), ("doc_id", "asc")],
         _CAP_K,
     )
+
+
+_SHUFFLE_SEED = "epoch0"
+
+_Q105_ORACLE = f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY {ordering.sql_shuffle_rank('doc_id', _SHUFFLE_SEED)}
+           ) - 1 AS BIGINT) AS shuffle_idx
+    FROM documents
+"""
+
+
+@query("q105_global_shuffle_index", _Q105_ORACLE)
+def q105_global_shuffle_index(spark, sf_dir):
+    """Epoch-deterministic corpus shuffle: every document numbered
+    0..N-1 in poly_hash(seed||doc_id) order — the global example index
+    a training loader resumes from. The naive spelling (row_number with
+    no PARTITION BY) is a one-task global sort; this path range-
+    partitions the hash order, prefix-sums n partition counts on the
+    driver, and assigns offset+position per partition in an Arrow
+    batch pass — no global window, no data-scale collect (operator:
+    operators/ordering.py). The oracle restates it as the single
+    global window; ranks must match bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ordering.shuffle_index(
+        docs.select("doc_id"), "doc_id", seed=_SHUFFLE_SEED
+    )
+    return out.select("doc_id", "shuffle_idx")

@@ -32,13 +32,26 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a green
 # driver row on record (README "Driver correctness window"). Round 7:
-# the 48 queries whose latest driver row is r5 (everything NOT in the r6
-# window), plus the two r6 rows that changed this round — q18 (decimal
-# column now rendered driver-safely; r6 row was hash-red) and q71 (gained
-# an accuracy-contract oracle; r6 row was no_oracle). 48 + 2 = exactly
-# the 50-row window: after this round every query's latest driver row is
-# current-green.
+# never-driver-checked queries go first (q99-q105, new this round), then
+# the two r6 rows that changed this round — q18 (decimal column now
+# rendered driver-safely; r6 row was hash-red) and q71 (gained an
+# accuracy-contract oracle; r6 row was no_oracle) — then the queries
+# whose latest driver row is r5. 7 + 2 + 41 fills the 50-row window; the
+# seven most-stable relational queries (q01-q07: green in r5, heavily
+# pytest-covered, re-verified by the local exact-mode oracle sweep each
+# round) defer to round 8.
 PRIORITY = [
+    # never driver-checked (new in round 7)
+    "q105_global_shuffle_index",
+    "q99_quantile_sketch_accuracy",
+    "q100_heavy_hitters",
+    "q101_token_budget_shards",
+    "q102_audio_decode",
+    "q103_cms_accuracy",
+    "q104_domain_cap",
+    # r6 rows superseded by this round's changes
+    "q18_cdc_merge",
+    "q71_distinct_sketch_rollup",
     # latest driver row is r5
     "q20_corpus_profile",
     "q21_quality_filter",
@@ -81,16 +94,6 @@ PRIORITY = [
     "q84_quality_percentile",
     "q85_mixture_weights",
     "q86_leakage_safe_split",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    # r6 rows superseded by this round's changes
-    "q18_cdc_merge",
-    "q71_distinct_sketch_rollup",
 ]
 
 

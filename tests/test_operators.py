@@ -1829,3 +1829,70 @@ def test_cap_per_group_validates_k(spark):
     df = spark.createDataFrame([(1, "a", 0.5)], ["doc_id", "source", "quality"])
     with pytest.raises(ValueError):
         sampling.cap_per_group(df, "source", [("quality", "desc")], 0)
+
+
+# ---------------------------------------------------------------------------
+# global ordering (operators/ordering.py)
+# ---------------------------------------------------------------------------
+
+
+def test_global_index_matches_global_rank(spark):
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(0, 997).select(
+        F.col("id"), (F.col("id") * 7919 % 997).alias("k")
+    )
+    out = ordering.global_index(df, [F.col("k"), F.col("id")], num_partitions=8)
+    rows = out.orderBy("idx").collect()
+    assert [r["idx"] for r in rows] == list(range(997))
+    # idx equals the rank under the strict (k, id) order
+    expect = sorted(((r["k"], r["id"]) for r in rows))
+    got = [(r["k"], r["id"]) for r in rows]
+    assert got == [tuple(t) for t in expect]
+
+
+def test_global_index_deterministic_and_partition_count_insensitive(spark):
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(0, 500).select((F.col("id") % 499).alias("id")).distinct()
+    a = ordering.global_index(df, ["id"], num_partitions=3).collect()
+    b = ordering.global_index(df, ["id"], num_partitions=13).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_global_index_validates_args(spark):
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="order_by"):
+        ordering.global_index(df, [])
+    with pytest.raises(ValueError, match="already exists"):
+        ordering.global_index(df, ["id"], index_col="id")
+
+
+def test_shuffle_index_epochs_differ_but_replay(spark):
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(0, 300)
+    e0 = ordering.shuffle_index(df, "id", seed="epoch0", num_partitions=5)
+    e0b = ordering.shuffle_index(df, "id", seed="epoch0", num_partitions=5)
+    e1 = ordering.shuffle_index(df, "id", seed="epoch1", num_partitions=5)
+    r0 = sorted(map(tuple, e0.collect()))
+    assert r0 == sorted(map(tuple, e0b.collect()))  # same seed replays
+    r1 = dict(map(tuple, e1.collect()))
+    moved = sum(1 for i, s in r0 if r1[i] != s)
+    assert moved > 250  # a different epoch is a genuinely different order
+    # both are permutations of 0..N-1
+    assert sorted(s for _, s in r0) == list(range(300))
+
+
+def test_global_index_plan_has_no_single_partition_sort(spark):
+    """The scale contract: range exchange + per-partition assignment,
+    never a global Window/Sort on one task."""
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(0, 100)
+    out = ordering.global_index(df, ["id"], num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan

@@ -432,3 +432,14 @@ def test_cms_sketch_and_lookup_shapes(spark):
     assert "CartesianProduct" not in plan
     # probes join the (<= depth*width)-row state broadcast, never shuffled
     assert broadcast_hint_count(est) == 1
+
+
+def test_q105_shuffle_index_no_global_window(spark):
+    df = _q(spark, "q105_global_shuffle_index")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the scale contract: a range exchange + per-partition Arrow
+    # assignment — never a Window or single-partition sort over the corpus
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert broadcast_hint_count(df) == 0
