@@ -75,6 +75,7 @@ HEADLINE = [
     "q103_cms_accuracy",
     "q104_domain_cap",
     "q105_global_shuffle_index",
+    "q106_bpe_encode",
 ]
 
 

@@ -1482,9 +1482,10 @@ def q78_inverted_index(spark, sf_dir):
     )
 
 
-def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
-    """Unrolled DuckDB oracle for BPE merge training (one CTE stage per
-    merge). The greedy left-to-right merge fold is expressed as a plain
+def _bpe_merge_stages(num_merges: int, min_pair_count: int) -> list[str]:
+    """Unrolled DuckDB CTE stages replaying BPE merge training (one stage
+    per merge; shared by the q81 training oracle and the q106 encoding
+    oracle). The greedy left-to-right merge fold is expressed as a plain
     string ``replace``: each symbol is wrapped as ``\\x01sym\\x01`` and
     symbols concatenated, so the pair (l, r) is the substring
     ``\\x01l\\x01\\x01r\\x01``. Because every symbol carries its OWN
@@ -1493,13 +1494,16 @@ def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
     right, exactly like the ``aggregate()`` fold in operators/bpe.py
     (["a","a","a","a"] + merge (a,a) -> ["aa","aa"] on both sides), and a
     symbol whose text happens to end with ``l`` can never false-match.
+    The word identity ``w`` rides along every stage so the final stage
+    doubles as the word -> segmentation lookup an encoder joins against.
     CTEs are MATERIALIZED: each stage is referenced by both the next
     pair-count and the next rewrite, so inlining would blow up
     exponentially in num_merges."""
     stages = [
         f"""
     w0 AS MATERIALIZED (
-        SELECT rtrim(chr(1) || regexp_replace(w, '(.)',
+        SELECT w,
+               rtrim(chr(1) || regexp_replace(w, '(.)',
                    '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1) AS s,
                CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT unnest({TH.sql_tokens('text')}) AS w FROM documents)
@@ -1533,7 +1537,8 @@ def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
         ORDER BY n DESC, l ASC, r ASC LIMIT 1
     ),
     {w} AS MATERIALIZED (
-        SELECT CASE WHEN (SELECT pat FROM {m}) IS NULL THEN s
+        SELECT w,
+               CASE WHEN (SELECT pat FROM {m}) IS NULL THEN s
                     ELSE replace(s, (SELECT pat FROM {m}),
                                  (SELECT rep FROM {m}))
                END AS s, cnt
@@ -1541,6 +1546,12 @@ def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
     )"""
         )
         prev = w
+    return stages
+
+
+def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
+    """q81 training oracle: the learned merge table in training order."""
+    stages = _bpe_merge_stages(num_merges, min_pair_count)
     union = "\n        UNION ALL ".join(
         f'SELECT {k} AS merge_rank, l AS "left", r AS "right",'
         f" n AS pair_count FROM m{k}"
@@ -1550,6 +1561,34 @@ def _bpe_oracle_sql(num_merges: int, min_pair_count: int) -> str:
         "WITH "
         + ",".join(stages)
         + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle_sql(num_merges: int, min_pair_count: int) -> str:
+    """q106 encoding oracle: per-document subword stats after replaying
+    the SAME training on the SAME corpus, joining each document's words
+    against the final stage's word -> segmentation lookup."""
+    stages = _bpe_merge_stages(num_merges, min_pair_count)
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f""",
+    seg AS MATERIALIZED (
+        SELECT w, list_transform(string_split(s, chr(1) || chr(1)),
+                                 x -> trim(x, chr(1))) AS syms
+        FROM w{num_merges}
+    ),
+    doc_syms AS (
+        SELECT d.doc_id, unnest(seg.syms) AS sym
+        FROM (SELECT doc_id, unnest({TH.sql_tokens('text')}) AS w
+              FROM documents) d
+        JOIN seg USING (w)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)            AS n_subwords,
+           CAST(count(DISTINCT sym) AS BIGINT) AS n_unique_subwords
+    FROM doc_syms
+    GROUP BY doc_id"""
     )
 
 
@@ -2174,3 +2213,34 @@ def q105_global_shuffle_index(spark, sf_dir):
         docs.select("doc_id"), "doc_id", seed=_SHUFFLE_SEED
     )
     return out.select("doc_id", "shuffle_idx")
+
+
+@query("q106_bpe_encode", _bpe_encode_oracle_sql(num_merges=8, min_pair_count=2))
+def q106_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the tokenizer just learned from it —
+    the full BPE train -> apply loop (q81 stops at the merge table).
+    Training touches only the vocabulary-sized word relation (one small
+    shuffle + 1-row argmax per merge); application is bpe_segment's
+    per-distinct-word merge replay (vocab-sized, in-row folds) joined
+    back to the exploded corpus on the word key — the segmentation
+    table is the SMALL side of a plain equi-join, never a per-document
+    Python loop. Output is each document's subword count and distinct
+    subword count; the oracle replays training AND application in
+    unrolled SQL, so the match is exact, not statistical."""
+    from .operators.bpe import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8, min_pair_count=2)
+    seg = bpe_segment(docs, merges)
+    words = docs.select(
+        "doc_id", F.explode(TH.tokens(F.col("text"))).alias("w")
+    )
+    return (
+        words.join(seg, "w")
+        .select("doc_id", F.explode("syms").alias("sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_subwords"),
+            F.countDistinct("sym").alias("n_unique_subwords"),
+        )
+    )

@@ -443,3 +443,12 @@ def test_q105_shuffle_index_no_global_window(spark):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert broadcast_hint_count(df) == 0
+
+
+def test_q106_bpe_encode_segmentation_join_not_forced(spark):
+    df = _q(spark, "q106_bpe_encode")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # vocab-sized segmentation table joins the exploded corpus as a
+    # plain equi-join — planner's choice, never a forced broadcast
+    assert broadcast_hint_count(df) == 0
