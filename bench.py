@@ -76,6 +76,7 @@ HEADLINE = [
     "q104_domain_cap",
     "q105_global_shuffle_index",
     "q106_bpe_encode",
+    "q107_embedding_moments",
 ]
 
 

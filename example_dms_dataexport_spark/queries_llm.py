@@ -2244,3 +2244,68 @@ def q106_bpe_encode(spark, sf_dir):
             F.countDistinct("sym").alias("n_unique_subwords"),
         )
     )
+
+
+_Q107_ORACLE = """
+    WITH e AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings
+    ),
+    s AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vq) AS BIGINT) AS sy,
+               CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS syy,
+               CAST(min(vq) AS BIGINT) AS min_micro,
+               CAST(max(vq) AS BIGINT) AS max_micro
+        FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           CAST(floor(sy / n + 0.5) AS BIGINT) AS mean_micro,
+           CAST(floor(CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 0.5)
+                AS BIGINT) AS var_micro2,
+           min_micro, max_micro
+    FROM s
+"""
+
+
+@query("q107_embedding_moments", _Q107_ORACLE)
+def q107_embedding_moments(spark, sf_dir):
+    """Embedding-quality audit: per-dimension count / mean / variance /
+    min / max — the drift-and-degenerate-dimension check run before any
+    ANN or clustering job trusts a new embedding batch. Values are
+    quantized to micro units so every output column is an exact int64
+    (mean and variance use the q94/q96 exact-integer-sums + shared
+    double-division recipe — no float accumulation order in the
+    contract). Plan: posexplode widens in-row, partial aggregation
+    collapses to d groups map-side, so the shuffle carries only
+    d * n_partitions rows no matter the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    per = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), vq.alias("vq"))
+    s = per.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("sy"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("syy"),
+        F.min("vq").alias("min_micro"),
+        F.max("vq").alias("max_micro"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    var_num = (
+        n.cast("decimal(38,0)") * syy - sy.cast("decimal(38,0)") * sy
+    ).cast("double")
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.floor(sy / n + F.lit(0.5)).cast("long").alias("mean_micro"),
+        F.floor(var_num / (n.cast("double") * n.cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("var_micro2"),
+        "min_micro",
+        "max_micro",
+    )

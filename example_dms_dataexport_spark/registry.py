@@ -32,19 +32,21 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a green
 # driver row on record (README "Driver correctness window"). Round 7:
-# never-driver-checked queries go first (q99-q106, new this round), then
+# never-driver-checked queries go first (q99-q107, new this round), then
 # the two r6 rows that changed this round — q18 (decimal column now
 # rendered driver-safely; r6 row was hash-red) and q71 (gained an
 # accuracy-contract oracle; r6 row was no_oracle) — then the queries
-# whose latest driver row is r5. 8 + 2 + 40 fills the 50-row window; the
+# whose latest driver row is r5. 9 + 2 + 39 fills the 50-row window; the
 # deferred-to-round-8 stale rows are the seven most-stable relational
-# queries (q01-q07: green in r5, heavily pytest-covered) plus q23 (its
-# signature relation is re-checked downstream by q24's pair join every
-# round) — all re-verified by the local exact-mode oracle sweep.
+# queries (q01-q07: green in r5, heavily pytest-covered) plus the two
+# signature relations q23/q25 (each re-checked downstream every round by
+# its pair join, q24/q26) — all re-verified by the local exact-mode
+# oracle sweep.
 PRIORITY = [
     # never driver-checked (new in round 7)
     "q105_global_shuffle_index",
     "q106_bpe_encode",
+    "q107_embedding_moments",
     "q99_quantile_sketch_accuracy",
     "q100_heavy_hitters",
     "q101_token_budget_shards",
@@ -59,7 +61,6 @@ PRIORITY = [
     "q21_quality_filter",
     "q22_exact_dedup",
     "q24_minhash_dedup_pairs",
-    "q25_simhash",
     "q26_simhash_pairs",
     "q27_ngram_jaccard_pairs",
     "q28_knn_brute",

@@ -452,3 +452,13 @@ def test_q106_bpe_encode_segmentation_join_not_forced(spark):
     # vocab-sized segmentation table joins the exploded corpus as a
     # plain equi-join — planner's choice, never a forced broadcast
     assert broadcast_hint_count(df) == 0
+
+
+def test_q107_moments_single_shuffle_partial_agg(spark):
+    df = _q(spark, "q107_embedding_moments")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # posexplode widens in-row; partial aggregation collapses to d groups
+    # before the one d-key shuffle
+    assert exchange_count(df) == 1, plan
+    assert "partial" in plan.lower(), plan
