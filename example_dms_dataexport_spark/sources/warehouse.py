@@ -42,6 +42,9 @@ META_FILE = "_meta.json"
 # prefix keeps it invisible to parquet file discovery, like _SUCCESS.
 BUCKET_SPEC_FILE = "_bucket_spec.json"
 
+# Snapshot pointer for overwrite_versioned/read_version (time travel).
+VERSION_FILE = "_version.json"
+
 
 class ParquetWarehouse:
     def __init__(self, root: str):
@@ -55,6 +58,8 @@ class ParquetWarehouse:
         return os.path.isdir(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if os.path.isfile(self._version_pointer(table)):
+            return self.read_version(spark, table)
         self._reconcile(table)
         return spark.read.parquet(self.path(table))
 
@@ -475,3 +480,111 @@ class ParquetWarehouse:
         with open(tmp, "w") as f:
             json.dump({"batch": batch, "committed": committed, "dirs": dirs}, f)
         os.replace(tmp, self._tombstone_path(table))
+
+    # ------------------------------------------------------------------
+    # Versioned snapshots (time travel)
+    # ------------------------------------------------------------------
+    #
+    # ``overwrite`` deletes the displaced table directory the moment the
+    # swap lands — correct for the single-writer migration loop, but on a
+    # shared 100 TB cluster a long scan that resolved its file list
+    # against the old state dies mid-read, and yesterday's state is
+    # unrecoverable. ``overwrite_versioned`` keeps each committed state
+    # as an immutable snapshot directory plus one atomically-replaced
+    # pointer file (the minimal form of the Iceberg/Delta snapshot
+    # model):
+    #
+    #     root/table/_v00001/...parquet      immutable snapshot data
+    #     root/table/_v00002/...parquet
+    #     root/table/_version.json           {"current": 2, "versions": {...}}
+    #
+    # Underscore-prefixed snapshot dirs are invisible to plain parquet
+    # discovery, so a versioned table can never be half-read by accident.
+    # Writers: write the new snapshot dir fully, then os.replace the
+    # pointer (crash before the flip leaves the previous state current;
+    # an orphaned _v dir is pruned by the next writer). Readers: resolve
+    # the pointer once, then scan files no writer will ever mutate —
+    # retention (``retain``) is the grace window concurrent readers get.
+
+    def _version_pointer(self, table: str) -> str:
+        return os.path.join(self.path(table), VERSION_FILE)
+
+    def _load_versions(self, table: str) -> dict:
+        p = self._version_pointer(table)
+        if not os.path.isfile(p):
+            return {"current": 0, "versions": {}}
+        with open(p) as f:
+            state = json.load(f)
+        state["versions"] = {int(k): v for k, v in state["versions"].items()}
+        return state
+
+    def overwrite_versioned(
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        retain: int = 2,
+    ) -> int:
+        """Commit ``df`` as the table's next immutable snapshot and
+        return its version number. Keeps the newest ``retain`` snapshots
+        (>=1); older ones are pruned AFTER the pointer flip, so a reader
+        that resolved any retained version keeps valid files."""
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        os.makedirs(self.path(table), exist_ok=True)
+        state = self._load_versions(table)
+        version = state["current"] + 1
+        vdir = f"_v{version:05d}"
+        final = os.path.join(self.path(table), vdir)
+        tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        if meta is not None:
+            with open(os.path.join(tmp, META_FILE), "w") as f:
+                json.dump(meta, f)
+        os.replace(tmp, final)
+        state["versions"][version] = {"dir": vdir, "meta": meta or {}}
+        state["current"] = version
+        keep = sorted(state["versions"])[-retain:]
+        pruned = [v for v in state["versions"] if v not in keep]
+        state["versions"] = {v: state["versions"][v] for v in keep}
+        ptmp = self._version_pointer(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            json.dump(state, f)
+        os.replace(ptmp, self._version_pointer(table))
+        # prune only after the flip: pruned versions are no longer
+        # resolvable, and a crash here just leaves dirs for the next
+        # writer's orphan sweep below
+        for v in pruned:
+            shutil.rmtree(
+                os.path.join(self.path(table), f"_v{v:05d}"),
+                ignore_errors=True,
+            )
+        live = {info["dir"] for info in state["versions"].values()}
+        for name in os.listdir(self.path(table)):
+            if re.fullmatch(r"_v\d{5}", name) and name not in live:
+                shutil.rmtree(
+                    os.path.join(self.path(table), name), ignore_errors=True
+                )
+        return version
+
+    def read_version(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a snapshot of a versioned table — the current one by
+        default, or any retained ``version`` (time travel)."""
+        state = self._load_versions(table)
+        if state["current"] == 0:
+            raise FileNotFoundError(f"{table!r} has no versioned snapshots")
+        v = state["current"] if version is None else version
+        if v not in state["versions"]:
+            raise KeyError(
+                f"version {v} of {table!r} is not retained "
+                f"(have {sorted(state['versions'])})"
+            )
+        return spark.read.parquet(
+            os.path.join(self.path(table), state["versions"][v]["dir"])
+        )
+
+    def versions(self, table: str) -> dict[int, dict]:
+        """Retained snapshot versions with their committed meta."""
+        return self._load_versions(table)["versions"]

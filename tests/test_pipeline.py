@@ -666,3 +666,87 @@ def test_unknown_stage_format_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         stage_extension("avro")
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots (time travel)
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_overwrite_time_travel_and_retention(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for i in (1, 2, 3):
+        df = spark.range(i * 10).withColumn("batch", F.lit(i))
+        v = wh.overwrite_versioned(df, "t", meta={"batch": i}, retain=2)
+        assert v == i
+    # current state = v3; plain read() resolves the pointer too
+    assert wh.read_version(spark, "t").count() == 30
+    assert wh.read(spark, "t").count() == 30
+    # time travel to the retained previous version
+    old = wh.read_version(spark, "t", version=2)
+    assert old.count() == 20
+    assert old.select(F.max("batch")).first()[0] == 2
+    # v1 fell out of retention: not resolvable, directory pruned
+    with pytest.raises(KeyError, match="not retained"):
+        wh.read_version(spark, "t", version=1)
+    assert not (tmp_path / "wh" / "t" / "_v00001").exists()
+    assert sorted(wh.versions("t")) == [2, 3]
+    assert wh.versions("t")[3]["meta"] == {"batch": 3}
+
+
+def test_versioned_reader_survives_concurrent_overwrite(spark, tmp_path):
+    """A reader that resolved version N keeps valid files while a writer
+    commits N+1 — the concurrent-reader guarantee plain overwrite's
+    delete-on-swap cannot give."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(100), "t", retain=2)
+    reader = wh.read_version(spark, "t")  # resolves v1's file list
+    wh.overwrite_versioned(spark.range(5), "t", retain=2)  # commits v2
+    assert reader.count() == 100  # v1 files still on disk (retained)
+    assert wh.read_version(spark, "t").count() == 5
+
+
+def test_versioned_orphan_snapshot_swept_and_validation(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(3), "t")
+    # simulate a crash between data write and pointer flip: an orphaned
+    # snapshot dir with no pointer entry
+    orphan = tmp_path / "wh" / "t" / "_v00099"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    wh.overwrite_versioned(spark.range(4), "t")
+    assert not orphan.exists()  # next writer sweeps it
+    with pytest.raises(ValueError, match="retain"):
+        wh.overwrite_versioned(spark.range(1), "t", retain=0)
+    with pytest.raises(FileNotFoundError):
+        wh.read_version(spark, "nope")
+
+
+def test_versioned_snapshots_feed_snapshot_diff(spark, tmp_path):
+    """Time travel composes with the CDC generator: diffing two retained
+    versions yields the change-set that replays one into the other."""
+    from example_dms_dataexport_spark.merge import apply_changes
+    from example_dms_dataexport_spark.operators.diff import snapshot_diff
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "val"]
+    )
+    wh.overwrite_versioned(v1, "t", retain=2)
+    wh.overwrite_versioned(v2, "t", retain=2)
+    changes = snapshot_diff(
+        wh.read_version(spark, "t", version=1),
+        wh.read_version(spark, "t", version=2),
+        pks=["id"],
+    )
+    replayed = apply_changes(
+        wh.read_version(spark, "t", version=1), changes, pks=["id"]
+    )
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, v2.collect())
+    )
