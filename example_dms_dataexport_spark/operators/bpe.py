@@ -35,12 +35,17 @@ def _sql_quote(s: str) -> str:
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus -> (syms: array<string> of characters, cnt) word relation."""
+    """Corpus -> (w, syms: array<string> of characters, cnt) word relation.
+
+    The word identity ``w`` rides along so the post-training relation
+    doubles as the word -> segmentation lookup (see ``bpe_train``'s
+    ``return_segmentation``)."""
     return (
         docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "w",
             F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("syms"),
             "cnt",
         )
@@ -84,12 +89,22 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_count: int = 2,
-) -> list[tuple[str, str, int]]:
+    return_segmentation: bool = False,
+) -> (
+    list[tuple[str, str, int]]
+    | tuple[list[tuple[str, str, int]], DataFrame]
+):
     """Learn up to ``num_merges`` BPE merge rules from a document corpus.
 
     Returns ``[(left, right, pair_count), ...]`` in merge order. Stops
     early when no pair reaches ``min_pair_count``. Ties break
     lexicographically on (left, right) so training is deterministic.
+
+    With ``return_segmentation=True`` also returns the final
+    ``(w, syms)`` word -> segmentation lookup — the training loop has
+    already applied every merge to the word relation, so an encoder
+    gets the segmentation table for free instead of re-scanning the
+    corpus and replaying the merges (``bpe_segment``'s cost).
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
@@ -108,10 +123,17 @@ def bpe_train(
             l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
             merges.append((l, r, int(n)))
             prev = words
-            words = _apply_merge(words, l, r).localCheckpoint()
+            words = _apply_merge(
+                words, l, r, extra_cols=("w", "cnt")
+            ).localCheckpoint()
             prev.unpersist()
+        if return_segmentation:
+            # ownership passes to the caller (checkpoint blocks released
+            # with the returned DataFrame)
+            return merges, words.select("w", "syms")
     finally:
-        words.unpersist()
+        if not return_segmentation:
+            words.unpersist()
     return merges
 
 

@@ -2227,20 +2227,29 @@ def q106_bpe_encode(spark, sf_dir):
     Python loop. Output is each document's subword count and distinct
     subword count; the oracle replays training AND application in
     unrolled SQL, so the match is exact, not statistical."""
-    from .operators.bpe import bpe_segment, bpe_train
+    from .operators.bpe import bpe_train
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, num_merges=8, min_pair_count=2)
-    seg = bpe_segment(docs, merges)
-    words = docs.select(
-        "doc_id", F.explode(TH.tokens(F.col("text"))).alias("w")
+    # training already applied every merge to the word relation — take
+    # the (w, syms) segmentation for free instead of re-scanning the
+    # corpus and replaying the merges
+    _merges, seg = bpe_train(
+        docs, num_merges=8, min_pair_count=2, return_segmentation=True
+    )
+    # collapse token OCCURRENCES to per-doc word counts before the join:
+    # the explode below then runs over distinct (doc, word) pairs
+    # weighted by nw, not over every token occurrence
+    words = (
+        docs.select("doc_id", F.explode(TH.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("nw"))
     )
     return (
         words.join(seg, "w")
-        .select("doc_id", F.explode("syms").alias("sym"))
+        .select("doc_id", "nw", F.explode("syms").alias("sym"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_subwords"),
+            F.sum("nw").alias("n_subwords"),
             F.countDistinct("sym").alias("n_unique_subwords"),
         )
     )

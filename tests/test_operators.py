@@ -1896,3 +1896,20 @@ def test_global_index_plan_has_no_single_partition_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bpe_train_returned_segmentation_matches_bpe_segment(spark):
+    from example_dms_dataexport_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"), (2, "wider new lower")],
+        ["doc_id", "text"],
+    )
+    merges, seg = bpe_train(
+        docs, num_merges=6, min_pair_count=2, return_segmentation=True
+    )
+    got = {r["w"]: tuple(r["syms"]) for r in seg.collect()}
+    want = {
+        r["w"]: tuple(r["syms"]) for r in bpe_segment(docs, merges).collect()
+    }
+    assert got == want
