@@ -84,12 +84,56 @@ def _apply_merge(
     return words.select(F.expr(fold).alias("syms"), *extra_cols)
 
 
+# Word-frequency relations at or below this row count train on the
+# driver (one collect, zero per-merge Spark jobs); larger vocabularies
+# keep the distributed loop. 64k rows of short tokens is well under a
+# driver-safe collect, and the two paths are pinned merge-for-merge
+# identical by tests.
+LOCAL_VOCAB_MAX = 65536
+
+
+def _train_local(
+    rows: list[tuple[list[str], int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Driver-side twin of the distributed loop: same pair statistic,
+    same (n desc, l asc, r asc) argmax (Python str compare == Spark's
+    UTF8 binary ordering — UTF-8 preserves code-point order), same
+    greedy left-to-right merge fold."""
+    words = [(list(syms), cnt) for syms, cnt in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((l, r, n))
+        for i, (syms, cnt) in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            words[i] = (out, cnt)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_count: int = 2,
     return_segmentation: bool = False,
+    local_threshold: int = LOCAL_VOCAB_MAX,
 ) -> (
     list[tuple[str, str, int]]
     | tuple[list[tuple[str, str, int]], DataFrame]
@@ -105,11 +149,33 @@ def bpe_train(
     already applied every merge to the word relation, so an encoder
     gets the segmentation table for free instead of re-scanning the
     corpus and replaying the merges (``bpe_segment``'s cost).
+
+    Adaptive execution (the k-means pattern: distribute the data-scale
+    pass, anchor the small iterative state on the driver): the corpus
+    fold to word frequencies always runs distributed, then if the vocab
+    relation has <= ``local_threshold`` rows the merge loop runs
+    driver-side in one collect instead of 3 Spark jobs per merge; a
+    larger vocabulary keeps the fully-distributed loop. Both paths are
+    pinned identical by tests (``local_threshold=0`` forces the
+    distributed one).
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     words = word_counts(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
+    if words.count() <= local_threshold:
+        try:
+            rows = [(list(r["syms"]), int(r["cnt"])) for r in words.collect()]
+        finally:
+            if not return_segmentation:
+                words.unpersist()
+        merges = _train_local(rows, num_merges, min_pair_count)
+        if return_segmentation:
+            seg = words.select("w", "syms")
+            for l, r, _ in merges:
+                seg = _apply_merge(seg, l, r, extra_cols=("w",))
+            return merges, seg
+        return merges
     try:
         for _ in range(num_merges):
             top = (

@@ -1913,3 +1913,24 @@ def test_bpe_train_returned_segmentation_matches_bpe_segment(spark):
         r["w"]: tuple(r["syms"]) for r in bpe_segment(docs, merges).collect()
     }
     assert got == want
+
+
+def test_bpe_train_local_and_distributed_paths_identical(spark):
+    from example_dms_dataexport_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new wider new"),
+         (2, "wider new lower lowest widest low")],
+        ["doc_id", "text"],
+    )
+    m_local, seg_local = bpe_train(
+        docs, num_merges=7, min_pair_count=2, return_segmentation=True
+    )
+    m_dist, seg_dist = bpe_train(
+        docs, num_merges=7, min_pair_count=2, return_segmentation=True,
+        local_threshold=0,  # force the distributed merge loop
+    )
+    assert m_local == m_dist and len(m_local) > 0
+    assert {r["w"]: tuple(r["syms"]) for r in seg_local.collect()} == {
+        r["w"]: tuple(r["syms"]) for r in seg_dist.collect()
+    }
