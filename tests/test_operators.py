@@ -1934,3 +1934,12 @@ def test_bpe_train_local_and_distributed_paths_identical(spark):
     assert {r["w"]: tuple(r["syms"]) for r in seg_local.collect()} == {
         r["w"]: tuple(r["syms"]) for r in seg_dist.collect()
     }
+
+
+def test_global_index_empty_input(spark):
+    from example_dms_dataexport_spark.operators import ordering
+
+    df = spark.range(0).select(F.col("id"))
+    out = ordering.global_index(df, ["id"], num_partitions=4)
+    assert out.count() == 0
+    assert out.columns == ["id", "idx"]
