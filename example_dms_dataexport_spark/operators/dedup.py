@@ -33,6 +33,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import texthash as TH
 from ..partitioning import spread
@@ -254,11 +255,50 @@ def incremental_dedup_pairs(
 # --- connected-components clustering ---------------------------------------
 
 
+# Edge lists at or below this row count cluster on the driver via
+# union-find (one collect, zero per-round Spark jobs); larger graphs
+# keep the distributed min-label loop. 4M edges of two int64 ids is a
+# comfortably driver-safe collect, and both paths are pinned identical
+# by tests.
+LOCAL_EDGES_MAX = 4_000_000
+
+
+def _cluster_local(rows) -> dict:
+    """Driver-side twin of the min-label loop: union-find with path
+    compression, then label every node with its component's minimum id
+    — exactly the fixed point the distributed propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            parent[b] = a
+    comp_min: dict = {}
+    nodes = set(parent)
+    for r in rows:
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
+    roots = {x: find(x) for x in nodes}
+    for x, root in roots.items():
+        if root not in comp_min or x < comp_min[root]:
+            comp_min[root] = x
+    return {x: comp_min[root] for x, root in roots.items()}
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = LOCAL_EDGES_MAX,
 ) -> DataFrame:
     """(id, cluster_id) for every id in the pair list: connected components
     with ``cluster_id`` = the minimum id of the component.
@@ -292,6 +332,27 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    # Adaptive execution (the BPE/k-means pattern: the data-scale pass —
+    # candidate-pair generation — already ran distributed; the graph it
+    # produced is usually tiny relative to the corpus): a small edge list
+    # collects once and clusters driver-side, replacing 3+ Spark jobs per
+    # propagation round. Larger graphs keep the distributed loop below.
+    if edges.count() <= local_threshold:
+        try:
+            label_of = _cluster_local(edges.collect())
+        finally:
+            edges.unpersist()
+        id_type = pairs.schema[id_a].dataType
+        # nullable=True to match the distributed loop's output schema
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("cluster_id", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(label_of.items()), schema
+        )
     labels = (
         edges.select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
         .distinct()

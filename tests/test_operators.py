@@ -150,7 +150,9 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dedup_clusters(pairs, max_iter=2)
+        # local_threshold=0 forces the iterative distributed path — the
+        # driver-side union-find has no iteration budget to exhaust
+        dedup.dedup_clusters(pairs, max_iter=2, local_threshold=0)
 
 
 def test_ngram_jaccard_requires_min_tokens(spark):
@@ -1943,3 +1945,22 @@ def test_global_index_empty_input(spark):
     out = ordering.global_index(df, ["id"], num_partitions=4)
     assert out.count() == 0
     assert out.columns == ["id", "idx"]
+
+
+def test_dedup_clusters_local_and_distributed_paths_identical(spark):
+    # chain 1-2-3-4, star 10-(11,12,13), singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    local = dedup.dedup_clusters(pairs)
+    dist = dedup.dedup_clusters(pairs, local_threshold=0)
+    got_l = sorted(map(tuple, local.collect()))
+    got_d = sorted(map(tuple, dist.collect()))
+    assert got_l == got_d
+    assert got_l == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    ]
+    assert local.schema == dist.schema
