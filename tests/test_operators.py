@@ -1964,3 +1964,22 @@ def test_dedup_clusters_local_and_distributed_paths_identical(spark):
         (20, 20), (21, 20),
     ]
     assert local.schema == dist.schema
+
+
+def test_dedup_clusters_paths_identical_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got_l = sorted(map(tuple, dedup.dedup_clusters(pairs).collect()))
+        got_d = sorted(
+            map(tuple, dedup.dedup_clusters(pairs, local_threshold=0).collect())
+        )
+        assert got_l == got_d, (trial, edges)
