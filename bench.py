@@ -109,6 +109,25 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+    # Machine-speed calibration: a FIXED pure-CPU workload (hash-reduce
+    # over an in-memory range — no I/O, no engine code, plan-stable
+    # across rounds). Cross-round query deltas should be read against
+    # the calibration ratio: if calibration_sec moved 1.4x between
+    # rounds, the host (shared/noisy-neighbor) moved 1.4x, not the
+    # plans. Added round 7 after an ambient ~1.4x host slowdown made
+    # every untouched query look regressed.
+    from pyspark.sql import functions as F
+
+    def calibrate() -> None:
+        (
+            spark.range(0, 200_000_000, 1, 32)
+            .select(F.xxhash64("id").cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+
+    calibrate()  # warm
+
     def timed(fn) -> tuple[float, float]:
         """(median, min) wall seconds over n_runs invocations."""
         runs = []
@@ -177,6 +196,8 @@ def main() -> None:
     times_min["q18p_partitioned_cdc"] = round(best, 3)
     total += med
 
+    cal_med, cal_best = timed(calibrate)
+
     spread = max(
         (times[n] / times_min[n]) for n in times if times_min[n] > 0
     )
@@ -190,6 +211,16 @@ def main() -> None:
                 # sum per-query medians over runs_per_query runs. Cross-
                 # round deltas are comparable only within one method.
                 "method": "sum_of_medians",
+                "calibration": {
+                    "median_sec": round(cal_med, 3),
+                    "min_sec": round(cal_best, 3),
+                    "note": (
+                        "fixed pure-CPU hash-reduce (no I/O, no engine "
+                        "code); divide cross-round query deltas by the "
+                        "cross-round calibration ratio to remove host-"
+                        "speed drift"
+                    ),
+                },
                 "partitioned_cdc": pcdc_info,
                 "queries": times,
                 "queries_min": times_min,
