@@ -19,6 +19,10 @@ land in a quarantine column instead of failing the job.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -52,3 +56,93 @@ def read_jsonl(
     if keep_corrupt:
         return df
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 1_000_000,
+    shuffle_by: list[str] | None = None,
+    n_tasks: int | None = None,
+    compression: str = "gzip",
+) -> dict:
+    """Export a corpus as size-bounded gzipped JSON-lines shards plus an
+    atomically-committed ``_manifest.json`` — the other hand-off format
+    training loaders consume (``warehouse.write_shards`` is the parquet
+    twin; this one is for loaders that stream text records, not columnar
+    readers).
+
+    Same contracts as the parquet exporter:
+
+    - ``shuffle_by``: deterministic decorrelation — hash-partition on
+      ``xxhash64(shuffle_by)`` into a FIXED ``n_tasks`` count, sorted
+      within each partition, so the same input always produces the same
+      shard contents (``ORDER BY rand()`` and ``repartitionByRange``
+      both re-randomize between runs);
+    - ``maxRecordsPerFile`` bounds each shard without another exchange;
+    - shards + manifest land in a temp directory and promote via one
+      atomic rename, so a crashed export can never be half-consumed.
+
+    gzip (default) keeps shards splittable-enough in practice because
+    the FILE is the work unit (one shard = one loader task); within a
+    shard the stream is sequential anyway.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if shuffle_by:
+        key = F.xxhash64(*[F.col(c) for c in shuffle_by])
+        n = n_tasks or df.sparkSession.sparkContext.defaultParallelism
+        df = (
+            df.withColumn("_shuffle_key", key)
+            .repartition(n, "_shuffle_key")
+            .sortWithinPartitions("_shuffle_key", *shuffle_by)
+            .drop("_shuffle_key")
+        )
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-jsonl-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(tmp)
+    # per-shard row counts, computed DISTRIBUTED (line count grouped by
+    # input file) — the parquet twin reads footer metadata; JSONL has no
+    # footer, and a driver-side re-read of every shard would not survive
+    # a 100 TB export
+    counts = {
+        os.path.basename(r["f"]): r["rows"]
+        for r in (
+            df.sparkSession.read.text(tmp)
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+    }
+    shards = [
+        {
+            "file": name,
+            "rows": int(counts.get(name, 0)),
+            "bytes": os.path.getsize(os.path.join(tmp, name)),
+        }
+        for name in sorted(os.listdir(tmp))
+        if name.startswith("part-")
+    ]
+    manifest = {
+        "path": os.path.basename(path),
+        "n_shards": len(shards),
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(path):
+        old = os.path.join(parent, f".old-jsonl-{uuid.uuid4().hex}")
+        os.replace(path, old)
+        shutil.rmtree(old, ignore_errors=True)
+    os.replace(tmp, path)
+    return manifest

@@ -750,3 +750,39 @@ def test_versioned_snapshots_feed_snapshot_diff(spark, tmp_path):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, v2.collect())
     )
+
+
+def test_jsonl_shard_export_manifest_and_determinism(spark, tmp_path):
+    import gzip
+    import json as jsonlib
+
+    from example_dms_dataexport_spark.sources.jsonl import write_jsonl_shards
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+    out = str(tmp_path / "export")
+    m1 = write_jsonl_shards(
+        df, out, max_records_per_file=150, shuffle_by=["doc_id"], n_tasks=4
+    )
+    assert m1["total_rows"] == 1000
+    assert m1["n_shards"] >= 7  # 1000 rows / 150-per-file across 4 tasks
+    assert all(s["rows"] <= 150 for s in m1["shards"])
+    # manifest committed with the data
+    disk = jsonlib.load(open(os.path.join(out, "_manifest.json")))
+    assert disk == m1
+    # shards are valid gzipped JSONL and rows round-trip
+    seen = []
+    for s in m1["shards"]:
+        with gzip.open(os.path.join(out, s["file"]), "rt") as f:
+            lines = [jsonlib.loads(x) for x in f]
+        assert len(lines) == s["rows"]
+        seen.extend(lines)
+    assert sorted(r["doc_id"] for r in seen) == list(range(1000))
+    # deterministic decorrelation: identical re-export, atomic replace
+    m2 = write_jsonl_shards(
+        df, out, max_records_per_file=150, shuffle_by=["doc_id"], n_tasks=4
+    )
+    assert [s["rows"] for s in m2["shards"]] == [
+        s["rows"] for s in m1["shards"]
+    ]
