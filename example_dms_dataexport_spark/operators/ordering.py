@@ -16,6 +16,10 @@ This module numbers rows with no global window:
    downstream jobs (count, assign) read the same blocks instead of
    re-running the shuffle — the same two-pass shape as RDD
    ``zipWithIndex``, with the recompute traded for cached blocks.
+   The pin is a CORRECTNESS requirement, not a cache optimization:
+   ``repartitionByRange`` samples its boundaries, so an uncached
+   recompute between the count job and the assign job could place
+   rows in different partitions than the offsets were computed for.
 3. A count per partition id — an n-row aggregate — is collected and
    prefix-summed on the driver (n = shuffle partitions, never data
    scale).
