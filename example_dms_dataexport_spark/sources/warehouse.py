@@ -129,27 +129,9 @@ class ParquetWarehouse:
         ~|files|^(1/n_cols) of the value range per file, so range filters
         on ANY of them skip files (partitioning.zorder_key).
         """
-        if cluster_by and zorder_by:
-            raise ValueError("cluster_by and zorder_by are mutually exclusive")
-        if zorder_by:
-            from ..partitioning import zorder_key
-
-            df, zcol = zorder_key(df, zorder_by)
-            n = [cluster_partitions] if cluster_partitions else []
-            df = (
-                df.repartitionByRange(*n, zcol)
-                .sortWithinPartitions(zcol)
-                .drop(zcol)
-            )
+        df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         final = self.path(table)
         tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
-        if cluster_by:
-            # explicit count opts out of AQE coalescing (e.g. to target a
-            # file size); default lets AQE size the range partitions
-            args = ([cluster_partitions] if cluster_partitions else []) + list(
-                cluster_by
-            )
-            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -158,6 +140,39 @@ class ParquetWarehouse:
             with open(os.path.join(tmp, META_FILE), "w") as f:
                 json.dump(meta, f)
         self._commit_swap(tmp, final, table)
+
+    @staticmethod
+    def _apply_layout(
+        df: DataFrame,
+        cluster_by: list[str] | None,
+        zorder_by: list[str] | None,
+        cluster_partitions: int | None,
+    ) -> DataFrame:
+        """Shared file-layout transform for ``overwrite`` and
+        ``overwrite_versioned`` (see ``overwrite``'s docstring for the
+        cluster_by / zorder_by data-skipping rationale)."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            from ..partitioning import zorder_key
+
+            df, zcol = zorder_key(df, zorder_by)
+            n = [cluster_partitions] if cluster_partitions else []
+            return (
+                df.repartitionByRange(*n, zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        if cluster_by:
+            # explicit count opts out of AQE coalescing (e.g. to target a
+            # file size); default lets AQE size the range partitions
+            args = ([cluster_partitions] if cluster_partitions else []) + list(
+                cluster_by
+            )
+            return df.repartitionByRange(*args).sortWithinPartitions(
+                *cluster_by
+            )
+        return df
 
     def _commit_swap(self, tmp: str, final: str, table: str) -> None:
         """Atomically promote ``tmp`` to ``final`` (rename), then drop
@@ -524,13 +539,19 @@ class ParquetWarehouse:
         table: str,
         meta: dict | None = None,
         retain: int = 2,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as the table's next immutable snapshot and
         return its version number. Keeps the newest ``retain`` snapshots
         (>=1); older ones are pruned AFTER the pointer flip, so a reader
-        that resolved any retained version keeps valid files."""
+        that resolved any retained version keeps valid files.
+        ``cluster_by``/``zorder_by`` apply the same data-skipping file
+        layouts as ``overwrite``."""
         if retain < 1:
             raise ValueError("retain must be >= 1")
+        df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         os.makedirs(self.path(table), exist_ok=True)
         state = self._load_versions(table)
         version = state["current"] + 1

@@ -786,3 +786,25 @@ def test_jsonl_shard_export_manifest_and_determinism(spark, tmp_path):
     assert [s["rows"] for s in m2["shards"]] == [
         s["rows"] for s in m1["shards"]
     ]
+
+
+def test_versioned_overwrite_applies_cluster_layout(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS k")
+    wh.overwrite_versioned(df, "t", cluster_by=["id"], cluster_partitions=4)
+    vdir = tmp_path / "wh" / "t" / "_v00001"
+    files = sorted(p for p in vdir.iterdir() if p.name.endswith(".parquet"))
+    assert len(files) == 4
+    # range-clustered: per-file id bands are narrow and non-overlapping
+    bands = []
+    for p in files:
+        md = pq.read_metadata(str(p))
+        col = md.row_group(0).column(0).statistics
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        bands.append((lo, hi))
+    bands.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bands, bands[1:]):
+        assert a_hi < b_lo
