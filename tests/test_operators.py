@@ -1983,3 +1983,58 @@ def test_dedup_clusters_paths_identical_on_random_graphs(spark):
             map(tuple, dedup.dedup_clusters(pairs, local_threshold=0).collect())
         )
         assert got_l == got_d, (trial, edges)
+
+
+# ---------------------------------------------------------------------------
+# salted equi-join (operators/skewjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from example_dms_dataexport_spark.operators.skewjoin import salted_join
+
+    # hot key 0 holds 80% of left rows; right has multiple rows per key
+    left = spark.range(1000).selectExpr(
+        "id AS rid", "CASE WHEN id % 5 < 4 THEN 0 ELSE id % 7 END AS k"
+    )
+    right = spark.range(40).selectExpr(
+        "id % 8 AS k", "concat('v', id) AS val"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, ["k"], salt=4, how=how)
+                .select("rid", "k", "val").collect())
+        )
+        want = sorted(
+            map(tuple, left.join(right, ["k"], how)
+                .select("rid", "k", "val").collect())
+        )
+        assert got == want, how
+    assert len(got) > 1000  # the multi-match fan-out survived salting
+
+
+def test_salted_join_spreads_hot_key_and_validates(spark):
+    from example_dms_dataexport_spark.operators.skewjoin import (
+        SALT_COL,
+        salted_join,
+    )
+
+    left = spark.range(400).selectExpr("id AS rid", "0 AS k")
+    right = spark.createDataFrame([(0, "x")], ["k", "val"])
+    # the hot key's rows really land in multiple salt buckets
+    salted = left.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*left.columns), F.lit(4))
+    )
+    assert salted.select(SALT_COL).distinct().count() == 4
+    out = salted_join(left, right, ["k"], salt=4)
+    assert out.count() == 400
+    # unmatched left keys survive a left join exactly once, with NULLs
+    lonely = spark.createDataFrame([(1, 99), (2, 0)], ["rid", "k"])
+    kept = salted_join(lonely, right, ["k"], salt=4, how="left").collect()
+    assert sorted((r.rid, r.val) for r in kept) == [(1, None), (2, "x")]
+    with pytest.raises(ValueError, match="salt must be"):
+        salted_join(left, right, ["k"], salt=1)
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(left, right, ["k"], how="right")
+    with pytest.raises(ValueError, match="at least one key"):
+        salted_join(left, right, [])
