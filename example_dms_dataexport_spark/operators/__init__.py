@@ -11,6 +11,8 @@ funnel         ordered-funnel progression (dependent sequential min-agg)
 timeseries     fixed-grid resample + forward fill (sequence + as-of join)
 scd            SCD Type-2 history from a change stream (one shared shuffle)
 sketches       mergeable HLL distinct-count rollup state
+ordering       distributed zipWithIndex / epoch-deterministic shuffle index
+skewjoin       salted equi-join for unbroadcastable hot-key joins
 
 All hot-path math is built from ``pyspark.sql.functions`` expressions
 (JVM-side, whole-stage codegen); Python appears only in the multimodal
