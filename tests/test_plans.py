@@ -462,3 +462,16 @@ def test_q107_moments_single_shuffle_partial_agg(spark):
     # before the one d-key shuffle
     assert exchange_count(df) == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_salted_join_plan_no_cartesian_no_forced_broadcast(spark):
+    from example_dms_dataexport_spark.operators.skewjoin import salted_join
+
+    left = spark.range(1000).selectExpr("id AS rid", "id % 3 AS k")
+    right = spark.range(50).selectExpr("id % 3 AS k", "id AS val")
+    df = salted_join(left, right, ["k"], salt=8)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
+    # the salt replication is an in-row explode, never a shuffle to build
+    assert "Generate" in plan, plan
