@@ -201,42 +201,58 @@ def main() -> None:
     spread = max(
         (times[n] / times_min[n]) for n in times if times_min[n] > 0
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                # methodology marker: r01-r05 were single-shot sums; r06+
-                # sum per-query medians over runs_per_query runs. Cross-
-                # round deltas are comparable only within one method.
-                "method": "sum_of_medians",
-                "calibration": {
-                    "median_sec": round(cal_med, 3),
-                    "min_sec": round(cal_best, 3),
-                    "note": (
-                        "fixed pure-CPU hash-reduce (no I/O, no engine "
-                        "code); divide cross-round query deltas by the "
-                        "cross-round calibration ratio to remove host-"
-                        "speed drift"
-                    ),
-                },
-                "partitioned_cdc": pcdc_info,
-                "queries": times,
-                "queries_min": times_min,
-                "runs_per_query": n_runs,
-                "noise": {
-                    "max_median_over_min": round(spread, 3),
-                    "note": (
-                        "values are per-query medians; deltas below the "
-                        "median/min spread are ambient-load noise, not "
-                        "plan changes"
-                    ),
-                },
-                "sf": sf,
-            }
-        )
-    )
+    # Key order matters: the driver records only the LAST 2000 chars of
+    # stdout, which in round 7 silently dropped the headline "value" and
+    # the whole "calibration" block (they serialized first). The bulky
+    # per-query maps go FIRST and the headline/calibration/noise scalars
+    # LAST so any tail cut keeps the numbers the cross-round methodology
+    # needs; the complete JSON is also persisted to a committed repo file
+    # (BENCH_LOCAL_r{N}.json) as the authoritative artifact.
+    result = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        # methodology marker: r01-r05 were single-shot sums; r06+
+        # sum per-query medians over runs_per_query runs. Cross-
+        # round deltas are comparable only within one method.
+        "method": "sum_of_medians",
+        "sf": sf,
+        "runs_per_query": n_runs,
+        "partitioned_cdc": pcdc_info,
+        "queries": times,
+        "queries_min": times_min,
+        "noise": {
+            "max_median_over_min": round(spread, 3),
+            "note": (
+                "values are per-query medians; deltas below the "
+                "median/min spread are ambient-load noise, not "
+                "plan changes"
+            ),
+        },
+        "calibration": {
+            "median_sec": round(cal_med, 3),
+            "min_sec": round(cal_best, 3),
+            "note": (
+                "fixed pure-CPU hash-reduce (no I/O, no engine "
+                "code); divide cross-round query deltas by the "
+                "cross-round calibration ratio to remove host-"
+                "speed drift"
+            ),
+        },
+        "value": round(total, 3),
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+        ]
+        n_round = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    except OSError:
+        pass  # persistence is best-effort; stdout remains the contract
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

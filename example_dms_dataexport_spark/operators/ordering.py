@@ -70,6 +70,11 @@ def global_index(
     if index_col in df.columns:
         raise ValueError(f"column {index_col!r} already exists")
     pid_col = "__gidx_pid"
+    if pid_col in df.columns:
+        raise ValueError(
+            f"column {pid_col!r} collides with the internal partition-id "
+            "helper; rename it before calling global_index"
+        )
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
@@ -120,6 +125,11 @@ def shuffle_index(
     epoch shuffles; the same seed replays bit-identically — resumable
     training order without materializing a permutation table.
     """
+    if "__gidx_h" in df.columns:
+        raise ValueError(
+            "column '__gidx_h' collides with the internal hash helper; "
+            "rename it before calling shuffle_index"
+        )
     h = TH.poly_hash(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
     shuffled = df.withColumn("__gidx_h", h)
     out = global_index(

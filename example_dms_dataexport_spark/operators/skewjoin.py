@@ -3,12 +3,16 @@
 A shuffle equi-join hashes both sides on the join key, so one hot key
 (a stopword, a null-ish default id, one giant customer) lands its ENTIRE
 row population in a single task: the stage is as slow as that one task
-no matter how many executors exist. AQE's skew-join split helps only
-sort-merge joins and only splits the LEFT side's oversized partitions;
-a broadcast join fixes it only when the small side fits in memory.
+no matter how many executors exist. AQE's OptimizeSkewedJoin covers most
+of this for sort-merge and shuffled-hash joins, but it cannot split the
+preserved side of an outer join, only re-splits partitions the runtime
+statistics flag as oversized, and offers no control over split
+granularity; a broadcast join fixes skew only when the small side fits
+in memory.
 
 ``salted_join`` is the classic explicit fix for the remaining case
-(both sides too big to broadcast, hot keys known or suspected):
+(both sides too big to broadcast, hot keys known or suspected, or a
+custom salt granularity needed):
 
 - LEFT rows get a deterministic salt in [0, salt) — ``pmod(xxhash64(
   whole row), salt)`` — splitting each hot key's rows across salt tasks;

@@ -78,10 +78,22 @@ def write_jsonl_shards(
       ``xxhash64(shuffle_by)`` into a FIXED ``n_tasks`` count, sorted
       within each partition, so the same input always produces the same
       shard contents (``ORDER BY rand()`` and ``repartitionByRange``
-      both re-randomize between runs);
+      both re-randomize between runs). The within-partition sort key is
+      ``(_shuffle_key, shuffle_by..., xxhash64(all columns))`` — the
+      full-row hash tie-break makes the order total even when
+      ``shuffle_by`` is not a unique key (rows tying on every sort key
+      are full duplicates, hence interchangeable), mirroring
+      ``ordering.global_index``'s strict-total-order requirement;
     - ``maxRecordsPerFile`` bounds each shard without another exchange;
     - shards + manifest land in a temp directory and promote via one
       atomic rename, so a crashed export can never be half-consumed.
+      When ``path`` already exists the promotion is two renames (old
+      aside, then tmp in) — POSIX has no atomic non-empty-directory
+      swap — so there is a brief window with no directory at ``path``:
+      the exporter assumes a SINGLE WRITER and no reader concurrent
+      with a re-export of the same path (readers of a live corpus
+      should consume versioned paths or
+      ``warehouse.overwrite_versioned`` instead).
 
     gzip (default) keeps shards splittable-enough in practice because
     the FILE is the work unit (one shard = one loader task); within a
@@ -94,10 +106,11 @@ def write_jsonl_shards(
     if shuffle_by:
         key = F.xxhash64(*[F.col(c) for c in shuffle_by])
         n = n_tasks or df.sparkSession.sparkContext.defaultParallelism
+        row_tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
         df = (
             df.withColumn("_shuffle_key", key)
             .repartition(n, "_shuffle_key")
-            .sortWithinPartitions("_shuffle_key", *shuffle_by)
+            .sortWithinPartitions("_shuffle_key", *shuffle_by, row_tiebreak)
             .drop("_shuffle_key")
         )
     parent = os.path.dirname(os.path.abspath(path)) or "."

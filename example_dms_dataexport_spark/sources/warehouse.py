@@ -548,7 +548,14 @@ class ParquetWarehouse:
         (>=1); older ones are pruned AFTER the pointer flip, so a reader
         that resolved any retained version keeps valid files.
         ``cluster_by``/``zorder_by`` apply the same data-skipping file
-        layouts as ``overwrite``."""
+        layouts as ``overwrite``.
+
+        SINGLE WRITER per table (the same assumption the whole warehouse
+        makes for ``overwrite``): the read-modify-write of
+        ``_version.json`` is not compare-and-swap, so two concurrent
+        writers could compute the same next version and one commit would
+        be silently lost. Concurrent READERS are the supported case —
+        that is what the retained immutable snapshots exist for."""
         if retain < 1:
             raise ValueError("retain must be >= 1")
         df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
