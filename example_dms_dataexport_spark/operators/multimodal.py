@@ -430,6 +430,155 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, AUDIO_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Images: real binary PNM (P5 grayscale / P6 RGB) decode, stdlib-only
+# ---------------------------------------------------------------------------
+# The q102 WAV pattern applied to the image modality: PNM is the one image
+# container parseable with no external library (binary PGM/PPM — a text
+# header ``P5|P6 <width> <height> <maxval>`` followed by raw samples), so
+# image decode can be REAL end-to-end in this environment — actual header
+# tokenization, actual pixel-array extraction — while the Pillow path
+# (``decode_media(codec="pil")``) stays the gate for compressed formats.
+# The UDF emits only exact integers (dimensions, channel count, int64 pixel
+# sum); mean intensity is derived JVM-side, keeping the decode
+# bit-reproducible and oracle-checkable.
+
+PNM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pix_sum", LongType()),
+    ]
+)
+
+
+def _make_pnm_parser():
+    # Defined through a factory so the function pickles BY VALUE into
+    # mapInPandas closures: executor Python workers do not have this
+    # package on sys.path, so a module-level helper (pickled by
+    # reference) would fail to import worker-side.
+    def parse_pnm(raw: bytes):
+        import numpy as np
+
+        if len(raw) < 2 or raw[0:1] != b"P" or raw[1:2] not in b"56":
+            raise ValueError(f"not a binary PNM payload (magic {raw[:2]!r})")
+        magic = raw[:2].decode("ascii")
+        channels = 3 if magic == "P6" else 1
+        pos, fields = 2, []
+        while len(fields) < 3:
+            # skip whitespace and comment lines between header tokens
+            while pos < len(raw) and raw[pos : pos + 1].isspace():
+                pos += 1
+            if raw[pos : pos + 1] == b"#":
+                while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(raw) and raw[pos : pos + 1].isdigit():
+                pos += 1
+            if start == pos:
+                raise ValueError("malformed PNM header")
+            fields.append(int(raw[start:pos]))
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError(
+                f"two-byte PNM samples unsupported (maxval {maxval})"
+            )
+        pos += 1  # exactly one whitespace byte separates header from samples
+        n = width * height * channels
+        if len(raw) - pos < n:
+            raise ValueError(
+                f"truncated PNM: expected {n} samples, got {len(raw) - pos}"
+            )
+        return magic, width, height, channels, np.frombuffer(
+            raw, dtype=np.uint8, count=n, offset=pos
+        )
+
+    return parse_pnm
+
+
+#: Parse a binary PNM payload -> (magic, width, height, channels, flat
+#: uint8 sample array). Handles arbitrary header whitespace and ``#``
+#: comments per the netpbm spec; rejects non-binary magics and
+#: two-byte-sample maxvals (>255).
+_parse_pnm = _make_pnm_parser()
+
+
+def pnm_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize real binary PNM images from ``documents``: each utf-8
+    byte of ``text`` becomes one pixel value in a ``(doc_id % 16) + 4``
+    wide image (height = ceil(len / width), zero-padded to fill the
+    last row); even doc_ids write P5 grayscale, odd ones P6 RGB with
+    r=g=b — both branches of the parser exercised by one fixture whose
+    statistics stay restatable in SQL (like ``wav_from_documents``)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = (int(doc_id) % 16) + 4
+                h = max(1, -(-len(vals) // w))
+                padded = np.zeros(w * h, dtype=np.uint8)
+                padded[: len(vals)] = vals
+                if int(doc_id) % 2 == 0:
+                    header = f"P5\n{w} {h}\n255\n".encode("ascii")
+                    body = padded
+                else:
+                    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                    body = np.repeat(padded, 3)  # r = g = b
+                payloads.append(header + body.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def decode_pnm(df: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, format, width, height, channels, pix_sum) per
+    PNM payload — real stdlib+numpy decode in the same Arrow-batched
+    mapInPandas shape as ``decode_audio``. ``pix_sum`` is the exact
+    int64 sum over every channel sample; callers derive mean intensity
+    as ``pix_sum / (width * height * channels)`` JVM-side."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, fmts, ws, hs, chs, sums = [], [], [], [], [], []
+            for b in pdf["media"]:
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                magic, w, h, c, pixels = _parse_pnm(raw)
+                fmts.append(magic)
+                ws.append(w)
+                hs.append(h)
+                chs.append(c)
+                sums.append(int(pixels.sum(dtype="int64")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "format": fmts,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(decode, PNM_SCHEMA)
+
+
 RESAMPLE_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("media", BinaryType())]
 )

@@ -45,11 +45,19 @@ def salted_join(
     on: list[str],
     salt: int = 16,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join ``left`` and ``right`` on ``on`` with the left side's
     hot keys split across ``salt`` tasks. Supported ``how``: inner /
     left (the replicated side must be the non-preserved one, so right-
-    preserving joins are rejected — swap the operands instead)."""
+    preserving joins are rejected — swap the operands instead).
+
+    ``join_hint`` (e.g. ``"merge"`` or ``"shuffle_hash"``) pins the
+    physical strategy on the replicated side: at production scale both
+    sides exceed the broadcast threshold anyway, but on small test data
+    Catalyst would statically broadcast the dimension and the salt
+    would never exercise — the hint makes the small-scale plan match
+    the 100 TB plan."""
     if not on:
         raise ValueError("salted_join requires at least one key column")
     if salt < 2:
@@ -73,5 +81,7 @@ def salted_join(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")),
     )
+    if join_hint:
+        replicated_right = replicated_right.hint(join_hint)
     out = salted_left.join(replicated_right, [*on, SALT_COL], how)
     return out.drop(SALT_COL)

@@ -583,6 +583,48 @@ def q102_audio_decode(spark, sf_dir):
     )
 
 
+_Q108_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'P5' ELSE 'P6' END AS format,
+           CAST((doc_id % 16) + 4 AS INTEGER) AS width,
+           CAST(GREATEST(1, (len(text) + (doc_id % 16) + 3)
+                            // ((doc_id % 16) + 4)) AS INTEGER) AS height,
+           CAST(COALESCE(list_sum(
+                [CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                 FOR i IN generate_series(1, len(text), 1)]), 0) AS DOUBLE)
+           / (((doc_id % 16) + 4)
+              * GREATEST(1, (len(text) + (doc_id % 16) + 3)
+                            // ((doc_id % 16) + 4))) AS mean_intensity
+    FROM documents
+"""
+
+
+@query("q108_image_decode", _Q108_ORACLE)
+def q108_image_decode(spark, sf_dir):
+    """REAL image decode: documents -> conformant binary PNM containers
+    (P5 grayscale for even doc_ids, P6 RGB with r=g=b for odd — one
+    text byte per pixel, zero-padded last row) -> genuine header parse +
+    pixel extraction through Arrow-batched mapInPandas. Like q102's WAV
+    path, this modality needs no external library, so the decode runs
+    real end-to-end here (the Pillow gate remains for compressed
+    formats). The UDF emits exact integers only; mean intensity =
+    pix_sum / (w*h*channels) is derived JVM-side — for the r=g=b
+    fixture, bit-identical to the oracle's sum/(w*h) because IEEE
+    division of (3s)/(3n) rounds identically to s/n."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_pnm(multimodal.pnm_from_documents(docs))
+    return dec.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width") * F.col("height") * F.col("channels"))
+        ).alias("mean_intensity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition filter + the end-to-end cleaning pipeline
 # ---------------------------------------------------------------------------

@@ -18,6 +18,8 @@ Registry: ``QUERIES[name] -> fn(spark, sf_dir) -> DataFrame`` and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2236,4 +2238,114 @@ def q99_quantile_sketch_accuracy(spark, sf_dir):
         "event_type",
         "exact_p95",
         ((diff > 0) & (diff <= F.lit(step) + F.lit(1e-9))).alias("within_tol"),
+    )
+
+
+_Q109_ORACLE = """
+    SELECT s.s_nationkey,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+"""
+
+
+@query("q109_salted_join_revenue", _Q109_ORACLE)
+def q109_salted_join_revenue(spark, sf_dir):
+    """The salted skew join's oracle face: revenue per supplier nation
+    through operators.skewjoin.salted_join instead of a plain equi-join.
+    The contract is ROW PARITY — salting must not lose, duplicate, or
+    misroute a single (lineitem, supplier) match, so the post-join
+    aggregate hash-matches the unsalted SQL restatement exactly. The
+    ``join_hint="merge"`` pin keeps the small-scale plan the same
+    sort-merge shape the operator exists for at 100 TB (where one hot
+    supplier key would otherwise serialize the stage and the dimension
+    is too large to broadcast); plan pinned in
+    tests/test_plans.py::test_q109_salted_join_plan."""
+    from .operators.skewjoin import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, ["l_suppkey"], salt=8, join_hint="merge")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_Q110_ORACLE = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 9 < 6
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 > 1
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                ELSE n.o_totalprice END AS o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
+@query("q110_time_travel_diff", _Q110_ORACLE)
+def q110_time_travel_diff(spark, sf_dir):
+    """Time travel's oracle face: the change-set BETWEEN two retained
+    snapshots of a versioned warehouse table — the CDC-generation story
+    ``overwrite_versioned`` exists for. Two deterministic orders
+    snapshots commit as versions 1 and 2 of a real on-disk versioned
+    table (immutable ``_vNNNNN`` dirs + atomically-replaced pointer),
+    both are resolved back through ``read_version`` (genuine parquet
+    round-trips, not in-memory frames), and ``snapshot_diff`` derives
+    the I/U/D rows — restated in the oracle as an EXCEPT-style
+    full-outer diff over the same filters. Unlike q76 (which diffs two
+    in-memory projections), every byte here flows through the snapshot
+    commit protocol, so a pointer-flip or retention bug breaks the row
+    hash."""
+    import shutil
+    import tempfile
+
+    from .operators.diff import snapshot_diff
+    from .sources.warehouse import ParquetWarehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 9 < 6)
+    new = o.filter(F.col("o_orderkey") % 9 > 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50
+        ).otherwise(F.col("o_totalprice")),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_q110_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    wh = ParquetWarehouse(root)
+    # single-writer table, rebuilt per invocation for determinism
+    shutil.rmtree(wh.path("orders_versioned"), ignore_errors=True)
+    v1 = wh.overwrite_versioned(old, "orders_versioned", retain=2)
+    v2 = wh.overwrite_versioned(new, "orders_versioned", retain=2)
+    return snapshot_diff(
+        wh.read_version(spark, "orders_versioned", v1),
+        wh.read_version(spark, "orders_versioned", v2),
+        ["o_orderkey"],
     )

@@ -1757,6 +1757,54 @@ def test_resample_audio_validates_rate(spark):
         multimodal.resample_audio(multimodal.wav_from_documents(docs), 0)
 
 
+# --- PNM image decode (the no-external-lib real image modality) -------------
+
+
+def test_pnm_roundtrip_decode_matches_python(spark):
+    rows = [(0, "hello world"), (1, ""), (2, "abc"), (7, "Zz 9!"), (16, "q" * 40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_pnm(
+            multimodal.pnm_from_documents(docs)
+        ).collect()
+    }
+    for doc_id, text in rows:
+        b = text.encode()
+        w = (doc_id % 16) + 4
+        h = max(1, -(-len(b) // w))
+        r = got[doc_id]
+        assert (r["format"], r["channels"]) == (
+            ("P5", 1) if doc_id % 2 == 0 else ("P6", 3)
+        )
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pix_sum"] == sum(b) * r["channels"]
+        header = len(f"P{'5' if doc_id % 2 == 0 else '6'}\n{w} {h}\n255\n")
+        assert r["n_bytes"] == header + w * h * r["channels"]
+
+
+def test_pnm_parser_handles_comments_and_whitespace():
+    from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
+
+    raw = b"P5 # binary pgm\n# a comment line\n 3\n2 # dims\n255\n" + bytes(
+        range(6)
+    )
+    magic, w, h, c, px = _parse_pnm(raw)
+    assert (magic, w, h, c) == ("P5", 3, 2, 1)
+    assert list(px) == [0, 1, 2, 3, 4, 5]
+
+
+def test_pnm_parser_rejects_bad_payloads():
+    from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
+
+    with pytest.raises(ValueError, match="magic"):
+        _parse_pnm(b"P3\n1 1\n255\n9")  # ASCII PNM is not binary
+    with pytest.raises(ValueError, match="two-byte"):
+        _parse_pnm(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_pnm(b"P6\n2 2\n255\n\x00\x00\x00")
+
+
 # --- count-min sketch -------------------------------------------------------
 
 

@@ -475,3 +475,18 @@ def test_salted_join_plan_no_cartesian_no_forced_broadcast(spark):
     assert broadcast_hint_count(df) == 0
     # the salt replication is an in-row explode, never a shuffle to build
     assert "Generate" in plan, plan
+
+
+def test_q109_salted_join_plan(spark):
+    from example_dms_dataexport_spark.operators.skewjoin import SALT_COL
+
+    df = _q(spark, "q109_salted_join_revenue")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the merge hint pins sort-merge — the 100 TB strategy — so the
+    # small dimension is NOT statically broadcast and the salt actually
+    # spreads the join's shuffle keys
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert SALT_COL in plan, plan  # salt participates in the join keys
+    assert "Generate" in plan, plan  # replication is an in-row explode
