@@ -55,6 +55,7 @@ def global_index(
     order_by: list[Column | str],
     index_col: str = "idx",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Append ``index_col`` = the row's 0-based global rank under
     ``order_by``.
@@ -64,6 +65,24 @@ def global_index(
     independent of range-boundary placement. Ascending order only; wrap
     a column in a descending-friendly expression (e.g. negate) if
     needed.
+
+    ``checkpoint_dir`` selects the layout pin for the two-pass
+    (count, assign) protocol. Default None = ``localCheckpoint``:
+    blocks live in executor storage — the right trade on a single node
+    or short job, but on a real cluster an executor loss discards its
+    blocks and kills the job mid-assign (localCheckpoint severs
+    lineage, so there is no recompute path). Passing a RELIABLE
+    checkpoint directory (HDFS/S3) writes the pinned layout to shared
+    storage instead: executor loss then just re-reads the checkpointed
+    blocks — the variant a 100 TB run should use. The extra cost is one
+    materialized copy of the sorted input to distributed storage.
+
+    Sizing ``num_partitions`` at scale: each range partition is sorted
+    and (with a reliable dir) persisted whole, so pick
+    ``num_partitions ≈ input_bytes / 1 GiB`` (e.g. ~100k partitions at
+    100 TB) — large enough that a partition fits an executor's memory
+    with headroom, small enough that the driver-side prefix sum (one
+    collected count per partition) stays trivial.
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")
@@ -78,12 +97,16 @@ def global_index(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ordered = (
+    laid_out = (
         df.repartitionByRange(int(n), *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn(pid_col, F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ordered = laid_out.checkpoint(eager=False)
+    else:
+        ordered = laid_out.localCheckpoint(eager=False)
     # n-row collect: one count per shuffle partition, driver-bounded.
     counts = ordered.groupBy(pid_col).agg(F.count(F.lit(1)).alias("c")).collect()
     offsets: dict[int, int] = {}
@@ -118,6 +141,7 @@ def shuffle_index(
     seed: str = "epoch0",
     index_col: str = "shuffle_idx",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random global ordering: rank rows by
     ``poly_hash(seed || key)`` (tie-broken by the key itself, so the
@@ -137,6 +161,7 @@ def shuffle_index(
         [F.col("__gidx_h"), F.col(key_col)],
         index_col=index_col,
         num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
     )
     return out.drop("__gidx_h")
 

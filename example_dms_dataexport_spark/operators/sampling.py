@@ -238,15 +238,30 @@ def cap_per_group(
         def local_topk(batches):
             import pandas as pd
 
-            acc = None
+            # per-batch top-k, ONE final merge: re-sorting the accumulated
+            # survivor set on every Arrow batch would cost
+            # O(acc * log(acc) * n_batches) per partition; collecting each
+            # batch's own top-k and sorting the union once keeps the
+            # per-batch cost proportional to the batch alone.
+            chunks = []
             for pdf in batches:
-                both = pdf if acc is None else pd.concat((acc, pdf))
-                acc = (
-                    both.sort_values(sort_by, ascending=asc, kind="mergesort")
-                    .groupby(group_col, sort=False)
-                    .head(k)
-                )
-            yield acc if acc is not None else pd.DataFrame(columns=cols)
+                if len(pdf):
+                    chunks.append(
+                        pdf.sort_values(
+                            sort_by, ascending=asc, kind="mergesort"
+                        )
+                        .groupby(group_col, sort=False)
+                        .head(k)
+                    )
+            if not chunks:
+                yield pd.DataFrame(columns=cols)
+                return
+            yield (
+                pd.concat(chunks)
+                .sort_values(sort_by, ascending=asc, kind="mergesort")
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
 
         src = df.mapInPandas(local_topk, df.schema)
     w = Window.partitionBy(group_col).orderBy(*ordering)

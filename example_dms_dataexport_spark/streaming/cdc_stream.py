@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..cdc import merge_and_write
 from ..sources.csv_stage import cdc_schema
+from ..sources.stage import stage_extension
 from ..sources.warehouse import ParquetWarehouse
 
 
@@ -44,14 +45,52 @@ def read_cdc_stream(
     landing_glob: str,
     target_schema: StructType,
     max_files_per_trigger: int = 100,
+    file_format: str = "csv",
 ) -> DataFrame:
-    """Streaming read of CDC CSVs (op + target columns, positional).
+    """Streaming read of CDC stage files (op + target columns,
+    positional), dispatched on the table's metadata ``file_format``
+    exactly like the batch path (``sources.stage.read_stage``).
 
-    ``landing_glob`` should end in ``2*.csv`` so full-load files are never
-    picked up (ref :301 file-name convention).
-    """
+    ``landing_glob`` should end in ``2*.<ext>`` so full-load files are
+    never picked up (ref :301 file-name convention).
+
+    CSV emits ``_dms_filename`` only — intra-file order is
+    reconstructed per micro-batch by the caller's rownum window.
+    Parquet also emits ``_dms_rownum`` natively from
+    ``_metadata.row_index`` (split-stable, no window, same as the batch
+    reader). The positional contract needs the files' physical column
+    names; they are discovered once at stream setup from the current
+    landing contents (a driver-side schema read, not a data scan) —
+    when the landing dir is still empty the CDC schema's own names are
+    assumed, which DMS parquet exports match."""
+    fmt = stage_extension(file_format)
+    want = cdc_schema(target_schema)
+    if fmt == "parquet":
+        try:
+            physical = spark.read.parquet(landing_glob).schema
+        except Exception:  # no files landed yet — assume contract names
+            physical = want
+        if len(physical) != len(want.fields):
+            raise ValueError(
+                f"stage parquet has {len(physical)} columns, CDC schema "
+                f"needs {len(want.fields)} (positional contract)"
+            )
+        raw = (
+            spark.readStream.schema(physical)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(landing_glob)
+        )
+        names = physical.fieldNames()
+        return raw.select(
+            *[
+                F.col(names[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(want.fields)
+            ],
+            F.col("_metadata.file_path").alias("_dms_filename"),
+            (F.col("_metadata.row_index") + 1).alias("_dms_rownum"),
+        )
     return (
-        spark.readStream.schema(cdc_schema(target_schema))
+        spark.readStream.schema(want)
         .option("header", "false")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .csv(landing_glob)
@@ -69,6 +108,7 @@ def start_cdc_stream(
     available_now: bool = True,
     max_files_per_trigger: int = 100,
     partition_by: list[str] | None = None,
+    file_format: str = "csv",
 ) -> StreamingQuery:
     """Continuously (or catch-up once, with available_now) merge CDC files
     into ``target_table``. The target must already exist (full load).
@@ -85,10 +125,13 @@ def start_cdc_stream(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        w = Window.partitionBy("_dms_filename").orderBy(
-            F.monotonically_increasing_id()
-        )
-        changes = batch.withColumn("_dms_rownum", F.row_number().over(w))
+        if "_dms_rownum" in batch.columns:
+            changes = batch  # parquet: row_index attached at the source
+        else:
+            w = Window.partitionBy("_dms_filename").orderBy(
+                F.monotonically_increasing_id()
+            )
+            changes = batch.withColumn("_dms_rownum", F.row_number().over(w))
         target = warehouse.read(spark, target_table)
         # foreachBatch may retry a batch on failure; the atomic overwrite
         # (or tombstoned partition replace) makes the retry idempotent.
@@ -103,7 +146,11 @@ def start_cdc_stream(
         )
 
     stream = read_cdc_stream(
-        spark, landing_glob, target_schema, max_files_per_trigger
+        spark,
+        landing_glob,
+        target_schema,
+        max_files_per_trigger,
+        file_format=file_format,
     )
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -1918,6 +1918,38 @@ def test_global_index_validates_args(spark):
         ordering.global_index(df, [])
     with pytest.raises(ValueError, match="already exists"):
         ordering.global_index(df, ["id"], index_col="id")
+    with pytest.raises(ValueError, match="__gidx_pid"):
+        ordering.global_index(df.withColumn("__gidx_pid", F.lit(1)), ["id"])
+    with pytest.raises(ValueError, match="__gidx_h"):
+        ordering.shuffle_index(df.withColumn("__gidx_h", F.lit(1)), "id")
+
+
+def test_global_index_reliable_checkpoint_variant(spark, tmp_path):
+    """checkpoint_dir pins the range layout to shared storage (the
+    executor-loss-safe cluster variant): same output as the default
+    localCheckpoint path, with checkpoint data genuinely on disk."""
+    import os
+
+    from example_dms_dataexport_spark.operators import ordering
+
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 700).select(
+        F.col("id"), (F.col("id") * 31 % 700).alias("k")
+    )
+    out = ordering.global_index(
+        df, [F.col("k"), F.col("id")], num_partitions=6, checkpoint_dir=ckpt
+    ).collect()
+    assert sorted(r["idx"] for r in out) == list(range(700))
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, ordering.global_index(
+            df, [F.col("k"), F.col("id")], num_partitions=6
+        ).collect())
+    )
+    # the pinned layout really landed in the reliable dir
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert ckpt_files, "no reliable checkpoint data written"
 
 
 def test_shuffle_index_epochs_differ_but_replay(spark):

@@ -71,6 +71,93 @@ def test_cdc_stream_matches_batch_merge(spark, tmp_path):
     assert got2 == got
 
 
+def _write_cdc_parquet(path, rows):
+    # physical column names deliberately differ from the target's —
+    # position, not name, is the stage contract
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "Op": [r[0] for r in rows],
+                "c1": [r[1] for r in rows],
+                "c2": [r[2] for r in rows],
+                "c3": [r[3] for r in rows],
+            }
+        ),
+        str(path),
+    )
+
+
+def test_cdc_stream_parquet_stage_matches_batch(spark, tmp_path):
+    """The stream source honors the metadata file_format like the batch
+    path: a parquet-stage table stream-merges through the same positional
+    cast + native _metadata.row_index ordering, and the result coincides
+    with the batch read_stage + apply_changes over the same files."""
+    from example_dms_dataexport_spark.sources.csv_stage import cdc_schema
+    from example_dms_dataexport_spark.sources.stage import read_stage
+
+    wh = ParquetWarehouse(str(tmp_path / "whp"))
+    landing = tmp_path / "landingp"
+    landing.mkdir()
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        ["id", "name", "val"],
+    )
+    wh.overwrite(target, "t")
+
+    files = [
+        str(landing / "20240101-000000001.parquet"),
+        str(landing / "20240102-000000001.parquet"),
+    ]
+    _write_cdc_parquet(
+        files[0],
+        [("U", 1, "alice2", 11.0), ("D", 2, "bob", 20.0), ("I", 4, "dave", 40.0)],
+    )
+    # two updates to one key in ONE file: intra-file row_index must order them
+    _write_cdc_parquet(
+        files[1],
+        [("U", 1, "wrong", 1.0), ("U", 1, "alice3", 12.0)],
+    )
+
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.parquet"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckptp"),
+        max_files_per_trigger=1,  # one micro-batch per file
+        file_format="parquet",
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got == {
+        1: ("alice3", 12.0),
+        3: ("carol", 30.0),
+        4: ("dave", 40.0),
+    }
+
+    # true stream-vs-batch parity: the batch loader path over the same
+    # stage files must produce the identical final state
+    changes = read_stage(
+        spark,
+        files,
+        cdc_schema(target.schema),
+        file_format="parquet",
+        with_file_metadata=True,
+    )
+    expected = apply_changes(
+        target, changes, pks=["id"],
+        version_cols=["_dms_filename", "_dms_rownum"],
+    )
+    assert {tuple(r) for r in expected.collect()} == {
+        tuple(r) for r in wh.read(spark, "t").collect()
+    }
+
+
 def test_cdc_stream_agrees_with_batch_operator(spark, tmp_path):
     """The streaming path and a direct batch apply_changes must coincide."""
     wh = ParquetWarehouse(str(tmp_path / "wh2"))
