@@ -77,6 +77,11 @@ HEADLINE = [
     "q105_global_shuffle_index",
     "q106_bpe_encode",
     "q107_embedding_moments",
+    # round 8 additions
+    "q108_image_decode",
+    "q109_salted_join_revenue",
+    "q110_time_travel_diff",
+    "q111_cluster_canonical",
 ]
 
 

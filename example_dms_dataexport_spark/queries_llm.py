@@ -710,6 +710,73 @@ def q43_dedup_clusters(spark, sf_dir):
     )
 
 
+_Q111_ORACLE = f"""
+    WITH RECURSIVE {_SIG_CTES.strip()},
+    {_PAIRS_CORE.strip()},
+    {_CLUSTER_CTES.strip()},
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               {TH.sql_quality_score('d.text')} AS quality
+        FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+    ),
+    sized AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+               ) AS rn
+        FROM labeled
+    )
+    SELECT cluster_id, doc_id AS canonical_doc, n_members, quality
+    FROM sized WHERE rn = 1
+"""
+
+
+@query("q111_cluster_canonical", _Q111_ORACLE)
+def q111_cluster_canonical(spark, sf_dir):
+    """The dedup DECISION step large-corpus pipelines actually ship:
+    after near-dup clustering (q43), keep exactly ONE representative per
+    cluster — the highest-quality member, doc_id tie-break — with every
+    un-clustered document its own singleton cluster. Composes
+    dedup_clusters with cap_per_group(k=1), so the selection inherits
+    the shuffle-input-bounding per-partition pre-prune: at 100 TB the
+    per-cluster choice never ships more than k rows per partition per
+    cluster to the rank window. Output is one row per SURVIVING
+    document (cluster_id, canonical_doc, n_members, quality)."""
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    labeled = (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            TH.quality_score(TH.tokens(F.col("text"))).alias("quality"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    best = cap_per_group(
+        labeled, "cluster_id", [("quality", "desc"), ("doc_id", "asc")], k=1
+    )
+    # quality ships unrounded: both engines compute bit-identical doubles
+    # (q21's parity), while round(x, 4) disagrees at half-boundaries
+    # (Java shortest-repr HALF_UP vs DuckDB binary-value rounding)
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc"),
+        "n_members",
+        "quality",
+    )
+
+
 _Q38_ORACLE = f"""
     WITH RECURSIVE pass1 AS (
         SELECT doc_id, text, {TH.sql_quality_score('text')} AS quality
