@@ -82,6 +82,7 @@ HEADLINE = [
     "q109_salted_join_revenue",
     "q110_time_travel_diff",
     "q111_cluster_canonical",
+    "q112_kll_quantile_accuracy",
 ]
 
 

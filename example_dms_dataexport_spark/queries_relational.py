@@ -2349,3 +2349,55 @@ def q110_time_travel_diff(spark, sf_dir):
         wh.read_version(spark, "orders_versioned", v2),
         ["o_orderkey"],
     )
+
+
+_Q112_ORACLE = """
+    SELECT event_type, count(*) AS n, TRUE AS within_tol
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q112_kll_quantile_accuracy", _Q112_ORACLE)
+def q112_kll_quantile_accuracy(spark, sf_dir):
+    """Accuracy contract for the bounds-free KLL quantile sketch (the
+    unknown-domain complement of q99's fixed-range histogram): p95 per
+    event_type pulled from sketches built INDEPENDENTLY on the two
+    event_id-parity halves and merged — the estimate's true rank span
+    (count strictly below, count at-or-below), padded by the sketch's
+    own tracked err_bound certificate, must contain ceil(0.95 * n).
+    ``n`` comes from the SKETCH, not the fact table, so the hash match
+    against count(*) also proves exact weight conservation through
+    every compaction and merge. A compaction bug (lost tail item,
+    double charge, wrong offset) breaks n or flips within_tol."""
+    from .operators import kll
+
+    ev = _t(spark, sf_dir, "events")
+    halves = [
+        kll.kll_sketch(
+            ev.filter(F.col("event_id") % 2 == i), ["event_type"], "value"
+        )
+        for i in (0, 1)
+    ]
+    merged = kll.kll_merge(halves[0].unionByName(halves[1]), ["event_type"])
+    est = kll.kll_quantile(merged, 0.95)
+    target = F.ceil(F.lit(0.95) * F.col("n")).cast("long")
+    spans = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "n", "estimate", "tol")
+        .agg(
+            F.sum((F.col("value") < F.col("estimate")).cast("long")).alias(
+                "lt_rank"
+            ),
+            F.sum((F.col("value") <= F.col("estimate")).cast("long")).alias(
+                "le_rank"
+            ),
+        )
+    )
+    return spans.select(
+        "event_type",
+        "n",
+        (
+            (F.col("lt_rank") < target + F.col("tol"))
+            & (F.col("le_rank") >= target - F.col("tol"))
+        ).alias("within_tol"),
+    )

@@ -1805,6 +1805,69 @@ def test_pnm_parser_rejects_bad_payloads():
         _parse_pnm(b"P6\n2 2\n255\n\x00\x00\x00")
 
 
+# --- KLL quantile sketch ----------------------------------------------------
+
+
+def test_kll_exact_when_no_compaction(spark):
+    from example_dms_dataexport_spark.operators import kll
+
+    vals = [(i, "g", float((i * 37) % 101)) for i in range(100)]
+    df = spark.createDataFrame(vals, ["id", "g", "v"]).repartition(4)
+    sk = kll.kll_merge(kll.kll_sketch(df, ["g"], "v", k=512), ["g"], k=512)
+    out = kll.kll_quantile(sk, 0.5, k=512).collect()[0]
+    assert out["n"] == 100
+    assert out["tol"] == 0  # no compaction ever fired
+    exact = sorted(v for _, _, v in vals)[49]  # ceil(0.5*100) = rank 50
+    assert out["estimate"] == exact
+
+
+def test_kll_certificate_holds_under_compaction_and_merge(spark):
+    from example_dms_dataexport_spark.operators import kll
+
+    n = 5000
+    vals = [(i, f"g{i % 3}", float((i * 7919) % 9973)) for i in range(n)]
+    df = spark.createDataFrame(vals, ["id", "g", "v"]).repartition(8)
+    halves = [
+        kll.kll_sketch(df.filter(F.col("id") % 2 == i), ["g"], "v", k=64)
+        for i in (0, 1)
+    ]
+    sk = kll.kll_merge(halves[0].unionByName(halves[1]), ["g"], k=64)
+    for q in (0.1, 0.5, 0.95):
+        for row in kll.kll_quantile(sk, q, k=64).collect():
+            grp = sorted(v for _, g, v in vals if g == row["g"])
+            assert row["n"] == len(grp)  # exact weight conservation
+            assert row["tol"] > 0  # compactions really fired at k=64
+            target = -(-q * len(grp) // 1)
+            lt = sum(1 for v in grp if v < row["estimate"])
+            le = sum(1 for v in grp if v <= row["estimate"])
+            assert lt < target + row["tol"], (q, row)
+            assert le >= target - row["tol"], (q, row)
+            # the certificate is also TIGHT enough to be useful
+            assert row["tol"] < len(grp) * 0.15, (q, row)
+
+
+def test_kll_deterministic_across_runs(spark):
+    from example_dms_dataexport_spark.operators import kll
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), (F.col("id") * 31 % 997).cast("double").alias("v")
+    ).repartition(4, "v")
+    def build():
+        sk = kll.kll_merge(kll.kll_sketch(df, ["g"], "v", k=32), ["g"], k=32)
+        return kll.kll_quantile(sk, 0.9, k=32).collect()[0]
+    a, b = build(), build()
+    assert (a["estimate"], a["tol"], a["n"]) == (b["estimate"], b["tol"], b["n"])
+
+
+def test_kll_validates_q(spark):
+    from example_dms_dataexport_spark.operators import kll
+
+    df = spark.createDataFrame([(1, "g", 1.0)], ["id", "g", "v"])
+    sk = kll.kll_sketch(df, ["g"], "v")
+    with pytest.raises(ValueError, match="q must be"):
+        kll.kll_quantile(sk, 0.0)
+
+
 # --- count-min sketch -------------------------------------------------------
 
 

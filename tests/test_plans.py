@@ -477,6 +477,32 @@ def test_salted_join_plan_no_cartesian_no_forced_broadcast(spark):
     assert "Generate" in plan, plan
 
 
+def test_kll_sketch_pipeline_single_exchange(spark):
+    from example_dms_dataexport_spark.operators import kll
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sk = kll.kll_merge(kll.kll_sketch(df, ["g"], "v"), ["g"])
+    plan = physical_plan(sk)
+    assert "CartesianProduct" not in plan
+    # partial sketches build shuffle-free; only sketch-sized rows cross
+    # the one group-merge exchange
+    assert exchange_count(sk) == 1, plan
+
+
+def test_q112_kll_plan(spark):
+    df = _q(spark, "q112_kll_quantile_accuracy")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the rank-span verification joins the tiny estimate relation to the
+    # fact table via an explicit broadcast — the fact side never shuffles
+    # for the join
+    assert broadcast_hint_count(df) == 1, plan
+
+
 def test_q109_salted_join_plan(spark):
     from example_dms_dataexport_spark.operators.skewjoin import SALT_COL
 
