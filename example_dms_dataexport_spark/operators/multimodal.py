@@ -579,6 +579,47 @@ def decode_pnm(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, PNM_SCHEMA)
 
 
+PNM_MEDIA_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+)
+
+
+def resize_pnm(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of binary PNM payloads: PNM in -> PNM out
+    (same magic/channels, new dimensions) — the image analogue of
+    ``resample_audio``: a REAL, stdlib+numpy transform executable in
+    this environment, in the same Arrow-batched mapInPandas shape, while
+    ``resize`` (Pillow) remains the gate for compressed formats.
+    Nearest-neighbor keeps pixel VALUES from the source (no
+    interpolation), so resized statistics stay integer-exact."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    parse = _parse_pnm
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                magic, w, h, c, px = parse(bytes(b))
+                img = px.reshape(h, w, c)
+                # endpoint-preserving nearest-neighbor sample grid
+                ys = np.minimum(
+                    (np.arange(height) * h) // height, h - 1
+                ).astype(np.int64)
+                xs = np.minimum(
+                    (np.arange(width) * w) // width, w - 1
+                ).astype(np.int64)
+                res = img[ys][:, xs]
+                header = f"{magic}\n{width} {height}\n255\n".encode("ascii")
+                out.append(header + res.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out})
+
+    return df.mapInPandas(do, PNM_MEDIA_SCHEMA)
+
+
 RESAMPLE_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("media", BinaryType())]
 )

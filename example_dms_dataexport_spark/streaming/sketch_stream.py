@@ -151,3 +151,50 @@ def start_histogram_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_kll_stream(
+    spark: SparkSession,
+    rows: DataFrame,
+    warehouse: ParquetWarehouse,
+    kll_table: str,
+    keys: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The bounds-free quantile twin of ``start_histogram_stream``: fold
+    a streaming fact feed into stored per-group KLL state
+    (``operators.kll`` — (keys..., levels, parities, n, err_bound)
+    rows), so any quantile is answerable from the state alone
+    (``kll_quantile``) with its rank-error certificate, no bin edges
+    fixed up front and the feed never rescanned. Per-batch cost
+    O(|batch| + groups x k x log). Unlike the histogram/CMS maintainers
+    the folded state is BATCH-ORDER dependent (compaction choices
+    depend on arrival order) — but the certificate and the exact weight
+    conservation hold for every fold order, which is the contract the
+    parity test pins. Same exactly-once guarded fold and append-only
+    semantics as the other maintainers; ``kll_table`` must be seeded
+    first (initial facts, or an empty state relation)."""
+    from ..operators import kll
+
+    kk = k if k is not None else kll.DEFAULT_K
+
+    def fold(batch: DataFrame) -> DataFrame:
+        delta = kll.kll_sketch(
+            batch.select(*keys, value_col), list(keys), value_col, kk
+        )
+        current = warehouse.read(spark, kll_table)
+        return kll.kll_merge(current.unionByName(delta), list(keys), kk)
+
+    writer = (
+        rows.writeStream.foreachBatch(
+            guarded_fold(warehouse, kll_table, checkpoint_dir, fold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

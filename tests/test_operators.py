@@ -1794,6 +1794,31 @@ def test_pnm_parser_handles_comments_and_whitespace():
     assert list(px) == [0, 1, 2, 3, 4, 5]
 
 
+def test_resize_pnm_nearest_neighbor_exact(spark):
+    # doc 0 -> P5, width (0%16)+4 = 4, "abcd" -> one 4x1 row
+    docs = spark.createDataFrame([(0, "abcd"), (1, "wxyz")], ["doc_id", "text"])
+    pnm = multimodal.pnm_from_documents(docs)
+    resized = multimodal.resize_pnm(pnm, 8, 2)
+    got = {
+        r["doc_id"]: r for r in multimodal.decode_pnm(resized).collect()
+    }
+    for doc_id, text in [(0, "abcd"), (1, "wxyz")]:
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (8, 2)
+        # replicate the endpoint-preserving nearest-neighbor grid exactly
+        w = (doc_id % 16) + 4
+        src = list(text.encode()) + [0] * (w - len(text))  # zero-padded row
+        xs = [min((i * w) // 8, w - 1) for i in range(8)]
+        ys = [min((j * 1) // 2, 0) for j in range(2)]
+        expect = sum(src[x] for _ in ys for x in xs)
+        assert r["pix_sum"] == expect * r["channels"]
+        assert (r["format"], r["channels"]) == (
+            ("P5", 1) if doc_id % 2 == 0 else ("P6", 3)
+        )
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.resize_pnm(pnm, 0, 2)
+
+
 def test_pnm_parser_rejects_bad_payloads():
     from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
 

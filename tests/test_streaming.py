@@ -1003,3 +1003,52 @@ def test_cms_stream_matches_full_rebuild(spark, tmp_path):
     }
     for item, n in true.items():
         assert est[item] >= n, item
+
+
+def test_kll_stream_certificate_and_conservation(spark, tmp_path):
+    """KLL state maintained across micro-batches: unlike the histogram/
+    CMS maintainers the folded state is batch-order dependent, so the
+    pin is the operator's actual contract — exact weight conservation
+    (n == total facts ever folded) and the rank-error certificate
+    holding for quantiles answered from the stored state alone."""
+    from example_dms_dataexport_spark.operators import kll
+    from example_dms_dataexport_spark.streaming.sketch_stream import (
+        start_kll_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    seed_vals = [("g", float(v)) for v in range(50)]
+    seed = spark.createDataFrame(seed_vals, ["g", "v"])
+    wh.overwrite(kll.kll_merge(kll.kll_sketch(seed, ["g"], "v", k=32), ["g"], k=32), "kll")
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    batch1 = [("g", float(v)) for v in range(50, 300)]
+    batch2 = [("g", float(v * 3 % 211)) for v in range(150)]
+    spark.createDataFrame(batch1, ["g", "v"]).coalesce(1).write.parquet(
+        str(chg / "f1")
+    )
+    spark.createDataFrame(batch2, ["g", "v"]).coalesce(1).write.parquet(
+        str(chg / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chg / "*"))
+    )
+    q = start_kll_stream(
+        spark, stream, wh, "kll", ["g"], "v",
+        checkpoint_dir=str(tmp_path / "ckpt"), k=32,
+    )
+    q.awaitTermination(120)
+
+    all_vals = sorted(v for _, v in seed_vals + batch1 + batch2)
+    for quant in (0.5, 0.95):
+        row = kll.kll_quantile(wh.read(spark, "kll"), quant, k=32).collect()[0]
+        assert row["n"] == len(all_vals)  # conservation across all folds
+        target = -(-quant * len(all_vals) // 1)
+        lt = sum(1 for v in all_vals if v < row["estimate"])
+        le = sum(1 for v in all_vals if v <= row["estimate"])
+        assert lt < target + row["tol"], (quant, row)
+        assert le >= target - row["tol"], (quant, row)
