@@ -10,7 +10,8 @@ kmeans         Lloyd's centroid training (broadcast assign, exact means)
 funnel         ordered-funnel progression (dependent sequential min-agg)
 timeseries     fixed-grid resample + forward fill (sequence + as-of join)
 scd            SCD Type-2 history from a change stream (one shared shuffle)
-sketches       mergeable HLL distinct-count rollup state
+sketches       mergeable HLL distinct-count + histogram-quantile state
+kll            bounds-free KLL quantile sketch with error certificate
 ordering       distributed zipWithIndex / epoch-deterministic shuffle index
 skewjoin       salted equi-join for unbroadcastable hot-key joins
 

@@ -11,6 +11,9 @@ sessions     gap-based sessionization: session_window batch twin (q34) +
 dedup_stream watermark-bounded streaming exact dedup
              (dropDuplicatesWithinWatermark on the content fingerprint)
 rollup_stream incremental materialized-view maintenance fed by a stream
+sketch_stream continuous sketch-state maintenance (HLL distinct counts,
+             count-min frequencies, histogram and KLL quantiles) via the
+             same exactly-once guarded fold
 joins        watermarked stream-stream interval join (click attribution)
              with time-bounded state eviction
 """
