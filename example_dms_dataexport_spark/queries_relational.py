@@ -2401,3 +2401,61 @@ def q112_kll_quantile_accuracy(spark, sf_dir):
             & (F.col("le_rank") >= target - F.col("tol"))
         ).alias("within_tol"),
     )
+
+
+_Q113_ORACLE = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q113_jdbc_roundtrip", _Q113_ORACLE)
+def q113_jdbc_roundtrip(spark, sf_dir):
+    """The JDBC source's oracle face (SURVEY S15, previously pytest-only):
+    a real RDBMS round trip through the Derby embedded database that
+    ships in Spark's jars — an orders subset lands in Derby via Spark's
+    JDBC WRITER (mode=overwrite drops/recreates, the TRUNCATE+COPY
+    idempotency), comes back through ``read_jdbc`` as a PARTITIONED
+    4-shard range read with the value filter pushed into the remote SQL
+    (pushDownPredicate), and aggregates per priority. Hash-matching the
+    parquet-side restatement proves the full write -> partitioned read ->
+    pushdown path loses and mangles nothing. Derby in-memory is
+    driver-JVM-local, which works on local[*] where executors share the
+    JVM; against a real cluster the same call shape points at a network
+    RDBMS URL (tests/test_jdbc.py covers the source in isolation)."""
+    from .sources.jdbc import read_jdbc
+
+    url = "jdbc:derby:memory:graftq113;create=true"
+    subset = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    (
+        subset.coalesce(1)  # single writer connection into embedded Derby
+        .write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .save()
+    )
+    hi = subset.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row scalar
+    back = read_jdbc(
+        spark,
+        url=url,
+        table="orders_rt",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    return (
+        back.filter(F.col("o_totalprice") > 50000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -33,11 +33,11 @@ def query(name: str, oracle: str | None):
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
 # Round 8 window: the 9 queries whose latest driver row is r5 (the last
-# stale rows on the books) go first, then the 3 queries new this round
-# (never driver-checked), then 38 of the 48 whose latest row is r6. The
-# 12 r6 rows deferred to round 9 — q08/q09/q12-q16/q54/q60/q61/q63/q77 —
-# the simplest single-table projections/reshapes/pivots/cubes: no sketch
-# state, no float accumulation, no operator shared with code touched
+# stale rows on the books) go first, then the 6 queries new this round
+# (never driver-checked), then 35 of the 48 whose latest row is r6. The
+# 13 r6 rows deferred to round 9 — q08/q09/q12-q16/q54/q59-q61/q63/q77 —
+# are the simplest single-table projections/reshapes/histograms/cubes: no
+# sketch state, no float accumulation, no operator shared with code touched
 # this round, and all re-verified by the local exact-mode oracle sweep.
 # Queries green in r7 rotate back in afterwards.
 PRIORITY = [
@@ -57,6 +57,7 @@ PRIORITY = [
     "q110_time_travel_diff",
     "q111_cluster_canonical",
     "q112_kll_quantile_accuracy",
+    "q113_jdbc_roundtrip",
     # latest driver row is r6
     "q10_top_orders_per_customer",
     "q11_latest_event_per_user",
@@ -69,7 +70,6 @@ PRIORITY = [
     "q42_event_gaps",
     "q49_incremental_rollup",
     "q53_range_join_windows",
-    "q59_histogram_totalprice",
     "q62_funnel_stages",
     "q64_resample_ffill",
     "q65_trailing_hour_avg",
