@@ -2459,3 +2459,53 @@ def q113_jdbc_roundtrip(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+_Q114_ORACLE = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("q114_bucketed_join_revenue", _Q114_ORACLE)
+def q114_bucketed_join_revenue(spark, sf_dir):
+    """The co-located bucketed join's oracle face (SURVEY S16's layout
+    story, previously pytest-only): orders and customer land in the
+    warehouse hash-bucketed on their join keys (same bucket count,
+    sorted within buckets), are read back THROUGH the catalog, and join
+    with ZERO exchange on either side — at 100 TB this is the layout
+    that turns the recurring fact-dim join from a double shuffle into a
+    direct bucket-file merge. The only exchange in the whole plan is
+    the final segment aggregation (pinned in
+    tests/test_plans.py::test_q114_bucketed_join_plan); the hash match
+    against the plain-join restatement proves the bucketed layout and
+    catalog round-trip lose nothing."""
+    import re as _re
+    import tempfile
+
+    from .sources.warehouse import ParquetWarehouse
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    wh = ParquetWarehouse(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_q114_{tag}")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wh.write_bucketed(
+        orders, f"orders_bkt_{tag}", ["o_custkey"], 8, sort_by=["o_custkey"]
+    )
+    wh.write_bucketed(
+        cust, f"customer_bkt_{tag}", ["c_custkey"], 8, sort_by=["c_custkey"]
+    )
+    o = wh.read_bucketed(spark, f"orders_bkt_{tag}")
+    c = wh.read_bucketed(spark, f"customer_bkt_{tag}")
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -33,10 +33,11 @@ def query(name: str, oracle: str | None):
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
 # Round 8 window: the 9 queries whose latest driver row is r5 (the last
-# stale rows on the books) go first, then the 6 queries new this round
-# (never driver-checked), then 35 of the 48 whose latest row is r6. The
-# 13 r6 rows deferred to round 9 — q08/q09/q12-q16/q54/q59-q61/q63/q77 —
-# are the simplest single-table projections/reshapes/histograms/cubes: no
+# stale rows on the books) go first, then the 7 queries new this round
+# (never driver-checked), then 34 of the 48 whose latest row is r6. The
+# 14 r6 rows deferred to round 9 — q08/q09/q12-q16/q54/q59-q61/q63/q66/
+# q77 — are the simplest single-table projections/reshapes/grouping
+# variants: no
 # sketch state, no float accumulation, no operator shared with code touched
 # this round, and all re-verified by the local exact-mode oracle sweep.
 # Queries green in r7 rotate back in afterwards.
@@ -58,6 +59,7 @@ PRIORITY = [
     "q111_cluster_canonical",
     "q112_kll_quantile_accuracy",
     "q113_jdbc_roundtrip",
+    "q114_bucketed_join_revenue",
     # latest driver row is r6
     "q10_top_orders_per_customer",
     "q11_latest_event_per_user",
@@ -73,7 +75,6 @@ PRIORITY = [
     "q62_funnel_stages",
     "q64_resample_ffill",
     "q65_trailing_hour_avg",
-    "q66_grouping_sets",
     "q68_quality_audit",
     "q69_skew_report",
     "q74_scd2_history",

@@ -503,6 +503,17 @@ def test_q112_kll_plan(spark):
     assert broadcast_hint_count(df) == 1, plan
 
 
+def test_q114_bucketed_join_plan(spark):
+    df = _q(spark, "q114_bucketed_join_revenue")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan, plan
+    # co-located bucket layout: the join reads bucket files directly on
+    # BOTH sides; the only exchange in the plan is the final segment
+    # aggregation
+    assert exchange_count(df) == 1, plan
+
+
 def test_q109_salted_join_plan(spark):
     from example_dms_dataexport_spark.operators.skewjoin import SALT_COL
 
