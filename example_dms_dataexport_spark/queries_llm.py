@@ -2427,3 +2427,73 @@ def q107_embedding_moments(spark, sf_dir):
         "min_micro",
         "max_micro",
     )
+
+
+def _q115_oracle() -> str:
+    # reuses the q83 BM25 restatement whole as a subquery (DuckDB allows
+    # WITH inside a parenthesized derived table) and the q28 cosine CTEs
+    return f"""
+    WITH lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS r_lex
+        FROM ({_q83_oracle()})
+        ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    {_EMB_CTES.strip()},
+    p AS (SELECT vec_id AS probe_id, v AS q, nrm AS qn FROM cn
+          WHERE vec_id = 0),
+    sem AS (
+        SELECT vec_id AS doc_id, rank AS r_sem FROM (
+            SELECT cn.vec_id,
+                   row_number() OVER (
+                       ORDER BY {_sql_dot('cn.v', 'p.q')} / (cn.nrm * p.qn)
+                           DESC, cn.vec_id
+                   ) AS rank
+            FROM cn, p WHERE cn.vec_id <> p.probe_id
+        ) WHERE rank <= 50
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.r_lex AS r_lex, s.r_sem AS r_sem,
+           COALESCE(1.0 / (60 + l.r_lex), 0.0)
+               + COALESCE(1.0 / (60 + s.r_sem), 0.0) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+"""
+
+
+@query("q115_hybrid_retrieval", _q115_oracle())
+def q115_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval fusion — the pattern RAG/retrieval pipelines
+    actually deploy: a LEXICAL channel (q83's BM25 against the fixed
+    term set, top-50) and a SEMANTIC channel (exact cosine top-50 around
+    probe vector 0, q28's eval path) fused by reciprocal-rank fusion
+    rrf = sum(1 / (60 + rank)). Scale shape: each channel ends in a
+    TakeOrdered top-k (never a global row window over the corpus — the
+    lexical rank window runs over the 50-row top-k relation), and the
+    fusion is a full outer join of two k-row relations. The RRF doubles
+    are computed by one identical expression on both engines, so the
+    hash comparison is exact."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm_top = (
+        text_analysis.bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    lex = bm_top.withColumn(
+        "r_lex", F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+    ).select("doc_id", "r_lex")
+    sem = simsearch.knn_brute(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_sem"))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )

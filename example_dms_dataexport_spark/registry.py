@@ -33,10 +33,10 @@ def query(name: str, oracle: str | None):
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
 # Round 8 window: the 9 queries whose latest driver row is r5 (the last
-# stale rows on the books) go first, then the 7 queries new this round
-# (never driver-checked), then 34 of the 48 whose latest row is r6. The
-# 14 r6 rows deferred to round 9 — q08/q09/q12-q16/q54/q59-q61/q63/q66/
-# q77 — are the simplest single-table projections/reshapes/grouping
+# stale rows on the books) go first, then the 8 queries new this round
+# (never driver-checked), then 33 of the 48 whose latest row is r6. The
+# 15 r6 rows deferred to round 9 — q08/q09/q12-q16/q35/q54/q59-q61/q63/
+# q66/q77 — are the simplest single-table projections/reshapes/grouping
 # variants: no
 # sketch state, no float accumulation, no operator shared with code touched
 # this round, and all re-verified by the local exact-mode oracle sweep.
@@ -60,13 +60,13 @@ PRIORITY = [
     "q112_kll_quantile_accuracy",
     "q113_jdbc_roundtrip",
     "q114_bucketed_join_revenue",
+    "q115_hybrid_retrieval",
     # latest driver row is r6
     "q10_top_orders_per_customer",
     "q11_latest_event_per_user",
     "q17_load_plan",
     "q19_text_features",
     "q34_sessionize",
-    "q35_length_percentiles",
     "q36_rollup_acctbal",
     "q39_asof_attribution",
     "q42_event_gaps",
