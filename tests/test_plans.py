@@ -503,6 +503,45 @@ def test_q112_kll_plan(spark):
     assert broadcast_hint_count(df) == 1, plan
 
 
+def test_q108_image_decode_no_shuffle(spark):
+    df = _q(spark, "q108_image_decode")
+    plan = physical_plan(df)
+    # encode -> parse -> features is a pure narrow pipeline: Arrow-batched
+    # mapInPandas stages over the scan, nothing ever shuffles
+    assert exchange_count(df) == 0, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q110_time_travel_diff_plan(spark):
+    df = _q(spark, "q110_time_travel_diff")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # one full-outer PK sort-merge join of the two snapshots — the
+    # minimum possible work for a snapshot diff (one exchange per side)
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
+    assert exchange_count(df) == 2, plan
+
+
+def test_q113_jdbc_pushdown_plan(spark):
+    df = _q(spark, "q113_jdbc_roundtrip")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the totalprice filter must reach the REMOTE SQL, not run Spark-side
+    # after a full-table fetch
+    assert "PushedFilters:" in plan and "o_totalprice" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0], plan
+
+
+def test_q115_hybrid_no_corpus_window(spark):
+    df = _q(spark, "q115_hybrid_retrieval")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # each channel ends in a TakeOrdered top-k; the only row windows run
+    # over k-row relations, never the corpus
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_q114_bucketed_join_plan(spark):
     df = _q(spark, "q114_bucketed_join_revenue")
     plan = physical_plan(df)
