@@ -2497,3 +2497,84 @@ def q115_hybrid_retrieval(spark, sf_dir):
             + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
         ).alias("rrf"),
     )
+
+
+_Q116_ORACLE = f"""
+    WITH s AS (
+        SELECT source, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+    ),
+    c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY source, tok),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
+    g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cg FROM c GROUP BY tok),
+    tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM g),
+    t AS (
+        SELECT c.source, c.c, n.n,
+               CAST(floor((log10(CAST(c.c AS DOUBLE) / n.n)
+                           - log10(CAST(g.cg AS DOUBLE) / tot.ng))
+                          * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS lr
+        FROM c JOIN n USING (source) JOIN g USING (tok), tot
+    )
+    SELECT source, max(n) AS n_tokens,
+           floor(CAST(sum(CAST(c AS HUGEINT) * lr) AS DOUBLE)
+                 / max(n) / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4
+               AS kl
+    FROM t GROUP BY source
+"""
+
+
+@query("q116_source_kl_divergence", _Q116_ORACLE)
+def q116_source_kl_divergence(spark, sf_dir):
+    """Corpus-drift diagnostic one step past q95's entropy: the KL
+    divergence of each source's token distribution FROM the whole-corpus
+    distribution — a templated or topically-narrow source scores high
+    and gets down-weighted in mixture design; a near-zero source adds no
+    diversity. Per-token log-ratio terms are fixed-pointed (LP_SCALE,
+    the q48/q95 pattern) and weighted by exact integer counts in decimal
+    arithmetic, so the order-nondeterministic sum is engine-identical.
+    Shape: one shuffle to the vocabulary-sized (source, token) counts;
+    the global distribution is a second aggregation OVER that small
+    relation (the fact stream is touched once), its total attached as a
+    1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = docs.select(
+        "source", F.explode(TH.tokens(F.col("text"))).alias("tok")
+    )
+    c = stream.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("_c"))
+    withn = c.withColumn("_n", F.sum("_c").over(W.partitionBy("source")))
+    g = c.groupBy("tok").agg(F.sum("_c").alias("_cg"))
+    tot = g.agg(F.sum("_cg").alias("_ng"))
+    lr = F.floor(
+        (
+            F.log10(F.col("_c").cast("double") / F.col("_n"))
+            - F.log10(F.col("_cg").cast("double") / F.col("_ng"))
+        )
+        * text_analysis.LP_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        withn.join(g, "tok")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "_n",
+            (F.col("_c").cast("decimal(38,0)") * lr.cast("decimal(38,0)"))
+            .alias("_term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("_term").cast("double")
+                    / F.max("_n")
+                    / text_analysis.LP_SCALE
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("kl"),
+        )
+    )

@@ -33,11 +33,11 @@ def query(name: str, oracle: str | None):
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
 # Round 8 window: the 9 queries whose latest driver row is r5 (the last
-# stale rows on the books) go first, then the 8 queries new this round
-# (never driver-checked), then 33 of the 48 whose latest row is r6. The
-# 15 r6 rows deferred to round 9 — q08/q09/q12-q16/q35/q54/q59-q61/q63/
-# q66/q77 — are the simplest single-table projections/reshapes/grouping
-# variants: no
+# stale rows on the books) go first, then the 9 queries new this round
+# (never driver-checked), then 32 of the 48 whose latest row is r6. The
+# 16 r6 rows deferred to round 9 — q08/q09/q12-q16/q35/q36/q54/q59-q61/
+# q63/q66/q77 — are the simplest single-table projections/reshapes/
+# grouping variants: no
 # sketch state, no float accumulation, no operator shared with code touched
 # this round, and all re-verified by the local exact-mode oracle sweep.
 # Queries green in r7 rotate back in afterwards.
@@ -61,13 +61,13 @@ PRIORITY = [
     "q113_jdbc_roundtrip",
     "q114_bucketed_join_revenue",
     "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
     # latest driver row is r6
     "q10_top_orders_per_customer",
     "q11_latest_event_per_user",
     "q17_load_plan",
     "q19_text_features",
     "q34_sessionize",
-    "q36_rollup_acctbal",
     "q39_asof_attribution",
     "q42_event_gaps",
     "q49_incremental_rollup",
