@@ -77,12 +77,16 @@ HEADLINE = [
     "q105_global_shuffle_index",
     "q106_bpe_encode",
     "q107_embedding_moments",
-    # round 8 additions
+    # round 8 additions (q113 JDBC stays registry-only: its timing is
+    # dominated by single-connection Derby inserts, not engine plans)
     "q108_image_decode",
     "q109_salted_join_revenue",
     "q110_time_travel_diff",
     "q111_cluster_canonical",
     "q112_kll_quantile_accuracy",
+    "q114_bucketed_join_revenue",
+    "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
 ]
 
 
