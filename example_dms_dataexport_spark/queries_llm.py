@@ -2578,3 +2578,51 @@ def q116_source_kl_divergence(spark, sf_dir):
             ).alias("kl"),
         )
     )
+
+
+_Q118_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, len({TH.sql_tokens('text')}) AS L FROM documents
+        WHERE len({TH.sql_tokens('text')}) > 0
+    )
+    SELECT doc_id,
+           CAST((GREATEST(L - {_CHUNK_OVERLAP}, 1) - 1) // {_CHUNK_STRIDE}
+                + 1 AS BIGINT) AS n_chunks,
+           CAST(L AS BIGINT) AS covered_tokens,
+           TRUE AS lossless
+    FROM t
+"""
+
+
+@query("q118_chunk_integrity", _Q118_ORACLE)
+def q118_chunk_integrity(spark, sf_dir):
+    """Integrity contract over q46's context-window chunking — the law a
+    training pipeline silently depends on: stitching the chunks back
+    (dropping each chunk's leading overlap) reproduces EVERY original
+    token exactly once, i.e. sum(n_tokens) - overlap * (n_chunks - 1)
+    == len(tokens) for every non-empty document. The oracle restates the
+    expected chunk COUNT and coverage from the document length alone, so
+    an off-by-one in the stride generator, a dropped tail chunk, or a
+    wrong overlap trim all flip the hash. Shape: the chunk relation
+    collapses map-side to one row per document; one doc-key shuffle."""
+    chunks = text_analysis.chunk_tokens(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+    per = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("_tot"),
+    )
+    orig = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(TH.tokens(F.col("text"))).alias("_L"))
+        .filter(F.col("_L") > 0)
+    )
+    covered = F.col("_tot") - _CHUNK_OVERLAP * (F.col("n_chunks") - 1)
+    return orig.join(per, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        covered.alias("covered_tokens"),
+        (covered == F.col("_L")).alias("lossless"),
+    )

@@ -2509,3 +2509,108 @@ def q114_bucketed_join_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_Q117_ORACLE = """
+    WITH listing AS (
+        SELECT 'lake' AS stage,
+               'dms/sch' || CAST(user_id % 3 AS VARCHAR) || '/tbl' || CAST(user_id % 5 AS VARCHAR) ||
+               CASE WHEN event_id % 3 = 0
+                    THEN '/LOAD000000' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '.csv'
+                    ELSE '/2024010' || CAST(event_id % 10 AS VARCHAR) || '-' ||
+                         lpad(CAST(event_id AS VARCHAR), 9, '0') || '.csv'
+               END AS file
+        FROM events
+    ),
+    dms AS (
+        SELECT DISTINCT
+               'dms/sch' || CAST(user_id % 3 AS VARCHAR) || '/tbl' || CAST(user_id % 5 AS VARCHAR) AS full_path,
+               'LAKE' AS stage,
+               CASE WHEN user_id % 2 = 0 THEN '0' ELSE '20240109-999999999' END AS last_incremental_file
+        FROM events
+    ),
+    cdc AS (
+        SELECT stage,
+               regexp_replace(file, '/(LOAD[0-9]{8}|2[0-9]{7}-[0-9]{9})..*$', '') AS file_prefix,
+               regexp_extract(file, '([^/]+)$', 1) AS basename
+        FROM listing
+        WHERE NOT regexp_matches(file, '.*/LOAD.*\\..*$')
+    )
+    SELECT dms.full_path,
+           count(*) AS pending_files,
+           max(c.basename) AS newest_pending
+    FROM dms JOIN cdc c
+      ON dms.full_path = c.file_prefix AND upper(dms.stage) = upper(c.stage)
+    WHERE c.basename > dms.last_incremental_file
+    GROUP BY dms.full_path
+"""
+
+
+@query("q117_cdc_backlog", _Q117_ORACLE)
+def q117_cdc_backlog(spark, sf_dir):
+    """Operational backlog report over the reference's planner relations
+    (the monitoring twin of q17's load-type decision, ref :113-148): per
+    table, how many CDC files are NEWER than the stored watermark and
+    what the newest pending file is — 'how far behind is each table',
+    the number an operator watches while the queue drains. Same
+    synthesized listing/metadata fixture as q17; the join is a broadcast
+    of the table-count-sized metadata relation against the file listing,
+    filtered by the lexicographic watermark comparison the whole
+    incremental design rests on (SURVEY F11)."""
+    from .planner import FILE_SUFFIX_RX, LOAD_FILE_RX
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    fname = F.concat(
+        F.lit("dms/sch"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit("/tbl"),
+        (F.col("user_id") % 5).cast("string"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/LOAD000000"),
+                F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+                F.lit(".csv"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/2024010"),
+                (F.col("event_id") % 10).cast("string"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 9, "0"),
+                F.lit(".csv"),
+            )
+        ),
+    )
+    listing = ev.select(F.lit("lake").alias("stage"), fname.alias("file"))
+    dms = ev.select(
+        F.concat(
+            F.lit("dms/sch"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit("/tbl"),
+            (F.col("user_id") % 5).cast("string"),
+        ).alias("full_path"),
+        F.lit("LAKE").alias("dms_stage"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("0"))
+        .otherwise(F.lit("20240109-999999999"))
+        .alias("last_incremental_file"),
+    ).distinct()
+    cdc = listing.filter(~F.col("file").rlike(LOAD_FILE_RX)).select(
+        "stage",
+        F.regexp_replace(F.col("file"), FILE_SUFFIX_RX, "").alias("file_prefix"),
+        F.regexp_extract(F.col("file"), r"([^/]+)$", 1).alias("basename"),
+    )
+    return (
+        F.broadcast(dms)
+        .join(
+            cdc,
+            (F.col("full_path") == F.col("file_prefix"))
+            & (F.upper(F.col("dms_stage")) == F.upper(F.col("stage"))),
+        )
+        .filter(F.col("basename") > F.col("last_incremental_file"))
+        .groupBy("full_path")
+        .agg(
+            F.count(F.lit(1)).alias("pending_files"),
+            F.max("basename").alias("newest_pending"),
+        )
+    )
