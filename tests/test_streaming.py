@@ -1052,3 +1052,50 @@ def test_kll_stream_certificate_and_conservation(spark, tmp_path):
         le = sum(1 for v in all_vals if v <= row["estimate"])
         assert lt < target + row["tol"], (quant, row)
         assert le >= target - row["tol"], (quant, row)
+
+
+def test_cdc_stream_parquet_empty_landing_then_files(spark, tmp_path):
+    """Stream setup on an EMPTY landing dir exercises the schema-discovery
+    fallback (no files to read physical names from -> the CDC contract
+    names are assumed); the first availableNow pass is a no-op, and a
+    restart on the same checkpoint after files land merges them."""
+    wh = ParquetWarehouse(str(tmp_path / "whe"))
+    landing = tmp_path / "landinge"
+    landing.mkdir()
+    target = spark.createDataFrame([(1, "a", 1.0)], ["id", "name", "val"])
+    wh.overwrite(target, "t")
+
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.parquet"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpte"),
+        file_format="parquet",
+    )
+    q.awaitTermination(120)
+    assert {tuple(r) for r in wh.read(spark, "t").collect()} == {(1, "a", 1.0)}
+
+    # files land AFTER setup; physical column names match the contract
+    # (op + target columns), as DMS parquet exports do
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"op": ["U", "I"], "id": [1, 2], "name": ["a2", "b"],
+                  "val": [1.5, 2.0]}),
+        str(landing / "20240101-000000001.parquet"),
+    )
+    q2 = start_cdc_stream(
+        spark,
+        str(landing / "2*.parquet"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpte"),
+        file_format="parquet",
+    )
+    q2.awaitTermination(120)
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got == {1: ("a2", 1.5), 2: ("b", 2.0)}
