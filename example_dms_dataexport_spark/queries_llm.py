@@ -2626,3 +2626,39 @@ def q118_chunk_integrity(spark, sf_dir):
         covered.alias("covered_tokens"),
         (covered == F.col("_L")).alias("lossless"),
     )
+
+
+_Q120_ORACLE = f"""
+    SELECT shard,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE)
+               / ((max(pack_id) + 1) * {_PACK_BUDGET}) AS utilization
+    FROM ({_Q50_ORACLE})
+    GROUP BY shard
+"""
+
+
+@query("q120_pack_efficiency", _Q120_ORACLE)
+def q120_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency audit over q50's sequence packing — the number
+    a data-loading team actually tracks: per shard, how many 256-token
+    context windows the greedy pack produced and what fraction of their
+    budget is filled (padding waste = 1 - utilization). Collapses the
+    chunk relation to one row per shard (8 rows); the utilization double
+    is one identical division on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text_analysis.chunk_tokens(docs, chunk_size=64, overlap=0).drop(
+        "chunk_text"
+    )
+    packed = text_analysis.pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return packed.groupBy("shard").agg(
+        (F.max("pack_id") + 1).alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / ((F.max("pack_id") + 1) * _PACK_BUDGET)
+        ).alias("utilization"),
+    )

@@ -2614,3 +2614,76 @@ def q117_cdc_backlog(spark, sf_dir):
             F.max("basename").alias("newest_pending"),
         )
     )
+
+
+_Q119_ORACLE = """
+    WITH el AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    ),
+    per AS (
+        SELECT 'events' AS table_name,
+               CAST(count(*) AS BIGINT) AS rows_before,
+               CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM el)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+        FROM events
+        UNION ALL
+        SELECT 'customer',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_custkey IN (SELECT user_id FROM el)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IN (SELECT user_id FROM el)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+    )
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after
+    FROM per
+"""
+
+
+@query("q119_user_erasure_audit", _Q119_ORACLE)
+def q119_user_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten at corpus scale: an erasure LIST (distinct
+    subject ids from deletion requests — here derived deterministically
+    as user_id % 37 = 0) applied across every table that carries the
+    subject key, with the audit report compliance actually requires
+    (rows before / erased / after per table). Scale shape: the erasure
+    list broadcasts (request sets are small); each table takes ONE scan
+    with a left semi-flag join + conditional count — no table is read
+    twice, nothing re-shuffles on the fact side. The actual deletion is
+    the same anti-join composed with warehouse.overwrite (or
+    replace_partitions for hive-partitioned targets); this face
+    hash-verifies the counts that prove the erasure complete."""
+    ev = _t(spark, sf_dir, "events")
+    erase = (
+        ev.select("user_id").filter(F.col("user_id") % 37 == 0).distinct()
+        .withColumn("_erase", F.lit(1))
+    )
+
+    def audit(name, df, key):
+        flagged = df.select(F.col(key).alias("user_id")).join(
+            F.broadcast(erase), "user_id", "left"
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.sum(F.coalesce(F.col("_erase"), F.lit(0)))
+            .cast("long")
+            .alias("rows_erased"),
+        )
+
+    per = (
+        audit("events", ev, "user_id")
+        .unionByName(audit("customer", _t(spark, sf_dir, "customer"), "c_custkey"))
+        .unionByName(audit("orders", _t(spark, sf_dir, "orders"), "o_custkey"))
+    )
+    return per.select(
+        "table_name",
+        "rows_before",
+        "rows_erased",
+        (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+    )
