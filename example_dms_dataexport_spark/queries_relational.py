@@ -2687,3 +2687,64 @@ def q119_user_erasure_audit(spark, sf_dir):
         "rows_erased",
         (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
     )
+
+
+_Q121_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ),
+    hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM versions
+    ),
+    counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions
+        FROM hist GROUP BY user_id
+    )
+    SELECT h.user_id, h.event_type AS current_state,
+           h.valid_from AS current_since, c.n_versions
+    FROM hist h JOIN counts c ON h.user_id = c.user_id
+    WHERE h.valid_to IS NULL
+"""
+
+
+@query("q121_scd2_current_view", _Q121_ORACLE)
+def q121_scd2_current_view(spark, sf_dir):
+    """The other read pattern the SCD2 history exists for (next to q75's
+    point-in-time lookup): the CURRENT-row slice — exactly one open
+    interval per key (valid_to IS NULL) — joined with each key's version
+    count, the churn measure that tells a modeler which dimensions are
+    volatile. Both the slice and the count reuse the history's user_id
+    partitioning; one shuffle end-to-end with the q74 build."""
+    from .operators.scd import scd2_from_changes
+
+    hist = scd2_from_changes(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    counts = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    return (
+        hist.filter(F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("current_state"),
+            F.col("valid_from").alias("current_since"),
+        )
+        .join(counts, "user_id")
+    )

@@ -40,7 +40,7 @@ def query(name: str, oracle: str | None):
 # grouping variants: no
 # sketch state, no float accumulation, no operator shared with code touched
 # this round, and all re-verified by the local exact-mode oracle sweep.
-# Queries green in r7 rotate back in afterwards. q117-q120 (added after
+# Queries green in r7 rotate back in afterwards. q117-q121 (added after
 # the window filled) carry local exact-sweep greens only this round and
 # go to the FRONT of the round-9 window with the other deferrals.
 PRIORITY = [
