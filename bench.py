@@ -87,6 +87,16 @@ HEADLINE = [
     "q114_bucketed_join_revenue",
     "q115_hybrid_retrieval",
     "q116_source_kl_divergence",
+    # round 8 ops/compliance faces (registered after the r8 bench froze)
+    "q117_cdc_backlog",
+    "q118_chunk_integrity",
+    "q119_user_erasure_audit",
+    "q120_pack_efficiency",
+    "q121_scd2_current_view",
+    # round 9 additions
+    "q122_png_decode",
+    "q123_erasure_execution",
+    "q124_scd2_delta_apply",
 ]
 
 
@@ -252,12 +262,22 @@ def main() -> None:
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
-        ]
-        n_round = (max(rounds) + 1) if rounds else 0
+        # Round number for the committed artifact name: an explicit
+        # --round N (or SPARK_GRAFT_ROUND) wins; the fallback inference
+        # (max CORRECTNESS_r*.json + 1) mislabels a re-run that happens
+        # AFTER the current round's correctness file lands.
+        n_round = None
+        if "--round" in sys.argv:
+            n_round = int(sys.argv[sys.argv.index("--round") + 1])
+        elif os.environ.get("SPARK_GRAFT_ROUND"):
+            n_round = int(os.environ["SPARK_GRAFT_ROUND"])
+        if n_round is None:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+            ]
+            n_round = (max(rounds) + 1) if rounds else 0
         with open(os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as f:
             json.dump(result, f, indent=2)
     except OSError:

@@ -92,13 +92,20 @@ def _make_kll_core(k: int):
         return 1 << i
 
     def add_values(state, values):
-        """Feed raw values (level-0 items) into a sketch state dict."""
+        """Feed raw values (level-0 items) into a sketch state dict.
+
+        NULL/NaN inputs are DROPPED and do not count toward ``n`` — a NaN
+        in a level buffer would break sorted()'s total order in
+        compact_level and the quantile scan, silently voiding the
+        certificate. ``n`` therefore matches ``count(value IS NOT NULL)``
+        semantics, the same as reference percentile aggregates."""
         levels, parities = state["levels"], state["parities"]
         if not levels:
             levels.append([])
             parities.append(0)
-        levels[0].extend(float(v) for v in values)
-        state["n"] += len(values)
+        clean = [f for f in (float(v) for v in values) if f == f]
+        levels[0].extend(clean)
+        state["n"] += len(clean)
         i = 0
         while i < len(levels):
             if len(levels[i]) > k:

@@ -76,6 +76,9 @@ def global_index(
     storage instead: executor loss then just re-reads the checkpointed
     blocks — the variant a 100 TB run should use. The extra cost is one
     materialized copy of the sorted input to distributed storage.
+    ``setCheckpointDir`` is session-global; this function restores the
+    previous directory after materializing (Spark offers no "unset", so
+    if none was set before, ``checkpoint_dir`` remains in effect).
 
     Sizing ``num_partitions`` at scale: each range partition is sorted
     and (with a reliable dir) persisted whole, so pick
@@ -103,12 +106,22 @@ def global_index(
         .withColumn(pid_col, F.spark_partition_id())
     )
     if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is session-global; remember the prior value and
+        # restore it after the eager materialization below so a later
+        # .checkpoint() elsewhere in the application doesn't silently
+        # land in this operator's directory.
+        sc = df.sparkSession.sparkContext
+        prior = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
         ordered = laid_out.checkpoint(eager=False)
     else:
         ordered = laid_out.localCheckpoint(eager=False)
     # n-row collect: one count per shuffle partition, driver-bounded.
+    # This action materializes the (lazy) checkpoint, so the dir can be
+    # restored right after.
     counts = ordered.groupBy(pid_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    if checkpoint_dir is not None and prior is not None:
+        sc.setCheckpointDir(prior)
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r[pid_col]):

@@ -238,30 +238,44 @@ def cap_per_group(
         def local_topk(batches):
             import pandas as pd
 
-            # per-batch top-k, ONE final merge: re-sorting the accumulated
+            def merge(parts):
+                return (
+                    pd.concat(parts)
+                    .sort_values(sort_by, ascending=asc, kind="mergesort")
+                    .groupby(group_col, sort=False)
+                    .head(k)
+                )
+
+            # per-batch top-k with a BOUNDED accumulator: re-sorting the
             # survivor set on every Arrow batch would cost
-            # O(acc * log(acc) * n_batches) per partition; collecting each
-            # batch's own top-k and sorting the union once keeps the
-            # per-batch cost proportional to the batch alone.
+            # O(acc * log(acc) * n_batches) per partition, but holding
+            # every batch's top-k until partition end is unbounded when
+            # batches touch disjoint groups. Compromise: collapse the
+            # accumulated chunks whenever their total rows exceed 4x the
+            # last merged size — per-batch cost stays amortized-batch-
+            # proportional while memory stays near groups*k.
             chunks = []
+            pending = 0
+            merged_size = 0
             for pdf in batches:
                 if len(pdf):
-                    chunks.append(
+                    top = (
                         pdf.sort_values(
                             sort_by, ascending=asc, kind="mergesort"
                         )
                         .groupby(group_col, sort=False)
                         .head(k)
                     )
+                    chunks.append(top)
+                    pending += len(top)
+                    if pending > max(4 * merged_size, 4 * len(top)):
+                        chunks = [merge(chunks)]
+                        merged_size = len(chunks[0])
+                        pending = merged_size
             if not chunks:
                 yield pd.DataFrame(columns=cols)
                 return
-            yield (
-                pd.concat(chunks)
-                .sort_values(sort_by, ascending=asc, kind="mergesort")
-                .groupby(group_col, sort=False)
-                .head(k)
-            )
+            yield merge(chunks)
 
         src = df.mapInPandas(local_topk, df.schema)
     w = Window.partitionBy(group_col).orderBy(*ordering)

@@ -625,6 +625,61 @@ def q108_image_decode(spark, sf_dir):
     )
 
 
+_Q122_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, text,
+               CAST((doc_id % 16) + 4 AS INTEGER) AS width,
+               CAST(GREATEST(1, (len(text) + (doc_id % 16) + 3)
+                                // ((doc_id % 16) + 4)) AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS INTEGER)
+               AS color_type,
+           width, height,
+           CAST(list_sum(list_distinct(
+               [CAST(1 << ((doc_id + r) % 5) AS BIGINT)
+                FOR r IN generate_series(0, height - 1, 1)])) AS INTEGER)
+               AS filter_mask,
+           CAST(COALESCE(list_sum(
+               [CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                FOR i IN generate_series(1, len(text), 1)]), 0) AS DOUBLE)
+           / (width * height) AS mean_intensity
+    FROM geo
+"""
+
+
+@query("q122_png_decode", _Q122_ORACLE)
+def q122_png_decode(spark, sf_dir):
+    """REAL compressed-image decode, no external library: documents ->
+    conformant PNGs (q108's geometry — one text byte per pixel, even
+    doc_ids 8-bit grayscale, odd RGB r=g=b — but scanline r filtered
+    with type ``(doc_id + r) % 5``, so every PNG unfilter branch
+    None/Sub/Up/Average/Paeth executes) -> stdlib chunk-CRC validation,
+    zlib IDAT inflate, and spec-exact per-scanline unfiltering through
+    Arrow-batched mapInPandas. ``filter_mask`` comes from the filter
+    bytes the DECODER actually saw, restated by the oracle from the
+    fixture rule — a hash match proves the compressed round trip and
+    all five filter paths, not just geometry. mean_intensity =
+    pix_sum / (w*h*channels) is derived JVM-side; for the r=g=b fixture
+    IEEE division of (3s)/(3n) rounds identically to s/n (the q108
+    argument). Pillow remains the gate for JPEG/16-bit/palette/
+    interlaced variants."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_png(multimodal.png_from_documents(docs))
+    return dec.select(
+        "doc_id",
+        "color_type",
+        "width",
+        "height",
+        "filter_mask",
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width") * F.col("height") * F.col("channels"))
+        ).alias("mean_intensity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition filter + the end-to-end cleaning pipeline
 # ---------------------------------------------------------------------------

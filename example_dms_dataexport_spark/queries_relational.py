@@ -31,6 +31,34 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_root(face: str, sf_dir: str) -> str:
+    """Per-process scratch directory for faces that materialize a real
+    on-disk warehouse (q110/q113/q114/q123...). The pid suffix keeps two
+    concurrent drivers on the same host (bench alongside a correctness
+    sweep) from racing rmtree against each other's lazy snapshot reads;
+    the atexit hook removes this process's dirs so repeated sweeps leave
+    no growing tempdir residue. Re-entry within one process overwrites
+    in place (the faces rmtree/overwrite their own tables)."""
+    import atexit
+    import re as _re
+    import shutil
+    import tempfile
+
+    tag = _re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{face}_{tag}_{os.getpid()}"
+    )
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+_SCRATCH_ROOTS: set[str] = set()
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY A1/A2/A6, F8) — TPC-H Q1 flavor
 # ---------------------------------------------------------------------------
@@ -2320,7 +2348,6 @@ def q110_time_travel_diff(spark, sf_dir):
     commit protocol, so a pointer-flip or retention bug breaks the row
     hash."""
     import shutil
-    import tempfile
 
     from .operators.diff import snapshot_diff
     from .sources.warehouse import ParquetWarehouse
@@ -2335,11 +2362,7 @@ def q110_time_travel_diff(spark, sf_dir):
             F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50
         ).otherwise(F.col("o_totalprice")),
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_q110_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    wh = ParquetWarehouse(root)
+    wh = ParquetWarehouse(_scratch_root("q110", sf_dir))
     # single-writer table, rebuilt per invocation for determinism
     shutil.rmtree(wh.path("orders_versioned"), ignore_errors=True)
     v1 = wh.overwrite_versioned(old, "orders_versioned", retain=2)
@@ -2352,7 +2375,7 @@ def q110_time_travel_diff(spark, sf_dir):
 
 
 _Q112_ORACLE = """
-    SELECT event_type, count(*) AS n, TRUE AS within_tol
+    SELECT event_type, count(value) AS n, TRUE AS within_tol
     FROM events GROUP BY event_type
 """
 
@@ -2366,8 +2389,9 @@ def q112_kll_quantile_accuracy(spark, sf_dir):
     (count strictly below, count at-or-below), padded by the sketch's
     own tracked err_bound certificate, must contain ceil(0.95 * n).
     ``n`` comes from the SKETCH, not the fact table, so the hash match
-    against count(*) also proves exact weight conservation through
-    every compaction and merge. A compaction bug (lost tail item,
+    against count(value) (non-null count — the sketch drops NULL/NaN)
+    also proves exact weight conservation through every compaction and
+    merge. A compaction bug (lost tail item,
     double charge, wrong offset) breaks n or flips within_tol."""
     from .operators import kll
 
@@ -2484,14 +2508,11 @@ def q114_bucketed_join_revenue(spark, sf_dir):
     against the plain-join restatement proves the bucketed layout and
     catalog round-trip lose nothing."""
     import re as _re
-    import tempfile
 
     from .sources.warehouse import ParquetWarehouse
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    wh = ParquetWarehouse(
-        os.path.join(tempfile.gettempdir(), f"spark_graft_q114_{tag}")
-    )
+    wh = ParquetWarehouse(_scratch_root("q114", sf_dir))
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -32,71 +32,66 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 8 window: the 9 queries whose latest driver row is r5 (the last
-# stale rows on the books) go first, then the 9 queries new this round
-# (never driver-checked), then 32 of the 48 whose latest row is r6. The
-# 16 r6 rows deferred to round 9 — q08/q09/q12-q16/q35/q36/q54/q59-q61/
-# q63/q66/q77 — are the simplest single-table projections/reshapes/
-# grouping variants: no
-# sketch state, no float accumulation, no operator shared with code touched
-# this round, and all re-verified by the local exact-mode oracle sweep.
-# Queries green in r7 rotate back in afterwards. q117-q121 (added after
-# the window filled) carry local exact-sweep greens only this round and
-# go to the FRONT of the round-9 window with the other deferrals.
+# Round 9 window: the 5 queries registered after the r8 window filled
+# (q117-q121, never driver-checked) go first, then the 16 queries whose
+# latest driver row is r6 (the documented r8 deferrals), then any faces
+# new this round, then the lowest-numbered queries whose latest driver row
+# is r7. The r7 rows deferred to round 10 (q58/q67/q70-q73/q78/q82-q86/
+# q99-q107 area, exact set = whatever doesn't fit the 50) all carry green
+# r7 driver rows plus the local exact-mode sweep this round.
 PRIORITY = [
-    # latest driver row is r5 (stale-most first)
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    "q23_minhash_signatures",
-    "q25_simhash",
-    # new in round 8, never driver-checked
-    "q108_image_decode",
-    "q109_salted_join_revenue",
-    "q110_time_travel_diff",
-    "q111_cluster_canonical",
-    "q112_kll_quantile_accuracy",
-    "q113_jdbc_roundtrip",
-    "q114_bucketed_join_revenue",
-    "q115_hybrid_retrieval",
-    "q116_source_kl_divergence",
-    # latest driver row is r6
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q17_load_plan",
-    "q19_text_features",
-    "q34_sessionize",
-    "q39_asof_attribution",
-    "q42_event_gaps",
-    "q49_incremental_rollup",
-    "q53_range_join_windows",
-    "q62_funnel_stages",
-    "q64_resample_ffill",
-    "q65_trailing_hour_avg",
-    "q68_quality_audit",
-    "q69_skew_report",
-    "q74_scd2_history",
-    "q75_scd2_point_in_time",
-    "q76_snapshot_diff",
-    "q79_event_debounce",
-    "q80_bloom_semi_join",
-    "q81_bpe_merges",
-    "q87_sketch_accuracy",
-    "q88_bigram_logprob",
-    "q89_retention_cohorts",
-    "q90_value_deciles",
-    "q91_event_path_patterns",
-    "q92_sketch_merge_accuracy",
-    "q93_rolling_active_users",
-    "q94_value_trend_regression",
-    "q95_source_token_entropy",
-    "q96_value_outliers",
-    "q97_weekly_value_wow",
-    "q98_cross_source_dup_matrix",
+    # never driver-checked (registered after the r8 window filled)
+    "q117_cdc_backlog",
+    "q118_chunk_integrity",
+    "q119_user_erasure_audit",
+    "q120_pack_efficiency",
+    "q121_scd2_current_view",
+    # latest driver row is r6 (the r8 deferrals)
+    "q08_customers_without_orders",
+    "q09_active_customers",
+    "q12_part_name_parsing",
+    "q13_file_prefix_grouping",
+    "q14_json_props",
+    "q15_orders_by_month",
+    "q16_hourly_event_windows",
+    "q35_length_percentiles",
+    "q36_rollup_acctbal",
+    "q54_profile_orders",
+    "q59_histogram_totalprice",
+    "q60_pivot_lang_source",
+    "q61_cube_flag_status",
+    "q63_intersect_except",
+    "q66_grouping_sets",
+    "q77_unpivot_metrics",
+    # new in round 9, never driver-checked
+    "q122_png_decode",
+    # latest driver row is r7 (lowest-numbered first)
+    "q18_cdc_merge",
+    "q20_corpus_profile",
+    "q21_quality_filter",
+    "q22_exact_dedup",
+    "q24_minhash_dedup_pairs",
+    "q26_simhash_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q28_knn_brute",
+    "q29_knn_lsh",
+    "q30_knn_ivf",
+    "q31_embedding_dup_pairs",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q37_repetition_ratio",
+    "q38_cleaning_pipeline",
+    "q40_pii_redaction",
+    "q41_vocab_df",
+    "q43_dedup_clusters",
+    "q44_decontaminate",
+    "q45_stratified_sample",
+    "q46_token_chunks",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q50_pack_chunks",
+    "q51_duplicate_spans",
+    "q52_tfidf_top_terms",
 ]
 
 

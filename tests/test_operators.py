@@ -1819,6 +1819,32 @@ def test_resize_pnm_nearest_neighbor_exact(spark):
         multimodal.resize_pnm(pnm, 0, 2)
 
 
+def test_png_roundtrip_decode_matches_python(spark):
+    rows = [(0, "hello world"), (1, ""), (2, "abc"), (7, "Zz 9!"), (16, "q" * 40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_png(
+            multimodal.png_from_documents(docs)
+        ).collect()
+    }
+    for doc_id, text in rows:
+        b = text.encode()
+        w = (doc_id % 16) + 4
+        h = max(1, -(-len(b) // w))
+        r = got[doc_id]
+        assert (r["color_type"], r["channels"]) == (
+            (0, 1) if doc_id % 2 == 0 else (2, 3)
+        )
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pix_sum"] == sum(b) * r["channels"]
+        # the fixture filters scanline r with (doc_id + r) % 5
+        expect_mask = 0
+        for rr in range(h):
+            expect_mask |= 1 << ((doc_id + rr) % 5)
+        assert r["filter_mask"] == expect_mask
+
+
 def test_pnm_parser_rejects_bad_payloads():
     from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
 

@@ -19,7 +19,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from example_dms_dataexport_spark.operators.kll import _make_kll_core
-from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
+from example_dms_dataexport_spark.operators.multimodal import (
+    _decode_png,
+    _encode_png,
+    _parse_pnm,
+)
 
 values = st.lists(
     st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
@@ -98,3 +102,78 @@ def test_pnm_roundtrip_any_geometry(pixels, width, rgb):
     m, w, hh, c, arr = _parse_pnm(raw)
     assert (m, w, hh, c) == (magic, width, h, 3 if rgb else 1)
     assert int(np.asarray(arr, dtype=np.int64).sum()) == sum(padded) * c
+
+
+@given(values, st.integers(min_value=4, max_value=32))
+@settings(max_examples=100, deadline=None)
+def test_kll_drops_nan_and_counts_nonnull(vals, k):
+    # NULL/NaN inputs must be dropped (a NaN in a buffer breaks sorted()'s
+    # total order and silently voids the certificate) and must not count
+    # toward n — count(value IS NOT NULL) semantics.
+    new_state, add_values, _, quantile = _make_kll_core(k)
+    with_nans = []
+    for i, v in enumerate(vals):
+        with_nans.append(v)
+        if i % 3 == 0:
+            with_nans.append(float("nan"))
+    st_ = add_values(new_state(), with_nans)
+    clean = add_values(new_state(), vals)
+    assert st_["n"] == len(vals)
+    assert st_ == clean
+
+
+# --- PNG codec (compressed-format decode, stdlib zlib + unfilter) -----------
+
+png_pixels = st.lists(
+    st.integers(min_value=0, max_value=255), min_size=1, max_size=200
+)
+png_color = st.sampled_from([(0, 1), (2, 3), (6, 4)])
+
+
+@given(
+    png_pixels,
+    st.integers(min_value=1, max_value=20),
+    png_color,
+    st.integers(min_value=0, max_value=3124),  # base-5 digit soup
+)
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_any_geometry_filters(pixels, width, color, filter_seed):
+    import numpy as np
+
+    color_type, c = color
+    h = -(-len(pixels) // width)
+    padded = pixels + [0] * (width * h - len(pixels))
+    img = np.repeat(np.asarray(padded, dtype=np.uint8), c).reshape(h, width, c)
+    filters = [(filter_seed // (5**(r % 5))) % 5 for r in range(h)]
+    raw = _encode_png(img, color_type, filters)
+    ct, w, hh, cc, arr, mask = _decode_png(raw)
+    assert (ct, w, hh, cc) == (color_type, width, h, c)
+    assert np.array_equal(arr, img.reshape(-1))
+    assert mask == __import__("functools").reduce(
+        lambda a, f: a | (1 << f), filters, 0
+    )
+
+
+def test_png_rejects_bad_payloads():
+    import numpy as np
+    import pytest
+
+    img = np.zeros((2, 2, 1), dtype=np.uint8)
+    raw = _encode_png(img, 0, [0, 1])
+    with pytest.raises(ValueError, match="signature"):
+        _decode_png(b"\x89PNX" + raw[4:])
+    tampered = bytearray(raw)
+    tampered[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(tampered))
+    # 16-bit depth is an explicit Pillow-gate rejection, not a wrong answer
+    deep = bytearray(raw)
+    depth_off = 8 + 8 + 8  # sig + IHDR len/type + w/h
+    deep[depth_off] = 16
+    import struct
+    import zlib
+
+    ihdr = bytes(deep[16 : 16 + 13])
+    deep[16 + 13 : 16 + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _decode_png(bytes(deep))
