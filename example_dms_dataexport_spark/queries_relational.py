@@ -2710,6 +2710,66 @@ def q119_user_erasure_audit(spark, sf_dir):
     )
 
 
+_Q123_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS remaining
+    FROM events WHERE user_id % 37 <> 0
+    GROUP BY event_type
+"""
+
+
+@query("q123_erasure_execution", _Q123_ORACLE)
+def q123_erasure_execution(spark, sf_dir):
+    """The erasure EXECUTION path q119 only audits: a real on-disk
+    warehouse table (events partitioned by ``pbucket = user_id % 8`` —
+    the stable coarse key an erasure-friendly 100 TB layout partitions
+    by) walks through ``erase_subjects`` — broadcast semi-join finds
+    the touched partitions, the anti-joined remainder rewrites ONLY
+    those via the tombstoned dynamic overwrite — and the result is
+    read BACK FROM DISK. The returned relation is the post-erasure
+    per-event_type profile plus ``remaining`` = the re-audit count of
+    subject rows still present (a 1-row scalar attach), which the
+    oracle pins to 0: a rewrite that misses a partition, resurrects a
+    tombstoned directory, or drops survivor rows breaks the hash.
+    Every byte flows through the partition-scoped delete protocol, not
+    an in-memory filter."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    wh = ParquetWarehouse(_scratch_root("q123", sf_dir))
+    shutil.rmtree(wh.path("events_gdpr"), ignore_errors=True)
+    wh.overwrite(
+        ev.withColumn("pbucket", (F.col("user_id") % 8).cast("int")),
+        "events_gdpr",
+        partition_by=["pbucket"],
+    )
+    subjects = (
+        ev.select("user_id").filter(F.col("user_id") % 37 == 0).distinct()
+    )
+    wh.erase_subjects(
+        spark, "events_gdpr", "user_id", subjects, partition_by=["pbucket"]
+    )
+    back = wh.read(spark, "events_gdpr")
+    remaining = (
+        back.join(F.broadcast(subjects), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("remaining"))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(remaining)  # 1-row scalar attach (bounded)
+    )
+
+
 _Q121_ORACLE = """
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,

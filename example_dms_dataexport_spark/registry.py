@@ -65,6 +65,7 @@ PRIORITY = [
     "q77_unpivot_metrics",
     # new in round 9, never driver-checked
     "q122_png_decode",
+    "q123_erasure_execution",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",

@@ -90,15 +90,56 @@ def write_jsonl_shards(
       When ``path`` already exists the promotion is two renames (old
       aside, then tmp in) — POSIX has no atomic non-empty-directory
       swap — so there is a brief window with no directory at ``path``:
-      the exporter assumes a SINGLE WRITER and no reader concurrent
-      with a re-export of the same path (readers of a live corpus
-      should consume versioned paths or
-      ``warehouse.overwrite_versioned`` instead).
+      the exporter requires a SINGLE WRITER, ENFORCED by an ``O_EXCL``
+      lock beside ``path`` (a second concurrent export raises
+      :class:`~.warehouse.ConcurrentWriteError` instead of interleaving
+      renames), and assumes no reader concurrent with a re-export of
+      the same path (readers of a live corpus should consume versioned
+      paths or ``warehouse.overwrite_versioned`` instead).
 
     gzip (default) keeps shards splittable-enough in practice because
     the FILE is the work unit (one shard = one loader task); within a
     shard the stream is sequential anyway.
     """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .warehouse import ConcurrentWriteError
+
+    parent0 = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent0, exist_ok=True)
+    lock = os.path.join(
+        parent0, f".lock-jsonl-{os.path.basename(os.path.abspath(path))}"
+    )
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"jsonl export to {path!r} is already running (lock: {lock}). "
+            "If that exporter crashed, remove the lock file manually."
+        ) from None
+    os.write(fd, f"pid={os.getpid()}".encode())
+    os.close(fd)
+    try:
+        return _write_jsonl_shards_locked(
+            df, path, max_records_per_file, shuffle_by, n_tasks, compression
+        )
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _write_jsonl_shards_locked(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    shuffle_by: list[str] | None,
+    n_tasks: int | None,
+    compression: str,
+) -> dict:
     import uuid
 
     from pyspark.sql import functions as F

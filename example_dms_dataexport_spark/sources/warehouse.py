@@ -29,6 +29,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Pending-cleanup marker for replace_partitions (see _reconcile).
 TOMBSTONE_FILE = "_tombstones.json"
@@ -44,6 +45,20 @@ BUCKET_SPEC_FILE = "_bucket_spec.json"
 
 # Snapshot pointer for overwrite_versioned/read_version (time travel).
 VERSION_FILE = "_version.json"
+
+# Writer fence for overwrite_versioned (single-writer enforcement).
+LOCK_FILE = "_writer.lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a fenced single-writer operation.
+
+    Raised LOUDLY instead of letting the read-modify-write of
+    ``_version.json`` silently lose a commit. The message names the lock
+    path and the holder recorded inside it; a lock left by a CRASHED
+    writer (the fence has no lease/expiry — this warehouse has no
+    heartbeat channel) must be removed manually after confirming the
+    holder is gone."""
 
 
 class ParquetWarehouse:
@@ -488,6 +503,111 @@ class ParquetWarehouse:
             self._write_tombstone(table, batch, emptied, committed=True)
         self._reconcile(table)
 
+    def erase_subjects(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_col: str,
+        subjects: DataFrame,
+        partition_by: list[str] | None = None,
+        retain: int = 1,
+    ) -> dict:
+        """EXECUTE a right-to-be-forgotten request against an on-disk
+        table (the deletion q119 audits): remove every row whose
+        ``key_col`` appears in ``subjects`` (a one-column DataFrame of
+        subject keys — request sets are small, so it broadcasts).
+        Returns ``{"rows_before", "rows_erased", "rows_after",
+        "touched_partitions"}``.
+
+        Three storage layouts, three rewrite scopes:
+
+        - **hive-partitioned** (``partition_by`` given): one broadcast
+          semi-join scan finds the touched partition tuples; the
+          anti-joined remainder of ONLY those partitions rewrites via
+          ``replace_partitions`` (so a partition emptied by the erasure
+          is tombstoned and removed, not left resurrecting deleted
+          rows). Untouched partitions are never read or written — at
+          100 TB an erasure request touches a handful of user-bucket
+          partitions, not the table.
+        - **versioned** (``_version.json`` present): the survivors
+          commit as the next snapshot through ``overwrite_versioned``
+          with ``retain`` (default 1, which prunes every pre-erasure
+          snapshot immediately — erasure is only complete once no
+          retained snapshot holds the subject's rows; pass a larger
+          ``retain`` only if policy allows the grace window).
+        - **plain**: anti-join + the atomic temp-dir ``overwrite`` swap.
+
+        The survivor set is materialized (localCheckpoint) before any
+        rewrite that overlaps its own input files — the same
+        read-then-overwrite hazard ``overwrite_partitions`` documents.
+        """
+        subj = subjects.toDF("__erase_key").filter(
+            F.col("__erase_key").isNotNull()
+        ).distinct()
+        versioned = os.path.isfile(self._version_pointer(table))
+        if versioned and partition_by:
+            raise ValueError(
+                "versioned tables snapshot whole states; erase without "
+                "partition_by"
+            )
+        current = (
+            self.read_version(spark, table)
+            if versioned
+            else self.read(spark, table)
+        )
+        rows_before = current.count()
+        survivors = current.join(
+            F.broadcast(subj),
+            current[key_col] == F.col("__erase_key"),
+            "left_anti",
+        )
+        touched_n = None
+        if partition_by:
+            touched = [
+                tuple(r[c] for c in partition_by)
+                for r in current.join(
+                    F.broadcast(subj),
+                    current[key_col] == F.col("__erase_key"),
+                    "left_semi",
+                )
+                .select(*partition_by)
+                .distinct()
+                .collect()
+            ]
+            touched_n = len(touched)
+            if touched:
+                cond = None
+                for vals in touched:
+                    clause = None
+                    for c, v in zip(partition_by, vals):
+                        pc = F.col(c).isNull() if v is None else F.col(c) == v
+                        clause = pc if clause is None else clause & pc
+                    cond = clause if cond is None else cond | clause
+                slice_survivors = survivors.filter(cond).localCheckpoint(
+                    eager=True
+                )
+                self.replace_partitions(
+                    slice_survivors, table, partition_by, touched
+                )
+        elif versioned:
+            self.overwrite_versioned(survivors, table, retain=retain)
+        else:
+            # overwrite() already stages to a temp dir, so reading the
+            # old files while writing the new ones is safe
+            self.overwrite(survivors, table)
+        after = (
+            self.read_version(spark, table)
+            if versioned
+            else self.read(spark, table)
+        )
+        rows_after = after.count()
+        return {
+            "rows_before": rows_before,
+            "rows_erased": rows_before - rows_after,
+            "rows_after": rows_after,
+            "touched_partitions": touched_n,
+        }
+
     def _write_tombstone(
         self, table: str, batch: str, dirs: list[str], committed: bool
     ) -> None:
@@ -524,6 +644,45 @@ class ParquetWarehouse:
     def _version_pointer(self, table: str) -> str:
         return os.path.join(self.path(table), VERSION_FILE)
 
+    def _write_fence(self, table: str):
+        """ENFORCED single-writer fence: an ``O_EXCL``-created lock file
+        in the table directory. The second concurrent writer raises
+        :class:`ConcurrentWriteError` instead of silently losing a commit
+        in the ``_version.json`` read-modify-write. O_EXCL is atomic on
+        POSIX local filesystems and on HDFS-style stores with
+        create-if-absent semantics; object stores without atomic
+        create-if-absent (plain S3) need an external lock service — the
+        same caveat every file-based table format carries."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def fence():
+            lock = os.path.join(self.path(table), LOCK_FILE)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        holder = f.read().strip() or "unknown"
+                except OSError:
+                    holder = "unknown"
+                raise ConcurrentWriteError(
+                    f"table {table!r} is being written by another writer "
+                    f"(holder: {holder}; lock: {lock}). If that writer "
+                    "crashed, remove the lock file manually."
+                ) from None
+            try:
+                os.write(fd, f"pid={os.getpid()}".encode())
+                os.close(fd)
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+        return fence()
+
     def _load_versions(self, table: str) -> dict:
         p = self._version_pointer(table)
         if not os.path.isfile(p):
@@ -550,49 +709,52 @@ class ParquetWarehouse:
         ``cluster_by``/``zorder_by`` apply the same data-skipping file
         layouts as ``overwrite``.
 
-        SINGLE WRITER per table (the same assumption the whole warehouse
-        makes for ``overwrite``): the read-modify-write of
-        ``_version.json`` is not compare-and-swap, so two concurrent
-        writers could compute the same next version and one commit would
-        be silently lost. Concurrent READERS are the supported case —
-        that is what the retained immutable snapshots exist for."""
+        SINGLE WRITER per table, ENFORCED: the read-modify-write of
+        ``_version.json`` is not compare-and-swap, so the whole commit
+        runs inside an ``O_EXCL`` writer fence — a second concurrent
+        writer raises :class:`ConcurrentWriteError` loudly instead of
+        computing the same next version and silently losing a commit.
+        Concurrent READERS are the supported case — that is what the
+        retained immutable snapshots exist for."""
         if retain < 1:
             raise ValueError("retain must be >= 1")
         df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         os.makedirs(self.path(table), exist_ok=True)
-        state = self._load_versions(table)
-        version = state["current"] + 1
-        vdir = f"_v{version:05d}"
-        final = os.path.join(self.path(table), vdir)
-        tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
-        if meta is not None:
-            with open(os.path.join(tmp, META_FILE), "w") as f:
-                json.dump(meta, f)
-        os.replace(tmp, final)
-        state["versions"][version] = {"dir": vdir, "meta": meta or {}}
-        state["current"] = version
-        keep = sorted(state["versions"])[-retain:]
-        pruned = [v for v in state["versions"] if v not in keep]
-        state["versions"] = {v: state["versions"][v] for v in keep}
-        ptmp = self._version_pointer(table) + f".tmp-{uuid.uuid4().hex}"
-        with open(ptmp, "w") as f:
-            json.dump(state, f)
-        os.replace(ptmp, self._version_pointer(table))
-        # prune only after the flip: pruned versions are no longer
-        # resolvable, and a crash here just leaves dirs for the next
-        # writer's orphan sweep below
-        for v in pruned:
-            shutil.rmtree(
-                os.path.join(self.path(table), f"_v{v:05d}"),
-                ignore_errors=True,
-            )
-        live = {info["dir"] for info in state["versions"].values()}
-        for name in os.listdir(self.path(table)):
-            if re.fullmatch(r"_v\d{5}", name) and name not in live:
+        with self._write_fence(table):
+            state = self._load_versions(table)
+            version = state["current"] + 1
+            vdir = f"_v{version:05d}"
+            final = os.path.join(self.path(table), vdir)
+            tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+            df.write.mode("overwrite").parquet(tmp)
+            if meta is not None:
+                with open(os.path.join(tmp, META_FILE), "w") as f:
+                    json.dump(meta, f)
+            os.replace(tmp, final)
+            state["versions"][version] = {"dir": vdir, "meta": meta or {}}
+            state["current"] = version
+            keep = sorted(state["versions"])[-retain:]
+            pruned = [v for v in state["versions"] if v not in keep]
+            state["versions"] = {v: state["versions"][v] for v in keep}
+            ptmp = self._version_pointer(table) + f".tmp-{uuid.uuid4().hex}"
+            with open(ptmp, "w") as f:
+                json.dump(state, f)
+            os.replace(ptmp, self._version_pointer(table))
+            # prune only after the flip: pruned versions are no longer
+            # resolvable, and a crash here just leaves dirs for the next
+            # writer's orphan sweep below
+            for v in pruned:
                 shutil.rmtree(
-                    os.path.join(self.path(table), name), ignore_errors=True
+                    os.path.join(self.path(table), f"_v{v:05d}"),
+                    ignore_errors=True,
                 )
+            live = {info["dir"] for info in state["versions"].values()}
+            for name in os.listdir(self.path(table)):
+                if re.fullmatch(r"_v\d{5}", name) and name not in live:
+                    shutil.rmtree(
+                        os.path.join(self.path(table), name),
+                        ignore_errors=True,
+                    )
         return version
 
     def read_version(

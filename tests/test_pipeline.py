@@ -708,6 +708,169 @@ def test_versioned_reader_survives_concurrent_overwrite(spark, tmp_path):
     assert wh.read_version(spark, "t").count() == 5
 
 
+def test_versioned_writer_fence_blocks_second_writer(spark, tmp_path):
+    """Single-writer is ENFORCED, not just documented: while one writer
+    holds the fence, a second overwrite_versioned raises loudly instead
+    of silently losing a commit in the _version.json read-modify-write."""
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(3), "t")
+    with wh._write_fence("t"):  # writer A mid-commit
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            wh.overwrite_versioned(spark.range(4), "t")
+    # fence released: the next commit proceeds and no version was burned
+    assert wh.overwrite_versioned(spark.range(4), "t") == 2
+    # the fence is also released on failure paths (lock file gone)
+    assert not (tmp_path / "wh" / "t" / "_writer.lock").exists()
+
+
+def test_versioned_interleaved_writers_lose_nothing(spark, tmp_path):
+    """Two genuinely concurrent writers: every writer either commits or
+    raises ConcurrentWriteError, and the final current version equals
+    the number of successful commits — no commit is silently lost."""
+    import threading
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    outcomes = []
+    lock = threading.Lock()
+
+    def writer(i):
+        try:
+            v = wh.overwrite_versioned(spark.range(10 + i), "t", retain=4)
+            with lock:
+                outcomes.append(("ok", v))
+        except ConcurrentWriteError:
+            with lock:
+                outcomes.append(("fenced", None))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    n_ok = sum(1 for k, _ in outcomes if k == "ok")
+    assert n_ok >= 1
+    committed = sorted(v for k, v in outcomes if k == "ok")
+    assert committed == list(range(1, n_ok + 1))  # dense, none lost
+    assert wh.versions("t")  # pointer resolvable
+    assert max(wh.versions("t")) == n_ok
+    assert wh.read_version(spark, "t").count() >= 10
+
+
+def test_jsonl_export_fence_blocks_second_writer(spark, tmp_path):
+    from example_dms_dataexport_spark.sources.jsonl import write_jsonl_shards
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    out = tmp_path / "corpus"
+    lock = tmp_path / f".lock-jsonl-{out.name}"
+    lock.write_text("pid=held")
+    with pytest.raises(ConcurrentWriteError, match="already running"):
+        write_jsonl_shards(spark.range(5), str(out))
+    lock.unlink()
+    manifest = write_jsonl_shards(spark.range(5), str(out))
+    assert manifest["total_rows"] == 5
+    assert not lock.exists()  # released after a successful export
+
+
+def test_erase_subjects_partitioned_scoped_rewrite(spark, tmp_path):
+    """GDPR erasure EXECUTION on a hive-partitioned table: only touched
+    partitions rewrite (untouched parquet mtimes unchanged), a partition
+    emptied by the erasure is removed (tombstone protocol), and the
+    re-audit finds zero subject rows."""
+    import os
+    import time
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    rows = [(u, f"v{u}", u % 4) for u in range(20)]
+    df = spark.createDataFrame(rows, ["user_id", "val", "b"])
+    wh.overwrite(df, "t", partition_by=["b"])
+    # subjects: one user in bucket 1, plus EVERY user of bucket 2
+    subjects = spark.createDataFrame(
+        [(1,), (2,), (6,), (10,), (14,), (18,)], ["user_id"]
+    )
+    untouched = {}
+    for b in (0, 3):
+        d = tmp_path / "wh" / "t" / f"b={b}"
+        untouched[b] = {
+            f: os.path.getmtime(d / f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+    time.sleep(0.05)  # let any illegal rewrite move mtimes
+    stats = wh.erase_subjects(
+        spark, "t", "user_id", subjects, partition_by=["b"]
+    )
+    assert stats == {
+        "rows_before": 20,
+        "rows_erased": 6,
+        "rows_after": 14,
+        "touched_partitions": 2,
+    }
+    back = wh.read(spark, "t")
+    assert back.count() == 14
+    assert (
+        back.join(subjects, "user_id", "left_semi").count() == 0
+    )  # re-audit: nothing remains
+    assert not (tmp_path / "wh" / "t" / "b=2").exists()  # emptied dir gone
+    for b, files in untouched.items():
+        d = tmp_path / "wh" / "t" / f"b={b}"
+        now = {
+            f: os.path.getmtime(d / f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+        assert now == files  # never read-for-write, never rewritten
+
+
+def test_erase_subjects_versioned_retention_expiry(spark, tmp_path):
+    """Versioned erasure: the survivors commit as the next snapshot and
+    retain=1 prunes every pre-erasure snapshot — after the call no
+    retained version (and no on-disk directory) holds the subject's
+    rows, which is what makes the erasure actually complete."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(u, f"v{u}") for u in range(10)], ["user_id", "val"]
+    )
+    wh.overwrite_versioned(df, "t", retain=3)
+    subjects = spark.createDataFrame([(3,), (7,), (9,)], ["user_id"])
+    stats = wh.erase_subjects(spark, "t", "user_id", subjects)
+    assert (stats["rows_before"], stats["rows_erased"], stats["rows_after"]) == (
+        10, 3, 7,
+    )
+    assert sorted(wh.versions("t")) == [2]  # pre-erasure snapshot expired
+    assert not (tmp_path / "wh" / "t" / "_v00001").exists()
+    back = wh.read_version(spark, "t")
+    assert back.count() == 7
+    assert back.join(subjects, "user_id", "left_semi").count() == 0
+    with pytest.raises(ValueError, match="partition_by"):
+        wh.erase_subjects(
+            spark, "t", "user_id", subjects, partition_by=["val"]
+        )
+
+
+def test_erase_subjects_plain_overwrite(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(u, f"v{u}") for u in range(8)], ["user_id", "val"]
+    )
+    wh.overwrite(df, "t")
+    subjects = spark.createDataFrame([(0,), (5,)], ["user_id"])
+    stats = wh.erase_subjects(spark, "t", "user_id", subjects)
+    assert (stats["rows_erased"], stats["touched_partitions"]) == (2, None)
+    back = wh.read(spark, "t")
+    assert back.count() == 6
+    assert back.join(subjects, "user_id", "left_semi").count() == 0
+
+
 def test_versioned_orphan_snapshot_swept_and_validation(spark, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     wh.overwrite_versioned(spark.range(3), "t")
