@@ -57,3 +57,79 @@ def scd2_from_changes(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def scd2_apply_delta(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a NEW batch of change rows into an existing SCD2 history
+    WITHOUT rescanning the change stream — the dimension-table analogue
+    of ``incremental.update_rollup`` (q49), and what a 100 TB CDC
+    pipeline must do per sync: the history is huge, the batch is tiny.
+
+    Contract (the standard CDC-watermark guarantee): every batch row
+    sorts strictly AFTER the key's current open version under
+    ``(ts, tiebreaks)`` — late/out-of-order data needs a rebuild
+    (``scd2_from_changes``), exactly as for any incremental view.
+    Result is then row-identical to rebuilding from the full stream:
+
+    - closed versions of every key pass through untouched;
+    - keys absent from the batch pass through untouched (open row
+      included);
+    - for each touched key, the OPEN version re-enters the compression
+      as a seed state observation at its ``valid_from`` (an internal
+      sequence column orders it before any batch row), so a leading
+      no-op batch row collapses into it and the open interval closes at
+      the first real change.
+
+    Plan shape: the batch's key set broadcasts (one semi + one anti
+    flag pass over the history — the history itself never shuffles);
+    the window compression runs only over (touched open rows + batch),
+    i.e. batch-sized input, one shuffle on the key."""
+    if not key_cols or not attr_cols:
+        raise ValueError("need key_cols and attr_cols")
+    tiebreaks = list(tiebreak_cols or [])
+    seq = "_scd2_seq"
+    for c in (seq,):
+        if c in history.columns or c in changes.columns:
+            raise ValueError(f"column {c!r} collides with the internal "
+                             "sequence helper; rename it")
+    keys = changes.select(*key_cols).distinct()
+    open_mask = F.col("valid_to").isNull()
+    untouched = history.join(F.broadcast(keys), key_cols, "left_anti")
+    closed_touched = history.filter(~open_mask).join(
+        F.broadcast(keys), key_cols, "left_semi"
+    )
+    # the open version re-enters as a state observation at valid_from;
+    # NULL tiebreaks + seq 0 put it before any same-ts batch row
+    ts_type = dict(zip(changes.schema.names, changes.schema.fields))
+    seed = (
+        history.filter(open_mask)
+        .join(F.broadcast(keys), key_cols, "left_semi")
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col("valid_from").alias(ts_col),
+            *[
+                F.lit(None).cast(ts_type[c].dataType).alias(c)
+                for c in tiebreaks
+            ],
+            F.lit(0).alias(seq),
+        )
+    )
+    batch = changes.select(
+        *key_cols, *attr_cols, ts_col, *tiebreaks, F.lit(1).alias(seq)
+    )
+    tail = scd2_from_changes(
+        seed.unionByName(batch),
+        key_cols,
+        ts_col,
+        attr_cols,
+        tiebreak_cols=[seq, *tiebreaks],
+    )
+    return untouched.unionByName(closed_touched).unionByName(tail)

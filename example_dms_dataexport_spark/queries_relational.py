@@ -2770,6 +2770,47 @@ def q123_erasure_execution(spark, sf_dir):
     )
 
 
+_Q124_ORACLE = _Q74_ORACLE  # delta-applied history == full-rebuild history
+
+
+@query("q124_scd2_delta_apply", _Q124_ORACLE)
+def q124_scd2_delta_apply(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance (the dimension twin of q49's rollup
+    maintenance): q74/q121 rebuild history from the full change stream;
+    this face builds history from the first 80 % of the time range,
+    then folds the remaining 20 % in as a CDC batch with
+    ``scd2_apply_delta`` — closing open intervals and appending new
+    versions WITHOUT rescanning the stream (the history never
+    shuffles; the window compression sees batch-sized input). The
+    oracle is the FULL-STREAM rebuild (q74's SQL verbatim): a
+    hash-match is the equivalence proof delta maintenance owes. The
+    cutoff is data-derived (min + 0.8 * range, a 1-row scalar
+    collect), so any testdata re-generation keeps a non-trivial batch
+    on both sides of the split."""
+    from .operators.scd import scd2_apply_delta, scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # 1-row scalar
+    cutoff = lo + (hi - lo) * 0.8
+    hist = scd2_from_changes(
+        ev.filter(F.col("ts") <= F.lit(cutoff)),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return scd2_apply_delta(
+        hist,
+        ev.filter(F.col("ts") > F.lit(cutoff)),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
 _Q121_ORACLE = """
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,

@@ -66,6 +66,7 @@ PRIORITY = [
     # new in round 9, never driver-checked
     "q122_png_decode",
     "q123_erasure_execution",
+    "q124_scd2_delta_apply",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",

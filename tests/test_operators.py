@@ -1194,6 +1194,76 @@ def test_scd2_collapses_noops_and_closes_intervals(spark):
         scd2_from_changes(df, [], "ts", ["tier"])
 
 
+def test_scd2_apply_delta_equals_full_rebuild(spark):
+    """Delta maintenance owes an equivalence proof: folding any suffix
+    batch into the prefix-built history must be row-identical to
+    rebuilding from the full stream — at every split point, including
+    splits that land mid-no-op-run, batches introducing brand-new keys,
+    and the empty batch."""
+    from datetime import datetime as DT
+
+    from example_dms_dataexport_spark.operators.scd import (
+        scd2_apply_delta,
+        scd2_from_changes,
+    )
+
+    t = lambda s: DT(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 100, "gold"),
+        (1, t(2), 101, "gold"),     # no-op
+        (1, t(3), 102, "silver"),
+        (1, t(4), 103, "silver"),   # no-op
+        (1, t(5), 104, "gold"),
+        (2, t(2), 200, None),
+        (2, t(6), 201, "bronze"),
+        (3, t(7), 300, "new"),      # key first seen late (batch-only key)
+        (1, t(8), 105, "gold"),     # trailing no-op
+    ]
+    cols = ["k", "ts", "eid", "tier"]
+    full = spark.createDataFrame(rows, cols)
+    key = lambda tup: tuple(str(v) for v in tup)
+    rebuilt = sorted(
+        (tuple(r) for r in scd2_from_changes(
+            full, ["k"], "ts", ["tier"], ["eid"]
+        ).collect()),
+        key=key,
+    )
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    for split in range(len(rows) + 1):  # every split incl. empty batch
+        prefix = spark.createDataFrame(ordered[:split], cols) if split else (
+            spark.createDataFrame([], "k int, ts timestamp, eid int, tier string")
+        )
+        batch = (
+            spark.createDataFrame(ordered[split:], cols)
+            if split < len(rows)
+            else spark.createDataFrame(
+                [], "k int, ts timestamp, eid int, tier string"
+            )
+        )
+        hist = scd2_from_changes(prefix, ["k"], "ts", ["tier"], ["eid"])
+        out = sorted(
+            (tuple(r) for r in scd2_apply_delta(
+                hist, batch, ["k"], "ts", ["tier"], ["eid"]
+            ).collect()),
+            key=key,
+        )
+        assert out == rebuilt, f"split={split}"
+
+
+def test_scd2_apply_delta_validates_helper_collision(spark):
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.scd import scd2_apply_delta
+
+    hist = spark.createDataFrame(
+        [(1, "a", None, 0)],
+        "k int, tier string, valid_from timestamp, _scd2_seq int",
+    )
+    batch = spark.createDataFrame([(1, "b", 2)], ["k", "tier", "ts"])
+    with _pytest.raises(ValueError, match="_scd2_seq"):
+        scd2_apply_delta(hist, batch, ["k"], "ts", ["tier"])
+
+
 def test_snapshot_diff_roundtrip_and_ops(spark):
     import pytest as _pytest
 
