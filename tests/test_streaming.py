@@ -158,6 +158,112 @@ def test_cdc_stream_parquet_stage_matches_batch(spark, tmp_path):
     }
 
 
+def _run_cdc_until_done(spark, landing_glob, wh, ckpt, file_format="csv"):
+    import time
+
+    q = start_cdc_stream(
+        spark,
+        landing_glob,
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+        file_format=file_format,
+    )
+    q.awaitTermination(120)
+    q.stop()  # deregister before a restart reuses the checkpoint
+    for _ in range(100):
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+
+
+def _drop_latest_commit(ckpt):
+    """Simulate the worst crash window: the sink wrote the merge, the
+    checkpoint never recorded the commit — the restarted stream
+    re-delivers the batch."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    latest = sorted(f for f in os.listdir(commits) if not f.startswith("."))[-1]
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks the rewrite
+        os.remove(crc)
+
+
+def _cdc_crash_recovery_scenario(spark, tmp_path, file_format):
+    """Crash-recovery pin shared by the CSV and parquet stages: run the
+    stream over a partial backlog, crash between sink write and
+    checkpoint commit (marker removed), land MORE files, restart on the
+    same checkpoint — the recovered stream must replay the uncommitted
+    batch idempotently, catch up, and converge to the batch path's
+    state over ALL files (exactly-once across the restart, not just
+    within one run)."""
+    from example_dms_dataexport_spark.sources.csv_stage import cdc_schema
+    from example_dms_dataexport_spark.sources.stage import read_stage
+
+    ext = file_format
+    write = _write_cdc_parquet if file_format == "parquet" else _write_cdc_file
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        ["id", "name", "val"],
+    )
+    wh.overwrite(target, "t")
+
+    files = [
+        str(landing / f"2024010{i}-000000001.{ext}") for i in (1, 2, 3)
+    ]
+    write(files[0], [("U", 1, "alice2", 11.0), ("D", 2, "bob", 20.0)])
+    write(files[1], [("I", 4, "dave", 40.0), ("U", 1, "alice3", 12.0)])
+    ckpt = str(tmp_path / "ckpt")
+    glob = str(landing / f"2*.{ext}")
+
+    _run_cdc_until_done(spark, glob, wh, ckpt, file_format)
+    mid = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert mid == {1: ("alice3", 12.0), 3: ("carol", 30.0), 4: ("dave", 40.0)}
+
+    _drop_latest_commit(ckpt)  # crash after the merge, before the commit
+    write(files[2], [("U", 4, "dave2", 41.0), ("I", 5, "erin", 50.0)])
+    _run_cdc_until_done(spark, glob, wh, ckpt, file_format)
+
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    # the batch path over ALL files is the ground truth
+    changes = read_stage(
+        spark,
+        files,
+        cdc_schema(target.schema),
+        file_format=file_format,
+        with_file_metadata=True,
+    )
+    expected = {
+        r["id"]: (r["name"], r["val"])
+        for r in apply_changes(
+            target, changes, pks=["id"],
+            version_cols=["_dms_filename", "_dms_rownum"],
+        ).collect()
+    }
+    assert got == expected
+    assert got == {
+        1: ("alice3", 12.0),
+        3: ("carol", 30.0),
+        4: ("dave2", 41.0),
+        5: ("erin", 50.0),
+    }
+
+
+def test_cdc_stream_crash_recovery_csv(spark, tmp_path):
+    _cdc_crash_recovery_scenario(spark, tmp_path, "csv")
+
+
+def test_cdc_stream_crash_recovery_parquet(spark, tmp_path):
+    _cdc_crash_recovery_scenario(spark, tmp_path, "parquet")
+
+
 def test_cdc_stream_agrees_with_batch_operator(spark, tmp_path):
     """The streaming path and a direct batch apply_changes must coincide."""
     wh = ParquetWarehouse(str(tmp_path / "wh2"))
