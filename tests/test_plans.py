@@ -553,6 +553,58 @@ def test_q114_bucketed_join_plan(spark):
     assert exchange_count(df) == 1, plan
 
 
+def test_q122_png_decode_no_shuffle(spark):
+    df = _q(spark, "q122_png_decode")
+    plan = physical_plan(df)
+    # encode -> inflate/unfilter -> features is a pure narrow pipeline
+    # (the q108 shape): Arrow-batched mapInPandas over the scan, nothing
+    # ever shuffles
+    assert exchange_count(df) == 0, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_erasure_plan(spark):
+    df = _q(spark, "q123_erasure_execution")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the re-audit semi join broadcasts the subject list (the fact side
+    # never shuffles for it); the only BNLJ is the documented 1-row
+    # scalar attach of `remaining`
+    assert broadcast_hint_count(df) == 1, plan
+
+
+def test_scd2_apply_delta_history_never_shuffles(spark, tmp_path):
+    """The 100 TB claim behind q124: given a MATERIALIZED history, the
+    delta fold shuffles only the (touched open rows + batch) window
+    input — the history passes through broadcast anti/semi flag joins
+    with zero exchange of its own."""
+    from example_dms_dataexport_spark.operators.scd import scd2_apply_delta
+
+    hist = spark.createDataFrame(
+        [(1, "a", 1, None)],
+        "k int, tier string, valid_from int, valid_to int",
+    )
+    hist.write.mode("overwrite").parquet(str(tmp_path / "hist"))
+    hist = spark.read.parquet(str(tmp_path / "hist"))
+    batch = spark.createDataFrame(
+        [(1, "b", 2, 1)], "k int, tier string, ts int, eid int"
+    )
+    out = scd2_apply_delta(hist, batch, ["k"], "ts", ["tier"], ["eid"])
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # key-set broadcasts: anti (untouched), semi (closed), semi (seed)
+    assert broadcast_hint_count(out) == 3, plan
+    # ONE data shuffle end-to-end: the tail compression's key window.
+    # (batch.distinct() for the key set adds its own exchanges but only
+    # batch-key-sized rows cross them.)
+    n_window_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning(k" in ln
+    )
+    assert n_window_exchanges <= 2, plan
+
+
 def test_q109_salted_join_plan(spark):
     from example_dms_dataexport_spark.operators.skewjoin import SALT_COL
 
