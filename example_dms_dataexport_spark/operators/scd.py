@@ -66,6 +66,7 @@ def scd2_apply_delta(
     ts_col: str,
     attr_cols: list[str],
     tiebreak_cols: list[str] | None = None,
+    validate_order: bool = True,
 ) -> DataFrame:
     """Fold a NEW batch of change rows into an existing SCD2 history
     WITHOUT rescanning the change stream — the dimension-table analogue
@@ -90,7 +91,16 @@ def scd2_apply_delta(
     Plan shape: the batch's key set broadcasts (one semi + one anti
     flag pass over the history — the history itself never shuffles);
     the window compression runs only over (touched open rows + batch),
-    i.e. batch-sized input, one shuffle on the key."""
+    i.e. batch-sized input, one shuffle on the key.
+
+    ``validate_order`` (default True) turns a contract VIOLATION into a
+    loud runtime failure instead of a silently wrong history: a lazy
+    per-row assert (an unordered max-over-key window sharing the
+    compression's shuffle — no extra exchange, no eager action) raises
+    if any batch row's ``ts`` precedes its key's open-version
+    ``valid_from``. Equal-``ts`` rows pass the guard (tiebreak order
+    against the open version is unknowable — the history does not store
+    tiebreaks) and deterministically sort after the seed."""
     if not key_cols or not attr_cols:
         raise ValueError("need key_cols and attr_cols")
     tiebreaks = list(tiebreak_cols or [])
@@ -125,8 +135,33 @@ def scd2_apply_delta(
     batch = changes.select(
         *key_cols, *attr_cols, ts_col, *tiebreaks, F.lit(1).alias(seq)
     )
+    data = seed.unionByName(batch)
+    if validate_order:
+        wk = Window.partitionBy(*key_cols)
+        open_ts = F.max(F.when(F.col(seq) == 0, F.col(ts_col))).over(wk)
+        ok = (
+            (F.col(seq) == 0)
+            | open_ts.isNull()
+            | (F.col(ts_col) >= open_ts)
+        )
+        # assert_true returns NULL when ok holds and raises otherwise;
+        # wrapping ts keeps the check in the used plan (never pruned)
+        data = data.withColumn(
+            ts_col,
+            F.when(
+                F.assert_true(
+                    ok,
+                    F.lit(
+                        "scd2_apply_delta: batch row older than its key's "
+                        "open version — late/out-of-order data needs a "
+                        "rebuild (scd2_from_changes)"
+                    ),
+                ).isNull(),
+                F.col(ts_col),
+            ),
+        )
     tail = scd2_from_changes(
-        seed.unionByName(batch),
+        data,
         key_cols,
         ts_col,
         attr_cols,

@@ -1250,6 +1250,37 @@ def test_scd2_apply_delta_equals_full_rebuild(spark):
         assert out == rebuilt, f"split={split}"
 
 
+def test_scd2_apply_delta_rejects_late_rows(spark):
+    """The order guard turns late/out-of-order batch data into a loud
+    runtime failure instead of a silently wrong history; equal-ts rows
+    pass (they deterministically sort after the seed)."""
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators.scd import (
+        scd2_apply_delta,
+        scd2_from_changes,
+    )
+
+    schema = "k int, tier string, ts int, eid int"
+    hist = scd2_from_changes(
+        spark.createDataFrame([(1, "gold", 5, 100)], schema),
+        ["k"], "ts", ["tier"], ["eid"],
+    )
+    late = spark.createDataFrame([(1, "silver", 3, 101)], schema)
+    with _pytest.raises(Exception, match="older than its key's open"):
+        scd2_apply_delta(hist, late, ["k"], "ts", ["tier"], ["eid"]).collect()
+    # validate_order=False keeps the (documented-wrong) permissive path
+    scd2_apply_delta(
+        hist, late, ["k"], "ts", ["tier"], ["eid"], validate_order=False
+    ).collect()
+    # equal-ts batch rows pass the guard
+    same_ts = spark.createDataFrame([(1, "silver", 5, 101)], schema)
+    out = scd2_apply_delta(
+        hist, same_ts, ["k"], "ts", ["tier"], ["eid"]
+    ).collect()
+    assert len(out) == 2
+
+
 def test_scd2_apply_delta_validates_helper_collision(spark):
     import pytest as _pytest
 

@@ -729,6 +729,101 @@ def test_rollup_stream_replayed_batch_not_double_applied(spark, tmp_path):
     assert got2["a"] == (110 + 100, 3)
 
 
+def test_scd2_stream_tracks_full_rebuild(spark, tmp_path):
+    """Continuous SCD2 maintenance: per-micro-batch scd2_apply_delta over
+    a change-file stream converges to the full-stream rebuild — q124's
+    equivalence, re-proven through the streaming driver."""
+    from example_dms_dataexport_spark.operators.scd import scd2_from_changes
+    from example_dms_dataexport_spark.streaming.scd_stream import (
+        start_scd2_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    schema = "k int, tier string, ts int, eid int"
+    seed_rows = [(1, "gold", 1, 100), (2, "basic", 1, 101)]
+    later = [
+        [(1, "gold", 2, 102), (1, "silver", 3, 103)],   # no-op then change
+        [(2, "pro", 4, 104), (3, "new", 5, 105)],       # change + new key
+    ]
+    hist = scd2_from_changes(
+        spark.createDataFrame(seed_rows, schema), ["k"], "ts", ["tier"], ["eid"]
+    )
+    wh.overwrite(hist, "dim")
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    for i, rows in enumerate(later):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(chg / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg / "*"))
+    )
+    q = start_scd2_stream(
+        spark, stream, wh, "dim", ["k"], "ts", ["tier"], ["eid"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rebuilt = scd2_from_changes(
+        spark.createDataFrame(
+            seed_rows + [r for rows in later for r in rows], schema
+        ),
+        ["k"], "ts", ["tier"], ["eid"],
+    )
+    assert {tuple(r) for r in wh.read(spark, "dim").collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
+
+
+def test_scd2_stream_replayed_batch_not_double_applied(spark, tmp_path):
+    """The guarded fold protects the history exactly like the rollup:
+    after a crash between the overwrite and the checkpoint commit, the
+    replayed batch is skipped (intervals not re-folded)."""
+    from example_dms_dataexport_spark.operators.scd import scd2_from_changes
+    from example_dms_dataexport_spark.streaming.scd_stream import (
+        start_scd2_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    schema = "k int, tier string, ts int, eid int"
+    hist = scd2_from_changes(
+        spark.createDataFrame([(1, "gold", 1, 100)], schema),
+        ["k"], "ts", ["tier"], ["eid"],
+    )
+    wh.overwrite(hist, "dim")
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    spark.createDataFrame(
+        [(1, "silver", 2, 101)], schema
+    ).coalesce(1).write.parquet(str(chg / "f0"))
+
+    def run(ckpt):
+        import time
+
+        stream = spark.readStream.schema(schema).parquet(str(chg / "*"))
+        q = start_scd2_stream(
+            spark, stream, wh, "dim", ["k"], "ts", ["tier"], ["eid"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    expect = {tuple(r) for r in wh.read(spark, "dim").collect()}
+    assert len(expect) == 2  # [1,2) gold + [2,None) silver
+    _drop_latest_commit(ckpt)
+    run(ckpt)  # replayed batch must be skipped by the batch_id guard
+    assert {tuple(r) for r in wh.read(spark, "dim").collect()} == expect
+
+
 def _rollup_env(spark, tmp_path):
     """Seeded rollup table + one pending change file + a runner helper."""
     import time
