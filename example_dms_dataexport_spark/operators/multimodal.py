@@ -906,6 +906,46 @@ def decode_png(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, PNG_SCHEMA)
 
 
+PNG_MEDIA_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+)
+
+
+def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of PNG payloads: PNG in -> PNG out (same
+    color type, new dimensions, re-deflated) — the COMPRESSED-format
+    twin of ``resize_pnm``, still with no external library: decode
+    (inflate + unfilter), endpoint-preserving nearest-neighbor sample,
+    re-encode through the stdlib deflate path (filter 0 scanlines — the
+    transform's job is geometry, not ratio tuning). Pixel VALUES come
+    from the source with no interpolation, so resized statistics stay
+    integer-exact and restatable."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    codec_factory = _make_png_codec
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        encode_one, decode_one = codec_factory()
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                ct, w, h, c, px, _mask = decode_one(bytes(b))
+                img = px.reshape(h, w, c)
+                ys = np.minimum(
+                    (np.arange(height) * h) // height, h - 1
+                ).astype(np.int64)
+                xs = np.minimum(
+                    (np.arange(width) * w) // width, w - 1
+                ).astype(np.int64)
+                out.append(encode_one(img[ys][:, xs], ct, [0] * height))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out})
+
+    return df.mapInPandas(do, PNG_MEDIA_SCHEMA)
+
+
 RESAMPLE_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("media", BinaryType())]
 )

@@ -1946,6 +1946,31 @@ def test_png_roundtrip_decode_matches_python(spark):
         assert r["filter_mask"] == expect_mask
 
 
+def test_resize_png_nearest_neighbor_exact(spark):
+    # doc 0 -> gray, width (0%16)+4 = 4, "abcd" -> one 4x1 row
+    docs = spark.createDataFrame([(0, "abcd"), (1, "wxyz")], ["doc_id", "text"])
+    png = multimodal.png_from_documents(docs)
+    resized = multimodal.resize_png(png, 8, 2)
+    got = {
+        r["doc_id"]: r for r in multimodal.decode_png(resized).collect()
+    }
+    for doc_id, text in [(0, "abcd"), (1, "wxyz")]:
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (8, 2)
+        w = (doc_id % 16) + 4
+        src = list(text.encode()) + [0] * (w - len(text))  # zero-padded row
+        xs = [min((i * w) // 8, w - 1) for i in range(8)]
+        ys = [min((j * 1) // 2, 0) for j in range(2)]
+        expect = sum(src[x] for _ in ys for x in xs)
+        assert r["pix_sum"] == expect * r["channels"]
+        assert (r["color_type"], r["channels"]) == (
+            (0, 1) if doc_id % 2 == 0 else (2, 3)
+        )
+        assert r["filter_mask"] == 1  # re-encoded with filter 0 scanlines
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.resize_png(png, 0, 2)
+
+
 def test_pnm_parser_rejects_bad_payloads():
     from example_dms_dataexport_spark.operators.multimodal import _parse_pnm
 

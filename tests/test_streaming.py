@@ -824,6 +824,66 @@ def test_scd2_stream_replayed_batch_not_double_applied(spark, tmp_path):
     assert {tuple(r) for r in wh.read(spark, "dim").collect()} == expect
 
 
+def test_erasure_stream_executes_requests_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The GDPR queue: streamed erasure requests delete their subjects
+    from a partitioned table batch by batch; a crash-replayed request
+    batch converges to the same state (erasure is naturally
+    idempotent — no batch-id guard needed)."""
+    import time
+
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    rows = [(u, f"v{u}", u % 4) for u in range(20)]
+    wh.overwrite(
+        spark.createDataFrame(rows, ["user_id", "val", "b"]),
+        "t",
+        partition_by=["b"],
+    )
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(1,), (5,)], "user_id int").coalesce(
+        1
+    ).write.parquet(str(req / "r0"))
+    spark.createDataFrame([(2,), (6,), (10,), (14,), (18,)], "user_id int")\
+        .coalesce(1).write.parquet(str(req / "r1"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("user_id int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(req / "*"))
+        )
+        q = start_erasure_stream(
+            spark, stream, wh, "t", "user_id",
+            checkpoint_dir=ckpt, partition_by=["b"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    back = wh.read(spark, "t")
+    assert back.count() == 13
+    erased = {1, 5, 2, 6, 10, 14, 18}
+    assert {r["user_id"] for r in back.collect()} == set(range(20)) - erased
+    assert not (tmp_path / "wh" / "t" / "b=2").exists()  # bucket emptied
+
+    # crash-replay: re-deliver the last request batch — state unchanged
+    _drop_latest_commit(ckpt)
+    run(ckpt)
+    back2 = wh.read(spark, "t")
+    assert {r["user_id"] for r in back2.collect()} == set(range(20)) - erased
+
+
 def _rollup_env(spark, tmp_path):
     """Seeded rollup table + one pending change file + a runner helper."""
     import time
