@@ -535,6 +535,11 @@ class ParquetWarehouse:
           snapshot immediately — erasure is only complete once no
           retained snapshot holds the subject's rows; pass a larger
           ``retain`` only if policy allows the grace window).
+        - **bucketed** (``_bucket_spec.json`` present): the survivors
+          rewrite THROUGH ``write_bucketed`` with the persisted spec, so
+          the co-located-join layout survives the erasure (a plain
+          overwrite here would silently destroy the bucket files while
+          the spec and catalog still claimed them).
         - **plain**: anti-join + the atomic temp-dir ``overwrite`` swap.
 
         The survivor set is materialized (localCheckpoint) before any
@@ -545,10 +550,16 @@ class ParquetWarehouse:
             F.col("__erase_key").isNotNull()
         ).distinct()
         versioned = os.path.isfile(self._version_pointer(table))
+        bucket_spec_path = os.path.join(self.path(table), BUCKET_SPEC_FILE)
+        bucketed = os.path.isfile(bucket_spec_path)
         if versioned and partition_by:
             raise ValueError(
                 "versioned tables snapshot whole states; erase without "
                 "partition_by"
+            )
+        if bucketed and (versioned or partition_by):
+            raise ValueError(
+                "bucketed tables are neither versioned nor hive-partitioned"
             )
         current = (
             self.read_version(spark, table)
@@ -591,6 +602,19 @@ class ParquetWarehouse:
                 )
         elif versioned:
             self.overwrite_versioned(survivors, table, retain=retain)
+        elif bucketed:
+            with open(bucket_spec_path) as f:
+                spec = json.load(f)
+            # write_bucketed rmtree's the table dir before writing, so
+            # the survivors (which READ those files) must be
+            # materialized first
+            self.write_bucketed(
+                survivors.localCheckpoint(eager=True),
+                table,
+                spec["bucket_by"],
+                spec["n_buckets"],
+                sort_by=spec["sort_by"] or None,
+            )
         else:
             # overwrite() already stages to a temp dir, so reading the
             # old files while writing the new ones is safe

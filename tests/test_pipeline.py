@@ -857,6 +857,39 @@ def test_erase_subjects_versioned_retention_expiry(spark, tmp_path):
         )
 
 
+def test_erase_subjects_bucketed_preserves_layout(spark, tmp_path):
+    """Erasure on a bucketed table must rewrite THROUGH write_bucketed:
+    a plain overwrite would silently destroy the bucket files while the
+    spec (and catalog) still claimed the layout — the zero-exchange
+    join contract would then return wrong joins, not an error."""
+    from example_dms_dataexport_spark.plans import exchange_count
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(u, f"v{u}") for u in range(16)], ["user_id", "val"]
+    )
+    wh.write_bucketed(df, "t", ["user_id"], 4, sort_by=["user_id"])
+    dim = spark.createDataFrame(
+        [(u, u % 3) for u in range(16)], ["user_id", "seg"]
+    )
+    wh.write_bucketed(dim, "d", ["user_id"], 4, sort_by=["user_id"])
+
+    subjects = spark.createDataFrame([(3,), (7,)], ["user_id"])
+    stats = wh.erase_subjects(spark, "t", "user_id", subjects)
+    assert stats["rows_erased"] == 2
+    # spec survived and the co-located join is still exchange-free
+    t = wh.read_bucketed(spark, "t")
+    d = wh.read_bucketed(spark, "d")
+    joined = t.hint("merge").join(d, t["user_id"] == d["user_id"])
+    assert exchange_count(joined) == 0
+    assert joined.count() == 14
+    assert t.join(subjects, "user_id", "left_semi").count() == 0
+    with pytest.raises(ValueError, match="bucketed"):
+        wh.erase_subjects(
+            spark, "t", "user_id", subjects, partition_by=["val"]
+        )
+
+
 def test_erase_subjects_plain_overwrite(spark, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     df = spark.createDataFrame(
