@@ -97,6 +97,7 @@ HEADLINE = [
     "q122_png_decode",
     "q123_erasure_execution",
     "q124_scd2_delta_apply",
+    "q125_group_commit_join",
 ]
 
 

@@ -2811,6 +2811,66 @@ def q124_scd2_delta_apply(spark, sf_dir):
     )
 
 
+_Q125_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 3 <> 0 AND c.c_custkey % 2 = 0
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("q125_group_commit_join", _Q125_ORACLE)
+def q125_group_commit_join(spark, sf_dir):
+    """Cross-table CONSISTENT time travel (the q110 story one level up):
+    two group commits publish different (orders, customer) state pairs
+    through ``commit_group`` — every member a real on-disk versioned
+    snapshot, one atomically-flipped group pointer — and the face joins
+    the members resolved AT COMMIT 1 via ``read_group``. The oracle
+    restates commit 1's filters only: if either member leaked commit-2
+    state (a torn multi-table read — the failure group commit exists to
+    prevent), the join's counts and revenue break the hash."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = _scratch_root("q125", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)  # deterministic per invocation
+    wh = ParquetWarehouse(root)
+    wh.commit_group(
+        {
+            "go_orders": o.filter(F.col("o_orderkey") % 3 != 0),
+            "go_customer": c.filter(F.col("c_custkey") % 2 == 0),
+        },
+        "core",
+    )
+    wh.commit_group(
+        {
+            "go_orders": o.filter(F.col("o_orderkey") % 3 != 1),
+            "go_customer": c.filter(F.col("c_custkey") % 2 == 1),
+        },
+        "core",
+    )
+    snap = wh.read_group(spark, "core", commit=1)
+    return (
+        snap["go_orders"]
+        .join(
+            snap["go_customer"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 _Q121_ORACLE = """
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,

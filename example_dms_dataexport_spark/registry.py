@@ -67,6 +67,7 @@ PRIORITY = [
     "q122_png_decode",
     "q123_erasure_execution",
     "q124_scd2_delta_apply",
+    "q125_group_commit_join",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",
@@ -93,7 +94,6 @@ PRIORITY = [
     "q48_unigram_logprob",
     "q50_pack_chunks",
     "q51_duplicate_spans",
-    "q52_tfidf_top_terms",
 ]
 
 

@@ -668,12 +668,13 @@ class ParquetWarehouse:
     def _version_pointer(self, table: str) -> str:
         return os.path.join(self.path(table), VERSION_FILE)
 
-    def _write_fence(self, table: str):
+    def _write_fence(self, table: str, lock_path: str | None = None):
         """ENFORCED single-writer fence: an ``O_EXCL``-created lock file
-        in the table directory. The second concurrent writer raises
-        :class:`ConcurrentWriteError` instead of silently losing a commit
-        in the ``_version.json`` read-modify-write. O_EXCL is atomic on
-        POSIX local filesystems and on HDFS-style stores with
+        in the table directory (or at ``lock_path`` for non-table
+        resources like group pointers). The second concurrent writer
+        raises :class:`ConcurrentWriteError` instead of silently losing
+        a commit in the ``_version.json`` read-modify-write. O_EXCL is
+        atomic on POSIX local filesystems and on HDFS-style stores with
         create-if-absent semantics; object stores without atomic
         create-if-absent (plain S3) need an external lock service — the
         same caveat every file-based table format carries."""
@@ -681,7 +682,7 @@ class ParquetWarehouse:
 
         @contextlib.contextmanager
         def fence():
-            lock = os.path.join(self.path(table), LOCK_FILE)
+            lock = lock_path or os.path.join(self.path(table), LOCK_FILE)
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -802,3 +803,118 @@ class ParquetWarehouse:
     def versions(self, table: str) -> dict[int, dict]:
         """Retained snapshot versions with their committed meta."""
         return self._load_versions(table)["versions"]
+
+    # ------------------------------------------------------------------
+    # Consistent multi-table snapshots (group commit)
+    # ------------------------------------------------------------------
+    #
+    # Per-table versioning makes each table individually atomic, but a
+    # reader joining two tables mid-publish can still see table A's new
+    # snapshot with table B's old one — a TORN multi-table state (the
+    # fact/dim consistency problem every warehouse publish has). A group
+    # commit closes it with one more pointer level:
+    #
+    #     root/_group_<name>.json    {"current": 2,
+    #                                 "commits": {2: {"orders": 5,
+    #                                                 "lineitem": 7}}}
+    #
+    # Writers commit every member table as a regular versioned snapshot
+    # (each under its own writer fence), then atomically replace the ONE
+    # group pointer. Readers resolve the group pointer once and read the
+    # recorded table versions — all tables at the same commit, or (if
+    # the writer crashed before the flip) all tables at the previous
+    # one; never a mix. Crash-orphaned table versions are swept by
+    # retention on the next successful commit.
+
+    def _group_pointer(self, group: str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", group)
+        return os.path.join(self.root, f"_group_{safe}.json")
+
+    def _load_group(self, group: str) -> dict:
+        p = self._group_pointer(group)
+        if not os.path.isfile(p):
+            return {"current": 0, "commits": {}}
+        with open(p) as f:
+            state = json.load(f)
+        state["commits"] = {
+            int(k): v for k, v in state["commits"].items()
+        }
+        return state
+
+    def commit_group(
+        self,
+        tables: dict[str, DataFrame],
+        group: str,
+        retain: int = 2,
+    ) -> int:
+        """Publish a CONSISTENT snapshot of several tables: each member
+        commits through ``overwrite_versioned`` (every group commit
+        writes every member, so per-table retention aligns with group
+        retention), then the single group pointer flips atomically.
+        Returns the group commit number.
+
+        Member sets must not shrink: dropping a table from a later
+        commit would leave older group commits resolvable but the
+        table's own retention unaware of them — refused loudly.
+        Single writer per GROUP, enforced with the same ``O_EXCL``
+        fence as per-table commits (member commits take their own
+        per-table fences inside). Members retain ``retain + 1`` table
+        versions so one CRASHED attempt (members committed, pointer
+        never flipped — its versions still occupy retention slots)
+        cannot expire the oldest retained group commit; resolving a
+        group commit whose member versions DID expire raises KeyError
+        loudly, never a torn read. Group members should only be written
+        through ``commit_group`` — a standalone ``overwrite_versioned``
+        on a member desynchronizes the two retention windows the same
+        way."""
+        if not tables:
+            raise ValueError("commit_group needs at least one table")
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        state = self._load_group(group)
+        prev = state["commits"].get(state["current"], {})
+        missing = set(prev) - set(tables)
+        if missing:
+            raise ValueError(
+                f"group {group!r} commit is missing member tables "
+                f"{sorted(missing)}; member sets must not shrink"
+            )
+        with self._write_fence(
+            group, lock_path=self._group_pointer(group) + ".lock"
+        ):
+            committed = {
+                name: self.overwrite_versioned(df, name, retain=retain + 1)
+                for name, df in tables.items()
+            }
+            commit = state["current"] + 1
+            state["commits"][commit] = committed
+            keep = sorted(state["commits"])[-retain:]
+            state["commits"] = {v: state["commits"][v] for v in keep}
+            state["current"] = commit
+            ptmp = self._group_pointer(group) + f".tmp-{uuid.uuid4().hex}"
+            with open(ptmp, "w") as f:
+                json.dump(state, f)
+            os.replace(ptmp, self._group_pointer(group))
+        return commit
+
+    def read_group(
+        self, spark: SparkSession, group: str, commit: int | None = None
+    ) -> dict[str, DataFrame]:
+        """Resolve one group commit (the current one by default, or any
+        retained ``commit`` — multi-table time travel) and return every
+        member table AT THAT COMMIT. The pointer is resolved once, so
+        the returned frames are mutually consistent even while a writer
+        publishes the next commit."""
+        state = self._load_group(group)
+        if state["current"] == 0:
+            raise FileNotFoundError(f"group {group!r} has no commits")
+        c = state["current"] if commit is None else commit
+        if c not in state["commits"]:
+            raise KeyError(
+                f"group commit {c} of {group!r} is not retained "
+                f"(have {sorted(state['commits'])})"
+            )
+        return {
+            name: self.read_version(spark, name, version=v)
+            for name, v in state["commits"][c].items()
+        }

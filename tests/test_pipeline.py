@@ -781,6 +781,74 @@ def test_jsonl_export_fence_blocks_second_writer(spark, tmp_path):
     assert not lock.exists()  # released after a successful export
 
 
+def test_group_commit_consistent_multi_table_snapshots(spark, tmp_path):
+    """Cross-table atomicity: readers resolving a group commit see every
+    member at THAT commit — current, time travel, and while a newer
+    commit publishes."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    c1 = wh.commit_group(
+        {"orders": spark.range(10), "items": spark.range(100)}, "core"
+    )
+    snap1 = wh.read_group(spark, "core")  # resolved BEFORE commit 2
+    c2 = wh.commit_group(
+        {"orders": spark.range(20), "items": spark.range(200)}, "core"
+    )
+    assert (c1, c2) == (1, 2)
+    # the pre-publish resolution stays internally consistent (commit 1)
+    assert (snap1["orders"].count(), snap1["items"].count()) == (10, 100)
+    cur = wh.read_group(spark, "core")
+    assert (cur["orders"].count(), cur["items"].count()) == (20, 200)
+    # multi-table time travel to a retained commit
+    old = wh.read_group(spark, "core", commit=1)
+    assert (old["orders"].count(), old["items"].count()) == (10, 100)
+    with pytest.raises(KeyError, match="not retained"):
+        wh.read_group(spark, "core", commit=99)
+    with pytest.raises(FileNotFoundError):
+        wh.read_group(spark, "nope")
+    with pytest.raises(ValueError, match="must not shrink"):
+        wh.commit_group({"orders": spark.range(1)}, "core")
+
+
+def test_group_commit_crash_before_flip_keeps_old_state(spark, tmp_path):
+    """A writer that commits its member tables but dies before the group
+    pointer flips leaves readers on the PREVIOUS consistent commit —
+    never a mix — and the retain+1 member window keeps that commit's
+    versions resolvable despite the orphaned attempt."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.commit_group(
+        {"orders": spark.range(10), "items": spark.range(100)}, "core"
+    )
+    # simulate the crash: member snapshots advance, pointer does not
+    wh.overwrite_versioned(spark.range(999), "orders", retain=3)
+    wh.overwrite_versioned(spark.range(999), "items", retain=3)
+    got = wh.read_group(spark, "core")
+    assert (got["orders"].count(), got["items"].count()) == (10, 100)
+    # the next successful commit supersedes the orphaned versions
+    wh.commit_group(
+        {"orders": spark.range(30), "items": spark.range(300)}, "core"
+    )
+    cur = wh.read_group(spark, "core")
+    assert (cur["orders"].count(), cur["items"].count()) == (30, 300)
+
+
+def test_group_commit_fence_blocks_second_writer(spark, tmp_path):
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.commit_group({"t": spark.range(3)}, "g")
+    lock = wh._group_pointer("g") + ".lock"
+    with open(lock, "w") as f:
+        f.write("pid=held")
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        wh.commit_group({"t": spark.range(4)}, "g")
+    import os
+
+    os.remove(lock)
+    assert wh.commit_group({"t": spark.range(4)}, "g") == 2
+
+
 def test_erase_subjects_partitioned_scoped_rewrite(spark, tmp_path):
     """GDPR erasure EXECUTION on a hive-partitioned table: only touched
     partitions rewrite (untouched parquet mtimes unchanged), a partition
