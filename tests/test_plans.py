@@ -605,6 +605,16 @@ def test_scd2_apply_delta_history_never_shuffles(spark, tmp_path):
     assert n_window_exchanges <= 2, plan
 
 
+def test_q125_group_commit_join_plan(spark):
+    df = _q(spark, "q125_group_commit_join")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the members resolve to plain parquet snapshot scans joined on the
+    # customer key — an equi-join (broadcast or sort-merge, AQE's call),
+    # never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_q109_salted_join_plan(spark):
     from example_dms_dataexport_spark.operators.skewjoin import SALT_COL
 
