@@ -2,10 +2,14 @@
 
 The reference stores a per-table ``file_format`` in its metadata table
 (ref control_migration_schema_script.sql:26) but its procedures hardcode
-CSV; here the column is honored — ``csv`` (headerless positional, the
-DMS default) and ``parquet`` (the other DMS S3 target format) share one
-positional-cast contract and one (filename, rownum) ordering contract,
-so the loaders and the CDC merge are format-agnostic.
+CSV; here the column is honored across the formats Snowflake's COPY
+INTO (the reference's load primitive, ref :291,341-348) accepts —
+``csv`` (headerless positional, the DMS default), ``parquet`` (the
+other DMS S3 target format), ``orc``, ``xml`` (named-column contract,
+see ``xml_stage``) and ``avro`` (capability-gated on the external
+spark-avro module, see ``avro_stage``). All formats share the
+(filename, rownum) ordering contract, so the loaders and the CDC merge
+are format-agnostic.
 """
 
 from __future__ import annotations
@@ -13,10 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from .avro_stage import read_stage_avro
 from .csv_stage import read_stage_csv
+from .orc_stage import read_stage_orc
 from .parquet_stage import read_stage_parquet
+from .xml_stage import read_stage_xml
 
-STAGE_FORMATS = ("csv", "parquet")
+STAGE_FORMATS = ("csv", "parquet", "orc", "xml", "avro")
 
 
 def stage_extension(file_format: str) -> str:
@@ -43,6 +50,18 @@ def read_stage(
     fmt = stage_extension(file_format)
     if fmt == "parquet":
         return read_stage_parquet(
+            spark, files, schema, with_file_metadata=with_file_metadata
+        )
+    if fmt == "orc":
+        return read_stage_orc(
+            spark, files, schema, with_file_metadata=with_file_metadata
+        )
+    if fmt == "xml":
+        return read_stage_xml(
+            spark, files, schema, with_file_metadata=with_file_metadata
+        )
+    if fmt == "avro":
+        return read_stage_avro(
             spark, files, schema, with_file_metadata=with_file_metadata
         )
     return read_stage_csv(
