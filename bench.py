@@ -98,6 +98,8 @@ HEADLINE = [
     "q123_erasure_execution",
     "q124_scd2_delta_apply",
     "q125_group_commit_join",
+    "q126_orc_stage_roundtrip",
+    "q127_xml_stage_roundtrip",
 ]
 
 

@@ -2930,3 +2930,117 @@ def q121_scd2_current_view(spark, sf_dir):
         )
         .join(counts, "user_id")
     )
+
+
+_Q126_ORACLE = """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+"""
+
+
+@query("q126_orc_stage_roundtrip", _Q126_ORACLE)
+def q126_orc_stage_roundtrip(spark, sf_dir):
+    """The ORC stage format's oracle face (ref metadata file_format :26;
+    COPY INTO accepts ORC :291): the full supplier table lands in a
+    scratch stage as MULTI-FILE ORC under foreign source column names,
+    comes back through ``read_stage_orc``'s positional cast with the
+    file-metadata virtual columns materialized, and aggregates per
+    nation. An ``assert_true`` guard proves the split-safe
+    (file_block_start, mono-id) rownum is a dense per-file sequence —
+    distinct (file, rownum) pairs must equal total rows — without
+    widening the oracle; the hash match against the parquet-side
+    restatement proves the ORC write -> positional read loses nothing
+    (types, NULLs, doubles)."""
+    import glob as _g
+    import shutil
+
+    sup = _t(spark, sf_dir, "supplier")
+    schema = sup.schema
+    root = _scratch_root("q126", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    # foreign names -> only the POSITIONAL contract can restore them
+    sup.select(
+        [F.col(c).alias(f"SRC_COL_{i}") for i, c in enumerate(sup.columns)]
+    ).repartition(4).write.format("orc").save(stage)
+
+    from .sources.orc_stage import read_stage_orc
+
+    files = sorted(_g.glob(os.path.join(stage, "part-*")))
+    back = read_stage_orc(spark, files, schema, with_file_metadata=True)
+    # The guard must FEED a projected column or Catalyst prunes it (and
+    # the whole rownum window with it): assert_true is NULL on success,
+    # so the coalesce term adds 0 to n_suppliers while forcing the
+    # distinct-(file, rownum) count to actually evaluate.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__pairs") == F.col("n_suppliers"),
+            F.lit("per-file rownum not a dense unique sequence"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.count_distinct(F.struct("_dms_filename", "_dms_rownum")).alias(
+                "__pairs"
+            ),
+        )
+        .select(
+            "s_nationkey",
+            (F.col("n_suppliers") + guard).alias("n_suppliers"),
+            "total_bal",
+        )
+    )
+
+
+_Q127_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_custkey % 5 = 0
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q127_xml_stage_roundtrip", _Q127_ORACLE)
+def q127_xml_stage_roundtrip(spark, sf_dir):
+    """The XML stage format's oracle face (ref metadata file_format :26;
+    COPY INTO accepts XML :291): a customer subset lands in a scratch
+    stage as XML through Spark's native writer, comes back through
+    ``read_stage_xml``'s NAMED schema-driven parse (XML has no file
+    column order — see sources/xml_stage.py), and aggregates per market
+    segment. The hash match against the parquet-side restatement proves
+    the text round trip loses nothing: Java shortest-repr double
+    formatting parses back to the identical bits, longs and strings
+    survive, and the named resolution binds every field."""
+    import glob as _g
+    import shutil
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    schema = cust.schema
+    root = _scratch_root("q127", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    cust.repartition(2).write.option("rowTag", "row").format("xml").save(
+        stage
+    )
+
+    from .sources.xml_stage import read_stage_xml
+
+    files = sorted(_g.glob(os.path.join(stage, "part-*")))
+    back = read_stage_xml(spark, files, schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -36,9 +36,9 @@ def query(name: str, oracle: str | None):
 # (q117-q121, never driver-checked) go first, then the 16 queries whose
 # latest driver row is r6 (the documented r8 deferrals), then any faces
 # new this round, then the lowest-numbered queries whose latest driver row
-# is r7. The r7 rows deferred to round 10 (q58/q67/q70-q73/q78/q82-q86/
-# q99-q107 area, exact set = whatever doesn't fit the 50) all carry green
-# r7 driver rows plus the local exact-mode sweep this round.
+# is r7. The r7 rows deferred to round 10 (q50/q51/q58/q67/q70-q73/q78/
+# q82-q86/q99-q107 area, exact set = whatever doesn't fit the 50) all
+# carry green r7 driver rows plus the local exact-mode sweep this round.
 PRIORITY = [
     # never driver-checked (registered after the r8 window filled)
     "q117_cdc_backlog",
@@ -68,6 +68,8 @@ PRIORITY = [
     "q123_erasure_execution",
     "q124_scd2_delta_apply",
     "q125_group_commit_join",
+    "q126_orc_stage_roundtrip",
+    "q127_xml_stage_roundtrip",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",
@@ -92,8 +94,6 @@ PRIORITY = [
     "q46_token_chunks",
     "q47_line_dedup",
     "q48_unigram_logprob",
-    "q50_pack_chunks",
-    "q51_duplicate_spans",
 ]
 
 

@@ -58,36 +58,67 @@ def read_cdc_stream(
     reconstructed per micro-batch by the caller's rownum window.
     Parquet also emits ``_dms_rownum`` natively from
     ``_metadata.row_index`` (split-stable, no window, same as the batch
-    reader). The positional contract needs the files' physical column
-    names; they are discovered once at stream setup from the current
-    landing contents (a driver-side schema read, not a data scan) —
-    when the landing dir is still empty the CDC schema's own names are
-    assumed, which DMS parquet exports match."""
+    reader). ORC and XML emit ``_dms_filename`` plus
+    ``_dms_blockstart`` (the split's byte offset): the caller's rownum
+    window orders by (blockstart, mono-id), which reconstructs
+    intra-file order under any file splitting — same contract as the
+    batch ``orc_stage``/``xml_stage`` readers. The positional contract
+    (parquet/ORC) needs the files' physical column names; they are
+    discovered once at stream setup from the current landing contents
+    (a driver-side schema read, not a data scan) — when the landing dir
+    is still empty the CDC schema's own names are assumed, which DMS
+    exports match. XML is NAMED (schema-driven, case-insensitive), so
+    no discovery is needed."""
     fmt = stage_extension(file_format)
     want = cdc_schema(target_schema)
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         try:
-            physical = spark.read.parquet(landing_glob).schema
+            physical = (
+                spark.read.parquet(landing_glob).schema
+                if fmt == "parquet"
+                else spark.read.orc(landing_glob).schema
+            )
         except Exception:  # no files landed yet — assume contract names
             physical = want
         if len(physical) != len(want.fields):
             raise ValueError(
-                f"stage parquet has {len(physical)} columns, CDC schema "
+                f"stage {fmt} has {len(physical)} columns, CDC schema "
                 f"needs {len(want.fields)} (positional contract)"
             )
         raw = (
             spark.readStream.schema(physical)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(landing_glob)
+            .format(fmt)
+            .load(landing_glob)
         )
         names = physical.fieldNames()
-        return raw.select(
-            *[
-                F.col(names[i]).cast(f.dataType).alias(f.name)
-                for i, f in enumerate(want.fields)
-            ],
+        cols = [
+            F.col(names[i]).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(want.fields)
+        ]
+        if fmt == "parquet":
+            return raw.select(
+                *cols,
+                F.col("_metadata.file_path").alias("_dms_filename"),
+                (F.col("_metadata.row_index") + 1).alias("_dms_rownum"),
+            )
+        return raw.select(  # orc: no row_index — split offset instead
+            *cols,
             F.col("_metadata.file_path").alias("_dms_filename"),
-            (F.col("_metadata.row_index") + 1).alias("_dms_rownum"),
+            F.col("_metadata.file_block_start").alias("_dms_blockstart"),
+        )
+    if fmt == "xml":
+        return (
+            spark.readStream.schema(want)
+            .option("rowTag", "row")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .format("xml")
+            .load(landing_glob)
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("_dms_filename"),
+                F.col("_metadata.file_block_start").alias("_dms_blockstart"),
+            )
         )
     return (
         spark.readStream.schema(want)
@@ -127,6 +158,15 @@ def start_cdc_stream(
             return
         if "_dms_rownum" in batch.columns:
             changes = batch  # parquet: row_index attached at the source
+        elif "_dms_blockstart" in batch.columns:
+            # orc/xml: order splits by byte offset, rows within a split
+            # by mono-id — correct under file splitting (see orc_stage)
+            w = Window.partitionBy("_dms_filename").orderBy(
+                "_dms_blockstart", F.monotonically_increasing_id()
+            )
+            changes = batch.withColumn(
+                "_dms_rownum", F.row_number().over(w)
+            ).drop("_dms_blockstart")
         else:
             w = Window.partitionBy("_dms_filename").orderBy(
                 F.monotonically_increasing_id()

@@ -628,3 +628,29 @@ def test_q109_salted_join_plan(spark):
     assert "SortMergeJoin" in plan, plan
     assert SALT_COL in plan, plan  # salt participates in the join keys
     assert "Generate" in plan, plan  # replication is an in-row explode
+
+
+def test_q126_orc_stage_plan(spark):
+    df = _q(spark, "q126_orc_stage_roundtrip")
+    plan = physical_plan(df)
+    # the stage read is a native columnar ORC scan, not a text fallback
+    assert "orc" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly three data shuffles: the per-file rownum window's
+    # hashpartitioning(_dms_filename), the distinct-(file, rownum)
+    # guard's dedup exchange, and the final nation aggregation
+    assert exchange_count(df) == 3, plan
+    # the guard's window must SURVIVE column pruning (it feeds the
+    # projected n_suppliers through the assert_true coalesce)
+    assert "Window" in plan, plan
+
+
+def test_q127_xml_stage_plan(spark):
+    df = _q(spark, "q127_xml_stage_roundtrip")
+    plan = physical_plan(df)
+    # schema-driven native XML scan (Spark 4 built-in source)
+    assert "xml" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    # no rownum window in this face: the ONLY shuffle is the segment agg
+    assert exchange_count(df) == 1, plan

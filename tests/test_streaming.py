@@ -90,6 +90,35 @@ def _write_cdc_parquet(path, rows):
     )
 
 
+def _write_cdc_orc(path, rows):
+    # physical names differ from the target's — position is the contract
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    orc.write_table(
+        pa.table(
+            {
+                "Op": [r[0] for r in rows],
+                "c1": [r[1] for r in rows],
+                "c2": [r[2] for r in rows],
+                "c3": [r[3] for r in rows],
+            }
+        ),
+        str(path),
+    )
+
+
+def _write_cdc_xml(path, rows):
+    # NAMED contract: elements carry the CDC schema's field names
+    # (op + target columns); 'Op' exercises case-insensitive resolution
+    body = "".join(
+        f"<row><Op>{op}</Op><id>{i}</id><name>{n}</name><val>{v}</val></row>"
+        for op, i, n, v in rows
+    )
+    with open(str(path), "w") as f:
+        f.write(f"<rows>{body}</rows>")
+
+
 def test_cdc_stream_parquet_stage_matches_batch(spark, tmp_path):
     """The stream source honors the metadata file_format like the batch
     path: a parquet-stage table stream-merges through the same positional
@@ -205,7 +234,11 @@ def _cdc_crash_recovery_scenario(spark, tmp_path, file_format):
     from example_dms_dataexport_spark.sources.stage import read_stage
 
     ext = file_format
-    write = _write_cdc_parquet if file_format == "parquet" else _write_cdc_file
+    write = {
+        "parquet": _write_cdc_parquet,
+        "orc": _write_cdc_orc,
+        "xml": _write_cdc_xml,
+    }.get(file_format, _write_cdc_file)
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -262,6 +295,18 @@ def test_cdc_stream_crash_recovery_csv(spark, tmp_path):
 
 def test_cdc_stream_crash_recovery_parquet(spark, tmp_path):
     _cdc_crash_recovery_scenario(spark, tmp_path, "parquet")
+
+
+def test_cdc_stream_crash_recovery_orc(spark, tmp_path):
+    """ORC stage through the stream: positional cast + the
+    (blockstart, mono-id) rownum window, across a checkpoint crash."""
+    _cdc_crash_recovery_scenario(spark, tmp_path, "orc")
+
+
+def test_cdc_stream_crash_recovery_xml(spark, tmp_path):
+    """XML stage through the stream: NAMED schema-driven parse + the
+    (blockstart, mono-id) rownum window, across a checkpoint crash."""
+    _cdc_crash_recovery_scenario(spark, tmp_path, "xml")
 
 
 def test_cdc_stream_agrees_with_batch_operator(spark, tmp_path):
