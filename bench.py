@@ -100,6 +100,7 @@ HEADLINE = [
     "q125_group_commit_join",
     "q126_orc_stage_roundtrip",
     "q127_xml_stage_roundtrip",
+    "q128_zonemap_prune",
 ]
 
 

@@ -3044,3 +3044,56 @@ def q127_xml_stage_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+_Q128_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 150000
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q128_zonemap_prune", _Q128_ORACLE)
+def q128_zonemap_prune(spark, sf_dir):
+    """Manifest-level data skipping (the read-side complement of the
+    warehouse's cluster_by layout; BASELINE north star "file-pruned
+    reads"): orders lands range-clustered on o_totalprice with a
+    per-file min/max zone map committed atomically with the data
+    (``overwrite(stat_cols=...)``), and the face range-reads through
+    ``read_zoned`` — files whose band misses [lo, hi] are dropped at
+    PLANNING time, before any footer is opened. A driver-side guard
+    fails the face if the scan planned over the full file set (pruning
+    silently broken), and the hash match against the plain restatement
+    proves pruning never drops a matching row."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    lo, hi = 100000.0, 150000.0
+    root = _scratch_root("q128", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    wh.overwrite(
+        orders,
+        "orders_z",
+        cluster_by=["o_totalprice"],
+        cluster_partitions=16,
+        stat_cols=["o_totalprice"],
+    )
+    out = wh.read_zoned(spark, "orders_z", "o_totalprice", lo=lo, hi=hi)
+    n_total = len(wh.zonemap("orders_z")["files"])
+    n_planned = len(out.inputFiles())
+    if not 0 < n_planned < n_total:
+        raise AssertionError(
+            f"zone map did not prune: planned {n_planned}/{n_total} files"
+        )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -46,6 +46,11 @@ BUCKET_SPEC_FILE = "_bucket_spec.json"
 # Snapshot pointer for overwrite_versioned/read_version (time travel).
 VERSION_FILE = "_version.json"
 
+# Per-file zone map (min/max per stat column) for manifest-level file
+# pruning — see write_zonemap/read_zoned. Underscore prefix hides it
+# from parquet file discovery.
+ZONEMAP_FILE = "_zonemap.json"
+
 # Writer fence for overwrite_versioned (single-writer enforcement).
 LOCK_FILE = "_writer.lock"
 
@@ -122,6 +127,7 @@ class ParquetWarehouse:
         cluster_partitions: int | None = None,
         zorder_by: list[str] | None = None,
         meta: dict | None = None,
+        stat_cols: list[str] | None = None,
     ) -> None:
         """Full atomic replace: materialize to temp dir, swap, drop old.
 
@@ -143,6 +149,12 @@ class ParquetWarehouse:
         leading column, Z-order gives every listed column
         ~|files|^(1/n_cols) of the value range per file, so range filters
         on ANY of them skip files (partitioning.zorder_key).
+
+        ``stat_cols`` additionally builds a per-file min/max ZONE MAP
+        over those columns (one pass over the just-written temp dir) and
+        commits it atomically with the data — ``read_zoned`` then prunes
+        whole files at planning time. Pair with ``cluster_by`` on the
+        same column so the bands are narrow.
         """
         df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         final = self.path(table)
@@ -154,6 +166,13 @@ class ParquetWarehouse:
         if meta is not None:
             with open(os.path.join(tmp, META_FILE), "w") as f:
                 json.dump(meta, f)
+        if stat_cols:
+            # computed over the tmp dir (page-cache warm) and committed
+            # atomically WITH the data by the swap below — the manifest
+            # can never describe a different table state than it sits in
+            zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
+            with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                json.dump(zm, f)
         self._commit_swap(tmp, final, table)
 
     @staticmethod
@@ -273,6 +292,134 @@ class ParquetWarehouse:
         self._commit_swap(tmp, final, table)
         return manifest
 
+    # ---- zone map: manifest-level file pruning --------------------------
+
+    @staticmethod
+    def _zonemap_stat(v):
+        """JSON-normalize a min/max value; datetimes/dates become ISO
+        strings (lexicographic order matches chronological order)."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return float(v)
+        return v
+
+    @staticmethod
+    def _compute_zonemap(
+        spark: SparkSession, data_dir: str, stat_cols: list[str]
+    ) -> dict:
+        """One distributed pass over ``data_dir``: per parquet file, row
+        count plus min/max of every stat column, keyed by path RELATIVE
+        to ``data_dir`` (stable across the atomic tmp→final rename).
+        The result is file-count sized — at 100 TB / ~1 GB files that is
+        ~10^5 entries, megabytes of driver memory, not a data scan at
+        query time."""
+        df = spark.read.parquet(data_dir)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        rows = (
+            df.groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        )
+        prefix = "file:" + os.path.abspath(data_dir).rstrip("/") + "/"
+        files = {}
+        for r in rows:
+            fp = r["__fp"]
+            rel = fp[len(prefix):] if fp.startswith(prefix) else fp
+            files[rel] = {
+                "n": r["__n"],
+                **{
+                    c: [
+                        ParquetWarehouse._zonemap_stat(r[f"__min_{c}"]),
+                        ParquetWarehouse._zonemap_stat(r[f"__max_{c}"]),
+                    ]
+                    for c in stat_cols
+                },
+            }
+        return {"stat_cols": list(stat_cols), "files": files}
+
+    def _drop_zonemap(self, table: str) -> None:
+        """Every in-place mutation (replace_partitions / compact /
+        erase_subjects) calls this FIRST: a zone map describing files
+        that no longer exist would silently exclude the new files from
+        pruned reads — stale-and-absent must fail loudly in read_zoned,
+        never mis-prune. Rebuild after the mutation with write_zonemap."""
+        p = os.path.join(self.path(table), ZONEMAP_FILE)
+        if os.path.isfile(p):
+            os.remove(p)
+
+    def write_zonemap(
+        self, spark: SparkSession, table: str, stat_cols: list[str]
+    ) -> dict:
+        """(Re)build the zone map for a committed table. Derived
+        metadata: if it is ever missing or stale, ``read_zoned`` refuses
+        loudly rather than mis-pruning — rebuild with this call (e.g.
+        after ``compact``). ``overwrite(..., stat_cols=...)`` builds it
+        atomically with the data instead."""
+        zm = self._compute_zonemap(spark, self.path(table), stat_cols)
+        with open(os.path.join(self.path(table), ZONEMAP_FILE), "w") as f:
+            json.dump(zm, f)
+        return zm
+
+    def zonemap(self, table: str) -> dict | None:
+        p = os.path.join(self.path(table), ZONEMAP_FILE)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def read_zoned(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+    ) -> DataFrame:
+        """Manifest-pruned range read: keep only the files whose
+        [min, max] band for ``col`` overlaps [lo, hi], scan those with
+        ``basePath`` set (partition columns survive), and apply the
+        residual filter. This is the read-side complement of the
+        ``cluster_by``/``zorder_by`` write layout: the layout makes each
+        file's band narrow, the manifest drops non-overlapping files at
+        PLANNING time — the scan never opens their footers, which is
+        what parquet row-group statistics alone cannot give you at
+        100 TB file counts. Files with no non-null values for ``col``
+        are dropped (a range predicate never matches NULL)."""
+        zm = self.zonemap(table)
+        if zm is None:
+            raise ValueError(
+                f"table {table!r} has no {ZONEMAP_FILE}; write it with "
+                "write_zonemap() or overwrite(..., stat_cols=[...])"
+            )
+        if col not in zm["stat_cols"]:
+            raise ValueError(
+                f"column {col!r} not in zone map stat_cols {zm['stat_cols']}"
+            )
+        nlo = self._zonemap_stat(lo)
+        nhi = self._zonemap_stat(hi)
+        base = self.path(table)
+        kept = []
+        for rel, stats in zm["files"].items():
+            mn, mx = stats[col]
+            if mn is None:  # all-NULL file for this column
+                continue
+            if (nhi is None or mn <= nhi) and (nlo is None or mx >= nlo):
+                kept.append(os.path.join(base, rel))
+        if not kept:  # zero overlap: empty result with the table schema
+            return self.read(spark, table).filter(F.lit(False))
+        df = spark.read.option("basePath", base).parquet(*kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def read_manifest(self, table: str) -> dict:
         """Manifest committed by the last ``write_shards``."""
         with open(os.path.join(self.path(table), "_manifest.json")) as f:
@@ -298,6 +445,7 @@ class ParquetWarehouse:
         input *reads* the same table, callers should persist/checkpoint the
         merged result first or use ``overwrite``.
         """
+        self._drop_zonemap(table)
         (
             df.write.mode("overwrite")
             .partitionBy(*partition_by)
@@ -334,6 +482,7 @@ class ParquetWarehouse:
         Bucketed tables are refused: their file layout IS the bucket
         spec — rewrite them with ``write_bucketed`` instead.
         """
+        self._drop_zonemap(table)
         final = self.path(table)
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
             raise ValueError(
@@ -478,6 +627,7 @@ class ParquetWarehouse:
         cleanup. The untouched partitions' files are never read or
         written.
         """
+        self._drop_zonemap(table)
         self._reconcile(table, writer=True)
         still_present = {
             tuple(r[c] for c in partition_by)
@@ -546,6 +696,7 @@ class ParquetWarehouse:
         rewrite that overlaps its own input files — the same
         read-then-overwrite hazard ``overwrite_partitions`` documents.
         """
+        self._drop_zonemap(table)
         subj = subjects.toDF("__erase_key").filter(
             F.col("__erase_key").isNotNull()
         ).distinct()

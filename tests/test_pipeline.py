@@ -664,8 +664,10 @@ def test_parquet_stage_rejects_column_count_mismatch(spark, tmp_path):
 def test_unknown_stage_format_raises(spark, tmp_path):
     from example_dms_dataexport_spark.sources.stage import stage_extension
 
+    # avro graduated to a (capability-gated) supported format; protobuf
+    # stands in as the genuinely-unknown one
     with pytest.raises(ValueError, match="unsupported"):
-        stage_extension("avro")
+        stage_extension("protobuf")
 
 
 # ---------------------------------------------------------------------------
@@ -1072,3 +1074,101 @@ def test_versioned_overwrite_applies_cluster_layout(spark, tmp_path):
     bands.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(bands, bands[1:]):
         assert a_hi < b_lo
+
+
+# --- zone map: manifest-level file pruning ---------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _zm_table(spark, wh, n=200, files=8, stat=True):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    wh.overwrite(
+        df,
+        "zt",
+        cluster_by=["k"],
+        cluster_partitions=files,
+        stat_cols=["k"] if stat else None,
+    )
+    return df
+
+
+def test_zonemap_committed_with_overwrite_and_prunes(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    zm = wh.zonemap("zt")
+    assert zm is not None and zm["stat_cols"] == ["k"]
+    n_files = len(zm["files"])
+    assert n_files > 1
+    assert sum(s["n"] for s in zm["files"].values()) == 200
+
+    out = wh.read_zoned(spark, "zt", "k", lo=10, hi=30)
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(10, 31))
+    # the scan must have PLANNED over a strict subset of the files
+    assert 0 < len(out.inputFiles()) < n_files
+
+
+def test_zonemap_unbounded_and_empty_range(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    assert wh.read_zoned(spark, "zt", "k", lo=190).count() == 10
+    assert wh.read_zoned(spark, "zt", "k", hi=9).count() == 10
+    empty = wh.read_zoned(spark, "zt", "k", lo=1000, hi=2000)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "grp", "v"]  # schema survives
+
+
+def test_zonemap_unknown_column_and_missing_map(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    with pytest.raises(ValueError, match="not in zone map"):
+        wh.read_zoned(spark, "zt", "v", lo=0)
+    wh2 = ParquetWarehouse(str(tmp_path / "wh2"))
+    _zm_table(spark, wh2, stat=False)
+    with pytest.raises(ValueError, match="no _zonemap"):
+        wh2.read_zoned(spark, "zt", "k", lo=0)
+
+
+def test_zonemap_invalidated_by_compaction_then_rebuilt(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    assert wh.compact(spark, "zt", target_file_bytes=1 << 30) >= 1
+    # stale map must be GONE (silent mis-pruning is the failure mode)
+    assert wh.zonemap("zt") is None
+    with pytest.raises(ValueError, match="no _zonemap"):
+        wh.read_zoned(spark, "zt", "k", lo=0, hi=5)
+    wh.write_zonemap(spark, "zt", ["k"])
+    got = sorted(r.k for r in wh.read_zoned(spark, "zt", "k", 0, 5).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_zonemap_partitioned_table_keeps_partition_column(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    wh.overwrite(df, "pt", partition_by=["p"], stat_cols=["k"])
+    out = wh.read_zoned(spark, "pt", "k", lo=20, hi=40)
+    assert set(out.columns) == {"k", "p"}
+    rows = out.collect()
+    assert sorted(r.k for r in rows) == list(range(20, 41))
+    assert all(r.p == r.k % 4 for r in rows)  # basePath restored p
+
+
+def test_zonemap_all_null_stat_files_are_droppable(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "s"])
+    b = spark.createDataFrame(
+        [(None, "n1"), (None, "n2")], "k int, s string"
+    )
+    wh.overwrite(
+        a.unionByName(b).repartition(1, "s"), "nt", stat_cols=["k"]
+    )
+    wh.write_zonemap(spark, "nt", ["k"])  # rebuild post-hoc path too
+    out = wh.read_zoned(spark, "nt", "k", lo=0, hi=10)
+    assert sorted(r.k for r in out.collect()) == [1, 2]

@@ -654,3 +654,13 @@ def test_q127_xml_stage_plan(spark):
     assert "CartesianProduct" not in plan
     # no rownum window in this face: the ONLY shuffle is the segment agg
     assert exchange_count(df) == 1, plan
+
+
+def test_q128_zonemap_prune_plan(spark):
+    df = _q(spark, "q128_zonemap_prune")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pruned file-list scan + residual filter + ONE agg shuffle; the
+    # face itself guards that the planned file set is a strict subset
+    assert exchange_count(df) == 1, plan
