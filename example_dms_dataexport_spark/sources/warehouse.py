@@ -361,13 +361,37 @@ class ParquetWarehouse:
         loudly rather than mis-pruning — rebuild with this call (e.g.
         after ``compact``). ``overwrite(..., stat_cols=...)`` builds it
         atomically with the data instead."""
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — snapshots carry their own "
+                "maps; commit with overwrite_versioned(stat_cols=[...])"
+            )
         zm = self._compute_zonemap(spark, self.path(table), stat_cols)
         with open(os.path.join(self.path(table), ZONEMAP_FILE), "w") as f:
             json.dump(zm, f)
         return zm
 
-    def zonemap(self, table: str) -> dict | None:
-        p = os.path.join(self.path(table), ZONEMAP_FILE)
+    def _zoned_base(self, table: str, version: int | None) -> str:
+        """Directory holding the data AND its zone map: the table dir
+        for plain tables, the resolved snapshot dir for versioned ones
+        (each immutable snapshot carries its OWN map — never stale)."""
+        if not os.path.isfile(self._version_pointer(table)):
+            if version is not None:
+                raise ValueError(f"table {table!r} is not versioned")
+            return self.path(table)
+        state = self._load_versions(table)
+        v = state["current"] if version is None else version
+        if v not in state["versions"]:
+            raise KeyError(
+                f"version {v} of {table!r} is not retained "
+                f"(have {sorted(state['versions'])})"
+            )
+        return os.path.join(self.path(table), state["versions"][v]["dir"])
+
+    def zonemap(
+        self, table: str, version: int | None = None
+    ) -> dict | None:
+        p = os.path.join(self._zoned_base(table, version), ZONEMAP_FILE)
         if not os.path.isfile(p):
             return None
         with open(p) as f:
@@ -377,47 +401,80 @@ class ParquetWarehouse:
         self,
         spark: SparkSession,
         table: str,
-        col: str,
+        col: str | None = None,
         lo=None,
         hi=None,
+        ranges: dict | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Manifest-pruned range read: keep only the files whose
-        [min, max] band for ``col`` overlaps [lo, hi], scan those with
+        [min, max] band overlaps the requested range(s), scan those with
         ``basePath`` set (partition columns survive), and apply the
-        residual filter. This is the read-side complement of the
+        residual filters. This is the read-side complement of the
         ``cluster_by``/``zorder_by`` write layout: the layout makes each
         file's band narrow, the manifest drops non-overlapping files at
         PLANNING time — the scan never opens their footers, which is
         what parquet row-group statistics alone cannot give you at
-        100 TB file counts. Files with no non-null values for ``col``
-        are dropped (a range predicate never matches NULL)."""
-        zm = self.zonemap(table)
-        if zm is None:
+        100 TB file counts. Files with no non-null values for a queried
+        column are dropped (a range predicate never matches NULL).
+
+        Single column: ``read_zoned(spark, t, "k", lo, hi)``. Multiple
+        columns: ``read_zoned(spark, t, ranges={"a": (a0, a1),
+        "b": (b0, b1)})`` — a file survives only if EVERY range
+        overlaps; pair with ``zorder_by`` on the same columns, whose
+        layout localizes every listed column, so each conjunct prunes
+        (lexicographic ``cluster_by`` only makes the leading column's
+        bands narrow). On a versioned table the CURRENT snapshot's map
+        is used, or any retained ``version`` (time-travel pruned
+        reads)."""
+        if ranges is None:
+            if col is None:
+                raise ValueError("pass col (+ lo/hi) or ranges={...}")
+            ranges = {col: (lo, hi)}
+        elif col is not None or lo is not None or hi is not None:
+            raise ValueError("col/lo/hi and ranges are mutually exclusive")
+        base = self._zoned_base(table, version)
+        zm_path = os.path.join(base, ZONEMAP_FILE)
+        if not os.path.isfile(zm_path):
             raise ValueError(
                 f"table {table!r} has no {ZONEMAP_FILE}; write it with "
                 "write_zonemap() or overwrite(..., stat_cols=[...])"
             )
-        if col not in zm["stat_cols"]:
+        with open(zm_path) as f:
+            zm = json.load(f)
+        missing = [c for c in ranges if c not in zm["stat_cols"]]
+        if missing:
             raise ValueError(
-                f"column {col!r} not in zone map stat_cols {zm['stat_cols']}"
+                f"column(s) {missing} not in zone map stat_cols "
+                f"{zm['stat_cols']}"
             )
-        nlo = self._zonemap_stat(lo)
-        nhi = self._zonemap_stat(hi)
-        base = self.path(table)
+        norm = {
+            c: (self._zonemap_stat(b[0]), self._zonemap_stat(b[1]))
+            for c, b in ranges.items()
+        }
         kept = []
         for rel, stats in zm["files"].items():
-            mn, mx = stats[col]
-            if mn is None:  # all-NULL file for this column
-                continue
-            if (nhi is None or mn <= nhi) and (nlo is None or mx >= nlo):
+            ok = True
+            for c, (nlo, nhi) in norm.items():
+                mn, mx = stats[c]
+                if mn is None:  # all-NULL file for this column
+                    ok = False
+                    break
+                if (nhi is not None and mn > nhi) or (
+                    nlo is not None and mx < nlo
+                ):
+                    ok = False
+                    break
+            if ok:
                 kept.append(os.path.join(base, rel))
         if not kept:  # zero overlap: empty result with the table schema
-            return self.read(spark, table).filter(F.lit(False))
+            return spark.read.parquet(base).filter(F.lit(False))
         df = spark.read.option("basePath", base).parquet(*kept)
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+        for c, (clo, chi) in ranges.items():
+            if clo is not None:
+                df = df.filter(F.col(c) >= F.lit(clo))
+            if chi is not None:
+                df = df.filter(F.col(c) <= F.lit(chi))
         return df
 
     def read_manifest(self, table: str) -> dict:
@@ -877,13 +934,17 @@ class ParquetWarehouse:
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
         zorder_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as the table's next immutable snapshot and
         return its version number. Keeps the newest ``retain`` snapshots
         (>=1); older ones are pruned AFTER the pointer flip, so a reader
         that resolved any retained version keeps valid files.
         ``cluster_by``/``zorder_by`` apply the same data-skipping file
-        layouts as ``overwrite``.
+        layouts as ``overwrite``; ``stat_cols`` builds the snapshot's
+        zone map inside the snapshot dir before the rename, so every
+        immutable snapshot carries its own never-stale map and
+        ``read_zoned(..., version=...)`` prunes time-travel reads.
 
         SINGLE WRITER per table, ENFORCED: the read-modify-write of
         ``_version.json`` is not compare-and-swap, so the whole commit
@@ -906,6 +967,10 @@ class ParquetWarehouse:
             if meta is not None:
                 with open(os.path.join(tmp, META_FILE), "w") as f:
                     json.dump(meta, f)
+            if stat_cols:
+                zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
+                with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                    json.dump(zm, f)
             os.replace(tmp, final)
             state["versions"][version] = {"dir": vdir, "meta": meta or {}}
             state["current"] = version

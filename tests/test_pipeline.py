@@ -1172,3 +1172,67 @@ def test_zonemap_all_null_stat_files_are_droppable(spark, tmp_path):
     wh.write_zonemap(spark, "nt", ["k"])  # rebuild post-hoc path too
     out = wh.read_zoned(spark, "nt", "k", lo=0, hi=10)
     assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_zonemap_multicolumn_with_zorder(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / F.lit(64)).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    wh.overwrite(
+        df,
+        "zz",
+        zorder_by=["a", "b"],
+        cluster_partitions=16,
+        stat_cols=["a", "b"],
+    )
+    n_files = len(wh.zonemap("zz")["files"])
+    out = wh.read_zoned(spark, "zz", ranges={"a": (10, 13), "b": (20, 23)})
+    rows = out.collect()
+    assert len(rows) == 16
+    assert all(10 <= r.a <= 13 and 20 <= r.b <= 23 for r in rows)
+    # the conjunction must prune harder than either column alone
+    n_both = len(out.inputFiles())
+    n_a = len(wh.read_zoned(spark, "zz", "a", 10, 13).inputFiles())
+    assert 0 < n_both <= n_a < n_files
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        wh.read_zoned(spark, "zz", "a", 0, 1, ranges={"b": (0, 1)})
+    with pytest.raises(ValueError, match="col"):
+        wh.read_zoned(spark, "zz")
+
+
+def test_zonemap_versioned_snapshots(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    v1 = wh.overwrite_versioned(
+        spark.range(100).select(F.col("id").alias("k")),
+        "vt",
+        cluster_by=["k"],
+        cluster_partitions=4,
+        stat_cols=["k"],
+    )
+    v2 = wh.overwrite_versioned(
+        spark.range(100, 200).select(F.col("id").alias("k")),
+        "vt",
+        cluster_by=["k"],
+        cluster_partitions=4,
+        stat_cols=["k"],
+    )
+    # current snapshot: v2's data, pruned
+    cur = wh.read_zoned(spark, "vt", "k", lo=150, hi=160)
+    assert sorted(r.k for r in cur.collect()) == list(range(150, 161))
+    assert len(cur.inputFiles()) < len(wh.zonemap("vt")["files"]) or (
+        len(wh.zonemap("vt")["files"]) == 1
+    )
+    # time travel: v1's map prunes v1's files
+    old = wh.read_zoned(spark, "vt", "k", lo=10, hi=20, version=v1)
+    assert sorted(r.k for r in old.collect()) == list(range(10, 21))
+    assert wh.zonemap("vt", version=v1) is not None
+    # the current map must not see v1's range at all
+    assert wh.read_zoned(spark, "vt", "k", lo=10, hi=20).count() == 0
+    with pytest.raises(ValueError, match="versioned"):
+        wh.write_zonemap(spark, "vt", ["k"])
+    with pytest.raises(KeyError):
+        wh.read_zoned(spark, "vt", "k", lo=0, version=99)
+    assert v2 == v1 + 1
