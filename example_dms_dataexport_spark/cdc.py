@@ -62,6 +62,9 @@ def incremental_load(
         return "Specified full_path doesn't exist in dms_metadata table."
     if not meta.stage or not meta.primary_keys:
         return "The fields stage and primary_keys can't be null"  # ref :303-305
+    layout = meta.layout()
+    if partition_by is None:  # declared layout drives the partition scoping
+        partition_by = layout.get("partition_by")
 
     pattern = CDC_PATTERN.format(
         schema=meta.db_schema,
@@ -98,6 +101,13 @@ def incremental_load(
         target = target.select(*schema.fieldNames())
         read_schema = schema
     else:
+        if meta.column_order:
+            # the positional CDC cast follows the SOURCE order recorded
+            # at full load — a partitioned target's schema reads back
+            # partition-columns-last, which would garble the cast
+            order = [c for c in meta.column_order if c in target.columns]
+            order += [c for c in target.columns if c not in order]
+            target = target.select(*order)
         read_schema = target.schema
     changes = read_stage(
         spark,
@@ -122,9 +132,12 @@ def incremental_load(
         # resolve the table schema from an old-layout footer — silently
         # losing the new column. Force the one-time full rewrite.
         full_rewrite=evolved,
+        layout=layout,
     )
 
     last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
+    if schema is not None:  # evolution: the new order is authoritative
+        store.update_column_order(full_path, schema.fieldNames())
     store.update_watermarks(full_path, last_incremental_file=last_file)
     return f"Rows affected: {n}."
 
@@ -138,10 +151,20 @@ def merge_and_write(
     version_cols: list[str],
     partition_by: list[str] | None = None,
     full_rewrite: bool = False,
+    layout: dict | None = None,
 ) -> int:
     """MERGE ``changes`` into ``target`` and commit to ``target_table``;
     returns the written row count. ONE code path for the merge+write,
     shared by the batch loader and the streaming foreachBatch driver.
+
+    ``layout`` (``TableMeta.layout()``) re-applies the table's declared
+    clustering / zone-map options whenever the write is a FULL rewrite,
+    so a reload or evolution batch lands read-optimized. The
+    partition-scoped path deliberately ignores the clustering options: a
+    global range-cluster would shuffle the whole table — exactly what
+    partition scoping exists to avoid — and the zone map is dropped by
+    ``replace_partitions`` (rebuild with ``write_zonemap`` after a
+    compaction cycle).
 
     With ``partition_by`` the merge is partition-scoped — the 100 TB path
     (SURVEY §7.3a): partition columns must be stable per PK (a pk-derived
@@ -212,6 +235,15 @@ def merge_and_write(
         n = merged.count()  # materialization also validates before the swap
         # full_rewrite keeps the partition layout: the atomic whole-table
         # swap also drops any pending tombstone marker with the old dir.
-        warehouse.overwrite(merged, target_table, partition_by=partition_by)
+        lay = layout or {}
+        warehouse.overwrite(
+            merged,
+            target_table,
+            partition_by=partition_by,
+            cluster_by=lay.get("cluster_by"),
+            zorder_by=lay.get("zorder_by"),
+            cluster_partitions=lay.get("cluster_partitions"),
+            stat_cols=lay.get("stat_cols"),
+        )
         merged.unpersist()
     return n

@@ -65,11 +65,16 @@ def fill_dms_metadata(
     store: MetadataStore,
     stage: str,
     primary_keys: dict[str, list[str]] | None = None,
+    additional_config: dict[str, str] | None = None,
 ) -> int:
     """LIST the stage, parse distinct table prefixes, register metadata rows
     (ref :454-473).  ``primary_keys`` maps ``db_table`` → PK column list —
     the reference leaves primary_keys to be filled manually (ref :27);
     here the caller can supply them at discovery time.
+    ``additional_config`` maps ``db_table`` → the variant-column JSON
+    string (ref :34), e.g. a declared target layout
+    (``TableMeta.layout()``), so discovery registers read-optimized
+    tables in one step.
 
     Returns the number of rows registered (ref :474 returns recordsInserted).
     """
@@ -87,6 +92,9 @@ def fill_dms_metadata(
                 db_table=p["db_table"],
                 stage=stage,
                 primary_keys=(primary_keys or {}).get(p["db_table"], []),
+                additional_config=(additional_config or {}).get(
+                    p["db_table"], "{}"
+                ),
                 cloud_provider=p["cloud_provider"],
                 bucket=p["bucket"],
                 db_prefix=p["db_prefix"],

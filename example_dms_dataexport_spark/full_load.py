@@ -42,6 +42,12 @@ def full_load(
 
     ``schema``: required on first load; later loads introspect the existing
     target (``information_schema.columns`` analogue, ref :307-321).
+
+    The table's DECLARED layout (``TableMeta.layout()``, from the
+    metadata variant column) is applied to the overwrite: partitioning,
+    range/Z-order clustering and the zone-map stat columns — so a full
+    reload always lands in the registered read-optimized shape. An
+    explicit ``partition_by`` argument overrides the declared one.
     """
     meta = store.get(full_path)
     if meta is None:
@@ -52,6 +58,12 @@ def full_load(
                 f"no schema given and target {meta.target_table!r} does not exist"
             )
         schema = warehouse.read(spark, meta.target_table).schema
+        if meta.column_order:
+            # a partitioned target reads back partition-columns-last;
+            # restore the recorded SOURCE order for the positional cast
+            order = [c for c in meta.column_order if c in schema.fieldNames()]
+            order += [c for c in schema.fieldNames() if c not in order]
+            schema = StructType([schema[c] for c in order])
     pattern = FULL_LOAD_PATTERN.format(
         schema=meta.db_schema,
         table=meta.db_table,
@@ -59,8 +71,23 @@ def full_load(
     )
     files = [f.path for f in list_stage(spark, meta.stage, pattern)]
     df = read_stage(spark, files, schema, file_format=meta.file_format)
-    warehouse.overwrite(df, meta.target_table, partition_by=partition_by)
+    lay = meta.layout()
+    warehouse.overwrite(
+        df,
+        meta.target_table,
+        partition_by=(
+            partition_by if partition_by is not None
+            else lay.get("partition_by")
+        ),
+        cluster_by=lay.get("cluster_by"),
+        zorder_by=lay.get("zorder_by"),
+        cluster_partitions=lay.get("cluster_partitions"),
+        stat_cols=lay.get("stat_cols"),
+    )
     n = warehouse.read(spark, meta.target_table).count()
+    # record the SOURCE column order — later positional CDC casts must
+    # not follow a partitioned target's re-ordered schema (ref :341-348)
+    store.update_column_order(full_path, schema.fieldNames())
     store.update_watermarks(
         full_path,
         last_full_load_date=datetime.now(timezone.utc).isoformat(),

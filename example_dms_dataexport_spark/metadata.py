@@ -45,6 +45,12 @@ class TableMeta:
     additional_config: str = "{}"  # JSON string (ref 'variant' column :34)
     last_full_load_date: str | None = None  # ISO-8601 UTC
     last_incremental_file: str = "0"  # sentinel '0' (ref :244)
+    # Source column order, recorded by full_load — the positional-CDC
+    # contract (ref :341-348 introspects information_schema for exactly
+    # this). Needed because Spark re-orders a hive-PARTITIONED target's
+    # schema (partition columns move last), which would silently garble
+    # the positional cast for any non-last partition column.
+    column_order: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if isinstance(self.primary_keys, str):
@@ -54,6 +60,48 @@ class TableMeta:
             ]
         if not self.target_table:
             self.target_table = f"{self.db_schema}_{self.db_table}"
+
+    _LAYOUT_KEYS = frozenset(
+        {
+            "partition_by",
+            "cluster_by",
+            "zorder_by",
+            "cluster_partitions",
+            "stat_cols",
+        }
+    )
+
+    def layout(self) -> dict:
+        """Per-table TARGET LAYOUT declared under ``additional_config``
+        (the reference's free-form variant column, ref :34):
+
+            {"layout": {"partition_by": [...], "cluster_by": [...],
+                        "zorder_by": [...], "cluster_partitions": N,
+                        "stat_cols": [...]}}
+
+        Declared once at registration, honored by EVERY load: full_load
+        applies it to the initial overwrite, incremental_load derives
+        its partition scoping from ``partition_by`` and re-applies the
+        clustering/zone-map options on full rewrites. At 100 TB the
+        layout IS the read-performance contract, so it belongs in the
+        control metadata, not in per-call arguments that each caller
+        must remember to repeat. Unknown keys raise (a typo must not
+        silently produce an unlaid-out table)."""
+        try:
+            cfg = json.loads(self.additional_config or "{}")
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"additional_config for {self.full_path!r} is not valid "
+                f"JSON: {e}"
+            ) from None
+        lay = cfg.get("layout") or {}
+        unknown = set(lay) - self._LAYOUT_KEYS
+        if unknown:
+            raise ValueError(
+                f"unknown layout key(s) {sorted(unknown)} for "
+                f"{self.full_path!r}; supported: {sorted(self._LAYOUT_KEYS)}"
+            )
+        return lay
 
 
 class MetadataStore:
@@ -109,4 +157,13 @@ class MetadataStore:
                 meta.last_full_load_date = last_full_load_date
             if last_incremental_file is not None:
                 meta.last_incremental_file = last_incremental_file
+            self._flush()
+
+    def update_column_order(self, full_path: str, columns: list[str]) -> None:
+        """Record the source column order at full-load time (the
+        information_schema introspection analogue, ref :307-321/:341-348)
+        so later positional CDC casts survive a partitioned target's
+        schema re-ordering."""
+        with self._lock:
+            self._rows[full_path].column_order = list(columns)
             self._flush()

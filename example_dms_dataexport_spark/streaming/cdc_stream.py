@@ -68,7 +68,14 @@ def read_cdc_stream(
     (a driver-side schema read, not a data scan) — when the landing dir
     is still empty the CDC schema's own names are assumed, which DMS
     exports match. XML is NAMED (schema-driven, case-insensitive), so
-    no discovery is needed."""
+    no discovery is needed.
+
+    NB the positional order here is ``target_schema``'s field order as
+    PASSED — the stream has no metadata store. For a hive-partitioned
+    target, Spark reads the schema back partition-columns-last; pass the
+    SOURCE column order (``TableMeta.column_order``, recorded by
+    full_load) rather than the raw partitioned read schema, exactly as
+    the batch loader does."""
     fmt = stage_extension(file_format)
     want = cdc_schema(target_schema)
     if fmt in ("parquet", "orc"):
@@ -140,9 +147,16 @@ def start_cdc_stream(
     max_files_per_trigger: int = 100,
     partition_by: list[str] | None = None,
     file_format: str = "csv",
+    column_order: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuously (or catch-up once, with available_now) merge CDC files
     into ``target_table``. The target must already exist (full load).
+
+    ``column_order``: the SOURCE column order for the positional CDC
+    contract (``TableMeta.column_order``, recorded by full_load). Needed
+    when the target is hive-partitioned on a non-last column — Spark
+    reads its schema back partition-columns-last, which would garble the
+    positional cast, exactly as in the batch loader.
 
     ``partition_by`` makes every micro-batch's merge partition-scoped
     (cdc.merge_and_write): at 100 TB a continuous stream CANNOT full-
@@ -152,6 +166,10 @@ def start_cdc_stream(
     partitions, untouched partition files never read or written.
     """
     target_schema = warehouse.read(spark, target_table).schema
+    if column_order:
+        order = [c for c in column_order if c in target_schema.fieldNames()]
+        order += [c for c in target_schema.fieldNames() if c not in order]
+        target_schema = StructType([target_schema[c] for c in order])
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:

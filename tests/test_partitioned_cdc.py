@@ -71,10 +71,12 @@ def test_partition_scoped_rewrite(spark, tmp_path):
     assert any("region=b" in p for p in before)
 
     # CDC touches ONLY region a: update id=0, delete id=3, insert id=100.
-    # Column order follows the partitioned target's read schema:
-    # op, id, val, region (partition column last).
+    # Column order is the SOURCE order (op, id, region, val) — what DMS
+    # exports carry; full_load recorded it in the metadata row, so the
+    # positional cast is immune to the partitioned target reading back
+    # partition-columns-last.
     (tdir / "20240101-000000001.csv").write_text(
-        "U,0,999,a\nD,3,30,a\nI,100,1000,a\n"
+        "U,0,a,999\nD,3,a,30\nI,100,a,1000\n"
     )
     msg = incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     assert msg.startswith("Rows affected")
@@ -98,7 +100,7 @@ def test_emptied_partition_directory_removed(spark, tmp_path):
     stage, store, wh, tdir = _setup(spark, tmp_path)
     # delete every region-c row (ids 2,5,8)
     (tdir / "20240102-000000001.csv").write_text(
-        "D,2,0,c\nD,5,0,c\nD,8,0,c\n"
+        "D,2,c,0\nD,5,c,0\nD,8,c,0\n"
     )
     incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     assert not os.path.isdir(os.path.join(wh.path("t"), "region=c"))
@@ -111,7 +113,7 @@ def test_crash_between_overwrite_and_cleanup_heals(spark, tmp_path, monkeypatch)
     # emptied-partition cleanup ran: the tombstone marker must survive and
     # the next reader must not resurrect the deleted rows.
     stage, store, wh, tdir = _setup(spark, tmp_path)
-    (tdir / "20240102-000000001.csv").write_text("D,2,0,c\nD,5,0,c\nD,8,0,c\n")
+    (tdir / "20240102-000000001.csv").write_text("D,2,c,0\nD,5,c,0\nD,8,c,0\n")
 
     monkeypatch.setattr(
         ParquetWarehouse, "_reconcile", lambda self, table, writer=False: None
@@ -151,7 +153,7 @@ def test_uncommitted_tombstone_not_applied_on_read(spark, tmp_path):
     assert os.path.isfile(tp)  # reader leaves the pending marker in place
 
     # next batch (the writer path) supersedes the abandoned marker
-    (tdir / "20240102-000000001.csv").write_text("U,0,999,a\n")
+    (tdir / "20240102-000000001.csv").write_text("U,0,a,999\n")
     incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     got = {r["id"]: r["val"] for r in wh.read(spark, "t").collect()}
     assert got[0] == 999 and 2 in got and 5 in got and 8 in got
@@ -199,7 +201,7 @@ def test_null_partition_value_not_dropped(spark, tmp_path):
     full_load(spark, store, wh, "sch/tbl", SCHEMA, partition_by=["region"])
 
     # update one row in the NULL partition and one in region a
-    (tdir / "20240104-000000001.csv").write_text("U,0,999,\nU,2,777,a\n")
+    (tdir / "20240104-000000001.csv").write_text("U,0,,999\nU,2,a,777\n")
     msg = incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     assert msg.startswith("Rows affected")
 
@@ -244,11 +246,10 @@ def test_many_touched_partitions_struct_in_predicate(spark, tmp_path):
     full_load(spark, store, wh, "sch/wide", schema, partition_by=["bucket"])
     before = _snapshot(wh.path("wide"))
 
-    # one update in each of buckets [0, touched_parts); column order follows
-    # the partitioned target's read schema: op, id, val, bucket (partition
-    # column last)
+    # one update in each of buckets [0, touched_parts); column order is
+    # the SOURCE order (op, id, bucket, val) recorded at full load
     (tdir / "20240103-000000001.csv").write_text(
-        "\n".join(f"U,{b},{b * 1000},{b}" for b in range(touched_parts)) + "\n"
+        "\n".join(f"U,{b},{b},{b * 1000}" for b in range(touched_parts)) + "\n"
     )
     msg = incremental_load(spark, store, wh, "sch/wide", partition_by=["bucket"])
     assert msg.startswith("Rows affected")
@@ -276,14 +277,12 @@ def test_schema_evolution_forces_full_rewrite_of_all_partitions(
     silently dropping the new column."""
     stage, store, wh, tdir = _setup(spark, tmp_path)
 
-    # read order of the partitioned target: data cols, partition col last
-    base_cols = wh.read(spark, "t").schema
-    assert base_cols.fieldNames() == ["id", "val", "region"]
-    evolved = StructType(
-        [*base_cols.fields, StructField("tier", StringType())]
-    )
+    # the evolved schema extends the SOURCE order (id, region, val) — the
+    # order full_load recorded, NOT the partitioned target's read order
+    # (which moves region last); the positional cast follows the source
+    evolved = StructType([*SCHEMA.fields, StructField("tier", StringType())])
     # CDC touches ONLY region a, but the layout change is table-wide
-    (tdir / "20240103-000000001.csv").write_text("U,0,999,a,gold\n")
+    (tdir / "20240103-000000001.csv").write_text("U,0,a,999,gold\n")
     msg = incremental_load(
         spark, store, wh, "sch/tbl", partition_by=["region"], schema=evolved
     )
@@ -305,10 +304,16 @@ def test_schema_evolution_forces_full_rewrite_of_all_partitions(
     assert got[8] == ("c", 80, None)
 
     # later partition-scoped batches against the evolved layout keep
-    # working without passing a schema (positional order = read order)
-    order = wh.read(spark, "t").schema.fieldNames()
-    assert order == ["id", "val", "tier", "region"]
-    (tdir / "20240104-000000001.csv").write_text("U,1,111,silver,b\n")
+    # working without passing a schema: the evolution recorded the new
+    # SOURCE order (id, region, val, tier) in the metadata row, even
+    # though the partitioned target reads back with region last
+    assert wh.read(spark, "t").schema.fieldNames() == [
+        "id", "val", "tier", "region",
+    ]
+    assert store.get("sch/tbl").column_order == [
+        "id", "region", "val", "tier",
+    ]
+    (tdir / "20240104-000000001.csv").write_text("U,1,b,111,silver\n")
     incremental_load(spark, store, wh, "sch/tbl", partition_by=["region"])
     got = {
         r["id"]: (r["val"], r["tier"])

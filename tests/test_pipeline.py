@@ -1236,3 +1236,132 @@ def test_zonemap_versioned_snapshots(spark, tmp_path):
     with pytest.raises(KeyError):
         wh.read_zoned(spark, "vt", "k", lo=0, version=99)
     assert v2 == v1 + 1
+
+
+# --- declared per-table layout (additional_config variant column) ----------
+
+
+def test_declared_layout_drives_full_load_and_cdc_rewrite(
+    spark, tmp_path, landing
+):
+    import json as _json
+
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=["c_custkey"],
+            additional_config=_json.dumps(
+                {
+                    "layout": {
+                        "cluster_by": ["c_custkey"],
+                        "cluster_partitions": 2,
+                        "stat_cols": ["c_custkey"],
+                    }
+                }
+            ),
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    # the declared layout produced a zone map atomically with the load
+    assert wh.zonemap("erp_customer") is not None
+    assert {
+        r.c_custkey
+        for r in wh.read_zoned(spark, "erp_customer", "c_custkey", 2, 3)
+        .collect()
+    } == {2, 3}
+
+    # a CDC batch (full rewrite — no partition_by declared) must land
+    # re-clustered with a FRESH map covering the merged state
+    write_file(
+        landing,
+        "erp/customer/20240105-000000001.csv",
+        ["U,2,bob9,29.0", "I,9,zoe,90.0"],
+    )
+    assert incremental_load(spark, store, wh, "erp/customer").startswith(
+        "Rows affected:"
+    )
+    zm = wh.zonemap("erp_customer")
+    assert zm is not None
+    assert sum(s["n"] for s in zm["files"].values()) == 4  # 1,2,3,9
+    assert {
+        r.c_custkey
+        for r in wh.read_zoned(spark, "erp_customer", "c_custkey", 9, 99)
+        .collect()
+    } == {9}
+
+
+def test_declared_partition_layout_scopes_cdc(spark, tmp_path, landing):
+    import json as _json
+
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=["c_custkey"],
+            additional_config=_json.dumps(
+                {"layout": {"partition_by": ["c_custkey"]}}
+            ),
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    tdir = wh.path("erp_customer")
+    assert os.path.isdir(os.path.join(tdir, "c_custkey=1"))  # hive layout
+    p3 = os.path.join(tdir, "c_custkey=3")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(p3, f)) for f in os.listdir(p3)
+    )
+    write_file(
+        landing,
+        "erp/customer/20240105-000000001.csv",
+        ["U,2,bob9,29.0"],
+    )
+    # no explicit partition_by argument — the DECLARED layout scopes it
+    assert incremental_load(spark, store, wh, "erp/customer").startswith(
+        "Rows affected:"
+    )
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob9", 29.0),
+        (3, "carol", 30.25),
+    }
+    # untouched partition's files were never rewritten
+    mtime_after = max(
+        os.path.getmtime(os.path.join(p3, f)) for f in os.listdir(p3)
+    )
+    assert mtime_after == mtime_before
+
+
+def test_layout_validation_fails_loudly():
+    m = TableMeta(
+        full_path="a/b",
+        db_schema="a",
+        db_table="b",
+        stage="/s",
+        additional_config='{"layout": {"clutser_by": ["x"]}}',
+    )
+    with pytest.raises(ValueError, match="unknown layout key"):
+        m.layout()
+    bad = TableMeta(
+        full_path="a/b",
+        db_schema="a",
+        db_table="b",
+        stage="/s",
+        additional_config="{not json",
+    )
+    with pytest.raises(ValueError, match="not valid JSON"):
+        bad.layout()
+    assert (
+        TableMeta(
+            full_path="a/b", db_schema="a", db_table="b", stage="/s"
+        ).layout()
+        == {}
+    )

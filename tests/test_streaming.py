@@ -1093,15 +1093,16 @@ def test_cdc_stream_partition_scoped_merge(spark, tmp_path):
     before = snapshot()
 
     # touch only region=a (ids 0,3,6); delete every region=c row.
-    # NB positional order follows the read-back schema of a partitioned
-    # table: data columns first, partition column LAST -> (op,id,val,region)
+    # Positional order is the SOURCE order (op,id,region,val) — the
+    # column_order argument shields the cast from the partitioned
+    # target's partition-column-last read schema, same as the batch path
     _write_cdc_file(
         landing / "20240101-000000001.csv",
-        [("U", 0, 999, "a"), ("I", 100, 1000, "a")],
+        [("U", 0, "a", 999), ("I", 100, "a", 1000)],
     )
     _write_cdc_file(
         landing / "20240102-000000001.csv",
-        [("D", 2, 20, "c"), ("D", 5, 50, "c"), ("D", 8, 80, "c")],
+        [("D", 2, "c", 20), ("D", 5, "c", 50), ("D", 8, "c", 80)],
     )
     q = start_cdc_stream(
         spark,
@@ -1112,6 +1113,7 @@ def test_cdc_stream_partition_scoped_merge(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
         partition_by=["region"],
+        column_order=["id", "region", "val"],
     )
     q.awaitTermination(120)
 
