@@ -3097,3 +3097,110 @@ def q128_zonemap_prune(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_Q129_ORACLE = """
+    WITH merged AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 21 = 0
+                    THEN o_totalprice + 1000 ELSE o_totalprice
+               END AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS revenue
+    FROM merged
+    WHERE price BETWEEN 50000 AND 200000
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q129_declared_layout_pipeline", _Q129_ORACLE)
+def q129_declared_layout_pipeline(spark, sf_dir):
+    """The DECLARED-LAYOUT pipeline end-to-end (TableMeta.layout(), ref
+    variant column :34): an orders subset lands in a scratch stage as
+    headerless positional CSV, is REGISTERED with a declared
+    cluster_by + stat_cols layout, full-loads through the real pipeline
+    API, takes a CDC batch (U ops bumping every 3rd row's price) through
+    incremental_load — whose full-rewrite merge must RE-APPLY the
+    declared clustering and rebuild the zone map — and is finally read
+    through read_zoned, whose guard fails if the post-merge map stopped
+    pruning. The oracle restates the merged state arithmetically; a
+    hash match proves load -> merge -> layout -> pruned read end-to-end
+    loses nothing."""
+    import glob as _g
+    import json as _json
+    import shutil
+
+    from .cdc import incremental_load
+    from .full_load import full_load
+    from .metadata import MetadataStore, TableMeta
+    from .sources.warehouse import ParquetWarehouse
+
+    root = _scratch_root("q129", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    tdir = os.path.join(stage, "erp", "orders")
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    subset = orders.filter(F.col("o_orderkey") % 7 == 0)
+
+    def _land(df, prefix, width=8):
+        tmp = os.path.join(root, f"csv_{prefix}")
+        df.coalesce(2).write.option("header", "false").csv(tmp)
+        os.makedirs(tdir, exist_ok=True)
+        for i, p in enumerate(sorted(_g.glob(os.path.join(tmp, "part-*")))):
+            os.replace(
+                p, os.path.join(tdir, f"{prefix}{i:0{width}d}.csv")
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _land(subset, "LOAD")
+    cdc = subset.filter(F.col("o_orderkey") % 21 == 0).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    _land(cdc, "20240101-")
+
+    store = MetadataStore(os.path.join(root, "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/orders",
+            db_schema="erp",
+            db_table="orders",
+            stage=stage,
+            primary_keys=["o_orderkey"],
+            additional_config=_json.dumps(
+                {
+                    "layout": {
+                        "cluster_by": ["o_totalprice"],
+                        "cluster_partitions": 8,
+                        "stat_cols": ["o_totalprice"],
+                    }
+                }
+            ),
+        )
+    )
+    wh = ParquetWarehouse(os.path.join(root, "wh"))
+    full_load(spark, store, wh, "erp/orders", schema=subset.schema)
+    msg = incremental_load(spark, store, wh, "erp/orders")
+    if not msg.startswith("Rows affected"):
+        raise AssertionError(f"CDC merge did not run: {msg}")
+
+    lo, hi = 50000.0, 200000.0
+    out = wh.read_zoned(spark, "erp_orders", "o_totalprice", lo=lo, hi=hi)
+    n_total = len(wh.zonemap("erp_orders")["files"])
+    n_planned = len(out.inputFiles())
+    if not 0 < n_planned < n_total:
+        raise AssertionError(
+            f"post-merge zone map did not prune: {n_planned}/{n_total}"
+        )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -71,6 +71,7 @@ PRIORITY = [
     "q126_orc_stage_roundtrip",
     "q127_xml_stage_roundtrip",
     "q128_zonemap_prune",
+    "q129_declared_layout_pipeline",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",
@@ -93,7 +94,6 @@ PRIORITY = [
     "q44_decontaminate",
     "q45_stratified_sample",
     "q46_token_chunks",
-    "q47_line_dedup",
 ]
 
 

@@ -664,3 +664,13 @@ def test_q128_zonemap_prune_plan(spark):
     # pruned file-list scan + residual filter + ONE agg shuffle; the
     # face itself guards that the planned file set is a strict subset
     assert exchange_count(df) == 1, plan
+
+
+def test_q129_declared_layout_pipeline_plan(spark):
+    df = _q(spark, "q129_declared_layout_pipeline")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the returned read is a pruned parquet scan + ONE agg shuffle; all
+    # pipeline work (load/merge/layout) happened before the plan
+    assert exchange_count(df) == 1, plan
