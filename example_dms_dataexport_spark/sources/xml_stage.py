@@ -13,7 +13,8 @@ files' row elements must carry the target schema's field names (matched
 with Spark's default case-insensitive resolution, so DMS's ``Op`` /
 ``OP`` both satisfy the ``op`` field of ``csv_stage.cdc_schema``).
 Passing the schema to the reader makes the parser pull each field by
-name and cast to its type — missing elements become NULL, exactly
+name and cast to its type — missing elements become NULL (an empty
+``<el></el>`` string element is "" — see the property suite), exactly
 Snowflake's ``$1:name::type`` semantics for semi-structured stages.
 
 File-metadata virtual columns (ref metadata$filename /
