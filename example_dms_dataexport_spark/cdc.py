@@ -28,7 +28,7 @@ from pyspark.sql.types import StructType
 
 from .listing import list_stage
 from .merge import apply_changes
-from .metadata import MetadataStore
+from .metadata import MetadataStore, source_ordered
 from .sources.csv_stage import cdc_schema
 from .sources.stage import read_stage, stage_extension
 from .sources.warehouse import ParquetWarehouse
@@ -105,9 +105,9 @@ def incremental_load(
             # the positional CDC cast follows the SOURCE order recorded
             # at full load — a partitioned target's schema reads back
             # partition-columns-last, which would garble the cast
-            order = [c for c in meta.column_order if c in target.columns]
-            order += [c for c in target.columns if c not in order]
-            target = target.select(*order)
+            target = target.select(
+                *source_ordered(target.columns, meta.column_order)
+            )
         read_schema = target.schema
     changes = read_stage(
         spark,

@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from .listing import list_stage
-from .metadata import MetadataStore
+from .metadata import MetadataStore, source_ordered
 from .sources.stage import read_stage, stage_extension
 from .sources.warehouse import ParquetWarehouse
 
@@ -61,9 +61,14 @@ def full_load(
         if meta.column_order:
             # a partitioned target reads back partition-columns-last;
             # restore the recorded SOURCE order for the positional cast
-            order = [c for c in meta.column_order if c in schema.fieldNames()]
-            order += [c for c in schema.fieldNames() if c not in order]
-            schema = StructType([schema[c] for c in order])
+            schema = StructType(
+                [
+                    schema[c]
+                    for c in source_ordered(
+                        schema.fieldNames(), meta.column_order
+                    )
+                ]
+            )
     pattern = FULL_LOAD_PATTERN.format(
         schema=meta.db_schema,
         table=meta.db_table,

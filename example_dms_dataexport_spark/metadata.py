@@ -28,6 +28,17 @@ import threading
 from dataclasses import asdict, dataclass, field
 
 
+def source_ordered(columns: list[str], recorded: list[str]) -> list[str]:
+    """Restore the recorded SOURCE column order over ``columns`` (a
+    possibly partition-reordered schema): recorded names first (those
+    still present), then any columns the record doesn't know about.
+    Shared by the batch loaders and the streaming CDC driver — the
+    positional-cast contract has exactly one definition."""
+    order = [c for c in recorded if c in columns]
+    order += [c for c in columns if c not in order]
+    return order
+
+
 @dataclass
 class TableMeta:
     """One DMS_METADATA row (ref :20-37)."""
@@ -94,6 +105,11 @@ class TableMeta:
                 f"additional_config for {self.full_path!r} is not valid "
                 f"JSON: {e}"
             ) from None
+        if not isinstance(cfg, dict):
+            raise ValueError(
+                f"additional_config for {self.full_path!r} must be a JSON "
+                f"object, got {type(cfg).__name__}"
+            )
         lay = cfg.get("layout") or {}
         unknown = set(lay) - self._LAYOUT_KEYS
         if unknown:

@@ -36,9 +36,11 @@ def query(name: str, oracle: str | None):
 # (q117-q121, never driver-checked) go first, then the 16 queries whose
 # latest driver row is r6 (the documented r8 deferrals), then any faces
 # new this round, then the lowest-numbered queries whose latest driver row
-# is r7. The r7 rows deferred to round 10 (q50/q51/q58/q67/q70-q73/q78/
-# q82-q86/q99-q107 area, exact set = whatever doesn't fit the 50) all
-# carry green r7 driver rows plus the local exact-mode sweep this round.
+# is r7. The r7 rows deferred to round 10 (q47/q48/q50/q51/q58/q67/
+# q70-q73/q78/q82-q86/q99-q107 area, exact set = whatever doesn't fit
+# the 50 — q47/q48/q50/q51 were dropped from the tail as q126-q129
+# rotated in) all carry green r7 driver rows plus the local exact-mode
+# sweep this round.
 PRIORITY = [
     # never driver-checked (registered after the r8 window filled)
     "q117_cdc_backlog",

@@ -17,32 +17,43 @@ cluster, add the public artifact
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
-from pyspark.sql.window import Window
+
+from .filemeta import positional_cast, with_split_safe_rownum
+
+
+# Probe result per Spark application: module presence cannot change
+# within a running JVM, and a continuous avro incremental_load must not
+# pay a driver-side format-resolution failure per batch.
+_PROBE_CACHE: dict[str, bool] = {}
 
 
 def avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro DataSource module is deployed.
 
-    Probes the real DataSource lookup (a schema'd load of a
-    deliberately-nonexistent path: a missing MODULE fails with
-    FAILED_TO_FIND_DATA_SOURCE before the path is ever touched; any
-    other error means the format resolved). A bare
+    Probes the real DataSource lookup ONCE per application (a schema'd
+    load of a deliberately-nonexistent path: a missing MODULE fails
+    with FAILED_TO_FIND_DATA_SOURCE before the path is ever touched;
+    any other error means the format resolved). A bare
     ``Class.forName("...AvroFileFormat")`` is NOT a valid probe — some
     distributions ship avro classes on the classpath without
     registering the DataSource, and the lookup still fails."""
+    key = spark.sparkContext.applicationId
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
     try:
         spark.read.format("avro").schema("__probe INT").load(
             "/__avro_module_probe_nonexistent__"
         )
-        return True
+        ok = True
     except Exception as e:  # noqa: BLE001 — classify by error text
         msg = str(e)
-        return not (
+        ok = not (
             "Failed to find data source" in msg
             or "FAILED_TO_FIND_DATA_SOURCE" in msg
         )
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 def read_stage_avro(
@@ -64,28 +75,7 @@ def read_stage_avro(
     if not files:
         return spark.createDataFrame([], schema)
     raw = spark.read.format("avro").load(files)
-    src = raw.columns
-    if len(src) != len(schema.fields):
-        raise ValueError(
-            f"stage avro has {len(src)} columns, target schema needs "
-            f"{len(schema.fields)} (positional contract)"
-        )
-    cols = [
-        F.col(src[i]).cast(f.dataType).alias(f.name)
-        for i, f in enumerate(schema.fields)
-    ]
+    cols = positional_cast(raw, schema, "avro")
     if with_file_metadata:
-        df = raw.select(
-            *cols,
-            F.col("_metadata.file_path").alias("_dms_filename"),
-            F.col("_metadata.file_block_start").alias("_dms_blockstart"),
-            F.monotonically_increasing_id().alias("_dms_monoid"),
-        )
-        w = Window.partitionBy("_dms_filename").orderBy(
-            "_dms_blockstart", "_dms_monoid"
-        )
-        return (
-            df.withColumn("_dms_rownum", F.row_number().over(w))
-            .drop("_dms_blockstart", "_dms_monoid")
-        )
+        return with_split_safe_rownum(raw, cols)
     return raw.select(*cols)

@@ -326,11 +326,24 @@ class ParquetWarehouse:
             .agg(*aggs)
             .collect()
         )
-        prefix = "file:" + os.path.abspath(data_dir).rstrip("/") + "/"
+        # Resolve each file URI to a path RELATIVE to the data dir via
+        # urlparse+unquote+realpath — a string-prefix match on the raw
+        # URI breaks on %-escaped characters and symlinked roots, and a
+        # key that read_zoned cannot resolve must fail HERE, loudly.
+        from urllib.parse import unquote, urlparse
+
+        root = os.path.realpath(os.path.abspath(data_dir))
         files = {}
         for r in rows:
             fp = r["__fp"]
-            rel = fp[len(prefix):] if fp.startswith(prefix) else fp
+            parsed = urlparse(fp)
+            local = unquote(parsed.path) if parsed.scheme else fp
+            rel = os.path.relpath(os.path.realpath(local), root)
+            if rel.startswith(".."):
+                raise ValueError(
+                    f"zone-map file {fp!r} resolves outside data dir "
+                    f"{data_dir!r}"
+                )
             files[rel] = {
                 "n": r["__n"],
                 **{
@@ -366,6 +379,10 @@ class ParquetWarehouse:
                 f"{table!r} is versioned — snapshots carry their own "
                 "maps; commit with overwrite_versioned(stat_cols=[...])"
             )
+        # finish any interrupted replace_partitions cleanup FIRST: a map
+        # built over a committed-but-unreaped tombstoned dir would index
+        # deleted rows and resurrect them in pruned reads
+        self._reconcile(table)
         zm = self._compute_zonemap(spark, self.path(table), stat_cols)
         with open(os.path.join(self.path(table), ZONEMAP_FILE), "w") as f:
             json.dump(zm, f)
@@ -433,6 +450,8 @@ class ParquetWarehouse:
             ranges = {col: (lo, hi)}
         elif col is not None or lo is not None or hi is not None:
             raise ValueError("col/lo/hi and ranges are mutually exclusive")
+        if not os.path.isfile(self._version_pointer(table)):
+            self._reconcile(table)  # same healing contract as read()
         base = self._zoned_base(table, version)
         zm_path = os.path.join(base, ZONEMAP_FILE)
         if not os.path.isfile(zm_path):
@@ -539,7 +558,6 @@ class ParquetWarehouse:
         Bucketed tables are refused: their file layout IS the bucket
         spec — rewrite them with ``write_bucketed`` instead.
         """
-        self._drop_zonemap(table)
         final = self.path(table)
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
             raise ValueError(
@@ -554,6 +572,12 @@ class ParquetWarehouse:
             n = max(1, math.ceil(total / target_file_bytes))
             if len(files) <= n:
                 continue
+            if rewritten == 0:
+                # drop the zone map only when something WILL change, and
+                # before the first rewrite so a crash mid-compaction
+                # cannot leave a map describing replaced files; a no-op
+                # compaction keeps a still-valid map (idempotence)
+                self._drop_zonemap(table)
             df = spark.read.parquet(d)
             tmp = d + f".compact-{uuid.uuid4().hex}"
             df.coalesce(n).write.mode("overwrite").parquet(tmp)
@@ -753,7 +777,6 @@ class ParquetWarehouse:
         rewrite that overlaps its own input files — the same
         read-then-overwrite hazard ``overwrite_partitions`` documents.
         """
-        self._drop_zonemap(table)
         subj = subjects.toDF("__erase_key").filter(
             F.col("__erase_key").isNotNull()
         ).distinct()
@@ -769,6 +792,8 @@ class ParquetWarehouse:
             raise ValueError(
                 "bucketed tables are neither versioned nor hive-partitioned"
             )
+        # after the guards: a REFUSED erase must not destroy a valid map
+        self._drop_zonemap(table)
         current = (
             self.read_version(spark, table)
             if versioned

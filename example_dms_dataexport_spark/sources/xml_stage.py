@@ -35,9 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
-from pyspark.sql.window import Window
 
 from .csv_stage import CORRUPT_COL
+from .filemeta import with_split_safe_rownum
 
 DEFAULT_ROW_TAG = "row"
 
@@ -76,17 +76,6 @@ def read_stage_xml(
         .format("xml")
     )
     if with_file_metadata:
-        df = reader.load(files).select(
-            "*",
-            F.col("_metadata.file_path").alias("_dms_filename"),
-            F.col("_metadata.file_block_start").alias("_dms_blockstart"),
-            F.monotonically_increasing_id().alias("_dms_monoid"),
-        )
-        w = Window.partitionBy("_dms_filename").orderBy(
-            "_dms_blockstart", "_dms_monoid"
-        )
-        return (
-            df.withColumn("_dms_rownum", F.row_number().over(w))
-            .drop("_dms_blockstart", "_dms_monoid")
-        )
+        raw = reader.load(files)
+        return with_split_safe_rownum(raw, [F.col(c) for c in raw.columns])
     return reader.load(files)

@@ -167,13 +167,38 @@ def start_cdc_stream(
     """
     target_schema = warehouse.read(spark, target_table).schema
     if column_order:
-        order = [c for c in column_order if c in target_schema.fieldNames()]
-        order += [c for c in target_schema.fieldNames() if c not in order]
-        target_schema = StructType([target_schema[c] for c in order])
+        from ..metadata import source_ordered
+
+        target_schema = StructType(
+            [
+                target_schema[c]
+                for c in source_ordered(
+                    target_schema.fieldNames(), column_order
+                )
+            ]
+        )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
+        # Name-resolution tripwire: parquet/ORC resolve columns BY NAME
+        # against the stream's fixed schema, so if the stream started on
+        # an EMPTY landing dir (physical names assumed = contract names)
+        # and real files carry foreign source names, every column —
+        # including the PKs — reads back NULL. That must abort the
+        # stream, not upsert a NULL-pk garbage row. One batch-sized agg.
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.count(p).alias(f"__nn_{p}") for p in pks],
+        ).first()
+        if stats["__n"] > 0 and all(stats[f"__nn_{p}"] == 0 for p in pks):
+            raise ValueError(
+                f"CDC batch {batch_id} has {stats['__n']} rows but every "
+                f"primary key {pks} is NULL — the stage files' physical "
+                "column names almost certainly do not match the schema "
+                "assumed at stream start (empty-landing fallback). "
+                "Restart the stream after the first file has landed."
+            )
         if "_dms_rownum" in batch.columns:
             changes = batch  # parquet: row_index attached at the source
         elif "_dms_blockstart" in batch.columns:

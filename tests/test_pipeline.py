@@ -1365,3 +1365,69 @@ def test_layout_validation_fails_loudly():
         ).layout()
         == {}
     )
+
+
+def test_zonemap_rebuild_reconciles_pending_tombstones(spark, tmp_path):
+    """write_zonemap after a replace_partitions crash (committed
+    tombstone, dirs not yet reaped) must reap FIRST — a map indexing a
+    tombstoned dir would resurrect deleted rows in pruned reads."""
+    import json as _json
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        TOMBSTONE_FILE,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    wh.overwrite(df, "rt", partition_by=["p"])
+    # simulate the crash window: batch committed, cleanup never ran
+    with open(os.path.join(wh.path("rt"), TOMBSTONE_FILE), "w") as f:
+        _json.dump(
+            {"batch": "b1", "committed": True, "dirs": ["p=3"]}, f
+        )
+    wh.write_zonemap(spark, "rt", ["k"])
+    assert not os.path.isdir(os.path.join(wh.path("rt"), "p=3"))
+    zm = wh.zonemap("rt")
+    assert not any("p=3" in rel for rel in zm["files"])
+    got = wh.read_zoned(spark, "rt", "k", lo=0, hi=100).collect()
+    assert {r.p for r in got} == {0, 1, 2}  # p=3 rows stayed deleted
+
+
+def test_compact_noop_keeps_zonemap(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    # already compact at a huge target: nothing rewritten
+    assert wh.compact(spark, "zt", target_file_bytes=1 << 30) in (0, 1)
+    wh.write_zonemap(spark, "zt", ["k"])
+    assert wh.compact(spark, "zt", target_file_bytes=1 << 30) == 0
+    assert wh.zonemap("zt") is not None  # idempotent no-op kept the map
+
+
+def test_refused_erase_keeps_zonemap(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _zm_table(spark, wh)
+    subj = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="versioned tables snapshot"):
+        # zt is not versioned — force the versioned+partition_by guard
+        # via a bucketed-style misuse instead: partition_by on a plain
+        # table is fine, so use the versioned guard by faking a pointer
+        open(
+            os.path.join(wh.path("zt"), "_version.json"), "w"
+        ).write('{"current": 1, "versions": {"1": {"dir": "_v00001"}}}')
+        wh.erase_subjects(spark, "zt", "k", subj, partition_by=["grp"])
+    os.remove(os.path.join(wh.path("zt"), "_version.json"))
+    assert wh.zonemap("zt") is not None  # refused call left the map
+
+
+def test_layout_rejects_non_object_config():
+    m = TableMeta(
+        full_path="a/b",
+        db_schema="a",
+        db_table="b",
+        stage="/s",
+        additional_config="[1, 2]",
+    )
+    with pytest.raises(ValueError, match="JSON object"):
+        m.layout()

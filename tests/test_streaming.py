@@ -1407,3 +1407,41 @@ def test_cdc_stream_parquet_empty_landing_then_files(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
     assert got == {1: ("a2", 1.5), 2: ("b", 2.0)}
+
+
+def test_cdc_stream_empty_landing_name_mismatch_aborts(spark, tmp_path):
+    """Stream started on an EMPTY landing dir assumes contract column
+    names (positional formats resolve BY NAME); when real files then
+    land with foreign source names, every column including the PK reads
+    NULL — the tripwire must kill the stream, never upsert garbage."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0)], ["id", "name", "val"]
+    )
+    wh.overwrite(target, "t")
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.parquet"),
+        wh,
+        "t",
+        pks=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=False,  # keep polling so the late file is seen
+        file_format="parquet",
+    )
+    try:
+        _write_cdc_parquet(  # foreign physical names: Op,c1,c2,c3
+            str(landing / "20240101-000000001.parquet"),
+            [("U", 1, "alice2", 11.0)],
+        )
+        import pytest
+
+        with pytest.raises(Exception, match="primary key"):
+            q.awaitTermination(120)
+    finally:
+        q.stop()
+    # the garbage batch must NOT have reached the target
+    got = {(r.id, r.name, r.val) for r in wh.read(spark, "t").collect()}
+    assert got == {(1, "alice", 10.0)}
