@@ -3204,3 +3204,67 @@ def q129_declared_layout_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_Q130_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE user_id BETWEEN 2 AND 6 AND value BETWEEN 20 AND 120
+    GROUP BY event_type
+"""
+
+
+@query("q130_zorder_multicol_prune", _Q130_ORACLE)
+def q130_zorder_multicol_prune(spark, sf_dir):
+    """Multi-column data skipping end-to-end (the zorder_by layout's
+    oracle face): events lands Z-ORDERED on (user_id, value) with both
+    columns in the zone map, and the face reads a CONJUNCTIVE range
+    through ``read_zoned(ranges=...)`` — a file survives only if BOTH
+    bands overlap, which the interleaved-bit layout makes selective on
+    every listed column (lexicographic clustering would localize only
+    the leading one). Guards pin that the conjunction planned a strict
+    subset of the files AND no more than the user_id band alone. The
+    value sum is per-term fixed-point (exact integer cents) so the hash
+    is immune to float summation order across engines."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    root = _scratch_root("q130", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wh.overwrite(
+        ev,
+        "events_z",
+        zorder_by=["user_id", "value"],
+        cluster_partitions=16,
+        stat_cols=["user_id", "value"],
+    )
+    ranges = {"user_id": (2, 6), "value": (20.0, 120.0)}
+    out = wh.read_zoned(spark, "events_z", ranges=ranges)
+    n_total = len(wh.zonemap("events_z")["files"])
+    n_both = len(out.inputFiles())
+    n_user = len(
+        wh.read_zoned(spark, "events_z", "user_id", 2, 6).inputFiles()
+    )
+    if not 0 < n_both < n_total:
+        raise AssertionError(
+            f"conjunctive zone map did not prune: {n_both}/{n_total}"
+        )
+    if n_both > n_user:
+        raise AssertionError(
+            f"conjunction ({n_both}) planned MORE files than one of its "
+            f"conjuncts ({n_user})"
+        )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("sum_cents"),
+    )

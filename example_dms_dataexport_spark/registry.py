@@ -36,9 +36,9 @@ def query(name: str, oracle: str | None):
 # (q117-q121, never driver-checked) go first, then the 16 queries whose
 # latest driver row is r6 (the documented r8 deferrals), then any faces
 # new this round, then the lowest-numbered queries whose latest driver row
-# is r7. The r7 rows deferred to round 10 (q47/q48/q50/q51/q58/q67/
-# q70-q73/q78/q82-q86/q99-q107 area, exact set = whatever doesn't fit
-# the 50 — q47/q48/q50/q51 were dropped from the tail as q126-q129
+# is r7. The r7 rows deferred to round 10 (q46/q47/q48/q50/q51/q58/
+# q67/q70-q73/q78/q82-q86/q99-q107 area, exact set = whatever doesn't
+# fit the 50 — q46-q48/q50/q51 were dropped from the tail as q126-q130
 # rotated in) all carry green r7 driver rows plus the local exact-mode
 # sweep this round.
 PRIORITY = [
@@ -74,6 +74,7 @@ PRIORITY = [
     "q127_xml_stage_roundtrip",
     "q128_zonemap_prune",
     "q129_declared_layout_pipeline",
+    "q130_zorder_multicol_prune",
     # latest driver row is r7 (lowest-numbered first)
     "q18_cdc_merge",
     "q20_corpus_profile",
@@ -95,7 +96,6 @@ PRIORITY = [
     "q43_dedup_clusters",
     "q44_decontaminate",
     "q45_stratified_sample",
-    "q46_token_chunks",
 ]
 
 

@@ -674,3 +674,13 @@ def test_q129_declared_layout_pipeline_plan(spark):
     # the returned read is a pruned parquet scan + ONE agg shuffle; all
     # pipeline work (load/merge/layout) happened before the plan
     assert exchange_count(df) == 1, plan
+
+
+def test_q130_zorder_multicol_prune_plan(spark):
+    df = _q(spark, "q130_zorder_multicol_prune")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pruned file-list scan + residual filters + ONE agg shuffle; the
+    # face's guards already pinned strict-subset conjunctive planning
+    assert exchange_count(df) == 1, plan
