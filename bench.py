@@ -272,8 +272,18 @@ def main() -> None:
         # AFTER the current round's correctness file lands.
         n_round = None
         if "--round" in sys.argv:
-            n_round = int(sys.argv[sys.argv.index("--round") + 1])
-        elif os.environ.get("SPARK_GRAFT_ROUND"):
+            # A missing or non-integer value must not crash AFTER the
+            # whole bench ran (losing the artifact) — fall back to the
+            # inference path instead.
+            try:
+                n_round = int(sys.argv[sys.argv.index("--round") + 1])
+            except (IndexError, ValueError):
+                print(
+                    "warning: --round needs an integer value; "
+                    "inferring round number",
+                    file=sys.stderr,
+                )
+        if n_round is None and os.environ.get("SPARK_GRAFT_ROUND"):
             n_round = int(os.environ["SPARK_GRAFT_ROUND"])
         if n_round is None:
             rounds = [

@@ -109,19 +109,31 @@ def global_index(
         # setCheckpointDir is session-global; remember the prior value and
         # restore it after the eager materialization below so a later
         # .checkpoint() elsewhere in the application doesn't silently
-        # land in this operator's directory.
+        # land in this operator's directory. try/finally: the restore
+        # must happen even when the materializing collect() throws.
         sc = df.sparkSession.sparkContext
         prior = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
-        ordered = laid_out.checkpoint(eager=False)
+        try:
+            ordered = laid_out.checkpoint(eager=False)
+            # n-row collect: one count per shuffle partition,
+            # driver-bounded. This action materializes the (lazy)
+            # checkpoint, so the dir can be restored right after.
+            counts = (
+                ordered.groupBy(pid_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        finally:
+            if prior is not None:
+                sc.setCheckpointDir(prior)
     else:
         ordered = laid_out.localCheckpoint(eager=False)
-    # n-row collect: one count per shuffle partition, driver-bounded.
-    # This action materializes the (lazy) checkpoint, so the dir can be
-    # restored right after.
-    counts = ordered.groupBy(pid_col).agg(F.count(F.lit(1)).alias("c")).collect()
-    if checkpoint_dir is not None and prior is not None:
-        sc.setCheckpointDir(prior)
+        counts = (
+            ordered.groupBy(pid_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r[pid_col]):

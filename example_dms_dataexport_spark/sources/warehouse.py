@@ -26,7 +26,9 @@ import math
 import os
 import re
 import shutil
+import socket
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -494,6 +496,13 @@ class ParquetWarehouse:
                 df = df.filter(F.col(c) >= F.lit(clo))
             if chi is not None:
                 df = df.filter(F.col(c) <= F.lit(chi))
+            if clo is None and chi is None:
+                # Pruning drops all-NULL files for every queried column
+                # ("a range predicate never matches NULL"); an
+                # UNBOUNDED range adds no >=/<= residual, so NULL rows
+                # in kept files must be filtered here too or pruning
+                # and filtering disagree on the result set.
+                df = df.filter(F.col(c).isNotNull())
         return df
 
     def read_manifest(self, table: str) -> dict:
@@ -748,7 +757,10 @@ class ParquetWarehouse:
         ``key_col`` appears in ``subjects`` (a one-column DataFrame of
         subject keys — request sets are small, so it broadcasts).
         Returns ``{"rows_before", "rows_erased", "rows_after",
-        "touched_partitions"}``.
+        "touched_partitions", "purged_versions"}`` (the last names the
+        pre-erasure snapshots a versioned erase discarded — also
+        surfaced as a warning, since ``retain=1`` silently drops ALL
+        history by design; ``None`` for non-versioned layouts).
 
         Three storage layouts, three rewrite scopes:
 
@@ -806,6 +818,7 @@ class ParquetWarehouse:
             "left_anti",
         )
         touched_n = None
+        purged: list[int] | None = None
         if partition_by:
             touched = [
                 tuple(r[c] for c in partition_by)
@@ -834,7 +847,23 @@ class ParquetWarehouse:
                     slice_survivors, table, partition_by, touched
                 )
         elif versioned:
+            held_before = set(self._load_versions(table)["versions"])
             self.overwrite_versioned(survivors, table, retain=retain)
+            # With retain=1 (the GDPR-complete default) every
+            # pre-erasure snapshot is purged — history is gone by
+            # design, but silently. Name the purged versions so
+            # operators see what the erase discarded.
+            purged = sorted(
+                held_before - set(self._load_versions(table)["versions"])
+            )
+            if purged:
+                warnings.warn(
+                    f"erase_subjects({table!r}) purged pre-erasure "
+                    f"snapshot version(s) {purged} (retain={retain}); "
+                    "erasure is only complete once no retained snapshot "
+                    "holds the subject's rows",
+                    stacklevel=2,
+                )
         elif bucketed:
             with open(bucket_spec_path) as f:
                 spec = json.load(f)
@@ -863,6 +892,7 @@ class ParquetWarehouse:
             "rows_erased": rows_before - rows_after,
             "rows_after": rows_after,
             "touched_partitions": touched_n,
+            "purged_versions": purged,
         }
 
     def _write_tombstone(
@@ -910,27 +940,55 @@ class ParquetWarehouse:
         atomic on POSIX local filesystems and on HDFS-style stores with
         create-if-absent semantics; object stores without atomic
         create-if-absent (plain S3) need an external lock service — the
-        same caveat every file-based table format carries."""
+        same caveat every file-based table format carries.
+
+        Staleness escape: the lock records ``pid=<pid> host=<host>``.
+        When a second writer finds the lock held by a process on the
+        SAME host that is no longer alive (``os.kill(pid, 0)`` raises
+        ``ProcessLookupError``), the crashed writer's lock is broken
+        LOUDLY (a warning naming the dead holder) and acquisition
+        retried once, instead of wedging every future commit until a
+        human removes the file. Locks from other hosts — where
+        liveness cannot be probed — still fail closed."""
         import contextlib
 
         @contextlib.contextmanager
         def fence():
             lock = lock_path or os.path.join(self.path(table), LOCK_FILE)
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            for attempt in (0, 1):
                 try:
-                    with open(lock) as f:
-                        holder = f.read().strip() or "unknown"
-                except OSError:
-                    holder = "unknown"
-                raise ConcurrentWriteError(
-                    f"table {table!r} is being written by another writer "
-                    f"(holder: {holder}; lock: {lock}). If that writer "
-                    "crashed, remove the lock file manually."
-                ) from None
+                    fd = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    break
+                except FileExistsError:
+                    try:
+                        with open(lock) as f:
+                            holder = f.read().strip() or "unknown"
+                    except OSError:
+                        holder = "unknown"
+                    if attempt == 0 and self._lock_holder_dead(holder):
+                        warnings.warn(
+                            f"breaking stale writer lock {lock} held by "
+                            f"dead process ({holder})",
+                            stacklevel=3,
+                        )
+                        try:
+                            os.remove(lock)
+                        except OSError:
+                            pass
+                        continue
+                    raise ConcurrentWriteError(
+                        f"table {table!r} is being written by another "
+                        f"writer (holder: {holder}; lock: {lock}). If "
+                        "that writer crashed on another host, remove "
+                        "the lock file manually."
+                    ) from None
             try:
-                os.write(fd, f"pid={os.getpid()}".encode())
+                os.write(
+                    fd,
+                    f"pid={os.getpid()} host={socket.gethostname()}".encode(),
+                )
                 os.close(fd)
                 yield
             finally:
@@ -940,6 +998,29 @@ class ParquetWarehouse:
                     pass
 
         return fence()
+
+    @staticmethod
+    def _lock_holder_dead(holder: str) -> bool:
+        """True iff the lock's recorded holder is a process on THIS
+        host that is provably not alive. Malformed holders, other
+        hosts, and live/unprobeable pids all return False (fail
+        closed)."""
+        fields = dict(
+            kv.split("=", 1) for kv in holder.split() if "=" in kv
+        )
+        if fields.get("host") != socket.gethostname():
+            return False
+        try:
+            pid = int(fields["pid"])
+        except (KeyError, ValueError):
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True
+        except OSError:
+            return False
+        return False
 
     def _load_versions(self, table: str) -> dict:
         p = self._version_pointer(table)
@@ -1112,17 +1193,25 @@ class ParquetWarehouse:
             raise ValueError("commit_group needs at least one table")
         if retain < 1:
             raise ValueError("retain must be >= 1")
-        state = self._load_group(group)
-        prev = state["commits"].get(state["current"], {})
-        missing = set(prev) - set(tables)
-        if missing:
-            raise ValueError(
-                f"group {group!r} commit is missing member tables "
-                f"{sorted(missing)}; member sets must not shrink"
-            )
         with self._write_fence(
             group, lock_path=self._group_pointer(group) + ".lock"
         ):
+            # Load INSIDE the fence: the read-modify-write of the group
+            # pointer must be fully fenced, or two writers that both
+            # loaded current=N before serializing through the lock
+            # would each compute commit N+1 and the second would
+            # silently discard the first's commit mapping (the exact
+            # lost-update the fence exists to prevent; mirrors
+            # overwrite_versioned loading _version.json inside its
+            # fence).
+            state = self._load_group(group)
+            prev = state["commits"].get(state["current"], {})
+            missing = set(prev) - set(tables)
+            if missing:
+                raise ValueError(
+                    f"group {group!r} commit is missing member tables "
+                    f"{sorted(missing)}; member sets must not shrink"
+                )
             committed = {
                 name: self.overwrite_versioned(df, name, retain=retain + 1)
                 for name, df in tables.items()

@@ -2358,3 +2358,35 @@ def test_salted_join_spreads_hot_key_and_validates(spark):
         salted_join(left, right, ["k"], how="right")
     with pytest.raises(ValueError, match="at least one key"):
         salted_join(left, right, [])
+
+
+def test_global_index_restores_checkpoint_dir_on_failure(spark, tmp_path):
+    """The session-global checkpoint dir is restored even when the
+    materializing action throws (ADVICE r9): a failed global_index must
+    not leave the SparkContext pointed at this operator's directory."""
+    import os
+
+    from example_dms_dataexport_spark.operators import ordering
+
+    sc = spark.sparkContext
+    saved = sc.getCheckpointDir()
+    prior = str(tmp_path / "prior_ckpt")
+    os.makedirs(prior, exist_ok=True)
+    sc.setCheckpointDir(prior)
+    try:
+        bad = spark.range(10).select(
+            F.col("id"),
+            F.assert_true(F.col("id") < 5).cast("long").alias("g"),
+        )
+        with pytest.raises(Exception, match=""):
+            ordering.global_index(
+                bad,
+                [F.col("g"), F.col("id")],
+                checkpoint_dir=str(tmp_path / "op_ckpt"),
+            )
+        # setCheckpointDir appends UUID subdirs, so check the component
+        got = sc.getCheckpointDir() or ""
+        assert "prior_ckpt" in got and "op_ckpt" not in got
+    finally:
+        if saved is not None:
+            sc.setCheckpointDir(saved)

@@ -1431,3 +1431,163 @@ def test_layout_rejects_non_object_config():
     )
     with pytest.raises(ValueError, match="JSON object"):
         m.layout()
+
+
+def test_group_commit_state_loaded_inside_fence(spark, tmp_path, monkeypatch):
+    """The lost-update fix (VERDICT r9): commit_group's read-modify-write
+    of the group pointer must load state UNDER the O_EXCL fence, so a
+    writer serializing through the lock after another's commit always
+    sees that commit's number. Pinned by spying on _load_group: during
+    commit_group it must run while the lock file exists."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.commit_group({"t": spark.range(3)}, "g")
+    lock = wh._group_pointer("g") + ".lock"
+    seen = []
+    orig = ParquetWarehouse._load_group
+
+    def spy(self, group):
+        seen.append(os.path.exists(lock))
+        return orig(self, group)
+
+    monkeypatch.setattr(ParquetWarehouse, "_load_group", spy)
+    assert wh.commit_group({"t": spark.range(4)}, "g") == 2
+    monkeypatch.undo()
+    assert seen and all(seen), "group state loaded outside the fence"
+    # and the serialized second writer really saw the first's commit
+    assert sorted(wh._load_group("g")["commits"]) == [1, 2]
+
+
+def test_group_commit_interleaved_writers_lose_nothing(spark, tmp_path):
+    """Two concurrent group writers: every writer either commits or
+    raises, successful commit numbers are dense, and every successful
+    commit's mapping is resolvable — no group commit silently lost."""
+    import threading
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    outcomes = []
+    olock = threading.Lock()
+
+    def writer(i):
+        try:
+            c = wh.commit_group(
+                {"t": spark.range(10 + i)}, "g", retain=4
+            )
+            with olock:
+                outcomes.append(("ok", c))
+        except ConcurrentWriteError:
+            with olock:
+                outcomes.append(("fenced", None))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    committed = sorted(c for k, c in outcomes if k == "ok")
+    assert committed == list(range(1, len(committed) + 1))  # dense
+    assert len(committed) >= 1
+    state = wh._load_group("g")
+    assert state["current"] == max(committed)
+    for c in committed:
+        assert wh.read_group(spark, "g", commit=c)["t"].count() >= 10
+
+
+def test_stale_writer_lock_broken_when_holder_dead(spark, tmp_path):
+    """Fence staleness escape: a lock held by a provably-dead process on
+    THIS host is broken loudly (warning) and the commit proceeds; locks
+    from other hosts or with malformed holders still fail closed."""
+    import socket
+    import subprocess
+    import warnings as _warnings
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(3), "t")
+    lock = os.path.join(wh.path("t"), "_writer.lock")
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w") as f:
+        f.write(f"pid={p.pid} host={socket.gethostname()}")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert wh.overwrite_versioned(spark.range(4), "t") == 2
+    assert any("stale writer lock" in str(w.message) for w in rec)
+    assert not os.path.exists(lock)
+
+    # other host: liveness unprobeable -> fail closed
+    with open(lock, "w") as f:
+        f.write(f"pid={p.pid} host=some-other-host")
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        wh.overwrite_versioned(spark.range(5), "t")
+    os.remove(lock)
+
+    # malformed holder -> fail closed
+    with open(lock, "w") as f:
+        f.write("pid=held")
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        wh.overwrite_versioned(spark.range(5), "t")
+    os.remove(lock)
+
+    # live same-host pid -> fail closed
+    with open(lock, "w") as f:
+        f.write(f"pid={os.getpid()} host={socket.gethostname()}")
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        wh.overwrite_versioned(spark.range(5), "t")
+    os.remove(lock)
+
+
+def test_read_zoned_unbounded_range_filters_nulls(spark, tmp_path):
+    """ADVICE r9: an unbounded range prunes all-NULL files, so NULL rows
+    in KEPT files must be filtered too — pruning and residual filtering
+    agree on 'a range predicate never matches NULL'."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    mixed = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k int, s string"
+    ).repartition(1)
+    all_null = spark.createDataFrame(
+        [(None, "c"), (None, "d")], "k int, s string"
+    ).repartition(1)
+    wh.overwrite(
+        mixed.unionByName(all_null).repartition(2, "s"), "nt",
+        stat_cols=["k"],
+    )
+    out = wh.read_zoned(spark, "nt", "k")  # lo=None, hi=None
+    assert [r.k for r in out.collect()] == [1]
+    # multi-col ranges= spelling behaves identically
+    out2 = wh.read_zoned(spark, "nt", ranges={"k": (None, None)})
+    assert [r.k for r in out2.collect()] == [1]
+
+
+def test_erase_subjects_reports_purged_versions(spark, tmp_path):
+    """A versioned erase with retain=1 discards ALL pre-erasure history
+    by design — the return dict now names the purged versions and a
+    warning surfaces it; non-versioned layouts return None."""
+    import warnings as _warnings
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "erase"), (3, "keep")], "uid int, s string"
+    )
+    wh.overwrite_versioned(df, "vt", retain=3)
+    wh.overwrite_versioned(df, "vt", retain=3)  # two retained versions
+    subj = spark.createDataFrame([(2,)], "uid int").select("uid")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        res = wh.erase_subjects(spark, "vt", "uid", subj, retain=1)
+    assert res["rows_erased"] == 1
+    assert res["purged_versions"] == [1, 2]
+    assert any("purged pre-erasure" in str(w.message) for w in rec)
+    # the purged snapshots are really gone (GDPR-complete)
+    assert sorted(wh.versions("vt")) == [3]
+
+    wh.overwrite(df, "pt")
+    res_plain = wh.erase_subjects(spark, "pt", "uid", subj)
+    assert res_plain["purged_versions"] is None
