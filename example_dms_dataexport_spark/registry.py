@@ -32,70 +32,66 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 9 window: the 5 queries registered after the r8 window filled
-# (q117-q121, never driver-checked) go first, then the 16 queries whose
-# latest driver row is r6 (the documented r8 deferrals), then any faces
-# new this round, then the lowest-numbered queries whose latest driver row
-# is r7. The r7 rows deferred to round 10 (q46/q47/q48/q50/q51/q58/
-# q67/q70-q73/q78/q82-q86/q99-q107 area, exact set = whatever doesn't
-# fit the 50 — q46-q48/q50/q51 were dropped from the tail as q126-q130
-# rotated in) all carry green r7 driver rows plus the local exact-mode
-# sweep this round.
+# Round 10 window: the 30 queries whose latest driver row is r7 (the
+# documented r9 deferrals — every one carries a green r7 row plus local
+# exact-mode sweeps in r9 and r10) go first, then faces new this round,
+# then the lowest-numbered queries whose latest driver row is r8 filling
+# the remaining slots. The r8 rows deferred to round 11 (everything from
+# q23 up in the r8 cohort) all stay covered by the local sweep.
 PRIORITY = [
-    # never driver-checked (registered after the r8 window filled)
-    "q117_cdc_backlog",
-    "q118_chunk_integrity",
-    "q119_user_erasure_audit",
-    "q120_pack_efficiency",
-    "q121_scd2_current_view",
-    # latest driver row is r6 (the r8 deferrals)
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q12_part_name_parsing",
-    "q13_file_prefix_grouping",
-    "q14_json_props",
-    "q15_orders_by_month",
-    "q16_hourly_event_windows",
-    "q35_length_percentiles",
-    "q36_rollup_acctbal",
-    "q54_profile_orders",
-    "q59_histogram_totalprice",
-    "q60_pivot_lang_source",
-    "q61_cube_flag_status",
-    "q63_intersect_except",
-    "q66_grouping_sets",
-    "q77_unpivot_metrics",
-    # new in round 9, never driver-checked
-    "q122_png_decode",
-    "q123_erasure_execution",
-    "q124_scd2_delta_apply",
-    "q125_group_commit_join",
-    "q126_orc_stage_roundtrip",
-    "q127_xml_stage_roundtrip",
-    "q128_zonemap_prune",
-    "q129_declared_layout_pipeline",
-    "q130_zorder_multicol_prune",
     # latest driver row is r7 (lowest-numbered first)
-    "q18_cdc_merge",
-    "q20_corpus_profile",
-    "q21_quality_filter",
-    "q22_exact_dedup",
-    "q24_minhash_dedup_pairs",
-    "q26_simhash_pairs",
-    "q27_ngram_jaccard_pairs",
-    "q28_knn_brute",
-    "q29_knn_lsh",
-    "q30_knn_ivf",
-    "q31_embedding_dup_pairs",
-    "q32_media_decode",
-    "q33_frame_sample",
-    "q37_repetition_ratio",
-    "q38_cleaning_pipeline",
-    "q40_pii_redaction",
-    "q41_vocab_df",
-    "q43_dedup_clusters",
-    "q44_decontaminate",
-    "q45_stratified_sample",
+    "q46_token_chunks",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q50_pack_chunks",
+    "q51_duplicate_spans",
+    "q52_tfidf_top_terms",
+    "q55_bpe_pair_counts",
+    "q56_mixture_sample",
+    "q57_kmeans_assign",
+    "q58_embedding_decontam",
+    "q67_incremental_neardup",
+    "q70_knn_quantized",
+    "q71_distinct_sketch_rollup",
+    "q72_exact_stratified_sample",
+    "q73_corpus_build",
+    "q78_inverted_index",
+    "q82_semantic_dedup",
+    "q83_bm25_rank",
+    "q84_quality_percentile",
+    "q85_mixture_weights",
+    "q86_leakage_safe_split",
+    "q99_quantile_sketch_accuracy",
+    "q100_heavy_hitters",
+    "q101_token_budget_shards",
+    "q102_audio_decode",
+    "q103_cms_accuracy",
+    "q104_domain_cap",
+    "q105_global_shuffle_index",
+    "q106_bpe_encode",
+    "q107_embedding_moments",
+    # new in round 10, never driver-checked (inserted as they land)
+    # latest driver row is r8 (lowest-numbered first)
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_priority_counts",
+    "q05_forecast_revenue",
+    "q06_distinct_segments",
+    "q07_union_nation_keys",
+    "q10_top_orders_per_customer",
+    "q11_latest_event_per_user",
+    "q17_load_plan",
+    "q19_text_features",
+    "q23_minhash_signatures",
+    "q25_simhash",
+    "q34_sessionize",
+    "q39_asof_attribution",
+    "q42_event_gaps",
+    "q49_incremental_rollup",
+    "q53_range_join_windows",
+    "q62_funnel_stages",
+    "q64_resample_ffill",
 ]
 
 
