@@ -220,6 +220,30 @@ def main() -> None:
     times_min["q18p_partitioned_cdc"] = round(best, 3)
     total += med
 
+    # Zone-map-scoped batch CDC (q18's merge against an UNpartitioned
+    # range-clustered target, changes confined to a narrow PK band):
+    # regressions back to whole-table merge I/O show up here.
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_zone_cdc_fixture,
+    )
+
+    zcdc_info: dict[str, int] = {}
+
+    def run_zcdc() -> None:
+        td = tempfile.mkdtemp(prefix="bench-zcdc-")
+        try:
+            n, carried, files = run_zone_cdc_fixture(spark, sf_dir, td)
+            zcdc_info.update(
+                rows_written=n, files_carried=carried, total_files=files
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_zcdc)
+    times["q18z_zone_cdc"] = round(med, 3)
+    times_min["q18z_zone_cdc"] = round(best, 3)
+    total += med
+
     cal_med, cal_best = timed(calibrate)
 
     spread = max(
@@ -242,6 +266,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "partitioned_cdc": pcdc_info,
+        "zone_cdc": zcdc_info,
         "queries": times,
         "queries_min": times_min,
         "noise": {

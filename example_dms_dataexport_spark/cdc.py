@@ -152,10 +152,28 @@ def merge_and_write(
     partition_by: list[str] | None = None,
     full_rewrite: bool = False,
     layout: dict | None = None,
+    prune_files: bool | None = None,
 ) -> int:
     """MERGE ``changes`` into ``target`` and commit to ``target_table``;
     returns the written row count. ONE code path for the merge+write,
     shared by the batch loader and the streaming foreachBatch driver.
+
+    ``prune_files`` controls the ZONE-MAP-SCOPED merge (the file-level
+    analogue of partition scoping, ref :369-408 — where the reference
+    delegates to Snowflake's micro-partition pruning): when the
+    unpartitioned target carries a zone map covering primary-key
+    columns, the change batch's PK min/max (one batch-sized agg) prunes
+    the target to only the FILES whose PK band overlaps the batch; the
+    merge joins against that subset and ``replace_files`` carries every
+    disjoint file into the new state as a hard link — I/O proportional
+    to the batch's key locality, not the table. None (default) =
+    automatic when available and it actually prunes; False = never;
+    True = require (raise if the table has no covering map). Correctness
+    is unconditional: a change row's PK lies inside the batch's range,
+    so every target file that could contain a matching row overlaps on
+    every scoped column, and disjoint files can only hold rows the
+    full-outer merge would pass through unchanged (NULL-PK rows never
+    equality-match a change).
 
     ``layout`` (``TableMeta.layout()``) re-applies the table's declared
     clustering / zone-map options whenever the write is a FULL rewrite,
@@ -228,22 +246,103 @@ def merge_and_write(
         n = merged.count()  # materialize before overwriting what we read
         warehouse.replace_partitions(merged, target_table, partition_by, touched)
         merged.unpersist()
-    else:
-        merged = apply_changes(
-            target, changes, pks=pks, version_cols=version_cols
-        ).persist()
-        n = merged.count()  # materialization also validates before the swap
-        # full_rewrite keeps the partition layout: the atomic whole-table
-        # swap also drops any pending tombstone marker with the old dir.
-        lay = layout or {}
-        warehouse.overwrite(
-            merged,
+        return n
+    if not full_rewrite and prune_files is not False:
+        n = _zone_scoped_merge(
+            warehouse,
             target_table,
-            partition_by=partition_by,
-            cluster_by=lay.get("cluster_by"),
-            zorder_by=lay.get("zorder_by"),
-            cluster_partitions=lay.get("cluster_partitions"),
-            stat_cols=lay.get("stat_cols"),
+            target,
+            changes,
+            pks,
+            version_cols,
+            require=prune_files is True,
         )
-        merged.unpersist()
+        if n is not None:  # committed by replace_files inside the helper
+            return n
+    merged = apply_changes(
+        target, changes, pks=pks, version_cols=version_cols
+    ).persist()
+    n = merged.count()  # materialization also validates before the swap
+    # full_rewrite keeps the partition layout: the atomic whole-table
+    # swap also drops any pending tombstone marker with the old dir.
+    lay = layout or {}
+    warehouse.overwrite(
+        merged,
+        target_table,
+        partition_by=partition_by,
+        cluster_by=lay.get("cluster_by"),
+        zorder_by=lay.get("zorder_by"),
+        cluster_partitions=lay.get("cluster_partitions"),
+        stat_cols=lay.get("stat_cols"),
+    )
+    merged.unpersist()
     return n
+
+
+def _zone_scoped_merge(
+    warehouse: ParquetWarehouse,
+    target_table: str,
+    target,
+    changes,
+    pks: list[str],
+    version_cols: list[str],
+    require: bool = False,
+) -> int | None:
+    """Attempt the zone-map-scoped merge (see ``merge_and_write``);
+    returns the written row count when it committed, None when the
+    table has no covering map or pruning would not drop any file (the
+    caller falls back to the whole-table merge). One batch-sized
+    aggregation computes the change set's per-PK-column min/max; the
+    target's zone map then splits its files into the overlapping set
+    (joined) and the disjoint set (hard-linked through untouched by
+    ``replace_files``)."""
+    import os
+
+    zm = warehouse.zonemap(target_table)
+    if zm is None or os.path.isfile(warehouse._version_pointer(target_table)):
+        if require:
+            raise ValueError(
+                f"prune_files=True but {target_table!r} has no zone map "
+                "(declare stat_cols covering a primary-key column)"
+            )
+        return None
+    scope_cols = [c for c in pks if c in zm["stat_cols"]]
+    if not scope_cols:
+        if require:
+            raise ValueError(
+                f"prune_files=True but {target_table!r}'s zone map covers "
+                f"{zm['stat_cols']}, none of the primary keys {pks}"
+            )
+        return None
+    bounds = changes.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in scope_cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in scope_cols],
+    ).first()
+    ranges = {
+        c: (bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]) for c in scope_cols
+    }
+    if any(lo is None or hi is None for lo, hi in ranges.values()):
+        return None  # empty batch or all-NULL keys: nothing to scope by
+    split = warehouse.zone_overlap_split(target_table, ranges)
+    if split is None:
+        return None
+    overlap, disjoint = split
+    if not disjoint:
+        return None  # no file prunes: the plain whole-table path is equal
+    base = warehouse.path(target_table)
+    spark = changes.sparkSession
+    if overlap:
+        sub_target = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, rel) for rel in overlap]
+        )
+        # mirror the caller's (possibly source-reordered) column order
+        sub_target = sub_target.select(*target.columns)
+    else:  # pure out-of-range insert batch: merge against nothing
+        sub_target = target.limit(0)
+    merged = apply_changes(
+        sub_target, changes, pks=pks, version_cols=version_cols
+    )
+    # replace_files stages to a temp dir and swaps atomically, so the
+    # lazy merged plan may safely read the files it replaces.
+    res = warehouse.replace_files(merged, target_table, overlap)
+    return res["rows_written"]

@@ -3268,3 +3268,136 @@ def q130_zorder_multicol_prune(spark, sf_dir):
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         ).cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map-scoped CDC merge (S11 + S16 composed; ref :369-408, where the
+# reference's MERGE relies on Snowflake's micro-partition pruning)
+# ---------------------------------------------------------------------------
+
+_Q131_ORACLE = """
+    WITH bounds AS MATERIALIZED (
+        SELECT max(c_custkey) * 2 / 5 AS lo,
+               max(c_custkey) * 9 / 20 AS hi
+        FROM customer
+    ),
+    changes AS MATERIALIZED (
+        SELECT CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               'zchg-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+               o_totalprice + 1000 AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderdate AS _file,
+               o_orderkey AS _rownum
+        FROM orders, bounds
+        WHERE o_custkey BETWEEN bounds.lo AND bounds.hi
+    ),
+    deduped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _file DESC, _rownum DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t
+    FULL OUTER JOIN deduped s ON t.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL OR s.op <> 'D'
+"""
+
+
+@query("q131_zone_merge_prune", _Q131_ORACLE)
+def q131_zone_merge_prune(spark, sf_dir):
+    """The ZONE-MAP-SCOPED CDC merge end-to-end (cdc.merge_and_write's
+    file-pruned path; ref :369-408 — the micro-partition-scoped rewrite
+    the reference delegates to Snowflake): customer lands range-
+    clustered on its PK with a zone map, a q18-style change batch
+    restricted to a NARROW key band (2/5..9/20 of the keyspace) merges
+    through the automatic prune_files path, and the face returns the
+    final on-disk table state — hash-matched against a pure-SQL
+    restatement of the same merge over the raw inputs, proving file
+    pruning changes nothing but the I/O. Driver-side guards fail the
+    face if the merge stopped being sub-linear: at least one target
+    file must survive byte-identical (same inode — carried as a hard
+    link, never read or rewritten), the merge must write fewer rows
+    than the table holds, and the committed state must still carry a
+    zone map (steady-state: the NEXT merge prunes too)."""
+    import shutil
+
+    from .cdc import merge_and_write
+    from .sources.warehouse import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    lo, hi = maxk * 2 / 5, maxk * 9 / 20
+
+    root = _scratch_root("q131", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(
+        cust,
+        "customer_z",
+        cluster_by=["c_custkey"],
+        cluster_partitions=16,
+        stat_cols=["c_custkey"],
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.filter(
+        F.col("o_custkey").between(F.lit(lo), F.lit(hi))
+    ).select(
+        F.when(F.col("o_orderkey") % 10 < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("zchg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def inodes():
+        return {
+            n: os.stat(os.path.join(root, "customer_z", n)).st_ino
+            for n in os.listdir(os.path.join(root, "customer_z"))
+            if n.endswith(".parquet")
+        }
+
+    before = inodes()
+    n_rows = cust.count()
+    n = merge_and_write(
+        wh,
+        "customer_z",
+        wh.read(spark, "customer_z"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    after = inodes()
+    carried = [r for r in before if r in after and after[r] == before[r]]
+    if not carried:
+        raise AssertionError(
+            "zone-scoped merge carried no file: pruning is broken "
+            f"(batch band [{lo}, {hi}], {len(before)} files before)"
+        )
+    if not n < n_rows:
+        raise AssertionError(
+            f"zone-scoped merge wrote {n} rows for a {n_rows}-row table: "
+            "rewrite is not sub-linear"
+        )
+    if wh.zonemap("customer_z") is None:
+        raise AssertionError("merge dropped the zone map: next merge won't prune")
+    return wh.read(spark, "customer_z")

@@ -71,6 +71,7 @@ PRIORITY = [
     "q106_bpe_encode",
     "q107_embedding_moments",
     # new in round 10, never driver-checked (inserted as they land)
+    "q131_zone_merge_prune",
     # latest driver row is r8 (lowest-numbered first)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -358,6 +358,175 @@ class ParquetWarehouse:
             }
         return {"stat_cols": list(stat_cols), "files": files}
 
+    @classmethod
+    def _split_by_ranges(
+        cls, zm: dict, ranges: dict
+    ) -> tuple[list[str], list[str]]:
+        """Partition a zone map's files into (overlapping, disjoint) for
+        conjunctive per-column ranges — a file overlaps only if EVERY
+        queried column's [min, max] band intersects that column's range.
+        Files with an all-NULL band for a queried column land on the
+        disjoint side (a range predicate — and a PK equality — never
+        matches NULL). Bounds of None are unbounded on that end."""
+        norm = {
+            c: (cls._zonemap_stat(b[0]), cls._zonemap_stat(b[1]))
+            for c, b in ranges.items()
+        }
+        overlapping: list[str] = []
+        disjoint: list[str] = []
+        for rel, stats in zm["files"].items():
+            ok = True
+            for c, (nlo, nhi) in norm.items():
+                mn, mx = stats[c]
+                if mn is None:  # all-NULL file for this column
+                    ok = False
+                    break
+                if (nhi is not None and mn > nhi) or (
+                    nlo is not None and mx < nlo
+                ):
+                    ok = False
+                    break
+            (overlapping if ok else disjoint).append(rel)
+        return overlapping, disjoint
+
+    def zone_overlap_split(
+        self, table: str, ranges: dict
+    ) -> tuple[list[str], list[str]] | None:
+        """Split the table's files into (overlapping, disjoint) relative
+        paths for the given conjunctive ranges, or None when the table
+        has no zone map covering every range column (callers fall back
+        to an unpruned plan). The file-pruning primitive the zone-scoped
+        CDC merge composes with ``replace_files``."""
+        if os.path.isfile(self._version_pointer(table)):
+            return None  # snapshots rewrite whole states; no file CoW
+        zm = self.zonemap(table)
+        if zm is None or any(c not in zm["stat_cols"] for c in ranges):
+            return None
+        return self._split_by_ranges(zm, ranges)
+
+    def replace_files(
+        self, df: DataFrame, table: str, replaced: list[str]
+    ) -> dict:
+        """Copy-on-write FILE-level replace for a plain (flat) table:
+        commit a new table state whose content is every current file
+        EXCEPT ``replaced`` (carried over as hard links — metadata ops,
+        no data I/O) plus the files of ``df`` (the rewritten content for
+        the replaced region). This is the write-side half of the
+        zone-map-scoped CDC merge (ref :369-408 — the reference
+        delegates the equivalent micro-partition-scoped rewrite to
+        Snowflake's engine): rewrite cost is O(|df| + |replaced|), not
+        O(|table|), which is the difference between a CDC merge that
+        scales with the batch and one that rewrites 100 TB per batch.
+
+        ``df`` may lazily READ the replaced files — everything stages in
+        a temp dir and promotes via the same atomic swap as
+        ``overwrite``, so the inputs are intact until the flip.
+
+        Zone-map maintenance: when the table carries a map, entries for
+        carried-over files are kept verbatim (their bytes are untouched)
+        and entries for the new files are computed in one pass over the
+        staged temp dir, so the committed state's map is exact and the
+        NEXT merge prunes again — the map never goes stale-and-dropped
+        in steady state. Returns ``{"rows_written", "files_replaced",
+        "files_linked", "files_new"}``.
+        """
+        final = self.path(table)
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — commit new states with "
+                "overwrite_versioned"
+            )
+        if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
+            raise ValueError(
+                f"{table!r} is bucketed — rewrite through write_bucketed"
+            )
+        self._reconcile(table, writer=True)
+        existing = {
+            name
+            for name in os.listdir(final)
+            if name.endswith(".parquet")
+            and os.path.isfile(os.path.join(final, name))
+        }
+        if any(os.path.isdir(os.path.join(final, n)) for n in os.listdir(final)):
+            raise ValueError(
+                f"{table!r} has partition subdirectories — use "
+                "replace_partitions"
+            )
+        replaced_set = set(replaced)
+        unknown = sorted(replaced_set - existing)
+        if unknown:
+            raise ValueError(
+                f"replace_files: not current files of {table!r}: {unknown}"
+            )
+        zm = self.zonemap(table)
+        spark = df.sparkSession
+        tmp_new = os.path.join(self.root, f".tmp-{table}-new-{uuid.uuid4().hex}")
+        asm = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        try:
+            df.write.mode("overwrite").parquet(tmp_new)
+            new_zm_files = {}
+            if zm is not None:
+                missing = [c for c in zm["stat_cols"] if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"replacement data lacks zone-map stat column(s) "
+                        f"{missing} of {table!r}"
+                    )
+                new_zm_files = self._compute_zonemap(
+                    spark, tmp_new, zm["stat_cols"]
+                )["files"]
+            os.makedirs(asm)
+            carried = sorted(existing - replaced_set)
+            for rel in carried:
+                os.link(os.path.join(final, rel), os.path.join(asm, rel))
+            import pyarrow.parquet as pq
+
+            rows_written = 0
+            renamed = {}
+            for name in sorted(os.listdir(tmp_new)):
+                if not name.endswith(".parquet"):
+                    continue
+                dest = name
+                while dest in existing or os.path.exists(
+                    os.path.join(asm, dest)
+                ):
+                    dest = f"cow-{uuid.uuid4().hex[:8]}-{dest}"
+                os.link(os.path.join(tmp_new, name), os.path.join(asm, dest))
+                renamed[name] = dest
+                rows_written += pq.read_metadata(
+                    os.path.join(tmp_new, name)
+                ).num_rows
+            # sidecars carry over (the batch-identity hook stays intact)
+            for side in (META_FILE,):
+                src = os.path.join(final, side)
+                if os.path.isfile(src):
+                    shutil.copy(src, os.path.join(asm, side))
+            if zm is not None:
+                merged_zm = {
+                    "stat_cols": zm["stat_cols"],
+                    "files": {
+                        **{
+                            rel: zm["files"][rel]
+                            for rel in carried
+                            if rel in zm["files"]
+                        },
+                        **{renamed[k]: v for k, v in new_zm_files.items()},
+                    },
+                }
+                with open(os.path.join(asm, ZONEMAP_FILE), "w") as f:
+                    json.dump(merged_zm, f)
+            self._commit_swap(asm, final, table)
+        finally:
+            shutil.rmtree(tmp_new, ignore_errors=True)
+            if os.path.exists(asm):  # failed before the swap
+                shutil.rmtree(asm, ignore_errors=True)
+        return {
+            "rows_written": rows_written,
+            "files_replaced": len(replaced_set),
+            "files_linked": len(carried),
+            "files_new": len(renamed),
+        }
+
     def _drop_zonemap(self, table: str) -> None:
         """Every in-place mutation (replace_partitions / compact /
         erase_subjects) calls this FIRST: a zone map describing files
@@ -469,25 +638,10 @@ class ParquetWarehouse:
                 f"column(s) {missing} not in zone map stat_cols "
                 f"{zm['stat_cols']}"
             )
-        norm = {
-            c: (self._zonemap_stat(b[0]), self._zonemap_stat(b[1]))
-            for c, b in ranges.items()
-        }
-        kept = []
-        for rel, stats in zm["files"].items():
-            ok = True
-            for c, (nlo, nhi) in norm.items():
-                mn, mx = stats[c]
-                if mn is None:  # all-NULL file for this column
-                    ok = False
-                    break
-                if (nhi is not None and mn > nhi) or (
-                    nlo is not None and mx < nlo
-                ):
-                    ok = False
-                    break
-            if ok:
-                kept.append(os.path.join(base, rel))
+        kept = [
+            os.path.join(base, rel)
+            for rel in self._split_by_ranges(zm, ranges)[0]
+        ]
         if not kept:  # zero overlap: empty result with the table schema
             return spark.read.parquet(base).filter(F.lit(False))
         df = spark.read.option("basePath", base).parquet(*kept)

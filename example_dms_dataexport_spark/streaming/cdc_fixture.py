@@ -163,3 +163,77 @@ def batch_expected(
         pks=["c_custkey"],
         version_cols=["_dms_filename", "_dms_rownum"],
     )
+
+
+def run_zone_cdc_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 16,
+) -> tuple[int, int, int]:
+    """Zone-map-scoped BATCH merge at bench scale (the file-level twin
+    of ``run_partitioned_cdc_fixture``; ref :369-408): customer is
+    stored UNpartitioned but range-clustered on its PK with a zone map,
+    the q18 change-set is restricted to a narrow PK band
+    (2/5..9/20 of the keyspace), and ``merge_and_write``'s automatic
+    prune_files path must join against only the overlapping files and
+    hard-link the rest through. Benchmarked per-round so a regression
+    back to whole-table merge I/O shows up as a wall-time jump.
+    Returns (rows_written, files_carried, files_total)."""
+    import os as _os
+
+    from ..cdc import merge_and_write
+
+    wh = ParquetWarehouse(_os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    wh.overwrite(
+        cust,
+        "customer",
+        cluster_by=["c_custkey"],
+        cluster_partitions=n_files,
+        stat_cols=["c_custkey"],
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    lo, hi = maxk * 2 / 5, maxk * 9 / 20
+
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = orders.filter(
+        F.col("o_custkey").between(F.lit(lo), F.lit(hi))
+    ).select(
+        F.when(opmod < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def _files():
+        d = wh.path("customer")
+        return {
+            n: _os.stat(_os.path.join(d, n)).st_ino
+            for n in _os.listdir(d)
+            if n.endswith(".parquet")
+        }
+
+    before = _files()
+    n = merge_and_write(
+        wh,
+        "customer",
+        wh.read(spark, "customer"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    after = _files()
+    carried = sum(1 for r in before if r in after and after[r] == before[r])
+    if carried == 0:
+        raise AssertionError(
+            "zone-scoped bench merge carried no file: pruning regressed"
+        )
+    return n, carried, len(before)

@@ -884,6 +884,7 @@ def test_erase_subjects_partitioned_scoped_rewrite(spark, tmp_path):
         "rows_erased": 6,
         "rows_after": 14,
         "touched_partitions": 2,
+        "purged_versions": None,
     }
     back = wh.read(spark, "t")
     assert back.count() == 14
