@@ -101,6 +101,10 @@ HEADLINE = [
     "q126_orc_stage_roundtrip",
     "q127_xml_stage_roundtrip",
     "q128_zonemap_prune",
+    # round 10 additions (q131_zone_merge_prune excluded like q113/q129:
+    # fixture-building dominates; its merge cost is benched by the
+    # dedicated q18z_zone_cdc fixture entry instead)
+    "q132_jpeg_decode",
 ]
 
 

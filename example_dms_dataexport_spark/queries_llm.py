@@ -2717,3 +2717,80 @@ def q120_pack_efficiency(spark, sf_dir):
             / ((F.max("pack_id") + 1) * _PACK_BUDGET)
         ).alias("utilization"),
     )
+
+
+_Q132_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, text,
+               (doc_id % 4) + 2 AS bw,
+               GREATEST(1, (GREATEST(1, len(text)) + (doc_id % 4) + 1)
+                           // ((doc_id % 4) + 2)) AS bh
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, bw, bh,
+               len(text) AS nd,
+               COALESCE(list_sum(
+                   [CAST(LEAST(239, GREATEST(16,
+                        ascii(substring(text, i, 1)))) AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS data_level_sum,
+               COALESCE(list_sum(
+                   [CAST(CASE WHEN ascii(substring(text, i, 1)) % 3 <> 0
+                              THEN 1 ELSE 0 END AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS n_striped,
+               COALESCE(list_sum(
+                   [CAST(ascii(substring(text, i, 1)) % 3 AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS stripe_sum
+        FROM geo
+    )
+    SELECT doc_id,
+           CAST(bw * 8 AS INTEGER) AS width,
+           CAST(bh * 8 AS INTEGER) AS height,
+           CAST(bw * bh AS INTEGER) AS n_blocks,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd)) AS BIGINT)
+               AS pix_sum,
+           CAST(n_striped AS INTEGER) AS ac_nonzero,
+           CAST(8 * stripe_sum AS BIGINT) AS ac_abs_sum,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd)) AS DOUBLE)
+               / (bw * bh * 64) AS mean_intensity
+    FROM stats
+"""
+
+
+@query("q132_jpeg_decode", _Q132_ORACLE)
+def q132_jpeg_decode(spark, sf_dir):
+    """REAL entropy-coded DCT decode, no external library — the last
+    rung of the q102 (WAV) -> q108 (PNM) -> q122 (PNG) ladder:
+    documents -> conformant baseline sequential JPEGs (one 8x8 block
+    per text byte: constant level clamp(byte, 16, 239) plus a
+    horizontal-frequency-4 stripe of amplitude byte % 3, unit quant
+    table) -> stdlib marker parse, canonical-Huffman entropy decode
+    with FF00 unstuffing, DC-delta + AC run-length reconstruction,
+    dequant, zig-zag descan, and per-block float IDCT through
+    Arrow-batched mapInPandas. The block structure makes every DCT
+    coefficient integer-exact, so the decoded pixels are EXACT despite
+    JPEG's lossy pipeline and every statistic restates from the text
+    rule (operators/multimodal.py module contract): ``pix_sum`` is the
+    stripe-free level sum (the stripe nets to zero per row),
+    ``ac_nonzero``/``ac_abs_sum`` count what the ENTROPY DECODER
+    actually reconstructed — a hash match proves the Huffman run/size
+    path ran, not just the DC chain. Pillow remains the gate for
+    progressive/color/subsampled variants."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_jpeg(multimodal.jpeg_from_documents(docs))
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_blocks",
+        "pix_sum",
+        "ac_nonzero",
+        "ac_abs_sum",
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width").cast("long") * F.col("height"))
+        ).alias("mean_intensity"),
+    )

@@ -72,6 +72,7 @@ PRIORITY = [
     "q107_embedding_moments",
     # new in round 10, never driver-checked (inserted as they land)
     "q131_zone_merge_prune",
+    "q132_jpeg_decode",
     # latest driver row is r8 (lowest-numbered first)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

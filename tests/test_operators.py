@@ -2390,3 +2390,127 @@ def test_global_index_restores_checkpoint_dir_on_failure(spark, tmp_path):
     finally:
         if saved is not None:
             sc.setCheckpointDir(saved)
+
+
+# --- stdlib baseline JPEG codec --------------------------------------------
+
+
+def _structured_jpeg_image(bytes_, bw):
+    """The q132 fixture geometry: one 8x8 block per byte (constant level
+    clamp(byte, 16, 239) + horizontal-frequency-4 stripe of amplitude
+    byte % 3), bw blocks wide, zero-byte padded to the grid."""
+    import numpy as np
+
+    stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    nb = max(1, len(bytes_))
+    bh = -(-nb // bw)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for k in range(bw * bh):
+        byte = bytes_[k] if k < len(bytes_) else 0
+        v = min(239, max(16, byte))
+        b = byte % 3
+        blk = np.full((8, 8), v, dtype=np.int64) + b * stripe[np.newaxis, :]
+        by, bx = divmod(k, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk.astype("uint8")
+    return img
+
+
+def test_jpeg_structured_roundtrip_exact():
+    """The q132 exactness contract: structured blocks survive the full
+    lossy pipeline (forward DCT + rounding + Huffman + IDCT) EXACTLY."""
+    import numpy as np
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    bytes_ = [0, 1, 2, 16, 17, 65, 127, 128, 200, 239, 254, 255]
+    img = _structured_jpeg_image(bytes_, 5)
+    raw = _encode_jpeg(img)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    w, h, nb, px, acn, aca = _decode_jpeg(raw)
+    assert (w, h, nb) == (40, 24, 15)
+    assert np.array_equal(px, img)
+    assert acn == sum(1 for b in bytes_ if b % 3)
+    assert aca == 8 * sum(b % 3 for b in bytes_)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_jpeg_generic_image_error_bounded(seed):
+    """The encoder is a REAL lossy encoder: an arbitrary image round-
+    trips within the unit-quant rounding bound (coefficient rounding
+    errors of <=0.5 propagate through the orthonormal IDCT to a few
+    intensity levels), exercising ZRL and varied run/size symbols."""
+    import numpy as np
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    w, h, nb, px, acn, aca = _decode_jpeg(_encode_jpeg(img))
+    assert (w, h, nb) == (32, 24, 12)
+    err = np.abs(px.astype(int) - img.astype(int)).max()
+    assert err <= 4, f"round-trip error {err} exceeds the rounding bound"
+    assert acn > 0  # a random image has plenty of AC energy
+
+
+def test_jpeg_decoder_variant_gates():
+    """Unsupported baseline variants fail loudly with a Pillow pointer,
+    never a silent wrong decode."""
+    import struct
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    img = _structured_jpeg_image([65, 66], 2)
+    raw = bytearray(_encode_jpeg(img))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"\x89PNG1234")
+    # flip SOF0 -> SOF2 (progressive)
+    sof = raw.find(b"\xff\xc0")
+    prog = raw[:sof] + b"\xff\xc2" + raw[sof + 2 :]
+    with pytest.raises(ValueError, match="baseline sequential.*pil"):
+        _decode_jpeg(bytes(prog))
+    # inject a DRI (restart interval) segment before SOS
+    sos = raw.find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with pytest.raises(ValueError, match="estart interval.*pil"):
+        _decode_jpeg(bytes(raw[:sos]) + dri + bytes(raw[sos:]))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|invalid"):
+        _decode_jpeg(bytes(raw[:-20]))
+
+
+def test_jpeg_roundtrip_decode_matches_python(spark):
+    """Spark-side q132 shape: fixture -> decode across executors matches
+    the byte-rule arithmetic (pickling-by-value contract incl. the
+    numpy-laden closures)."""
+    rows = [(0, "hello world"), (1, ""), (2, "abc"), (5, "Zz 9!"), (11, "q" * 23)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg(
+            multimodal.jpeg_from_documents(docs)
+        ).collect()
+    }
+    for doc_id, text in rows:
+        b = list(text.encode())
+        bw = (doc_id % 4) + 2
+        nb = max(1, len(b))
+        bh = -(-nb // bw)
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["n_blocks"]) == (
+            bw * 8, bh * 8, bw * bh,
+        )
+        pads = bw * bh - len(b)
+        assert r["pix_sum"] == 64 * (
+            sum(min(239, max(16, x)) for x in b) + 16 * pads
+        )
+        assert r["ac_nonzero"] == sum(1 for x in b if x % 3)
+        assert r["ac_abs_sum"] == 8 * sum(x % 3 for x in b)

@@ -177,3 +177,67 @@ def test_png_rejects_bad_payloads():
     deep[16 + 13 : 16 + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         _decode_png(bytes(deep))
+
+
+# --- baseline JPEG codec (operators/multimodal._make_jpeg_codec) -----------
+
+jpeg_bytes = st.lists(
+    st.integers(min_value=0, max_value=255), min_size=0, max_size=40
+)
+
+
+@given(jpeg_bytes, st.integers(min_value=1, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_structured_roundtrip_exact_property(bytes_, bw):
+    """For ANY byte sequence and grid width, the q132 fixture structure
+    (constant level + frequency-4 stripe per block) survives the full
+    encode -> Huffman -> IDCT pipeline EXACTLY, and the AC accounting
+    matches the byte rule."""
+    import numpy as np
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    nb = max(1, len(bytes_))
+    bh = -(-nb // bw)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for k in range(bw * bh):
+        byte = bytes_[k] if k < len(bytes_) else 0
+        v = min(239, max(16, byte))
+        blk = np.full((8, 8), v, dtype=np.int64)
+        blk += (byte % 3) * stripe[np.newaxis, :]
+        by, bx = divmod(k, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk.astype("uint8")
+    w, h, n_blocks, px, acn, aca = _decode_jpeg(_encode_jpeg(img))
+    assert (w, h, n_blocks) == (bw * 8, bh * 8, bw * bh)
+    assert np.array_equal(px, img)
+    padded = list(bytes_) + [0] * (bw * bh - len(bytes_))
+    assert acn == sum(1 for b in padded if b % 3)
+    assert aca == 8 * sum(b % 3 for b in padded)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_generic_roundtrip_error_bounded_property(seed, bh, bw):
+    """ANY image round-trips within the unit-quant rounding bound — the
+    general (non-fixture) encoder path with ZRL and arbitrary run/size
+    symbols stays correct, just lossy."""
+    import numpy as np
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(bh * 8, bw * 8), dtype=np.uint8)
+    w, h, nb, px, _, _ = _decode_jpeg(_encode_jpeg(img))
+    assert (w, h, nb) == (bw * 8, bh * 8, bw * bh)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
