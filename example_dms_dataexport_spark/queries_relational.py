@@ -3401,3 +3401,90 @@ def q131_zone_merge_prune(spark, sf_dir):
     if wh.zonemap("customer_z") is None:
         raise AssertionError("merge dropped the zone map: next merge won't prune")
     return wh.read(spark, "customer_z")
+
+
+# ---------------------------------------------------------------------------
+# Whole-cycle group snapshot consistency (S16 + run_queue group=...;
+# ref :163-203 task DAG, which commits each table's MERGE independently)
+# ---------------------------------------------------------------------------
+
+_Q133_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               AS combined_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 3 = 0
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q133_group_cycle_consistency", _Q133_ORACLE)
+def q133_group_cycle_consistency(spark, sf_dir):
+    """Whole-cycle snapshot isolation end-to-end — the cross-table
+    guarantee the reference's task DAG cannot give (each Snowflake
+    MERGE commits independently, ref :163-203, so a mid-cycle reader
+    joins one table's new state against another's old): customer and a
+    filtered orders land as cycle 1 and publish through
+    ``commit_group_linked`` (hard links, zero data I/O); then BOTH
+    working tables are rewritten — simulating the next cycle in
+    flight — and the face joins the tables resolved from
+    ``read_group``. The hash match against the CYCLE-1 restatement
+    proves the snapshot kept both members at the committed boundary:
+    had customer leaked its in-flight state every sum shifts by the
+    +100 bump, had orders leaked the order-key filter flips. A driver
+    guard additionally pins that the LIVE tables really moved (all
+    snapshot order keys are %3==0, all live ones %3==1), so the face
+    cannot silently pass by reading the working dirs."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    root = _scratch_root("q133", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    wh.overwrite(cust, "gc_customer")
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), "gc_orders")
+    wh.commit_group_linked(["gc_customer", "gc_orders"], "cycle")
+    # the next cycle's loads land in the working tables (uncommitted to
+    # the group): every balance bumps, the order slice flips
+    wh.overwrite(
+        cust.withColumn("c_acctbal", F.col("c_acctbal") + 100),
+        "gc_customer",
+    )
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 3 == 1), "gc_orders")
+    snap = wh.read_group(spark, "cycle")
+    if snap["gc_orders"].filter(F.col("o_orderkey") % 3 != 0).count() != 0:
+        raise AssertionError("snapshot leaked in-flight orders state")
+    if (
+        wh.read(spark, "gc_orders")
+        .filter(F.col("o_orderkey") % 3 != 1)
+        .count()
+        != 0
+    ):
+        raise AssertionError(
+            "working table did not move: the isolation guard is vacuous"
+        )
+    return (
+        snap["gc_orders"]
+        .join(
+            snap["gc_customer"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                + F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            ).alias("combined_cents"),
+        )
+    )

@@ -73,6 +73,7 @@ PRIORITY = [
     # new in round 10, never driver-checked (inserted as they land)
     "q131_zone_merge_prune",
     "q132_jpeg_decode",
+    "q133_group_cycle_consistency",
     # latest driver row is r8 (lowest-numbered first)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -34,6 +34,7 @@ from .sources.warehouse import ParquetWarehouse
 class RunResult:
     processed: list[tuple[str, str, str]] = field(default_factory=list)  # (path, type, status)
     errors: list[tuple[str, str]] = field(default_factory=list)
+    group_commit: int | None = None  # set when run_queue(group=...) published
 
 
 def run_migration(
@@ -57,6 +58,7 @@ def run_queue(
     task_count: int = 5,
     retries: int = 0,
     backoff_s: float = 1.0,
+    group: str | None = None,
 ) -> RunResult:
     """Drain the work queue with ``task_count`` workers.
 
@@ -66,6 +68,19 @@ def run_queue(
     explicit). Attempt n waits ``backoff_s * 2^(n-1)`` first, idempotency
     is what the loads already guarantee (atomic overwrite / un-advanced
     watermark), and only the final failure lands in ``errors``.
+
+    ``group``: consistent CYCLE snapshots — something the reference's
+    task DAG cannot offer (each Snowflake MERGE commits independently,
+    so a reader joining two tables mid-cycle sees one table's new state
+    against the other's old). When set, the cycle's target tables are
+    published as ONE group commit via ``commit_group_linked`` after
+    every worker drains: hard links, zero data I/O, pointer flip at the
+    cycle boundary. Readers who resolve ``warehouse.read_group(group)``
+    see whole cycles only — mid-cycle they keep the previous commit.
+    Every queued item's target table joins the snapshot (an item that
+    errored simply contributes its pre-cycle state, which is still a
+    coherent boundary); ``RunResult.group_commit`` carries the commit
+    number, or None when no item had a loadable target.
     """
     q: queue.Queue[tuple[WorkItem, int]] = queue.Queue()
     for it in items:
@@ -112,4 +127,23 @@ def run_queue(
     with ThreadPoolExecutor(max_workers=task_count) as ex:
         for _ in range(task_count):
             ex.submit(worker)
+    if group is not None:
+        targets = sorted(
+            {
+                meta.target_table
+                for it in items
+                if it.load_type != "N"
+                and (meta := store.get(it.full_path)) is not None
+                and meta.target_table
+            }
+            # a cycle that touches only a subset still snapshots every
+            # existing member at its (unchanged) current state — member
+            # sets never shrink, and the commit stays a whole-group
+            # boundary
+            | set(warehouse.group_members(group))
+        )
+        if targets:
+            result.group_commit = warehouse.commit_group_linked(
+                targets, group
+            )
     return result

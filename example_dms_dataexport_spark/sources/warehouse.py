@@ -1381,6 +1381,107 @@ class ParquetWarehouse:
             os.replace(ptmp, self._group_pointer(group))
         return commit
 
+    def group_members(self, group: str) -> list[str]:
+        """Member tables of the group's current commit ([] if the group
+        has never committed) — what a new cycle must re-snapshot even
+        when its queue touches only a subset (member sets never
+        shrink)."""
+        state = self._load_group(group)
+        return sorted(state["commits"].get(state["current"], {}))
+
+    def _group_snap_root(self, group: str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", group)
+        return os.path.join(self.root, f"_group_{safe}")
+
+    def commit_group_linked(
+        self, tables: list[str], group: str, retain: int = 2
+    ) -> int:
+        """Publish a CONSISTENT multi-table snapshot of the members'
+        CURRENT committed states via HARD LINKS — zero data I/O, so a
+        sync cycle over 100 TB of tables snapshots in file-count time.
+        The cycle-boundary primitive ``run_queue(group=...)`` commits
+        through: readers resolving the group see every member exactly
+        as it stood when the cycle finished, never a mid-cycle mix, and
+        the links keep the snapshot stable even while later cycles
+        atomically swap the working table dirs out from under it (an
+        ``os.replace``/rmtree removes names, not inodes).
+
+        Members must be PLAIN or hive-partitioned tables (a versioned
+        member's states are already immutable — group them with
+        ``commit_group``). The same group may interleave linked and
+        DataFrame commits; the member-shrink rule spans both. Retention
+        prunes the oldest linked snapshot dirs with the pointer update;
+        a crash between linking and the flip leaves an orphan dir that
+        the next successful commit sweeps. Single writer per group
+        (same ``O_EXCL`` fence). Returns the group commit number."""
+        if not tables:
+            raise ValueError("commit_group_linked needs at least one table")
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        with self._write_fence(
+            group, lock_path=self._group_pointer(group) + ".lock"
+        ):
+            state = self._load_group(group)
+            prev = state["commits"].get(state["current"], {})
+            missing = set(prev) - set(tables)
+            if missing:
+                raise ValueError(
+                    f"group {group!r} commit is missing member tables "
+                    f"{sorted(missing)}; member sets must not shrink"
+                )
+            commit = state["current"] + 1
+            snap = os.path.join(self._group_snap_root(group), f"c{commit:05d}")
+            members: dict[str, dict] = {}
+            for t in tables:
+                if os.path.isfile(self._version_pointer(t)):
+                    raise ValueError(
+                        f"member {t!r} is versioned — its snapshots are "
+                        "already immutable; commit it with commit_group"
+                    )
+                self._reconcile(t)
+                src = self.path(t)
+                dst = os.path.join(snap, t)
+                n_linked = 0
+                for dirpath, _dirs, files in os.walk(src):
+                    rel = os.path.relpath(dirpath, src)
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        d = dst if rel == "." else os.path.join(dst, rel)
+                        os.makedirs(d, exist_ok=True)
+                        os.link(
+                            os.path.join(dirpath, fn), os.path.join(d, fn)
+                        )
+                        n_linked += 1
+                if n_linked == 0:
+                    raise FileNotFoundError(
+                        f"member {t!r} has no committed parquet files"
+                    )
+                members[t] = {"dir": os.path.relpath(dst, self.root)}
+            state["commits"][commit] = members
+            keep = sorted(state["commits"])[-retain:]
+            state["commits"] = {v: state["commits"][v] for v in keep}
+            state["current"] = commit
+            ptmp = self._group_pointer(group) + f".tmp-{uuid.uuid4().hex}"
+            with open(ptmp, "w") as f:
+                json.dump(state, f)
+            os.replace(ptmp, self._group_pointer(group))
+            # sweep: expired AND crash-orphaned snapshot dirs (anything
+            # under the snap root no retained commit references)
+            live = {
+                f"c{v:05d}"
+                for v, mem in state["commits"].items()
+                if any(isinstance(m, dict) for m in mem.values())
+            }
+            sroot = self._group_snap_root(group)
+            if os.path.isdir(sroot):
+                for name in os.listdir(sroot):
+                    if name not in live:
+                        shutil.rmtree(
+                            os.path.join(sroot, name), ignore_errors=True
+                        )
+        return commit
+
     def read_group(
         self, spark: SparkSession, group: str, commit: int | None = None
     ) -> dict[str, DataFrame]:
@@ -1388,7 +1489,9 @@ class ParquetWarehouse:
         retained ``commit`` — multi-table time travel) and return every
         member table AT THAT COMMIT. The pointer is resolved once, so
         the returned frames are mutually consistent even while a writer
-        publishes the next commit."""
+        publishes the next commit. Members committed by ``commit_group``
+        resolve through their versioned snapshots; members committed by
+        ``commit_group_linked`` read their hard-linked snapshot dirs."""
         state = self._load_group(group)
         if state["current"] == 0:
             raise FileNotFoundError(f"group {group!r} has no commits")
@@ -1398,7 +1501,12 @@ class ParquetWarehouse:
                 f"group commit {c} of {group!r} is not retained "
                 f"(have {sorted(state['commits'])})"
             )
-        return {
-            name: self.read_version(spark, name, version=v)
-            for name, v in state["commits"][c].items()
-        }
+        out = {}
+        for name, v in state["commits"][c].items():
+            if isinstance(v, dict):
+                out[name] = spark.read.parquet(
+                    os.path.join(self.root, v["dir"])
+                )
+            else:
+                out[name] = self.read_version(spark, name, version=v)
+        return out

@@ -1592,3 +1592,169 @@ def test_erase_subjects_reports_purged_versions(spark, tmp_path):
     wh.overwrite(df, "pt")
     res_plain = wh.erase_subjects(spark, "pt", "uid", subj)
     assert res_plain["purged_versions"] is None
+
+
+def test_commit_group_linked_snapshots_survive_table_rewrites(spark, tmp_path):
+    """Hard-linked group snapshots: zero-copy (same inodes as the live
+    table at commit time), stable across later overwrites of the
+    working tables (os.replace removes names, not inodes), retention-
+    pruned with the pointer, and readable per-commit incl. partitioned
+    members."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(10).toDF("k"), "flat")
+    wh.overwrite(
+        spark.range(20).selectExpr("id AS k", "id % 4 AS p"),
+        "parts",
+        partition_by=["p"],
+    )
+    c1 = wh.commit_group_linked(["flat", "parts"], "cycle")
+    assert c1 == 1
+    snap1 = wh.read_group(spark, "cycle")
+    assert snap1["flat"].count() == 10
+    assert snap1["parts"].count() == 20
+    # linked, not copied: snapshot files share inodes with the table
+    flat_dir = wh.path("flat")
+    table_inos = {
+        os.stat(os.path.join(flat_dir, n)).st_ino
+        for n in os.listdir(flat_dir)
+        if n.endswith(".parquet")
+    }
+    snap_dir = os.path.join(
+        str(tmp_path / "wh"), "_group_cycle", "c00001", "flat"
+    )
+    snap_inos = {
+        os.stat(os.path.join(snap_dir, n)).st_ino
+        for n in os.listdir(snap_dir)
+        if n.endswith(".parquet")
+    }
+    assert snap_inos == table_inos
+    # later cycles rewrite the working tables; commit 1 stays intact
+    wh.overwrite(spark.range(99).toDF("k"), "flat")
+    wh.overwrite(
+        spark.range(8).selectExpr("id AS k", "id % 4 AS p"),
+        "parts",
+        partition_by=["p"],
+    )
+    c2 = wh.commit_group_linked(["flat", "parts"], "cycle")
+    assert c2 == 2
+    old = wh.read_group(spark, "cycle", commit=1)
+    assert (old["flat"].count(), old["parts"].count()) == (10, 20)
+    cur = wh.read_group(spark, "cycle")
+    assert (cur["flat"].count(), cur["parts"].count()) == (99, 8)
+    # retention (default 2): commit 1 expires when commit 3 lands,
+    # and its snapshot dir is swept
+    wh.commit_group_linked(["flat", "parts"], "cycle")
+    with pytest.raises(KeyError, match="not retained"):
+        wh.read_group(spark, "cycle", commit=1)
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "wh"), "_group_cycle", "c00001")
+    )
+    # guards: shrink + versioned member
+    with pytest.raises(ValueError, match="must not shrink"):
+        wh.commit_group_linked(["flat"], "cycle")
+    wh.overwrite_versioned(spark.range(3).toDF("k"), "vt")
+    with pytest.raises(ValueError, match="versioned"):
+        wh.commit_group_linked(["flat", "parts", "vt"], "cycle")
+
+
+def test_commit_group_linked_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between linking and the pointer flip leaves an orphan
+    snapshot dir; the next successful commit sweeps it."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(5).toDF("k"), "t")
+    wh.commit_group_linked(["t"], "g")
+    orphan = os.path.join(str(tmp_path / "wh"), "_group_g", "c09999")
+    os.makedirs(os.path.join(orphan, "t"))
+    wh.commit_group_linked(["t"], "g")
+    assert not os.path.exists(orphan)
+    assert wh.read_group(spark, "g")["t"].count() == 5
+
+
+def test_run_queue_group_publishes_whole_cycles(spark, tmp_path, landing):
+    """The cross-table consistency the reference's task DAG cannot give
+    (each Snowflake MERGE commits independently): run_queue(group=...)
+    publishes one linked snapshot per cycle, and a reader resolving the
+    group mid-cycle — after one table loaded but before the cycle
+    finished — still sees the PREVIOUS whole cycle for every member."""
+    write_file(landing, "erp/orders/LOAD00000001.csv", ["1,100.0", "2,250.5"])
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=["c_custkey"],
+        )
+    )
+    store.register(
+        TableMeta(
+            full_path="erp/orders",
+            db_schema="erp",
+            db_table="orders",
+            stage=landing,
+            primary_keys=["o_orderkey"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    schemas = {
+        "erp/customer": CUST_SCHEMA,
+        "erp/orders": StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_total", DoubleType()),
+            ]
+        ),
+    }
+    items = [
+        WorkItem("erp/customer", "B", 0),
+        WorkItem("erp/orders", "B", 1),
+    ]
+    res = run_queue(spark, store, wh, items, schemas, group="sync")
+    assert res.errors == []
+    assert res.group_commit == 1
+    cycle1 = wh.read_group(spark, "sync")
+    assert cycle1["erp_customer"].count() == 3
+    assert cycle1["erp_orders"].count() == 2
+
+    # cycle 2 lands CDC for BOTH tables; simulate mid-cycle by loading
+    # only customer directly (no group commit yet)
+    write_file(
+        landing,
+        "erp/customer/20240105-000000009.csv",
+        ["U,1,alice2,11.0", "U,4,dave,40.0"],
+    )
+    write_file(
+        landing,
+        "erp/orders/20240105-000000009.csv",
+        ["U,2,999.0", "U,3,300.0"],
+    )
+    incremental_load(spark, store, wh, "erp/customer")
+    mid = wh.read_group(spark, "sync")  # reader mid-cycle
+    assert mid["erp_customer"].count() == 3  # previous cycle, not the mix
+    assert mid["erp_orders"].count() == 2
+    # the cycle completes: orders' CDC applies and the snapshot flips
+    res2 = run_queue(
+        spark,
+        store,
+        wh,
+        [WorkItem("erp/orders", "I", 0)],
+        schemas,
+        group="sync",
+    )
+    assert res2.errors == []
+    assert res2.group_commit == 2
+    # NOTE the snapshot is a CYCLE boundary: customer's mid-cycle load is
+    # included in commit 2 (the boundary is when the queue drains, and
+    # customer's state at that point includes its CDC)
+    cycle2 = wh.read_group(spark, "sync")
+    assert {
+        (r.c_custkey, r.c_name) for r in cycle2["erp_customer"].collect()
+    } == {(1, "alice2"), (2, "bob"), (3, "carol"), (4, "dave")}
+    assert {
+        (r.o_orderkey, r.o_total) for r in cycle2["erp_orders"].collect()
+    } == {(1, 100.0), (2, 999.0), (3, 300.0)}
+    # and the previous cycle remains resolvable (multi-table time travel)
+    old = wh.read_group(spark, "sync", commit=1)
+    assert old["erp_customer"].count() == 3
+    assert {r.o_total for r in old["erp_orders"].collect()} == {100.0, 250.5}
