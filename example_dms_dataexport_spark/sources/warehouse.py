@@ -728,6 +728,9 @@ class ParquetWarehouse:
                 "rewrite with write_bucketed instead of compact"
             )
         self._reconcile(table)
+        stat_cols = None
+        if not os.path.isfile(self._version_pointer(table)):
+            stat_cols = (zm := self.zonemap(table)) and zm["stat_cols"]
         rewritten = 0
         for d in sorted(self._leaf_data_dirs(table)):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -749,6 +752,13 @@ class ParquetWarehouse:
             os.replace(tmp, d)
             shutil.rmtree(old, ignore_errors=True)
             rewritten += 1
+        if rewritten and stat_cols:
+            # a zone-mapped table stays zone-mapped through maintenance:
+            # rebuild over the compacted layout (coalesce preserves the
+            # clustered row order, so the bands stay narrow) — without
+            # this, the first post-compaction merge silently loses the
+            # pruned path and regresses to whole-table I/O
+            self.write_zonemap(spark, table, stat_cols)
         return rewritten
 
     def _leaf_data_dirs(self, table: str) -> list[str]:

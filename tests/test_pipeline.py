@@ -1135,15 +1135,19 @@ def test_zonemap_unknown_column_and_missing_map(spark, tmp_path):
         wh2.read_zoned(spark, "zt", "k", lo=0)
 
 
-def test_zonemap_invalidated_by_compaction_then_rebuilt(spark, tmp_path):
+def test_zonemap_rebuilt_automatically_by_compaction(spark, tmp_path):
+    """A zone-mapped table stays zone-mapped through maintenance:
+    compaction that rewrites files rebuilds the map over the compacted
+    layout in the same call (the old stale map is dropped BEFORE the
+    first rewrite, so a crash mid-compaction still cannot leave a map
+    describing replaced files — pruned reads then refuse loudly)."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     _zm_table(spark, wh)
     assert wh.compact(spark, "zt", target_file_bytes=1 << 30) >= 1
-    # stale map must be GONE (silent mis-pruning is the failure mode)
-    assert wh.zonemap("zt") is None
-    with pytest.raises(ValueError, match="no _zonemap"):
-        wh.read_zoned(spark, "zt", "k", lo=0, hi=5)
-    wh.write_zonemap(spark, "zt", ["k"])
+    zm = wh.zonemap("zt")
+    assert zm is not None  # auto-rebuilt, same stat cols
+    assert zm["stat_cols"] == ["k"]
+    assert zm == wh.write_zonemap(spark, "zt", ["k"])  # and exact
     got = sorted(r.k for r in wh.read_zoned(spark, "zt", "k", 0, 5).collect())
     assert got == [0, 1, 2, 3, 4, 5]
 

@@ -1445,3 +1445,80 @@ def test_cdc_stream_empty_landing_name_mismatch_aborts(spark, tmp_path):
     # the garbage batch must NOT have reached the target
     got = {(r.id, r.name, r.val) for r in wh.read(spark, "t").collect()}
     assert got == {(1, "alice", 10.0)}
+
+
+def test_cdc_stream_crash_recovery_zone_scoped(spark, tmp_path):
+    """The streaming merge composes with the zone-scoped file-pruned
+    path: a zone-mapped clustered target takes narrow-key micro-batches
+    through replace_files (disjoint files carried as hard links across
+    EVERY batch), stays exactly-once across a checkpoint crash, and the
+    committed map stays exact so later batches keep pruning."""
+    import os
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 41)],
+        ["id", "name", "val"],
+    )
+    wh.overwrite(
+        target, "t", cluster_by=["id"], cluster_partitions=4,
+        stat_cols=["id"],
+    )
+    tdir = wh.path("t")
+
+    def inodes():
+        return {
+            n: os.stat(os.path.join(tdir, n)).st_ino
+            for n in os.listdir(tdir)
+            if n.endswith(".parquet")
+        }
+
+    before = inodes()
+    assert len(before) >= 3
+    # each micro-batch keeps a NARROW key range (a single batch mixing
+    # a low-band update with a high out-of-range insert would widen its
+    # [min, max] over every band and correctly fall back to the full
+    # path — range scoping prunes by batch key locality)
+    files = [str(landing / f"2024010{i}-000000001.csv") for i in (1, 2, 3)]
+    _write_cdc_file(files[0], [("U", 1, "alice2", 11.0), ("D", 2, "bob", 20.0)])
+    _write_cdc_file(files[1], [("U", 1, "alice3", 12.0), ("U", 4, "dave", 40.0)])
+    ckpt = str(tmp_path / "ckpt")
+    glob = str(landing / "2*.csv")
+
+    _run_cdc_until_done(spark, glob, wh, ckpt)
+    _drop_latest_commit(ckpt)  # crash after the merge, before the commit
+    _write_cdc_file(files[2], [("I", 41, "frank", 41.0), ("I", 45, "erin", 50.0)])
+    _run_cdc_until_done(spark, glob, wh, ckpt)
+
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    from example_dms_dataexport_spark.sources.csv_stage import (
+        cdc_schema,
+        read_stage_csv,
+    )
+
+    changes = read_stage_csv(
+        spark, files, cdc_schema(target.schema), with_file_metadata=True
+    )
+    expected = {
+        r["id"]: (r["name"], r["val"])
+        for r in apply_changes(
+            target, changes, pks=["id"],
+            version_cols=["_dms_filename", "_dms_rownum"],
+        ).collect()
+    }
+    assert got == expected
+    assert got[1] == ("alice3", 12.0) and 2 not in got
+    assert got[4] == ("dave", 40.0)
+    assert got[41] == ("frank", 41.0) and got[45] == ("erin", 50.0)
+    # update batches sat in the low band, the insert batch beyond every
+    # band: the high-band files were never rewritten by any micro-batch
+    after = inodes()
+    carried = [n for n in before if n in after and after[n] == before[n]]
+    assert carried, "streaming zone-scoped merge rewrote every file"
+    # map survived every batch and is exact (a fresh rebuild agrees)
+    zm = wh.zonemap("t")
+    assert zm is not None
+    assert set(zm["files"]) == set(after)
+    assert wh.write_zonemap(spark, "t", ["id"]) == zm
