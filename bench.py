@@ -105,6 +105,7 @@ HEADLINE = [
     # fixture-building dominates; its merge cost is benched by the
     # dedicated q18z_zone_cdc fixture entry instead)
     "q132_jpeg_decode",
+    "q134_jpeg_color_decode",
 ]
 
 

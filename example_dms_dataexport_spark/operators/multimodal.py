@@ -1142,61 +1142,80 @@ def _make_jpeg_codec():
             ">H", len(payload) + 2
         ) + payload
 
+    def _encode_block(bw, block_shifted, prev_dc) -> int:
+        """Forward-DCT + entropy-encode one level-shifted 8x8 block
+        against ``prev_dc`` (this component's predictor); returns the
+        new predictor."""
+        coef = np.rint(A @ block_shifted @ A.T).astype(np.int64)
+        zz = [int(coef[r, c]) for r, c in ZZ]
+        diff = zz[0] - prev_dc
+        cat = abs(diff).bit_length()
+        if cat > 11:
+            raise ValueError("DC difference out of baseline range")
+        code, ln = ENC_DC[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ENC_AC[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            if size > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            code, ln = ENC_AC[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, ln = ENC_AC[0x00]  # EOB
+            bw.write(code, ln)
+        return zz[0]
+
     def encode_jpeg(img) -> bytes:
-        """Encode an (h, w) uint8 grayscale array as a baseline
-        sequential JPEG with a UNIT quantization table (coefficients are
-        round(DCT) exactly). Dimensions must be multiples of 8 (the
-        fixture's geometry; a general encoder would edge-pad)."""
-        h, w = img.shape
+        """Encode an (h, w) uint8 grayscale array — or an (h, w, 3)
+        array of raw components (interleaved non-subsampled 4:4:4, one
+        block per component per MCU, per-component DC predictors) — as
+        a baseline sequential JPEG with a UNIT quantization table
+        (coefficients are round(DCT) exactly). Dimensions must be
+        multiples of 8 (the fixture's geometry; a general encoder would
+        edge-pad)."""
+        nc = 1 if img.ndim == 2 else img.shape[2]
+        if nc not in (1, 3):
+            raise ValueError("encode_jpeg takes (h, w) or (h, w, 3)")
+        h, w = img.shape[:2]
         if h % 8 or w % 8:
             raise ValueError("encode_jpeg needs multiple-of-8 dimensions")
         out = bytearray(b"\xff\xd8")  # SOI
         out += _seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all 1s
-        out += _seg(
-            0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-        )  # SOF0: 8-bit, 1 component, 1x1 sampling, quant 0
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for cid in range(1, nc + 1):
+            sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant 0
+        out += _seg(0xC0, sof)
         out += _seg(0xC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
         out += _seg(0xC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
-        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        sos = bytes([nc])
+        for cid in range(1, nc + 1):
+            sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+        out += _seg(0xDA, sos + bytes([0, 63, 0]))
         bw = _BitWriter()
         shifted = img.astype(np.float64) - 128.0
-        prev_dc = 0
+        if nc == 1:
+            shifted = shifted.reshape(h, w, 1)
+        prev_dc = [0] * nc
         for by in range(h // 8):
             for bx in range(w // 8):
-                block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = np.rint(A @ block @ A.T).astype(np.int64)
-                zz = [int(coef[r, c]) for r, c in ZZ]
-                diff = zz[0] - prev_dc
-                prev_dc = zz[0]
-                cat = abs(diff).bit_length()
-                if cat > 11:
-                    raise ValueError("DC difference out of baseline range")
-                code, ln = ENC_DC[cat]
-                bw.write(code, ln)
-                if cat:
-                    bw.write(
-                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
-                    )
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ENC_AC[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    size = abs(v).bit_length()
-                    if size > 10:
-                        raise ValueError("AC coefficient out of baseline range")
-                    code, ln = ENC_AC[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if run:
-                    code, ln = ENC_AC[0x00]  # EOB
-                    bw.write(code, ln)
+                for c in range(nc):  # interleaved MCU: one block per comp
+                    block = shifted[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
+                    ]
+                    prev_dc[c] = _encode_block(bw, block, prev_dc[c])
         out += bw.done()
         out += b"\xff\xd9"  # EOI
         return bytes(out)
@@ -1325,71 +1344,92 @@ def _make_jpeg_codec():
                     raise ValueError(
                         "only 8-bit precision is supported — use codec='pil'"
                     )
-                if nc != 1:
+                if nc not in (1, 3):
                     raise ValueError(
-                        "only single-component (grayscale) JPEG is "
-                        "supported — use codec='pil'"
-                    )
-                cid, sampling, tq = body[6], body[7], body[8]
-                if sampling != 0x11:
-                    raise ValueError(
-                        "subsampling is not supported — use codec='pil'"
+                        "only 1-component (grayscale) or 3-component "
+                        "4:4:4 JPEG is supported — use codec='pil'"
                     )
                 dims = (h, w)
-                comp = (cid, tq)
+                comp = {}
+                for i in range(nc):
+                    cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                    if sampling != 0x11:
+                        raise ValueError(
+                            "subsampling is not supported — use codec='pil'"
+                        )
+                    comp[cid] = tq
             elif marker == 0xDA:  # SOS: entropy data follows
                 if dims is None:
                     raise ValueError("SOS before SOF0")
                 ns = body[0]
-                if ns != 1:
-                    raise ValueError("one scan component expected")
-                td, ta = body[2] >> 4, body[2] & 0xF
+                if ns != len(comp):
+                    raise ValueError(
+                        "interleaved scan over every frame component "
+                        "expected (progressive/multi-scan — use "
+                        "codec='pil')"
+                    )
+                comps = []
+                for i in range(ns):
+                    cid = body[1 + 2 * i]
+                    td, ta = body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF
+                    comps.append(
+                        (qt[comp[cid]], dc_tables[td], ac_tables[ta])
+                    )
                 data_start = pos + 2 + seglen
-                return _scan(
-                    raw, data_start, dims, qt[comp[1]],
-                    dc_tables[td], ac_tables[ta],
-                )
+                return _scan(raw, data_start, dims, comps)
             pos += 2 + seglen
             # APPn / COM / others: skipped by the generic length walk
         raise ValueError("no SOS marker found")
 
-    def _scan(raw, start, dims, quant, dc_tab, ac_tab):
+    def _scan(raw, start, dims, comps):
+        """Interleaved baseline scan: per MCU, one 8x8 block per
+        component (4:4:4 — no subsampling), each component with its own
+        DC predictor and (quant, DC table, AC table) triple. Returns
+        (w, h, n_blocks, pixels, ac_nonzero, ac_abs): pixels is (h, w)
+        for one component, (h, w, nc) raw component values for three
+        (YCbCr->RGB conversion is the caller's separate, explicit
+        step)."""
         h, w = dims
+        nc = len(comps)
         bh, bw_ = -(-h // 8), -(-w // 8)
         reader = _BitReader(raw, start)
-        out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
-        prev_dc = 0
+        out = np.zeros((bh * 8, bw_ * 8, nc), dtype=np.uint8)
+        prev_dc = [0] * nc
         ac_nonzero = 0
         ac_abs = 0
         for by in range(bh):
             for bx in range(bw_):
-                coef = np.zeros((8, 8), dtype=np.int64)
-                cat = _read_huffman(reader, dc_tab)
-                diff = _extend(reader.bits(cat), cat) if cat else 0
-                prev_dc += diff
-                coef[0, 0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = _read_huffman(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index past block end")
-                    v = _extend(reader.bits(size), size)
-                    r, c = ZZ[k]
-                    coef[r, c] = v
-                    ac_nonzero += 1
-                    ac_abs += abs(v)
-                    k += 1
-                block = A.T @ (coef * quant).astype(np.float64) @ A
-                px = np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-        return w, h, bh * bw_, out[:h, :w], ac_nonzero, ac_abs
+                for ci, (quant, dc_tab, ac_tab) in enumerate(comps):
+                    coef = np.zeros((8, 8), dtype=np.int64)
+                    cat = _read_huffman(reader, dc_tab)
+                    diff = _extend(reader.bits(cat), cat) if cat else 0
+                    prev_dc[ci] += diff
+                    coef[0, 0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _read_huffman(reader, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index past block end")
+                        v = _extend(reader.bits(size), size)
+                        r, c = ZZ[k]
+                        coef[r, c] = v
+                        ac_nonzero += 1
+                        ac_abs += abs(v)
+                        k += 1
+                    block = A.T @ (coef * quant).astype(np.float64) @ A
+                    px = np.clip(np.rint(block) + 128, 0, 255).astype(
+                        np.uint8
+                    )
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = px
+        pixels = out[:h, :w, 0] if nc == 1 else out[:h, :w, :]
+        return w, h, bh * bw_ * nc, pixels, ac_nonzero, ac_abs
 
     return encode_jpeg, decode_jpeg
 
@@ -1492,3 +1532,51 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, JPEG_SCHEMA)
+
+
+def jpeg_color_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize 3-component 4:4:4 baseline JPEGs from ``documents``:
+    the luma plane is exactly ``jpeg_from_documents``'s grayscale image
+    (one structured block per text byte), and both chroma planes are
+    constant 128 — whose level-shifted blocks are exactly zero under
+    the DCT, so the color pipeline (interleaved MCUs, three DC
+    predictor chains) stays integer-exact and the q134 oracle restates
+    every statistic from the text rule with a +2*128 per-pixel chroma
+    term."""
+    codec_factory = _make_jpeg_codec
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        encode_jpeg, _ = codec_factory()
+        stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                bw_ = (int(doc_id) % 4) + 2
+                nb = max(1, len(vals))
+                bh = -(-nb // bw_)
+                luma = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+                for k in range(bw_ * bh):
+                    byte = int(vals[k]) if k < len(vals) else 0
+                    v = min(239, max(16, byte))
+                    b = byte % 3
+                    block = np.full((8, 8), v, dtype=np.int64)
+                    block += b * stripe[np.newaxis, :]
+                    by, bx = divmod(k, bw_)
+                    luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        block.astype(np.uint8)
+                    )
+                img = np.stack(
+                    [luma, np.full_like(luma, 128), np.full_like(luma, 128)],
+                    axis=2,
+                )
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)

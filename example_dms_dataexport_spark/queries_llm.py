@@ -2794,3 +2794,76 @@ def q132_jpeg_decode(spark, sf_dir):
             / (F.col("width").cast("long") * F.col("height"))
         ).alias("mean_intensity"),
     )
+
+
+_Q134_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, text,
+               (doc_id % 4) + 2 AS bw,
+               GREATEST(1, (GREATEST(1, len(text)) + (doc_id % 4) + 1)
+                           // ((doc_id % 4) + 2)) AS bh
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, bw, bh,
+               len(text) AS nd,
+               COALESCE(list_sum(
+                   [CAST(LEAST(239, GREATEST(16,
+                        ascii(substring(text, i, 1)))) AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS data_level_sum,
+               COALESCE(list_sum(
+                   [CAST(CASE WHEN ascii(substring(text, i, 1)) % 3 <> 0
+                              THEN 1 ELSE 0 END AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS n_striped,
+               COALESCE(list_sum(
+                   [CAST(ascii(substring(text, i, 1)) % 3 AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS stripe_sum
+        FROM geo
+    )
+    SELECT doc_id,
+           CAST(bw * 8 AS INTEGER) AS width,
+           CAST(bh * 8 AS INTEGER) AS height,
+           CAST(bw * bh * 3 AS INTEGER) AS n_blocks,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd))
+                + 2 * 128 * 64 * bw * bh AS BIGINT) AS pix_sum,
+           CAST(n_striped AS INTEGER) AS ac_nonzero,
+           CAST(8 * stripe_sum AS BIGINT) AS ac_abs_sum,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd))
+                + 2 * 128 * 64 * bw * bh AS DOUBLE)
+               / (bw * bh * 64 * 3) AS mean_intensity
+    FROM stats
+"""
+
+
+@query("q134_jpeg_color_decode", _Q134_ORACLE)
+def q134_jpeg_color_decode(spark, sf_dir):
+    """The COLOR rung of the baseline-JPEG decode (q132's 3-component
+    4:4:4 variant): interleaved MCUs — one block per component per MCU,
+    three independent DC predictor chains — through the same stdlib
+    canonical-Huffman + IDCT pipeline. The fixture's luma plane is
+    q132's structured image and both chroma planes are constant 128
+    (level-shifted zero blocks: DC exactly 0, every AC 0), so the whole
+    color container stays integer-exact: pix_sum gains exactly
+    2*128 per pixel, ac accounting is luma-only, and n_blocks counts
+    the per-component blocks the entropy decoder walked (3x the MCU
+    count — a hash mismatch here means the interleave order broke).
+    Subsampled (4:2:0) and YCbCr->RGB conversion remain the Pillow
+    gate; the decoder emits raw component values by design."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_jpeg(multimodal.jpeg_color_from_documents(docs))
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_blocks",
+        "pix_sum",
+        "ac_nonzero",
+        "ac_abs_sum",
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width").cast("long") * F.col("height") * 3)
+        ).alias("mean_intensity"),
+    )

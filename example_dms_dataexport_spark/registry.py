@@ -74,6 +74,7 @@ PRIORITY = [
     "q131_zone_merge_prune",
     "q132_jpeg_decode",
     "q133_group_cycle_consistency",
+    "q134_jpeg_color_decode",
     # latest driver row is r8 (lowest-numbered first)
     "q01_pricing_summary",
     "q02_revenue_by_nation",

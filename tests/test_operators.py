@@ -2514,3 +2514,56 @@ def test_jpeg_roundtrip_decode_matches_python(spark):
         )
         assert r["ac_nonzero"] == sum(1 for x in b if x % 3)
         assert r["ac_abs_sum"] == 8 * sum(x % 3 for x in b)
+
+
+def test_jpeg_color_roundtrip_exact():
+    """3-component 4:4:4: interleaved MCUs + per-component DC chains
+    decode EXACTLY for the structured-luma / constant-chroma fixture,
+    and a generic color image stays within the rounding bound."""
+    import numpy as np
+
+    from example_dms_dataexport_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    bytes_ = [0, 7, 65, 128, 239, 255, 3, 77]
+    luma = _structured_jpeg_image(bytes_, 4)
+    img = np.stack(
+        [luma, np.full_like(luma, 128), np.full_like(luma, 128)], axis=2
+    )
+    w, h, nb, px, acn, aca = _decode_jpeg(_encode_jpeg(img))
+    assert (w, h) == (32, 16)
+    assert nb == 8 * 3  # per-component blocks, 3x the MCU count
+    assert px.shape == (16, 32, 3)
+    assert np.array_equal(px, img)
+    assert acn == sum(1 for b in bytes_ if b % 3)
+    assert aca == 8 * sum(b % 3 for b in bytes_)
+    # generic color content: real lossy path, bounded error
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    _, _, nb2, px2, _, _ = _decode_jpeg(_encode_jpeg(rand))
+    assert nb2 == 4 * 3
+    assert np.abs(px2.astype(int) - rand.astype(int)).max() <= 4
+
+
+def test_jpeg_color_spark_fixture_matches_rule(spark):
+    rows = [(0, "color me"), (3, ""), (6, "xyz" * 9)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg(
+            multimodal.jpeg_color_from_documents(docs)
+        ).collect()
+    }
+    for doc_id, text in rows:
+        b = list(text.encode())
+        bw = (doc_id % 4) + 2
+        bh = -(-max(1, len(b)) // bw)
+        r = got[doc_id]
+        assert r["n_blocks"] == bw * bh * 3
+        pads = bw * bh - len(b)
+        assert r["pix_sum"] == 64 * (
+            sum(min(239, max(16, x)) for x in b) + 16 * pads
+        ) + 2 * 128 * 64 * bw * bh
+        assert r["ac_nonzero"] == sum(1 for x in b if x % 3)
