@@ -279,6 +279,12 @@ def merge_and_write(
     return n
 
 
+def _is_numeric(dt) -> bool:
+    from pyspark.sql.types import NumericType
+
+    return isinstance(dt, NumericType)
+
+
 def _zone_scoped_merge(
     warehouse: ParquetWarehouse,
     target_table: str,
@@ -323,7 +329,42 @@ def _zone_scoped_merge(
     }
     if any(lo is None or hi is None for lo, hi in ranges.values()):
         return None  # empty batch or all-NULL keys: nothing to scope by
-    split = warehouse.zone_overlap_split(target_table, ranges)
+    split = None
+    lead = scope_cols[0]
+    if _is_numeric(changes.schema[lead].dataType):
+        # SCATTERED batches: one global [min, max] over-covers (a batch
+        # touching both ends of the keyspace spans every band), so
+        # width-bucket the leading key into <= 64 sub-ranges (one more
+        # batch-sized agg) and prune against their UNION — empty
+        # buckets leave the middle of the keyspace disjoint. Any key is
+        # inside its own bucket's [min, max], so every file that could
+        # hold a matching row still overlaps some sub-range.
+        k = 64
+        lo, hi = ranges[lead]
+        if hi > lo:
+            bucket = F.least(
+                F.lit(k - 1),
+                F.floor(
+                    (F.col(lead) - F.lit(lo))
+                    * k
+                    / (F.lit(hi) - F.lit(lo))
+                ),
+            )
+        else:
+            bucket = F.lit(0)
+        subs = [
+            (r["__l"], r["__h"])
+            for r in changes.filter(F.col(lead).isNotNull())
+            .groupBy(bucket.alias("__b"))
+            .agg(F.min(lead).alias("__l"), F.max(lead).alias("__h"))
+            .collect()
+        ]
+        extra = {c: ranges[c] for c in scope_cols[1:]}
+        split = warehouse.zone_overlap_split_multi(
+            target_table, lead, subs, extra
+        )
+    if split is None:
+        split = warehouse.zone_overlap_split(target_table, ranges)
     if split is None:
         return None
     overlap, disjoint = split

@@ -389,6 +389,58 @@ class ParquetWarehouse:
             (overlapping if ok else disjoint).append(rel)
         return overlapping, disjoint
 
+    def zone_overlap_split_multi(
+        self,
+        table: str,
+        col: str,
+        subranges: list[tuple],
+        extra_ranges: dict | None = None,
+    ) -> tuple[list[str], list[str]] | None:
+        """Like ``zone_overlap_split``, but the leading column is tested
+        against a UNION of sub-ranges: a file overlaps iff its ``col``
+        band intersects ANY sub-range AND every ``extra_ranges`` column
+        overlaps its (single) range. This is what makes a SCATTERED
+        change batch prune — a batch touching the two ends of the
+        keyspace has a global [min, max] that covers every file, but
+        its per-bucket sub-ranges leave the whole middle disjoint.
+        Returns None when the map doesn't cover the columns."""
+        if os.path.isfile(self._version_pointer(table)):
+            return None
+        zm = self.zonemap(table)
+        need = [col, *(extra_ranges or {})]
+        if zm is None or any(c not in zm["stat_cols"] for c in need):
+            return None
+        subs = [
+            (self._zonemap_stat(lo), self._zonemap_stat(hi))
+            for lo, hi in subranges
+        ]
+        norm_extra = {
+            c: (self._zonemap_stat(b[0]), self._zonemap_stat(b[1]))
+            for c, b in (extra_ranges or {}).items()
+        }
+        overlapping: list[str] = []
+        disjoint: list[str] = []
+        for rel, stats in zm["files"].items():
+            mn, mx = stats[col]
+            ok = mn is not None and any(
+                not (
+                    (nhi is not None and mn > nhi)
+                    or (nlo is not None and mx < nlo)
+                )
+                for nlo, nhi in subs
+            )
+            if ok:
+                for c, (nlo, nhi) in norm_extra.items():
+                    cmn, cmx = stats[c]
+                    if cmn is None or (
+                        (nhi is not None and cmn > nhi)
+                        or (nlo is not None and cmx < nlo)
+                    ):
+                        ok = False
+                        break
+            (overlapping if ok else disjoint).append(rel)
+        return overlapping, disjoint
+
     def zone_overlap_split(
         self, table: str, ranges: dict
     ) -> tuple[list[str], list[str]] | None:
@@ -968,8 +1020,11 @@ class ParquetWarehouse:
             raise ValueError(
                 "bucketed tables are neither versioned nor hive-partitioned"
             )
-        # after the guards: a REFUSED erase must not destroy a valid map
-        self._drop_zonemap(table)
+        # NOTE the map is NOT dropped up front: every mutating branch
+        # below owns its map lifecycle (replace_partitions drops it,
+        # overwrite/write_bucketed replace the whole dir, versioned
+        # snapshots carry their own, and the zone-pruned CoW path
+        # MAINTAINS it), so a refused or no-op erase keeps a valid map.
         current = (
             self.read_version(spark, table)
             if versioned
@@ -1042,9 +1097,53 @@ class ParquetWarehouse:
                 sort_by=spec["sort_by"] or None,
             )
         else:
-            # overwrite() already stages to a temp dir, so reading the
-            # old files while writing the new ones is safe
-            self.overwrite(survivors, table)
+            # Plain table: zone-pruned copy-on-write when the map covers
+            # the subject key — the request set is small, so its EXACT
+            # file cover computes driver-side from the map (a key hits a
+            # file iff the file's band contains it): only hit files get
+            # the anti-join rewrite, the rest hard-link through, and the
+            # map stays exact. At 100 TB an erasure request touches a
+            # handful of clustered files, not the table.
+            zm = self.zonemap(table)
+            pruned_cover = None
+            if (
+                zm is not None
+                and key_col in zm["stat_cols"]
+                # flat layout only: replace_files refuses partition
+                # subdirectories (undeclared-partition_by edge)
+                and not any("/" in rel for rel in zm["files"])
+            ):
+                keys = [
+                    self._zonemap_stat(r["__erase_key"])
+                    for r in subj.collect()
+                ]
+                hit, missed = [], []
+                for rel, stats in zm["files"].items():
+                    mn, mx = stats[key_col]
+                    contains = mn is not None and any(
+                        mn <= k <= mx for k in keys
+                    )
+                    (hit if contains else missed).append(rel)
+                if missed:  # pruning pays off (possibly hit == [])
+                    pruned_cover = (hit, missed)
+            if pruned_cover is not None:
+                hit, _missed = pruned_cover
+                if hit:
+                    base = self.path(table)
+                    sub = spark.read.option("basePath", base).parquet(
+                        *[os.path.join(base, rel) for rel in hit]
+                    )
+                    sub_survivors = sub.join(
+                        F.broadcast(subj),
+                        sub[key_col] == F.col("__erase_key"),
+                        "left_anti",
+                    )
+                    self.replace_files(sub_survivors, table, hit)
+                # hit == []: no file holds any subject — nothing to do
+            else:
+                # overwrite() already stages to a temp dir, so reading
+                # the old files while writing the new ones is safe
+                self.overwrite(survivors, table)
         after = (
             self.read_version(spark, table)
             if versioned

@@ -250,3 +250,75 @@ def test_zone_scoped_merge_fallbacks(spark, tmp_path):
     assert n == 31
     assert wh.read(spark, "nullk").count() == 31
     assert wh.read(spark, "nullk").filter("pk IS NULL").count() == 1
+
+
+def test_zone_scoped_merge_scattered_batch_prunes_middle(spark, tmp_path):
+    """Multi-range scoping: a batch touching BOTH ENDS of the keyspace
+    has a global [min, max] spanning every band, but its width-bucket
+    sub-ranges leave the middle files disjoint — they must carry over
+    untouched, and the merged content still matches the unpruned path."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _write_clustered(spark, wh, "t")  # pks 0..1598 in 8 ~200-wide bands
+    changes = _changes_df(
+        spark,
+        [
+            ("U", 10, 1, "lo", "f", 1),
+            ("D", 12, 0, "lo2", "f", 2),
+            ("U", 1590, 2, "hi", "f", 3),
+            ("I", 1597, 3, "hi2", "f", 4),
+        ],
+    )
+    before = _parquet_inodes(wh.path("t"))
+    n = merge_and_write(
+        wh, "t", wh.read(spark, "t"), changes, pks=["pk"], version_cols=VC
+    )
+    after = _parquet_inodes(wh.path("t"))
+    carried = [r for r in before if r in after and after[r] == before[r]]
+    # only the first and last bands were touched: >= half the files carry
+    assert len(carried) >= len(before) - 2, (
+        f"scattered batch carried only {len(carried)}/{len(before)} files "
+        "(global-range scoping would rewrite everything)"
+    )
+    got = {r.pk: (r.val, r.name) for r in wh.read(spark, "t").collect()}
+    expected = {
+        r.pk: (r.val, r.name)
+        for r in apply_changes(
+            _target_df(spark), changes, pks=["pk"], version_cols=VC
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_erase_subjects_zone_pruned_copy_on_write(spark, tmp_path):
+    """GDPR erasure on a plain zone-mapped table is sub-linear: the
+    subject set's EXACT file cover computes from the map, only hit
+    files rewrite, the rest hard-link through, the map stays exact,
+    and the erase is complete (zero subject rows remain)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _write_clustered(spark, wh, "t")  # pks 0..1598, 8 bands
+    before = _parquet_inodes(wh.path("t"))
+    subjects = spark.createDataFrame([(10,), (12,), (1590,)], ["uid"])
+    res = wh.erase_subjects(spark, "t", "pk", subjects)
+    assert res["rows_erased"] == 3
+    assert res["rows_after"] == 797
+    after = _parquet_inodes(wh.path("t"))
+    carried = [r for r in before if r in after and after[r] == before[r]]
+    # subjects sat in the first and last bands only
+    assert len(carried) >= len(before) - 2, (
+        f"zone-pruned erase carried only {len(carried)}/{len(before)}"
+    )
+    got = wh.read(spark, "t")
+    assert got.filter(F.col("pk").isin(10, 12, 1590)).count() == 0
+    # map maintained and exact
+    zm = wh.zonemap("t")
+    assert zm is not None and set(zm["files"]) == set(after)
+    assert wh.write_zonemap(spark, "t", ["pk"]) == zm
+
+    # subjects hitting NO band: pure no-op, nothing rewritten
+    before2 = _parquet_inodes(wh.path("t"))
+    res2 = wh.erase_subjects(
+        spark, "t", "pk", spark.createDataFrame([(99999,)], ["uid"])
+    )
+    assert res2["rows_erased"] == 0
+    assert _parquet_inodes(wh.path("t")) == before2
+    assert wh.zonemap("t") is not None  # no-op kept the valid map
