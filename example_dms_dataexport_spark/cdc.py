@@ -197,6 +197,13 @@ def merge_and_write(
     evolved layout so no reader can resolve the table schema from a
     stale old-layout footer.
     """
+    if prune_files is True and (partition_by or full_rewrite):
+        raise ValueError(
+            "prune_files=True applies to the unpartitioned, "
+            "non-evolution merge: partition-scoped merges prune whole "
+            "partitions instead, and a schema-evolution batch must "
+            "rewrite every file"
+        )
     if partition_by and not full_rewrite:
         touched = [
             tuple(r[c] for c in partition_by)
@@ -310,6 +317,16 @@ def _zone_scoped_merge(
             raise ValueError(
                 f"prune_files=True but {target_table!r} has no zone map "
                 "(declare stat_cols covering a primary-key column)"
+            )
+        return None
+    if any("/" in rel for rel in zm["files"]):
+        # hive-partitioned ON DISK but merged without partition_by
+        # (undeclared layout): replace_files needs a flat dir — fall
+        # back to the whole-table path instead of crashing mid-merge
+        if require:
+            raise ValueError(
+                f"prune_files=True but {target_table!r} is "
+                "hive-partitioned — use partition_by scoping instead"
             )
         return None
     scope_cols = [c for c in pks if c in zm["stat_cols"]]

@@ -1439,6 +1439,37 @@ def _make_jpeg_codec():
 _encode_jpeg, _decode_jpeg = _make_jpeg_codec()
 
 
+def _make_jpeg_fixture():
+    """Factory for the shared per-document LUMA synthesis (one 8x8
+    block per utf-8 text byte: constant level clamp(byte, 16, 239) plus
+    a horizontal-frequency-4 stripe of amplitude byte % 3, laid out
+    (doc_id % 4) + 2 blocks wide, zero-byte padded) — ONE definition
+    for the grayscale (q132) and color (q134) fixtures, pickled by
+    value into both generator closures."""
+    import numpy as np
+
+    stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+    def luma_image(doc_id: int, text: str):
+        vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        bw_ = (int(doc_id) % 4) + 2
+        nb = max(1, len(vals))
+        bh = -(-nb // bw_)
+        img = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+        for k in range(bw_ * bh):
+            byte = int(vals[k]) if k < len(vals) else 0
+            v = min(239, max(16, byte))
+            block = np.full((8, 8), v, dtype=np.int64)
+            block += (byte % 3) * stripe[np.newaxis, :]
+            by, bx = divmod(k, bw_)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block.astype(
+                np.uint8
+            )
+        return img
+
+    return luma_image
+
+
 def jpeg_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize real baseline JPEGs from ``documents``: each utf-8
     byte of ``text`` becomes one 8x8 block — constant level
@@ -1450,32 +1481,18 @@ def jpeg_from_documents(docs: DataFrame) -> DataFrame:
     quant table, so the decode restates from the text rule (see the
     module-level exactness contract)."""
     codec_factory = _make_jpeg_codec
+    fixture_factory = _make_jpeg_fixture
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         encode_jpeg, _ = codec_factory()
-        stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        luma_image = fixture_factory()
         for pdf in batches:
-            payloads = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                bw_ = (int(doc_id) % 4) + 2
-                nb = max(1, len(vals))
-                bh = -(-nb // bw_)
-                img = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
-                for k in range(bw_ * bh):
-                    byte = int(vals[k]) if k < len(vals) else 0
-                    v = min(239, max(16, byte))
-                    b = byte % 3
-                    block = np.full((8, 8), v, dtype=np.int64)
-                    block += b * stripe[np.newaxis, :]
-                    by, bx = divmod(k, bw_)
-                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        block.astype(np.uint8)
-                    )
-                payloads.append(encode_jpeg(img))
+            payloads = [
+                encode_jpeg(luma_image(doc_id, text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
     schema = StructType(
@@ -1544,31 +1561,18 @@ def jpeg_color_from_documents(docs: DataFrame) -> DataFrame:
     every statistic from the text rule with a +2*128 per-pixel chroma
     term."""
     codec_factory = _make_jpeg_codec
+    fixture_factory = _make_jpeg_fixture
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         encode_jpeg, _ = codec_factory()
-        stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+        luma_image = fixture_factory()
         for pdf in batches:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                bw_ = (int(doc_id) % 4) + 2
-                nb = max(1, len(vals))
-                bh = -(-nb // bw_)
-                luma = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
-                for k in range(bw_ * bh):
-                    byte = int(vals[k]) if k < len(vals) else 0
-                    v = min(239, max(16, byte))
-                    b = byte % 3
-                    block = np.full((8, 8), v, dtype=np.int64)
-                    block += b * stripe[np.newaxis, :]
-                    by, bx = divmod(k, bw_)
-                    luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        block.astype(np.uint8)
-                    )
+                luma = luma_image(doc_id, text)
                 img = np.stack(
                     [luma, np.full_like(luma, 128), np.full_like(luma, 128)],
                     axis=2,

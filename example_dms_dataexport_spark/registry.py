@@ -34,10 +34,13 @@ def query(name: str, oracle: str | None):
 # green driver row on record (README "Driver correctness window").
 # Round 10 window: the 30 queries whose latest driver row is r7 (the
 # documented r9 deferrals — every one carries a green r7 row plus local
-# exact-mode sweeps in r9 and r10) go first, then faces new this round,
-# then the lowest-numbered queries whose latest driver row is r8 filling
-# the remaining slots. The r8 rows deferred to round 11 (everything from
-# q23 up in the r8 cohort) all stay covered by the local sweep.
+# exact-mode sweeps in r9 and r10) go first, then the 4 faces new this
+# round (q131-q134), then the lowest-numbered r8-cohort queries. The
+# 50-slot window therefore covers the r8 cohort through q42; the list's
+# tail past slot 50 (q49/q53/q62/q64) plus the remaining r8 rows
+# (q65-q98 area, 30 in all) defer to round 11 — seed the r11 rotation
+# with exactly those, all covered by the local exact-mode sweep
+# meanwhile.
 PRIORITY = [
     # latest driver row is r7 (lowest-numbered first)
     "q46_token_chunks",

@@ -128,20 +128,25 @@ def run_queue(
         for _ in range(task_count):
             ex.submit(worker)
     if group is not None:
-        targets = sorted(
-            {
-                meta.target_table
-                for it in items
-                if it.load_type != "N"
-                and (meta := store.get(it.full_path)) is not None
-                and meta.target_table
-            }
-            # a cycle that touches only a subset still snapshots every
-            # existing member at its (unchanged) current state — member
-            # sets never shrink, and the commit stays a whole-group
-            # boundary
-            | set(warehouse.group_members(group))
-        )
+        cycle_targets = {
+            meta.target_table
+            for it in items
+            if it.load_type != "N"
+            and (meta := store.get(it.full_path)) is not None
+            and meta.target_table
+        }
+        # a target with no committed plain-table state yet — its FIRST
+        # load failed this cycle, or it uses a versioned layout — joins
+        # the group once it has one; snapshotting it now would crash
+        # the commit and discard the whole cycle's RunResult
+        cycle_targets = {
+            t for t in cycle_targets if warehouse.has_committed_data(t)
+        }
+        # a cycle that touches only a subset still snapshots every
+        # existing member at its (unchanged) current state — member
+        # sets never shrink, and the commit stays a whole-group
+        # boundary
+        targets = sorted(cycle_targets | set(warehouse.group_members(group)))
         if targets:
             result.group_commit = warehouse.commit_group_linked(
                 targets, group

@@ -1231,16 +1231,8 @@ class ParquetWarehouse:
                     except OSError:
                         holder = "unknown"
                     if attempt == 0 and self._lock_holder_dead(holder):
-                        warnings.warn(
-                            f"breaking stale writer lock {lock} held by "
-                            f"dead process ({holder})",
-                            stacklevel=3,
-                        )
-                        try:
-                            os.remove(lock)
-                        except OSError:
-                            pass
-                        continue
+                        if self._break_stale_lock(lock, table):
+                            continue  # removed under the token: retry
                     raise ConcurrentWriteError(
                         f"table {table!r} is being written by another "
                         f"writer (holder: {holder}; lock: {lock}). If "
@@ -1261,6 +1253,67 @@ class ParquetWarehouse:
                     pass
 
         return fence()
+
+    def _break_stale_lock(self, lock: str, table: str) -> bool:
+        """Remove a dead writer's lock under a single-breaker TOKEN.
+
+        A naive check-then-remove races: two breakers both observe the
+        dead holder, the faster one removes AND re-acquires, and the
+        slower one's ``os.remove`` then deletes the LIVE lock — two
+        writers inside the fence. Lock removal therefore requires
+        holding ``<lock>.break`` (O_EXCL, so exactly one breaker), and
+        the holder is RE-READ under the token before removing: the
+        stale lock cannot change while the token is held, because
+        creating a lock needs the path absent and removing one needs
+        this token. A breaker that crashes holding the token leaves it
+        behind; its recorded pid gets the same dead-holder treatment,
+        one level down. Returns True when the stale lock is gone and
+        acquisition should retry; False = someone else is mid-break
+        (fail closed)."""
+        token = lock + ".break"
+        try:
+            tfd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(token) as f:
+                    tholder = f.read().strip()
+            except OSError:
+                return False
+            if self._lock_holder_dead(tholder):
+                try:  # crashed breaker: clear its token and retry ours
+                    os.remove(token)
+                except OSError:
+                    pass
+                return self._break_stale_lock(lock, table)
+            return False
+        try:
+            os.write(
+                tfd,
+                f"pid={os.getpid()} host={socket.gethostname()}".encode(),
+            )
+            os.close(tfd)
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip() or "unknown"
+            except OSError:
+                return True  # already gone: retry acquisition
+            if not self._lock_holder_dead(holder):
+                return False  # re-acquired by a live writer meanwhile
+            warnings.warn(
+                f"breaking stale writer lock {lock} of table {table!r} "
+                f"held by dead process ({holder})",
+                stacklevel=4,
+            )
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+            return True
+        finally:
+            try:
+                os.remove(token)
+            except OSError:
+                pass
 
     @staticmethod
     def _lock_holder_dead(holder: str) -> bool:
@@ -1488,7 +1541,26 @@ class ParquetWarehouse:
             with open(ptmp, "w") as f:
                 json.dump(state, f)
             os.replace(ptmp, self._group_pointer(group))
+            # a group may interleave linked and DataFrame commits: the
+            # retention prune above can expire LINKED commits, so the
+            # hard-link snapshot sweep runs here too
+            self._sweep_group_snaps(group, state)
         return commit
+
+    def has_committed_data(self, table: str) -> bool:
+        """True when the table exists on disk as a PLAIN (unversioned)
+        layout with at least one committed parquet file — the
+        precondition for joining a linked group snapshot. A versioned
+        table returns False (group it via ``commit_group``)."""
+        root = self.path(table)
+        if not os.path.isdir(root) or os.path.isfile(
+            self._version_pointer(table)
+        ):
+            return False
+        for _dirpath, _dirs, files in os.walk(root):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def group_members(self, group: str) -> list[str]:
         """Member tables of the group's current commit ([] if the group
@@ -1575,21 +1647,27 @@ class ParquetWarehouse:
             with open(ptmp, "w") as f:
                 json.dump(state, f)
             os.replace(ptmp, self._group_pointer(group))
-            # sweep: expired AND crash-orphaned snapshot dirs (anything
-            # under the snap root no retained commit references)
-            live = {
-                f"c{v:05d}"
-                for v, mem in state["commits"].items()
-                if any(isinstance(m, dict) for m in mem.values())
-            }
-            sroot = self._group_snap_root(group)
-            if os.path.isdir(sroot):
-                for name in os.listdir(sroot):
-                    if name not in live:
-                        shutil.rmtree(
-                            os.path.join(sroot, name), ignore_errors=True
-                        )
+            self._sweep_group_snaps(group, state)
         return commit
+
+    def _sweep_group_snaps(self, group: str, state: dict) -> None:
+        """Remove expired AND crash-orphaned hard-link snapshot dirs:
+        anything under the group's snap root that no retained commit
+        references. Runs after EVERY group pointer flip (linked or
+        DataFrame-style), since either kind of commit can expire a
+        linked one through retention."""
+        live = {
+            f"c{v:05d}"
+            for v, mem in state["commits"].items()
+            if any(isinstance(m, dict) for m in mem.values())
+        }
+        sroot = self._group_snap_root(group)
+        if os.path.isdir(sroot):
+            for name in os.listdir(sroot):
+                if name not in live:
+                    shutil.rmtree(
+                        os.path.join(sroot, name), ignore_errors=True
+                    )
 
     def read_group(
         self, spark: SparkSession, group: str, commit: int | None = None

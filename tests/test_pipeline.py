@@ -1762,3 +1762,113 @@ def test_run_queue_group_publishes_whole_cycles(spark, tmp_path, landing):
     old = wh.read_group(spark, "sync", commit=1)
     assert old["erp_customer"].count() == 3
     assert {r.o_total for r in old["erp_orders"].collect()} == {100.0, 250.5}
+
+
+def test_run_queue_group_survives_failed_first_load(spark, tmp_path, landing):
+    """A target whose FIRST load failed (no committed table state) must
+    not crash the cycle's group commit: the commit proceeds with the
+    loadable members and the failed item stays in RunResult.errors."""
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=landing,
+            primary_keys=["c_custkey"],
+        )
+    )
+    store.register(
+        TableMeta(
+            full_path="erp/ghost",
+            db_schema="erp",
+            db_table="ghost",  # no landing files: full load raises
+            stage=landing,
+            primary_keys=["g_id"],
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    res = run_queue(
+        spark,
+        store,
+        wh,
+        [WorkItem("erp/customer", "F", 0), WorkItem("erp/ghost", "F", 1)],
+        {"erp/customer": CUST_SCHEMA},
+        group="sync",
+    )
+    assert res.errors and res.errors[0][0] == "erp/ghost"
+    assert res.group_commit == 1
+    snap = wh.read_group(spark, "sync")
+    assert set(snap) == {"erp_customer"}
+    assert snap["erp_customer"].count() == 3
+
+
+def test_stale_lock_break_token_protocol(spark, tmp_path):
+    """Lock removal is serialized by the .break token: a live breaker's
+    token fails closed, a crashed breaker's token is cleared, and the
+    under-token re-read refuses to remove a lock a live writer
+    re-acquired meanwhile."""
+    import socket
+    import subprocess
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(spark.range(3), "t")
+    lock = os.path.join(wh.path("t"), "_writer.lock")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = f"pid={p.pid} host={socket.gethostname()}"
+    live = f"pid={os.getpid()} host={socket.gethostname()}"
+
+    # another breaker (live) holds the token -> fail closed
+    with open(lock, "w") as f:
+        f.write(dead)
+    with open(lock + ".break", "w") as f:
+        f.write(live)
+    with pytest.raises(ConcurrentWriteError):
+        wh.overwrite_versioned(spark.range(4), "t")
+    assert os.path.exists(lock)  # dead lock NOT removed under foreign token
+    os.remove(lock + ".break")
+
+    # a CRASHED breaker's token (dead pid) is cleared and the break runs
+    with open(lock + ".break", "w") as f:
+        f.write(dead)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert wh.overwrite_versioned(spark.range(4), "t") == 2
+    assert any("stale writer lock" in str(w.message) for w in rec)
+    assert not os.path.exists(lock + ".break")
+    assert not os.path.exists(lock)
+
+    # under-token re-read: _break_stale_lock must refuse when the lock
+    # now names a LIVE writer (the exact lost-fence race)
+    with open(lock, "w") as f:
+        f.write(live)
+    assert wh._break_stale_lock(lock, "t") is False
+    assert os.path.exists(lock)
+    os.remove(lock)
+
+
+def test_group_commit_dataframe_style_sweeps_expired_linked_snaps(
+    spark, tmp_path
+):
+    """A group interleaving linked and DataFrame commits: when the
+    DataFrame-style commit's retention expires a LINKED commit, its
+    hard-link snapshot dir is swept too (no leaked whole-table
+    snapshots)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(5).toDF("k"), "t")
+    wh.commit_group_linked(["t"], "g")  # commit 1 (linked)
+    snap1 = os.path.join(str(tmp_path / "wh"), "_group_g", "c00001")
+    assert os.path.isdir(snap1)
+    # DataFrame-style commits 2 and 3 (retain=2) expire commit 1
+    wh.commit_group({"t": spark.range(6).toDF("k")}, "g")
+    assert os.path.isdir(snap1)  # still retained (commits {1, 2})
+    wh.commit_group({"t": spark.range(7).toDF("k")}, "g")
+    assert not os.path.exists(snap1)  # expired AND swept
+    assert wh.read_group(spark, "g")["t"].count() == 7

@@ -322,3 +322,49 @@ def test_erase_subjects_zone_pruned_copy_on_write(spark, tmp_path):
     assert res2["rows_erased"] == 0
     assert _parquet_inodes(wh.path("t")) == before2
     assert wh.zonemap("t") is not None  # no-op kept the valid map
+
+
+def test_zone_scoped_merge_hive_layout_falls_back(spark, tmp_path):
+    """A table hive-partitioned ON DISK but merged without partition_by
+    (undeclared layout) must fall back to the whole-table path, not
+    crash in replace_files; prune_files=True names the mismatch."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = _target_df(spark, 100).withColumn("part", F.col("pk") % 4)
+    wh.overwrite(df, "t", partition_by=["part"], stat_cols=["pk"])
+    assert wh.zonemap("t") is not None
+    changes = spark.createDataFrame(
+        [("U", 14, 9, "x", 14 % 4, "f", 1)],
+        "op string, pk long, val long, name string, part bigint, "
+        "_dms_filename string, _dms_rownum long",
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        merge_and_write(
+            wh, "t", wh.read(spark, "t").select("pk", "val", "name", "part"),
+            changes, pks=["pk"], version_cols=VC, prune_files=True,
+        )
+    n = merge_and_write(
+        wh, "t", wh.read(spark, "t").select("pk", "val", "name", "part"),
+        changes, pks=["pk"], version_cols=VC,
+    )
+    assert n == 100  # whole-table fallback, correct content
+    assert wh.read(spark, "t").filter("pk = 14").first().val == 9
+
+
+def test_prune_files_require_incompatible_modes_raise(spark, tmp_path):
+    """prune_files=True must never be silently bypassed: the
+    partition-scoped and schema-evolution paths refuse it loudly."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _write_clustered(spark, wh, "t", n=50)
+    changes = _changes_df(spark, [("U", 14, 9, "x", "f", 1)])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        merge_and_write(
+            wh, "t", wh.read(spark, "t"), changes,
+            pks=["pk"], version_cols=VC,
+            partition_by=["val"], prune_files=True,
+        )
+    with pytest.raises(ValueError, match="unpartitioned|evolution"):
+        merge_and_write(
+            wh, "t", wh.read(spark, "t"), changes,
+            pks=["pk"], version_cols=VC,
+            full_rewrite=True, prune_files=True,
+        )
