@@ -3411,9 +3411,9 @@ def q131_zone_merge_prune(spark, sf_dir):
 _Q133_ORACLE = """
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-               + CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
-               AS combined_cents
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    + CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS combined_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 3 = 0

@@ -481,7 +481,26 @@ class ParquetWarehouse:
         NEXT merge prunes again — the map never goes stale-and-dropped
         in steady state. Returns ``{"rows_written", "files_replaced",
         "files_linked", "files_new"}``.
+
+        SINGLE WRITER per table, ENFORCED: list→stage→swap is a
+        read-modify-write — two concurrent replaces would both list the
+        ORIGINAL file set and the second swap would silently discard the
+        first's rewritten rows (the lost-update shape ``commit_group``
+        fences against, one level down). The whole operation therefore
+        runs inside the mutation fence with the file listing taken
+        INSIDE it; a second concurrent writer raises
+        :class:`ConcurrentWriteError` loudly instead.
         """
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            return self._replace_files_unlocked(df, table, replaced)
+
+    def _replace_files_unlocked(
+        self, df: DataFrame, table: str, replaced: list[str]
+    ) -> dict:
+        """``replace_files`` body; the caller MUST hold the table's
+        mutation fence (``erase_subjects`` calls this under its own)."""
         final = self.path(table)
         if os.path.isfile(self._version_pointer(table)):
             raise ValueError(
@@ -772,7 +791,20 @@ class ParquetWarehouse:
 
         Bucketed tables are refused: their file layout IS the bucket
         spec — rewrite them with ``write_bucketed`` instead.
+
+        Runs under the table's mutation fence: compaction reads the
+        live file listing and swaps directories, so a concurrent
+        ``replace_files``/``replace_partitions``/erase would be a lost
+        update (the second swap discards the first's rows).
         """
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            return self._compact_unlocked(spark, table, target_file_bytes)
+
+    def _compact_unlocked(
+        self, spark: SparkSession, table: str, target_file_bytes: int
+    ) -> int:
         final = self.path(table)
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
             raise ValueError(
@@ -932,7 +964,27 @@ class ParquetWarehouse:
         the un-advanced watermark; after 4 any read/write completes the
         cleanup. The untouched partitions' files are never read or
         written.
+
+        SINGLE WRITER per table, ENFORCED (mutation fence): the
+        tombstone protocol heals CRASHES, not concurrent writers — two
+        concurrent replaces would interleave their dynamic overwrites
+        and tombstone markers (a read-modify-write on the partition
+        set). The second writer raises :class:`ConcurrentWriteError`.
         """
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._replace_partitions_unlocked(df, table, partition_by, touched)
+
+    def _replace_partitions_unlocked(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str],
+        touched: list[tuple],
+    ) -> None:
+        """``replace_partitions`` body; the caller MUST hold the table's
+        mutation fence (``erase_subjects`` calls this under its own)."""
         self._drop_zonemap(table)
         self._reconcile(table, writer=True)
         still_present = {
@@ -1004,7 +1056,38 @@ class ParquetWarehouse:
         The survivor set is materialized (localCheckpoint) before any
         rewrite that overlaps its own input files — the same
         read-then-overwrite hazard ``overwrite_partitions`` documents.
+
+        SINGLE WRITER per table, ENFORCED: the whole read→rewrite spans
+        ONE fence acquisition — a versioned erase shares the in-dir
+        ``_writer.lock`` with ``overwrite_versioned`` (a snapshot
+        committed between the erase's read and its republish would be
+        silently PURGED with ``retain=1``); every other layout takes the
+        mutation fence shared with ``replace_files``/
+        ``replace_partitions``/``compact``.
         """
+        fence = (
+            self._write_fence(table)
+            if os.path.isfile(self._version_pointer(table))
+            else self._write_fence(
+                table, lock_path=self._mutation_lock_path(table)
+            )
+        )
+        with fence:
+            return self._erase_subjects_unlocked(
+                spark, table, key_col, subjects, partition_by, retain
+            )
+
+    def _erase_subjects_unlocked(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_col: str,
+        subjects: DataFrame,
+        partition_by: list[str] | None,
+        retain: int,
+    ) -> dict:
+        """``erase_subjects`` body; the caller MUST hold the fence
+        matching the table's layout (see ``erase_subjects``)."""
         subj = subjects.toDF("__erase_key").filter(
             F.col("__erase_key").isNotNull()
         ).distinct()
@@ -1062,12 +1145,12 @@ class ParquetWarehouse:
                 slice_survivors = survivors.filter(cond).localCheckpoint(
                     eager=True
                 )
-                self.replace_partitions(
+                self._replace_partitions_unlocked(
                     slice_survivors, table, partition_by, touched
                 )
         elif versioned:
             held_before = set(self._load_versions(table)["versions"])
-            self.overwrite_versioned(survivors, table, retain=retain)
+            self._overwrite_versioned_unlocked(survivors, table, retain=retain)
             # With retain=1 (the GDPR-complete default) every
             # pre-erasure snapshot is purged — history is gone by
             # design, but silently. Name the purged versions so
@@ -1138,7 +1221,7 @@ class ParquetWarehouse:
                         sub[key_col] == F.col("__erase_key"),
                         "left_anti",
                     )
-                    self.replace_files(sub_survivors, table, hit)
+                    self._replace_files_unlocked(sub_survivors, table, hit)
                 # hit == []: no file holds any subject — nothing to do
             else:
                 # overwrite() already stages to a temp dir, so reading
@@ -1193,6 +1276,20 @@ class ParquetWarehouse:
 
     def _version_pointer(self, table: str) -> str:
         return os.path.join(self.path(table), VERSION_FILE)
+
+    def _mutation_lock_path(self, table: str) -> str:
+        """Lock path for fenced mutations that REPLACE the table
+        directory (``replace_files``/``replace_partitions``/``compact``/
+        non-versioned ``erase_subjects``). The lock must live OUTSIDE
+        the table dir: ``_commit_swap`` renames the whole directory
+        away, which would displace an in-dir lock mid-fence — a second
+        writer could then acquire a fresh in-dir lock that the first
+        writer's cleanup would delete (the check-then-remove race
+        ``_break_stale_lock`` documents). Versioned commits keep the
+        in-dir ``_writer.lock`` (snapshot dirs are added, never
+        swapped)."""
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", table)
+        return os.path.join(self.root, f".{safe}{LOCK_FILE}")
 
     def _write_fence(self, table: str, lock_path: str | None = None):
         """ENFORCED single-writer fence: an ``O_EXCL``-created lock file
@@ -1377,47 +1474,78 @@ class ParquetWarehouse:
         retained immutable snapshots exist for."""
         if retain < 1:
             raise ValueError("retain must be >= 1")
-        df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         os.makedirs(self.path(table), exist_ok=True)
         with self._write_fence(table):
-            state = self._load_versions(table)
-            version = state["current"] + 1
-            vdir = f"_v{version:05d}"
-            final = os.path.join(self.path(table), vdir)
-            tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
-            df.write.mode("overwrite").parquet(tmp)
-            if meta is not None:
-                with open(os.path.join(tmp, META_FILE), "w") as f:
-                    json.dump(meta, f)
-            if stat_cols:
-                zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
-                with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
-                    json.dump(zm, f)
-            os.replace(tmp, final)
-            state["versions"][version] = {"dir": vdir, "meta": meta or {}}
-            state["current"] = version
-            keep = sorted(state["versions"])[-retain:]
-            pruned = [v for v in state["versions"] if v not in keep]
-            state["versions"] = {v: state["versions"][v] for v in keep}
-            ptmp = self._version_pointer(table) + f".tmp-{uuid.uuid4().hex}"
-            with open(ptmp, "w") as f:
-                json.dump(state, f)
-            os.replace(ptmp, self._version_pointer(table))
-            # prune only after the flip: pruned versions are no longer
-            # resolvable, and a crash here just leaves dirs for the next
-            # writer's orphan sweep below
-            for v in pruned:
+            return self._overwrite_versioned_unlocked(
+                df,
+                table,
+                meta=meta,
+                retain=retain,
+                cluster_by=cluster_by,
+                cluster_partitions=cluster_partitions,
+                zorder_by=zorder_by,
+                stat_cols=stat_cols,
+            )
+
+    def _overwrite_versioned_unlocked(
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        retain: int = 2,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> int:
+        """``overwrite_versioned`` body; the caller MUST hold the
+        table's ``_write_fence`` (``erase_subjects`` spans its
+        read→purge→republish under ONE fence acquisition so a concurrent
+        versioned commit cannot land between the erase's snapshot read
+        and its republish — that interleaving would be purged unseen
+        with ``retain=1``)."""
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
+        os.makedirs(self.path(table), exist_ok=True)
+        state = self._load_versions(table)
+        version = state["current"] + 1
+        vdir = f"_v{version:05d}"
+        final = os.path.join(self.path(table), vdir)
+        tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        if meta is not None:
+            with open(os.path.join(tmp, META_FILE), "w") as f:
+                json.dump(meta, f)
+        if stat_cols:
+            zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
+            with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                json.dump(zm, f)
+        os.replace(tmp, final)
+        state["versions"][version] = {"dir": vdir, "meta": meta or {}}
+        state["current"] = version
+        keep = sorted(state["versions"])[-retain:]
+        pruned = [v for v in state["versions"] if v not in keep]
+        state["versions"] = {v: state["versions"][v] for v in keep}
+        ptmp = self._version_pointer(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            json.dump(state, f)
+        os.replace(ptmp, self._version_pointer(table))
+        # prune only after the flip: pruned versions are no longer
+        # resolvable, and a crash here just leaves dirs for the next
+        # writer's orphan sweep below
+        for v in pruned:
+            shutil.rmtree(
+                os.path.join(self.path(table), f"_v{v:05d}"),
+                ignore_errors=True,
+            )
+        live = {info["dir"] for info in state["versions"].values()}
+        for name in os.listdir(self.path(table)):
+            if re.fullmatch(r"_v\d{5}", name) and name not in live:
                 shutil.rmtree(
-                    os.path.join(self.path(table), f"_v{v:05d}"),
+                    os.path.join(self.path(table), name),
                     ignore_errors=True,
                 )
-            live = {info["dir"] for info in state["versions"].values()}
-            for name in os.listdir(self.path(table)):
-                if re.fullmatch(r"_v\d{5}", name) and name not in live:
-                    shutil.rmtree(
-                        os.path.join(self.path(table), name),
-                        ignore_errors=True,
-                    )
         return version
 
     def read_version(

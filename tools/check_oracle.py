@@ -77,6 +77,23 @@ def norm_cell_exact(v):
     return v
 
 
+def fragile_oracle_types(con, sql):
+    """Return [(col, type)] for oracle output columns whose DuckDB type
+    renders as decimal128 at the driver's Arrow/hash layer even though
+    ``fetchall()`` converts them to plain Python ints — the q133 class
+    (DuckDB ``SUM(BIGINT)`` returns HUGEINT; Spark emits int64, so the
+    driver hash-mismatches while the local fetchall() compare passes).
+    ``DESCRIBE <query>`` binds without executing, so this is free."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # noqa: BLE001 — DESCRIBE quirk: fall back silently
+        return []
+    bad = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    return [
+        (c, t) for c, t, *_ in desc if any(b in t.upper() for b in bad)
+    ]
+
+
 def norm_rows(cols, rows, cell=norm_cell):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -124,6 +141,16 @@ def main():
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e!r}"[:500])
+            failed.append(name)
+            continue
+        fragile = fragile_oracle_types(con, oracles[name]) if exact else []
+        if fragile:
+            print(
+                f"FAIL {name}: oracle output column(s) {fragile} render as "
+                "decimal128 at the driver hash layer while fetchall() hides "
+                "it (DuckDB SUM(BIGINT) returns HUGEINT) — add an outer "
+                "CAST(... AS BIGINT/DOUBLE) in the oracle's final SELECT"
+            )
             failed.append(name)
             continue
         ok = True
