@@ -103,9 +103,15 @@ HEADLINE = [
     "q128_zonemap_prune",
     # round 10 additions (q131_zone_merge_prune excluded like q113/q129:
     # fixture-building dominates; its merge cost is benched by the
-    # dedicated q18z_zone_cdc fixture entry instead)
-    "q132_jpeg_decode",
-    "q134_jpeg_color_decode",
+    # dedicated q18z_zone_cdc fixture entry instead).
+    # q132/q134 (stdlib JPEG decode) are excluded under the same
+    # precedent as of round 11: their full-corpus runs are ~236 s of
+    # pure-Python eval-grade codec at sf0.1 — 73% of the r10 headline —
+    # which buried the engine signal the cross-round methodology tracks.
+    # They stay registry faces (full-corpus correctness at sf0.01) and
+    # are benched below as q132s/q134s on a deterministic 1-in-25
+    # document sample, which keeps a cross-round codec timing without
+    # letting fixture-grade compute dominate the headline.
 ]
 
 
@@ -247,6 +253,33 @@ def main() -> None:
     med, best = timed(run_zcdc)
     times["q18z_zone_cdc"] = round(med, 3)
     times_min["q18z_zone_cdc"] = round(best, 3)
+    total += med
+
+    # Stdlib JPEG decode on a deterministic 1-in-25 document sample
+    # (the full-corpus faces are correctness-only — see the HEADLINE
+    # comment). Same plan shape as q132/q134: per-image parallel
+    # mapInPandas, no shuffle; only the fixture volume is reduced.
+    from example_dms_dataexport_spark.operators import multimodal
+    from example_dms_dataexport_spark.tables import load_table
+
+    def run_jpeg(color: bool) -> None:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 25 == 0
+        )
+        fixture = (
+            multimodal.jpeg_color_from_documents(docs)
+            if color
+            else multimodal.jpeg_from_documents(docs)
+        )
+        materialize(multimodal.decode_jpeg(fixture))
+
+    med, best = timed(lambda: run_jpeg(False))
+    times["q132s_jpeg_decode_sampled"] = round(med, 3)
+    times_min["q132s_jpeg_decode_sampled"] = round(best, 3)
+    total += med
+    med, best = timed(lambda: run_jpeg(True))
+    times["q134s_jpeg_color_sampled"] = round(med, 3)
+    times_min["q134s_jpeg_color_sampled"] = round(best, 3)
     total += med
 
     cal_med, cal_best = timed(calibrate)

@@ -32,73 +32,70 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 10 window: the 30 queries whose latest driver row is r7 (the
-# documented r9 deferrals — every one carries a green r7 row plus local
-# exact-mode sweeps in r9 and r10) go first, then the 4 faces new this
-# round (q131-q134), then the lowest-numbered r8-cohort queries. The
-# 50-slot window therefore covers the r8 cohort through q42; the list's
-# tail past slot 50 (q49/q53/q62/q64) plus the remaining r8 rows
-# (q65-q98 area, 30 in all) defer to round 11 — seed the r11 rotation
-# with exactly those, all covered by the local exact-mode sweep
-# meanwhile.
+# Round 11 window: q133 re-checks FIRST (its r10 row was red on the
+# oracle's HUGEINT cast, fixed this round), then the 34 queries whose
+# latest driver row is r8 (the documented r10 rotation remainder —
+# every one green in the local exact-mode sweeps since), then any faces
+# new this round, then the lowest-numbered r9-cohort rows fill the
+# remaining slots. After this round no query's latest driver row is
+# older than r9 (tools/check_freshness.py enforces the floor). Seed the
+# r12 rotation with the r9 cohort's remainder.
 PRIORITY = [
-    # latest driver row is r7 (lowest-numbered first)
-    "q46_token_chunks",
-    "q47_line_dedup",
-    "q48_unigram_logprob",
-    "q50_pack_chunks",
-    "q51_duplicate_spans",
-    "q52_tfidf_top_terms",
-    "q55_bpe_pair_counts",
-    "q56_mixture_sample",
-    "q57_kmeans_assign",
-    "q58_embedding_decontam",
-    "q67_incremental_neardup",
-    "q70_knn_quantized",
-    "q71_distinct_sketch_rollup",
-    "q72_exact_stratified_sample",
-    "q73_corpus_build",
-    "q78_inverted_index",
-    "q82_semantic_dedup",
-    "q83_bm25_rank",
-    "q84_quality_percentile",
-    "q85_mixture_weights",
-    "q86_leakage_safe_split",
-    "q99_quantile_sketch_accuracy",
-    "q100_heavy_hitters",
-    "q101_token_budget_shards",
-    "q102_audio_decode",
-    "q103_cms_accuracy",
-    "q104_domain_cap",
-    "q105_global_shuffle_index",
-    "q106_bpe_encode",
-    "q107_embedding_moments",
-    # new in round 10, never driver-checked (inserted as they land)
-    "q131_zone_merge_prune",
-    "q132_jpeg_decode",
+    # red in r10 (oracle cast defect, engine was correct) — re-check first
     "q133_group_cycle_consistency",
-    "q134_jpeg_color_decode",
     # latest driver row is r8 (lowest-numbered first)
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q17_load_plan",
-    "q19_text_features",
-    "q23_minhash_signatures",
-    "q25_simhash",
-    "q34_sessionize",
-    "q39_asof_attribution",
-    "q42_event_gaps",
     "q49_incremental_rollup",
     "q53_range_join_windows",
     "q62_funnel_stages",
     "q64_resample_ffill",
+    "q65_trailing_hour_avg",
+    "q68_quality_audit",
+    "q69_skew_report",
+    "q74_scd2_history",
+    "q75_scd2_point_in_time",
+    "q76_snapshot_diff",
+    "q79_event_debounce",
+    "q80_bloom_semi_join",
+    "q81_bpe_merges",
+    "q87_sketch_accuracy",
+    "q88_bigram_logprob",
+    "q89_retention_cohorts",
+    "q90_value_deciles",
+    "q91_event_path_patterns",
+    "q92_sketch_merge_accuracy",
+    "q93_rolling_active_users",
+    "q94_value_trend_regression",
+    "q95_source_token_entropy",
+    "q96_value_outliers",
+    "q97_weekly_value_wow",
+    "q98_cross_source_dup_matrix",
+    "q108_image_decode",
+    "q109_salted_join_revenue",
+    "q110_time_travel_diff",
+    "q111_cluster_canonical",
+    "q112_kll_quantile_accuracy",
+    "q113_jdbc_roundtrip",
+    "q114_bucketed_join_revenue",
+    "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
+    # new in round 11, never driver-checked (inserted as they land)
+    # latest driver row is r9 (lowest-numbered fill; entries pushed past
+    # slot 50 by new faces simply defer to the r12 rotation)
+    "q08_customers_without_orders",
+    "q09_active_customers",
+    "q12_part_name_parsing",
+    "q13_file_prefix_grouping",
+    "q14_json_props",
+    "q15_orders_by_month",
+    "q16_hourly_event_windows",
+    "q18_cdc_merge",
+    "q20_corpus_profile",
+    "q21_quality_filter",
+    "q22_exact_dedup",
+    "q24_minhash_dedup_pairs",
+    "q26_simhash_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q28_knn_brute",
 ]
 
 
