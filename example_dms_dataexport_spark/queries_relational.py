@@ -3488,3 +3488,182 @@ def q133_group_cycle_consistency(spark, sf_dir):
             ).alias("combined_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming whole-epoch group snapshots (S16 + §2.9; the streaming
+# analogue of q133 — ref :163-203's task DAG commits each table's MERGE
+# independently, so even its steady-state sync can hand a reader one
+# table's new state joined against another's old)
+# ---------------------------------------------------------------------------
+
+_Q135_ORACLE = """
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 777 ELSE 0 END AS bal_cents
+        FROM customer
+    ),
+    ord AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+           OR o_orderkey % 3 = 1
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_cents + bal_cents) AS BIGINT) AS sum_cents
+    FROM ord JOIN cust ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q135_stream_group_cycle", _Q135_ORACLE)
+def q135_stream_group_cycle(spark, sf_dir):
+    """Streaming CDC with whole-EPOCH group snapshots end-to-end
+    (``start_cdc_group_stream``): two tables' CDC landing dirs are
+    co-streamed through ONE unioned file source, so Structured
+    Streaming's checkpoint assigns both tables' files to the same
+    micro-batch epoch, every epoch merges each member and publishes one
+    ``commit_group_linked`` snapshot (ref :163-203 — the reference's
+    task DAG commits each table's MERGE independently and cannot give
+    this boundary). Fixture: gs_cust full-loads the EVEN customers and
+    gs_ord the %3==0 orders (cents as BIGINT so the CSV round trip is
+    exact); epoch 1 inserts the odd customers and deletes the %9==0
+    orders; epoch 2 bumps %5==0 customers' balances by 777 and inserts
+    the %3==1 orders. maxFilesPerTrigger=1 forces the two epochs. The
+    returned join/agg reads ``read_group`` (never the working dirs) and
+    hash-matches the final-state SQL restatement; driver guards pin the
+    EPOCH boundary via the retained previous commit: it must hold the
+    odd-customer inserts (epoch 1 applied) but neither epoch 2's order
+    inserts nor its balance bumps — a group that flipped per TABLE
+    instead of per epoch fails the guard, and a stream that never took
+    the mid-stream snapshot has no commit 1 to resolve."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+    from .streaming.cdc_stream import start_cdc_group_stream
+
+    root = _scratch_root("q135", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(os.path.join(root, "wh"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    wh.overwrite(cust.filter(F.col("c_custkey") % 2 == 0), "gs_cust")
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), "gs_ord")
+
+    def land(df, subdir, fname):
+        """Write one CDC CSV per epoch through the distributed writer
+        (single-file only at fixture scale), then promote it under the
+        DMS timestamp naming the stream's glob matches."""
+        staged = os.path.join(root, f"stage_{subdir}_{fname}")
+        df.coalesce(1).write.mode("overwrite").option(
+            "emptyValue", ""
+        ).csv(staged)
+        part = next(
+            n for n in os.listdir(staged) if n.startswith("part-")
+        )
+        dest_dir = os.path.join(root, subdir)
+        os.makedirs(dest_dir, exist_ok=True)
+        os.replace(
+            os.path.join(staged, part), os.path.join(dest_dir, fname)
+        )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    # epoch 1: insert the odd customers; delete the %9==0 orders
+    land(
+        cust.filter(F.col("c_custkey") % 2 == 1).select(
+            F.lit("I").alias("op"), "*"
+        ),
+        "cust_landing",
+        "20240101-000000001.csv",
+    )
+    land(
+        orders.filter(F.col("o_orderkey") % 9 == 0).select(
+            F.lit("D").alias("op"), "*"
+        ),
+        "ord_landing",
+        "20240101-000000001.csv",
+    )
+    # epoch 2: bump %5==0 balances by 777; insert the %3==1 orders
+    land(
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("bal_cents", F.col("bal_cents") + 777)
+        .select(F.lit("U").alias("op"), "*"),
+        "cust_landing",
+        "20240102-000000001.csv",
+    )
+    land(
+        orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            F.lit("I").alias("op"), "*"
+        ),
+        "ord_landing",
+        "20240102-000000001.csv",
+    )
+    q = start_cdc_group_stream(
+        spark,
+        {
+            "gs_cust": {
+                "landing_glob": os.path.join(root, "cust_landing", "2*.csv"),
+                "pks": ["c_custkey"],
+            },
+            "gs_ord": {
+                "landing_glob": os.path.join(root, "ord_landing", "2*.csv"),
+                "pks": ["o_orderkey"],
+            },
+        },
+        wh,
+        group="cycle",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    state = wh._load_group("cycle")
+    if state["current"] < 2:
+        raise AssertionError(
+            f"expected one group commit per epoch, got {state['current']}"
+        )
+    # epoch-boundary guard on the retained PREVIOUS commit
+    prev = wh.read_group(spark, "cycle", commit=state["current"] - 1)
+    if prev["gs_cust"].filter(F.col("c_custkey") % 2 == 1).count() == 0:
+        raise AssertionError("commit 1 is missing epoch 1's inserts")
+    if prev["gs_ord"].filter(F.col("o_orderkey") % 3 == 1).count() != 0:
+        raise AssertionError("commit 1 leaked epoch 2's order inserts")
+    bumped = (
+        prev["gs_cust"]
+        .join(
+            cust.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey", F.col("bal_cents").alias("base_cents")
+            ),
+            "c_custkey",
+        )
+        .filter(F.col("bal_cents") != F.col("base_cents"))
+        .count()
+    )
+    if bumped != 0:
+        raise AssertionError("commit 1 leaked epoch 2's balance bumps")
+    snap = wh.read_group(spark, "cycle")
+    return (
+        snap["gs_ord"]
+        .join(snap["gs_cust"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("price_cents") + F.col("bal_cents")).alias(
+                "sum_cents"
+            ),
+        )
+    )

@@ -136,6 +136,47 @@ def read_cdc_stream(
     )
 
 
+def _null_pk_tripwire(batch: DataFrame, pks: list[str], batch_id) -> None:
+    """Name-resolution tripwire: parquet/ORC resolve columns BY NAME
+    against the stream's fixed schema, so if the stream started on an
+    EMPTY landing dir (physical names assumed = contract names) and
+    real files carry foreign source names, every column — including the
+    PKs — reads back NULL. That must abort the stream, not upsert a
+    NULL-pk garbage row. One batch-sized agg."""
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(p).alias(f"__nn_{p}") for p in pks],
+    ).first()
+    if stats["__n"] > 0 and all(stats[f"__nn_{p}"] == 0 for p in pks):
+        raise ValueError(
+            f"CDC batch {batch_id} has {stats['__n']} rows but every "
+            f"primary key {pks} is NULL — the stage files' physical "
+            "column names almost certainly do not match the schema "
+            "assumed at stream start (empty-landing fallback). "
+            "Restart the stream after the first file has landed."
+        )
+
+
+def _with_rownum(batch: DataFrame) -> DataFrame:
+    """Reconstruct the per-file row number for latest-wins ordering,
+    per source contract (see ``read_cdc_stream``)."""
+    if "_dms_rownum" in batch.columns:
+        return batch  # parquet: row_index attached at the source
+    if "_dms_blockstart" in batch.columns:
+        # orc/xml: order splits by byte offset, rows within a split
+        # by mono-id — correct under file splitting (see orc_stage)
+        w = Window.partitionBy("_dms_filename").orderBy(
+            "_dms_blockstart", F.monotonically_increasing_id()
+        )
+        return batch.withColumn("_dms_rownum", F.row_number().over(w)).drop(
+            "_dms_blockstart"
+        )
+    w = Window.partitionBy("_dms_filename").orderBy(
+        F.monotonically_increasing_id()
+    )
+    return batch.withColumn("_dms_rownum", F.row_number().over(w))
+
+
 def start_cdc_stream(
     spark: SparkSession,
     landing_glob: str,
@@ -181,40 +222,8 @@ def start_cdc_stream(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        # Name-resolution tripwire: parquet/ORC resolve columns BY NAME
-        # against the stream's fixed schema, so if the stream started on
-        # an EMPTY landing dir (physical names assumed = contract names)
-        # and real files carry foreign source names, every column —
-        # including the PKs — reads back NULL. That must abort the
-        # stream, not upsert a NULL-pk garbage row. One batch-sized agg.
-        stats = batch.agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[F.count(p).alias(f"__nn_{p}") for p in pks],
-        ).first()
-        if stats["__n"] > 0 and all(stats[f"__nn_{p}"] == 0 for p in pks):
-            raise ValueError(
-                f"CDC batch {batch_id} has {stats['__n']} rows but every "
-                f"primary key {pks} is NULL — the stage files' physical "
-                "column names almost certainly do not match the schema "
-                "assumed at stream start (empty-landing fallback). "
-                "Restart the stream after the first file has landed."
-            )
-        if "_dms_rownum" in batch.columns:
-            changes = batch  # parquet: row_index attached at the source
-        elif "_dms_blockstart" in batch.columns:
-            # orc/xml: order splits by byte offset, rows within a split
-            # by mono-id — correct under file splitting (see orc_stage)
-            w = Window.partitionBy("_dms_filename").orderBy(
-                "_dms_blockstart", F.monotonically_increasing_id()
-            )
-            changes = batch.withColumn(
-                "_dms_rownum", F.row_number().over(w)
-            ).drop("_dms_blockstart")
-        else:
-            w = Window.partitionBy("_dms_filename").orderBy(
-                F.monotonically_increasing_id()
-            )
-            changes = batch.withColumn("_dms_rownum", F.row_number().over(w))
+        _null_pk_tripwire(batch, pks, batch_id)
+        changes = _with_rownum(batch)
         target = warehouse.read(spark, target_table)
         # foreachBatch may retry a batch on failure; the atomic overwrite
         # (or tombstoned partition replace) makes the retry idempotent.
@@ -237,6 +246,158 @@ def start_cdc_stream(
     )
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_cdc_group_stream(
+    spark: SparkSession,
+    members: dict[str, dict],
+    warehouse: ParquetWarehouse,
+    group: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 100,
+    retain: int = 2,
+) -> StreamingQuery:
+    """Co-stream CDC for SEVERAL tables with whole-epoch group commits —
+    the streaming analogue of ``run_queue(group=...)``'s whole-cycle
+    snapshots (the cross-table guarantee the reference's task DAG cannot
+    give, ref :163-203: each table's MERGE commits independently, so a
+    mid-cycle reader joins one table's new state against another's old).
+
+    ``members`` maps table name -> spec dict with keys ``landing_glob``
+    and ``pks`` (required) plus optional ``partition_by``,
+    ``file_format`` (default csv) and ``column_order`` — the same
+    parameters ``start_cdc_stream`` takes per table.
+
+    How one epoch spans tables: each member's landing dir is read with
+    the format-dispatched ``read_cdc_stream``, NORMALIZED to a common
+    envelope (table, to_json(payload), filename, rownum, blockstart)
+    and unioned into ONE stream, so Structured Streaming's checkpoint
+    assigns files of ALL members to the SAME micro-batch epoch. The
+    foreachBatch driver parses each member's slice back through its CDC
+    schema (``from_json`` — an exact round-trip, both sides of which
+    are Spark's own JSON codec), runs the shared ``merge_and_write``,
+    and after every member committed publishes ONE
+    ``commit_group_linked`` snapshot (hard links, zero data I/O even at
+    100 TB). Members with no changes in an epoch are still snapshotted
+    at their current state — member sets never shrink.
+
+    Readers resolve the group pointer (``read_group``): they see every
+    member exactly as of an epoch boundary, never a mid-epoch mix.
+    Crash semantics: if the driver dies after some per-table merges but
+    before the group flip, the group still resolves to the previous
+    epoch for EVERY member (consistent); on restart foreachBatch
+    replays the epoch — the latest-wins merges are idempotent — and the
+    group pointer advances once. A replayed epoch can bump the group
+    commit number twice; the content of both commits is identical, so
+    consistency holds (commit numbers are ordering, not identity —
+    batch-id lineage pinning lives in ``read_meta``-style consumers).
+
+    Scale: the envelope costs one to_json/from_json round-trip per
+    change row — per-batch work, bounded by ``max_files_per_trigger``
+    per member, never proportional to table size; the merges themselves
+    keep the partition-scoped / zone-map-scoped pruning of the batch
+    path."""
+    if not members:
+        raise ValueError("start_cdc_group_stream needs at least one member")
+    from functools import reduce
+
+    from ..metadata import source_ordered
+
+    member_names = sorted(members)
+    specs: dict[str, dict] = {}
+    streams = []
+    for name in member_names:
+        spec = dict(members[name])
+        target_schema = warehouse.read(spark, name).schema
+        if spec.get("column_order"):
+            target_schema = StructType(
+                [
+                    target_schema[c]
+                    for c in source_ordered(
+                        target_schema.fieldNames(), spec["column_order"]
+                    )
+                ]
+            )
+        spec["cdc_schema"] = cdc_schema(target_schema)
+        specs[name] = spec
+        s = read_cdc_stream(
+            spark,
+            spec["landing_glob"],
+            target_schema,
+            max_files_per_trigger,
+            file_format=spec.get("file_format", "csv"),
+        )
+        payload_cols = [c for c in s.columns if not c.startswith("_dms_")]
+        streams.append(
+            s.select(
+                F.lit(name).alias("_dms_table"),
+                F.to_json(F.struct(*payload_cols)).alias("_dms_payload"),
+                F.col("_dms_filename"),
+                (
+                    F.col("_dms_rownum")
+                    if "_dms_rownum" in s.columns
+                    else F.lit(None).cast("long")
+                ).alias("_dms_rownum"),
+                (
+                    F.col("_dms_blockstart")
+                    if "_dms_blockstart" in s.columns
+                    else F.lit(None).cast("long")
+                ).alias("_dms_blockstart"),
+            )
+        )
+    stream = reduce(DataFrame.unionByName, streams)
+
+    def merge_epoch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            for name in member_names:
+                spec = specs[name]
+                sub = batch.filter(F.col("_dms_table") == name)
+                if sub.isEmpty():
+                    continue  # snapshotted at current state below
+                want = spec["cdc_schema"]
+                parsed = sub.select(
+                    F.from_json("_dms_payload", want).alias("__r"),
+                    "_dms_filename",
+                    "_dms_rownum",
+                    "_dms_blockstart",
+                )
+                has_rownum = spec.get("file_format", "csv") == "parquet"
+                has_block = spec.get("file_format", "csv") in ("orc", "xml")
+                keep = ["__r.*", "_dms_filename"]
+                if has_rownum:
+                    keep.append("_dms_rownum")
+                elif has_block:
+                    keep.append("_dms_blockstart")
+                slice_df = parsed.select(*keep)
+                _null_pk_tripwire(slice_df, spec["pks"], batch_id)
+                changes = _with_rownum(slice_df)
+                merge_and_write(
+                    warehouse,
+                    name,
+                    warehouse.read(spark, name),
+                    changes,
+                    pks=spec["pks"],
+                    version_cols=["_dms_filename", "_dms_rownum"],
+                    partition_by=spec.get("partition_by"),
+                )
+            warehouse.commit_group_linked(member_names, group, retain=retain)
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_epoch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

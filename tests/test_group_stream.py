@@ -1,0 +1,216 @@
+"""Whole-epoch group commits for co-streamed CDC tables.
+
+``start_cdc_group_stream`` is the streaming analogue of
+``run_queue(group=...)``: every micro-batch epoch merges each member's
+slice, then publishes ONE ``commit_group_linked`` snapshot. Pins:
+
+- parity: final table states match the per-table batch merge result,
+  and ``read_group`` resolves both members at the same epoch;
+- cross-table atomicity across a crash: a failure AFTER some member
+  merges but BEFORE the group flip leaves the group resolving the
+  PREVIOUS epoch for every member (never one new + one old); restarting
+  from the checkpoint replays the epoch idempotently and the group then
+  advances for all members together;
+- mixed source formats (csv + parquet envelope normalization).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+from example_dms_dataexport_spark.streaming.cdc_stream import (
+    start_cdc_group_stream,
+)
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+
+
+def _write_parquet(path, rows):
+    # physical names differ from the target's — position is the contract
+    pq.write_table(
+        pa.table(
+            {
+                "Op": [r[0] for r in rows],
+                "c1": [r[1] for r in rows],
+                "c2": [r[2] for r in rows],
+            }
+        ),
+        str(path),
+    )
+
+
+def _seed(spark, wh, tmp_path):
+    cust_landing = tmp_path / "cust"
+    ord_landing = tmp_path / "ord"
+    cust_landing.mkdir()
+    ord_landing.mkdir()
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "alice", 10.0), (2, "bob", 20.0)], ["id", "name", "val"]
+        ),
+        "cust",
+    )
+    wh.overwrite(
+        spark.createDataFrame([(1, 100), (2, 200)], ["oid", "amt"]), "ord"
+    )
+    members = {
+        "cust": {"landing_glob": str(cust_landing / "2*.csv"), "pks": ["id"]},
+        "ord": {
+            "landing_glob": str(ord_landing / "2*.parquet"),
+            "pks": ["oid"],
+            "file_format": "parquet",
+        },
+    }
+    return cust_landing, ord_landing, members
+
+
+def test_group_stream_parity_and_consistent_epochs(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cust_landing, ord_landing, members = _seed(spark, wh, tmp_path)
+    # epoch files: update cust 1, insert cust 3; delete ord 2, insert ord 3
+    _write_csv(
+        cust_landing / "20240101-000000001.csv",
+        [("U", 1, "alice2", 11.0), ("I", 3, "carol", 30.0)],
+    )
+    _write_parquet(
+        ord_landing / "20240101-000000001.parquet",
+        [("D", 2, 200), ("I", 3, 300)],
+    )
+    # a later pair of files (second epoch under maxFilesPerTrigger=1)
+    _write_csv(
+        cust_landing / "20240102-000000001.csv", [("U", 3, "carole", 31.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240102-000000001.parquet", [("U", 3, 301)]
+    )
+    q = start_cdc_group_stream(
+        spark,
+        members,
+        wh,
+        group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got_cust = {
+        r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+    }
+    got_ord = {r.oid: r.amt for r in wh.read(spark, "ord").collect()}
+    assert got_cust == {
+        1: ("alice2", 11.0),
+        2: ("bob", 20.0),
+        3: ("carole", 31.0),
+    }
+    assert got_ord == {1: 100, 3: 301}
+    # the group resolves BOTH members at the final epoch
+    snap = wh.read_group(spark, "sync")
+    assert set(snap) == {"cust", "ord"}
+    assert {
+        r.id: (r.name, r.val) for r in snap["cust"].collect()
+    } == got_cust
+    assert {r.oid: r.amt for r in snap["ord"].collect()} == got_ord
+    # restart on the same checkpoint: no new files -> no state change
+    group_before = wh.group_members("sync")
+    q2 = start_cdc_group_stream(
+        spark,
+        members,
+        wh,
+        group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    assert {
+        r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+    } == got_cust
+    assert wh.group_members("sync") == group_before
+
+
+def test_group_stream_crash_before_flip_is_atomic(spark, tmp_path):
+    """Driver dies after the members merged but before the group flip:
+    readers of the group keep the PREVIOUS epoch for every member; the
+    checkpoint replays the epoch on restart and the group advances for
+    all members together."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cust_landing, ord_landing, members = _seed(spark, wh, tmp_path)
+    # epoch 1 commits cleanly
+    _write_csv(
+        cust_landing / "20240101-000000001.csv", [("U", 1, "alice2", 11.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240101-000000001.parquet", [("U", 1, 101)]
+    )
+    q = start_cdc_group_stream(
+        spark,
+        members,
+        wh,
+        group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    epoch1_cust = {
+        r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+    }
+    epoch1_ord = {r.oid: r.amt for r in wh.read(spark, "ord").collect()}
+    assert epoch1_cust[1] == ("alice2", 11.0) and epoch1_ord[1] == 101
+
+    # epoch 2 lands, but the group flip crashes
+    _write_csv(
+        cust_landing / "20240102-000000001.csv", [("U", 2, "bobby", 22.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240102-000000001.parquet", [("U", 2, 202)]
+    )
+    real_commit = wh.commit_group_linked
+
+    def crash_flip(*a, **kw):
+        raise RuntimeError("injected crash before the group flip")
+
+    wh.commit_group_linked = crash_flip
+    try:
+        q2 = start_cdc_group_stream(
+            spark,
+            members,
+            wh,
+            group="sync",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q2.awaitTermination(180)
+            raise AssertionError("stream should have failed")
+    finally:
+        wh.commit_group_linked = real_commit
+    # working tables may already carry epoch 2, but the GROUP still
+    # resolves epoch 1 for BOTH members — never one new + one old
+    snap = wh.read_group(spark, "sync")
+    assert {
+        r.id: (r.name, r.val) for r in snap["cust"].collect()
+    } == epoch1_cust
+    assert {r.oid: r.amt for r in snap["ord"].collect()} == epoch1_ord
+
+    # restart: the checkpoint replays epoch 2 (merges are idempotent)
+    # and the group advances for all members together
+    q3 = start_cdc_group_stream(
+        spark,
+        members,
+        wh,
+        group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination(180)
+    snap = wh.read_group(spark, "sync")
+    assert {r.id: (r.name, r.val) for r in snap["cust"].collect()}[2] == (
+        "bobby",
+        22.0,
+    )
+    assert {r.oid: r.amt for r in snap["ord"].collect()}[2] == 202
+    # and the snapshot equals the working tables (nothing lost/dupped)
+    assert {
+        r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+    } == {r.id: (r.name, r.val) for r in snap["cust"].collect()}
