@@ -3667,3 +3667,68 @@ def q135_stream_group_cycle(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-manifest point-lookup file skipping (S16 storage layout; the
+# complement of q128's zone-map range pruning — ref :369-408 delegates
+# the same skipping to Snowflake's micro-partition metadata, which
+# keeps bloom-like secondary indexes for exactly this unclustered-key
+# case via its search optimization service)
+# ---------------------------------------------------------------------------
+
+_Q136_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 7 = 3
+        ORDER BY o_orderkey
+        LIMIT 10
+    )
+"""
+
+
+@query("q136_bloom_point_lookup", _Q136_ORACLE)
+def q136_bloom_point_lookup(spark, sf_dir):
+    """Point lookups on a column the write layout does NOT cluster:
+    orders land hash-scattered on o_custkey (so every file's
+    o_orderkey [min,max] band spans the keyspace and a zone map would
+    prune nothing), a per-file Bloom manifest is built on o_orderkey,
+    and the face probes 10 deterministic keys through
+    ``read_bloom_keys``. Driver guards pin that the manifest really
+    pruned (hit < total files) and that the no-false-negative guarantee
+    held (every probe key's row came back — the oracle hash then pins
+    the exact values). This is the GDPR-erasure pruning shape: subject
+    keys are random, not clustered, and the same manifest bounds an
+    erase's rewrite to the files that can contain them."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    root = _scratch_root("q136", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    wh.overwrite(orders.repartition(16, "o_custkey"), "ord_scatter")
+    wh.write_bloom(spark, "ord_scatter", ["o_orderkey"])
+    keys = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") % 7 == 3)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .collect()
+    ]
+    hit, miss = wh.bloom_hit_split(spark, "ord_scatter", "o_orderkey", keys)
+    if not miss:
+        raise AssertionError(
+            "bloom manifest pruned nothing: the guard is vacuous"
+        )
+    out = wh.read_bloom_keys(spark, "ord_scatter", "o_orderkey", keys)
+    if out.count() != len(keys):
+        raise AssertionError(
+            "bloom-pruned read dropped probe keys (false negative)"
+        )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")

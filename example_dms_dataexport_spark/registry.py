@@ -80,6 +80,7 @@ PRIORITY = [
     "q116_source_kl_divergence",
     # new in round 11, never driver-checked (inserted as they land)
     "q135_stream_group_cycle",
+    "q136_bloom_point_lookup",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",

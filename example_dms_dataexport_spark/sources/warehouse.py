@@ -32,6 +32,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 # Pending-cleanup marker for replace_partitions (see _reconcile).
 TOMBSTONE_FILE = "_tombstones.json"
@@ -52,6 +53,13 @@ VERSION_FILE = "_version.json"
 # pruning — see write_zonemap/read_zoned. Underscore prefix hides it
 # from parquet file discovery.
 ZONEMAP_FILE = "_zonemap.json"
+
+# Per-file Bloom filters for manifest-level POINT-LOOKUP file skipping
+# on columns the layout does NOT cluster — see write_bloom /
+# read_bloom_keys. Underscore prefix hides it from discovery.
+BLOOM_FILE = "_bloom.json"
+BLOOM_K = 6  # hash functions per key
+BLOOM_BITS_PER_KEY = 16  # ~0.1% false-positive rate at k=6
 
 # Writer fence for overwrite_versioned (single-writer enforcement).
 LOCK_FILE = "_writer.lock"
@@ -530,6 +538,7 @@ class ParquetWarehouse:
                 f"replace_files: not current files of {table!r}: {unknown}"
             )
         zm = self.zonemap(table)
+        bm = self.bloom(table)
         spark = df.sparkSession
         tmp_new = os.path.join(self.root, f".tmp-{table}-new-{uuid.uuid4().hex}")
         asm = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
@@ -545,6 +554,17 @@ class ParquetWarehouse:
                     )
                 new_zm_files = self._compute_zonemap(
                     spark, tmp_new, zm["stat_cols"]
+                )["files"]
+            new_bm_files = {}
+            if bm is not None:
+                missing = [c for c in bm["cols"] if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"replacement data lacks bloom column(s) "
+                        f"{missing} of {table!r}"
+                    )
+                new_bm_files = self._compute_bloom(
+                    spark, tmp_new, bm["cols"], bm["bits_per_key"], bm["k"]
                 )["files"]
             os.makedirs(asm)
             carried = sorted(existing - replaced_set)
@@ -586,6 +606,23 @@ class ParquetWarehouse:
                 }
                 with open(os.path.join(asm, ZONEMAP_FILE), "w") as f:
                     json.dump(merged_zm, f)
+            if bm is not None:
+                # same maintenance contract as the zone map: carried
+                # files keep their filters verbatim (bytes untouched),
+                # new files get the filters computed over the staged dir
+                merged_bm = {
+                    **{k: v for k, v in bm.items() if k != "files"},
+                    "files": {
+                        **{
+                            rel: bm["files"][rel]
+                            for rel in carried
+                            if rel in bm["files"]
+                        },
+                        **{renamed[k]: v for k, v in new_bm_files.items()},
+                    },
+                }
+                with open(os.path.join(asm, BLOOM_FILE), "w") as f:
+                    json.dump(merged_bm, f)
             self._commit_swap(asm, final, table)
         finally:
             shutil.rmtree(tmp_new, ignore_errors=True)
@@ -600,13 +637,16 @@ class ParquetWarehouse:
 
     def _drop_zonemap(self, table: str) -> None:
         """Every in-place mutation (replace_partitions / compact /
-        erase_subjects) calls this FIRST: a zone map describing files
-        that no longer exist would silently exclude the new files from
-        pruned reads — stale-and-absent must fail loudly in read_zoned,
-        never mis-prune. Rebuild after the mutation with write_zonemap."""
-        p = os.path.join(self.path(table), ZONEMAP_FILE)
-        if os.path.isfile(p):
-            os.remove(p)
+        erase_subjects) calls this FIRST: derived file metadata (zone
+        map AND bloom manifest) describing files that no longer exist
+        would silently exclude the new files from pruned reads —
+        stale-and-absent must fail loudly in the pruned readers, never
+        mis-prune. Rebuild after the mutation with write_zonemap /
+        write_bloom."""
+        for side in (ZONEMAP_FILE, BLOOM_FILE):
+            p = os.path.join(self.path(table), side)
+            if os.path.isfile(p):
+                os.remove(p)
 
     def write_zonemap(
         self, spark: SparkSession, table: str, stat_cols: list[str]
@@ -629,6 +669,252 @@ class ParquetWarehouse:
         with open(os.path.join(self.path(table), ZONEMAP_FILE), "w") as f:
             json.dump(zm, f)
         return zm
+
+    # ------------------------------------------------------------------
+    # Per-file Bloom manifests (point-lookup file skipping)
+    # ------------------------------------------------------------------
+    #
+    # The zone map prunes RANGE predicates and only bites when the
+    # write layout clusters the queried column. A point lookup on a
+    # column the layout does NOT cluster (a user id in a time-clustered
+    # table — exactly the GDPR-erasure shape) overlaps every file's
+    # [min, max] band and the map prunes nothing. The Bloom manifest is
+    # the complement: one Bloom filter per (file, column), sized by the
+    # file's distinct count, so a probe key definitively RULES OUT the
+    # files that cannot contain it (no false negatives — which is what
+    # makes Bloom-pruned erasure CORRECT, not merely fast) and admits a
+    # ~0.1% false-positive tail that only costs extra reads, never
+    # wrong results. At 100 TB / ~1 GB files with ~10^5 distinct keys
+    # per file this is ~200 KB per file-column — manifest-scale
+    # metadata, not data. The same idea is Parquet's own column-level
+    # bloom_filter_enabled one level up: file grain instead of
+    # row-group grain, so planning skips whole files without opening
+    # footers.
+
+    @staticmethod
+    def _bloom_m(n_distinct: int, bits_per_key: int) -> int:
+        """Bitmap size: next power of two >= bits_per_key * n (>= 64)."""
+        m = 64
+        while m < bits_per_key * max(1, n_distinct):
+            m <<= 1
+        return m
+
+    @staticmethod
+    def _compute_bloom(
+        spark: SparkSession,
+        data_dir: str,
+        cols: list[str],
+        bits_per_key: int = BLOOM_BITS_PER_KEY,
+        k: int = BLOOM_K,
+    ) -> dict:
+        """Two distributed passes over ``data_dir`` per column: one
+        distinct-count agg to size each file's bitmap, one
+        k-seeded-hash agg to set its bits. The result is file-count
+        sized (driver JSON), like the zone map; bit positions come from
+        ``pmod(xxhash64(value, seed), m)`` — engine-internal metadata,
+        never oracle-compared, so Spark's native hash is the right
+        tool."""
+        import base64
+        from urllib.parse import unquote, urlparse
+
+        df = spark.read.parquet(data_dir)
+        root = os.path.realpath(os.path.abspath(data_dir))
+
+        def rel_of(fp: str) -> str:
+            parsed = urlparse(fp)
+            local = unquote(parsed.path) if parsed.scheme else fp
+            rel = os.path.relpath(os.path.realpath(local), root)
+            if rel.startswith(".."):
+                raise ValueError(
+                    f"bloom file {fp!r} resolves outside {data_dir!r}"
+                )
+            return rel
+
+        files: dict[str, dict] = {}
+        fpcol = F.col("_metadata.file_path").alias("__fp")
+        for c in cols:
+            counts = {
+                rel_of(r["__fp"]): r["__nd"]
+                for r in df.groupBy(fpcol)
+                .agg(F.count_distinct(F.col(c)).alias("__nd"))
+                .collect()
+            }
+            m_map = {
+                rel: ParquetWarehouse._bloom_m(nd, bits_per_key)
+                for rel, nd in counts.items()
+            }
+            m_df = spark.createDataFrame(
+                [(rel, m) for rel, m in m_map.items()], "__rel string, __m long"
+            )
+            pos = (
+                df.select(fpcol, F.col(c).alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .withColumn("__rel", F.element_at(F.split("__fp", "/"), -1))
+            )
+            # join on basename: rel paths are flat for plain tables and
+            # partition-dir qualified otherwise — recompute rel exactly
+            # instead when any rel has a separator
+            if any("/" in rel for rel in m_map):
+                raise ValueError(
+                    "bloom manifests support flat (unpartitioned) "
+                    "layouts; hive-partitioned tables prune by "
+                    "partition column instead"
+                )
+            rows = (
+                pos.join(F.broadcast(m_df), "__rel")
+                .select(
+                    "__rel",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.xxhash64(F.col("__v"), F.lit(i)),
+                                    F.col("__m"),
+                                )
+                                for i in range(k)
+                            ]
+                        )
+                    ).alias("__pos"),
+                )
+                .groupBy("__rel")
+                .agg(F.collect_set("__pos").alias("__bits"))
+                .collect()
+            )
+            bits_by_rel = {r["__rel"]: r["__bits"] for r in rows}
+            for rel, m in m_map.items():
+                bitmap = bytearray((m + 7) // 8)
+                for p in bits_by_rel.get(rel, []):
+                    bitmap[p >> 3] |= 1 << (p & 7)
+                files.setdefault(rel, {})[c] = {
+                    "m": m,
+                    "n_distinct": counts[rel],
+                    "bits": base64.b64encode(bytes(bitmap)).decode(),
+                }
+        return {
+            "cols": list(cols),
+            "k": k,
+            "bits_per_key": bits_per_key,
+            "files": files,
+        }
+
+    def write_bloom(self, spark: SparkSession, table: str, cols: list[str]) -> dict:
+        """(Re)build the Bloom manifest for a committed PLAIN table.
+        Derived metadata with the zone map's lifecycle discipline:
+        in-place mutations drop it (rebuild with this call),
+        ``replace_files`` MAINTAINS it (carried files keep their
+        filters verbatim, new files get fresh ones), and the read path
+        refuses loudly when the manifest doesn't describe the exact
+        committed file set. Runs under the mutation fence so the file
+        set cannot swap mid-compute."""
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — bloom manifests cover plain "
+                "tables (snapshots are immutable; filter at write time)"
+            )
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._reconcile(table)
+            bm = self._compute_bloom(spark, self.path(table), cols)
+            tmp = os.path.join(
+                self.path(table), BLOOM_FILE + f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(bm, f)
+            os.replace(tmp, os.path.join(self.path(table), BLOOM_FILE))
+        return bm
+
+    def bloom(self, table: str) -> dict | None:
+        p = os.path.join(self.path(table), BLOOM_FILE)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _bloom_key_hashes(
+        self, spark: SparkSession, table: str, col: str, keys: list
+    ) -> list[list[int]]:
+        """k xxhash64 values per probe key, computed by the SAME Spark
+        expression as the build pass with the key cast to the column's
+        exact type (xxhash64 is type-sensitive: hashing an int where
+        the column is long would probe garbage positions). One tiny
+        driver-bounded job over len(keys) rows."""
+        bm = self.bloom(table)
+        field = spark.read.parquet(self.path(table)).schema[col]
+        probe = spark.createDataFrame(
+            [(k,) for k in keys], StructType([field])
+        )
+        rows = probe.select(
+            *[
+                F.xxhash64(F.col(col), F.lit(i)).alias(f"h{i}")
+                for i in range(bm["k"])
+            ]
+        ).collect()
+        return [[r[f"h{i}"] for i in range(bm["k"])] for r in rows]
+
+    def bloom_hit_split(
+        self, spark: SparkSession, table: str, col: str, keys: list
+    ) -> tuple[list[str], list[str]] | None:
+        """Split the table's files into (possibly-containing, definitely
+        -not-containing) for the probe ``keys``. None when the table has
+        no manifest covering ``col`` (callers fall back to an unpruned
+        plan); raises when the manifest is STALE (doesn't describe the
+        exact committed file set) — stale must be loud, never a
+        mis-prune."""
+        import base64
+
+        bm = self.bloom(table)
+        if bm is None or col not in bm["cols"]:
+            return None
+        final = self.path(table)
+        current = {
+            n
+            for n in os.listdir(final)
+            if n.endswith(".parquet") and os.path.isfile(os.path.join(final, n))
+        }
+        if set(bm["files"]) != current:
+            raise ValueError(
+                f"bloom manifest of {table!r} is stale (files changed "
+                "outside the maintained paths) — rebuild with write_bloom"
+            )
+        if not keys:
+            return [], sorted(current)
+        hashes = self._bloom_key_hashes(spark, table, col, keys)
+        hit, miss = [], []
+        for rel, entry in bm["files"].items():
+            e = entry[col]
+            m, bitmap = e["m"], base64.b64decode(e["bits"])
+            contains = any(
+                all(
+                    bitmap[(h % m) >> 3] & (1 << ((h % m) & 7))
+                    for h in key_hashes
+                )
+                for key_hashes in hashes
+            )
+            (hit if contains else miss).append(rel)
+        return hit, miss
+
+    def read_bloom_keys(
+        self, spark: SparkSession, table: str, col: str, keys: list
+    ) -> DataFrame:
+        """Manifest-pruned point lookup: scan only the files whose Bloom
+        filter admits at least one probe key, then apply the exact
+        ``IN`` filter as the residual. The no-false-negative guarantee
+        makes the pruned scan return exactly the unpruned result."""
+        split = self.bloom_hit_split(spark, table, col, keys)
+        if split is None:
+            raise ValueError(
+                f"table {table!r} has no {BLOOM_FILE} covering {col!r}; "
+                "write it with write_bloom()"
+            )
+        hit, _miss = split
+        base = self.path(table)
+        if not hit:
+            return spark.read.parquet(base).filter(F.lit(False))
+        df = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, rel) for rel in hit]
+        )
+        return df.filter(F.col(col).isin(keys))
 
     def _zoned_base(self, table: str, version: int | None) -> str:
         """Directory holding the data AND its zone map: the table dir
@@ -1209,6 +1495,19 @@ class ParquetWarehouse:
                     (hit if contains else missed).append(rel)
                 if missed:  # pruning pays off (possibly hit == [])
                     pruned_cover = (hit, missed)
+            if pruned_cover is None:
+                # The zone map only bites when the layout clusters the
+                # subject key; erasure subjects are usually RANDOM keys
+                # in a time-clustered table. The bloom manifest covers
+                # exactly that: no false negatives, so a file the
+                # filters rule out provably holds no subject row and may
+                # be skipped — false positives only widen the rewrite.
+                bloom_split = self.bloom_hit_split(
+                    spark, table, key_col,
+                    [r["__erase_key"] for r in subj.collect()],
+                )
+                if bloom_split is not None and bloom_split[1]:
+                    pruned_cover = bloom_split
             if pruned_cover is not None:
                 hit, _missed = pruned_cover
                 if hit:

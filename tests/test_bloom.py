@@ -1,0 +1,191 @@
+"""Per-file Bloom manifests: point-lookup file skipping on UNclustered
+columns — the complement of the zone map (which only bites when the
+write layout clusters the queried column), and the pruning lever for
+GDPR erasure of RANDOM subject keys in a time-clustered table.
+
+Pins:
+- no false negatives: every present key's file is in the hit set, so
+  the pruned read returns exactly the unpruned result (this is what
+  makes bloom-pruned ERASURE correct, not merely fast);
+- real pruning: a single probe key hits ~1 of N scattered files;
+- lifecycle: in-place mutations drop the manifest, replace_files
+  MAINTAINS it (carried entries verbatim, new files recomputed), and a
+  stale manifest refuses loudly instead of mis-pruning;
+- erase_subjects rewrites only the bloom-hit files (inode-carry proof)
+  when the zone map cannot cover the subject key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+
+def _scattered(spark, n=2000, files=16):
+    """High-cardinality pk scattered across files (NOT clustered on pk:
+    repartition hashes on a different column)."""
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") * 7 % n).alias("pk"),
+            (F.col("id") % 97).alias("bucket"),
+            F.concat(F.lit("u-"), F.col("id")).alias("name"),
+        )
+        .repartition(files, "bucket")
+    )
+
+
+def _parquet_inodes(path):
+    return {
+        n: os.stat(os.path.join(path, n)).st_ino
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    }
+
+
+def _mk(spark, tmp_path, n=2000, files=16):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_scattered(spark, n, files), "t")
+    wh.write_bloom(spark, "t", ["pk"])
+    return wh
+
+
+def test_point_lookup_prunes_and_matches_unpruned(spark, tmp_path):
+    wh = _mk(spark, tmp_path)
+    keys = [3, 777, 1234]
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", keys)
+    assert miss, "bloom pruned nothing for 3 keys over 16 scattered files"
+    got = {
+        (r.pk, r.bucket, r.name)
+        for r in wh.read_bloom_keys(spark, "t", "pk", keys).collect()
+    }
+    want = {
+        (r.pk, r.bucket, r.name)
+        for r in wh.read(spark, "t").filter(F.col("pk").isin(keys)).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_no_false_negatives_for_every_present_key(spark, tmp_path):
+    wh = _mk(spark, tmp_path, n=500, files=8)
+    rows = wh.read(spark, "t").collect()
+    import base64
+
+    bm = wh.bloom("t")
+    # map file -> pks it actually holds
+    by_file = {}
+    df = spark.read.parquet(wh.path("t")).select(
+        "pk", F.element_at(F.split("_metadata.file_path", "/"), -1).alias("f")
+    )
+    for r in df.collect():
+        by_file.setdefault(r.f, set()).add(r.pk)
+    hashes_needed = sorted({r.pk for r in rows})
+    # every key must be admitted by the filter of every file holding it
+    split_cache = {}
+    for key in hashes_needed[:200]:  # bounded sweep
+        hit, _ = wh.bloom_hit_split(spark, "t", "pk", [key])
+        split_cache[key] = set(hit)
+    for rel, pks in by_file.items():
+        for pk in pks:
+            if pk in split_cache:
+                assert rel in split_cache[pk], (
+                    f"false negative: {rel} holds pk={pk} but was pruned"
+                )
+    assert bm and base64  # keep imports honest
+
+
+def test_single_key_hits_few_files(spark, tmp_path):
+    wh = _mk(spark, tmp_path, n=4000, files=16)
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [1999])
+    # the key lives in exactly one file; FP tail may add a couple more
+    assert len(hit) <= 3 and len(hit) + len(miss) == 16
+
+
+def test_mutations_drop_and_stale_refuses(spark, tmp_path):
+    wh = _mk(spark, tmp_path)
+    # compact is an in-place mutation: manifest must be dropped
+    wh.compact(spark, "t", target_file_bytes=1 << 30)
+    assert wh.bloom("t") is None
+    with pytest.raises(ValueError, match="no _bloom.json"):
+        wh.read_bloom_keys(spark, "t", "pk", [1])
+    # a manifest made stale OUTSIDE the maintained paths refuses loudly
+    wh.write_bloom(spark, "t", ["pk"])
+    bad = os.path.join(wh.path("t"), "zz-alien.parquet")
+    spark.range(1).select(
+        F.lit(9_999_999).alias("pk"),
+        F.lit(0).alias("bucket"),
+        F.lit("x").alias("name"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "alien"))
+    part = next(
+        n for n in os.listdir(tmp_path / "alien") if n.endswith(".parquet")
+    )
+    os.link(str(tmp_path / "alien" / part), bad)
+    with pytest.raises(ValueError, match="stale"):
+        wh.bloom_hit_split(spark, "t", "pk", [1])
+
+
+def test_replace_files_maintains_the_manifest(spark, tmp_path):
+    wh = _mk(spark, tmp_path)
+    bm_before = wh.bloom("t")
+    files = sorted(bm_before["files"])
+    target = files[:2]
+    base = wh.path("t")
+    sub = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, r) for r in target]
+    )
+    wh.replace_files(sub.withColumn("bucket", F.col("bucket") + 1000), "t", target)
+    bm = wh.bloom("t")
+    assert bm is not None, "replace_files dropped the bloom manifest"
+    current = {
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    }
+    assert set(bm["files"]) == current
+    # carried entries verbatim
+    for rel in files[2:]:
+        assert bm["files"][rel] == bm_before["files"][rel]
+    # and a from-scratch rebuild agrees exactly (deterministic hashing)
+    rebuilt = wh.write_bloom(spark, "t", ["pk"])
+    assert rebuilt == bm
+    # pruned reads still exact after the maintenance
+    got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [5, 50]).collect()}
+    assert got == {5, 50}
+
+
+def test_erase_subjects_bloom_pruned_copy_on_write(spark, tmp_path):
+    """Random subject keys in a table NOT clustered on the key: the zone
+    map can't prune (bands span the keyspace), the bloom manifest can —
+    only hit files rewrite, every miss file carries its inode through."""
+    wh = _mk(spark, tmp_path, n=4000, files=16)
+    before = _parquet_inodes(wh.path("t"))
+    subjects = spark.createDataFrame([(123,), (3210,)], "k long")
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [123, 3210])
+    assert miss, "fixture degenerate: bloom pruned nothing"
+    res = wh.erase_subjects(spark, "t", "pk", subjects)
+    assert res["rows_erased"] == 2
+    after = _parquet_inodes(wh.path("t"))
+    for rel in miss:
+        assert after[rel] == before[rel], f"miss file {rel} was rewritten"
+    for rel in hit:
+        assert rel not in after
+    assert wh.read(spark, "t").filter(F.col("pk").isin([123, 3210])).count() == 0
+    # the maintained manifest still prunes exactly
+    got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [200]).collect()}
+    assert got == {200}
+
+
+def test_second_writer_raises_during_write_bloom(spark, tmp_path):
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_scattered(spark, 200, 4), "t")
+    with wh._write_fence("t", lock_path=wh._mutation_lock_path("t")):
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            wh.write_bloom(spark, "t", ["pk"])
+    wh.write_bloom(spark, "t", ["pk"])
+    assert wh.bloom("t") is not None
