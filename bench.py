@@ -255,6 +255,32 @@ def main() -> None:
     times_min["q18z_zone_cdc"] = round(best, 3)
     total += med
 
+    # Hybrid partition+file CDC (q18's merge against a hive-partitioned
+    # AND range-clustered target, changes confined to a narrow band in
+    # one partition): regressions back to whole-partition rewrite I/O
+    # show up here, not in q18p (which rewrites touched partitions
+    # entirely by design).
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_hybrid_cdc_fixture,
+    )
+
+    hcdc_info: dict[str, int] = {}
+
+    def run_hcdc() -> None:
+        td = tempfile.mkdtemp(prefix="bench-hcdc-")
+        try:
+            n, carried, files = run_hybrid_cdc_fixture(spark, sf_dir, td)
+            hcdc_info.update(
+                rows_written=n, files_carried=carried, total_files=files
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_hcdc)
+    times["q18h_hybrid_cdc"] = round(med, 3)
+    times_min["q18h_hybrid_cdc"] = round(best, 3)
+    total += med
+
     # Stdlib JPEG decode on a deterministic 1-in-25 document sample
     # (the full-corpus faces are correctness-only — see the HEADLINE
     # comment). Same plan shape as q132/q134: per-image parallel
@@ -305,6 +331,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "partitioned_cdc": pcdc_info,
         "zone_cdc": zcdc_info,
+        "hybrid_cdc": hcdc_info,
         "queries": times,
         "queries_min": times_min,
         "noise": {

@@ -189,7 +189,15 @@ def merge_and_write(
     bucket or immutable date), so a change only touches its own
     partition, the target scan is partition-pruned to the batch's
     partitions, and the rewrite is proportional to the CDC batch, not
-    the table.
+    the table. When the partitioned table ALSO carries a zone map
+    covering a primary-key column, the scope goes one level deeper
+    (HYBRID, ``_hybrid_scoped_merge``): partition pruning picks the
+    directories, the zone map picks the files inside them, and
+    ``replace_files(partition_by=...)`` hard-links every disjoint and
+    untouched file through — a 10-row change to a 100 GB partition no
+    longer rewrites the partition, only its overlapping files.
+    ``prune_files`` governs this path too (None = automatic when it
+    prunes, True = require, False = never).
 
     ``full_rewrite`` disables the partition-scoped path for one batch
     while KEEPING the hive partition layout on disk — the schema-
@@ -197,18 +205,34 @@ def merge_and_write(
     evolved layout so no reader can resolve the table schema from a
     stale old-layout footer.
     """
-    if prune_files is True and (partition_by or full_rewrite):
+    if prune_files is True and full_rewrite:
         raise ValueError(
-            "prune_files=True applies to the unpartitioned, "
-            "non-evolution merge: partition-scoped merges prune whole "
-            "partitions instead, and a schema-evolution batch must "
-            "rewrite every file"
+            "prune_files=True cannot apply to a schema-evolution batch: "
+            "every file must rewrite to the evolved layout"
         )
     if partition_by and not full_rewrite:
         touched = [
             tuple(r[c] for c in partition_by)
             for r in changes.select(*partition_by).distinct().collect()
         ]
+        if prune_files is not False:
+            # HYBRID scope: partition pruning picks the dirs, the zone
+            # map picks the files inside them — the partition-scoped
+            # rewrite below is the fallback when the table carries no
+            # covering map or nothing would prune.
+            n = _hybrid_scoped_merge(
+                warehouse,
+                target_table,
+                target,
+                changes,
+                pks,
+                version_cols,
+                partition_by,
+                touched,
+                require=prune_files is True,
+            )
+            if n is not None:
+                return n
         # One struct-IN predicate, not an OR-chain of equality conjunctions:
         # thousands of touched partitions would otherwise build a huge
         # expression tree that slows analysis/codegen. Catalyst converts
@@ -292,6 +316,180 @@ def _is_numeric(dt) -> bool:
     return isinstance(dt, NumericType)
 
 
+def _batch_scope(changes, scope_cols: list[str]):
+    """The change batch's zone scope: per-column [min, max] ``ranges``
+    plus, for a numeric leading key, <= 64 width-bucket sub-ranges
+    (``subs``). One global [min, max] over-covers SCATTERED batches — a
+    batch touching both ends of the keyspace spans every band — so the
+    leading key is width-bucketed with one more batch-sized agg and
+    pruning tests the UNION of non-empty buckets: empty buckets leave
+    the middle of the keyspace disjoint, and any key is inside its own
+    bucket's [min, max], so every file that could hold a matching row
+    still overlaps some sub-range. Returns None for an empty or
+    all-NULL-key batch; ``subs`` is None for non-numeric leads."""
+    bounds = changes.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in scope_cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in scope_cols],
+    ).first()
+    ranges = {
+        c: (bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]) for c in scope_cols
+    }
+    if any(lo is None or hi is None for lo, hi in ranges.values()):
+        return None
+    subs = None
+    lead = scope_cols[0]
+    if _is_numeric(changes.schema[lead].dataType):
+        k = 64
+        lo, hi = ranges[lead]
+        if hi > lo:
+            bucket = F.least(
+                F.lit(k - 1),
+                F.floor(
+                    (F.col(lead) - F.lit(lo)) * k / (F.lit(hi) - F.lit(lo))
+                ),
+            )
+        else:
+            bucket = F.lit(0)
+        subs = [
+            (r["__l"], r["__h"])
+            for r in changes.filter(F.col(lead).isNotNull())
+            .groupBy(bucket.alias("__b"))
+            .agg(F.min(lead).alias("__l"), F.max(lead).alias("__h"))
+            .collect()
+        ]
+    return ranges, subs
+
+
+def _hybrid_scoped_merge(
+    warehouse: ParquetWarehouse,
+    target_table: str,
+    target,
+    changes,
+    pks: list[str],
+    version_cols: list[str],
+    partition_by: list[str],
+    touched: list[tuple],
+    require: bool = False,
+) -> int | None:
+    """HYBRID partition+file merge scope for hive-partitioned targets:
+    partition pruning picks the candidate directories (the batch's
+    ``touched`` partitions), the zone map picks the FILES inside them
+    whose primary-key band overlaps the batch, and ``replace_files``
+    commits the merge copy-on-write — every disjoint file inside a
+    touched partition AND every file of every untouched partition
+    hard-links through unchanged. This closes the remaining rewrite-
+    amplification path at 100 TB (SURVEY §7.3a refinement): the
+    partition-scoped path rewrites each touched partition ENTIRELY, so
+    a 10-row change to a 100 GB partition cost 100 GB of I/O; with
+    per-file zone stats the rewrite follows the batch's key locality
+    inside the partition, same as the flat zone-scoped path (ref
+    :369-408 — Snowflake's micro-partition pruning composes with its
+    partitioning the same way).
+
+    Correctness rests on the same invariants as the callers':
+    partition columns are stable per PK (``merge_and_write``'s
+    documented contract), so a matching target row can only live in a
+    touched partition, and within those only in a file whose PK band
+    overlaps the batch (NULL-PK rows never equality-match). Emptied
+    partitions simply have no directory in the assembled state — the
+    atomic whole-table swap retires them with no tombstone protocol.
+
+    Returns the written row count when committed; None when the table
+    has no covering map, a touched partition's directory name cannot be
+    matched against the map (fall back to the partition-scoped path —
+    never guess), or pruning would not drop any file."""
+    import os
+
+    zm = warehouse.zonemap(target_table)
+    if zm is None:
+        if require:
+            raise ValueError(
+                f"prune_files=True but {target_table!r} has no zone map "
+                "(declare stat_cols covering a primary-key column)"
+            )
+        return None
+    scope_cols = [c for c in pks if c in zm["stat_cols"]]
+    if not scope_cols:
+        if require:
+            raise ValueError(
+                f"prune_files=True but {target_table!r}'s zone map covers "
+                f"{zm['stat_cols']}, none of the primary keys {pks}"
+            )
+        return None
+    # Layout guard: every mapped file must sit under exactly the hive
+    # dirs partition_by declares. A flat-on-disk (or differently
+    # partitioned) table carried through the hybrid would duplicate the
+    # merged rows next to their old copies — fall back (or refuse, with
+    # require) instead.
+    for rel in zm["files"]:
+        parts = rel.split("/")[:-1]
+        if len(parts) != len(partition_by) or any(
+            not p.startswith(f"{c}=") for p, c in zip(parts, partition_by)
+        ):
+            if require:
+                raise ValueError(
+                    f"prune_files=True but {target_table!r}'s on-disk "
+                    f"layout does not match partition_by={partition_by} "
+                    f"(e.g. file {rel!r})"
+                )
+            return None
+    prefixes = {
+        "/".join(
+            f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{c}={v}"
+            for c, v in zip(partition_by, vals)
+        )
+        for vals in touched
+    }
+    cand = {
+        rel: st
+        for rel, st in zm["files"].items()
+        if os.path.dirname(rel) in prefixes
+    }
+    # Formatting safety: a touched partition whose directory EXISTS on
+    # disk but matched no map entry means the hive dir-name rendering
+    # of its values disagrees with what Spark wrote (escaped special
+    # characters, non-canonical casts). Carrying those files while the
+    # merge re-emits their rows would duplicate them — fall back to the
+    # partition-scoped path instead of guessing.
+    matched = {os.path.dirname(rel) for rel in cand}
+    for p in prefixes - matched:
+        if os.path.isdir(os.path.join(warehouse.path(target_table), p)):
+            if require:
+                raise ValueError(
+                    f"prune_files=True but partition dir {p!r} of "
+                    f"{target_table!r} matched no zone-map entry"
+                )
+            return None
+    scope = _batch_scope(changes, scope_cols)
+    if scope is None:
+        return None
+    ranges, subs = scope
+    lead = scope_cols[0]
+    extra = {c: ranges[c] for c in scope_cols[1:]}
+    overlap, disjoint = warehouse._split_by_subranges(
+        cand, lead, subs if subs is not None else [ranges[lead]], extra
+    )
+    untouched = len(zm["files"]) - len(cand)
+    if not disjoint and untouched == 0:
+        return None  # nothing prunes beyond the partition-scoped path
+    base = warehouse.path(target_table)
+    spark = changes.sparkSession
+    if overlap:
+        sub_target = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, rel) for rel in overlap]
+        )
+        sub_target = sub_target.select(*target.columns)
+    else:  # pure inserts relative to the touched partitions' bands
+        sub_target = target.limit(0)
+    merged = apply_changes(
+        sub_target, changes, pks=pks, version_cols=version_cols
+    )
+    res = warehouse.replace_files(
+        merged, target_table, overlap, partition_by=partition_by
+    )
+    return res["rows_written"]
+
+
 def _zone_scoped_merge(
     warehouse: ParquetWarehouse,
     target_table: str,
@@ -337,45 +535,13 @@ def _zone_scoped_merge(
                 f"{zm['stat_cols']}, none of the primary keys {pks}"
             )
         return None
-    bounds = changes.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in scope_cols],
-        *[F.max(c).alias(f"__hi_{c}") for c in scope_cols],
-    ).first()
-    ranges = {
-        c: (bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]) for c in scope_cols
-    }
-    if any(lo is None or hi is None for lo, hi in ranges.values()):
+    scope = _batch_scope(changes, scope_cols)
+    if scope is None:
         return None  # empty batch or all-NULL keys: nothing to scope by
+    ranges, subs = scope
     split = None
     lead = scope_cols[0]
-    if _is_numeric(changes.schema[lead].dataType):
-        # SCATTERED batches: one global [min, max] over-covers (a batch
-        # touching both ends of the keyspace spans every band), so
-        # width-bucket the leading key into <= 64 sub-ranges (one more
-        # batch-sized agg) and prune against their UNION — empty
-        # buckets leave the middle of the keyspace disjoint. Any key is
-        # inside its own bucket's [min, max], so every file that could
-        # hold a matching row still overlaps some sub-range.
-        k = 64
-        lo, hi = ranges[lead]
-        if hi > lo:
-            bucket = F.least(
-                F.lit(k - 1),
-                F.floor(
-                    (F.col(lead) - F.lit(lo))
-                    * k
-                    / (F.lit(hi) - F.lit(lo))
-                ),
-            )
-        else:
-            bucket = F.lit(0)
-        subs = [
-            (r["__l"], r["__h"])
-            for r in changes.filter(F.col(lead).isNotNull())
-            .groupBy(bucket.alias("__b"))
-            .agg(F.min(lead).alias("__l"), F.max(lead).alias("__h"))
-            .collect()
-        ]
+    if subs is not None:
         extra = {c: ranges[c] for c in scope_cols[1:]}
         split = warehouse.zone_overlap_split_multi(
             target_table, lead, subs, extra

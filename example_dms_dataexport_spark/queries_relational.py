@@ -3732,3 +3732,157 @@ def q136_bloom_point_lookup(spark, sf_dir):
             "bloom-pruned read dropped probe keys (false negative)"
         )
     return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid partition+file CDC merge (S11 refinement; ref :369-408 — the
+# reference's partition scoping composed with micro-partition pruning,
+# both of which it delegates to Snowflake)
+# ---------------------------------------------------------------------------
+
+_Q137_ORACLE = """
+    WITH bounds AS MATERIALIZED (
+        SELECT max(c_custkey) * 2 / 5 AS lo,
+               max(c_custkey) * 9 / 20 AS hi,
+               max(c_custkey) + 1 AS mx1
+        FROM customer
+    ),
+    changes AS MATERIALIZED (
+        SELECT CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               'hchg-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               o_totalprice + 1000 AS c_acctbal,
+               o_orderdate AS _file,
+               o_orderkey AS _rownum
+        FROM orders, bounds
+        WHERE o_custkey BETWEEN bounds.lo AND bounds.hi
+    ),
+    deduped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _file DESC, _rownum DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CAST(floor(coalesce(s.c_custkey, t.c_custkey) * 4.0
+                      / bounds.mx1) AS INTEGER) AS part
+    FROM customer t
+    FULL OUTER JOIN deduped s ON t.c_custkey = s.c_custkey
+    CROSS JOIN bounds
+    WHERE s.c_custkey IS NULL OR s.op <> 'D'
+"""
+
+
+@query("q137_hybrid_merge_prune", _Q137_ORACLE)
+def q137_hybrid_merge_prune(spark, sf_dir):
+    """The HYBRID partition+file CDC merge end-to-end
+    (cdc._hybrid_scoped_merge; ref :369-408 — partition scoping composed
+    with micro-partition pruning, both delegated to Snowflake by the
+    reference): customer lands hive-partitioned on a pk-derived quarter
+    bucket AND range-clustered on the pk within partitions, with a zone
+    map; a change batch confined to a narrow key band (2/5..9/20 — all
+    inside partition 1) merges through the automatic hybrid path. The
+    returned final table state hash-matches a pure-SQL restatement.
+    Driver guards pin the TWO pruning levels: every file of every
+    untouched partition must carry its inode (partition pruning), at
+    least one file INSIDE the touched partition must carry too (file
+    pruning — the partition-scoped path would rewrite all of them), at
+    least one file was actually replaced, the rewrite wrote fewer rows
+    than the table holds, the zone map survives (steady state), and no
+    tombstone marker was needed (the atomic assembly retires emptied
+    partitions without one)."""
+    import shutil
+
+    from .cdc import merge_and_write
+    from .sources.warehouse import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    lo, hi = maxk * 2 / 5, maxk * 9 / 20
+    part = F.floor(F.col("c_custkey") * 4.0 / F.lit(maxk + 1)).cast("int")
+
+    root = _scratch_root("q137", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(
+        cust.withColumn("part", part),
+        "customer_h",
+        partition_by=["part"],
+        cluster_by=["c_custkey"],
+        cluster_partitions=16,
+        stat_cols=["c_custkey"],
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.filter(
+        F.col("o_custkey").between(F.lit(lo), F.lit(hi))
+    ).select(
+        F.when(F.col("o_orderkey") % 10 < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("hchg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.floor(F.col("o_custkey") * 4.0 / F.lit(maxk + 1))
+        .cast("int")
+        .alias("part"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def inodes():
+        out = {}
+        base = os.path.join(root, "customer_h")
+        for dirpath, _dirs, files in os.walk(base):
+            for n in files:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, n), base)
+                    out[rel] = os.stat(os.path.join(dirpath, n)).st_ino
+        return out
+
+    before = inodes()
+    n_rows = cust.count()
+    n = merge_and_write(
+        wh,
+        "customer_h",
+        wh.read(spark, "customer_h"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+        partition_by=["part"],
+    )
+    after = inodes()
+    for rel, ino in before.items():
+        if not rel.startswith("part=1/") and after.get(rel) != ino:
+            raise AssertionError(
+                f"untouched-partition file {rel} was rewritten: partition "
+                "pruning is broken"
+            )
+    carried_inside = [
+        rel
+        for rel in before
+        if rel.startswith("part=1/") and after.get(rel) == before[rel]
+    ]
+    if not carried_inside:
+        raise AssertionError(
+            "no file inside the touched partition carried: the hybrid "
+            "degenerated to the whole-partition rewrite"
+        )
+    if not any(rel.startswith("part=1/") and rel not in after for rel in before):
+        raise AssertionError("no file was replaced: the merge was a no-op")
+    if not n < n_rows:
+        raise AssertionError(
+            f"hybrid merge wrote {n} rows for a {n_rows}-row table"
+        )
+    if wh.zonemap("customer_h") is None:
+        raise AssertionError("merge dropped the zone map: next merge won't prune")
+    if os.path.isfile(os.path.join(root, "customer_h", "_tombstones.json")):
+        raise AssertionError("hybrid path should not need tombstones")
+    return wh.read(spark, "customer_h")

@@ -81,6 +81,7 @@ PRIORITY = [
     # new in round 11, never driver-checked (inserted as they land)
     "q135_stream_group_cycle",
     "q136_bloom_point_lookup",
+    "q137_hybrid_merge_prune",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",

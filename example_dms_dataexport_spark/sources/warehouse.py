@@ -418,17 +418,31 @@ class ParquetWarehouse:
         need = [col, *(extra_ranges or {})]
         if zm is None or any(c not in zm["stat_cols"] for c in need):
             return None
+        return self._split_by_subranges(zm["files"], col, subranges, extra_ranges)
+
+    @classmethod
+    def _split_by_subranges(
+        cls,
+        files: dict,
+        col: str,
+        subranges: list[tuple],
+        extra_ranges: dict | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Core union-of-sub-ranges overlap test over a zone-map file
+        dict (possibly a SUBSET of a table's map — the hybrid
+        partition+file merge restricts it to the touched partitions'
+        files first). Shared by ``zone_overlap_split_multi``."""
         subs = [
-            (self._zonemap_stat(lo), self._zonemap_stat(hi))
+            (cls._zonemap_stat(lo), cls._zonemap_stat(hi))
             for lo, hi in subranges
         ]
         norm_extra = {
-            c: (self._zonemap_stat(b[0]), self._zonemap_stat(b[1]))
+            c: (cls._zonemap_stat(b[0]), cls._zonemap_stat(b[1]))
             for c, b in (extra_ranges or {}).items()
         }
         overlapping: list[str] = []
         disjoint: list[str] = []
-        for rel, stats in zm["files"].items():
+        for rel, stats in files.items():
             mn, mx = stats[col]
             ok = mn is not None and any(
                 not (
@@ -465,13 +479,27 @@ class ParquetWarehouse:
         return self._split_by_ranges(zm, ranges)
 
     def replace_files(
-        self, df: DataFrame, table: str, replaced: list[str]
+        self,
+        df: DataFrame,
+        table: str,
+        replaced: list[str],
+        partition_by: list[str] | None = None,
     ) -> dict:
-        """Copy-on-write FILE-level replace for a plain (flat) table:
-        commit a new table state whose content is every current file
+        """Copy-on-write FILE-level replace: commit a new table state
+        whose content is every current file
         EXCEPT ``replaced`` (carried over as hard links — metadata ops,
         no data I/O) plus the files of ``df`` (the rewritten content for
-        the replaced region). This is the write-side half of the
+        the replaced region).
+
+        ``partition_by``: hive-partitioned layouts replace at file
+        grain too (the HYBRID merge scope — partition pruning picks the
+        candidate dirs, the zone map picks the files inside them).
+        ``replaced`` then holds partition-qualified relative paths,
+        ``df`` must carry the partition columns, and a partition whose
+        files were all replaced with no surviving rows simply has no
+        directory in the new state — the whole-table assembly+swap
+        removes emptied partitions atomically, with no tombstone
+        protocol needed. This is the write-side half of the
         zone-map-scoped CDC merge (ref :369-408 — the reference
         delegates the equivalent micro-partition-scoped rewrite to
         Snowflake's engine): rewrite cost is O(|df| + |replaced|), not
@@ -502,10 +530,16 @@ class ParquetWarehouse:
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
         ):
-            return self._replace_files_unlocked(df, table, replaced)
+            return self._replace_files_unlocked(
+                df, table, replaced, partition_by
+            )
 
     def _replace_files_unlocked(
-        self, df: DataFrame, table: str, replaced: list[str]
+        self,
+        df: DataFrame,
+        table: str,
+        replaced: list[str],
+        partition_by: list[str] | None = None,
     ) -> dict:
         """``replace_files`` body; the caller MUST hold the table's
         mutation fence (``erase_subjects`` calls this under its own)."""
@@ -520,17 +554,37 @@ class ParquetWarehouse:
                 f"{table!r} is bucketed — rewrite through write_bucketed"
             )
         self._reconcile(table, writer=True)
-        existing = {
-            name
-            for name in os.listdir(final)
-            if name.endswith(".parquet")
-            and os.path.isfile(os.path.join(final, name))
-        }
-        if any(os.path.isdir(os.path.join(final, n)) for n in os.listdir(final)):
-            raise ValueError(
-                f"{table!r} has partition subdirectories — use "
-                "replace_partitions"
-            )
+
+        def _list_parquet(root_dir: str) -> set[str]:
+            out = set()
+            for dirpath, _dirs, files in os.walk(root_dir):
+                for n in files:
+                    if n.endswith(".parquet"):
+                        out.add(
+                            os.path.relpath(
+                                os.path.join(dirpath, n), root_dir
+                            )
+                        )
+            return out
+
+        if partition_by:
+            existing = _list_parquet(final)
+        else:
+            existing = {
+                name
+                for name in os.listdir(final)
+                if name.endswith(".parquet")
+                and os.path.isfile(os.path.join(final, name))
+            }
+            if any(
+                os.path.isdir(os.path.join(final, n))
+                for n in os.listdir(final)
+            ):
+                raise ValueError(
+                    f"{table!r} has partition subdirectories — pass "
+                    "partition_by (hybrid file-level replace) or use "
+                    "replace_partitions"
+                )
         replaced_set = set(replaced)
         unknown = sorted(replaced_set - existing)
         if unknown:
@@ -543,9 +597,16 @@ class ParquetWarehouse:
         tmp_new = os.path.join(self.root, f".tmp-{table}-new-{uuid.uuid4().hex}")
         asm = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
         try:
-            df.write.mode("overwrite").parquet(tmp_new)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp_new)
+            # a delete-only replacement stages ZERO files (a partitioned
+            # writer emits nothing for an empty frame) — the manifest
+            # passes below would fail to infer a schema over it
+            staged_any = bool(_list_parquet(tmp_new))
             new_zm_files = {}
-            if zm is not None:
+            if zm is not None and staged_any:
                 missing = [c for c in zm["stat_cols"] if c not in df.columns]
                 if missing:
                     raise ValueError(
@@ -556,7 +617,7 @@ class ParquetWarehouse:
                     spark, tmp_new, zm["stat_cols"]
                 )["files"]
             new_bm_files = {}
-            if bm is not None:
+            if bm is not None and staged_any:
                 missing = [c for c in bm["cols"] if c not in df.columns]
                 if missing:
                     raise ValueError(
@@ -569,23 +630,28 @@ class ParquetWarehouse:
             os.makedirs(asm)
             carried = sorted(existing - replaced_set)
             for rel in carried:
-                os.link(os.path.join(final, rel), os.path.join(asm, rel))
+                dst = os.path.join(asm, rel)
+                os.makedirs(os.path.dirname(dst) or asm, exist_ok=True)
+                os.link(os.path.join(final, rel), dst)
             import pyarrow.parquet as pq
 
             rows_written = 0
             renamed = {}
-            for name in sorted(os.listdir(tmp_new)):
-                if not name.endswith(".parquet"):
-                    continue
-                dest = name
+            for rel in sorted(_list_parquet(tmp_new)):
+                dest = rel
                 while dest in existing or os.path.exists(
                     os.path.join(asm, dest)
                 ):
-                    dest = f"cow-{uuid.uuid4().hex[:8]}-{dest}"
-                os.link(os.path.join(tmp_new, name), os.path.join(asm, dest))
-                renamed[name] = dest
+                    d = os.path.dirname(rel)
+                    dest = os.path.join(
+                        d, f"cow-{uuid.uuid4().hex[:8]}-{os.path.basename(rel)}"
+                    )
+                dst = os.path.join(asm, dest)
+                os.makedirs(os.path.dirname(dst) or asm, exist_ok=True)
+                os.link(os.path.join(tmp_new, rel), dst)
+                renamed[rel] = dest
                 rows_written += pq.read_metadata(
-                    os.path.join(tmp_new, name)
+                    os.path.join(tmp_new, rel)
                 ).num_rows
             # sidecars carry over (the batch-identity hook stays intact)
             for side in (META_FILE,):
@@ -634,6 +700,7 @@ class ParquetWarehouse:
             "files_linked": len(carried),
             "files_new": len(renamed),
         }
+
 
     def _drop_zonemap(self, table: str) -> None:
         """Every in-place mutation (replace_partitions / compact /

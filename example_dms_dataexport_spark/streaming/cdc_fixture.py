@@ -237,3 +237,88 @@ def run_zone_cdc_fixture(
             "zone-scoped bench merge carried no file: pruning regressed"
         )
     return n, carried, len(before)
+
+
+def run_hybrid_cdc_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_parts: int = 4,
+    n_files: int = 16,
+) -> tuple[int, int, int]:
+    """HYBRID partition+file BATCH merge at bench scale (the composition
+    of the two fixtures above; cdc._hybrid_scoped_merge): customer is
+    hive-partitioned on a stable pk-derived quarter bucket AND
+    range-clustered on the pk within partitions with a zone map; the
+    q18 change-set is restricted to a narrow key band inside ONE
+    partition. merge_and_write must prune to that partition's
+    overlapping files only — every untouched partition's file and the
+    touched partition's disjoint files hard-link through. Returns
+    (rows_written, files_carried, files_total)."""
+    import os as _os
+
+    from ..cdc import merge_and_write
+
+    wh = ParquetWarehouse(_os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    part = (
+        F.floor(F.col("c_custkey") * n_parts / F.lit(maxk + 1)).cast("int")
+    )
+    wh.overwrite(
+        cust.withColumn("c_part", part),
+        "customer",
+        partition_by=["c_part"],
+        cluster_by=["c_custkey"],
+        cluster_partitions=n_files,
+        stat_cols=["c_custkey"],
+    )
+    lo, hi = maxk * 2 / 5, maxk * 9 / 20
+
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = orders.filter(
+        F.col("o_custkey").between(F.lit(lo), F.lit(hi))
+    ).select(
+        F.when(opmod < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.floor(F.col("o_custkey") * n_parts / F.lit(maxk + 1))
+        .cast("int")
+        .alias("c_part"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def _files():
+        out = {}
+        base = wh.path("customer")
+        for dirpath, _dirs, files in _os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = _os.path.relpath(_os.path.join(dirpath, f), base)
+                    out[rel] = _os.stat(_os.path.join(dirpath, f)).st_ino
+        return out
+
+    before = _files()
+    n = merge_and_write(
+        wh,
+        "customer",
+        wh.read(spark, "customer"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+        partition_by=["c_part"],
+    )
+    after = _files()
+    carried = sum(1 for r in before if after.get(r) == before[r])
+    if carried == 0:
+        raise AssertionError(
+            "hybrid bench merge carried no file: pruning regressed"
+        )
+    return n, carried, len(before)

@@ -351,18 +351,19 @@ def test_zone_scoped_merge_hive_layout_falls_back(spark, tmp_path):
 
 
 def test_prune_files_require_incompatible_modes_raise(spark, tmp_path):
-    """prune_files=True must never be silently bypassed: the
-    partition-scoped and schema-evolution paths refuse it loudly."""
+    """prune_files=True must never be silently bypassed: a partitioned
+    merge whose ON-DISK layout doesn't match partition_by (here: a flat
+    table) and a schema-evolution batch both refuse it loudly."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     _write_clustered(spark, wh, "t", n=50)
     changes = _changes_df(spark, [("U", 14, 9, "x", "f", 1)])
-    with pytest.raises(ValueError, match="unpartitioned"):
+    with pytest.raises(ValueError, match="does not match partition_by"):
         merge_and_write(
             wh, "t", wh.read(spark, "t"), changes,
             pks=["pk"], version_cols=VC,
             partition_by=["val"], prune_files=True,
         )
-    with pytest.raises(ValueError, match="unpartitioned|evolution"):
+    with pytest.raises(ValueError, match="evolution"):
         merge_and_write(
             wh, "t", wh.read(spark, "t"), changes,
             pks=["pk"], version_cols=VC,
