@@ -2867,3 +2867,81 @@ def q134_jpeg_color_decode(spark, sf_dir):
             / (F.col("width").cast("long") * F.col("height") * 3)
         ).alias("mean_intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (PPS) systematic sampling — mixture construction where longer
+# documents deserve proportionally more selection mass (token-weighted),
+# integer-exact so both engines pick the identical sample
+# ---------------------------------------------------------------------------
+
+_Q138_ORACLE = f"""
+    WITH w AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST({TH.sql_token_count('text')} AS BIGINT) AS tok_w
+        FROM documents
+    ),
+    c AS MATERIALIZED (
+        SELECT doc_id, source, tok_w,
+               COALESCE(SUM(tok_w) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum,
+               SUM(tok_w) OVER (PARTITION BY source) AS tot
+        FROM w
+    )
+    SELECT source, doc_id, tok_w,
+           CAST(cum // GREATEST(1, tot // 5) AS BIGINT) AS pick_slot
+    FROM c
+    WHERE (cum + tok_w) // GREATEST(1, tot // 5)
+          > cum // GREATEST(1, tot // 5)
+"""
+
+
+@query("q138_pps_sample", _Q138_ORACLE)
+def q138_pps_sample(spark, sf_dir):
+    """Probability-proportional-to-size SYSTEMATIC sampling per source
+    (the mixture-construction primitive: a document's selection mass is
+    its token count, so sampling k docs per source favors long
+    documents without a separate length-bias pass). Deterministic and
+    INTEGER-exact — per-source token prefix sums, step = total//k, a
+    doc is picked iff a step boundary falls inside its weight span —
+    so both engines select the identical rows (no float pow/log
+    tie-breaks, the failure mode of u^(1/w) A-ES across engines).
+
+    Scale: one window per source (sort within each source's partition,
+    parallel across sources). For strata too large for one task, the
+    same prefix-sum decomposes hierarchically (per-partition partial
+    sums + offsets); at bench scale the straightforward window is the
+    plan you'd want. No UDFs, no collect."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        TH.token_count(F.col("text")).cast("long").alias("tok_w"),
+    )
+    prior = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = w.select(
+        "doc_id",
+        "source",
+        "tok_w",
+        F.coalesce(F.sum("tok_w").over(prior), F.lit(0)).alias("cum"),
+        F.sum("tok_w").over(W.partitionBy("source")).alias("tot"),
+    )
+    c = c.withColumn(
+        "step", F.greatest(F.lit(1), F.expr("tot div 5"))
+    )
+    return c.filter(
+        F.expr("(cum + tok_w) div step") > F.expr("cum div step")
+    ).select(
+        "source",
+        "doc_id",
+        "tok_w",
+        F.expr("cum div step").cast("long").alias("pick_slot"),
+    )

@@ -82,6 +82,7 @@ PRIORITY = [
     "q135_stream_group_cycle",
     "q136_bloom_point_lookup",
     "q137_hybrid_merge_prune",
+    "q138_pps_sample",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",
