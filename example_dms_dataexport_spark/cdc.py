@@ -316,6 +316,13 @@ def _is_numeric(dt) -> bool:
     return isinstance(dt, NumericType)
 
 
+# The characters Spark's ExternalCatalogUtils percent-escapes in hive
+# partition directory names (plus control chars and DEL, handled in
+# code): a string value containing any of these renders differently on
+# disk than Python str() would build it.
+_HIVE_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^ \t\n\r')
+
+
 def _batch_scope(changes, scope_cols: list[str]):
     """The change batch's zone scope: per-column [min, max] ``ranges``
     plus, for a numeric leading key, <= 64 width-bucket sub-ranges
@@ -433,6 +440,41 @@ def _hybrid_scoped_merge(
                     f"(e.g. file {rel!r})"
                 )
             return None
+    # Value-rendering guard: the prefixes below are built with Python
+    # str(v), but Spark hive-ESCAPES dir names for many value types
+    # (timestamps render ':' as '%3A', Python True vs Spark 'true',
+    # '"#%\\'*/:=?\\{[]^' and control chars in strings) — a mismatch
+    # would silently exclude the partition's files from the merge scope
+    # and write the change rows as DUPLICATES next to the old ones.
+    # Only integer values and provably-escape-free strings are rendered
+    # identically by both; anything else falls back to the
+    # partition-scoped path (or refuses, with require).
+    def _renderable(v) -> bool:
+        if v is None:
+            return True  # the exact __HIVE_DEFAULT_PARTITION__ sentinel
+        if isinstance(v, bool):
+            return False  # Python 'True' vs Spark 'true'
+        if isinstance(v, int):
+            return True
+        if isinstance(v, str):
+            return v != "" and not any(
+                ch in _HIVE_ESCAPED_CHARS or ord(ch) < 32 or ord(ch) == 127
+                for ch in v
+            )
+        return False  # timestamps/dates/floats/decimals: formats differ
+
+    bad = [
+        v for vals in touched for v in vals if not _renderable(v)
+    ]
+    if bad:
+        if require:
+            raise ValueError(
+                f"prune_files=True but partition value(s) {bad[:3]!r} of "
+                f"{target_table!r} have engine-specific hive dir "
+                "renderings (escaped/typed) — the hybrid scope cannot "
+                "address their directories safely"
+            )
+        return None
     prefixes = {
         "/".join(
             f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{c}={v}"

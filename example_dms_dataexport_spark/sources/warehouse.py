@@ -637,7 +637,9 @@ class ParquetWarehouse:
 
             rows_written = 0
             renamed = {}
-            for rel in sorted(_list_parquet(tmp_new)):
+            zero_row: list[str] = []
+
+            def _link_staged(rel: str) -> None:
                 dest = rel
                 while dest in existing or os.path.exists(
                     os.path.join(asm, dest)
@@ -650,9 +652,42 @@ class ParquetWarehouse:
                 os.makedirs(os.path.dirname(dst) or asm, exist_ok=True)
                 os.link(os.path.join(tmp_new, rel), dst)
                 renamed[rel] = dest
-                rows_written += pq.read_metadata(
-                    os.path.join(tmp_new, rel)
-                ).num_rows
+
+            for rel in sorted(_list_parquet(tmp_new)):
+                n_rows = pq.read_metadata(os.path.join(tmp_new, rel)).num_rows
+                if n_rows == 0:
+                    # a delete-only replacement emits a 0-row part file
+                    # (flat writer only) — linking it would wedge the
+                    # manifests, whose row-based recompute can never
+                    # describe a row-less file (bloom_hit_split would
+                    # then refuse as stale forever)
+                    zero_row.append(rel)
+                    continue
+                _link_staged(rel)
+                rows_written += n_rows
+            if not renamed and not carried and zero_row:
+                # fully-emptied flat table: keep ONE 0-row file so the
+                # committed state still carries a readable schema, and
+                # synthesize its manifest entries (no rows: an all-NULL
+                # zone band that every range skips, an all-zero bloom
+                # bitmap that no probe hits)
+                _link_staged(zero_row[0])
+                if zm is not None:
+                    new_zm_files[zero_row[0]] = {
+                        "n": 0,
+                        **{c: [None, None] for c in zm["stat_cols"]},
+                    }
+                if bm is not None:
+                    import base64
+
+                    new_bm_files[zero_row[0]] = {
+                        c: {
+                            "m": 64,
+                            "n_distinct": 0,
+                            "bits": base64.b64encode(bytes(8)).decode(),
+                        }
+                        for c in bm["cols"]
+                    }
             # sidecars carry over (the batch-identity hook stays intact)
             for side in (META_FILE,):
                 src = os.path.join(final, side)
@@ -861,6 +896,10 @@ class ParquetWarehouse:
             "cols": list(cols),
             "k": k,
             "bits_per_key": bits_per_key,
+            # the probe side must hash keys AS the column's exact type
+            # (xxhash64 is type-sensitive); persisting the schema here
+            # spares every point lookup a parquet footer read
+            "schema": df.select(*cols).schema.jsonValue(),
             "files": files,
         }
 
@@ -899,15 +938,19 @@ class ParquetWarehouse:
             return json.load(f)
 
     def _bloom_key_hashes(
-        self, spark: SparkSession, table: str, col: str, keys: list
+        self, spark: SparkSession, table: str, col: str, keys: list, bm: dict
     ) -> list[list[int]]:
         """k xxhash64 values per probe key, computed by the SAME Spark
         expression as the build pass with the key cast to the column's
         exact type (xxhash64 is type-sensitive: hashing an int where
         the column is long would probe garbage positions). One tiny
-        driver-bounded job over len(keys) rows."""
-        bm = self.bloom(table)
-        field = spark.read.parquet(self.path(table)).schema[col]
+        driver-bounded job over len(keys) rows; the column type comes
+        from the manifest itself (one parquet footer read per probe
+        otherwise — at manifest scale that matters)."""
+        if "schema" in bm:
+            field = StructType.fromJson(bm["schema"])[col]
+        else:  # manifest written before the schema field existed
+            field = spark.read.parquet(self.path(table)).schema[col]
         probe = spark.createDataFrame(
             [(k,) for k in keys], StructType([field])
         )
@@ -946,7 +989,7 @@ class ParquetWarehouse:
             )
         if not keys:
             return [], sorted(current)
-        hashes = self._bloom_key_hashes(spark, table, col, keys)
+        hashes = self._bloom_key_hashes(spark, table, col, keys, bm)
         hit, miss = [], []
         for rel, entry in bm["files"].items():
             e = entry[col]
@@ -1166,8 +1209,10 @@ class ParquetWarehouse:
             )
         self._reconcile(table)
         stat_cols = None
+        bloom_cols = None
         if not os.path.isfile(self._version_pointer(table)):
             stat_cols = (zm := self.zonemap(table)) and zm["stat_cols"]
+            bloom_cols = (bmm := self.bloom(table)) and bmm["cols"]
         rewritten = 0
         for d in sorted(self._leaf_data_dirs(table)):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -1196,6 +1241,15 @@ class ParquetWarehouse:
             # this, the first post-compaction merge silently loses the
             # pruned path and regresses to whole-table I/O
             self.write_zonemap(spark, table, stat_cols)
+        if rewritten and bloom_cols:
+            # same contract for the bloom manifest; rebuilt directly
+            # (not via write_bloom, which would re-acquire the mutation
+            # fence this compaction already holds)
+            bm = self._compute_bloom(spark, final, bloom_cols)
+            btmp = os.path.join(final, BLOOM_FILE + f".tmp-{uuid.uuid4().hex}")
+            with open(btmp, "w") as f:
+                json.dump(bm, f)
+            os.replace(btmp, os.path.join(final, BLOOM_FILE))
         return rewritten
 
     def _leaf_data_dirs(self, table: str) -> list[str]:
@@ -1542,6 +1596,8 @@ class ParquetWarehouse:
             # handful of clustered files, not the table.
             zm = self.zonemap(table)
             pruned_cover = None
+            # one driver-bounded collect serves both cover attempts
+            subject_keys = [r["__erase_key"] for r in subj.collect()]
             if (
                 zm is not None
                 and key_col in zm["stat_cols"]
@@ -1549,10 +1605,7 @@ class ParquetWarehouse:
                 # subdirectories (undeclared-partition_by edge)
                 and not any("/" in rel for rel in zm["files"])
             ):
-                keys = [
-                    self._zonemap_stat(r["__erase_key"])
-                    for r in subj.collect()
-                ]
+                keys = [self._zonemap_stat(k) for k in subject_keys]
                 hit, missed = [], []
                 for rel, stats in zm["files"].items():
                     mn, mx = stats[key_col]
@@ -1570,8 +1623,7 @@ class ParquetWarehouse:
                 # filters rule out provably holds no subject row and may
                 # be skipped — false positives only widen the rewrite.
                 bloom_split = self.bloom_hit_split(
-                    spark, table, key_col,
-                    [r["__erase_key"] for r in subj.collect()],
+                    spark, table, key_col, subject_keys
                 )
                 if bloom_split is not None and bloom_split[1]:
                     pruned_cover = bloom_split

@@ -105,10 +105,17 @@ def test_single_key_hits_few_files(spark, tmp_path):
     assert len(hit) <= 3 and len(hit) + len(miss) == 16
 
 
-def test_mutations_drop_and_stale_refuses(spark, tmp_path):
+def test_mutations_rebuild_and_stale_refuses(spark, tmp_path):
     wh = _mk(spark, tmp_path)
-    # compact is an in-place mutation: manifest must be dropped
-    wh.compact(spark, "t", target_file_bytes=1 << 30)
+    # compact drops the manifest mid-rewrite but REBUILDS it at the end
+    # (same contract as the zone map): pruned lookups survive maintenance
+    assert wh.compact(spark, "t", target_file_bytes=1 << 30) == 1
+    bm = wh.bloom("t")
+    assert bm is not None, "compact lost the bloom manifest"
+    got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [7]).collect()}
+    assert got == {7}
+    # overwrite replaces the whole dir: the sidecar is gone with it
+    wh.overwrite(_scattered(spark, 100, 4), "t")
     assert wh.bloom("t") is None
     with pytest.raises(ValueError, match="no _bloom.json"):
         wh.read_bloom_keys(spark, "t", "pk", [1])
@@ -189,3 +196,55 @@ def test_second_writer_raises_during_write_bloom(spark, tmp_path):
             wh.write_bloom(spark, "t", ["pk"])
     wh.write_bloom(spark, "t", ["pk"])
     assert wh.bloom("t") is not None
+
+
+def test_delete_only_replacement_keeps_manifests_consistent(spark, tmp_path):
+    """Delete-only replacement (the flat writer emits a 0-row part file
+    for an empty frame — verified live) must NOT wedge the manifests: a
+    row-based recompute can never describe a row-less file, so linking
+    it would make bloom_hit_split refuse as 'stale' forever, including
+    the NEXT erase_subjects. The 0-row file is skipped instead, unless
+    the table would otherwise end up file-less (schema must survive)."""
+    wh = _mk(spark, tmp_path, n=200, files=4)
+    # subjects = every pk of the bloom-hit files for two probe keys
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [3, 77])
+    assert miss
+    base = wh.path("t")
+    sub = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, r) for r in hit]
+    )
+    victims = [r.pk for r in sub.select("pk").collect()]
+    subjects = spark.createDataFrame([(k,) for k in victims], "k long")
+    res = wh.erase_subjects(spark, "t", "pk", subjects)
+    assert res["rows_erased"] == len(victims)
+    # the erased files vanished entirely (no 0-row file linked) and the
+    # manifest still exactly describes the committed set — usable by
+    # the NEXT erase / lookup with no stale refusal
+    bm = wh.bloom("t")
+    assert set(bm["files"]) == set(miss)
+    assert wh.read_bloom_keys(spark, "t", "pk", victims[:5]).count() == 0
+
+    # fully-emptied table via direct replace_files: ONE 0-row file is
+    # kept for schema, with synthesized never-hit manifest entries
+    wh2 = _mk(spark, tmp_path / "w2", n=50, files=2)
+    all_files = sorted(bm2_files := wh2.bloom("t")["files"])
+    empty = wh2.read(spark, "t").limit(0)
+    wh2.replace_files(empty, "t", all_files)
+    assert wh2.read(spark, "t").count() == 0  # schema survives
+    hit2, miss2 = wh2.bloom_hit_split(spark, "t", "pk", [1, 2, 3])
+    assert hit2 == [] and len(miss2) == 1
+    assert bm2_files  # original manifest had entries to replace
+
+
+def test_manifest_schema_probe_avoids_footer_reads(spark, tmp_path):
+    """The manifest carries the bloom columns' schema, so probes hash
+    with the exact column type without re-reading parquet footers."""
+    wh = _mk(spark, tmp_path, n=100, files=4)
+    bm = wh.bloom("t")
+    assert "schema" in bm
+    from pyspark.sql.types import LongType, StructType
+
+    assert StructType.fromJson(bm["schema"])["pk"].dataType == LongType()
+    # int-typed probe keys still hash as LONG (type-faithful)
+    got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [3]).collect()}
+    assert got == {3}

@@ -142,7 +142,6 @@ def test_hybrid_merge_zone_map_stays_exact(spark, tmp_path):
 
 
 def test_hybrid_merge_empties_partition_without_tombstones(spark, tmp_path):
-    spark_df = None
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     # part=3 holds exactly pks 3, 7, 11
     df = spark.createDataFrame(
@@ -160,7 +159,6 @@ def test_hybrid_merge_empties_partition_without_tombstones(spark, tmp_path):
     assert wh.read(spark, "t").count() == 9
     # no tombstone marker was needed (atomic assembly removed the dir)
     assert not os.path.isfile(os.path.join(wh.path("t"), "_tombstones.json"))
-    assert spark_df is None
 
 
 def test_hybrid_merge_new_partition_carries_everything(spark, tmp_path):
@@ -186,3 +184,37 @@ def test_hybrid_without_map_falls_back_to_partition_scope(spark, tmp_path):
     merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC,
                     partition_by=["part"])
     assert wh.read(spark, "t").filter("pk = 4").first().val == 777
+
+
+def test_hybrid_refuses_engine_specific_partition_renderings(spark, tmp_path):
+    """Partition values whose hive dir names Spark escapes or renders
+    differently than Python str() (booleans here: 'true' vs 'True')
+    must NOT take the hybrid path — building the wrong prefix would
+    silently exclude the partition's files and duplicate its rows. The
+    default falls back to the partition-scoped rewrite (correct
+    content); prune_files=True refuses loudly."""
+    import pytest
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, i * 10) for i in range(20)],
+        "pk long, flag boolean, val long",
+    )
+    wh.overwrite(df, "t", partition_by=["flag"], stat_cols=["pk"])
+    assert wh.zonemap("t") is not None
+    target = wh.read(spark, "t").select("pk", "flag", "val")
+    ch = spark.createDataFrame(
+        [("U", 4, True, 777, "f1", 1)],
+        "op string, pk long, flag boolean, val long, "
+        "_dms_filename string, _dms_rownum long",
+    )
+    with pytest.raises(ValueError, match="hive dir renderings"):
+        merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC,
+                        partition_by=["flag"], prune_files=True)
+    merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC,
+                    partition_by=["flag"])
+    # NB the read-back partition column is the hive dir STRING 'true' —
+    # Spark writes booleans escaped-lowercase, which is exactly why the
+    # hybrid's str(v) prefix could never have addressed these dirs
+    got = {r.pk: (str(r.flag), r.val) for r in wh.read(spark, "t").collect()}
+    assert got[4] == ("true", 777) and len(got) == 20

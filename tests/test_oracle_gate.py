@@ -69,3 +69,47 @@ def test_all_registered_oracles_are_hugeint_free():
         if flagged:
             bad[name] = flagged
     assert not bad, f"fragile oracle output types: {bad}"
+
+
+def test_freshness_red_rows_are_not_coverage(tmp_path):
+    """A red driver row (the q133 shape) must not count as freshness
+    coverage: the query has to re-enter the window until a green row
+    lands."""
+    import json
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_freshness import latest_driver_rows
+
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps(
+            {
+                "q_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                },
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps(
+            {
+                "q_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                },
+                "q_red": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                },
+                "q_err": {"rows_match": False, "err": "boom"},
+            }
+        )
+    )
+    latest, newest = latest_driver_rows(str(tmp_path))
+    assert newest == 10
+    assert latest["q_green"] == 10
+    assert latest["q_red"] == 0  # known, but no green row yet
+    assert latest["q_err"] == 0

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import re
 import sys
 
@@ -33,14 +34,27 @@ WINDOW = 50
 FLOOR = 2  # max allowed age, in rounds, after the upcoming round lands
 
 
-def latest_driver_rows() -> tuple[dict[str, int], int]:
+def latest_driver_rows(root: str = "/root/repo") -> tuple[dict[str, int], int]:
+    """Latest GREEN driver row per query. A red row (any of rows/schema/
+    hash mismatched) is NOT coverage — counting it would let a failing
+    query rotate out of the window without ever getting a green row
+    (the q133 shape: red in r10, must re-check in r11)."""
     latest: dict[str, int] = {}
     newest = 0
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", f).group(1))
         newest = max(newest, rnd)
-        for name in json.load(open(f)):
-            latest[name] = max(rnd, latest.get(name, 0))
+        for name, row in json.load(open(f)).items():
+            green = (
+                row.get("rows_match", True)
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(rnd, latest.get(name, 0))
+            else:
+                latest.setdefault(name, 0)  # known query, no green row yet
     return latest, newest
 
 
