@@ -3886,3 +3886,102 @@ def q137_hybrid_merge_prune(spark, sf_dir):
     if os.path.isfile(os.path.join(root, "customer_h", "_tombstones.json")):
         raise AssertionError("hybrid path should not need tombstones")
     return wh.read(spark, "customer_h")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned FILE-grain GDPR erasure on a hive-partitioned table
+# (S16 + the q119/q123 erasure family; ref :369-408 — Snowflake's
+# search-optimization point lookups composed with partition pruning)
+# ---------------------------------------------------------------------------
+
+_Q139_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderkey % 4 AS INTEGER) AS part
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey % 11 = 5
+        ORDER BY o_custkey
+        LIMIT 3
+    )
+"""
+
+
+@query("q139_bloom_partitioned_erase", _Q139_ORACLE)
+def q139_bloom_partitioned_erase(spark, sf_dir):
+    """Right-to-be-forgotten on a hive-partitioned table whose subject
+    key is NOT the partition key (the realistic shape: partitioned on a
+    pk-derived bucket, erased by customer id): without the bloom
+    manifest the erase rewrites every TOUCHED PARTITION entirely; with
+    it the rewrite narrows to the files that can contain a subject —
+    rel paths address partition dirs directly, so no hive value
+    rendering is involved, and emptied partitions retire atomically.
+    Driver guards pin the file grain: the bloom split must actually
+    prune (miss non-empty), every miss file — including miss files
+    INSIDE partitions that hold subject rows — keeps its inode, every
+    hit file is gone, the subjects' rows are gone, and the maintained
+    manifest still describes the exact committed file set (the NEXT
+    erase prunes too). The returned final state hash-matches the
+    anti-join restatement."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    root = _scratch_root("q139", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("part"),
+    )
+    wh.overwrite(
+        orders.repartition(4, "o_custkey"), "ord_p", partition_by=["part"]
+    )
+    wh.write_bloom(spark, "ord_p", ["o_custkey"])
+    subjects = [
+        r.o_custkey
+        for r in orders.filter(F.col("o_custkey") % 11 == 5)
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(3)
+        .collect()
+    ]
+    hit, miss = wh.bloom_hit_split(spark, "ord_p", "o_custkey", subjects)
+    if not miss:
+        raise AssertionError("bloom pruned nothing: the guard is vacuous")
+
+    def inodes():
+        out = {}
+        base = wh.path("ord_p")
+        for dirpath, _dirs, files in os.walk(base):
+            for n in files:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, n), base)
+                    out[rel] = os.stat(os.path.join(dirpath, n)).st_ino
+        return out
+
+    before = inodes()
+    res = wh.erase_subjects(
+        spark,
+        "ord_p",
+        "o_custkey",
+        spark.createDataFrame([(s,) for s in subjects], "k long"),
+        partition_by=["part"],
+    )
+    if res["rows_erased"] == 0:
+        raise AssertionError("no rows erased: fixture degenerate")
+    after = inodes()
+    for rel in miss:
+        if after.get(rel) != before[rel]:
+            raise AssertionError(
+                f"bloom-miss file {rel} was rewritten: the erase "
+                "degenerated to partition grain"
+            )
+    if any(rel in after for rel in hit):
+        raise AssertionError("a bloom-hit file survived the rewrite")
+    if wh.bloom("ord_p") is None:
+        raise AssertionError("erase dropped the manifest: next erase won't prune")
+    return wh.read(spark, "ord_p")

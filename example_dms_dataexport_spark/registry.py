@@ -83,6 +83,7 @@ PRIORITY = [
     "q136_bloom_point_lookup",
     "q137_hybrid_merge_prune",
     "q138_pps_sample",
+    "q139_bloom_partitioned_erase",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",

@@ -835,37 +835,32 @@ class ParquetWarehouse:
         files: dict[str, dict] = {}
         fpcol = F.col("_metadata.file_path").alias("__fp")
         for c in cols:
-            counts = {
-                rel_of(r["__fp"]): r["__nd"]
+            # the distributed side keys everything by the RAW file_path
+            # string (exact round-trip through collect — basenames are
+            # NOT unique: Spark reuses one task filename across the
+            # partition dirs it writes); rel paths are resolved
+            # driver-side once per file for the manifest keys
+            counts_fp = {
+                r["__fp"]: r["__nd"]
                 for r in df.groupBy(fpcol)
                 .agg(F.count_distinct(F.col(c)).alias("__nd"))
                 .collect()
             }
-            m_map = {
-                rel: ParquetWarehouse._bloom_m(nd, bits_per_key)
-                for rel, nd in counts.items()
+            rel_by_fp = {fp: rel_of(fp) for fp in counts_fp}
+            m_by_fp = {
+                fp: ParquetWarehouse._bloom_m(nd, bits_per_key)
+                for fp, nd in counts_fp.items()
             }
             m_df = spark.createDataFrame(
-                [(rel, m) for rel, m in m_map.items()], "__rel string, __m long"
+                [(fp, m) for fp, m in m_by_fp.items()], "__fp string, __m long"
             )
-            pos = (
-                df.select(fpcol, F.col(c).alias("__v"))
-                .where(F.col("__v").isNotNull())
-                .withColumn("__rel", F.element_at(F.split("__fp", "/"), -1))
+            pos = df.select(fpcol, F.col(c).alias("__v")).where(
+                F.col("__v").isNotNull()
             )
-            # join on basename: rel paths are flat for plain tables and
-            # partition-dir qualified otherwise — recompute rel exactly
-            # instead when any rel has a separator
-            if any("/" in rel for rel in m_map):
-                raise ValueError(
-                    "bloom manifests support flat (unpartitioned) "
-                    "layouts; hive-partitioned tables prune by "
-                    "partition column instead"
-                )
             rows = (
-                pos.join(F.broadcast(m_df), "__rel")
+                pos.join(F.broadcast(m_df), "__fp")
                 .select(
-                    "__rel",
+                    "__fp",
                     F.explode(
                         F.array(
                             *[
@@ -878,18 +873,21 @@ class ParquetWarehouse:
                         )
                     ).alias("__pos"),
                 )
-                .groupBy("__rel")
+                .groupBy("__fp")
                 .agg(F.collect_set("__pos").alias("__bits"))
                 .collect()
             )
-            bits_by_rel = {r["__rel"]: r["__bits"] for r in rows}
-            for rel, m in m_map.items():
+            bits_by_rel = {
+                rel_by_fp[r["__fp"]]: r["__bits"] for r in rows
+            }
+            for fp, m in m_by_fp.items():
+                rel = rel_by_fp[fp]
                 bitmap = bytearray((m + 7) // 8)
                 for p in bits_by_rel.get(rel, []):
                     bitmap[p >> 3] |= 1 << (p & 7)
                 files.setdefault(rel, {})[c] = {
                     "m": m,
-                    "n_distinct": counts[rel],
+                    "n_distinct": counts_fp[fp],
                     "bits": base64.b64encode(bytes(bitmap)).decode(),
                 }
         return {
@@ -904,7 +902,11 @@ class ParquetWarehouse:
         }
 
     def write_bloom(self, spark: SparkSession, table: str, cols: list[str]) -> dict:
-        """(Re)build the Bloom manifest for a committed PLAIN table.
+        """(Re)build the Bloom manifest for a committed plain or
+        hive-partitioned table (partition-qualified rel paths; for a
+        partitioned table the manifest's point pruning COMPOSES with
+        partition pruning, and file-grain erasure needs no partition-
+        value rendering at all — rel paths address the dirs directly).
         Derived metadata with the zone map's lifecycle discipline:
         in-place mutations drop it (rebuild with this call),
         ``replace_files`` MAINTAINS it (carried files keep their
@@ -977,11 +979,13 @@ class ParquetWarehouse:
         if bm is None or col not in bm["cols"]:
             return None
         final = self.path(table)
-        current = {
-            n
-            for n in os.listdir(final)
-            if n.endswith(".parquet") and os.path.isfile(os.path.join(final, n))
-        }
+        current = set()
+        for dirpath, _dirs, fnames in os.walk(final):
+            for n in fnames:
+                if n.endswith(".parquet"):
+                    current.add(
+                        os.path.relpath(os.path.join(dirpath, n), final)
+                    )
         if set(bm["files"]) != current:
             raise ValueError(
                 f"bloom manifest of {table!r} is stale (files changed "
@@ -1440,13 +1444,17 @@ class ParquetWarehouse:
         Three storage layouts, three rewrite scopes:
 
         - **hive-partitioned** (``partition_by`` given): one broadcast
-          semi-join scan finds the touched partition tuples; the
-          anti-joined remainder of ONLY those partitions rewrites via
-          ``replace_partitions`` (so a partition emptied by the erasure
-          is tombstoned and removed, not left resurrecting deleted
-          rows). Untouched partitions are never read or written — at
-          100 TB an erasure request touches a handful of user-bucket
-          partitions, not the table.
+          semi-join scan finds the touched partition tuples. With a
+          bloom manifest covering the key, the rewrite narrows to FILE
+          grain: only the bloom-hit files anti-join and rewrite through
+          the partition-aware ``replace_files`` (rel paths address the
+          dirs — no hive value rendering — and an emptied partition
+          simply has no dir in the new state). Otherwise the
+          anti-joined remainder of the touched partitions rewrites via
+          ``replace_partitions`` (emptied partitions tombstoned and
+          removed). Untouched partitions — and with bloom, untouched
+          FILES — are never read or written: at 100 TB an erasure
+          request touches a handful of files, not the table.
         - **versioned** (``_version.json`` present): the survivors
           commit as the next snapshot through ``overwrite_versioned``
           with ``retain`` (default 1, which prunes every pre-erasure
@@ -1542,19 +1550,55 @@ class ParquetWarehouse:
             ]
             touched_n = len(touched)
             if touched:
-                cond = None
-                for vals in touched:
-                    clause = None
-                    for c, v in zip(partition_by, vals):
-                        pc = F.col(c).isNull() if v is None else F.col(c) == v
-                        clause = pc if clause is None else clause & pc
-                    cond = clause if cond is None else cond | clause
-                slice_survivors = survivors.filter(cond).localCheckpoint(
-                    eager=True
+                # FILE-grain erase when a bloom manifest covers the key:
+                # random subject keys scatter across partitions, and the
+                # partition-grain rewrite below pays the whole size of
+                # every touched partition. The bloom cover bounds the
+                # rewrite to the files that can contain a subject (no
+                # false negatives = provably complete), rel paths
+                # address partition dirs directly (no hive value
+                # rendering), and the assembly swap retires emptied
+                # partitions without tombstones.
+                bloom_split = self.bloom_hit_split(
+                    spark,
+                    table,
+                    key_col,
+                    [r["__erase_key"] for r in subj.collect()],
                 )
-                self._replace_partitions_unlocked(
-                    slice_survivors, table, partition_by, touched
-                )
+                if bloom_split is not None and bloom_split[1]:
+                    hit, _miss = bloom_split
+                    if hit:
+                        base = self.path(table)
+                        sub = spark.read.option("basePath", base).parquet(
+                            *[os.path.join(base, rel) for rel in hit]
+                        )
+                        sub_survivors = sub.join(
+                            F.broadcast(subj),
+                            sub[key_col] == F.col("__erase_key"),
+                            "left_anti",
+                        )
+                        self._replace_files_unlocked(
+                            sub_survivors, table, hit, partition_by
+                        )
+                    # hit == []: no file can hold a subject — no-op
+                else:
+                    cond = None
+                    for vals in touched:
+                        clause = None
+                        for c, v in zip(partition_by, vals):
+                            pc = (
+                                F.col(c).isNull()
+                                if v is None
+                                else F.col(c) == v
+                            )
+                            clause = pc if clause is None else clause & pc
+                        cond = clause if cond is None else cond | clause
+                    slice_survivors = survivors.filter(cond).localCheckpoint(
+                        eager=True
+                    )
+                    self._replace_partitions_unlocked(
+                        slice_survivors, table, partition_by, touched
+                    )
         elif versioned:
             held_before = set(self._load_versions(table)["versions"])
             self._overwrite_versioned_unlocked(survivors, table, retain=retain)

@@ -248,3 +248,92 @@ def test_manifest_schema_probe_avoids_footer_reads(spark, tmp_path):
     # int-typed probe keys still hash as LONG (type-faithful)
     got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [3]).collect()}
     assert got == {3}
+
+
+def _partitioned_scattered(spark, n=2000, parts=4):
+    """pk scattered across files WITHIN hive partitions (partitioned on
+    a coarse bucket, files split by an unrelated column)."""
+    return spark.range(n).select(
+        (F.col("id") * 7 % n).alias("pk"),
+        (F.col("id") % parts).alias("part"),
+        (F.col("id") % 97).alias("bucket"),
+        F.concat(F.lit("u-"), F.col("id")).alias("name"),
+    )
+
+
+def _inodes_recursive(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for n in files:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, n), root)
+                out[rel] = os.stat(os.path.join(dirpath, n)).st_ino
+    return out
+
+
+def test_partitioned_bloom_build_and_point_lookup(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _partitioned_scattered(spark).repartition(4, "bucket"),
+        "t",
+        partition_by=["part"],
+    )
+    bm = wh.write_bloom(spark, "t", ["pk"])
+    assert all("/" in rel for rel in bm["files"])  # partition-qualified
+    keys = [11, 222, 1333]
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", keys)
+    assert miss, "partitioned bloom pruned nothing"
+    got = {
+        (r.pk, r.part) for r in
+        wh.read_bloom_keys(spark, "t", "pk", keys).select("pk", "part").collect()
+    }
+    want = {
+        (r.pk, r.part) for r in
+        wh.read(spark, "t").filter(F.col("pk").isin(keys)).select("pk", "part").collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_partitioned_erase_is_file_grain(spark, tmp_path):
+    """Random subject keys in a partitioned table: the partition-grain
+    path would rewrite every touched partition ENTIRELY; with a bloom
+    manifest only the hit files rewrite — miss files keep their inodes
+    even inside touched partitions, and the manifest stays exact."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _partitioned_scattered(spark, n=4000).repartition(4, "bucket"),
+        "t",
+        partition_by=["part"],
+    )
+    wh.write_bloom(spark, "t", ["pk"])
+    before = _inodes_recursive(wh.path("t"))
+    subjects = spark.createDataFrame([(11,), (3001,)], "k long")
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [11, 3001])
+    assert miss and hit
+    res = wh.erase_subjects(
+        spark, "t", "pk", subjects, partition_by=["part"]
+    )
+    assert res["rows_erased"] == 2
+    after = _inodes_recursive(wh.path("t"))
+    for rel in miss:
+        assert after[rel] == before[rel], f"miss file {rel} was rewritten"
+    for rel in hit:
+        assert rel not in after
+    # manifest maintained exactly: next erase/lookup still prunes
+    bm = wh.bloom("t")
+    assert set(bm["files"]) == set(after)
+    assert (
+        wh.read(spark, "t").filter(F.col("pk").isin([11, 3001])).count() == 0
+    )
+    got = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [500]).collect()}
+    assert got == {500}
+
+
+def test_partitioned_erase_without_bloom_keeps_partition_grain(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_partitioned_scattered(spark, 400), "t", partition_by=["part"])
+    subjects = spark.createDataFrame([(7,), (21,)], "k long")
+    res = wh.erase_subjects(spark, "t", "pk", subjects, partition_by=["part"])
+    assert res["rows_erased"] == 2
+    assert res["touched_partitions"] is not None
+    assert wh.read(spark, "t").filter(F.col("pk").isin([7, 21])).count() == 0
