@@ -281,6 +281,31 @@ def main() -> None:
     times_min["q18h_hybrid_cdc"] = round(best, 3)
     total += med
 
+    # Scan-scoped CDC (q18's merge against an UNCLUSTERED, map-less
+    # target, changes confined to a few keys): the layout-independent
+    # touched-file discovery — regressions back to full-table rewrite
+    # on retrofitted tables show up here.
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_scan_cdc_fixture,
+    )
+
+    scdc_info: dict[str, int] = {}
+
+    def run_scdc() -> None:
+        td = tempfile.mkdtemp(prefix="bench-scdc-")
+        try:
+            n, carried, files = run_scan_cdc_fixture(spark, sf_dir, td)
+            scdc_info.update(
+                rows_written=n, files_carried=carried, total_files=files
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_scdc)
+    times["q18s_scan_cdc"] = round(med, 3)
+    times_min["q18s_scan_cdc"] = round(best, 3)
+    total += med
+
     # Stdlib JPEG decode on a deterministic 1-in-25 document sample
     # (the full-corpus faces are correctness-only — see the HEADLINE
     # comment). Same plan shape as q132/q134: per-image parallel
@@ -332,6 +357,7 @@ def main() -> None:
         "partitioned_cdc": pcdc_info,
         "zone_cdc": zcdc_info,
         "hybrid_cdc": hcdc_info,
+        "scan_cdc": scdc_info,
         "queries": times,
         "queries_min": times_min,
         "noise": {

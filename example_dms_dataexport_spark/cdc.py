@@ -31,7 +31,7 @@ from .merge import apply_changes
 from .metadata import MetadataStore, source_ordered
 from .sources.csv_stage import cdc_schema
 from .sources.stage import read_stage, stage_extension
-from .sources.warehouse import ParquetWarehouse
+from .sources.warehouse import BUCKET_SPEC_FILE, ParquetWarehouse
 
 # ref :301 — CDC files start with '2' (2YYYYMMDD-nnnnnnnnn.<ext>); the
 # extension follows the table's metadata file_format (ref :26).
@@ -173,7 +173,12 @@ def merge_and_write(
     so every target file that could contain a matching row overlaps on
     every scoped column, and disjoint files can only hold rows the
     full-outer merge would pass through unchanged (NULL-PK rows never
-    equality-match a change).
+    equality-match a change). When the flat target has NO covering map
+    (or it declines), the SCAN-scoped path (``_scan_scoped_merge``)
+    still avoids the full-table rewrite: one pk-column semi-join scan
+    discovers the exact touched files — the layout-independent fallback
+    for targets unclustered on their key. ``prune_files=False``
+    disables both and forces the whole-table path.
 
     ``layout`` (``TableMeta.layout()``) re-applies the table's declared
     clustering / zone-map options whenever the write is a FULL rewrite,
@@ -289,6 +294,14 @@ def merge_and_write(
             require=prune_files is True,
         )
         if n is not None:  # committed by replace_files inside the helper
+            return n
+        # no zone map (or it declined): EXACT touched-file discovery
+        # via a pk-column semi-join scan — the layout-independent
+        # rewrite-amplification fix for unclustered flat targets
+        n = _scan_scoped_merge(
+            warehouse, target_table, target, changes, pks, version_cols
+        )
+        if n is not None:
             return n
     merged = apply_changes(
         target, changes, pks=pks, version_cols=version_cols
@@ -529,6 +542,86 @@ def _hybrid_scoped_merge(
     res = warehouse.replace_files(
         merged, target_table, overlap, partition_by=partition_by
     )
+    return res["rows_written"]
+
+
+def _scan_scoped_merge(
+    warehouse: ParquetWarehouse,
+    target_table: str,
+    target,
+    changes,
+    pks: list[str],
+    version_cols: list[str],
+) -> int | None:
+    """SCAN-scoped merge for flat targets with NO zone map (or whose
+    map declined): discover the EXACT touched-file set with one
+    semi-join of the target's primary-key column(s) — projected down to
+    (pks, ``_metadata.file_path``), so the scan reads the pk column,
+    not the table — against the batch's distinct keys, then merge only
+    those files and commit copy-on-write through ``replace_files``.
+
+    This is the layout-independent rewrite-amplification fix (the same
+    touched-file discovery join Delta's MERGE runs): the zone map only
+    prunes when the write layout CLUSTERS the key, but a CDC target
+    partition-free and unclustered on its pk — the common
+    retrofitted-table case — otherwise pays a FULL-TABLE rewrite per
+    batch. Cost: one pk-column scan (columnar, a few % of table bytes)
+    + rewrite I/O proportional to the touched files; at 100 TB that is
+    the difference between reading ~1 TB of pk values and rewriting a
+    handful of files vs rewriting 100 TB. The batch's distinct keys
+    broadcast (CDC batches are bounded by design — maxFilesPerTrigger /
+    the landing watermark window).
+
+    Exactness: the semi-join reads the committed files themselves, so
+    the touched set has no false positives OR negatives — a file not in
+    it provably holds no matching pk (NULL pks never equality-match),
+    and inserts land in new files. Returns None (caller falls back)
+    for versioned/bucketed/hive-on-disk layouts, single-file tables,
+    empty batches, and batches that touch every file."""
+    import os
+
+    base = warehouse.path(target_table)
+    if os.path.isfile(warehouse._version_pointer(target_table)):
+        return None
+    if os.path.isfile(os.path.join(base, BUCKET_SPEC_FILE)):
+        return None
+    all_rels = set()
+    for dirpath, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, f), base)
+                if "/" in rel:
+                    return None  # hive-on-disk without partition_by
+                all_rels.add(rel)
+    if len(all_rels) <= 1:
+        return None  # nothing to prune against
+    spark = changes.sparkSession
+    keys = changes.select(*pks).distinct()
+    touched_fps = [
+        r["__fp"]
+        for r in spark.read.parquet(base)
+        .select(*pks, F.col("_metadata.file_path").alias("__fp"))
+        .join(F.broadcast(keys), pks, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    ]
+    overlap = sorted(
+        {ParquetWarehouse.file_rel(fp, base) for fp in touched_fps}
+    )
+    if len(overlap) == len(all_rels):
+        return None  # every file holds a matching key: nothing prunes
+    if overlap:
+        sub_target = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, rel) for rel in overlap]
+        )
+        sub_target = sub_target.select(*target.columns)
+    else:  # pure-insert batch (or keys absent): merge against nothing
+        sub_target = target.limit(0)
+    merged = apply_changes(
+        sub_target, changes, pks=pks, version_cols=version_cols
+    )
+    res = warehouse.replace_files(merged, target_table, overlap)
     return res["rows_written"]
 
 

@@ -3985,3 +3985,129 @@ def q139_bloom_partitioned_erase(spark, sf_dir):
     if wh.bloom("ord_p") is None:
         raise AssertionError("erase dropped the manifest: next erase won't prune")
     return wh.read(spark, "ord_p")
+
+
+# ---------------------------------------------------------------------------
+# Scan-scoped CDC merge — exact touched-file discovery for targets
+# UNCLUSTERED on their key (S11 refinement; the touched-file semi-join
+# Delta's MERGE runs; ref :369-408 delegates the equivalent scoping to
+# Snowflake's engine)
+# ---------------------------------------------------------------------------
+
+_Q140_ORACLE = """
+    WITH subjects AS MATERIALIZED (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_custkey % 151 = 7
+        ORDER BY c_custkey
+        LIMIT 10
+    ),
+    changes AS MATERIALIZED (
+        SELECT CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               'schg-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               o_totalprice + 1000 AS c_acctbal,
+               o_orderdate AS _file,
+               o_orderkey AS _rownum
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+    ),
+    deduped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _file DESC, _rownum DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal
+    FROM customer t
+    FULL OUTER JOIN deduped s ON t.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL OR s.op <> 'D'
+"""
+
+
+@query("q140_scan_scoped_merge", _Q140_ORACLE)
+def q140_scan_scoped_merge(spark, sf_dir):
+    """The SCAN-scoped CDC merge end-to-end (cdc._scan_scoped_merge):
+    customer lands hash-scattered on nationkey — UNCLUSTERED on its pk,
+    with NO zone map, the retrofitted-table shape where the zone path
+    cannot prune and the old fallback was a full-table rewrite per
+    batch. A change batch confined to 10 customer keys merges through
+    the automatic scan scope: one pk-column semi-join discovers the
+    exact touched files, only those merge and rewrite, everything else
+    hard-links through. Driver guards pin the scope: at least one file
+    carries its inode, at least one was replaced, and the rewrite wrote
+    fewer rows than the table holds. The returned final state
+    hash-matches the full-outer merge restatement — proving the
+    touched-file discovery has no false negatives (a missed file would
+    leave a stale row the hash would catch)."""
+    import shutil
+
+    from .cdc import merge_and_write
+    from .sources.warehouse import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    root = _scratch_root("q140", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(
+        cust.drop("c_nationkey").repartition(16, F.col("c_custkey") % 97),
+        "customer_s",
+    )
+    subjects = [
+        r.c_custkey
+        for r in cust.filter(F.col("c_custkey") % 151 == 7)
+        .select("c_custkey")
+        .distinct()
+        .orderBy("c_custkey")
+        .limit(10)
+        .collect()
+    ]
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.filter(F.col("o_custkey").isin(subjects)).select(
+        F.when(F.col("o_orderkey") % 10 < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("schg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def inodes():
+        base = os.path.join(root, "customer_s")
+        return {
+            n: os.stat(os.path.join(base, n)).st_ino
+            for n in os.listdir(base)
+            if n.endswith(".parquet")
+        }
+
+    before = inodes()
+    n_rows = cust.count()
+    n = merge_and_write(
+        wh,
+        "customer_s",
+        wh.read(spark, "customer_s"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    after = inodes()
+    if not any(after.get(r) == i for r, i in before.items()):
+        raise AssertionError(
+            "scan-scoped merge carried no file: the touched-file "
+            "discovery degenerated to a full rewrite"
+        )
+    if not any(r not in after for r in before):
+        raise AssertionError("no file was replaced: the merge was a no-op")
+    if not n < n_rows:
+        raise AssertionError(
+            f"scan-scoped merge wrote {n} rows for a {n_rows}-row table"
+        )
+    return wh.read(spark, "customer_s")

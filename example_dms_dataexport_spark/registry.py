@@ -84,6 +84,7 @@ PRIORITY = [
     "q137_hybrid_merge_prune",
     "q138_pps_sample",
     "q139_bloom_partitioned_erase",
+    "q140_scan_scoped_merge",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",

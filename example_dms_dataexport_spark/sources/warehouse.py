@@ -794,6 +794,22 @@ class ParquetWarehouse:
     # footers.
 
     @staticmethod
+    def file_rel(fp: str, base: str) -> str:
+        """Resolve a scan-reported ``_metadata.file_path`` URI to a path
+        RELATIVE to ``base`` via urlparse+unquote+realpath — a string-
+        prefix match on the raw URI breaks on %-escaped characters and
+        symlinked roots, and an unresolvable path must fail loudly."""
+        from urllib.parse import unquote, urlparse
+
+        root = os.path.realpath(os.path.abspath(base))
+        parsed = urlparse(fp)
+        local = unquote(parsed.path) if parsed.scheme else fp
+        rel = os.path.relpath(os.path.realpath(local), root)
+        if rel.startswith(".."):
+            raise ValueError(f"file {fp!r} resolves outside {base!r}")
+        return rel
+
+    @staticmethod
     def _bloom_m(n_distinct: int, bits_per_key: int) -> int:
         """Bitmap size: next power of two >= bits_per_key * n (>= 64)."""
         m = 64
@@ -817,20 +833,11 @@ class ParquetWarehouse:
         never oracle-compared, so Spark's native hash is the right
         tool."""
         import base64
-        from urllib.parse import unquote, urlparse
 
         df = spark.read.parquet(data_dir)
-        root = os.path.realpath(os.path.abspath(data_dir))
 
         def rel_of(fp: str) -> str:
-            parsed = urlparse(fp)
-            local = unquote(parsed.path) if parsed.scheme else fp
-            rel = os.path.relpath(os.path.realpath(local), root)
-            if rel.startswith(".."):
-                raise ValueError(
-                    f"bloom file {fp!r} resolves outside {data_dir!r}"
-                )
-            return rel
+            return ParquetWarehouse.file_rel(fp, data_dir)
 
         files: dict[str, dict] = {}
         fpcol = F.col("_metadata.file_path").alias("__fp")

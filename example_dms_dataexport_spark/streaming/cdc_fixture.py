@@ -322,3 +322,68 @@ def run_hybrid_cdc_fixture(
             "hybrid bench merge carried no file: pruning regressed"
         )
     return n, carried, len(before)
+
+
+def run_scan_cdc_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 32,
+) -> tuple[int, int, int]:
+    """SCAN-scoped BATCH merge at bench scale (cdc._scan_scoped_merge —
+    the layout-independent fallback): customer is stored UNCLUSTERED on
+    its pk (hash-scattered on nationkey, NO zone map — the
+    retrofitted-table shape), and the q18-style change-set is
+    restricted to ~15 customer keys. merge_and_write must discover the
+    exact touched files with one pk-column semi-join and hard-link the
+    rest through. Benchmarked per-round so a regression back to
+    whole-table merge I/O on unclustered targets shows up as a
+    wall-time jump. Returns (rows_written, files_carried, files_total)."""
+    import os as _os
+
+    from ..cdc import merge_and_write
+
+    wh = ParquetWarehouse(_os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    wh.overwrite(
+        cust.repartition(n_files, F.col("c_custkey") % 97), "customer"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    opmod = F.col("o_orderkey") % 10
+    changes = orders.filter(F.col("o_custkey") % 1009 == 0).select(
+        F.when(opmod < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("chg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def _files():
+        d = wh.path("customer")
+        return {
+            n: _os.stat(_os.path.join(d, n)).st_ino
+            for n in _os.listdir(d)
+            if n.endswith(".parquet")
+        }
+
+    before = _files()
+    n = merge_and_write(
+        wh,
+        "customer",
+        wh.read(spark, "customer"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    after = _files()
+    carried = sum(1 for r in before if after.get(r) == before[r])
+    if carried == 0:
+        raise AssertionError(
+            "scan-scoped bench merge carried no file: pruning regressed"
+        )
+    return n, carried, len(before)

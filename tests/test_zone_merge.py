@@ -215,17 +215,30 @@ def test_zone_scoped_merge_pure_out_of_range_inserts(spark, tmp_path):
 
 
 def test_zone_scoped_merge_fallbacks(spark, tmp_path):
-    """No map -> plain path still correct; prune_files=True without a
-    covering map raises; all-NULL batch keys fall back safely."""
+    """No map -> the SCAN-scoped path takes over (exact touched-file
+    semi-join) and prune_files=False still forces the whole-table path;
+    prune_files=True without a covering map raises; all-NULL batch keys
+    fall back safely."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     wh.overwrite(_target_df(spark, 50), "nomap")
     changes = _changes_df(spark, [("U", 14, 9, "x", "f", 1)])
+    n_files = sum(
+        1 for f in os.listdir(wh.path("nomap")) if f.endswith(".parquet")
+    )
     n = merge_and_write(
         wh, "nomap", wh.read(spark, "nomap"), changes,
         pks=["pk"], version_cols=VC,
     )
-    assert n == 50  # whole-table rewrite
+    if n_files > 1:
+        assert n < 50  # scan scope: only the touched file rewrote
     assert wh.read(spark, "nomap").filter("pk = 14").first().val == 9
+    assert wh.read(spark, "nomap").count() == 50
+    # prune_files=False forces the whole-table rewrite
+    n = merge_and_write(
+        wh, "nomap", wh.read(spark, "nomap"), changes,
+        pks=["pk"], version_cols=VC, prune_files=False,
+    )
+    assert n == 50
     with pytest.raises(ValueError, match="no zone map"):
         merge_and_write(
             wh, "nomap", wh.read(spark, "nomap"), changes,
@@ -238,16 +251,14 @@ def test_zone_scoped_merge_fallbacks(spark, tmp_path):
             wh, "wrongcol", wh.read(spark, "wrongcol"), changes,
             pks=["pk"], version_cols=VC, prune_files=True,
         )
-    # all-NULL keys: auto path falls back to the whole-table merge
+    # all-NULL keys: zone declines; the scan scope treats the NULL-pk U
+    # as matching nothing (insert), same semantics as the unpruned path
     _write_clustered(spark, wh, "nullk", n=30)
     null_changes = _changes_df(spark, [("U", None, 1, "x", "f", 1)])
-    n = merge_and_write(
+    merge_and_write(
         wh, "nullk", wh.read(spark, "nullk"), null_changes,
         pks=["pk"], version_cols=VC,
     )
-    # a NULL-pk U matches nothing, so it lands as an insert — the same
-    # semantics apply_changes gives on the unpruned path
-    assert n == 31
     assert wh.read(spark, "nullk").count() == 31
     assert wh.read(spark, "nullk").filter("pk IS NULL").count() == 1
 
