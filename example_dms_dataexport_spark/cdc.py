@@ -215,6 +215,13 @@ def merge_and_write(
             "prune_files=True cannot apply to a schema-evolution batch: "
             "every file must rewrite to the evolved layout"
         )
+    # An empty batch applies nothing: short-circuit with NO commit at
+    # all — every scoped path would otherwise churn a full directory of
+    # hard links (or a whole-table rewrite) for a no-op. full_rewrite is
+    # exempt: an evolution batch may be empty yet must still rewrite
+    # every file to the evolved layout.
+    if not full_rewrite and changes.isEmpty():
+        return 0
     if partition_by and not full_rewrite:
         touched = [
             tuple(r[c] for c in partition_by)
@@ -328,6 +335,11 @@ def _is_numeric(dt) -> bool:
 
     return isinstance(dt, NumericType)
 
+
+# Above this many distinct batch keys the scan-scoped merge's semi-join
+# probe is NOT broadcast-hinted (AQE picks the shuffled strategy instead
+# of risking the driver on an unbounded backfill batch).
+_SCAN_BROADCAST_KEY_CAP = 2_000_000
 
 # The characters Spark's ExternalCatalogUtils percent-escapes in hive
 # partition directory names (plus control chars and DEL, handled in
@@ -597,11 +609,18 @@ def _scan_scoped_merge(
         return None  # nothing to prune against
     spark = changes.sparkSession
     keys = changes.select(*pks).distinct()
+    # broadcast only bounded key sets: a catch-up/backfill batch can
+    # carry millions of distinct pks, and a forced broadcast would blow
+    # the driver where the shuffled semi-join (AQE's choice) completes
+    n_keys = keys.count()
+    if n_keys == 0:
+        return None  # empty batch (merge_and_write short-circuits too)
+    probe = keys if n_keys > _SCAN_BROADCAST_KEY_CAP else F.broadcast(keys)
     touched_fps = [
         r["__fp"]
         for r in spark.read.parquet(base)
         .select(*pks, F.col("_metadata.file_path").alias("__fp"))
-        .join(F.broadcast(keys), pks, "left_semi")
+        .join(probe, pks, "left_semi")
         .select("__fp")
         .distinct()
         .collect()

@@ -336,24 +336,12 @@ class ParquetWarehouse:
             .agg(*aggs)
             .collect()
         )
-        # Resolve each file URI to a path RELATIVE to the data dir via
-        # urlparse+unquote+realpath — a string-prefix match on the raw
-        # URI breaks on %-escaped characters and symlinked roots, and a
-        # key that read_zoned cannot resolve must fail HERE, loudly.
-        from urllib.parse import unquote, urlparse
-
-        root = os.path.realpath(os.path.abspath(data_dir))
+        # Resolve each file URI to a path RELATIVE to the data dir —
+        # ``file_rel`` handles %-escapes and symlinked roots, and a key
+        # that read_zoned cannot resolve fails HERE, loudly.
         files = {}
         for r in rows:
-            fp = r["__fp"]
-            parsed = urlparse(fp)
-            local = unquote(parsed.path) if parsed.scheme else fp
-            rel = os.path.relpath(os.path.realpath(local), root)
-            if rel.startswith(".."):
-                raise ValueError(
-                    f"zone-map file {fp!r} resolves outside data dir "
-                    f"{data_dir!r}"
-                )
+            rel = ParquetWarehouse.file_rel(r["__fp"], data_dir)
             files[rel] = {
                 "n": r["__n"],
                 **{
@@ -624,6 +612,25 @@ class ParquetWarehouse:
                         f"replacement data lacks bloom column(s) "
                         f"{missing} of {table!r}"
                     )
+                if "schema" in bm:
+                    # type drift would be a silent probe FALSE NEGATIVE:
+                    # new files' bits hashed as the drifted type, probes
+                    # hashed as the manifest type (xxhash64 is
+                    # type-sensitive) — an erase would then skip files
+                    # that DO hold the subject. Refuse loudly.
+                    want = StructType.fromJson(bm["schema"])
+                    drift = [
+                        (c, str(df.schema[c].dataType), str(want[c].dataType))
+                        for c in bm["cols"]
+                        if df.schema[c].dataType != want[c].dataType
+                    ]
+                    if drift:
+                        raise ValueError(
+                            f"replacement data's bloom column type(s) "
+                            f"drifted from {table!r}'s manifest: {drift} "
+                            "— rebuild with write_bloom after the "
+                            "type change"
+                        )
                 new_bm_files = self._compute_bloom(
                     spark, tmp_new, bm["cols"], bm["bits_per_key"], bm["k"]
                 )["files"]
@@ -1220,10 +1227,11 @@ class ParquetWarehouse:
             )
         self._reconcile(table)
         stat_cols = None
-        bloom_cols = None
+        bloom_spec = None  # (cols, bits_per_key, k): preserve the tuning
         if not os.path.isfile(self._version_pointer(table)):
             stat_cols = (zm := self.zonemap(table)) and zm["stat_cols"]
-            bloom_cols = (bmm := self.bloom(table)) and bmm["cols"]
+            if (bmm := self.bloom(table)) is not None:
+                bloom_spec = (bmm["cols"], bmm["bits_per_key"], bmm["k"])
         rewritten = 0
         for d in sorted(self._leaf_data_dirs(table)):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -1252,11 +1260,12 @@ class ParquetWarehouse:
             # this, the first post-compaction merge silently loses the
             # pruned path and regresses to whole-table I/O
             self.write_zonemap(spark, table, stat_cols)
-        if rewritten and bloom_cols:
-            # same contract for the bloom manifest; rebuilt directly
-            # (not via write_bloom, which would re-acquire the mutation
-            # fence this compaction already holds)
-            bm = self._compute_bloom(spark, final, bloom_cols)
+        if rewritten and bloom_spec:
+            # same contract for the bloom manifest, preserving its
+            # persisted bits_per_key/k tuning; rebuilt directly (not via
+            # write_bloom, which would re-acquire the mutation fence
+            # this compaction already holds)
+            bm = self._compute_bloom(spark, final, *bloom_spec)
             btmp = os.path.join(final, BLOOM_FILE + f".tmp-{uuid.uuid4().hex}")
             with open(btmp, "w") as f:
                 json.dump(bm, f)
@@ -1573,21 +1582,10 @@ class ParquetWarehouse:
                     [r["__erase_key"] for r in subj.collect()],
                 )
                 if bloom_split is not None and bloom_split[1]:
-                    hit, _miss = bloom_split
-                    if hit:
-                        base = self.path(table)
-                        sub = spark.read.option("basePath", base).parquet(
-                            *[os.path.join(base, rel) for rel in hit]
-                        )
-                        sub_survivors = sub.join(
-                            F.broadcast(subj),
-                            sub[key_col] == F.col("__erase_key"),
-                            "left_anti",
-                        )
-                        self._replace_files_unlocked(
-                            sub_survivors, table, hit, partition_by
-                        )
-                    # hit == []: no file can hold a subject — no-op
+                    self._bloom_cow_erase(
+                        spark, table, key_col, subj, bloom_split[0],
+                        partition_by,
+                    )
                 else:
                     cond = None
                     for vals in touched:
@@ -1679,19 +1677,9 @@ class ParquetWarehouse:
                 if bloom_split is not None and bloom_split[1]:
                     pruned_cover = bloom_split
             if pruned_cover is not None:
-                hit, _missed = pruned_cover
-                if hit:
-                    base = self.path(table)
-                    sub = spark.read.option("basePath", base).parquet(
-                        *[os.path.join(base, rel) for rel in hit]
-                    )
-                    sub_survivors = sub.join(
-                        F.broadcast(subj),
-                        sub[key_col] == F.col("__erase_key"),
-                        "left_anti",
-                    )
-                    self._replace_files_unlocked(sub_survivors, table, hit)
-                # hit == []: no file holds any subject — nothing to do
+                self._bloom_cow_erase(
+                    spark, table, key_col, subj, pruned_cover[0]
+                )
             else:
                 # overwrite() already stages to a temp dir, so reading
                 # the old files while writing the new ones is safe
@@ -1709,6 +1697,33 @@ class ParquetWarehouse:
             "touched_partitions": touched_n,
             "purged_versions": purged,
         }
+
+    def _bloom_cow_erase(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_col: str,
+        subj: DataFrame,
+        hit: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Shared cover-pruned copy-on-write rewrite for
+        ``erase_subjects``' plain and partitioned branches: anti-join
+        the hit files' rows against the subjects and commit through the
+        (fence-held) ``_replace_files_unlocked``. ``hit == []`` means
+        no file can hold a subject — nothing to do."""
+        if not hit:
+            return
+        base = self.path(table)
+        sub = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, rel) for rel in hit]
+        )
+        sub_survivors = sub.join(
+            F.broadcast(subj),
+            sub[key_col] == F.col("__erase_key"),
+            "left_anti",
+        )
+        self._replace_files_unlocked(sub_survivors, table, hit, partition_by)
 
     def _write_tombstone(
         self, table: str, batch: str, dirs: list[str], committed: bool

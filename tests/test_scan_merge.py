@@ -73,6 +73,16 @@ def test_scan_scope_parity_and_inode_carry(spark, tmp_path):
         (r.pk, r.val, r.name)
         for r in apply_changes(target, ch, pks=["pk"], version_cols=VC).collect()
     }
+    # PRE-state holders of the changed pks: the only files the scan
+    # scope is allowed to replace
+    base = wh.path("t")
+    holders = {
+        os.path.basename(r["__fp"])
+        for r in spark.read.parquet(base)
+        .select("pk", F.col("_metadata.file_path").alias("__fp"))
+        .filter(F.col("pk").isin([5, 1000]))
+        .collect()
+    }
     n = merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
     got = {(r.pk, r.val, r.name) for r in wh.read(spark, "t").collect()}
     assert got == expect
@@ -80,19 +90,12 @@ def test_scan_scope_parity_and_inode_carry(spark, tmp_path):
     carried = [r for r in before if after.get(r) == before[r]]
     assert carried, "scan scope carried nothing"
     assert n < 2000, "rewrite was not sub-linear"
-    # exactness: only files that held pk 5 or 1000 may have been replaced
-    base = wh.path("t")
-    holders = {
-        os.path.basename(r["__fp"])
-        for r in spark.read.parquet(base)
-        .select("pk", F.col("_metadata.file_path").alias("__fp"))
-        .collect()
-        if r.pk in (5, 1000)
-    }
-    # (post-state holders for pk 5; pk 1000 is deleted — the pre-state
-    # holders are gone from `after` entirely)
     replaced = [r for r in before if r not in after]
     assert replaced, "no file was replaced"
+    # exactness: ONLY files that held pk 5 or 1000 were replaced
+    assert set(replaced) <= holders, (
+        f"scan scope replaced untouched files: {set(replaced) - holders}"
+    )
 
 
 def test_scan_scope_pure_insert_carries_everything(spark, tmp_path):
