@@ -112,6 +112,11 @@ HEADLINE = [
     # are benched below as q132s/q134s on a deterministic 1-in-25
     # document sample, which keeps a cross-round codec timing without
     # letting fixture-grade compute dominate the headline.
+    # Round 11 warehouse faces (q133/q135-q142) follow the q131
+    # precedent: fixture-building dominates their face timings, and the
+    # engine costs they exercise are benched by the dedicated fixture
+    # entries instead (q18p/q18z/q18h/q18s merges, q18d merge-on-read
+    # delete, cdc_stream/cdc_group_stream cycles).
 ]
 
 
@@ -304,6 +309,31 @@ def main() -> None:
     med, best = timed(run_scdc)
     times["q18s_scan_cdc"] = round(med, 3)
     times_min["q18s_scan_cdc"] = round(best, 3)
+    total += med
+
+    # Merge-on-read delete + bloom-pruned materialization (q142's
+    # machinery at bench scale: a 5%-band delete through the _deletes
+    # sidecar, then a materialize that may rewrite ONLY the bloom-hit
+    # files) — regressions to whole-table discovery/rewrite show here.
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_mor_delete_fixture,
+    )
+
+    mor_info: dict[str, int] = {}
+
+    def run_mor() -> None:
+        td = tempfile.mkdtemp(prefix="bench-mor-")
+        try:
+            k, carried, files = run_mor_delete_fixture(spark, sf_dir, td)
+            mor_info.update(
+                keys_applied=k, files_carried=carried, total_files=files
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_mor)
+    times["q18d_mor_delete"] = round(med, 3)
+    times_min["q18d_mor_delete"] = round(best, 3)
     total += med
 
     # Stdlib JPEG decode on a deterministic 1-in-25 document sample

@@ -215,6 +215,15 @@ def merge_and_write(
             "prune_files=True cannot apply to a schema-evolution batch: "
             "every file must rewrite to the evolved layout"
         )
+    if warehouse.pending_deletes(target_table) is not None:
+        # a CDC batch could re-insert a key the _deletes sidecar would
+        # then wrongly mask, and the scoped paths' commit swap would
+        # drop the sidecar (resurrecting every masked row they did NOT
+        # rewrite) — refuse loudly instead of picking a wrong outcome
+        raise ValueError(
+            f"{target_table!r} has pending merge-on-read deletes; run "
+            "materialize_deletes() (or recluster()) before a CDC merge"
+        )
     # An empty batch applies nothing: short-circuit with NO commit at
     # all — every scoped path would otherwise churn a full directory of
     # hard links (or a whole-table rewrite) for a no-op. full_rewrite is
@@ -598,7 +607,9 @@ def _scan_scoped_merge(
     if os.path.isfile(os.path.join(base, BUCKET_SPEC_FILE)):
         return None
     all_rels = set()
-    for dirpath, _dirs, files in os.walk(base):
+    for dirpath, dirs, files in os.walk(base):
+        # hidden dirs (_deletes sidecar) are not table data files
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(dirpath, f), base)

@@ -4111,3 +4111,249 @@ def q140_scan_scoped_merge(spark, sf_dir):
             f"scan-scoped merge wrote {n} rows for a {n_rows}-row table"
         )
     return wh.read(spark, "customer_s")
+
+
+# ---------------------------------------------------------------------------
+# Recluster maintenance rewrite — restoring zone-map pruning on a table
+# whose layout drifted unclustered (S11/S16 composed; the OPTIMIZE /
+# re-cluster maintenance the reference delegates to Snowflake's
+# automatic clustering service, ref :369-408)
+# ---------------------------------------------------------------------------
+
+_Q141_ORACLE = """
+    WITH bounds AS MATERIALIZED (
+        SELECT max(c_custkey) * 1 / 10 AS lo,
+               max(c_custkey) * 3 / 20 AS hi
+        FROM customer
+    ),
+    changes AS MATERIALIZED (
+        SELECT CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               'rchg-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+               o_totalprice + 1000 AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderdate AS _file,
+               o_orderkey AS _rownum
+        FROM orders, bounds
+        WHERE o_custkey BETWEEN bounds.lo AND bounds.hi
+    ),
+    deduped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _file DESC, _rownum DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t
+    FULL OUTER JOIN deduped s ON t.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL OR s.op <> 'D'
+"""
+
+
+@query("q141_recluster_merge_prune", _Q141_ORACLE)
+def q141_recluster_merge_prune(spark, sf_dir):
+    """The RECLUSTER maintenance rewrite end-to-end
+    (``ParquetWarehouse.recluster``): customer lands hash-SCATTERED on
+    its pk with a zone map whose bands all overlap — the layout a table
+    drifts into after thousands of CDC merges, where the zone-scoped
+    path stops pruning and every batch pays the scan-scoped key-column
+    read. The face first PROVES the drift (zone_overlap_split over the
+    batch's narrow band prunes zero files), reclusters back into
+    range-sorted bands, then runs a q131-style narrow merge through the
+    automatic prune path. Driver guards pin the payoff: after
+    reclustering, MOST files must carry their inode through the merge
+    (pruning works again, metadata-only), the rewrite stays sub-linear,
+    and the committed state keeps its zone map. The final table
+    hash-matches the pure-SQL merge restatement — reclustering and
+    pruning change the I/O, never the result."""
+    import shutil
+
+    from .cdc import merge_and_write
+    from .sources.warehouse import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    lo, hi = maxk * 1 / 10, maxk * 3 / 20
+
+    root = _scratch_root("q141", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    # drifted layout: hash-scattered on a pk transform, zone map present
+    # but useless (every file's band spans ~the whole keyspace)
+    wh.overwrite(
+        cust.repartition(16, F.col("c_custkey") % 97), "customer_u"
+    )
+    wh.write_zonemap(spark, "customer_u", ["c_custkey"])
+    band = {"c_custkey": (lo, hi)}
+    split = wh.zone_overlap_split("customer_u", band)
+    if split is None:
+        raise AssertionError("fixture lost its zone map")
+    # at full SF zero files prune on the scattered layout; tiny SFs can
+    # leave a few disjoint by chance, so the drift proof is RELATIVE:
+    # reclustering must strictly grow the pruned set past half the files
+    disjoint_before = len(split[1])
+
+    res = wh.recluster(spark, "customer_u", cluster_partitions=16)
+    overlap, disjoint = wh.zone_overlap_split("customer_u", band)
+    if not (
+        len(disjoint) > disjoint_before
+        and len(disjoint) >= res["files_after"] // 2
+    ):
+        raise AssertionError(
+            f"recluster left wide bands: {len(disjoint)} of "
+            f"{res['files_after']} files prune for a 5% key band "
+            f"(was {disjoint_before} before)"
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.filter(
+        F.col("o_custkey").between(F.lit(lo), F.lit(hi))
+    ).select(
+        F.when(F.col("o_orderkey") % 10 < 2, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("rchg-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("o_totalprice") + 1000).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("_file"),
+        F.col("o_orderkey").alias("_rownum"),
+    )
+
+    def inodes():
+        base = os.path.join(root, "customer_u")
+        return {
+            n: os.stat(os.path.join(base, n)).st_ino
+            for n in os.listdir(base)
+            if n.endswith(".parquet")
+        }
+
+    before = inodes()
+    n_rows = cust.count()
+    n = merge_and_write(
+        wh,
+        "customer_u",
+        wh.read(spark, "customer_u"),
+        changes,
+        pks=["c_custkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    after = inodes()
+    carried = [r for r in before if after.get(r) == before[r]]
+    if len(carried) < len(before) // 2:
+        raise AssertionError(
+            f"post-recluster merge carried only {len(carried)} of "
+            f"{len(before)} files for a 5% key band: pruning is broken"
+        )
+    if not n < n_rows:
+        raise AssertionError(
+            f"merge wrote {n} rows for a {n_rows}-row table: not sub-linear"
+        )
+    if wh.zonemap("customer_u") is None:
+        raise AssertionError("merge dropped the zone map")
+    return wh.read(spark, "customer_u")
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors — instant deletes with zero data-file
+# I/O, materialized by a pruned maintenance rewrite (the erasure
+# fast-path; Iceberg equality-delete shape. Ref :488-492's DELETE is a
+# warehouse-side row delete the reference delegates to Snowflake.)
+# ---------------------------------------------------------------------------
+
+_Q142_ORACLE = """
+    WITH bounds AS MATERIALIZED (
+        SELECT max(doc_id) * 3 / 10 AS lo,
+               max(doc_id) * 7 / 20 AS hi
+        FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents, bounds
+    WHERE doc_id NOT BETWEEN bounds.lo AND bounds.hi
+"""
+
+
+@query("q142_delete_vectors", _Q142_ORACLE)
+def q142_delete_vectors(spark, sf_dir):
+    """MERGE-ON-READ deletion vectors end-to-end
+    (``delete_keys``/``materialize_deletes``): documents lands
+    pk-clustered with a bloom manifest, a 5%-band key set deletes
+    through the ``_deletes`` sidecar, and the face pins the three-phase
+    contract with driver guards — (1) the delete touches ZERO data
+    files (every inode unchanged) yet ``read`` masks the keys
+    immediately; (2) materialization discovers the affected files from
+    the bloom manifest alone and rewrites ONLY those (at least one
+    inode carries); (3) the sidecar is gone and the merge-on-read
+    count equals the materialized count. The returned final state
+    hash-matches the plain SQL anti-filter — the sidecar indirection
+    changes WHEN the I/O happens (0 now, pruned later), never the
+    result."""
+    import shutil
+
+    from .sources.warehouse import DELETES_FILE, ParquetWarehouse
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    maxid = docs.agg(F.max("doc_id")).first()[0]
+    lo, hi = maxid * 3 / 10, maxid * 7 / 20
+
+    root = _scratch_root("q142", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(
+        docs, "docs_mor", cluster_by=["doc_id"], cluster_partitions=8
+    )
+    wh.write_bloom(spark, "docs_mor", ["doc_id"])
+
+    def inodes():
+        base = os.path.join(root, "docs_mor")
+        return {
+            n: os.stat(os.path.join(base, n)).st_ino
+            for n in os.listdir(base)
+            if n.endswith(".parquet")
+        }
+
+    keys = docs.filter(
+        F.col("doc_id").between(F.lit(lo), F.lit(hi))
+    ).select("doc_id")
+    pristine = inodes()
+    wh.delete_keys(spark, "docs_mor", "doc_id", keys)
+    if inodes() != pristine:
+        raise AssertionError(
+            "delete_keys touched a data file: the merge-on-read delete "
+            "must be metadata-only"
+        )
+    mor_count = wh.read(spark, "docs_mor").count()
+
+    res = wh.materialize_deletes(spark, "docs_mor")
+    after = inodes()
+    carried = [n for n in pristine if after.get(n) == pristine[n]]
+    if not carried:
+        raise AssertionError(
+            "materialize rewrote every file for a 5% key band: the "
+            "bloom-pruned discovery is broken"
+        )
+    if res["files_replaced"] == 0 or res["keys_applied"] == 0:
+        raise AssertionError(f"materialize was a no-op: {res}")
+    if os.path.isfile(os.path.join(root, "docs_mor", DELETES_FILE)):
+        raise AssertionError("materialize left the _deletes sidecar behind")
+    final = wh.read(spark, "docs_mor")
+    if final.count() != mor_count:
+        raise AssertionError(
+            "merge-on-read result disagrees with the materialized state"
+        )
+    return final

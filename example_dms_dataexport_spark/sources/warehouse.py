@@ -61,6 +61,25 @@ BLOOM_FILE = "_bloom.json"
 BLOOM_K = 6  # hash functions per key
 BLOOM_BITS_PER_KEY = 16  # ~0.1% false-positive rate at k=6
 
+# Merge-on-read deletion vector: a parquet directory of deleted keys
+# (DELETES_DIR) plus a JSON manifest (DELETES_FILE, the read-path commit
+# point) — see delete_keys / materialize_deletes. The same equality-
+# delete shape as Iceberg's merge-on-read deletes: a delete touches ZERO
+# data files (at 100 TB, the difference between an O(|keys|) sidecar
+# append and a copy-on-write rewrite), and the read path anti-joins the
+# pending keys until a maintenance pass materializes them. Underscore
+# prefixes hide both from parquet file discovery.
+DELETES_DIR = "_deletes"
+DELETES_FILE = "_deletes.json"
+# Above this many pending keys the read-path anti-join is not
+# broadcast-hinted (same driver-protection rationale as the scan-scoped
+# merge's probe cap; AQE picks the shuffled strategy instead).
+DELETE_BROADCAST_KEY_CAP = 2_000_000
+# Above this many pending keys materialize_deletes skips the driver-side
+# bloom probe (its key list collects to the driver) and uses the
+# distributed exact scan discovery instead.
+DELETE_BLOOM_PROBE_CAP = 100_000
+
 # Writer fence for overwrite_versioned (single-writer enforcement).
 LOCK_FILE = "_writer.lock"
 
@@ -91,7 +110,8 @@ class ParquetWarehouse:
         if os.path.isfile(self._version_pointer(table)):
             return self.read_version(spark, table)
         self._reconcile(table)
-        return spark.read.parquet(self.path(table))
+        df = spark.read.parquet(self.path(table))
+        return self._apply_pending_deletes(spark, df, table)
 
     def _tombstone_path(self, table: str) -> str:
         return os.path.join(self.path(table), TOMBSTONE_FILE)
@@ -528,9 +548,14 @@ class ParquetWarehouse:
         table: str,
         replaced: list[str],
         partition_by: list[str] | None = None,
+        allow_pending_deletes: bool = False,
     ) -> dict:
         """``replace_files`` body; the caller MUST hold the table's
-        mutation fence (``erase_subjects`` calls this under its own)."""
+        mutation fence (``erase_subjects`` calls this under its own).
+        ``allow_pending_deletes`` is for ``materialize_deletes`` ONLY —
+        its swap dropping the ``_deletes`` sidecar IS the point there."""
+        if not allow_pending_deletes:
+            self._refuse_pending_deletes(table, "replace_files")
         final = self.path(table)
         if os.path.isfile(self._version_pointer(table)):
             raise ValueError(
@@ -545,7 +570,9 @@ class ParquetWarehouse:
 
         def _list_parquet(root_dir: str) -> set[str]:
             out = set()
-            for dirpath, _dirs, files in os.walk(root_dir):
+            for dirpath, dirs, files in os.walk(root_dir):
+                # hidden dirs (_deletes, dot-temp) are sidecars, not data
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for n in files:
                     if n.endswith(".parquet"):
                         out.add(
@@ -566,6 +593,10 @@ class ParquetWarehouse:
             }
             if any(
                 os.path.isdir(os.path.join(final, n))
+                # underscore/dot dirs are hidden sidecars (_deletes),
+                # not hive partitions — same convention as Spark's
+                # file discovery
+                and not n.startswith(("_", "."))
                 for n in os.listdir(final)
             ):
                 raise ValueError(
@@ -994,7 +1025,9 @@ class ParquetWarehouse:
             return None
         final = self.path(table)
         current = set()
-        for dirpath, _dirs, fnames in os.walk(final):
+        for dirpath, dirs, fnames in os.walk(final):
+            # hidden dirs (_deletes sidecar) are not part of the file set
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for n in fnames:
                 if n.endswith(".parquet"):
                     current.add(
@@ -1142,7 +1175,9 @@ class ParquetWarehouse:
                 # in kept files must be filtered here too or pruning
                 # and filtering disagree on the result set.
                 df = df.filter(F.col(c).isNotNull())
-        return df
+        # same merge-on-read contract as read(): pending delete keys are
+        # masked (versioned tables refuse delete_keys — no-op there)
+        return self._apply_pending_deletes(spark, df, table)
 
     def read_manifest(self, table: str) -> dict:
         """Manifest committed by the last ``write_shards``."""
@@ -1157,6 +1192,249 @@ class ParquetWarehouse:
             return {}
         with open(p) as f:
             return json.load(f)
+
+    # ---- merge-on-read deletion vectors ---------------------------------
+
+    def pending_deletes(self, table: str) -> dict | None:
+        """The table's pending-delete manifest (``{"key_col", "n_keys"}``)
+        or None. The manifest file is the read-path commit point; the
+        keys themselves live in the ``_deletes/`` parquet sidecar."""
+        p = os.path.join(self.path(table), DELETES_FILE)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _refuse_pending_deletes(self, table: str, op: str) -> None:
+        """Mutations that assemble a new table state from the CURRENT
+        files must refuse while deletes are pending: their commit swap
+        does not carry the ``_deletes`` sidecar, so the masked rows in
+        every file the mutation did NOT rewrite would silently
+        resurrect. (``overwrite``/``write_shards`` are exempt by
+        contract: a full replace defines a complete new state, which
+        supersedes the pending set.)"""
+        if self.pending_deletes(table) is not None:
+            raise ValueError(
+                f"{op} on {table!r} with pending merge-on-read deletes "
+                "would drop the _deletes sidecar and resurrect masked "
+                "rows — run materialize_deletes() (or recluster()) first"
+            )
+
+    def _apply_pending_deletes(
+        self, spark: SparkSession, df: DataFrame, table: str
+    ) -> DataFrame:
+        """Anti-join ``df`` against the table's pending delete keys (the
+        merge-on-read half of ``delete_keys``); identity when none are
+        pending. NULL keys never equality-match, so NULL-keyed rows are
+        never masked (``delete_keys`` refuses NULL keys for the same
+        reason)."""
+        dm = self.pending_deletes(table)
+        if dm is None:
+            return df
+        dele = (
+            spark.read.parquet(os.path.join(self.path(table), DELETES_DIR))
+            .select(F.col(dm["key_col"]).alias("__del_key"))
+        )
+        if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
+            dele = F.broadcast(dele)
+        return df.join(
+            dele, df[dm["key_col"]] == F.col("__del_key"), "left_anti"
+        )
+
+    def delete_keys(self, spark: SparkSession, table: str, key_col: str, keys) -> dict:
+        """MERGE-ON-READ delete (Iceberg-style equality-delete sidecar;
+        the instant-path counterpart of ``erase_subjects``' copy-on-write
+        rewrite): record the keys in the ``_deletes`` sidecar and commit
+        the manifest — NO data file is read, written, or relinked, so the
+        delete is O(|keys|) regardless of table size. ``read`` (and
+        ``read_zoned``) then anti-join the pending keys until
+        ``materialize_deletes`` (or ``recluster``) rewrites the affected
+        files and drops the sidecar.
+
+        ``keys``: a one-column DataFrame or a Python list of values.
+        Repeated calls accumulate (set union) under one ``key_col`` —
+        mixing key columns requires materializing first, and NULL keys
+        are refused (NULL never equality-matches; the anti-join would
+        silently delete nothing).
+
+        Consistency contract, ENFORCED: every file-level mutation that
+        assembles a new state from the current files
+        (``replace_files`` — and with it every scoped CDC merge —
+        ``replace_partitions``, ``compact``, ``erase_subjects``) refuses
+        while deletes are pending, because its commit swap would drop
+        the sidecar and resurrect the masked rows; it also means a CDC
+        batch can never re-insert a key the sidecar would then wrongly
+        mask. A full ``overwrite`` remains allowed: it defines a
+        complete new state, superseding the pending set. Versioned and
+        bucketed tables are refused (snapshots are immutable — erase
+        through ``overwrite_versioned``; a bucketed layout's files ARE
+        the bucket spec).
+
+        Crash-safety: the keys stage into a temp dir, swap in, and the
+        manifest rename commits last. A crash before the manifest
+        rename leaves the PREVIOUS pending set authoritative (a
+        first-delete crash leaves an orphan dir no reader consults;
+        the next ``delete_keys`` replaces it)."""
+        final = self.path(table)
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — snapshots are immutable; erase "
+                "through erase_subjects/overwrite_versioned instead"
+            )
+        if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
+            raise ValueError(
+                f"{table!r} is bucketed — rewrite through write_bucketed"
+            )
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._reconcile(table)
+            if isinstance(keys, DataFrame):
+                if len(keys.columns) != 1:
+                    raise ValueError(
+                        "keys DataFrame must have exactly one column"
+                    )
+                kdf = keys.select(F.col(keys.columns[0]).alias(key_col))
+            else:
+                # build with the table's exact column type so the read
+                # path's equality anti-join never compares across types
+                field = spark.read.parquet(final).schema[key_col]
+                from pyspark.sql.types import StructField
+
+                kdf = spark.createDataFrame(
+                    [(k,) for k in keys],
+                    StructType([StructField(key_col, field.dataType, True)]),
+                )
+            ddir = os.path.join(final, DELETES_DIR)
+            dm = self.pending_deletes(table)
+            if dm is not None:
+                if dm["key_col"] != key_col:
+                    raise ValueError(
+                        f"{table!r} already has pending deletes on "
+                        f"{dm['key_col']!r}; one key column at a time — "
+                        "materialize_deletes() before switching"
+                    )
+                kdf = kdf.unionByName(spark.read.parquet(ddir))
+            kdf = kdf.distinct().persist()
+            try:
+                if kdf.filter(F.col(key_col).isNull()).limit(1).count():
+                    raise ValueError(
+                        "NULL delete keys are refused: NULL never "
+                        "equality-matches, so the read-path anti-join "
+                        "would silently delete nothing"
+                    )
+                n_keys = kdf.count()
+                tmp = ddir + f".tmp-{uuid.uuid4().hex}"
+                kdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            finally:
+                kdf.unpersist()
+            old = None
+            if os.path.isdir(ddir):
+                old = ddir + f".old-{uuid.uuid4().hex}"
+                os.replace(ddir, old)
+            os.replace(tmp, ddir)
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+            mtmp = os.path.join(final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}")
+            manifest = {"key_col": key_col, "n_keys": n_keys}
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(mtmp, os.path.join(final, DELETES_FILE))
+        return manifest
+
+    def materialize_deletes(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Apply the pending merge-on-read deletes to the data files and
+        drop the sidecar — the maintenance half of ``delete_keys``.
+
+        File discovery is pruned, never whole-table: with a bloom
+        manifest covering the key column (and a driver-bounded pending
+        set) the hit files come from the manifest alone — zero data
+        I/O for the miss set; otherwise one key-column semi-join scan
+        (the same exact touched-file discovery as the scan-scoped CDC
+        merge) finds them. Only the hit files rewrite (anti-joined
+        survivors through the copy-on-write ``replace_files`` machinery,
+        every other file carried as a hard link), and the commit swap
+        atomically drops the sidecar WITH the rewrite — a crash before
+        the swap leaves the pending set authoritative, so reads stay
+        correct through every window. ``partition_by`` must name the
+        hive layout for partitioned tables (file-grain rewrite inside
+        partitions, like the hybrid merge scope).
+
+        Returns ``replace_files``' stats dict (plus ``"keys_applied"``);
+        a no-op (nothing pending, or no file holds a pending key) only
+        drops the sidecar."""
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            dm = self.pending_deletes(table)
+            if dm is None:
+                return {"keys_applied": 0, "files_replaced": 0}
+            final = self.path(table)
+            key_col = dm["key_col"]
+            ddir = os.path.join(final, DELETES_DIR)
+            dele = spark.read.parquet(ddir)
+            hit = None
+            if dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
+                bm = self.bloom(table)
+                if bm is not None and key_col in bm["cols"]:
+                    key_list = [r[0] for r in dele.collect()]
+                    split = self.bloom_hit_split(
+                        spark, table, key_col, key_list
+                    )
+                    if split is not None:
+                        hit = split[0]
+            if hit is None:
+                # exact distributed discovery: one key-column semi-join
+                # scan (columnar — reads the key column, not the table)
+                probe = dele.select(F.col(key_col))
+                if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
+                    probe = F.broadcast(probe)
+                fps = (
+                    spark.read.parquet(final)
+                    .select(
+                        key_col,
+                        F.col("_metadata.file_path").alias("__fp"),
+                    )
+                    .join(probe, [key_col], "left_semi")
+                    .select("__fp")
+                    .distinct()
+                    .collect()
+                )
+                hit = sorted(
+                    {self.file_rel(r["__fp"], final) for r in fps}
+                )
+            if not hit:
+                # no data file holds a pending key: drop the manifest
+                # (the read-path commit point) first, then the orphan dir
+                os.remove(os.path.join(final, DELETES_FILE))
+                shutil.rmtree(ddir, ignore_errors=True)
+                return {"keys_applied": dm["n_keys"], "files_replaced": 0}
+            sub = spark.read.option("basePath", final).parquet(
+                *[os.path.join(final, rel) for rel in hit]
+            )
+            dk = dele.select(F.col(key_col).alias("__del_key"))
+            if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
+                dk = F.broadcast(dk)
+            survivors = sub.join(
+                dk, sub[key_col] == F.col("__del_key"), "left_anti"
+            )
+            # the assembly swap inside commits the survivors AND drops
+            # the _deletes sidecar (not in the carried-sidecar set) in
+            # ONE atomic rename — materialization cannot tear
+            res = self._replace_files_unlocked(
+                survivors,
+                table,
+                hit,
+                partition_by,
+                allow_pending_deletes=True,
+            )
+            res["keys_applied"] = dm["n_keys"]
+            return res
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
@@ -1219,6 +1497,7 @@ class ParquetWarehouse:
     def _compact_unlocked(
         self, spark: SparkSession, table: str, target_file_bytes: int
     ) -> int:
+        self._refuse_pending_deletes(table, "compact")
         final = self.path(table)
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
             raise ValueError(
@@ -1272,11 +1551,136 @@ class ParquetWarehouse:
             os.replace(btmp, os.path.join(final, BLOOM_FILE))
         return rewritten
 
+    def recluster(
+        self,
+        spark: SparkSession,
+        table: str,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict:
+        """Maintenance rewrite that RESTORES the data-skipping layout of
+        a flat table accreted through CDC merges.
+
+        Every scoped merge writes its merged rows into new files
+        spanning the BATCH's key range, so after thousands of syncs the
+        per-file zone bands widen until they all overlap and manifest
+        pruning degrades: the zone-scoped path stops pruning and every
+        merge falls back to the scan-scoped discovery — still exact,
+        but it reads the full key column per batch (~1 TB of pk values
+        per sync at 100 TB). Reclustering range-sorts the table back
+        into narrow disjoint bands, converting per-batch O(key-column
+        scan) back into O(1) manifest pruning — the same maintenance
+        role as Delta's OPTIMIZE ZORDER or a Snowflake re-cluster.
+
+        ``cluster_by`` defaults to the table's zone-map ``stat_cols``;
+        ``zorder_by`` interleaves instead (multi-column skipping);
+        ``cluster_partitions`` fixes the output file count (default:
+        sized from the current bytes / ``target_file_bytes``). The zone
+        map is rebuilt over the new layout (created over the cluster
+        columns if the table had none — reclustering EXISTS to enable
+        pruning), a bloom manifest is rebuilt with its persisted tuning,
+        and ``_meta.json`` carries over. Pending merge-on-read deletes
+        are APPLIED by the rewrite (the swap drops the sidecar — this is
+        a full-table materialize_deletes for free). Stages to a temp dir
+        and atomically swaps under the mutation fence; versioned,
+        bucketed, and hive-partitioned tables are refused (snapshots are
+        immutable; buckets' layout is their spec; partitioned tables
+        recluster per-partition through compact + the hybrid scope).
+
+        Returns ``{"files_before", "files_after", "rows"}``.
+        """
+        final = self.path(table)
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — write read-optimized snapshots "
+                "with overwrite_versioned(..., cluster_by=...)"
+            )
+        if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
+            raise ValueError(
+                f"{table!r} is bucketed — rewrite through write_bucketed"
+            )
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._reconcile(table)
+            if any(
+                os.path.isdir(os.path.join(final, n))
+                for n in os.listdir(final)
+                if not n.startswith(("_", "."))  # hidden dirs: sidecars
+            ):
+                raise ValueError(
+                    f"{table!r} is hive-partitioned — recluster works on "
+                    "flat tables (partitioned layouts compact per leaf)"
+                )
+            files = [
+                n for n in os.listdir(final) if n.endswith(".parquet")
+            ]
+            if not files:
+                return {"files_before": 0, "files_after": 0, "rows": 0}
+            zm = self.zonemap(table)
+            bm = self.bloom(table)
+            if cluster_by is None and zorder_by is None:
+                if zm is None:
+                    raise ValueError(
+                        f"pass cluster_by/zorder_by: {table!r} has no "
+                        "zone map to default the cluster columns from"
+                    )
+                cluster_by = zm["stat_cols"]
+            df = self._apply_pending_deletes(
+                spark, spark.read.parquet(final), table
+            )
+            if cluster_partitions is None:
+                total = sum(
+                    os.path.getsize(os.path.join(final, n)) for n in files
+                )
+                cluster_partitions = max(
+                    1, math.ceil(total / target_file_bytes)
+                )
+            out = self._apply_layout(
+                df, cluster_by, zorder_by, cluster_partitions
+            )
+            tmp = os.path.join(
+                self.root, f".tmp-{table}-{uuid.uuid4().hex}"
+            )
+            try:
+                out.write.mode("overwrite").parquet(tmp)
+                src_meta = os.path.join(final, META_FILE)
+                if os.path.isfile(src_meta):
+                    shutil.copy(src_meta, os.path.join(tmp, META_FILE))
+                stat_cols = (
+                    zm["stat_cols"] if zm is not None
+                    else list(cluster_by or zorder_by)
+                )
+                new_zm = self._compute_zonemap(spark, tmp, stat_cols)
+                with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                    json.dump(new_zm, f)
+                if bm is not None:
+                    new_bm = self._compute_bloom(
+                        spark, tmp, bm["cols"], bm["bits_per_key"], bm["k"]
+                    )
+                    with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
+                        json.dump(new_bm, f)
+                files_after = len(new_zm["files"])
+                rows = sum(e["n"] for e in new_zm["files"].values())
+                self._commit_swap(tmp, final, table)
+            finally:
+                if os.path.exists(tmp):  # failed before the swap
+                    shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "files_before": len(files),
+            "files_after": files_after,
+            "rows": rows,
+        }
+
     def _leaf_data_dirs(self, table: str) -> list[str]:
         """Directories under ``table`` that directly hold parquet files —
         the table root itself, or each hive partition leaf."""
         out = []
-        for dirpath, _dirs, files in os.walk(self.path(table)):
+        for dirpath, dirs, files in os.walk(self.path(table)):
+            # hidden dirs (_deletes sidecar) never compact as data
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             if any(f.endswith(".parquet") for f in files):
                 out.append(dirpath)
         return out
@@ -1412,6 +1816,7 @@ class ParquetWarehouse:
     ) -> None:
         """``replace_partitions`` body; the caller MUST hold the table's
         mutation fence (``erase_subjects`` calls this under its own)."""
+        self._refuse_pending_deletes(table, "replace_partitions")
         self._drop_zonemap(table)
         self._reconcile(table, writer=True)
         still_present = {
@@ -1519,6 +1924,7 @@ class ParquetWarehouse:
     ) -> dict:
         """``erase_subjects`` body; the caller MUST hold the fence
         matching the table's layout (see ``erase_subjects``)."""
+        self._refuse_pending_deletes(table, "erase_subjects")
         subj = subjects.toDF("__erase_key").filter(
             F.col("__erase_key").isNotNull()
         ).distinct()
@@ -2169,7 +2575,9 @@ class ParquetWarehouse:
             self._version_pointer(table)
         ):
             return False
-        for _dirpath, _dirs, files in os.walk(root):
+        for _dirpath, dirs, files in os.walk(root):
+            # hidden dirs (_deletes sidecar) hold no committed data
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
@@ -2231,11 +2639,18 @@ class ParquetWarehouse:
                         f"member {t!r} is versioned — its snapshots are "
                         "already immutable; commit it with commit_group"
                     )
+                # only parquet files link into the snapshot: a member's
+                # pending merge-on-read deletes would resurrect there
+                self._refuse_pending_deletes(t, "commit_group_linked")
                 self._reconcile(t)
                 src = self.path(t)
                 dst = os.path.join(snap, t)
                 n_linked = 0
-                for dirpath, _dirs, files in os.walk(src):
+                for dirpath, dirs, files in os.walk(src):
+                    # hidden dirs are sidecars, never snapshot data
+                    dirs[:] = [
+                        d for d in dirs if not d.startswith(("_", "."))
+                    ]
                     rel = os.path.relpath(dirpath, src)
                     for fn in files:
                         if not fn.endswith(".parquet"):

@@ -387,3 +387,59 @@ def run_scan_cdc_fixture(
             "scan-scoped bench merge carried no file: pruning regressed"
         )
     return n, carried, len(before)
+
+
+def run_mor_delete_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 16,
+) -> tuple[int, int, int]:
+    """Merge-on-read delete + pruned materialization at bench scale
+    (``delete_keys``/``materialize_deletes`` — the instant-delete path;
+    ref :488-492's DELETE is delegated to Snowflake's engine): customer
+    is stored pk-clustered with a bloom manifest, a 5%-band key set
+    deletes through the ``_deletes`` sidecar with ZERO data-file I/O,
+    and materialization must discover the affected files from the
+    manifest alone and rewrite only those. Benchmarked per-round so a
+    regression to whole-table discovery or rewrite shows up as a
+    wall-time jump. Returns (keys_applied, files_carried, files_total)."""
+    import os as _os
+
+    wh = ParquetWarehouse(_os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    wh.overwrite(
+        cust,
+        "customer",
+        cluster_by=["c_custkey"],
+        cluster_partitions=n_files,
+    )
+    wh.write_bloom(spark, "customer", ["c_custkey"])
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    lo, hi = maxk * 2 / 5, maxk * 9 / 20
+    keys = cust.filter(
+        F.col("c_custkey").between(F.lit(lo), F.lit(hi))
+    ).select("c_custkey")
+
+    def _files():
+        d = wh.path("customer")
+        return {
+            n: _os.stat(_os.path.join(d, n)).st_ino
+            for n in _os.listdir(d)
+            if n.endswith(".parquet")
+        }
+
+    before = _files()
+    wh.delete_keys(spark, "customer", "c_custkey", keys)
+    if _files() != before:
+        raise AssertionError(
+            "merge-on-read delete touched a data file: must be metadata-only"
+        )
+    res = wh.materialize_deletes(spark, "customer")
+    after = _files()
+    carried = sum(1 for r in before if r in after and after[r] == before[r])
+    if carried == 0:
+        raise AssertionError(
+            "materialize rewrote every file: bloom-pruned discovery regressed"
+        )
+    return res["keys_applied"], carried, len(before)

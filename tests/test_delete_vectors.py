@@ -1,0 +1,236 @@
+"""Merge-on-read deletion vectors (delete_keys / materialize_deletes)
+and the recluster maintenance rewrite.
+
+Pins:
+- delete_keys touches ZERO data files (inode proof) while read() and
+  read_zoned() mask the deleted keys — the Iceberg equality-delete
+  shape, the instant-delete path at 100 TB;
+- repeated deletes accumulate (set union) under one key column; NULL
+  keys, a second key column, versioned and bucketed tables refuse;
+- every state-assembling mutation (CDC merge, replace_files, compact,
+  replace_partitions, erase_subjects, commit_group_linked) refuses
+  while deletes are pending — their commit swap would drop the sidecar
+  and resurrect the masked rows;
+- materialize_deletes rewrites ONLY the files holding pending keys
+  (bloom-pruned when a manifest covers the key, exact scan discovery
+  otherwise; inode-carry proof either way) and drops the sidecar
+  atomically with the rewrite;
+- recluster restores narrow disjoint zone bands on a shuffled table
+  (zone_overlap_split prunes nothing before, most files after),
+  preserves content/meta/bloom tuning, and applies pending deletes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from example_dms_dataexport_spark.cdc import merge_and_write
+from example_dms_dataexport_spark.sources.warehouse import (
+    DELETES_DIR,
+    DELETES_FILE,
+    ParquetWarehouse,
+)
+
+
+def _rows(spark, n=2000, files=8):
+    """pk scattered across files (HASH-partitioned on pk: every file
+    spans ~the full key range — the unclustered CDC-accreted shape)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 13).alias("bucket"),
+            F.concat(F.lit("v-"), F.col("id")).alias("name"),
+        )
+        .repartition(files, "pk")
+    )
+
+
+def _inodes(path):
+    return {
+        n: os.stat(os.path.join(path, n)).st_ino
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    }
+
+
+def test_delete_masks_reads_without_touching_files(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", stat_cols=["pk"])
+    before = _inodes(wh.path("t"))
+    got = wh.delete_keys(spark, "t", "pk", [5, 17, 1999])
+    assert got == {"key_col": "pk", "n_keys": 3}
+    assert _inodes(wh.path("t")) == before, "delete touched a data file"
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - {5, 17, 1999}
+    zoned = {r.pk for r in wh.read_zoned(spark, "t", "pk", 0, 30).collect()}
+    assert zoned == set(range(31)) - {5, 17}
+
+
+def test_deletes_accumulate_and_accept_dataframe(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.delete_keys(spark, "t", "pk", [1, 2, 3])
+    kdf = spark.range(3, 6).select(F.col("id").alias("pk"))
+    got = wh.delete_keys(spark, "t", "pk", kdf)
+    assert got["n_keys"] == 5  # {1,2,3} ∪ {3,4,5}
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - {1, 2, 3, 4, 5}
+
+
+def test_delete_refusals(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    with pytest.raises(ValueError, match="NULL delete keys"):
+        wh.delete_keys(spark, "t", "pk", [7, None])
+    wh.delete_keys(spark, "t", "pk", [7])
+    with pytest.raises(ValueError, match="one key column at a time"):
+        wh.delete_keys(spark, "t", "name", ["v-9"])
+    wh.overwrite_versioned(_rows(spark), "v")
+    with pytest.raises(ValueError, match="versioned"):
+        wh.delete_keys(spark, "v", "pk", [1])
+    wh.write_bucketed(_rows(spark), "b", bucket_by=["pk"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed"):
+        wh.delete_keys(spark, "b", "pk", [1])
+
+
+def test_mutations_refuse_while_pending(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.delete_keys(spark, "t", "pk", [10])
+    target = wh.read(spark, "t")
+    changes = spark.createDataFrame(
+        [(10, 0, "back", "f1", 1)],
+        "pk long, bucket long, name string, _file string, _rownum long",
+    ).select("pk", "bucket", "name", "_file", "_rownum")
+    changes = changes.withColumn("op", F.lit("I")).select(
+        "op", "pk", "bucket", "name", "_file", "_rownum"
+    )
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        merge_and_write(
+            wh, "t", target, changes, pks=["pk"],
+            version_cols=["_file", "_rownum"],
+        )
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        wh.compact(spark, "t", target_file_bytes=1)
+    some_file = sorted(_inodes(wh.path("t")))[0]
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        wh.replace_files(target.limit(0), "t", [some_file])
+    subj = spark.createDataFrame([(10,)], "k long")
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        wh.erase_subjects(spark, "t", "pk", subj)
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        wh.commit_group_linked(["t"], "g1")
+
+
+def test_materialize_scan_discovery_carries_disjoint(spark, tmp_path):
+    """No bloom manifest: the exact key-column scan finds the hit files;
+    only those rewrite (clustered table + narrow key band)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _rows(spark), "t", cluster_by=["pk"], cluster_partitions=8,
+        stat_cols=["pk"],
+    )
+    wh.delete_keys(spark, "t", "pk", list(range(100, 120)))
+    before = _inodes(wh.path("t"))
+    res = wh.materialize_deletes(spark, "t")
+    assert res["keys_applied"] == 20
+    assert res["files_replaced"] >= 1
+    after = _inodes(wh.path("t"))
+    carried = [n for n in before if after.get(n) == before[n]]
+    assert carried, "materialize rewrote everything: discovery is broken"
+    assert not os.path.isfile(os.path.join(wh.path("t"), DELETES_FILE))
+    assert not os.path.isdir(os.path.join(wh.path("t"), DELETES_DIR))
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - set(range(100, 120))
+    # the zone map survived the rewrite (maintained, not dropped)
+    assert wh.zonemap("t") is not None
+
+
+def test_materialize_bloom_pruned(spark, tmp_path):
+    """With a bloom manifest covering the key, discovery reads NO data:
+    the hit set comes from the manifest (scattered layout, point keys)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.write_bloom(spark, "t", ["pk"])
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [42])
+    assert miss, "fixture layout puts key 42 in every file?"
+    before = _inodes(wh.path("t"))
+    wh.delete_keys(spark, "t", "pk", [42])
+    res = wh.materialize_deletes(spark, "t")
+    assert res["files_replaced"] == len(hit)
+    after = _inodes(wh.path("t"))
+    for n in miss:
+        assert after[n] == before[n], f"bloom-miss file {n} was rewritten"
+    assert 42 not in {r.pk for r in wh.read(spark, "t").collect()}
+    # manifest maintained through the rewrite: next probe still works
+    assert wh.bloom_hit_split(spark, "t", "pk", [43]) is not None
+
+
+def test_materialize_absent_keys_drops_sidecar_only(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.write_bloom(spark, "t", ["pk"])
+    before = _inodes(wh.path("t"))
+    wh.delete_keys(spark, "t", "pk", [999_999])
+    res = wh.materialize_deletes(spark, "t")
+    assert res == {"keys_applied": 1, "files_replaced": 0}
+    assert _inodes(wh.path("t")) == before
+    assert wh.pending_deletes("t") is None
+    # idempotent no-op when nothing is pending
+    assert wh.materialize_deletes(spark, "t")["keys_applied"] == 0
+
+
+def test_recluster_restores_zone_pruning(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    # shuffled layout: every file spans ~the full pk range
+    wh.overwrite(_rows(spark, files=8), "t", meta={"batch": "b7"})
+    wh.write_zonemap(spark, "t", ["pk"])
+    wh.write_bloom(spark, "t", ["pk"])
+    narrow = {"pk": (100, 120)}
+    split = wh.zone_overlap_split("t", narrow)
+    assert split is not None and len(split[1]) == 0, (
+        "fixture is supposed to be unclustered (no file prunes)"
+    )
+    content_before = {
+        (r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()
+    }
+    res = wh.recluster(spark, "t", cluster_partitions=8)  # defaults to stat_cols
+    assert res["files_before"] == 8 and res["rows"] == 2000
+    overlap, disjoint = wh.zone_overlap_split("t", narrow)
+    assert len(disjoint) >= res["files_after"] - 2, (
+        f"recluster left wide bands: {len(disjoint)} of "
+        f"{res['files_after']} files prune"
+    )
+    assert {
+        (r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()
+    } == content_before
+    assert wh.read_meta("t") == {"batch": "b7"}  # meta carried
+    bm = wh.bloom("t")
+    assert bm is not None and set(bm["files"]) == set(
+        wh.zonemap("t")["files"]
+    ), "bloom manifest not rebuilt over the new layout"
+
+
+def test_recluster_applies_pending_deletes(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", stat_cols=["pk"])
+    wh.delete_keys(spark, "t", "pk", [1, 2, 3])
+    wh.recluster(spark, "t", cluster_by=["pk"], cluster_partitions=4)
+    assert wh.pending_deletes("t") is None
+    assert not os.path.isdir(os.path.join(wh.path("t"), DELETES_DIR))
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - {1, 2, 3}
+
+
+def test_recluster_refusals(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "p", partition_by=["bucket"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        wh.recluster(spark, "p", cluster_by=["pk"])
+    wh.overwrite(_rows(spark), "t")
+    with pytest.raises(ValueError, match="no zone map"):
+        wh.recluster(spark, "t")
