@@ -1460,9 +1460,20 @@ class ParquetWarehouse:
         spark: SparkSession,
         table: str,
         target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small files up to ``target_file_bytes`` per output file.
         Returns the number of directories rewritten.
+
+        ``sort_by`` turns the repack into a PER-PARTITION recluster —
+        the hive-layout counterpart of ``recluster`` (which covers flat
+        tables): every leaf data directory rewrites range-sorted on the
+        given columns, so each partition's files regain narrow disjoint
+        zone bands and the HYBRID merge scope prunes inside partitions
+        again. Unlike the plain repack, a sort pass rewrites EVERY leaf
+        (sortedness cannot be observed from file counts), so it is an
+        explicit maintenance pass, not an idempotent no-op — schedule it
+        the way the flat recluster is scheduled.
 
         Every incremental CDC batch appends a few small files per touched
         partition; after thousands of syncs a 100 TB table degenerates
@@ -1492,10 +1503,16 @@ class ParquetWarehouse:
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
         ):
-            return self._compact_unlocked(spark, table, target_file_bytes)
+            return self._compact_unlocked(
+                spark, table, target_file_bytes, sort_by
+            )
 
     def _compact_unlocked(
-        self, spark: SparkSession, table: str, target_file_bytes: int
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int,
+        sort_by: list[str] | None = None,
     ) -> int:
         self._refuse_pending_deletes(table, "compact")
         final = self.path(table)
@@ -1516,8 +1533,8 @@ class ParquetWarehouse:
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
             n = max(1, math.ceil(total / target_file_bytes))
-            if len(files) <= n:
-                continue
+            if sort_by is None and len(files) <= n:
+                continue  # a sort pass rewrites every leaf (see compact)
             if rewritten == 0:
                 # drop the zone map only when something WILL change, and
                 # before the first rewrite so a crash mid-compaction
@@ -1525,13 +1542,31 @@ class ParquetWarehouse:
                 # compaction keeps a still-valid map (idempotence)
                 self._drop_zonemap(table)
             df = spark.read.parquet(d)
+            if sort_by is not None:
+                # per-partition recluster: one range shuffle scoped to
+                # this leaf's rows, narrow disjoint bands per output file
+                df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            else:
+                df = df.coalesce(n)
             tmp = d + f".compact-{uuid.uuid4().hex}"
-            df.coalesce(n).write.mode("overwrite").parquet(tmp)
+            df.write.mode("overwrite").parquet(tmp)
             old = d + f".old-{uuid.uuid4().hex}"
             os.replace(d, old)
             os.replace(tmp, d)
             shutil.rmtree(old, ignore_errors=True)
             rewritten += 1
+        if (
+            rewritten
+            and stat_cols is None
+            and sort_by is not None
+            and not os.path.isfile(self._version_pointer(table))
+        ):
+            # a sort pass EXISTS to enable pruning: create the map over
+            # the sort columns when the table had none (recluster's
+            # contract, per-partition)
+            stat_cols = sort_by
         if rewritten and stat_cols:
             # a zone-mapped table stays zone-mapped through maintenance:
             # rebuild over the compacted layout (coalesce preserves the
@@ -1550,6 +1585,57 @@ class ParquetWarehouse:
                 json.dump(bm, f)
             os.replace(btmp, os.path.join(final, BLOOM_FILE))
         return rewritten
+
+    # Staging artifacts all carry a dotted stage kind (.tmp-/.old-/
+    # .compact-) and END with a full uuid4 hex (32 chars) — every
+    # staging site uses uuid.uuid4().hex. Nothing the warehouse commits
+    # as live state matches BOTH (snapshots are _vNNNNN, group snaps
+    # cNNNNN, CoW data files cow-<hex8>-part-*.parquet, locks/tokens
+    # have no hex suffix), so the pattern alone identifies an orphan.
+    _ORPHAN_RE = re.compile(r"\.(tmp|old|compact)-.*[0-9a-f]{32}$")
+
+    def vacuum(self, ttl_seconds: float = 24 * 3600) -> list[str]:
+        """Remove crash-orphaned staging artifacts — the temp/displaced
+        dirs (and manifest temp files) a writer that died mid-commit
+        leaves behind: ``.tmp-*``/``.old-*`` staging in the warehouse
+        root, ``*.compact-*``/``*.old-*`` next to leaf data dirs,
+        ``_deletes.tmp-*`` sidecar staging, ``*.json.tmp-*`` manifest
+        temps. Every commit path already cleans up on SUCCESS; vacuum
+        is the janitor for crashes, which otherwise leak disk forever
+        at 100 TB staging sizes.
+
+        Safety: an artifact is removed only when its mtime is older
+        than ``ttl_seconds`` (default 24 h), so a LIVE writer's staging
+        is never touched — vacuum therefore needs no fence and can run
+        alongside writers. The name pattern is exact (dotted stage kind
+        + uuid hex), never matching committed state (snapshot dirs
+        ``_vNNNNN``, group snaps, ``cow-*`` data files, locks).
+        Returns the removed paths relative to the warehouse root."""
+        import time
+
+        cutoff = time.time() - ttl_seconds
+        removed = []
+        for dirpath, dirs, files in os.walk(self.root, topdown=True):
+            for name in [*dirs, *files]:
+                if not self._ORPHAN_RE.search(name):
+                    continue
+                p = os.path.join(dirpath, name)
+                try:
+                    if os.lstat(p).st_mtime > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue  # concurrent cleanup won the race
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    if name in dirs:
+                        dirs.remove(name)  # pruned: don't descend
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+                removed.append(os.path.relpath(p, self.root))
+        return sorted(removed)
 
     def recluster(
         self,

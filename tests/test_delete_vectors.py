@@ -234,3 +234,38 @@ def test_recluster_refusals(spark, tmp_path):
     wh.overwrite(_rows(spark), "t")
     with pytest.raises(ValueError, match="no zone map"):
         wh.recluster(spark, "t")
+
+
+def test_materialize_partitioned(spark, tmp_path):
+    """Partitioned table: the sidecar masks across partitions, scan
+    discovery returns partition-qualified rel paths, and partitions
+    holding no pending key carry every file by inode."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "p", partition_by=["bucket"])
+    dead = {5, 100, 1500}  # buckets 5, 9, 5
+    wh.delete_keys(spark, "p", "pk", sorted(dead))
+    assert dead.isdisjoint({r.pk for r in wh.read(spark, "p").collect()})
+
+    def walk_inodes():
+        out = {}
+        base = wh.path("p")
+        for dirpath, dirs, files in os.walk(base):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in files:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    before = walk_inodes()
+    res = wh.materialize_deletes(spark, "p", partition_by=["bucket"])
+    assert res["keys_applied"] == 3 and res["files_replaced"] >= 1
+    assert wh.pending_deletes("p") is None
+    after = walk_inodes()
+    touched_buckets = {str(k % 13) for k in dead}
+    for rel, ino in before.items():
+        b = rel.split("/")[0].split("=")[1]
+        if b not in touched_buckets:
+            assert after.get(rel) == ino, f"untouched {rel} was rewritten"
+    pks = {r.pk for r in wh.read(spark, "p").collect()}
+    assert pks == set(range(2000)) - dead

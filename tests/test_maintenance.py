@@ -1,0 +1,99 @@
+"""Maintenance passes: per-partition recluster (compact(sort_by=...))
+and crash-orphan vacuum.
+
+Pins:
+- compact(sort_by) rewrites every leaf range-sorted so each hive
+  partition's files regain narrow DISJOINT zone bands (the hybrid merge
+  scope's precondition), creating the zone map over the sort columns
+  when the table had none, and preserving content exactly;
+- plain compact stays an idempotent bin-pack (sortedness is orthogonal);
+- vacuum removes only TTL-expired staging orphans (.tmp-/.old-/
+  .compact- + uuid hex) and never touches live data, manifests, locks,
+  or fresh staging.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+
+def _rows(spark, n=2000, files=4):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 5).alias("bucket"),
+            F.concat(F.lit("m-"), F.col("id")).alias("name"),
+        )
+        .repartition(files, "pk")
+    )
+
+
+def test_compact_sort_by_restores_partition_bands(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    # each partition dir gets ~4 files, each spanning ~the full pk range
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    content = {(r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()}
+    rewritten = wh.compact(spark, "t", target_file_bytes=1, sort_by=["pk"])
+    assert rewritten == 5  # every leaf rewrites on a sort pass
+    zm = wh.zonemap("t")
+    assert zm is not None and zm["stat_cols"] == ["pk"], (
+        "sort pass must create the zone map it exists to enable"
+    )
+    # within each partition dir the files' pk bands must be disjoint
+    by_dir: dict[str, list[tuple[int, int]]] = {}
+    for rel, entry in zm["files"].items():
+        lo, hi = entry["pk"]
+        by_dir.setdefault(os.path.dirname(rel), []).append((lo, hi))
+    multi = {d: sorted(bs) for d, bs in by_dir.items() if len(bs) > 1}
+    assert multi, "fixture produced single-file partitions; no bands to check"
+    for d, bands in multi.items():
+        for (l0, h0), (l1, h1) in zip(bands, bands[1:]):
+            assert h0 < l1, f"{d}: overlapping bands {(l0, h0)} {(l1, h1)}"
+    assert {
+        (r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()
+    } == content
+
+
+def test_plain_compact_still_idempotent(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    assert wh.compact(spark, "t") == 5  # tiny files bin-pack to 1/dir
+    assert wh.compact(spark, "t") == 0  # second pass is a no-op
+
+
+def test_vacuum_removes_expired_orphans_only(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", stat_cols=["pk"])
+    root = wh.root
+    hx = "0123456789abcdef" * 2  # full uuid4 hex (32 chars)
+    orphans = [
+        os.path.join(root, f".tmp-t-{hx}"),
+        os.path.join(root, f".old-t-{hx}"),
+        os.path.join(root, f"t.compact-{hx}"),
+        os.path.join(root, "t", f"_deletes.tmp-{hx}"),
+    ]
+    for d in orphans:
+        os.makedirs(d)
+    orphan_file = os.path.join(root, "t", f"_bloom.json.tmp-{hx}")
+    with open(orphan_file, "w") as f:
+        f.write("{}")
+    # fresh staging (a LIVE writer's temp) must survive a TTL'd vacuum
+    live = os.path.join(root, f".tmp-t-{'f' * 32}")
+    os.makedirs(live)
+    removed = wh.vacuum(ttl_seconds=-5)  # everything is "old enough"
+    # ttl=-5 expires even the live dir; re-create and check TTL respect
+    assert len(removed) == 6
+    for d in orphans:
+        assert not os.path.exists(d)
+    assert not os.path.exists(orphan_file)
+    os.makedirs(live)
+    assert wh.vacuum(ttl_seconds=3600) == []  # too fresh: kept
+    assert os.path.isdir(live)
+    # live state untouched throughout: data, zone map, content
+    assert wh.zonemap("t") is not None
+    assert wh.read(spark, "t").count() == 2000
