@@ -388,6 +388,7 @@ def main() -> None:
         "zone_cdc": zcdc_info,
         "hybrid_cdc": hcdc_info,
         "scan_cdc": scdc_info,
+        "mor_delete": mor_info,
         "queries": times,
         "queries_min": times_min,
         "noise": {

@@ -619,23 +619,31 @@ def _scan_scoped_merge(
     if len(all_rels) <= 1:
         return None  # nothing to prune against
     spark = changes.sparkSession
-    keys = changes.select(*pks).distinct()
-    # broadcast only bounded key sets: a catch-up/backfill batch can
-    # carry millions of distinct pks, and a forced broadcast would blow
-    # the driver where the shuffled semi-join (AQE's choice) completes
-    n_keys = keys.count()
-    if n_keys == 0:
-        return None  # empty batch (merge_and_write short-circuits too)
-    probe = keys if n_keys > _SCAN_BROADCAST_KEY_CAP else F.broadcast(keys)
-    touched_fps = [
-        r["__fp"]
-        for r in spark.read.parquet(base)
-        .select(*pks, F.col("_metadata.file_path").alias("__fp"))
-        .join(probe, pks, "left_semi")
-        .select("__fp")
-        .distinct()
-        .collect()
-    ]
+    # persisted across the count AND the semi-join below — otherwise
+    # every scan-scoped batch pays the key-dedup shuffle twice
+    keys = changes.select(*pks).distinct().persist()
+    try:
+        # broadcast only bounded key sets: a catch-up/backfill batch can
+        # carry millions of distinct pks, and a forced broadcast would
+        # blow the driver where the shuffled semi-join (AQE's choice)
+        # completes
+        n_keys = keys.count()
+        if n_keys == 0:
+            return None  # empty batch (merge_and_write short-circuits too)
+        probe = (
+            keys if n_keys > _SCAN_BROADCAST_KEY_CAP else F.broadcast(keys)
+        )
+        touched_fps = [
+            r["__fp"]
+            for r in spark.read.parquet(base)
+            .select(*pks, F.col("_metadata.file_path").alias("__fp"))
+            .join(probe, pks, "left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        ]
+    finally:
+        keys.unpersist()
     overlap = sorted(
         {ParquetWarehouse.file_rel(fp, base) for fp in touched_fps}
     )

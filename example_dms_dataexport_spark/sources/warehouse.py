@@ -1075,7 +1075,11 @@ class ParquetWarehouse:
         df = spark.read.option("basePath", base).parquet(
             *[os.path.join(base, rel) for rel in hit]
         )
-        return df.filter(F.col(col).isin(keys))
+        df = df.filter(F.col(col).isin(keys))
+        # same merge-on-read contract as read()/read_zoned(): pending
+        # delete keys are masked, so the pruned lookup still returns
+        # exactly what the unpruned read would
+        return self._apply_pending_deletes(spark, df, table)
 
     def _zoned_base(self, table: str, version: int | None) -> str:
         """Directory holding the data AND its zone map: the table dir
@@ -1196,14 +1200,22 @@ class ParquetWarehouse:
     # ---- merge-on-read deletion vectors ---------------------------------
 
     def pending_deletes(self, table: str) -> dict | None:
-        """The table's pending-delete manifest (``{"key_col", "n_keys"}``)
-        or None. The manifest file is the read-path commit point; the
-        keys themselves live in the ``_deletes/`` parquet sidecar."""
+        """The table's pending-delete manifest (``{"key_col", "n_keys",
+        "dir"}``) or None. The manifest file is the SOLE commit point;
+        the keys live in the versioned parquet sidecar dir it names
+        (``_deletes-<hex>``) — each ``delete_keys`` writes a NEW dir and
+        flips the manifest, so a manifest can never name a partially
+        written or mid-swap dir, and superseded dirs linger for
+        in-flight readers until ``vacuum`` sweeps them."""
         p = os.path.join(self.path(table), DELETES_FILE)
         if not os.path.isfile(p):
             return None
         with open(p) as f:
             return json.load(f)
+
+    def _deletes_dir(self, table: str, dm: dict) -> str:
+        # legacy manifests (pre-versioned-dir) named the fixed _deletes
+        return os.path.join(self.path(table), dm.get("dir", DELETES_DIR))
 
     def _refuse_pending_deletes(self, table: str, op: str) -> None:
         """Mutations that assemble a new table state from the CURRENT
@@ -1232,7 +1244,7 @@ class ParquetWarehouse:
         if dm is None:
             return df
         dele = (
-            spark.read.parquet(os.path.join(self.path(table), DELETES_DIR))
+            spark.read.parquet(self._deletes_dir(table, dm))
             .select(F.col(dm["key_col"]).alias("__del_key"))
         )
         if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
@@ -1270,11 +1282,14 @@ class ParquetWarehouse:
         through ``overwrite_versioned``; a bucketed layout's files ARE
         the bucket spec).
 
-        Crash-safety: the keys stage into a temp dir, swap in, and the
-        manifest rename commits last. A crash before the manifest
-        rename leaves the PREVIOUS pending set authoritative (a
-        first-delete crash leaves an orphan dir no reader consults;
-        the next ``delete_keys`` replaces it)."""
+        Crash-safety AND lock-free readers: the accumulated key set is
+        written to a NEW versioned sidecar dir (``_deletes-<hex>``) and
+        the atomic manifest rename is the ONLY commit point — a crash
+        before it leaves the previous pending set authoritative (the
+        staged dir is an orphan no reader consults; ``vacuum`` sweeps
+        it), and a reader holding the prior manifest keeps a fully
+        intact prior dir to read (superseded dirs are swept by
+        ``vacuum`` after its TTL, never unlinked here)."""
         final = self.path(table)
         if os.path.isfile(self._version_pointer(table)):
             raise ValueError(
@@ -1289,23 +1304,28 @@ class ParquetWarehouse:
             table, lock_path=self._mutation_lock_path(table)
         ):
             self._reconcile(table)
+            # both input forms land on the table column's EXACT type so
+            # the read-path equality anti-join never compares across
+            # types (a string-vs-long join coerces through DOUBLE and
+            # mis-matches keys above 2^53); try_cast turns an
+            # unparseable key into NULL — plain cast THROWS under ANSI
+            # mid-write — which the NULL refusal below rejects loudly
+            key_dt = spark.read.parquet(final).schema[key_col].dataType
             if isinstance(keys, DataFrame):
                 if len(keys.columns) != 1:
                     raise ValueError(
                         "keys DataFrame must have exactly one column"
                     )
-                kdf = keys.select(F.col(keys.columns[0]).alias(key_col))
+                kdf = keys.select(
+                    F.col(keys.columns[0]).try_cast(key_dt).alias(key_col)
+                )
             else:
-                # build with the table's exact column type so the read
-                # path's equality anti-join never compares across types
-                field = spark.read.parquet(final).schema[key_col]
                 from pyspark.sql.types import StructField
 
                 kdf = spark.createDataFrame(
                     [(k,) for k in keys],
-                    StructType([StructField(key_col, field.dataType, True)]),
+                    StructType([StructField(key_col, key_dt, True)]),
                 )
-            ddir = os.path.join(final, DELETES_DIR)
             dm = self.pending_deletes(table)
             if dm is not None:
                 if dm["key_col"] != key_col:
@@ -1314,32 +1334,33 @@ class ParquetWarehouse:
                         f"{dm['key_col']!r}; one key column at a time — "
                         "materialize_deletes() before switching"
                     )
-                kdf = kdf.unionByName(spark.read.parquet(ddir))
+                kdf = kdf.unionByName(
+                    spark.read.parquet(self._deletes_dir(table, dm))
+                )
             kdf = kdf.distinct().persist()
+            ndir = f"{DELETES_DIR}-{uuid.uuid4().hex}"
             try:
                 if kdf.filter(F.col(key_col).isNull()).limit(1).count():
                     raise ValueError(
                         "NULL delete keys are refused: NULL never "
                         "equality-matches, so the read-path anti-join "
-                        "would silently delete nothing"
+                        "would silently delete nothing (a NULL here may "
+                        "also be a failed cast to the column's type)"
                     )
                 n_keys = kdf.count()
-                tmp = ddir + f".tmp-{uuid.uuid4().hex}"
-                kdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+                kdf.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(final, ndir)
+                )
             finally:
                 kdf.unpersist()
-            old = None
-            if os.path.isdir(ddir):
-                old = ddir + f".old-{uuid.uuid4().hex}"
-                os.replace(ddir, old)
-            os.replace(tmp, ddir)
-            if old:
-                shutil.rmtree(old, ignore_errors=True)
             mtmp = os.path.join(final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}")
-            manifest = {"key_col": key_col, "n_keys": n_keys}
+            manifest = {"key_col": key_col, "n_keys": n_keys, "dir": ndir}
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(mtmp, os.path.join(final, DELETES_FILE))
+            # superseded sidecar dirs are left for vacuum (in-flight
+            # readers holding the prior manifest may still be scanning
+            # them); the manifest flip above already de-references them
         return manifest
 
     def materialize_deletes(
@@ -1376,8 +1397,7 @@ class ParquetWarehouse:
                 return {"keys_applied": 0, "files_replaced": 0}
             final = self.path(table)
             key_col = dm["key_col"]
-            ddir = os.path.join(final, DELETES_DIR)
-            dele = spark.read.parquet(ddir)
+            dele = spark.read.parquet(self._deletes_dir(table, dm))
             hit = None
             if dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
                 bm = self.bloom(table)
@@ -1410,9 +1430,10 @@ class ParquetWarehouse:
                 )
             if not hit:
                 # no data file holds a pending key: drop the manifest
-                # (the read-path commit point) first, then the orphan dir
+                # (the sole commit point); the de-referenced sidecar
+                # dirs are left for vacuum — in-flight readers holding
+                # this manifest may still be scanning them
                 os.remove(os.path.join(final, DELETES_FILE))
-                shutil.rmtree(ddir, ignore_errors=True)
                 return {"keys_applied": dm["n_keys"], "files_replaced": 0}
             sub = spark.read.option("basePath", final).parquet(
                 *[os.path.join(final, rel) for rel in hit]
@@ -1447,6 +1468,10 @@ class ParquetWarehouse:
         input *reads* the same table, callers should persist/checkpoint the
         merged result first or use ``overwrite``.
         """
+        # in-place partition mutation KEEPS the _deletes sidecar: a
+        # re-inserted key would be silently masked — same refusal as
+        # every other state-assembling mutation
+        self._refuse_pending_deletes(table, "overwrite_partitions")
         self._drop_zonemap(table)
         (
             df.write.mode("overwrite")
@@ -1593,48 +1618,92 @@ class ParquetWarehouse:
     # cNNNNN, CoW data files cow-<hex8>-part-*.parquet, locks/tokens
     # have no hex suffix), so the pattern alone identifies an orphan.
     _ORPHAN_RE = re.compile(r"\.(tmp|old|compact)-.*[0-9a-f]{32}$")
+    # Versioned merge-on-read sidecar dirs; LIVE iff the table's
+    # _deletes.json names them (see pending_deletes).
+    _DELETES_DIR_RE = re.compile(
+        rf"^{re.escape(DELETES_DIR)}-[0-9a-f]{{32}}$"
+    )
 
     def vacuum(self, ttl_seconds: float = 24 * 3600) -> list[str]:
         """Remove crash-orphaned staging artifacts — the temp/displaced
         dirs (and manifest temp files) a writer that died mid-commit
         leaves behind: ``.tmp-*``/``.old-*`` staging in the warehouse
         root, ``*.compact-*``/``*.old-*`` next to leaf data dirs,
-        ``_deletes.tmp-*`` sidecar staging, ``*.json.tmp-*`` manifest
-        temps. Every commit path already cleans up on SUCCESS; vacuum
-        is the janitor for crashes, which otherwise leak disk forever
-        at 100 TB staging sizes.
+        ``*.json.tmp-*`` manifest temps, and merge-on-read sidecar dirs
+        (``_deletes-<hex>``) the current delete manifest no longer
+        references. Every commit path already cleans up on SUCCESS;
+        vacuum is the janitor for crashes and for superseded delete
+        sidecars (which are deliberately left behind as a grace window
+        for in-flight readers), which otherwise leak disk forever at
+        100 TB staging sizes.
 
-        Safety: an artifact is removed only when its mtime is older
-        than ``ttl_seconds`` (default 24 h), so a LIVE writer's staging
-        is never touched — vacuum therefore needs no fence and can run
-        alongside writers. The name pattern is exact (dotted stage kind
-        + uuid hex), never matching committed state (snapshot dirs
-        ``_vNNNNN``, group snaps, ``cow-*`` data files, locks).
-        Returns the removed paths relative to the warehouse root."""
+        Safety, three layers: (1) an artifact is removed only when its
+        mtime is older than ``ttl_seconds`` (default 24 h), so a LIVE
+        writer's staging is never touched — vacuum needs no fence and
+        can run alongside writers; (2) the name pattern is exact
+        (dotted stage kind + full uuid hex), never matching committed
+        state (snapshot dirs ``_vNNNNN``, group snaps, ``cow-*`` data
+        files, locks); (3) a staging DIRECTORY whose displaced-from
+        live path is MISSING is skipped entirely — that is the torn
+        window of a crash between a commit swap's two renames, where
+        the ``.old-*`` dir holds the ONLY copy of the committed data
+        (rename does not touch mtime, so TTL alone cannot protect it);
+        such a state needs manual recovery, and vacuum must never
+        convert it into silent data loss. Returns the removed paths
+        relative to the warehouse root."""
         import time
 
         cutoff = time.time() - ttl_seconds
         removed = []
+
+        def _expired(p: str) -> bool:
+            try:
+                return os.lstat(p).st_mtime <= cutoff
+            except FileNotFoundError:
+                return False  # concurrent cleanup won the race
+
+        def _stem(dirpath: str, name: str) -> str:
+            """The live path this staging artifact was staged FOR /
+            displaced FROM: root-form ``.kind-<rest>[-new]-<hex>`` maps
+            to <rest>; in-tree form ``X.kind-<hex>`` maps to X."""
+            if name.startswith("."):
+                body = name.split("-", 1)[1]  # drop ".kind-"
+                body = body.rsplit("-", 1)[0]  # drop "-<hex>"
+                if body.endswith("-new"):
+                    body = body[: -len("-new")]
+                return os.path.join(dirpath, body)
+            return os.path.join(dirpath, name.rsplit(".", 1)[0])
+
         for dirpath, dirs, files in os.walk(self.root, topdown=True):
-            for name in [*dirs, *files]:
-                if not self._ORPHAN_RE.search(name):
-                    continue
+            for name in list(dirs):
                 p = os.path.join(dirpath, name)
-                try:
-                    if os.lstat(p).st_mtime > cutoff:
+                if self._DELETES_DIR_RE.match(name):
+                    dm_p = os.path.join(dirpath, DELETES_FILE)
+                    live = None
+                    if os.path.isfile(dm_p):
+                        with open(dm_p) as f:
+                            live = json.load(f).get("dir")
+                    if name == live or not _expired(p):
                         continue
-                except FileNotFoundError:
-                    continue  # concurrent cleanup won the race
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                    if name in dirs:
-                        dirs.remove(name)  # pruned: don't descend
+                elif self._ORPHAN_RE.search(name):
+                    if not os.path.exists(_stem(dirpath, name)):
+                        continue  # torn swap: may be the only copy
+                    if not _expired(p):
+                        continue
                 else:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+                dirs.remove(name)  # pruned: don't descend
+                removed.append(os.path.relpath(p, self.root))
+            for name in files:
+                # manifest/pointer temps: never the only copy of data
+                p = os.path.join(dirpath, name)
+                if self._ORPHAN_RE.search(name) and _expired(p):
                     try:
                         os.remove(p)
                     except FileNotFoundError:
-                        pass
-                removed.append(os.path.relpath(p, self.root))
+                        continue
+                    removed.append(os.path.relpath(p, self.root))
         return sorted(removed)
 
     def recluster(

@@ -62,7 +62,8 @@ def test_delete_masks_reads_without_touching_files(spark, tmp_path):
     wh.overwrite(_rows(spark), "t", stat_cols=["pk"])
     before = _inodes(wh.path("t"))
     got = wh.delete_keys(spark, "t", "pk", [5, 17, 1999])
-    assert got == {"key_col": "pk", "n_keys": 3}
+    assert (got["key_col"], got["n_keys"]) == ("pk", 3)
+    assert got["dir"].startswith(DELETES_DIR + "-")
     assert _inodes(wh.path("t")) == before, "delete touched a data file"
     pks = {r.pk for r in wh.read(spark, "t").collect()}
     assert pks == set(range(2000)) - {5, 17, 1999}
@@ -143,7 +144,10 @@ def test_materialize_scan_discovery_carries_disjoint(spark, tmp_path):
     carried = [n for n in before if after.get(n) == before[n]]
     assert carried, "materialize rewrote everything: discovery is broken"
     assert not os.path.isfile(os.path.join(wh.path("t"), DELETES_FILE))
-    assert not os.path.isdir(os.path.join(wh.path("t"), DELETES_DIR))
+    # the rewrite's whole-dir swap drops every versioned sidecar dir
+    assert not [
+        n for n in os.listdir(wh.path("t")) if n.startswith(DELETES_DIR)
+    ]
     pks = {r.pk for r in wh.read(spark, "t").collect()}
     assert pks == set(range(2000)) - set(range(100, 120))
     # the zone map survived the rewrite (maintained, not dropped)
@@ -221,7 +225,9 @@ def test_recluster_applies_pending_deletes(spark, tmp_path):
     wh.delete_keys(spark, "t", "pk", [1, 2, 3])
     wh.recluster(spark, "t", cluster_by=["pk"], cluster_partitions=4)
     assert wh.pending_deletes("t") is None
-    assert not os.path.isdir(os.path.join(wh.path("t"), DELETES_DIR))
+    assert not [
+        n for n in os.listdir(wh.path("t")) if n.startswith(DELETES_DIR)
+    ]
     pks = {r.pk for r in wh.read(spark, "t").collect()}
     assert pks == set(range(2000)) - {1, 2, 3}
 
@@ -269,3 +275,63 @@ def test_materialize_partitioned(spark, tmp_path):
             assert after.get(rel) == ino, f"untouched {rel} was rewritten"
     pks = {r.pk for r in wh.read(spark, "p").collect()}
     assert pks == set(range(2000)) - dead
+
+
+def test_read_bloom_keys_masks_pending(spark, tmp_path):
+    """The third read surface: a bloom-pruned point lookup must return
+    exactly what the unpruned read would — including pending deletes."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.write_bloom(spark, "t", ["pk"])
+    wh.delete_keys(spark, "t", "pk", [42])
+    got = wh.read_bloom_keys(spark, "t", "pk", [42, 43]).collect()
+    assert {r.pk for r in got} == {43}
+
+
+def test_delete_dataframe_keys_cast_to_column_type(spark, tmp_path):
+    """A STRING-typed keys frame against a LONG column must not poison
+    the sidecar with a cross-type set (string-vs-long coerces through
+    DOUBLE at read time and mis-matches keys above 2^53)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    kdf = spark.createDataFrame([("7",), ("8",)], "k string")
+    wh.delete_keys(spark, "t", "pk", kdf)
+    # a later list-typed delete unions cleanly (same LONG type)
+    wh.delete_keys(spark, "t", "pk", [9])
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - {7, 8, 9}
+    with pytest.raises(ValueError, match="NULL delete keys"):
+        wh.delete_keys(
+            spark, "t", "pk",
+            spark.createDataFrame([("not-a-number",)], "k string"),
+        )
+
+
+def test_overwrite_partitions_refuses_while_pending(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "p", partition_by=["bucket"])
+    wh.delete_keys(spark, "p", "pk", [10])
+    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+        wh.overwrite_partitions(
+            _rows(spark, n=10), "p", partition_by=["bucket"]
+        )
+
+
+def test_superseded_sidecars_swept_by_vacuum_not_delete(spark, tmp_path):
+    """Each delete_keys writes a NEW versioned dir and leaves the prior
+    one as a grace window for in-flight readers; vacuum sweeps only the
+    de-referenced dirs and always keeps the manifest's current one."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.delete_keys(spark, "t", "pk", [1])
+    wh.delete_keys(spark, "t", "pk", [2])
+    side = [
+        n for n in os.listdir(wh.path("t")) if n.startswith(DELETES_DIR + "-")
+    ]
+    assert len(side) == 2, "superseded sidecar must linger for readers"
+    removed = wh.vacuum(ttl_seconds=-5)
+    cur = wh.pending_deletes("t")["dir"]
+    assert removed == [os.path.join("t", (set(side) - {cur}).pop())]
+    assert os.path.isdir(os.path.join(wh.path("t"), cur))
+    pks = {r.pk for r in wh.read(spark, "t").collect()}
+    assert pks == set(range(2000)) - {1, 2}

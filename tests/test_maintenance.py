@@ -75,7 +75,7 @@ def test_vacuum_removes_expired_orphans_only(spark, tmp_path):
         os.path.join(root, f".tmp-t-{hx}"),
         os.path.join(root, f".old-t-{hx}"),
         os.path.join(root, f"t.compact-{hx}"),
-        os.path.join(root, "t", f"_deletes.tmp-{hx}"),
+        os.path.join(root, f"t.old-{hx}"),
     ]
     for d in orphans:
         os.makedirs(d)
@@ -97,3 +97,27 @@ def test_vacuum_removes_expired_orphans_only(spark, tmp_path):
     # live state untouched throughout: data, zone map, content
     assert wh.zonemap("t") is not None
     assert wh.read(spark, "t").count() == 2000
+
+
+def test_vacuum_never_removes_torn_swap_remnants(spark, tmp_path):
+    """A crash between a commit swap's two renames leaves the table dir
+    missing and the committed data ONLY in .old-* (rename keeps the old
+    mtime, so TTL cannot protect it) — vacuum must skip such dirs."""
+    import shutil as _sh
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    hx = "ab" * 16
+    old = os.path.join(wh.root, f".old-t-{hx}")
+    tmp = os.path.join(wh.root, f".tmp-t-{hx}")
+    # simulate the torn window: table dir renamed away, tmp staged
+    os.rename(wh.path("t"), old)
+    os.makedirs(tmp)
+    assert wh.vacuum(ttl_seconds=-5) == [], "vacuum ate a torn swap"
+    assert os.path.isdir(old) and os.path.isdir(tmp)
+    # manual recovery, then the same names ARE removable orphans
+    os.rename(old, wh.path("t"))
+    removed = wh.vacuum(ttl_seconds=-5)
+    assert removed == [f".tmp-t-{hx}"]
+    assert wh.read(spark, "t").count() == 2000
+    _sh.rmtree(tmp, ignore_errors=True)
