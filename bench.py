@@ -117,6 +117,9 @@ HEADLINE = [
     # engine costs they exercise are benched by the dedicated fixture
     # entries instead (q18p/q18z/q18h/q18s merges, q18d merge-on-read
     # delete, cdc_stream/cdc_group_stream cycles).
+    # q143 reads the testdata directly (no fixture) — a headline face
+    # like its q46-q58 text-analysis peers.
+    "q143_repetition_filter",
 ]
 
 

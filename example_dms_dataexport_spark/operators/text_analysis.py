@@ -55,6 +55,85 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style repetition gates (Rae et al. 2021 table A1 uses 0.20
+# for the duplicate-2-gram and top-2-gram fractions); integer percent
+# thresholds so the keep decision is cross-multiplied BIGINT arithmetic
+# on both engines — no float fraction ever materializes.
+REP_DUP_MAX_PCT = 20
+REP_TOP_MAX_PCT = 20
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    dup_max_pct: int = REP_DUP_MAX_PCT,
+    top_max_pct: int = REP_TOP_MAX_PCT,
+) -> DataFrame:
+    """Gopher-style INTRA-document repetition filter: per document, the
+    word-2-gram duplication profile — total 2-grams, occurrences beyond
+    each gram's first (``n_dup_2grams``), the most frequent gram's count
+    (``top_2gram_n``) — and an integer-exact ``keep`` gate (reject when
+    duplicates exceed ``dup_max_pct``% of grams or one gram alone
+    exceeds ``top_max_pct``%). Repetition is THE cheap generated/boiler
+    text signal the line-level dedup (q47) cannot see: it fires on
+    repetition WITHIN one document, cross-document frequency stays 1.
+
+    One explode + two aggregations (a (doc, gram) exchange with map-side
+    partial counts — the explode's volume never crosses the wire raw —
+    then a doc_id exchange over one row per distinct gram); documents
+    with <2 tokens keep trivially (zero grams). Tokenization is the
+    shared ``texthash.tokens`` so the DuckDB oracle restates it
+    exactly."""
+    toks = TH.tokens(F.col(text_col))
+    grams = F.when(
+        F.size("_toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        # guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+        # not an empty array, so a 1-token doc would fabricate grams
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), i -> "
+            "concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        )
+    )
+    base = (
+        df.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            grams.alias("_grams"),
+        )
+        # explode_outer keeps <2-token documents as one NULL-gram row
+        .select("doc_id", "n_tokens", F.explode_outer("_grams").alias("gram"))
+    )
+    per_gram = base.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count("*").alias("c")
+    )
+    real = F.col("gram").isNotNull()
+    stats = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.when(real, F.col("c")).otherwise(0)).alias("n_2grams"),
+        F.count(F.when(real, True)).alias("n_distinct"),
+        F.max(F.when(real, F.col("c")).otherwise(0)).alias("top_2gram_n"),
+    )
+    dup = F.col("n_2grams") - F.col("n_distinct")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_2grams").cast("long").alias("n_2grams"),
+        dup.cast("long").alias("n_dup_2grams"),
+        F.col("top_2gram_n").cast("long").alias("top_2gram_n"),
+        (
+            (
+                (100 * dup <= F.lit(dup_max_pct) * F.col("n_2grams"))
+                & (
+                    100 * F.col("top_2gram_n")
+                    <= F.lit(top_max_pct) * F.col("n_2grams")
+                )
+            )
+            | (F.col("n_2grams") == 0)
+        ).alias("keep"),
+    )
+
+
 def quality_lang_gate(
     df: DataFrame,
     text_col: str = "text",

@@ -2945,3 +2945,62 @@ def q138_pps_sample(spark, sf_dir):
         "tok_w",
         F.expr("cum div step").cast("long").alias("pick_slot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filter (Gopher quality rules; the
+# generated/boilerplate-text signal cross-document dedup cannot see)
+# ---------------------------------------------------------------------------
+
+_Q143_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE [toks[i] || ' ' || toks[i + 1]
+                          FOR i IN generate_series(1, len(toks) - 1)]
+               END AS grams
+        FROM t
+    ),
+    pg AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY doc_id, gram
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_2grams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_2gram_n
+        FROM pg GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(s.n_2grams, 0) AS n_2grams,
+           coalesce(s.n_2grams - s.n_distinct, 0) AS n_dup_2grams,
+           coalesce(s.top_2gram_n, 0) AS top_2gram_n,
+           coalesce(
+               100 * (s.n_2grams - s.n_distinct)
+                   <= {text_analysis.REP_DUP_MAX_PCT} * s.n_2grams
+               AND 100 * s.top_2gram_n
+                   <= {text_analysis.REP_TOP_MAX_PCT} * s.n_2grams,
+               TRUE) AS keep
+    FROM g LEFT JOIN s USING (doc_id)
+"""
+
+
+@query("q143_repetition_filter", _Q143_ORACLE)
+def q143_repetition_filter(spark, sf_dir):
+    """Gopher-style intra-document repetition gate
+    (``text_analysis.repetition_stats``): per document, the word-2-gram
+    duplication profile and an integer-exact keep decision (reject when
+    duplicate 2-gram occurrences exceed 20% of all 2-grams, or the
+    single most frequent 2-gram alone does) — the cheap generated-text
+    signal that fires WITHIN one document where cross-document line
+    dedup (q47) sees nothing. Shared tokenization with the oracle;
+    the keep gate cross-multiplies BIGINTs so no float fraction exists
+    to drift between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.repetition_stats(docs)

@@ -87,6 +87,7 @@ PRIORITY = [
     "q140_scan_scoped_merge",
     "q141_recluster_merge_prune",
     "q142_delete_vectors",
+    "q143_repetition_filter",
     # latest driver row is r9 (lowest-numbered fill; entries pushed past
     # slot 50 by new faces simply defer to the r12 rotation)
     "q08_customers_without_orders",

@@ -32,15 +32,34 @@ def start_erasure_stream(
     subject_col: str | None = None,
     partition_by: list[str] | None = None,
     available_now: bool = True,
+    mode: str = "rewrite",
 ) -> StreamingQuery:
     """Erase each micro-batch's subjects (column ``subject_col``,
     default ``key_col``) from ``table``. ``partition_by`` routes the
     delete through the partition-scoped rewrite exactly like a direct
-    ``erase_subjects`` call."""
+    ``erase_subjects`` call.
+
+    ``mode="defer"`` records each batch through the merge-on-read
+    ``delete_keys`` sidecar instead: per-batch cost drops from a
+    partition/file rewrite to O(|batch keys|) with ZERO data-file I/O —
+    the right shape when requests trickle in faster than rewrites
+    amortize — and the subjects stop being readable the instant the
+    batch commits. One scheduled ``materialize_deletes`` (or
+    ``recluster``) then applies the accumulated set in a single pruned
+    rewrite. Same replay argument as the rewrite mode: delete_keys is a
+    set union, so an at-least-once replay converges identically. Note
+    the physical bytes persist until that materialize runs — a
+    hard-deadline compliance clock bounds the materialize schedule, not
+    the stream."""
+    if mode not in ("rewrite", "defer"):
+        raise ValueError(f"mode must be 'rewrite' or 'defer', got {mode!r}")
     subj = subject_col or key_col
 
     def erase_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if mode == "defer":
+            warehouse.delete_keys(spark, table, key_col, batch.select(subj))
             return
         warehouse.erase_subjects(
             spark,

@@ -2567,3 +2567,33 @@ def test_jpeg_color_spark_fixture_matches_rule(spark):
             sum(min(239, max(16, x)) for x in b) + 16 * pads
         ) + 2 * 128 * 64 * bw * bh
         assert r["ac_nonzero"] == sum(1 for x in b if x % 3)
+
+
+# --- repetition filter edge cases -------------------------------------------
+
+
+def test_repetition_stats_edges(spark):
+    from example_dms_dataexport_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # empty: 0 tokens, trivially kept
+            (2, "word"),  # 1 token: ZERO grams (sequence(1,0) guard)
+            (3, "spam " * 50),  # one token repeated: 49 grams, 48 dups
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["n_2grams"] == 0 and got[1]["keep"]
+    assert got[2]["n_tokens"] == 1 and got[2]["n_2grams"] == 0
+    assert got[2]["keep"], "single-token doc must keep trivially"
+    assert got[3]["n_2grams"] == 49
+    assert got[3]["n_dup_2grams"] == 48 and got[3]["top_2gram_n"] == 49
+    assert not got[3]["keep"], "pure repetition must be rejected"
+    # 'the' appears twice -> 2-grams 'over the' vs 'the quick'/'the lazy'
+    # are all distinct: 8 grams, 0 dups, top count 1
+    assert got[4]["n_2grams"] == 8 and got[4]["n_dup_2grams"] == 0
+    assert got[4]["top_2gram_n"] == 1 and got[4]["keep"]

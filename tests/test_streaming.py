@@ -1522,3 +1522,65 @@ def test_cdc_stream_crash_recovery_zone_scoped(spark, tmp_path):
     assert zm is not None
     assert set(zm["files"]) == set(after)
     assert wh.write_zonemap(spark, "t", ["id"]) == zm
+
+
+def test_erasure_stream_defer_mode_accumulates_sidecar(spark, tmp_path):
+    """mode='defer': streamed requests accumulate through the
+    merge-on-read delete_keys sidecar — zero data-file rewrites per
+    batch, subjects unreadable immediately, one materialize applies
+    the whole set."""
+    import os
+    import time
+
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    rows = [(u, f"v{u}") for u in range(20)]
+    wh.overwrite(
+        spark.createDataFrame(rows, "user_id int, val string")
+        .repartition(4, "user_id"),
+        "t",
+    )
+    base = wh.path("t")
+    inodes_before = {
+        n: os.stat(os.path.join(base, n)).st_ino
+        for n in os.listdir(base)
+        if n.endswith(".parquet")
+    }
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(1,), (5,)], "user_id int").coalesce(1)\
+        .write.parquet(str(req / "r0"))
+    spark.createDataFrame([(2,), (6,)], "user_id int").coalesce(1)\
+        .write.parquet(str(req / "r1"))
+
+    stream = (
+        spark.readStream.schema("user_id int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req / "*"))
+    )
+    q = start_erasure_stream(
+        spark, stream, wh, "t", "user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"), mode="defer",
+    )
+    q.awaitTermination(120)
+    q.stop()
+    for _ in range(100):
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+
+    dm = wh.pending_deletes("t")
+    assert dm is not None and dm["n_keys"] == 4
+    assert {
+        n: os.stat(os.path.join(base, n)).st_ino
+        for n in os.listdir(base)
+        if n.endswith(".parquet")
+    } == inodes_before, "defer mode must not touch data files"
+    got = {r.user_id for r in wh.read(spark, "t").collect()}
+    assert got == set(range(20)) - {1, 2, 5, 6}
+    wh.materialize_deletes(spark, "t")
+    assert wh.pending_deletes("t") is None
+    assert {r.user_id for r in wh.read(spark, "t").collect()} == got
