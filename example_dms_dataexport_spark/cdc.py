@@ -98,6 +98,28 @@ def incremental_load(
                     f_.name, F.lit(None).cast(f_.dataType)
                 )
                 evolved = True
+                continue
+            cur = target.schema[f_.name].dataType
+            if cur != f_.dataType:
+                # type evolution is WIDENING-only: every stored value
+                # must be exactly representable in the new type, or the
+                # rewrite silently corrupts history. Anything lossy
+                # (long->double above 2^53, narrowing, string renders)
+                # refuses loudly.
+                if not _is_widening(cur, f_.dataType):
+                    raise ValueError(
+                        f"schema evolution of column {f_.name!r} from "
+                        f"{cur.simpleString()} to "
+                        f"{f_.dataType.simpleString()} is not a lossless "
+                        "widening; only byte<short<int<long, "
+                        "float/int32-or-smaller -> double, and "
+                        "scale/integer-digit-growing decimal changes are "
+                        "supported"
+                    )
+                target = target.withColumn(
+                    f_.name, F.col(f_.name).cast(f_.dataType)
+                )
+                evolved = True
         target = target.select(*schema.fieldNames())
         read_schema = schema
     else:
@@ -343,6 +365,46 @@ def _is_numeric(dt) -> bool:
     from pyspark.sql.types import NumericType
 
     return isinstance(dt, NumericType)
+
+
+def _is_widening(src, dst) -> bool:
+    """True when every ``src`` value is EXACTLY representable in
+    ``dst`` — the safety condition for in-place type evolution:
+    byte<short<int<long; float and <=32-bit integers embed exactly in
+    float64; decimal may grow its scale and/or integer digits. Long ->
+    double is NOT widening (loses precision above 2^53); nothing ->
+    string is NOT widening (rendering is engine-specific); date ->
+    timestamp is NOT widening (implicit-midnight semantics shift)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ladder = (ByteType, ShortType, IntegerType, LongType)
+
+    def rank(dt):
+        for i, t in enumerate(ladder):
+            if isinstance(dt, t):
+                return i
+        return None
+
+    rs, rd = rank(src), rank(dst)
+    if rs is not None and rd is not None:
+        return rd >= rs
+    if isinstance(dst, DoubleType):
+        # float32 and integers up to 32 bits are exact in float64
+        return isinstance(src, FloatType) or (rs is not None and rs <= 2)
+    if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+        return (
+            dst.precision - dst.scale >= src.precision - src.scale
+            and dst.scale >= src.scale
+        )
+    return False
 
 
 # Above this many distinct batch keys the scan-scoped merge's semi-join

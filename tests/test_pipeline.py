@@ -1872,3 +1872,83 @@ def test_group_commit_dataframe_style_sweeps_expired_linked_snaps(
     wh.commit_group({"t": spark.range(7).toDF("k")}, "g")
     assert not os.path.exists(snap1)  # expired AND swept
     assert wh.read_group(spark, "g")["t"].count() == 7
+
+
+def test_cdc_schema_evolution_widens_types(spark, tmp_path, landing):
+    """Type evolution is widening-only: int32->long and float->double
+    rewrite the stored layout losslessly in the same full-rewrite
+    evolution batch that adds columns; lossy changes refuse loudly."""
+    from pyspark.sql.types import FloatType, IntegerType
+
+    narrow = StructType(
+        [
+            StructField("c_custkey", IntegerType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", FloatType()),
+        ]
+    )
+    store, wh = make_env(tmp_path, landing)
+    full_load(spark, store, wh, "erp/customer", schema=narrow)
+    stored = dict(wh.read(spark, "erp_customer").dtypes)
+    assert stored == {"c_custkey": "int", "c_name": "string",
+                      "c_acctbal": "float"}
+
+    widened = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_tier", StringType()),  # widen AND add at once
+        ]
+    )
+    write_file(
+        landing,
+        "erp/customer/20240105-000000001.csv",
+        ["U,2,bob2,22.5,gold", "I,4,dave,40.5,silver"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer", schema=widened)
+    assert msg.startswith("Rows affected")
+    out = wh.read(spark, "erp_customer")
+    assert dict(out.dtypes) == {
+        "c_custkey": "bigint", "c_name": "string",
+        "c_acctbal": "double", "c_tier": "string",
+    }
+    got = {
+        (r.c_custkey, r.c_name, r.c_acctbal, r.c_tier)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "alice", 10.5, None),  # float 10.5 widened exactly
+        (3, "carol", 30.25, None),
+        (2, "bob2", 22.5, "gold"),
+        (4, "dave", 40.5, "silver"),
+    }
+
+    # NARROWING (and any lossy change) refuses loudly
+    write_file(
+        landing, "erp/customer/20240106-000000001.csv", ["U,1,a,1.0,x"]
+    )
+    renarrowed = StructType(
+        [
+            StructField("c_custkey", IntegerType()),  # bigint -> int
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_tier", StringType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="lossless widening"):
+        incremental_load(
+            spark, store, wh, "erp/customer", schema=renarrowed
+        )
+
+    # long -> double is NOT a widening (silent corruption above 2^53)
+    lossy = StructType(
+        [
+            StructField("c_custkey", DoubleType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_tier", StringType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="lossless widening"):
+        incremental_load(spark, store, wh, "erp/customer", schema=lossy)
