@@ -1706,6 +1706,96 @@ class ParquetWarehouse:
                     removed.append(os.path.relpath(p, self.root))
         return sorted(removed)
 
+    def layout_drift(self, table: str, col: str | None = None) -> dict:
+        """Metadata-only layout-drift report for a zone-mapped table —
+        the scheduling signal for ``recluster``/``compact(sort_by=)``,
+        computed from the manifest alone (ZERO data I/O, so it can run
+        every sync cycle even at 100 TB):
+
+        - ``avg_cover``: the average number of file key-bands covering
+          a random point of the keyspace (the "stabbing number" =
+          sum of band widths / covered width). 1.0 is a perfectly
+          disjoint clustered layout; N means a point lookup or a
+          narrow merge band overlaps ~N files, i.e. the zone-scoped
+          merge rewrites ~N files where a clustered layout rewrites 1.
+        - ``max_cover``: the worst point (computed by an O(F log F)
+          boundary sweep), bounding the worst-case prune miss.
+        - ``files``: mapped file count (all-NULL-band files excluded).
+
+        Numeric stat columns only (widths need arithmetic); pass
+        ``col`` to pick one of the mapped columns (default: the first
+        stat column). Raises when the table has no covering map — an
+        unmapped table has nothing to prune with, which is its own
+        signal."""
+        zm = self.zonemap(table)
+        if zm is None:
+            raise ValueError(
+                f"{table!r} has no zone map; write one with "
+                "write_zonemap() before measuring layout drift"
+            )
+        c = col or zm["stat_cols"][0]
+        if c not in zm["stat_cols"]:
+            raise ValueError(
+                f"column {c!r} not in zone map stat_cols {zm['stat_cols']}"
+            )
+        bands = [
+            (e[c][0], e[c][1])
+            for e in zm["files"].values()
+            if e[c][0] is not None and e[c][1] is not None
+        ]
+        if not any(
+            isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            for lo, _hi in bands
+        ):
+            raise ValueError(
+                f"layout_drift needs a numeric stat column; {c!r} bands "
+                "are non-numeric"
+            )
+        if not bands:
+            return {"files": 0, "avg_cover": 0.0, "max_cover": 0}
+        glo = min(lo for lo, _ in bands)
+        ghi = max(hi for _, hi in bands)
+        width = ghi - glo
+        if width == 0:
+            # degenerate single-point keyspace: every band covers it
+            return {
+                "files": len(bands),
+                "avg_cover": float(len(bands)),
+                "max_cover": len(bands),
+            }
+        avg = sum(hi - lo for lo, hi in bands) / width
+        # boundary sweep for the worst stabbing number
+        events = sorted(
+            [(lo, 1) for lo, _ in bands] + [(hi, -1) for _, hi in bands],
+            key=lambda t: (t[0], -t[1]),  # opens before closes at ties
+        )
+        cur = peak = 0
+        for _, d in events:
+            cur += d
+            peak = max(peak, cur)
+        return {
+            "files": len(bands),
+            "avg_cover": round(max(avg, 1e-12), 4),
+            "max_cover": peak,
+        }
+
+    def delete_where(
+        self, spark: SparkSession, table: str, key_col: str, condition
+    ) -> dict:
+        """Predicate form of ``delete_keys``: one key-column scan
+        resolves ``condition`` (a Column or SQL string) to the matching
+        keys, which then delete merge-on-read through the sidecar —
+        still ZERO data-file rewrites; the scan reads only the columns
+        the predicate and key need (column pruning), not the table."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = (
+            spark.read.parquet(self.path(table))
+            .filter(cond)
+            .select(key_col)
+            .distinct()
+        )
+        return self.delete_keys(spark, table, key_col, keys)
+
     def recluster(
         self,
         spark: SparkSession,

@@ -121,3 +121,58 @@ def test_vacuum_never_removes_torn_swap_remnants(spark, tmp_path):
     assert removed == [f".tmp-t-{hx}"]
     assert wh.read(spark, "t").count() == 2000
     _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_layout_drift_signals_recluster(spark, tmp_path):
+    """The metadata-only drift score: ~files on a shuffled layout,
+    ~1.0 after recluster — the scheduling signal, zero data I/O."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _rows(spark, n=4000, files=8).drop("bucket"), "t",
+        stat_cols=["pk"],
+    )
+    drift = wh.layout_drift("t")
+    assert drift["files"] == 8
+    assert drift["avg_cover"] > 4, f"shuffled layout reads clustered: {drift}"
+    assert drift["max_cover"] >= drift["avg_cover"] - 1
+    wh.recluster(spark, "t", cluster_partitions=8)
+    after = wh.layout_drift("t", "pk")
+    assert after["avg_cover"] < 1.2, f"recluster left drift: {after}"
+    assert after["max_cover"] <= 2  # adjacent bands may touch at edges
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in zone map"):
+        wh.layout_drift("t", "name")
+    wh2 = ParquetWarehouse(str(tmp_path / "wh2"))
+    wh2.overwrite(_rows(spark), "u")
+    with _pt.raises(ValueError, match="no zone map"):
+        wh2.layout_drift("u")
+
+
+def test_delete_where_predicate_form(spark, tmp_path):
+    import os as _os
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    before = {
+        n: _os.stat(_os.path.join(wh.path("t"), n)).st_ino
+        for n in _os.listdir(wh.path("t"))
+        if n.endswith(".parquet")
+    }
+    res = wh.delete_where(spark, "t", "pk", "pk % 100 = 7 AND bucket < 3")
+    assert res["n_keys"] == {
+        r.pk
+        for r in _rows(spark).filter("pk % 100 = 7 AND bucket < 3").collect()
+    }.__len__()
+    assert {
+        n: _os.stat(_os.path.join(wh.path("t"), n)).st_ino
+        for n in _os.listdir(wh.path("t"))
+        if n.endswith(".parquet")
+    } == before, "delete_where touched a data file"
+    got = {r.pk for r in wh.read(spark, "t").collect()}
+    assert got == {
+        r.pk
+        for r in _rows(spark).filter(
+            "NOT (pk % 100 = 7 AND bucket < 3)"
+        ).collect()
+    }
