@@ -1316,9 +1316,38 @@ class ParquetWarehouse:
                     raise ValueError(
                         "keys DataFrame must have exactly one column"
                     )
-                kdf = keys.select(
-                    F.col(keys.columns[0]).try_cast(key_dt).alias(key_col)
-                )
+                src = keys.columns[0]
+                src_dt = keys.schema[src].dataType
+                if src_dt != key_dt:
+                    # the cast must be LOSSLESS per value: try_cast
+                    # silently truncates e.g. double 7.9 -> bigint 7,
+                    # which would delete a key the caller never named.
+                    # A value is lossless iff it round-trips; NULLs
+                    # (unparseable) flow on to the NULL refusal below.
+                    pair = keys.select(
+                        F.col(src).alias("__src"),
+                        F.col(src).try_cast(key_dt).alias(key_col),
+                    )
+                    lossy = pair.filter(
+                        F.col("__src").isNotNull()
+                        & F.col(key_col).isNotNull()
+                        & (
+                            F.col(key_col).try_cast(src_dt)
+                            != F.col("__src")
+                        )
+                    ).limit(1)
+                    bad = [r["__src"] for r in lossy.collect()]
+                    if bad:
+                        raise ValueError(
+                            f"delete key {bad[0]!r} "
+                            f"({src_dt.simpleString()}) is not exactly "
+                            f"representable as the table's "
+                            f"{key_dt.simpleString()} key — refusing a "
+                            "lossy cast that would delete a different key"
+                        )
+                    kdf = pair.select(key_col)
+                else:
+                    kdf = keys.select(F.col(src).alias(key_col))
             else:
                 from pyspark.sql.types import StructField
 
@@ -1677,16 +1706,27 @@ class ParquetWarehouse:
         for dirpath, dirs, files in os.walk(self.root, topdown=True):
             for name in list(dirs):
                 p = os.path.join(dirpath, name)
-                if self._DELETES_DIR_RE.match(name):
+                if self._DELETES_DIR_RE.match(name) or name == DELETES_DIR:
+                    # versioned sidecar dirs, plus the legacy FIXED
+                    # '_deletes' (pre-versioned manifests carry no
+                    # 'dir' key and mean exactly that dir)
                     dm_p = os.path.join(dirpath, DELETES_FILE)
                     live = None
                     if os.path.isfile(dm_p):
                         with open(dm_p) as f:
-                            live = json.load(f).get("dir")
+                            live = json.load(f).get("dir", DELETES_DIR)
                     if name == live or not _expired(p):
                         continue
                 elif self._ORPHAN_RE.search(name):
-                    if not os.path.exists(_stem(dirpath, name)):
+                    stem = _stem(dirpath, name)
+                    # a _deletes* staging stem is derived metadata,
+                    # never the only copy of table data — the torn-swap
+                    # guard below is for DATA dirs (legacy
+                    # '_deletes.tmp-*' would otherwise leak forever
+                    # once its fixed stem is gone)
+                    if os.path.basename(stem) != DELETES_DIR and not (
+                        os.path.exists(stem)
+                    ):
                         continue  # torn swap: may be the only copy
                     if not _expired(p):
                         continue
@@ -1713,11 +1753,15 @@ class ParquetWarehouse:
         every sync cycle even at 100 TB):
 
         - ``avg_cover``: the average number of file key-bands covering
-          a random point of the keyspace (the "stabbing number" =
-          sum of band widths / covered width). 1.0 is a perfectly
-          disjoint clustered layout; N means a point lookup or a
-          narrow merge band overlaps ~N files, i.e. the zone-scoped
-          merge rewrites ~N files where a clustered layout rewrites 1.
+          a random COVERED point of the keyspace (the "stabbing
+          number" = sum of band widths / width of their union — gaps
+          between bands don't dilute the score). 1.0 is a perfectly
+          disjoint clustered layout (regardless of gaps); N means a
+          point lookup or a narrow merge band overlaps ~N files, i.e.
+          the zone-scoped merge rewrites ~N files where a clustered
+          layout rewrites 1. When every band is a single point (a
+          file holding one distinct key) the measure is zero on both
+          sides and ``avg_cover`` falls back to the sweep's peak.
         - ``max_cover``: the worst point (computed by an O(F log F)
           boundary sweep), bounding the worst-case prune miss.
         - ``files``: mapped file count (all-NULL-band files excluded).
@@ -1743,39 +1787,42 @@ class ParquetWarehouse:
             for e in zm["files"].values()
             if e[c][0] is not None and e[c][1] is not None
         ]
-        if not any(
-            isinstance(lo, (int, float)) and not isinstance(lo, bool)
-            for lo, _hi in bands
+        if not bands:
+            # every mapped file is all-NULL for this column
+            return {"files": 0, "avg_cover": 0.0, "max_cover": 0}
+        if not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for lo, hi in bands
+            for v in (lo, hi)
         ):
             raise ValueError(
                 f"layout_drift needs a numeric stat column; {c!r} bands "
                 "are non-numeric"
             )
-        if not bands:
-            return {"files": 0, "avg_cover": 0.0, "max_cover": 0}
-        glo = min(lo for lo, _ in bands)
-        ghi = max(hi for _, hi in bands)
-        width = ghi - glo
-        if width == 0:
-            # degenerate single-point keyspace: every band covers it
-            return {
-                "files": len(bands),
-                "avg_cover": float(len(bands)),
-                "max_cover": len(bands),
-            }
-        avg = sum(hi - lo for lo, hi in bands) / width
-        # boundary sweep for the worst stabbing number
+        # one boundary sweep gives both the worst stabbing number and
+        # the measure of the bands' UNION (the avg denominator — gaps
+        # between bands must not dilute the score)
         events = sorted(
             [(lo, 1) for lo, _ in bands] + [(hi, -1) for _, hi in bands],
             key=lambda t: (t[0], -t[1]),  # opens before closes at ties
         )
         cur = peak = 0
-        for _, d in events:
+        covered = 0.0
+        prev = None
+        for pos, d in events:
+            if cur > 0 and prev is not None:
+                covered += pos - prev
+            prev = pos
             cur += d
             peak = max(peak, cur)
+        total = sum(hi - lo for lo, hi in bands)
+        # all-point bands: measure is zero on both sides; the sweep's
+        # peak (coincident points counted, distinct points 1) IS the
+        # stabbing number there
+        avg = total / covered if covered > 0 else float(peak)
         return {
             "files": len(bands),
-            "avg_cover": round(max(avg, 1e-12), 4),
+            "avg_cover": round(avg, 4),
             "max_cover": peak,
         }
 
@@ -1786,13 +1833,13 @@ class ParquetWarehouse:
         resolves ``condition`` (a Column or SQL string) to the matching
         keys, which then delete merge-on-read through the sidecar —
         still ZERO data-file rewrites; the scan reads only the columns
-        the predicate and key need (column pruning), not the table."""
+        the predicate and key need (column pruning), not the table.
+        The scan goes through ``read`` so it sees exactly what a reader
+        sees: pending tombstone cleanup applied, already-deleted keys
+        masked (not redundantly re-unioned)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         keys = (
-            spark.read.parquet(self.path(table))
-            .filter(cond)
-            .select(key_col)
-            .distinct()
+            self.read(spark, table).filter(cond).select(key_col).distinct()
         )
         return self.delete_keys(spark, table, key_col, keys)
 

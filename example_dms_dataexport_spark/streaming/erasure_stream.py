@@ -53,6 +53,12 @@ def start_erasure_stream(
     the stream."""
     if mode not in ("rewrite", "defer"):
         raise ValueError(f"mode must be 'rewrite' or 'defer', got {mode!r}")
+    if mode == "defer" and partition_by is not None:
+        raise ValueError(
+            "partition_by has no effect in mode='defer' (delete_keys is "
+            "layout-agnostic); pass it to the scheduled "
+            "materialize_deletes instead"
+        )
     subj = subject_col or key_col
 
     def erase_batch(batch: DataFrame, batch_id: int) -> None:

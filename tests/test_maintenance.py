@@ -176,3 +176,32 @@ def test_delete_where_predicate_form(spark, tmp_path):
             "NOT (pk % 100 = 7 AND bucket < 3)"
         ).collect()
     }
+
+
+def test_layout_drift_gaps_and_points(spark, tmp_path):
+    """Gaps between disjoint bands must not dilute the score (union
+    denominator), and all-point bands fall back to the sweep's peak."""
+    import json
+
+    from example_dms_dataexport_spark.sources.warehouse import ZONEMAP_FILE
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, files=2).drop("bucket"), "t", stat_cols=["pk"])
+    zm_path = os.path.join(wh.path("t"), ZONEMAP_FILE)
+    with open(zm_path) as f:
+        zm = json.load(f)
+    names = sorted(zm["files"])
+    # two disjoint bands separated by a huge gap: perfectly clustered
+    zm["files"][names[0]]["pk"] = [0, 10]
+    zm["files"][names[1]]["pk"] = [1000, 1010]
+    with open(zm_path, "w") as f:
+        json.dump(zm, f)
+    d = wh.layout_drift("t")
+    assert d["avg_cover"] == 1.0 and d["max_cover"] == 1, d
+    # all-point bands: distinct single-key files are clustered (peak 1)
+    zm["files"][names[0]]["pk"] = [5, 5]
+    zm["files"][names[1]]["pk"] = [9, 9]
+    with open(zm_path, "w") as f:
+        json.dump(zm, f)
+    d = wh.layout_drift("t")
+    assert d["avg_cover"] == 1.0 and d["max_cover"] == 1, d
