@@ -1826,6 +1826,39 @@ class ParquetWarehouse:
             "max_cover": peak,
         }
 
+    def compaction_debt(
+        self, table: str, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """Metadata-only compaction advisor — ``layout_drift``'s
+        bin-packing sibling, and together with it the complete
+        maintenance-scheduler signal set (both run every sync cycle at
+        zero data I/O): per leaf data directory, how many files exist
+        versus how many ``compact`` would leave at
+        ``target_file_bytes``. ``excess_files`` is the total small-file
+        debt (what a compaction pass would eliminate);
+        ``leaves_over_target`` is how many directories a plain
+        ``compact`` would actually rewrite. Pure os.stat over the
+        listing — the 100 TB failure mode this schedules against is
+        scan planning + open() overhead from millions of
+        CDC-accumulated small files, which grows silently until reads
+        degrade."""
+        leaves = over = files = excess = 0
+        for d in self._leaf_data_dirs(table):
+            names = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            total = sum(os.path.getsize(os.path.join(d, f)) for f in names)
+            ideal = max(1, math.ceil(total / target_file_bytes))
+            leaves += 1
+            files += len(names)
+            if len(names) > ideal:
+                over += 1
+                excess += len(names) - ideal
+        return {
+            "leaves": leaves,
+            "leaves_over_target": over,
+            "files": files,
+            "excess_files": excess,
+        }
+
     def delete_where(
         self, spark: SparkSession, table: str, key_col: str, condition
     ) -> dict:

@@ -205,3 +205,20 @@ def test_layout_drift_gaps_and_points(spark, tmp_path):
         json.dump(zm, f)
     d = wh.layout_drift("t")
     assert d["avg_cover"] == 1.0 and d["max_cover"] == 1, d
+
+
+def test_compaction_debt_advisor(spark, tmp_path):
+    """Metadata-only small-file debt: counts match what compact then
+    actually rewrites, and a compacted table reports zero debt."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    debt = wh.compaction_debt("t", target_file_bytes=1 << 30)
+    assert debt["leaves"] == 5 and debt["leaves_over_target"] == 5
+    assert debt["files"] == debt["excess_files"] + 5  # ideal is 1/leaf
+    rewritten = wh.compact(spark, "t", target_file_bytes=1 << 30)
+    assert rewritten == debt["leaves_over_target"]
+    after = wh.compaction_debt("t", target_file_bytes=1 << 30)
+    assert after == {
+        "leaves": 5, "leaves_over_target": 0,
+        "files": 5, "excess_files": 0,
+    }
