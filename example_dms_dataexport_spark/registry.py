@@ -32,70 +32,14 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 11 window: q133 re-checks FIRST (its r10 row was red on the
-# oracle's HUGEINT cast, fixed this round), then the 34 queries whose
-# latest driver row is r8 (the documented r10 rotation remainder —
-# every one green in the local exact-mode sweeps since), then any faces
-# new this round, then the lowest-numbered r9-cohort rows fill the
-# remaining slots. After this round no query's latest driver row is
-# older than r9 (tools/check_freshness.py enforces the floor). Seed the
-# r12 rotation with the r9 cohort's remainder.
+# Round 12 window: ALL 44 queries whose latest green driver row is r9
+# (the r11 rotation remainder — the freshness floor is N-2, so every one
+# must re-check this round or round 13 fails `tools/check_freshness.py`),
+# then faces new this round (appended as they land; the window is 50, so
+# at most 6 new faces fit). After this round no query's latest driver
+# row is older than r10. Seed the r13 rotation with the r10 cohort.
 PRIORITY = [
-    # red in r10 (oracle cast defect, engine was correct) — re-check first
-    "q133_group_cycle_consistency",
-    # latest driver row is r8 (lowest-numbered first)
-    "q49_incremental_rollup",
-    "q53_range_join_windows",
-    "q62_funnel_stages",
-    "q64_resample_ffill",
-    "q65_trailing_hour_avg",
-    "q68_quality_audit",
-    "q69_skew_report",
-    "q74_scd2_history",
-    "q75_scd2_point_in_time",
-    "q76_snapshot_diff",
-    "q79_event_debounce",
-    "q80_bloom_semi_join",
-    "q81_bpe_merges",
-    "q87_sketch_accuracy",
-    "q88_bigram_logprob",
-    "q89_retention_cohorts",
-    "q90_value_deciles",
-    "q91_event_path_patterns",
-    "q92_sketch_merge_accuracy",
-    "q93_rolling_active_users",
-    "q94_value_trend_regression",
-    "q95_source_token_entropy",
-    "q96_value_outliers",
-    "q97_weekly_value_wow",
-    "q98_cross_source_dup_matrix",
-    "q108_image_decode",
-    "q109_salted_join_revenue",
-    "q110_time_travel_diff",
-    "q111_cluster_canonical",
-    "q112_kll_quantile_accuracy",
-    "q113_jdbc_roundtrip",
-    "q114_bucketed_join_revenue",
-    "q115_hybrid_retrieval",
-    "q116_source_kl_divergence",
-    # new in round 11, never driver-checked (inserted as they land)
-    "q135_stream_group_cycle",
-    "q136_bloom_point_lookup",
-    "q137_hybrid_merge_prune",
-    "q138_pps_sample",
-    "q139_bloom_partitioned_erase",
-    "q140_scan_scoped_merge",
-    "q141_recluster_merge_prune",
-    "q142_delete_vectors",
-    "q143_repetition_filter",
-    # latest driver row is r9 (lowest-numbered fill; entries pushed past
-    # slot 50 by new faces simply defer to the r12 rotation)
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q12_part_name_parsing",
-    "q13_file_prefix_grouping",
-    "q14_json_props",
-    "q15_orders_by_month",
+    # latest driver row is r9 (lowest-numbered first) — all 44 MUST fit
     "q16_hourly_event_windows",
     "q18_cdc_merge",
     "q20_corpus_profile",
@@ -105,6 +49,43 @@ PRIORITY = [
     "q26_simhash_pairs",
     "q27_ngram_jaccard_pairs",
     "q28_knn_brute",
+    "q29_knn_lsh",
+    "q30_knn_ivf",
+    "q31_embedding_dup_pairs",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q35_length_percentiles",
+    "q36_rollup_acctbal",
+    "q37_repetition_ratio",
+    "q38_cleaning_pipeline",
+    "q40_pii_redaction",
+    "q41_vocab_df",
+    "q43_dedup_clusters",
+    "q44_decontaminate",
+    "q45_stratified_sample",
+    "q54_profile_orders",
+    "q59_histogram_totalprice",
+    "q60_pivot_lang_source",
+    "q61_cube_flag_status",
+    "q63_intersect_except",
+    "q66_grouping_sets",
+    "q77_unpivot_metrics",
+    "q117_cdc_backlog",
+    "q118_chunk_integrity",
+    "q119_user_erasure_audit",
+    "q120_pack_efficiency",
+    "q121_scd2_current_view",
+    "q122_png_decode",
+    "q123_erasure_execution",
+    "q124_scd2_delta_apply",
+    "q125_group_commit_join",
+    "q126_orc_stage_roundtrip",
+    "q127_xml_stage_roundtrip",
+    "q128_zonemap_prune",
+    "q129_declared_layout_pipeline",
+    "q130_zorder_multicol_prune",
+    # new in round 12, never driver-checked (inserted as they land;
+    # hard cap 6 — slots 45-50 of the window)
 ]
 
 
