@@ -237,14 +237,39 @@ def merge_and_write(
             "prune_files=True cannot apply to a schema-evolution batch: "
             "every file must rewrite to the evolved layout"
         )
-    if warehouse.pending_deletes(target_table) is not None:
-        # a CDC batch could re-insert a key the _deletes sidecar would
-        # then wrongly mask, and the scoped paths' commit swap would
-        # drop the sidecar (resurrecting every masked row they did NOT
-        # rewrite) — refuse loudly instead of picking a wrong outcome
-        raise ValueError(
-            f"{target_table!r} has pending merge-on-read deletes; run "
-            "materialize_deletes() (or recluster()) before a CDC merge"
+    # MERGE-ON-READ FOLD: a pending _deletes sidecar no longer stalls
+    # ingestion (the r11 weak mark: defer-mode GDPR serialized every
+    # sync behind a manual materialize). When the merge's primary keys
+    # EQUAL the pending key columns, the pending set folds into the
+    # merge itself: (a) every sub-target masks the pending keys, so
+    # rewritten files physically drop the masked rows; (b) the sidecar
+    # is rewritten to pending ⊖ batch-keys, so a key the batch
+    # re-inserts stops being masked — sound because every scoped path's
+    # touched set provably covers ALL rows holding a batch pk (partition
+    # cols are stable per pk; a zone band holding a batch pk overlaps
+    # the batch's range; the scan discovery is an exact pk semi-join),
+    # so no masked row whose key leaves the sidecar survives unrewritten.
+    # With DIFFERENT key columns none of those scoping guarantees apply
+    # (a re-asserted subject key may mask rows in untouched files), so
+    # that combination still refuses loudly.
+    fold_minus = None
+    dm = warehouse.pending_deletes(target_table)
+    if dm is not None:
+        kcols = warehouse._delete_key_cols(dm)
+        if set(kcols) != set(pks):
+            raise ValueError(
+                f"{target_table!r} has pending merge-on-read deletes on "
+                f"{kcols!r}, which differ from the merge's primary keys "
+                f"{pks!r} — the merge cannot prove the masked rows it "
+                "would unmask are all in its rewrite scope; run "
+                "materialize_deletes() (or recluster()) first"
+            )
+        fold_minus = changes.select(*kcols).distinct()
+        # defensive re-mask: incremental_load's target comes from
+        # warehouse.read (already masked); a direct caller's may not be.
+        # The anti-join is idempotent and the pending set is bounded.
+        target = warehouse._apply_pending_deletes(
+            changes.sparkSession, target, target_table
         )
     # An empty batch applies nothing: short-circuit with NO commit at
     # all — every scoped path would otherwise churn a full directory of
@@ -273,6 +298,7 @@ def merge_and_write(
                 partition_by,
                 touched,
                 require=prune_files is True,
+                fold_minus=fold_minus,
             )
             if n is not None:
                 return n
@@ -318,7 +344,10 @@ def merge_and_write(
         )
         merged = merged.persist()
         n = merged.count()  # materialize before overwriting what we read
-        warehouse.replace_partitions(merged, target_table, partition_by, touched)
+        warehouse.replace_partitions(
+            merged, target_table, partition_by, touched,
+            carry_deletes_minus=fold_minus,
+        )
         merged.unpersist()
         return n
     if not full_rewrite and prune_files is not False:
@@ -330,6 +359,7 @@ def merge_and_write(
             pks,
             version_cols,
             require=prune_files is True,
+            fold_minus=fold_minus,
         )
         if n is not None:  # committed by replace_files inside the helper
             return n
@@ -337,7 +367,8 @@ def merge_and_write(
         # via a pk-column semi-join scan — the layout-independent
         # rewrite-amplification fix for unclustered flat targets
         n = _scan_scoped_merge(
-            warehouse, target_table, target, changes, pks, version_cols
+            warehouse, target_table, target, changes, pks, version_cols,
+            fold_minus=fold_minus,
         )
         if n is not None:
             return n
@@ -473,6 +504,7 @@ def _hybrid_scoped_merge(
     partition_by: list[str],
     touched: list[tuple],
     require: bool = False,
+    fold_minus=None,
 ) -> int | None:
     """HYBRID partition+file merge scope for hive-partitioned targets:
     partition pruning picks the candidate directories (the batch's
@@ -617,13 +649,20 @@ def _hybrid_scoped_merge(
             *[os.path.join(base, rel) for rel in overlap]
         )
         sub_target = sub_target.select(*target.columns)
+        # pending-delete fold: the raw file read bypasses the read mask,
+        # so the masked rows must be dropped here or the rewrite would
+        # resurrect them (merge_and_write's fold contract)
+        sub_target = warehouse._apply_pending_deletes(
+            spark, sub_target, target_table
+        )
     else:  # pure inserts relative to the touched partitions' bands
         sub_target = target.limit(0)
     merged = apply_changes(
         sub_target, changes, pks=pks, version_cols=version_cols
     )
     res = warehouse.replace_files(
-        merged, target_table, overlap, partition_by=partition_by
+        merged, target_table, overlap, partition_by=partition_by,
+        carry_deletes_minus=fold_minus,
     )
     return res["rows_written"]
 
@@ -635,6 +674,7 @@ def _scan_scoped_merge(
     changes,
     pks: list[str],
     version_cols: list[str],
+    fold_minus=None,
 ) -> int | None:
     """SCAN-scoped merge for flat targets with NO zone map (or whose
     map declined): discover the EXACT touched-file set with one
@@ -716,12 +756,18 @@ def _scan_scoped_merge(
             *[os.path.join(base, rel) for rel in overlap]
         )
         sub_target = sub_target.select(*target.columns)
+        # pending-delete fold: raw file reads bypass the read mask
+        sub_target = warehouse._apply_pending_deletes(
+            spark, sub_target, target_table
+        )
     else:  # pure-insert batch (or keys absent): merge against nothing
         sub_target = target.limit(0)
     merged = apply_changes(
         sub_target, changes, pks=pks, version_cols=version_cols
     )
-    res = warehouse.replace_files(merged, target_table, overlap)
+    res = warehouse.replace_files(
+        merged, target_table, overlap, carry_deletes_minus=fold_minus
+    )
     return res["rows_written"]
 
 
@@ -733,6 +779,7 @@ def _zone_scoped_merge(
     pks: list[str],
     version_cols: list[str],
     require: bool = False,
+    fold_minus=None,
 ) -> int | None:
     """Attempt the zone-map-scoped merge (see ``merge_and_write``);
     returns the written row count when it committed, None when the
@@ -796,6 +843,10 @@ def _zone_scoped_merge(
         )
         # mirror the caller's (possibly source-reordered) column order
         sub_target = sub_target.select(*target.columns)
+        # pending-delete fold: raw file reads bypass the read mask
+        sub_target = warehouse._apply_pending_deletes(
+            spark, sub_target, target_table
+        )
     else:  # pure out-of-range insert batch: merge against nothing
         sub_target = target.limit(0)
     merged = apply_changes(
@@ -803,5 +854,7 @@ def _zone_scoped_merge(
     )
     # replace_files stages to a temp dir and swaps atomically, so the
     # lazy merged plan may safely read the files it replaces.
-    res = warehouse.replace_files(merged, target_table, overlap)
+    res = warehouse.replace_files(
+        merged, target_table, overlap, carry_deletes_minus=fold_minus
+    )
     return res["rows_written"]

@@ -492,6 +492,7 @@ class ParquetWarehouse:
         table: str,
         replaced: list[str],
         partition_by: list[str] | None = None,
+        carry_deletes_minus: DataFrame | None = None,
     ) -> dict:
         """Copy-on-write FILE-level replace: commit a new table state
         whose content is every current file
@@ -539,7 +540,8 @@ class ParquetWarehouse:
             table, lock_path=self._mutation_lock_path(table)
         ):
             return self._replace_files_unlocked(
-                df, table, replaced, partition_by
+                df, table, replaced, partition_by,
+                carry_deletes_minus=carry_deletes_minus,
             )
 
     def _replace_files_unlocked(
@@ -549,12 +551,29 @@ class ParquetWarehouse:
         replaced: list[str],
         partition_by: list[str] | None = None,
         allow_pending_deletes: bool = False,
+        carry_deletes_minus: DataFrame | None = None,
     ) -> dict:
         """``replace_files`` body; the caller MUST hold the table's
         mutation fence (``erase_subjects`` calls this under its own).
         ``allow_pending_deletes`` is for ``materialize_deletes`` ONLY —
-        its swap dropping the ``_deletes`` sidecar IS the point there."""
-        if not allow_pending_deletes:
+        its swap dropping the ``_deletes`` sidecar IS the point there.
+
+        ``carry_deletes_minus`` is the CDC-merge fold (a DataFrame
+        carrying the batch's key tuples): instead of dropping or
+        refusing, the new state CARRIES the pending-delete sidecar
+        rewritten to the pending set MINUS those keys, staged into the
+        assembly dir so the sidecar update and the data rewrite commit
+        in the SAME atomic swap. The subtraction is sound only when the
+        caller guarantees every masked row whose key it subtracts sits
+        in ``replaced`` (``merge_and_write`` proves this from its
+        scoping invariants when the merge pks equal the delete key
+        columns)."""
+        pending_dm = self.pending_deletes(table)
+        if (
+            pending_dm is not None
+            and not allow_pending_deletes
+            and carry_deletes_minus is None
+        ):
             self._refuse_pending_deletes(table, "replace_files")
         final = self.path(table)
         if os.path.isfile(self._version_pointer(table)):
@@ -731,6 +750,39 @@ class ParquetWarehouse:
                 src = os.path.join(final, side)
                 if os.path.isfile(src):
                     shutil.copy(src, os.path.join(asm, side))
+            if pending_dm is not None and carry_deletes_minus is not None:
+                # CDC-merge fold: the carried state's sidecar is the
+                # pending set minus the batch's keys, written INTO the
+                # assembly dir so it commits atomically with the data —
+                # no window where a re-inserted key is masked or a
+                # still-pending key resurrects. An emptied remainder
+                # stages nothing: the swap drops the sidecar entirely.
+                kcols = self._delete_key_cols(pending_dm)
+                remaining = (
+                    spark.read.parquet(self._deletes_dir(table, pending_dm))
+                    .join(
+                        carry_deletes_minus.select(*kcols).distinct(),
+                        kcols,
+                        "left_anti",
+                    )
+                    .persist()
+                )
+                try:
+                    n_rem = remaining.count()
+                    if n_rem:
+                        ndir = f"{DELETES_DIR}-{uuid.uuid4().hex}"
+                        remaining.coalesce(1).write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(asm, ndir))
+                        with open(
+                            os.path.join(asm, DELETES_FILE), "w"
+                        ) as f:
+                            json.dump(
+                                self._deletes_manifest(kcols, n_rem, ndir),
+                                f,
+                            )
+                finally:
+                    remaining.unpersist()
             if zm is not None:
                 merged_zm = {
                     "stat_cols": zm["stat_cols"],
@@ -1200,18 +1252,32 @@ class ParquetWarehouse:
     # ---- merge-on-read deletion vectors ---------------------------------
 
     def pending_deletes(self, table: str) -> dict | None:
-        """The table's pending-delete manifest (``{"key_col", "n_keys",
-        "dir"}``) or None. The manifest file is the SOLE commit point;
-        the keys live in the versioned parquet sidecar dir it names
-        (``_deletes-<hex>``) — each ``delete_keys`` writes a NEW dir and
-        flips the manifest, so a manifest can never name a partially
-        written or mid-swap dir, and superseded dirs linger for
-        in-flight readers until ``vacuum`` sweeps them."""
+        """The table's pending-delete manifest (``{"key_cols", "n_keys",
+        "dir"}``; single-column manifests also carry the legacy
+        ``"key_col"``) or None. The manifest file is the SOLE commit
+        point; the keys live in the versioned parquet sidecar dir it
+        names (``_deletes-<hex>``) — each ``delete_keys`` writes a NEW
+        dir and flips the manifest, so a manifest can never name a
+        partially written or mid-swap dir, and superseded dirs linger
+        for in-flight readers until ``vacuum`` sweeps them."""
         p = os.path.join(self.path(table), DELETES_FILE)
         if not os.path.isfile(p):
             return None
         with open(p) as f:
             return json.load(f)
+
+    @staticmethod
+    def _delete_key_cols(dm: dict) -> list[str]:
+        """Key column list of a delete manifest; pre-composite-key
+        manifests recorded a single ``key_col``."""
+        return dm.get("key_cols") or [dm["key_col"]]
+
+    @staticmethod
+    def _deletes_manifest(kcols: list[str], n_keys: int, ndir: str) -> dict:
+        m = {"key_cols": kcols, "n_keys": n_keys, "dir": ndir}
+        if len(kcols) == 1:  # legacy single-column shape kept readable
+            m["key_col"] = kcols[0]
+        return m
 
     def _deletes_dir(self, table: str, dm: dict) -> str:
         # legacy manifests (pre-versioned-dir) named the fixed _deletes
@@ -1224,7 +1290,10 @@ class ParquetWarehouse:
         every file the mutation did NOT rewrite would silently
         resurrect. (``overwrite``/``write_shards`` are exempt by
         contract: a full replace defines a complete new state, which
-        supersedes the pending set.)"""
+        supersedes the pending set. The CDC merge fold is the other
+        sanctioned path: it passes ``carry_deletes_minus`` so the new
+        state carries a correctly rewritten sidecar — see
+        ``cdc.merge_and_write``.)"""
         if self.pending_deletes(table) is not None:
             raise ValueError(
                 f"{op} on {table!r} with pending merge-on-read deletes "
@@ -1243,17 +1312,34 @@ class ParquetWarehouse:
         dm = self.pending_deletes(table)
         if dm is None:
             return df
-        dele = (
-            spark.read.parquet(self._deletes_dir(table, dm))
-            .select(F.col(dm["key_col"]).alias("__del_key"))
-        )
-        if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
-            dele = F.broadcast(dele)
-        return df.join(
-            dele, df[dm["key_col"]] == F.col("__del_key"), "left_anti"
+        dele = spark.read.parquet(self._deletes_dir(table, dm))
+        return self._anti_join_keys(
+            df, dele, self._delete_key_cols(dm), dm["n_keys"]
         )
 
-    def delete_keys(self, spark: SparkSession, table: str, key_col: str, keys) -> dict:
+    @staticmethod
+    def _anti_join_keys(
+        df: DataFrame, dele: DataFrame, kcols: list[str], n_keys: int
+    ) -> DataFrame:
+        """Anti-join ``df`` against the key(-tuple) set ``dele`` on
+        ``kcols`` — the shared read-mask / materialize-survivor kernel.
+        Composite keys match conjunctively (all columns equal), the
+        reference's comma-separated pk-list semantics (ref
+        control_migration_schema_script.sql:298-299,336-340). NULLs in
+        ``df`` never equality-match, so NULL-keyed rows survive."""
+        probe = dele.select(
+            *[F.col(c).alias(f"__del_{c}") for c in kcols]
+        )
+        if n_keys <= DELETE_BROADCAST_KEY_CAP:
+            probe = F.broadcast(probe)
+        cond = F.lit(True)
+        for c in kcols:
+            cond = cond & (df[c] == F.col(f"__del_{c}"))
+        return df.join(probe, cond, "left_anti")
+
+    def delete_keys(
+        self, spark: SparkSession, table: str, key_col, keys
+    ) -> dict:
         """MERGE-ON-READ delete (Iceberg-style equality-delete sidecar;
         the instant-path counterpart of ``erase_subjects``' copy-on-write
         rewrite): record the keys in the ``_deletes`` sidecar and commit
@@ -1263,24 +1349,33 @@ class ParquetWarehouse:
         ``materialize_deletes`` (or ``recluster``) rewrites the affected
         files and drops the sidecar.
 
-        ``keys``: a one-column DataFrame or a Python list of values.
-        Repeated calls accumulate (set union) under one ``key_col`` —
-        mixing key columns requires materializing first, and NULL keys
-        are refused (NULL never equality-matches; the anti-join would
-        silently delete nothing).
+        ``key_col``: a column name or a LIST of column names — the
+        composite-key form mirrors the reference's comma-separated
+        primary-key list (ref control_migration_schema_script.sql:27,
+        :298-299), matched conjunctively like its join predicate
+        (ref :336-340). ``keys``: a DataFrame whose columns are exactly
+        the key columns (one anonymous column allowed for a single key)
+        or a Python list of values (single key) / row tuples (composite
+        key). Repeated calls accumulate (set union) under one key-column
+        set — changing it requires materializing first, and NULL key
+        fields are refused (NULL never equality-matches; the anti-join
+        would silently delete nothing).
 
         Consistency contract, ENFORCED: every file-level mutation that
         assembles a new state from the current files
-        (``replace_files`` — and with it every scoped CDC merge —
-        ``replace_partitions``, ``compact``, ``erase_subjects``) refuses
-        while deletes are pending, because its commit swap would drop
-        the sidecar and resurrect the masked rows; it also means a CDC
-        batch can never re-insert a key the sidecar would then wrongly
-        mask. A full ``overwrite`` remains allowed: it defines a
-        complete new state, superseding the pending set. Versioned and
-        bucketed tables are refused (snapshots are immutable — erase
-        through ``overwrite_versioned``; a bucketed layout's files ARE
-        the bucket spec).
+        (``replace_files``, ``replace_partitions``, ``compact``,
+        ``erase_subjects``) refuses while deletes are pending, because
+        its commit swap would drop the sidecar and resurrect the masked
+        rows. The ONE sanctioned exception is a CDC merge whose primary
+        keys equal the pending key columns: ``merge_and_write`` folds
+        the pending set into the merge (masks the sub-target, rewrites
+        the sidecar minus the batch's keys) so deferred GDPR queues and
+        live syncs coexist — see ``cdc.merge_and_write``. A full
+        ``overwrite`` also remains allowed: it defines a complete new
+        state, superseding the pending set. Versioned and bucketed
+        tables are refused (snapshots are immutable — erase through
+        ``overwrite_versioned``; a bucketed layout's files ARE the
+        bucket spec).
 
         Crash-safety AND lock-free readers: the accumulated key set is
         written to a NEW versioned sidecar dir (``_deletes-<hex>``) and
@@ -1300,78 +1395,106 @@ class ParquetWarehouse:
             raise ValueError(
                 f"{table!r} is bucketed — rewrite through write_bucketed"
             )
+        kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+        if not kcols or len(set(kcols)) != len(kcols):
+            raise ValueError(f"key columns must be non-empty and distinct: {kcols}")
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
         ):
             self._reconcile(table)
-            # both input forms land on the table column's EXACT type so
+            # both input forms land on the table columns' EXACT types so
             # the read-path equality anti-join never compares across
             # types (a string-vs-long join coerces through DOUBLE and
             # mis-matches keys above 2^53); try_cast turns an
             # unparseable key into NULL — plain cast THROWS under ANSI
             # mid-write — which the NULL refusal below rejects loudly
-            key_dt = spark.read.parquet(final).schema[key_col].dataType
+            tsch = spark.read.parquet(final).schema
+            key_dts = {c: tsch[c].dataType for c in kcols}
             if isinstance(keys, DataFrame):
-                if len(keys.columns) != 1:
+                if len(kcols) == 1 and len(keys.columns) == 1:
+                    # single key: any column name is accepted positionally
+                    keys = keys.select(F.col(keys.columns[0]).alias(kcols[0]))
+                elif set(keys.columns) != set(kcols):
                     raise ValueError(
-                        "keys DataFrame must have exactly one column"
+                        f"keys DataFrame columns {keys.columns} must be "
+                        f"exactly the key columns {kcols}"
                     )
-                src = keys.columns[0]
-                src_dt = keys.schema[src].dataType
-                if src_dt != key_dt:
-                    # the cast must be LOSSLESS per value: try_cast
-                    # silently truncates e.g. double 7.9 -> bigint 7,
-                    # which would delete a key the caller never named.
-                    # A value is lossless iff it round-trips; NULLs
-                    # (unparseable) flow on to the NULL refusal below.
+                # the cast must be LOSSLESS per value: try_cast silently
+                # truncates e.g. double 7.9 -> bigint 7, which would
+                # delete a key the caller never named. A value is
+                # lossless iff it round-trips; NULLs (unparseable) flow
+                # on to the NULL refusal below.
+                need_cast = [
+                    c for c in kcols if keys.schema[c].dataType != key_dts[c]
+                ]
+                if need_cast:
                     pair = keys.select(
-                        F.col(src).alias("__src"),
-                        F.col(src).try_cast(key_dt).alias(key_col),
+                        *[F.col(c).alias(f"__src_{c}") for c in need_cast],
+                        *[
+                            F.col(c).try_cast(key_dts[c]).alias(c)
+                            if c in need_cast
+                            else F.col(c)
+                            for c in kcols
+                        ],
                     )
-                    lossy = pair.filter(
-                        F.col("__src").isNotNull()
-                        & F.col(key_col).isNotNull()
-                        & (
-                            F.col(key_col).try_cast(src_dt)
-                            != F.col("__src")
+                    lossy_any = F.lit(False)
+                    for c in need_cast:
+                        src_dt = keys.schema[c].dataType
+                        lossy_any = lossy_any | (
+                            F.col(f"__src_{c}").isNotNull()
+                            & F.col(c).isNotNull()
+                            & (F.col(c).try_cast(src_dt) != F.col(f"__src_{c}"))
                         )
-                    ).limit(1)
-                    bad = [r["__src"] for r in lossy.collect()]
+                    bad = pair.filter(lossy_any).limit(1).collect()
                     if bad:
+                        vals = {c: bad[0][f"__src_{c}"] for c in need_cast}
                         raise ValueError(
-                            f"delete key {bad[0]!r} "
-                            f"({src_dt.simpleString()}) is not exactly "
-                            f"representable as the table's "
-                            f"{key_dt.simpleString()} key — refusing a "
-                            "lossy cast that would delete a different key"
+                            f"delete key value(s) {vals!r} are not exactly "
+                            f"representable as the table's key type(s) "
+                            f"{[key_dts[c].simpleString() for c in need_cast]}"
+                            " — refusing a lossy cast that would delete a "
+                            "different key"
                         )
-                    kdf = pair.select(key_col)
+                    kdf = pair.select(*kcols)
                 else:
-                    kdf = keys.select(F.col(src).alias(key_col))
+                    kdf = keys.select(*kcols)
             else:
                 from pyspark.sql.types import StructField
 
+                rows = (
+                    [(k,) for k in keys]
+                    if len(kcols) == 1
+                    else [tuple(k) for k in keys]
+                )
                 kdf = spark.createDataFrame(
-                    [(k,) for k in keys],
-                    StructType([StructField(key_col, key_dt, True)]),
+                    rows,
+                    StructType(
+                        [StructField(c, key_dts[c], True) for c in kcols]
+                    ),
                 )
             dm = self.pending_deletes(table)
             if dm is not None:
-                if dm["key_col"] != key_col:
+                prev = self._delete_key_cols(dm)
+                if set(prev) != set(kcols):
                     raise ValueError(
                         f"{table!r} already has pending deletes on "
-                        f"{dm['key_col']!r}; one key column at a time — "
+                        f"{prev!r}; one key-column set at a time — "
                         "materialize_deletes() before switching"
                     )
                 kdf = kdf.unionByName(
-                    spark.read.parquet(self._deletes_dir(table, dm))
+                    spark.read.parquet(self._deletes_dir(table, dm)).select(
+                        *kcols
+                    )
                 )
             kdf = kdf.distinct().persist()
             ndir = f"{DELETES_DIR}-{uuid.uuid4().hex}"
             try:
-                if kdf.filter(F.col(key_col).isNull()).limit(1).count():
+                null_any = F.lit(False)
+                for c in kcols:
+                    null_any = null_any | F.col(c).isNull()
+                if kdf.filter(null_any).limit(1).count():
                     raise ValueError(
-                        "NULL delete keys are refused: NULL never "
+                        "NULL delete key fields are refused: NULL never "
                         "equality-matches, so the read-path anti-join "
                         "would silently delete nothing (a NULL here may "
                         "also be a failed cast to the column's type)"
@@ -1383,7 +1506,7 @@ class ParquetWarehouse:
             finally:
                 kdf.unpersist()
             mtmp = os.path.join(final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}")
-            manifest = {"key_col": key_col, "n_keys": n_keys, "dir": ndir}
+            manifest = self._deletes_manifest(kcols, n_keys, ndir)
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(mtmp, os.path.join(final, DELETES_FILE))
@@ -1425,31 +1548,37 @@ class ParquetWarehouse:
             if dm is None:
                 return {"keys_applied": 0, "files_replaced": 0}
             final = self.path(table)
-            key_col = dm["key_col"]
+            kcols = self._delete_key_cols(dm)
             dele = spark.read.parquet(self._deletes_dir(table, dm))
             hit = None
-            if dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
+            # bloom discovery covers SINGLE-column keys only: per-column
+            # filters can't attest a tuple's conjunction (a file holding
+            # key1 in one row and key2 in another hits both columns'
+            # filters without holding the tuple — a false POSITIVE is
+            # fine for discovery, but the scan below is exact and
+            # composite keys are rare enough not to special-case)
+            if len(kcols) == 1 and dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
                 bm = self.bloom(table)
-                if bm is not None and key_col in bm["cols"]:
+                if bm is not None and kcols[0] in bm["cols"]:
                     key_list = [r[0] for r in dele.collect()]
                     split = self.bloom_hit_split(
-                        spark, table, key_col, key_list
+                        spark, table, kcols[0], key_list
                     )
                     if split is not None:
                         hit = split[0]
             if hit is None:
                 # exact distributed discovery: one key-column semi-join
-                # scan (columnar — reads the key column, not the table)
-                probe = dele.select(F.col(key_col))
+                # scan (columnar — reads the key column(s), not the table)
+                probe = dele.select(*kcols)
                 if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
                     probe = F.broadcast(probe)
                 fps = (
                     spark.read.parquet(final)
                     .select(
-                        key_col,
+                        *kcols,
                         F.col("_metadata.file_path").alias("__fp"),
                     )
-                    .join(probe, [key_col], "left_semi")
+                    .join(probe, kcols, "left_semi")
                     .select("__fp")
                     .distinct()
                     .collect()
@@ -1467,12 +1596,7 @@ class ParquetWarehouse:
             sub = spark.read.option("basePath", final).parquet(
                 *[os.path.join(final, rel) for rel in hit]
             )
-            dk = dele.select(F.col(key_col).alias("__del_key"))
-            if dm["n_keys"] <= DELETE_BROADCAST_KEY_CAP:
-                dk = F.broadcast(dk)
-            survivors = sub.join(
-                dk, sub[key_col] == F.col("__del_key"), "left_anti"
-            )
+            survivors = self._anti_join_keys(sub, dele, kcols, dm["n_keys"])
             # the assembly swap inside commits the survivors AND drops
             # the _deletes sidecar (not in the carried-sidecar set) in
             # ONE atomic rename — materialization cannot tear
@@ -1499,8 +1623,15 @@ class ParquetWarehouse:
         """
         # in-place partition mutation KEEPS the _deletes sidecar: a
         # re-inserted key would be silently masked — same refusal as
-        # every other state-assembling mutation
+        # every other state-assembling mutation (the CDC-merge fold goes
+        # through replace_partitions, which subtracts the batch's keys
+        # from the sidecar after the commit)
         self._refuse_pending_deletes(table, "overwrite_partitions")
+        self._overwrite_partitions_body(df, table, partition_by)
+
+    def _overwrite_partitions_body(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
         self._drop_zonemap(table)
         (
             df.write.mode("overwrite")
@@ -1860,19 +1991,21 @@ class ParquetWarehouse:
         }
 
     def delete_where(
-        self, spark: SparkSession, table: str, key_col: str, condition
+        self, spark: SparkSession, table: str, key_col, condition
     ) -> dict:
         """Predicate form of ``delete_keys``: one key-column scan
         resolves ``condition`` (a Column or SQL string) to the matching
-        keys, which then delete merge-on-read through the sidecar —
-        still ZERO data-file rewrites; the scan reads only the columns
-        the predicate and key need (column pruning), not the table.
-        The scan goes through ``read`` so it sees exactly what a reader
-        sees: pending tombstone cleanup applied, already-deleted keys
-        masked (not redundantly re-unioned)."""
+        keys (``key_col``: name or list of names, like ``delete_keys``),
+        which then delete merge-on-read through the sidecar — still ZERO
+        data-file rewrites; the scan reads only the columns the
+        predicate and key need (column pruning), not the table. The scan
+        goes through ``read`` so it sees exactly what a reader sees:
+        pending tombstone cleanup applied, already-deleted keys masked
+        (not redundantly re-unioned)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        kcols = [key_col] if isinstance(key_col, str) else list(key_col)
         keys = (
-            self.read(spark, table).filter(cond).select(key_col).distinct()
+            self.read(spark, table).filter(cond).select(*kcols).distinct()
         )
         return self.delete_keys(spark, table, key_col, keys)
 
@@ -2092,6 +2225,7 @@ class ParquetWarehouse:
         table: str,
         partition_by: list[str],
         touched: list[tuple],
+        carry_deletes_minus: DataFrame | None = None,
     ) -> None:
         """Partition-scoped replace for a merge result restricted to
         ``touched`` partition-value tuples.
@@ -2130,7 +2264,10 @@ class ParquetWarehouse:
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
         ):
-            self._replace_partitions_unlocked(df, table, partition_by, touched)
+            self._replace_partitions_unlocked(
+                df, table, partition_by, touched,
+                carry_deletes_minus=carry_deletes_minus,
+            )
 
     def _replace_partitions_unlocked(
         self,
@@ -2138,10 +2275,24 @@ class ParquetWarehouse:
         table: str,
         partition_by: list[str],
         touched: list[tuple],
+        carry_deletes_minus: DataFrame | None = None,
     ) -> None:
         """``replace_partitions`` body; the caller MUST hold the table's
-        mutation fence (``erase_subjects`` calls this under its own)."""
-        self._refuse_pending_deletes(table, "replace_partitions")
+        mutation fence (``erase_subjects`` calls this under its own).
+
+        ``carry_deletes_minus``: the CDC-merge fold for the
+        partition-scoped path. The dynamic overwrite commits in place
+        (no whole-dir swap to ride), so the sidecar is rewritten to the
+        pending set minus the batch's keys AFTER the data commit — the
+        crash window between the two leaves the batch's re-inserted
+        keys masked (a stale pre-batch view of exactly those keys, the
+        same stale-read class as the tombstone windows above) until the
+        un-advanced watermark replays the batch; pending keys never
+        resurrect in any window because the sidecar is never dropped
+        before the data that replaces it lands."""
+        dm = self.pending_deletes(table)
+        if dm is not None and carry_deletes_minus is None:
+            self._refuse_pending_deletes(table, "replace_partitions")
         self._drop_zonemap(table)
         self._reconcile(table, writer=True)
         still_present = {
@@ -2163,10 +2314,51 @@ class ParquetWarehouse:
         if emptied:
             os.makedirs(self.path(table), exist_ok=True)
             self._write_tombstone(table, batch, emptied, committed=False)
-        self.overwrite_partitions(df, table, partition_by)
+        self._overwrite_partitions_body(df, table, partition_by)
         if emptied:
             self._write_tombstone(table, batch, emptied, committed=True)
+        if dm is not None and carry_deletes_minus is not None:
+            self._subtract_pending_deletes(
+                df.sparkSession, table, dm, carry_deletes_minus
+            )
         self._reconcile(table)
+
+    def _subtract_pending_deletes(
+        self,
+        spark: SparkSession,
+        table: str,
+        dm: dict,
+        minus: DataFrame,
+    ) -> None:
+        """Rewrite the pending-delete sidecar to ``pending ⊖ minus``
+        with the same commit discipline as ``delete_keys``: the key set
+        stages into a NEW versioned sidecar dir and the atomic manifest
+        rename (or removal, when the remainder is empty) is the sole
+        commit point. Caller must hold the mutation fence."""
+        final = self.path(table)
+        kcols = self._delete_key_cols(dm)
+        remaining = (
+            spark.read.parquet(self._deletes_dir(table, dm))
+            .join(minus.select(*kcols).distinct(), kcols, "left_anti")
+            .persist()
+        )
+        try:
+            n_rem = remaining.count()
+            if n_rem == 0:
+                os.remove(os.path.join(final, DELETES_FILE))
+                return
+            ndir = f"{DELETES_DIR}-{uuid.uuid4().hex}"
+            remaining.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(final, ndir)
+            )
+            mtmp = os.path.join(
+                final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(mtmp, "w") as f:
+                json.dump(self._deletes_manifest(kcols, n_rem, ndir), f)
+            os.replace(mtmp, os.path.join(final, DELETES_FILE))
+        finally:
+            remaining.unpersist()
 
     def erase_subjects(
         self,

@@ -1,0 +1,329 @@
+"""CDC merges FOLD pending merge-on-read deletes (the r11 weak mark).
+
+A table with a pending ``_deletes`` sidecar used to refuse every CDC
+merge until a manual ``materialize_deletes`` — composing defer-mode GDPR
+erasure with live syncs serialized ingestion behind maintenance. Now a
+merge whose primary keys EQUAL the pending key columns folds the pending
+set in:
+
+- rewritten files apply the mask (a masked row never resurrects from the
+  merge's own raw sub-target read);
+- the sidecar is rewritten to pending ⊖ batch-keys, so a key the batch
+  re-inserts SURVIVES (CDC wins over the stale tombstone) while
+  non-reasserted keys stay masked;
+- the sidecar update commits atomically WITH the data on swap-based
+  paths (zone/scan/hybrid via replace_files), and strictly AFTER the
+  data on the in-place partition path — a crash between the two leaves
+  reads correct (re-inserted keys stay masked = pre-batch view) and the
+  un-advanced watermark's replay converges;
+- key columns ≠ merge pks still refuses (the scoping proof fails there;
+  pinned in tests/test_delete_vectors.py).
+
+Also pins COMPOSITE-key deletion vectors (``key_col`` as a list) —
+matching the reference's comma-separated primary-key list
+(control_migration_schema_script.sql:27,298-299) joined conjunctively
+(ref :336-340) — through delete → read-mask → materialize → CDC fold.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from example_dms_dataexport_spark.cdc import merge_and_write
+from example_dms_dataexport_spark.sources.warehouse import (
+    DELETES_FILE,
+    ParquetWarehouse,
+)
+
+VC = ["_dms_filename", "_dms_rownum"]
+
+
+def _rows(spark, n=2000, files=16):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 13).alias("bucket"),
+            F.concat(F.lit("v-"), F.col("id")).alias("name"),
+        )
+        .repartition(files, "name")
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, pk long, bucket long, name string, "
+        "_dms_filename string, _dms_rownum long",
+    )
+
+
+def _inodes(path):
+    out = {}
+    for dirpath, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in files:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, path)] = os.stat(p).st_ino
+    return out
+
+
+def _read_pks(spark, wh, table="t"):
+    return {r.pk: r.name for r in wh.read(spark, table).collect()}
+
+
+def test_fold_scan_scoped_reinsert_survives(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.delete_keys(spark, "t", "pk", [10, 20])
+    before = _inodes(wh.path("t"))
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(
+        spark,
+        [
+            ("I", 10, 10, "back", "f1", 1),  # re-inserts a pending key
+            ("U", 5, 5, "upd", "f1", 2),
+            ("D", 7, 7, "x", "f1", 3),
+        ],
+    )
+    n = merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    assert n > 0
+    got = _read_pks(spark, wh)
+    assert got[10] == "back", "re-inserted key lost to the stale tombstone"
+    assert 20 not in got, "non-reasserted pending key resurrected"
+    assert got[5] == "upd" and 7 not in got
+    dm = wh.pending_deletes("t")
+    assert dm is not None and dm["n_keys"] == 1
+    assert [r.pk for r in spark.read.parquet(
+        os.path.join(wh.path("t"), dm["dir"])
+    ).collect()] == [20]
+    after = _inodes(wh.path("t"))
+    carried = [f for f in before if after.get(f) == before[f]]
+    assert carried, "scan scope rewrote everything"
+    # key 20's bytes still exist in a carried file; only the mask hides it
+    raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
+    assert 20 in raw
+
+
+def test_fold_zone_scoped(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _rows(spark), "t", cluster_by=["pk"], cluster_partitions=8,
+        stat_cols=["pk"],
+    )
+    wh.delete_keys(spark, "t", "pk", [100, 1900])
+    before = _inodes(wh.path("t"))
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(spark, [("I", 100, 9, "back", "f1", 1)])
+    merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    got = _read_pks(spark, wh)
+    assert got[100] == "back" and 1900 not in got
+    dm = wh.pending_deletes("t")
+    assert dm["n_keys"] == 1
+    after = _inodes(wh.path("t"))
+    carried = [f for f in before if after.get(f) == before[f]]
+    # a narrow batch against a clustered table must carry most files
+    assert len(carried) >= len(before) - 2
+    # the zone map was maintained through the fold (next merge prunes)
+    assert wh.zonemap("t") is not None
+
+
+def test_fold_partition_scoped_and_crash_window(spark, tmp_path, monkeypatch):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    wh.delete_keys(spark, "t", "pk", [10, 20])
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(spark, [("I", 10, 10, "back", "f1", 1)])
+
+    # crash BETWEEN the data commit and the sidecar subtraction: reads
+    # must stay correct (re-inserted key still masked = pre-batch view;
+    # nothing resurrects), and the replay must converge
+    real = ParquetWarehouse._subtract_pending_deletes
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before sidecar update")
+
+    monkeypatch.setattr(ParquetWarehouse, "_subtract_pending_deletes", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_and_write(
+            wh, "t", target, ch, pks=["pk"], version_cols=VC,
+            partition_by=["bucket"],
+        )
+    got = _read_pks(spark, wh)
+    assert 10 not in got and 20 not in got, "crash window exposed a key"
+    assert wh.pending_deletes("t")["n_keys"] == 2
+
+    # replay (the watermark never advanced): converges to the folded state
+    monkeypatch.setattr(ParquetWarehouse, "_subtract_pending_deletes", real)
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    merge_and_write(
+        wh, "t", target, ch, pks=["pk"], version_cols=VC,
+        partition_by=["bucket"],
+    )
+    got = _read_pks(spark, wh)
+    assert got[10] == "back" and 20 not in got
+    assert got[5] == "v-5"
+    dm = wh.pending_deletes("t")
+    assert dm["n_keys"] == 1
+    # exactly one physical row for the re-inserted key after the replay
+    raw = [r.pk for r in spark.read.parquet(wh.path("t")).collect()]
+    assert raw.count(10) == 1
+
+
+def test_fold_whole_table_drops_sidecar(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, n=50, files=1), "t")
+    wh.delete_keys(spark, "t", "pk", [10, 20])
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(spark, [("I", 10, 10, "back", "f1", 1)])
+    # single-file table: scan scope declines, whole-table overwrite runs
+    merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    got = _read_pks(spark, wh)
+    assert got[10] == "back" and 20 not in got
+    # full rewrite applied the whole pending set physically
+    assert wh.pending_deletes("t") is None
+    raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
+    assert 20 not in raw
+
+
+def test_fold_empty_batch_leaves_sidecar(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, n=50, files=2), "t")
+    wh.delete_keys(spark, "t", "pk", [10])
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(spark, [])
+    assert merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC) == 0
+    assert wh.pending_deletes("t")["n_keys"] == 1
+
+
+def test_fold_incremental_load_e2e(spark, tmp_path):
+    """delete_keys → incremental_load succeeds end-to-end: the deferred
+    GDPR queue no longer stalls the sync (the r11 weak mark)."""
+    from tests.test_pipeline import CUST_SCHEMA, make_env, write_file
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store, wh = make_env(tmp_path, stage)
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.cdc import incremental_load
+
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    wh.delete_keys(spark, "erp_customer", "c_custkey", [1, 2])
+    write_file(
+        stage,
+        "erp/customer/20240101-000000001.csv",
+        ["I,2,bob-back,21.0", "U,3,carol2,31.0"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer")
+    assert msg.startswith("Rows affected:")
+    got = {
+        (r.c_custkey, r.c_name)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+    assert got == {(2, "bob-back"), (3, "carol2")}  # 1 stays erased
+    # the tiny table takes the whole-table path: the full rewrite applies
+    # every pending key physically and drops the sidecar
+    dm = wh.pending_deletes("erp_customer")
+    assert dm is None
+    raw = {r.c_custkey for r in spark.read.parquet(wh.path("erp_customer")).collect()}
+    assert 1 not in raw
+
+
+# ---------------------------------------------------------------- #
+# composite-key deletion vectors                                    #
+# ---------------------------------------------------------------- #
+
+
+def _crows(spark, n=400):
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % 20).alias("region"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("d-"), F.col("id")).alias("payload"),
+        )
+        .repartition(6, "payload")
+    )
+
+
+def test_composite_delete_read_mask_and_materialize(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_crows(spark), "t")
+    before = _inodes(wh.path("t"))
+    got = wh.delete_keys(
+        spark, "t", ["region", "seq"], [(3, 3), (3, 23), (7, 7)]
+    )
+    assert got["key_cols"] == ["region", "seq"]
+    assert "key_col" not in got and got["n_keys"] == 3
+    assert _inodes(wh.path("t")) == before, "composite delete touched data"
+    rows = {(r.region, r.seq) for r in wh.read(spark, "t").collect()}
+    assert (3, 3) not in rows and (3, 23) not in rows and (7, 7) not in rows
+    # conjunctive match: same region with a different seq survives
+    assert (3, 43) in rows and (7, 27) in rows
+    res = wh.materialize_deletes(spark, "t")
+    assert res["keys_applied"] == 3 and res["files_replaced"] >= 1
+    assert wh.pending_deletes("t") is None
+    raw = {(r.region, r.seq) for r in spark.read.parquet(wh.path("t")).collect()}
+    assert (3, 3) not in raw and (3, 43) in raw
+
+
+def test_composite_delete_refusals_and_accumulate(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_crows(spark), "t")
+    with pytest.raises(ValueError, match="NULL delete key"):
+        wh.delete_keys(spark, "t", ["region", "seq"], [(1, None)])
+    kdf = spark.createDataFrame([(1, 1)], "region long, wrong long")
+    with pytest.raises(ValueError, match="exactly the key columns"):
+        wh.delete_keys(spark, "t", ["region", "seq"], kdf)
+    wh.delete_keys(spark, "t", ["region", "seq"], [(1, 1)])
+    with pytest.raises(ValueError, match="one key-column set at a time"):
+        wh.delete_keys(spark, "t", "seq", [2])
+    # accumulate under the same set, column order independent
+    kdf2 = spark.createDataFrame([(21, 1)], "seq long, region long")
+    got = wh.delete_keys(spark, "t", ["region", "seq"], kdf2)
+    assert got["n_keys"] == 2
+    rows = {(r.region, r.seq) for r in wh.read(spark, "t").collect()}
+    assert (1, 1) not in rows and (1, 21) not in rows
+    # lossy cast on one column of the tuple refuses
+    lossy = spark.createDataFrame([(1.0, 41.5)], "region double, seq double")
+    with pytest.raises(ValueError, match="lossy cast"):
+        wh.delete_keys(spark, "t", ["region", "seq"], lossy)
+
+
+def test_composite_delete_where(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_crows(spark), "t")
+    got = wh.delete_where(
+        spark, "t", ["region", "seq"], "region = 5 AND seq < 100"
+    )
+    assert got["n_keys"] == 5  # seq in {5,25,45,65,85}
+    rows = {(r.region, r.seq) for r in wh.read(spark, "t").collect()}
+    assert (5, 5) not in rows and (5, 105) in rows
+
+
+def test_composite_fold_through_cdc_merge(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_crows(spark), "t")
+    wh.delete_keys(spark, "t", ["region", "seq"], [(3, 3), (7, 7)])
+    target = wh.read(spark, "t").select("region", "seq", "payload")
+    ch = spark.createDataFrame(
+        [("I", 3, 3, "restored", "f1", 1)],
+        "op string, region long, seq long, payload string, "
+        "_dms_filename string, _dms_rownum long",
+    )
+    merge_and_write(
+        wh, "t", target, ch, pks=["region", "seq"], version_cols=VC
+    )
+    rows = {(r.region, r.seq): r.payload for r in wh.read(spark, "t").collect()}
+    assert rows[(3, 3)] == "restored"
+    assert (7, 7) not in rows
+    dm = wh.pending_deletes("t")
+    assert dm["n_keys"] == 1 and dm["key_cols"] == ["region", "seq"]

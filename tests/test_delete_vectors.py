@@ -85,10 +85,10 @@ def test_deletes_accumulate_and_accept_dataframe(spark, tmp_path):
 def test_delete_refusals(spark, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     wh.overwrite(_rows(spark), "t")
-    with pytest.raises(ValueError, match="NULL delete keys"):
+    with pytest.raises(ValueError, match="NULL delete key"):
         wh.delete_keys(spark, "t", "pk", [7, None])
     wh.delete_keys(spark, "t", "pk", [7])
-    with pytest.raises(ValueError, match="one key column at a time"):
+    with pytest.raises(ValueError, match="one key-column set at a time"):
         wh.delete_keys(spark, "t", "name", ["v-9"])
     wh.overwrite_versioned(_rows(spark), "v")
     with pytest.raises(ValueError, match="versioned"):
@@ -110,9 +110,12 @@ def test_mutations_refuse_while_pending(spark, tmp_path):
     changes = changes.withColumn("op", F.lit("I")).select(
         "op", "pk", "bucket", "name", "_file", "_rownum"
     )
-    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
+    # a CDC merge whose pks EQUAL the pending key columns now FOLDS the
+    # pending set instead of refusing (tests/test_cdc_delete_fold.py);
+    # with DIFFERENT key columns the scoping proof fails, so it refuses
+    with pytest.raises(ValueError, match="differ from the merge's primary keys"):
         merge_and_write(
-            wh, "t", target, changes, pks=["pk"],
+            wh, "t", target, changes, pks=["bucket"],
             version_cols=["_file", "_rownum"],
         )
     with pytest.raises(ValueError, match="pending merge-on-read deletes"):
@@ -300,7 +303,7 @@ def test_delete_dataframe_keys_cast_to_column_type(spark, tmp_path):
     wh.delete_keys(spark, "t", "pk", [9])
     pks = {r.pk for r in wh.read(spark, "t").collect()}
     assert pks == set(range(2000)) - {7, 8, 9}
-    with pytest.raises(ValueError, match="NULL delete keys"):
+    with pytest.raises(ValueError, match="NULL delete key"):
         wh.delete_keys(
             spark, "t", "pk",
             spark.createDataFrame([("not-a-number",)], "k string"),
