@@ -4357,3 +4357,139 @@ def q142_delete_vectors(spark, sf_dir):
             "merge-on-read result disagrees with the materialized state"
         )
     return final
+
+
+# ---------------------------------------------------------------------------
+# Composite-key deletion vectors folded through a live CDC merge — the
+# round-12 decoupling: a deferred GDPR queue (merge-on-read sidecar) no
+# longer stalls ingestion, and the delete key is the reference's
+# comma-separated primary-key LIST (ref
+# control_migration_schema_script.sql:27,298-299, joined conjunctively
+# at :336-340), not a single column.
+# ---------------------------------------------------------------------------
+
+_Q144_ORACLE = """
+    WITH b AS MATERIALIZED (SELECT max(o_orderkey) AS m FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey * 100 BETWEEN 30 * m AND 33 * m
+                THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey * 100 BETWEEN 30 * m AND 33 * m
+                THEN 'restored'
+                WHEN o_orderkey * 100 BETWEEN 60 * m AND 63 * m
+                THEN 'upd'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders, b
+    WHERE NOT (o_orderkey * 100 BETWEEN 30 * m AND 40 * m)
+       OR (o_orderkey * 100 BETWEEN 30 * m AND 33 * m)
+"""
+
+
+@query("q144_composite_delete_fold", _Q144_ORACLE)
+def q144_composite_delete_fold(spark, sf_dir):
+    """Composite-key merge-on-read deletes + the CDC fold, end-to-end on
+    orders with the composite pk (o_custkey, o_orderkey) — the
+    reference's comma-separated primary-key LIST shape:
+
+    1. the key-clustered table takes a band delete [30%,40%] of the
+       o_orderkey space through ``delete_keys(key_cols=[...])`` — ZERO
+       data files touched (inode proof), reads mask the tuples
+       immediately (conjunctive match on both columns);
+    2. a CDC batch then lands WHILE the sidecar is pending (this used to
+       refuse): it re-inserts the [30%,33%] sub-band with new values and
+       updates the disjoint [60%,63%] band;
+    3. the merge folds the pending set: the re-inserted tuples SURVIVE
+       with the batch's values (CDC wins over the stale tombstone), the
+       (33%,40%] remainder stays masked, the sidecar shrinks to exactly
+       that remainder, and the clustered layout's zone scope carries
+       untouched files as hard links (inode proof).
+
+    The final state hash-matches the plain SQL CASE/anti-filter — the
+    sidecar indirection and the fold change when the I/O happens, never
+    the result."""
+    import shutil
+
+    from .cdc import merge_and_write
+    from .sources.warehouse import ParquetWarehouse
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    m = orders.agg(F.max("o_orderkey")).first()[0]
+    ok100 = F.col("o_orderkey") * 100
+
+    root = _scratch_root("q144", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(
+        orders, "ord_mor", cluster_by=["o_orderkey"], cluster_partitions=8,
+        stat_cols=["o_orderkey"],
+    )
+
+    def inodes():
+        base = os.path.join(root, "ord_mor")
+        return {
+            n: os.stat(os.path.join(base, n)).st_ino
+            for n in os.listdir(base)
+            if n.endswith(".parquet")
+        }
+
+    dele = orders.filter(ok100.between(30 * m, 40 * m)).select(
+        "o_custkey", "o_orderkey"
+    )
+    pristine = inodes()
+    got = wh.delete_keys(
+        spark, "ord_mor", ["o_custkey", "o_orderkey"], dele
+    )
+    if got["n_keys"] == 0:
+        raise AssertionError("fixture produced no pending deletes")
+    if inodes() != pristine:
+        raise AssertionError("composite delete_keys touched a data file")
+
+    restored = orders.filter(ok100.between(30 * m, 33 * m)).select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit("restored").alias("o_orderpriority"),
+        F.lit("f1").alias("_file"),
+        F.lit(1).alias("_rownum"),
+    )
+    updates = orders.filter(ok100.between(60 * m, 63 * m)).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit("upd").alias("o_orderpriority"),
+        F.lit("f1").alias("_file"),
+        F.lit(1).alias("_rownum"),
+    )
+    n_restored = restored.count()
+    n = merge_and_write(
+        wh,
+        "ord_mor",
+        wh.read(spark, "ord_mor"),
+        restored.unionByName(updates),
+        pks=["o_custkey", "o_orderkey"],
+        version_cols=["_file", "_rownum"],
+    )
+    if n == 0:
+        raise AssertionError("fold merge wrote nothing")
+    dm = wh.pending_deletes("ord_mor")
+    if dm is None or dm["n_keys"] != got["n_keys"] - n_restored:
+        raise AssertionError(
+            f"sidecar should hold exactly the non-reasserted tuples: "
+            f"{got['n_keys']} - {n_restored} != "
+            f"{dm and dm['n_keys']}"
+        )
+    if set(dm["key_cols"]) != {"o_custkey", "o_orderkey"}:
+        raise AssertionError(f"manifest lost the key tuple: {dm}")
+    after = inodes()
+    carried = [f for f in pristine if after.get(f) == pristine[f]]
+    if not carried:
+        raise AssertionError(
+            "fold merge rewrote every file for two narrow key bands: "
+            "the zone scope is broken"
+        )
+    if wh.zonemap("ord_mor") is None:
+        raise AssertionError("fold merge dropped the zone map")
+    return wh.read(spark, "ord_mor")

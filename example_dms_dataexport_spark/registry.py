@@ -86,6 +86,7 @@ PRIORITY = [
     "q130_zorder_multicol_prune",
     # new in round 12, never driver-checked (inserted as they land;
     # hard cap 6 — slots 45-50 of the window)
+    "q144_composite_delete_fold",
 ]
 
 
