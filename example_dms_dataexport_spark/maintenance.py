@@ -1,0 +1,172 @@
+"""Advisor-driven maintenance scheduling — the consumer of the
+metadata-only advisors (``layout_drift`` / ``compaction_debt`` /
+``pending_deletes``) that were report-only until round 12.
+
+The reference automates its maintenance decisions inside the task DAG
+(ref control_migration_script.sql:494-538 — the control plane's whole
+point); here the analogous hook is one bounded pass after each
+``run_queue`` sync cycle. The signals all cost ZERO data I/O (manifest
+sweeps + os.stat), so they run every cycle even at 100 TB; the ACTIONS
+are bounded to ``max_actions_per_cycle`` tables so a drifted warehouse
+heals incrementally instead of stalling ingestion behind one giant
+maintenance storm — the same budget discipline as Delta's auto-OPTIMIZE.
+
+Priority per table (first match wins; at most one action per table per
+cycle):
+
+1. pending merge-on-read deletes older than ``max_delete_age_s`` →
+   ``materialize_deletes`` (the defer-mode GDPR clock: deletes are
+   invisible immediately, but the physical bytes must go before the
+   compliance deadline — age is the manifest's ``ts``, the OLDEST
+   still-pending delete, carried through accumulations so a trickle
+   can't push the deadline back);
+2. ``layout_drift``'s ``avg_cover`` above ``drift_threshold`` →
+   ``recluster`` (flat zone-mapped tables; restores file-grain merge
+   pruning, and applies pending deletes for free);
+3. ``compaction_debt``'s ``excess_files`` above ``max_excess_files`` →
+   ``compact`` (skipped while deletes are pending and not yet aged —
+   compact refuses then, and the delete will age into action 1 anyway).
+
+Every action (and every skip with a reason) is returned, so the caller's
+telemetry sees WHAT the scheduler decided and WHY — silent maintenance
+is how debt and compliance clocks get lost.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .sources.warehouse import ParquetWarehouse
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds for the post-cycle maintenance pass. ``None`` disables
+    the corresponding action."""
+
+    drift_threshold: float | None = 4.0  # avg files covering a key point
+    max_excess_files: int | None = 64  # small-file debt before compact
+    max_delete_age_s: float | None = 24 * 3600.0
+    target_file_bytes: int = 128 << 20
+    max_actions_per_cycle: int = 1
+
+
+def run_maintenance(
+    spark: SparkSession,
+    warehouse: ParquetWarehouse,
+    tables: list[str],
+    policy: MaintenancePolicy | None = None,
+    layouts: dict[str, dict] | None = None,
+) -> list[dict]:
+    """One bounded maintenance pass over ``tables``; returns one record
+    per considered table: ``{"table", "action", "reason", ...}`` where
+    action is ``materialize_deletes`` / ``recluster`` / ``compact`` /
+    ``none`` / ``error``. ``layouts`` supplies each table's declared
+    layout (``TableMeta.layout()``) so partitioned targets materialize
+    at file grain inside their partitions."""
+    policy = policy or MaintenancePolicy()
+    out: list[dict] = []
+    budget = policy.max_actions_per_cycle
+    for t in sorted(set(tables)):
+        rec: dict = {"table": t, "action": "none", "reason": ""}
+        out.append(rec)
+        if budget <= 0:
+            rec["reason"] = "cycle action budget exhausted"
+            continue
+        lay = (layouts or {}).get(t) or {}
+        try:
+            if _try_materialize(spark, warehouse, t, policy, lay, rec):
+                budget -= 1
+                continue
+            if _try_recluster(spark, warehouse, t, policy, rec):
+                budget -= 1
+                continue
+            if _try_compact(spark, warehouse, t, policy, lay, rec):
+                budget -= 1
+                continue
+        except Exception as e:  # noqa: BLE001 — per-table isolation:
+            # maintenance must never fail the sync cycle that hosts it
+            rec["action"] = "error"
+            rec["reason"] = repr(e)
+    return out
+
+
+def _try_materialize(spark, warehouse, t, policy, lay, rec) -> bool:
+    dm = warehouse.pending_deletes(t)
+    if dm is None or policy.max_delete_age_s is None:
+        return False
+    age = time.time() - dm.get("ts", 0.0)
+    if age < policy.max_delete_age_s:
+        rec["reason"] = (
+            f"{dm['n_keys']} deletes pending {age:.0f}s "
+            f"< {policy.max_delete_age_s:.0f}s age bound"
+        )
+        return False
+    res = warehouse.materialize_deletes(
+        spark, t, partition_by=lay.get("partition_by")
+    )
+    rec["action"] = "materialize_deletes"
+    rec["reason"] = (
+        f"{dm['n_keys']} deletes pending {age:.0f}s "
+        f">= {policy.max_delete_age_s:.0f}s age bound"
+    )
+    rec["stats"] = res
+    return True
+
+
+def _try_recluster(spark, warehouse, t, policy, rec) -> bool:
+    if policy.drift_threshold is None:
+        return False
+    if warehouse.zonemap(t) is None:
+        return False  # nothing to prune with: drift is unmeasurable
+    try:
+        drift = warehouse.layout_drift(t)
+    except ValueError:
+        return False  # non-numeric stat column: no width arithmetic
+    if drift["files"] < 2 or drift["avg_cover"] <= policy.drift_threshold:
+        rec["reason"] = f"avg_cover {drift['avg_cover']} within bound"
+        return False
+    try:
+        res = warehouse.recluster(spark, t)
+    except ValueError as e:
+        # versioned / bucketed / hive-partitioned layouts recluster
+        # through their own machinery — record the advisory, don't act
+        rec["reason"] = f"drift {drift['avg_cover']} but recluster refused: {e}"
+        return False
+    rec["action"] = "recluster"
+    rec["reason"] = (
+        f"avg_cover {drift['avg_cover']} > {policy.drift_threshold}"
+    )
+    rec["stats"] = {**res, "drift_before": drift}
+    return True
+
+
+def _try_compact(spark, warehouse, t, policy, lay, rec) -> bool:
+    if policy.max_excess_files is None:
+        return False
+    debt = warehouse.compaction_debt(
+        t, target_file_bytes=policy.target_file_bytes
+    )
+    if debt["excess_files"] <= policy.max_excess_files:
+        rec["reason"] = f"excess_files {debt['excess_files']} within bound"
+        return False
+    if warehouse.pending_deletes(t) is not None:
+        # compact refuses while deletes are pending; the delete ages
+        # into _try_materialize on a later cycle, then compaction runs
+        rec["reason"] = (
+            f"excess_files {debt['excess_files']} over bound but deletes "
+            "pending (not yet aged) — deferred"
+        )
+        return False
+    n = warehouse.compact(
+        spark, t, target_file_bytes=policy.target_file_bytes
+    )
+    rec["action"] = "compact"
+    rec["reason"] = (
+        f"excess_files {debt['excess_files']} > {policy.max_excess_files}"
+    )
+    rec["stats"] = {**debt, "dirs_rewritten": n}
+    return True

@@ -35,6 +35,7 @@ class RunResult:
     processed: list[tuple[str, str, str]] = field(default_factory=list)  # (path, type, status)
     errors: list[tuple[str, str]] = field(default_factory=list)
     group_commit: int | None = None  # set when run_queue(group=...) published
+    maintenance: list[dict] = field(default_factory=list)  # post-cycle advisor actions
 
 
 def run_migration(
@@ -59,8 +60,19 @@ def run_queue(
     retries: int = 0,
     backoff_s: float = 1.0,
     group: str | None = None,
+    maintenance=None,
 ) -> RunResult:
     """Drain the work queue with ``task_count`` workers.
+
+    ``maintenance``: a :class:`~.maintenance.MaintenancePolicy` — after
+    the cycle (and its group commit, when any) lands, one BOUNDED
+    advisor-driven maintenance pass runs over the cycle's target tables
+    (aged pending deletes materialize, drifted layouts recluster,
+    small-file debt compacts; at most ``max_actions_per_cycle`` actions).
+    The decisions land in ``RunResult.maintenance``; a maintenance
+    failure never fails the cycle. This is the task-DAG's automated
+    maintenance slot (ref :494-538) — the advisors are metadata-only, so
+    the check itself is free even at 100 TB.
 
     ``retries``: per-item re-attempts after a failure (the reference's
     scheduled tasks get this for free — a failed item stays in the DMS
@@ -127,14 +139,15 @@ def run_queue(
     with ThreadPoolExecutor(max_workers=task_count) as ex:
         for _ in range(task_count):
             ex.submit(worker)
+    cycle_metas = {
+        meta.target_table: meta
+        for it in items
+        if it.load_type != "N"
+        and (meta := store.get(it.full_path)) is not None
+        and meta.target_table
+    }
     if group is not None:
-        cycle_targets = {
-            meta.target_table
-            for it in items
-            if it.load_type != "N"
-            and (meta := store.get(it.full_path)) is not None
-            and meta.target_table
-        }
+        cycle_targets = set(cycle_metas)
         # a target with no committed plain-table state yet — its FIRST
         # load failed this cycle, or it uses a versioned layout — joins
         # the group once it has one; snapshotting it now would crash
@@ -151,4 +164,17 @@ def run_queue(
             result.group_commit = warehouse.commit_group_linked(
                 targets, group
             )
+    if maintenance is not None:
+        from .maintenance import run_maintenance
+
+        candidates = [
+            t for t in cycle_metas if warehouse.has_committed_data(t)
+        ]
+        result.maintenance = run_maintenance(
+            spark,
+            warehouse,
+            candidates,
+            policy=maintenance,
+            layouts={t: m.layout() for t, m in cycle_metas.items()},
+        )
     return result

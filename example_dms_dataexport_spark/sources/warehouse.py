@@ -27,6 +27,7 @@ import os
 import re
 import shutil
 import socket
+import time
 import uuid
 import warnings
 
@@ -778,7 +779,10 @@ class ParquetWarehouse:
                             os.path.join(asm, DELETES_FILE), "w"
                         ) as f:
                             json.dump(
-                                self._deletes_manifest(kcols, n_rem, ndir),
+                                self._deletes_manifest(
+                                    kcols, n_rem, ndir,
+                                    ts=pending_dm.get("ts"),
+                                ),
                                 f,
                             )
                 finally:
@@ -1273,8 +1277,19 @@ class ParquetWarehouse:
         return dm.get("key_cols") or [dm["key_col"]]
 
     @staticmethod
-    def _deletes_manifest(kcols: list[str], n_keys: int, ndir: str) -> dict:
-        m = {"key_cols": kcols, "n_keys": n_keys, "dir": ndir}
+    def _deletes_manifest(
+        kcols: list[str], n_keys: int, ndir: str, ts: float | None = None
+    ) -> dict:
+        """``ts`` is when the OLDEST still-pending delete landed —
+        accumulations and subtractions carry it through, so the
+        maintenance scheduler's age check can't be pushed back forever
+        by a trickle of new deletes."""
+        m = {
+            "key_cols": kcols,
+            "n_keys": n_keys,
+            "dir": ndir,
+            "ts": time.time() if ts is None else ts,
+        }
         if len(kcols) == 1:  # legacy single-column shape kept readable
             m["key_col"] = kcols[0]
         return m
@@ -1309,10 +1324,22 @@ class ParquetWarehouse:
         pending. NULL keys never equality-match, so NULL-keyed rows are
         never masked (``delete_keys`` refuses NULL keys for the same
         reason)."""
-        dm = self.pending_deletes(table)
-        if dm is None:
+        return self._apply_deletes_in_dir(spark, df, self.path(table))
+
+    def _apply_deletes_in_dir(
+        self, spark: SparkSession, df: DataFrame, base: str
+    ) -> DataFrame:
+        """Dir-addressed form of the pending-delete mask, shared by live
+        tables and hard-linked group snapshots (whose sidecar rides in
+        the snapshot dir itself)."""
+        p = os.path.join(base, DELETES_FILE)
+        if not os.path.isfile(p):
             return df
-        dele = spark.read.parquet(self._deletes_dir(table, dm))
+        with open(p) as f:
+            dm = json.load(f)
+        dele = spark.read.parquet(
+            os.path.join(base, dm.get("dir", DELETES_DIR))
+        )
         return self._anti_join_keys(
             df, dele, self._delete_key_cols(dm), dm["n_keys"]
         )
@@ -1506,7 +1533,10 @@ class ParquetWarehouse:
             finally:
                 kdf.unpersist()
             mtmp = os.path.join(final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}")
-            manifest = self._deletes_manifest(kcols, n_keys, ndir)
+            manifest = self._deletes_manifest(
+                kcols, n_keys, ndir,
+                ts=dm.get("ts") if dm is not None else None,
+            )
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(mtmp, os.path.join(final, DELETES_FILE))
@@ -2355,7 +2385,12 @@ class ParquetWarehouse:
                 final, DELETES_FILE + f".tmp-{uuid.uuid4().hex}"
             )
             with open(mtmp, "w") as f:
-                json.dump(self._deletes_manifest(kcols, n_rem, ndir), f)
+                json.dump(
+                    self._deletes_manifest(
+                        kcols, n_rem, ndir, ts=dm.get("ts")
+                    ),
+                    f,
+                )
             os.replace(mtmp, os.path.join(final, DELETES_FILE))
         finally:
             remaining.unpersist()
@@ -3127,7 +3162,12 @@ class ParquetWarehouse:
         Members must be PLAIN or hive-partitioned tables (a versioned
         member's states are already immutable — group them with
         ``commit_group``). The same group may interleave linked and
-        DataFrame commits; the member-shrink rule spans both. Retention
+        DataFrame commits; the member-shrink rule spans both. A member
+        with PENDING merge-on-read deletes snapshots fine: its sidecar
+        rides into the snapshot (manifest copy + hard-linked key
+        parquet) and ``read_group`` applies it, so a defer-mode GDPR
+        queue never stalls the epoch and the group boundary shows
+        exactly the masked view a live reader saw. Retention
         prunes the oldest linked snapshot dirs with the pointer update;
         a crash between linking and the flip leaves an orphan dir that
         the next successful commit sweeps. Single writer per group
@@ -3156,10 +3196,15 @@ class ParquetWarehouse:
                         f"member {t!r} is versioned — its snapshots are "
                         "already immutable; commit it with commit_group"
                     )
-                # only parquet files link into the snapshot: a member's
-                # pending merge-on-read deletes would resurrect there
-                self._refuse_pending_deletes(t, "commit_group_linked")
                 self._reconcile(t)
+                # a member's pending merge-on-read deletes ride INTO the
+                # snapshot (manifest copy + hard-linked key parquet), so
+                # the group boundary captures the masked view instead of
+                # refusing the whole epoch — one deferred GDPR delete
+                # must not stall every member's group stream. read_group
+                # applies the snapshot's own sidecar; the links keep it
+                # stable after the live table materializes.
+                dm = self.pending_deletes(t)
                 src = self.path(t)
                 dst = os.path.join(snap, t)
                 n_linked = 0
@@ -3182,6 +3227,22 @@ class ParquetWarehouse:
                     raise FileNotFoundError(
                         f"member {t!r} has no committed parquet files"
                     )
+                if dm is not None:
+                    sdir = self._deletes_dir(t, dm)
+                    sdst = os.path.join(dst, os.path.basename(sdir))
+                    os.makedirs(sdst, exist_ok=True)
+                    for fn in os.listdir(sdir):
+                        if fn.endswith(".parquet"):
+                            os.link(
+                                os.path.join(sdir, fn),
+                                os.path.join(sdst, fn),
+                            )
+                    # manifest written AFTER its dir is fully linked;
+                    # "dir" rebased to the snapshot-local basename
+                    with open(os.path.join(dst, DELETES_FILE), "w") as f:
+                        json.dump(
+                            {**dm, "dir": os.path.basename(sdir)}, f
+                        )
                 members[t] = {"dir": os.path.relpath(dst, self.root)}
             state["commits"][commit] = members
             keep = sorted(state["commits"])[-retain:]
@@ -3235,8 +3296,12 @@ class ParquetWarehouse:
         out = {}
         for name, v in state["commits"][c].items():
             if isinstance(v, dict):
-                out[name] = spark.read.parquet(
-                    os.path.join(self.root, v["dir"])
+                base = os.path.join(self.root, v["dir"])
+                # a snapshot taken while the member had pending
+                # merge-on-read deletes carries its own sidecar — apply
+                # it so the group boundary shows the masked view
+                out[name] = self._apply_deletes_in_dir(
+                    spark, spark.read.parquet(base), base
                 )
             else:
                 out[name] = self.read_version(spark, name, version=v)

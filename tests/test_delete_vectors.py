@@ -126,8 +126,15 @@ def test_mutations_refuse_while_pending(spark, tmp_path):
     subj = spark.createDataFrame([(10,)], "k long")
     with pytest.raises(ValueError, match="pending merge-on-read deletes"):
         wh.erase_subjects(spark, "t", "pk", subj)
-    with pytest.raises(ValueError, match="pending merge-on-read deletes"):
-        wh.commit_group_linked(["t"], "g1")
+    # group snapshots CARRY the sidecar instead of refusing (r12): the
+    # snapshot resolves the masked view, and stays masked even after
+    # the live table materializes
+    wh.commit_group_linked(["t"], "g1")
+    snap = wh.read_group(spark, "g1")["t"]
+    assert 10 not in {r.pk for r in snap.collect()}
+    wh.materialize_deletes(spark, "t")
+    snap = wh.read_group(spark, "g1")["t"]
+    assert 10 not in {r.pk for r in snap.collect()}
 
 
 def test_materialize_scan_discovery_carries_disjoint(spark, tmp_path):

@@ -214,3 +214,93 @@ def test_group_stream_crash_before_flip_is_atomic(spark, tmp_path):
     assert {
         r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
     } == {r.id: (r.name, r.val) for r in snap["cust"].collect()}
+
+
+def test_group_stream_epoch_with_pending_deletes(spark, tmp_path):
+    """A member has pending merge-on-read deletes mid-epoch (the
+    defer-mode GDPR queue): the epoch's merge FOLDS the pending set
+    (re-inserted key wins, others stay masked), the group snapshot
+    CARRIES the remaining sidecar instead of refusing, and the carried
+    snapshot stays masked even after the live table materializes —
+    including across a crash-before-flip replay."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cust_landing, ord_landing, members = _seed(spark, wh, tmp_path)
+    # grow cust so it spans several files (the fold's scoped paths need
+    # something to carry) and take two deferred deletes on it
+    wh.overwrite(
+        spark.range(2000).selectExpr(
+            "id", "concat('n-', id) AS name", "cast(id AS double) AS val"
+        ).repartition(8, "name"),
+        "cust",
+    )
+    wh.delete_keys(spark, "cust", "id", [10, 20])
+
+    # epoch 1: re-insert id 10 (CDC must win over the stale tombstone)
+    _write_csv(
+        cust_landing / "20240101-000000001.csv", [("I", 10, "back", 1.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240101-000000001.parquet", [("U", 1, 101)]
+    )
+    q = start_cdc_group_stream(
+        spark,
+        members,
+        wh,
+        group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = {r.id: r.name for r in wh.read(spark, "cust").collect()}
+    assert got[10] == "back" and 20 not in got
+    dm = wh.pending_deletes("cust")
+    assert dm is not None and dm["n_keys"] == 1
+    snap = wh.read_group(spark, "sync")
+    snap_ids = {r.id for r in snap["cust"].collect()}
+    assert 10 in snap_ids and 20 not in snap_ids
+
+    # epoch 2 merges but the flip crashes; the group must still resolve
+    # epoch 1 — with epoch 1's carried mask intact
+    _write_csv(
+        cust_landing / "20240102-000000001.csv", [("U", 1, "alice9", 12.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240102-000000001.parquet", [("U", 2, 202)]
+    )
+    real_commit = wh.commit_group_linked
+
+    def crash_flip(*a, **kw):
+        raise RuntimeError("injected crash before the group flip")
+
+    wh.commit_group_linked = crash_flip
+    try:
+        q2 = start_cdc_group_stream(
+            spark, members, wh, group="sync",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q2.awaitTermination(180)
+            raise AssertionError("stream should have failed")
+    finally:
+        wh.commit_group_linked = real_commit
+    snap = wh.read_group(spark, "sync")
+    snap_cust = {r.id: r.name for r in snap["cust"].collect()}
+    assert snap_cust.get(10) == "back" and 20 not in snap_cust
+    assert 1 in {r.oid for r in snap["ord"].collect()}
+
+    # restart replays epoch 2; the group advances; key 20 still masked
+    q3 = start_cdc_group_stream(
+        spark, members, wh, group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination(180)
+    snap = wh.read_group(spark, "sync")
+    snap_cust = {r.id: r.name for r in snap["cust"].collect()}
+    assert snap_cust[1] == "alice9" and 20 not in snap_cust
+    assert snap_cust[10] == "back"
+
+    # the live table materializes; the RETAINED snapshot keeps its own
+    # sidecar (hard links survive the live table's cleanup)
+    wh.materialize_deletes(spark, "cust")
+    assert wh.pending_deletes("cust") is None
+    snap = wh.read_group(spark, "sync")
+    assert 20 not in {r.id for r in snap["cust"].collect()}

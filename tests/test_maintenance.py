@@ -222,3 +222,185 @@ def test_compaction_debt_advisor(spark, tmp_path):
         "leaves": 5, "leaves_over_target": 0,
         "files": 5, "excess_files": 0,
     }
+
+
+# ---------------------------------------------------------------- #
+# advisor-driven maintenance scheduling (maintenance.run_maintenance #
+# + the run_queue post-cycle hook)                                   #
+# ---------------------------------------------------------------- #
+
+
+def test_run_maintenance_reclusters_drifted_table(spark, tmp_path):
+    """A drifted table gets reclustered by the scheduler and the zone
+    scope resumes pruning (the q18z-class carry rebound)."""
+    from example_dms_dataexport_spark.cdc import merge_and_write
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _rows(spark, n=4000, files=8).drop("bucket"), "t", stat_cols=["pk"]
+    )
+    assert wh.layout_drift("t")["avg_cover"] > 4
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(drift_threshold=2.0)
+    )
+    assert acts[0]["action"] == "recluster", acts
+    assert wh.layout_drift("t")["avg_cover"] < 1.2
+
+    def inodes():
+        return {
+            n: os.stat(os.path.join(wh.path("t"), n)).st_ino
+            for n in os.listdir(wh.path("t"))
+            if n.endswith(".parquet")
+        }
+
+    before = inodes()
+    ch = spark.createDataFrame(
+        [("U", 5, "upd", "f1", 1)],
+        "op string, pk long, name string, _f string, _r long",
+    )
+    merge_and_write(
+        wh, "t", wh.read(spark, "t"), ch, pks=["pk"], version_cols=["_f", "_r"]
+    )
+    after = inodes()
+    carried = [f for f in before if after.get(f) == before[f]]
+    assert len(carried) >= len(before) - 2, "zone pruning did not rebound"
+    # an already-clustered table is left alone on the next cycle
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(drift_threshold=2.0)
+    )
+    assert acts[0]["action"] == "none" and "within bound" in acts[0]["reason"]
+
+
+def test_run_maintenance_materializes_aged_deletes(spark, tmp_path):
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark).drop("bucket"), "t")
+    wh.delete_keys(spark, "t", "pk", [3, 5])
+    # not yet aged: reported, not acted on
+    acts = run_maintenance(
+        spark, wh, ["t"],
+        MaintenancePolicy(max_delete_age_s=9999, drift_threshold=None,
+                          max_excess_files=None),
+    )
+    assert acts[0]["action"] == "none" and "age bound" in acts[0]["reason"]
+    assert wh.pending_deletes("t") is not None
+    # aged (bound 0): materialized by the scheduler
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(max_delete_age_s=0.0)
+    )
+    assert acts[0]["action"] == "materialize_deletes", acts
+    assert wh.pending_deletes("t") is None
+    assert {3, 5}.isdisjoint(
+        {r.pk for r in wh.read(spark, "t").collect()}
+    )
+
+
+def test_delete_age_survives_accumulation(spark, tmp_path):
+    """The manifest ts is the OLDEST pending delete — a trickle of new
+    deletes must not reset the compliance clock."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark).drop("bucket"), "t")
+    wh.delete_keys(spark, "t", "pk", [1])
+    ts0 = wh.pending_deletes("t")["ts"]
+    wh.delete_keys(spark, "t", "pk", [2])
+    assert wh.pending_deletes("t")["ts"] == ts0
+
+
+def test_run_maintenance_compacts_and_defers_on_pending(spark, tmp_path):
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, files=8).drop("bucket"), "t")
+    pol = MaintenancePolicy(
+        drift_threshold=None, max_excess_files=2,
+        max_delete_age_s=9999,
+    )
+    # debt over bound but deletes pending and unaged: deferred, loudly
+    wh.delete_keys(spark, "t", "pk", [1])
+    acts = run_maintenance(spark, wh, ["t"], pol)
+    assert acts[0]["action"] == "none" and "deferred" in acts[0]["reason"]
+    wh.materialize_deletes(spark, "t")
+    acts = run_maintenance(spark, wh, ["t"], pol)
+    assert acts[0]["action"] == "compact", acts
+    files = [
+        n for n in os.listdir(wh.path("t")) if n.endswith(".parquet")
+    ]
+    assert len(files) <= 2
+
+
+def test_run_maintenance_budget_bounds_actions(spark, tmp_path):
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for t in ("a", "b"):
+        wh.overwrite(
+            _rows(spark, n=2000, files=8).drop("bucket"), t,
+            stat_cols=["pk"],
+        )
+    acts = run_maintenance(
+        spark, wh, ["a", "b"],
+        MaintenancePolicy(drift_threshold=2.0, max_actions_per_cycle=1),
+    )
+    by = {r["table"]: r for r in acts}
+    assert by["a"]["action"] == "recluster"
+    assert by["b"]["action"] == "none"
+    assert "budget" in by["b"]["reason"]
+
+
+def test_run_queue_maintenance_integration(spark, tmp_path):
+    """End-to-end: a CDC cycle runs WITH pending deletes (the fold),
+    then the post-cycle maintenance pass materializes the aged
+    remainder — defer-mode GDPR and syncs coexisting on one table."""
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.maintenance import MaintenancePolicy
+    from example_dms_dataexport_spark.planner import WorkItem
+    from example_dms_dataexport_spark.runner import run_queue
+    from tests.test_pipeline import CUST_SCHEMA, make_env, write_file
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store, wh = make_env(tmp_path, stage)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    wh.delete_keys(spark, "erp_customer", "c_custkey", [1, 2])
+    write_file(
+        stage,
+        "erp/customer/20240101-000000001.csv",
+        ["I,2,bob-back,21.0"],
+    )
+    res = run_queue(
+        spark,
+        store,
+        wh,
+        [WorkItem("erp/customer", "I", 1)],
+        maintenance=MaintenancePolicy(max_delete_age_s=0.0),
+    )
+    assert not res.errors, res.errors
+    acts = {r["table"]: r for r in res.maintenance}
+    rec = acts["erp_customer"]
+    # the tiny table's merge takes the whole-table path, which already
+    # applied the full pending set — either way the cycle ends clean
+    assert rec["action"] in ("materialize_deletes", "none")
+    assert wh.pending_deletes("erp_customer") is None
+    got = {
+        (r.c_custkey, r.c_name)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+    assert got == {(2, "bob-back"), (3, "carol")}
