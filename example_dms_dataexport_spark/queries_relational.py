@@ -4493,3 +4493,162 @@ def q144_composite_delete_fold(spark, sf_dir):
     if wh.zonemap("ord_mor") is None:
         raise AssertionError("fold merge dropped the zone map")
     return wh.read(spark, "ord_mor")
+
+
+# ---------------------------------------------------------------------------
+# Avro stage roundtrip — the last capability-gated source path, now
+# executable WITHOUT spark-avro via the stdlib OCF fallback (binaryFile
+# + mapInPandas decode; the external module remains the scale path).
+# Ref: metadata file_format :26; COPY INTO accepts Avro :291.
+# ---------------------------------------------------------------------------
+
+_Q146_ORACLE = """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 3 = 0
+    GROUP BY s_nationkey
+"""
+
+
+@query("q146_avro_stage_roundtrip", _Q146_ORACLE)
+def q146_avro_stage_roundtrip(spark, sf_dir):
+    """The Avro stage format's oracle face, q126/q127's sibling: the
+    full supplier table lands in a scratch stage as MULTI-FILE Avro
+    object-container files (one deflate-compressed) under foreign
+    source column names, comes back through ``read_stage_avro``'s
+    positional cast with the file-metadata virtual columns, filters,
+    and aggregates per nation. Without spark-avro (this container) the
+    read exercises the distributed stdlib fallback; with the module
+    deployed the same call takes the native scan — either way the hash
+    must match the parquet-side restatement. The assert_true guard
+    proves the per-file rownum is a dense unique sequence. The stage
+    fixture is synthesized by collecting supplier — the SMALL dim table
+    (the producer in production is DMS itself, so fixture synthesis is
+    driver-side by nature)."""
+    import shutil
+
+    from .sources.avro_stage import read_stage_avro, write_container
+
+    sup = _t(spark, sf_dir, "supplier")
+    schema = sup.schema
+    root = _scratch_root("q146", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    rows = [
+        (r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal)
+        for r in sup.collect()
+    ]
+    names = [f"SRC_COL_{i}" for i in range(4)]  # foreign: position restores
+    types = ["long", "string?", "long", "double"]
+    files = []
+    thirds = (len(rows) + 2) // 3 or 1
+    for i in range(3):
+        chunk = rows[i * thirds : (i + 1) * thirds]
+        f = os.path.join(stage, f"part-{i}.avro")
+        write_container(
+            f, names, types, chunk, codec="deflate" if i == 2 else "null"
+        )
+        files.append(f)
+    back = read_stage_avro(spark, files, schema, with_file_metadata=True)
+    back = back.filter(F.col("s_suppkey") % 3 == 0)
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__pairs") == F.col("n_suppliers"),
+            F.lit("per-file rownum not a dense unique sequence"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.count_distinct(F.struct("_dms_filename", "_dms_rownum")).alias(
+                "__pairs"
+            ),
+        )
+        .select(
+            "s_nationkey",
+            (F.col("n_suppliers") + guard).alias("n_suppliers"),
+            "total_bal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Advisor-driven maintenance cycle — run_maintenance consuming the
+# metadata-only advisors (the round-12 wiring of what was report-only):
+# aged merge-on-read deletes materialize first, then the drifted layout
+# reclusters, each as ONE bounded action per pass. The reference
+# automates its maintenance in the task DAG (ref :494-538).
+# ---------------------------------------------------------------------------
+
+_Q145_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal >= 0
+"""
+
+
+@query("q145_maintenance_cycle", _Q145_ORACLE)
+def q145_maintenance_cycle(spark, sf_dir):
+    """Two advisor-driven maintenance passes heal a neglected table:
+
+    customer lands HASH-scattered under a c_custkey zone map (every
+    band spans the key range — the CDC-accreted drift shape), then a
+    deferred GDPR delete (negative balances, via ``delete_where``)
+    leaves a pending sidecar. ``run_maintenance`` pass 1 must pick the
+    aged deletes first (``materialize_deletes``, priority over the
+    drift), pass 2 must then recluster the drifted layout — one bounded
+    action per pass, exactly the budget discipline a 100 TB warehouse
+    needs. Guards pin the action sequence, the drift score collapsing
+    to ~1, and a narrow key band actually pruning files afterwards.
+    The final state hash-matches the plain SQL filter — maintenance
+    must never change WHAT the table says, only how it is laid out."""
+    import shutil
+
+    from .maintenance import MaintenancePolicy, run_maintenance
+    from .sources.warehouse import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    root = _scratch_root("q145", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(cust.repartition(8, "c_name"), "cust_maint")
+    wh.write_zonemap(spark, "cust_maint", ["c_custkey"])
+    if wh.layout_drift("cust_maint")["avg_cover"] <= 2:
+        raise AssertionError("fixture layout is not drifted")
+
+    wh.delete_where(spark, "cust_maint", "c_custkey", "c_acctbal < 0")
+    if wh.pending_deletes("cust_maint") is None:
+        raise AssertionError("fixture produced no pending deletes")
+
+    policy = MaintenancePolicy(
+        drift_threshold=2.0, max_delete_age_s=0.0, max_actions_per_cycle=1
+    )
+    pass1 = run_maintenance(spark, wh, ["cust_maint"], policy)
+    if pass1[0]["action"] != "materialize_deletes":
+        raise AssertionError(
+            f"aged deletes must outrank drift: {pass1}"
+        )
+    pass2 = run_maintenance(spark, wh, ["cust_maint"], policy)
+    if pass2[0]["action"] != "recluster":
+        raise AssertionError(f"drift must recluster on pass 2: {pass2}")
+    drift = wh.layout_drift("cust_maint")
+    if drift["avg_cover"] > 1.5:
+        raise AssertionError(f"recluster left drift: {drift}")
+    m = cust.agg(F.max("c_custkey")).first()[0]
+    split = wh.zone_overlap_split("cust_maint", {"c_custkey": (1, m // 20)})
+    if split is None or len(split[1]) < drift["files"] // 2:
+        raise AssertionError(
+            f"a 5% key band should prune most files post-recluster: {split}"
+        )
+    pass3 = run_maintenance(spark, wh, ["cust_maint"], policy)
+    if pass3[0]["action"] != "none":
+        raise AssertionError(f"healed table must be left alone: {pass3}")
+    return wh.read(spark, "cust_maint")

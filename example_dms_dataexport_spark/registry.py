@@ -87,6 +87,8 @@ PRIORITY = [
     # new in round 12, never driver-checked (inserted as they land;
     # hard cap 6 — slots 45-50 of the window)
     "q144_composite_delete_fold",
+    "q145_maintenance_cycle",
+    "q146_avro_stage_roundtrip",
 ]
 
 

@@ -257,13 +257,108 @@ def test_xml_stage_cdc_rownum_order(spark, tmp_path):
     assert by_rownum == {1: "first", 2: "second"}
 
 
-def test_avro_stage_capability_gate(spark, tmp_path):
+def test_avro_stage_fallback_roundtrip(spark, tmp_path):
+    """Without spark-avro the stdlib OCF fallback reads the stage file
+    distributed (binaryFile + mapInPandas): positional cast, exact
+    per-file row numbers, null/deflate codecs, nullable unions."""
     from example_dms_dataexport_spark.sources.avro_stage import (
         avro_available,
         read_stage_avro,
+        write_container,
     )
 
     if avro_available(spark):
-        pytest.skip("spark-avro present — gate not exercisable here")
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        read_stage_avro(spark, [str(tmp_path / "x.avro")], CUST_SCHEMA)
+        pytest.skip("spark-avro present — fallback not exercisable here")
+    names = ["k", "n", "b"]  # physical names differ: position is the contract
+    types = ["long", "string?", "double"]
+    write_container(
+        str(tmp_path / "a1.avro"), names, types,
+        [(1, "alice", 10.5), (2, None, 20.0)],
+    )
+    write_container(
+        str(tmp_path / "a2.avro"), names, types,
+        [(3, "carol", 30.25)], codec="deflate",
+    )
+    got = read_stage_avro(
+        spark,
+        [str(tmp_path / "a1.avro"), str(tmp_path / "a2.avro")],
+        CUST_SCHEMA,
+        with_file_metadata=True,
+    ).collect()
+    by_key = {r.c_custkey: (r.c_name, r.c_acctbal, r._dms_rownum) for r in got}
+    assert by_key == {
+        1: ("alice", 10.5, 1),
+        2: (None, 20.0, 2),
+        3: ("carol", 30.25, 1),
+    }
+    assert all(r._dms_filename.endswith((".avro",)) for r in got)
+
+
+def test_avro_fallback_rejects_out_of_subset(spark, tmp_path):
+    """Unsupported types/codecs fail LOUDLY with spark-avro guidance —
+    never a silent misread."""
+    from example_dms_dataexport_spark.sources.avro_stage import (
+        decode_container,
+        write_container,
+    )
+
+    write_container(str(tmp_path / "ok.avro"), ["k"], ["long"], [(1,)])
+    blob = open(tmp_path / "ok.avro", "rb").read()
+    # splice an unsupported field type into the header schema
+    bad = blob.replace(b'"type": "long"', b'"type": "enum"')
+    if bad == blob:
+        bad = blob.replace(b'"type":"long"', b'"type":"enum"')
+    with pytest.raises(ValueError, match="spark-avro"):
+        decode_container(bad)
+    names, rows = decode_container(blob)
+    assert names == ["k"] and rows == [(1,)]
+
+
+def test_avro_stage_full_then_incremental(spark, tmp_path):
+    """The whole DMS pipeline over the Avro stage fallback: full load,
+    intra-file latest-wins, later-file override, delete, watermark."""
+    from example_dms_dataexport_spark.sources.avro_stage import (
+        write_container,
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(os.path.join(stage, "erp/customer"))
+    names = ["A", "B", "C"]
+    types = ["long", "string?", "double"]
+    write_container(
+        os.path.join(stage, "erp/customer/LOAD00000001.avro"),
+        names, types,
+        [(1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 30.25)],
+    )
+    store, wh = _env(tmp_path, stage, "avro")
+    assert full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA) == 3
+
+    cdc_names = ["Op", "A", "B", "C"]
+    cdc_types = ["string", "long", "string?", "double"]
+    write_container(
+        os.path.join(stage, "erp/customer/20240101-000000001.avro"),
+        cdc_names, cdc_types,
+        [("U", 2, "bob2a", 21.0), ("U", 2, "bob2b", 22.0), ("D", 3, "x", 0.0)],
+    )
+    write_container(
+        os.path.join(stage, "erp/customer/20240102-000000002.avro"),
+        cdc_names, cdc_types,
+        [("U", 2, "bob3", 23.0), ("I", 4, "dave", 40.0)],
+        codec="deflate",
+    )
+    assert incremental_load(spark, store, wh, "erp/customer").startswith(
+        "Rows affected:"
+    )
+    assert _rows(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob3", 23.0),
+        (4, "dave", 40.0),
+    }
+    assert (
+        store.get("erp/customer").last_incremental_file
+        == "20240102-000000002.avro"
+    )
+    assert (
+        incremental_load(spark, store, wh, "erp/customer")
+        == "No files to process."
+    )
