@@ -20,10 +20,16 @@ cycle):
    compliance deadline — age is the manifest's ``ts``, the OLDEST
    still-pending delete, carried through accumulations so a trickle
    can't push the deadline back);
-2. ``layout_drift``'s ``avg_cover`` above ``drift_threshold`` →
+2. a table whose DECLARED layout (``TableMeta.layout()``) names
+   ``stat_cols`` but whose zone map is MISSING → ``write_zonemap``
+   (partition-scoped rewrites drop the map by design — stale-and-absent
+   must fail loudly, never mis-prune — so after a partitioned sync the
+   hybrid merge scope is blind until someone rebuilds; one columnar
+   stat pass restores it);
+3. ``layout_drift``'s ``avg_cover`` above ``drift_threshold`` →
    ``recluster`` (flat zone-mapped tables; restores file-grain merge
    pruning, and applies pending deletes for free);
-3. ``compaction_debt``'s ``excess_files`` above ``max_excess_files`` →
+4. ``compaction_debt``'s ``excess_files`` above ``max_excess_files`` →
    ``compact`` (skipped while deletes are pending and not yet aged —
    compact refuses then, and the delete will age into action 1 anyway).
 
@@ -81,6 +87,9 @@ def run_maintenance(
             if _try_materialize(spark, warehouse, t, policy, lay, rec):
                 budget -= 1
                 continue
+            if _try_rebuild_zonemap(spark, warehouse, t, lay, rec):
+                budget -= 1
+                continue
             if _try_recluster(spark, warehouse, t, policy, rec):
                 budget -= 1
                 continue
@@ -114,6 +123,19 @@ def _try_materialize(spark, warehouse, t, policy, lay, rec) -> bool:
         f">= {policy.max_delete_age_s:.0f}s age bound"
     )
     rec["stats"] = res
+    return True
+
+
+def _try_rebuild_zonemap(spark, warehouse, t, lay, rec) -> bool:
+    stat_cols = lay.get("stat_cols")
+    if not stat_cols or warehouse.zonemap(t) is not None:
+        return False
+    warehouse.write_zonemap(spark, t, stat_cols)
+    rec["action"] = "write_zonemap"
+    rec["reason"] = (
+        f"declared stat_cols {stat_cols} but no zone map on disk "
+        "(dropped by a partition-scoped rewrite)"
+    )
     return True
 
 

@@ -404,3 +404,31 @@ def test_run_queue_maintenance_integration(spark, tmp_path):
         for r in wh.read(spark, "erp_customer").collect()
     }
     assert got == {(2, "bob-back"), (3, "carol")}
+
+
+def test_run_maintenance_rebuilds_dropped_zonemap(spark, tmp_path):
+    """A partition-scoped rewrite drops the zone map by design; the
+    scheduler rebuilds it from the table's DECLARED stat_cols so the
+    hybrid merge scope isn't blind until a human remembers."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    wh.write_zonemap(spark, "t", ["pk"])
+    wh._drop_zonemap("t")  # what replace_partitions does mid-sync
+    assert wh.zonemap("t") is None
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(),
+        layouts={"t": {"partition_by": ["bucket"], "stat_cols": ["pk"]}},
+    )
+    assert acts[0]["action"] == "write_zonemap", acts
+    assert wh.zonemap("t") is not None
+    # with the map back, the next pass leaves the table alone
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(),
+        layouts={"t": {"partition_by": ["bucket"], "stat_cols": ["pk"]}},
+    )
+    assert acts[0]["action"] == "none"
