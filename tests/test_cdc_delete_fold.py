@@ -327,3 +327,66 @@ def test_composite_fold_through_cdc_merge(spark, tmp_path):
     assert (7, 7) not in rows
     dm = wh.pending_deletes("t")
     assert dm["n_keys"] == 1 and dm["key_cols"] == ["region", "seq"]
+
+
+def test_defer_erasure_stream_then_cdc_stream_coexist(spark, tmp_path):
+    """THE composition the r11 verdict flagged: a defer-mode GDPR
+    erasure stream and a live CDC stream on the SAME table. The
+    deferred delete lands as a sidecar (zero data I/O), the next CDC
+    micro-batch folds it (re-inserted subject wins, others stay
+    masked), and the scheduled maintenance pass materializes the
+    remainder — no sync ever refused, no manual step on the ingestion
+    path."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from example_dms_dataexport_spark.streaming.cdc_stream import (
+        start_cdc_stream,
+    )
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, n=500, files=6).drop("bucket"), "t")
+
+    # GDPR queue: two subjects, deferred
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(10,), (20,)], "pk long").coalesce(1)\
+        .write.parquet(str(req / "r0"))
+    stream = spark.readStream.schema("pk long").parquet(str(req / "*"))
+    qe = start_erasure_stream(
+        spark, stream, wh, "t", "pk",
+        checkpoint_dir=str(tmp_path / "eckpt"), mode="defer",
+    )
+    qe.awaitTermination(120)
+    assert wh.pending_deletes("t")["n_keys"] == 2
+
+    # live CDC sync on the same table: previously raised, now folds
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "20240101-000000001.csv", "w") as f:
+        f.write("I,10,back\nU,5,upd\n")
+    qc = start_cdc_stream(
+        spark,
+        str(landing / "2*.csv"),
+        wh,
+        "t",
+        pks=["pk"],
+        checkpoint_dir=str(tmp_path / "cckpt"),
+    )
+    qc.awaitTermination(120)
+    got = {r.pk: r.name for r in wh.read(spark, "t").collect()}
+    assert got[10] == "back" and 20 not in got and got[5] == "upd"
+    assert wh.pending_deletes("t")["n_keys"] == 1
+
+    # scheduled maintenance applies the aged remainder physically
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(max_delete_age_s=0.0)
+    )
+    assert acts[0]["action"] == "materialize_deletes"
+    assert wh.pending_deletes("t") is None
+    raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
+    assert 20 not in raw and 10 in raw
