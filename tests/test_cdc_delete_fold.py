@@ -390,3 +390,77 @@ def test_defer_erasure_stream_then_cdc_stream_coexist(spark, tmp_path):
     assert wh.pending_deletes("t") is None
     raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
     assert 20 not in raw and 10 in raw
+
+
+@pytest.mark.parametrize(
+    "layout",
+    ["flat", "zoned", "partitioned"],
+    ids=["scan-scope", "zone-scope", "partition-scope"],
+)
+def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
+    """Equivalence property over every merge scope: delete_keys(D) →
+    fold-merge(B) must equal delete_keys(D) → materialize → merge(B) —
+    the fold changes WHEN the delete I/O happens, never the result. 8
+    seeded random (D, B) shapes per layout class: re-inserts, updates
+    and deletes of pending keys, absent keys, overlapping sets."""
+    import random
+
+    rnd = random.Random(f"fold-{layout}")
+    for trial in range(8):
+        universe = list(range(120))
+        dset = rnd.sample(universe, rnd.randint(1, 12))
+        ops = []
+        for i in range(rnd.randint(1, 15)):
+            pk = rnd.choice(
+                dset if rnd.random() < 0.5 else universe
+            )  # bias toward pending keys: the interesting collisions
+            ops.append(
+                (rnd.choice("IUD"), pk, pk % 5, f"b{trial}-{i}", "f1", i)
+            )
+        base = (
+            spark.range(120)
+            .selectExpr(
+                "id AS pk", "id % 5 AS bucket", "concat('v-', id) AS name"
+            )
+            .repartition(4, "name")
+        )
+        ch = _changes(spark, ops)
+
+        def build(table, wh):
+            if layout == "zoned":
+                wh.overwrite(
+                    base, table, cluster_by=["pk"], cluster_partitions=4,
+                    stat_cols=["pk"],
+                )
+            elif layout == "partitioned":
+                wh.overwrite(base, table, partition_by=["bucket"])
+            else:
+                wh.overwrite(base, table)
+            wh.delete_keys(spark, table, "pk", dset)
+
+        pb = ["bucket"] if layout == "partitioned" else None
+        wh = ParquetWarehouse(str(tmp_path / f"wh-{layout}-{trial}"))
+        build("folded", wh)
+        merge_and_write(
+            wh, "folded", wh.read(spark, "folded").select("pk", "bucket", "name"),
+            ch, pks=["pk"], version_cols=VC, partition_by=pb,
+        )
+        build("staged", wh)
+        wh.materialize_deletes(spark, "staged", partition_by=pb)
+        merge_and_write(
+            wh, "staged", wh.read(spark, "staged").select("pk", "bucket", "name"),
+            ch, pks=["pk"], version_cols=VC, partition_by=pb,
+        )
+        got = {
+            (r.pk, r.bucket, r.name)
+            for r in wh.read(spark, "folded").collect()
+        }
+        want = {
+            (r.pk, r.bucket, r.name)
+            for r in wh.read(spark, "staged").collect()
+        }
+        assert got == want, (
+            f"{layout} trial {trial}: fold diverged\n"
+            f"D={sorted(dset)}\nops={ops}\n"
+            f"fold-only={sorted(got - want)}\nstaged-only={sorted(want - got)}"
+        )
