@@ -4652,3 +4652,60 @@ def q145_maintenance_cycle(spark, sf_dir):
     if pass3[0]["action"] != "none":
         raise AssertionError(f"healed table must be left alone: {pass3}")
     return wh.read(spark, "cust_maint")
+
+
+# ---------------------------------------------------------------------------
+# Group snapshot with a carried pending-delete sidecar — the round-12
+# epoch-consistency × defer-GDPR composition, reader-visible.
+# ---------------------------------------------------------------------------
+
+_Q147_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+"""
+
+
+@query("q147_group_snapshot_mask", _Q147_ORACLE)
+def q147_group_snapshot_mask(spark, sf_dir):
+    """A consistent group snapshot taken WHILE merge-on-read deletes are
+    pending: ``commit_group_linked`` carries the sidecar (hard-linked
+    key parquet + manifest) into the snapshot instead of refusing the
+    epoch, and ``read_group`` resolves the masked view. Guards pin that
+    the snapshot stays masked AFTER the live table materializes (the
+    links outlive the working sidecar) and that the live and snapshot
+    views agree. Returned through the snapshot reader so the oracle
+    hash-checks the carried mask itself."""
+    import shutil
+
+    from .sources.warehouse import ParquetWarehouse
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    root = _scratch_root("q147", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(root)
+    wh.overwrite(orders, "ord_snap")
+    wh.delete_where(
+        spark, "ord_snap", "o_orderkey",
+        "o_orderkey % 7 = 0 AND o_orderstatus = 'F'",
+    )
+    if wh.pending_deletes("ord_snap") is None:
+        raise AssertionError("fixture produced no pending deletes")
+    wh.commit_group_linked(["ord_snap"], "cycle")
+    snap = wh.read_group(spark, "cycle")["ord_snap"]
+    live_n = wh.read(spark, "ord_snap").count()
+    if snap.count() != live_n:
+        raise AssertionError(
+            "snapshot view disagrees with the live masked view"
+        )
+    # materialize on the LIVE table; the snapshot must stay masked via
+    # its own carried sidecar (hard links outlive the working dirs)
+    wh.materialize_deletes(spark, "ord_snap")
+    snap = wh.read_group(spark, "cycle")["ord_snap"]
+    if snap.count() != live_n:
+        raise AssertionError(
+            "snapshot lost its carried mask after the live materialize"
+        )
+    return snap.select("o_orderkey", "o_custkey", "o_orderpriority")

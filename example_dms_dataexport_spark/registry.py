@@ -89,6 +89,7 @@ PRIORITY = [
     "q144_composite_delete_fold",
     "q145_maintenance_cycle",
     "q146_avro_stage_roundtrip",
+    "q147_group_snapshot_mask",
 ]
 
 
