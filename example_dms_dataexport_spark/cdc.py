@@ -376,6 +376,26 @@ def merge_and_write(
         target, changes, pks=pks, version_cols=version_cols
     ).persist()
     n = merged.count()  # materialization also validates before the swap
+    spec = warehouse.bucket_spec(target_table)
+    if spec is not None:
+        # BUCKETED target: the whole-table rewrite must go THROUGH
+        # write_bucketed with the persisted spec, or the merge silently
+        # degrades the co-located-join layout to plain parquet (the
+        # same trap erase_subjects guards). write_bucketed clears the
+        # directory BEFORE writing and `merged` lazily reads those
+        # files, so the result is pinned with localCheckpoint first —
+        # persist alone could be evicted mid-write and recompute from
+        # deleted inputs.
+        pinned = merged.localCheckpoint(eager=True)
+        merged.unpersist()
+        warehouse.write_bucketed(
+            pinned,
+            target_table,
+            bucket_by=spec["bucket_by"],
+            n_buckets=spec["n_buckets"],
+            sort_by=spec.get("sort_by") or None,
+        )
+        return n
     # full_rewrite keeps the partition layout: the atomic whole-table
     # swap also drops any pending tombstone marker with the old dir.
     lay = layout or {}

@@ -2220,6 +2220,17 @@ class ParquetWarehouse:
             json.dump(spec, f)
         os.replace(tmp, os.path.join(final, BUCKET_SPEC_FILE))
 
+    def bucket_spec(self, table: str) -> dict | None:
+        """The persisted bucket layout (``{"bucket_by", "n_buckets",
+        "sort_by"}``) or None for non-bucketed tables — the contract
+        rewriters (CDC merge, erasure) use to rewrite THROUGH
+        ``write_bucketed`` so the co-located-join layout survives."""
+        p = os.path.join(self.path(table), BUCKET_SPEC_FILE)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
         """Read a bucketed table THROUGH the catalog so joins/aggregations
         on the bucket key can use the existing layout instead of

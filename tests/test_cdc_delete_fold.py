@@ -464,3 +464,37 @@ def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
             f"D={sorted(dset)}\nops={ops}\n"
             f"fold-only={sorted(got - want)}\nstaged-only={sorted(want - got)}"
         )
+
+
+def test_whole_table_merge_preserves_bucket_layout(spark, tmp_path):
+    """A CDC merge into a BUCKETED target must rewrite through
+    write_bucketed with the persisted spec — a plain overwrite would
+    silently degrade the co-located-join layout to flat parquet (and
+    the merge lazily reads the files write_bucketed clears, so the
+    result must be pinned first)."""
+    from example_dms_dataexport_spark.sources.warehouse import (
+        BUCKET_SPEC_FILE,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    base = spark.range(200).selectExpr(
+        "id AS pk", "id % 5 AS bucket", "concat('v-', id) AS name"
+    )
+    wh.write_bucketed(base, "bt", bucket_by=["pk"], n_buckets=4)
+    ch = _changes(
+        spark,
+        [("U", 7, 2, "upd", "f1", 1), ("D", 9, 4, "x", "f1", 2),
+         ("I", 900, 0, "new", "f1", 3)],
+    )
+    n = merge_and_write(
+        wh, "bt", wh.read(spark, "bt").select("pk", "bucket", "name"),
+        ch, pks=["pk"], version_cols=VC,
+    )
+    assert n == 200  # 200 - 1 delete + 1 insert
+    assert wh.bucket_spec("bt") == {
+        "bucket_by": ["pk"], "n_buckets": 4, "sort_by": [],
+    }
+    assert os.path.isfile(os.path.join(wh.path("bt"), BUCKET_SPEC_FILE))
+    got = {r.pk: r.name for r in wh.read_bucketed(spark, "bt").collect()}
+    assert got[7] == "upd" and 9 not in got and got[900] == "new"
+    assert len(got) == 200
