@@ -77,18 +77,34 @@ def full_load(
     files = [f.path for f in list_stage(spark, meta.stage, pattern)]
     df = read_stage(spark, files, schema, file_format=meta.file_format)
     lay = meta.layout()
-    warehouse.overwrite(
-        df,
-        meta.target_table,
-        partition_by=(
-            partition_by if partition_by is not None
-            else lay.get("partition_by")
-        ),
-        cluster_by=lay.get("cluster_by"),
-        zorder_by=lay.get("zorder_by"),
-        cluster_partitions=lay.get("cluster_partitions"),
-        stat_cols=lay.get("stat_cols"),
-    )
+    spec = warehouse.bucket_spec(meta.target_table)
+    if spec is not None:
+        # a reload of a BUCKETED target rewrites through write_bucketed
+        # with the persisted spec — the declared-layout contract, same
+        # as the CDC merge path (a plain overwrite would silently
+        # degrade the co-located-join layout to flat parquet). The
+        # stage read never overlaps the target files, so no pinning is
+        # needed here.
+        warehouse.write_bucketed(
+            df,
+            meta.target_table,
+            bucket_by=spec["bucket_by"],
+            n_buckets=spec["n_buckets"],
+            sort_by=spec.get("sort_by") or None,
+        )
+    else:
+        warehouse.overwrite(
+            df,
+            meta.target_table,
+            partition_by=(
+                partition_by if partition_by is not None
+                else lay.get("partition_by")
+            ),
+            cluster_by=lay.get("cluster_by"),
+            zorder_by=lay.get("zorder_by"),
+            cluster_partitions=lay.get("cluster_partitions"),
+            stat_cols=lay.get("stat_cols"),
+        )
     n = warehouse.read(spark, meta.target_table).count()
     # record the SOURCE column order — later positional CDC casts must
     # not follow a partitioned target's re-ordered schema (ref :341-348)

@@ -1952,3 +1952,28 @@ def test_cdc_schema_evolution_widens_types(spark, tmp_path, landing):
     )
     with pytest.raises(ValueError, match="lossless widening"):
         incremental_load(spark, store, wh, "erp/customer", schema=lossy)
+
+
+def test_full_load_preserves_bucket_layout(spark, tmp_path, landing):
+    """A reload of a bucketed target rewrites THROUGH write_bucketed
+    with the persisted spec — the declared-layout contract; a plain
+    overwrite would silently flatten the co-located-join layout."""
+    store, wh = make_env(tmp_path, landing)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    # retrofit the bucket layout (pinning first: write_bucketed clears
+    # the dir this read feeds from), then reload from the stage
+    wh.write_bucketed(
+        wh.read(spark, "erp_customer").localCheckpoint(eager=True),
+        "erp_customer",
+        bucket_by=["c_custkey"], n_buckets=4,
+    )
+    n = full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    assert n == 3
+    assert wh.bucket_spec("erp_customer") == {
+        "bucket_by": ["c_custkey"], "n_buckets": 4, "sort_by": [],
+    }
+    got = {
+        (r.c_custkey, r.c_name)
+        for r in wh.read_bucketed(spark, "erp_customer").collect()
+    }
+    assert got == {(1, "alice"), (2, "bob"), (3, "carol")}
