@@ -3004,3 +3004,213 @@ def q143_repetition_filter(spark, sf_dir):
     to drift between engines."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.repetition_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public method): score
+# every raw document by how target-like its hashed n-gram feature
+# distribution is. The weights feed the PPS sampler (q138) to build a
+# target-matched training mixture without scoring models.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = "('src1', 'src2', 'src3')"  # the trusted target domain
+
+_Q148_ORACLE = f"""
+    WITH f AS MATERIALIZED (
+        SELECT doc_id, source, {{ph}} % {_DSIR_BUCKETS} AS f
+        FROM (
+            SELECT doc_id, source, unnest({{toks}}) AS tok FROM documents
+        )
+    ),
+    rawc AS MATERIALIZED (
+        SELECT f, CAST(count(*) AS BIGINT) AS q FROM f GROUP BY f
+    ),
+    tgtc AS MATERIALIZED (
+        SELECT f, CAST(count(*) AS BIGINT) AS t FROM f
+        WHERE source IN {_DSIR_TARGET} GROUP BY f
+    ),
+    tot AS MATERIALIZED (
+        SELECT (SELECT CAST(sum(q) AS BIGINT) FROM rawc) AS qq,
+               (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) FROM tgtc) AS tt
+    ),
+    model AS MATERIALIZED (
+        SELECT rawc.f,
+               CAST(floor(log10(
+                        ((coalesce(t, 0) + 1.0) / (tt + {_DSIR_BUCKETS}))
+                        / ((q + 1.0) / (qq + {_DSIR_BUCKETS})))
+                    * {{lp}} + 0.5) AS BIGINT) AS lr
+        FROM rawc LEFT JOIN tgtc USING (f), tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           floor(CAST(sum(lr) AS DOUBLE) / count(*) / {{lp}} * 1e4 + 0.5)
+               / 1e4 AS dsir_weight
+    FROM f JOIN model USING (f)
+    GROUP BY doc_id
+""".format(
+    ph=TH.sql_poly_hash("tok"),
+    toks=TH.sql_tokens("text"),
+    lp=text_analysis.LP_SCALE,
+)
+
+
+@query("q148_dsir_importance_weights", _Q148_ORACLE)
+def q148_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights: per-document mean log10 likelihood ratio
+    between the TARGET domain's hashed-unigram feature distribution
+    (sources src1-3, the trusted subset) and the full raw corpus, add-one
+    smoothed over {B} hash buckets. High-weight documents look like the
+    target; resample raw data proportional to the weight (q138's PPS
+    sampler) and the mixture's feature distribution converges on the
+    target's — quality-directed selection with no scoring model.
+
+    Cross-engine exactness follows the q88/q95 pattern: the MODEL is
+    tiny (256 rows), so its per-bucket log-ratios are computed once as
+    fixed-point int64 (identical doubles -> identical floor), and every
+    per-document score is then an order-free INTEGER sum. Scale shape:
+    one explode + two bucket-sized aggregations build the model, the
+    model broadcasts (256 rows), and the per-document fold is one
+    map-side-combined aggregation — the fact stream is touched once, no
+    shuffle keyed on anything wider than doc_id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lp = text_analysis.LP_SCALE
+    B = _DSIR_BUCKETS
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TH.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (TH.poly_hash(F.col("tok")) % B).alias("f"),
+    )
+    rawc = feats.groupBy("f").agg(F.count(F.lit(1)).alias("q"))
+    tgtc = (
+        feats.filter(F.col("source").isin("src1", "src2", "src3"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    qq = rawc.agg(F.sum("q").alias("qq"))
+    tt = tgtc.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
+    model = (
+        rawc.join(tgtc, "f", "left")
+        .crossJoin(F.broadcast(qq))  # 1-row totals attach
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "f",
+            F.floor(
+                F.log10(
+                    (
+                        (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(B))
+                    )
+                    / ((F.col("q") + F.lit(1.0)) / (F.col("qq") + F.lit(B)))
+                )
+                * lp
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (
+                F.floor(
+                    F.sum("lr").cast("double")
+                    / F.count(F.lit(1))
+                    / lp
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture reweighting (the multilingual-sampling
+# formula of mT5/XLM-R, public: p_s ∝ n_s^alpha) — the mixture-design
+# counterpart of q138's PPS sampler and q148's DSIR weights: how much to
+# over/under-sample each SOURCE so small sources aren't drowned.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3  # the mT5 default: strong flattening, order preserved
+_MIX_SCALE = 1_000_000
+
+_Q149_ORACLE = f"""
+    WITH s AS MATERIALIZED (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({TH.sql_token_count('text')}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    p AS MATERIALIZED (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(power(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA})
+                          * {_MIX_SCALE} + 0.5) AS BIGINT) AS pfix
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(pfix * {_MIX_SCALE}
+                // CAST((SELECT sum(pfix) FROM p) AS BIGINT)
+                AS BIGINT) AS share_ppm,
+           CAST(pfix * {_MIX_SCALE}
+                // CAST((SELECT sum(pfix) FROM p) AS BIGINT)
+                * CAST((SELECT sum(n_tokens) FROM p) AS BIGINT)
+                // n_tokens
+                AS BIGINT) AS boost_ppm
+    FROM p
+"""
+
+
+@query("q149_mixture_temperature", _Q149_ORACLE)
+def q149_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source mixture: sampling share p_s ∝
+    n_tokens_s^alpha (alpha=0.3, the mT5 flattening), reported per
+    source as ``share_ppm`` (parts-per-million of the training mixture)
+    and ``boost_ppm`` (the over/undersampling factor vs the natural
+    token share — >1e6 means the source is upsampled). Feed the boosts
+    into q85's weighted interleave or q138's PPS sampler to materialize
+    the mixture.
+
+    Cross-engine exactness: the only irrational step (power) runs on
+    the SOURCE-level relation (~20 rows, identical doubles -> identical
+    fixed-point int64); the normalization and boost are then pure
+    BIGINT arithmetic — no order-dependent double sums anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TH.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    p = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+            * _MIX_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pfix"),
+    )
+    tot = p.agg(
+        F.sum("pfix").alias("psum"), F.sum("n_tokens").alias("toksum")
+    )
+    # INTEGER division on both engines (Spark `div`, DuckDB `//`):
+    # double division + cast disagrees across engines (DuckDB's
+    # double->BIGINT cast rounds, Spark's truncates — a one-ppm skew)
+    return p.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        f"pfix * {_MIX_SCALE} div psum AS share_ppm",
+        f"pfix * {_MIX_SCALE} div psum * toksum div n_tokens AS boost_ppm",
+    )

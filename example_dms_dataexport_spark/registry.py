@@ -90,6 +90,8 @@ PRIORITY = [
     "q145_maintenance_cycle",
     "q146_avro_stage_roundtrip",
     "q147_group_snapshot_mask",
+    "q148_dsir_importance_weights",
+    "q149_mixture_temperature",
 ]
 
 
