@@ -120,6 +120,11 @@ HEADLINE = [
     # q143 reads the testdata directly (no fixture) — a headline face
     # like its q46-q58 text-analysis peers.
     "q143_repetition_filter",
+    # Round 12: q144-q147 are warehouse fixture faces (q131 precedent —
+    # the engine costs are benched by the q18-family sentinels);
+    # q148/q149 read the testdata directly, headline faces like q143.
+    "q148_dsir_importance_weights",
+    "q149_mixture_temperature",
 ]
 
 
