@@ -432,3 +432,35 @@ def test_run_maintenance_rebuilds_dropped_zonemap(spark, tmp_path):
         layouts={"t": {"partition_by": ["bucket"], "stat_cols": ["pk"]}},
     )
     assert acts[0]["action"] == "none"
+
+
+def test_run_maintenance_isolates_concurrent_writer(spark, tmp_path):
+    """A maintenance action that collides with a concurrent writer's
+    fence records an error and moves on — maintenance must never fail
+    the sync cycle that hosts it."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark).drop("bucket"), "t")
+    wh.delete_keys(spark, "t", "pk", [3])
+    # a concurrent writer holds the mutation fence
+    lock = wh._mutation_lock_path("t")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, b'{"pid": 999999999, "host": "elsewhere"}')
+        os.close(fd)
+        acts = run_maintenance(
+            spark, wh, ["t"], MaintenancePolicy(max_delete_age_s=0.0)
+        )
+        assert acts[0]["action"] == "error"
+        assert "Concurrent" in acts[0]["reason"] or "lock" in acts[0]["reason"].lower()
+    finally:
+        os.remove(lock)
+    # with the fence free the action lands on the next cycle
+    acts = run_maintenance(
+        spark, wh, ["t"], MaintenancePolicy(max_delete_age_s=0.0)
+    )
+    assert acts[0]["action"] == "materialize_deletes"
