@@ -109,6 +109,8 @@ class _Bin:
         shift = 0
         acc = 0
         while True:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated avro varint")
             byte = self.b[self.pos]
             self.pos += 1
             acc |= (byte & 0x7F) << shift

@@ -189,9 +189,22 @@ def start_cdc_stream(
     partition_by: list[str] | None = None,
     file_format: str = "csv",
     column_order: list[str] | None = None,
+    maintenance=None,
+    maintenance_every: int = 20,
 ) -> StreamingQuery:
     """Continuously (or catch-up once, with available_now) merge CDC files
     into ``target_table``. The target must already exist (full load).
+
+    ``maintenance``: a :class:`~..maintenance.MaintenancePolicy` — a
+    CONTINUOUS stream accretes small files and layout drift with every
+    micro-batch but never passes through ``run_queue``'s post-cycle
+    hook, so every ``maintenance_every``-th batch runs one bounded
+    advisor pass on the target after its merge (aged deferred deletes
+    materialize, dropped zone maps rebuild, drift reclusters, debt
+    compacts). The pass keys off ``batch_id`` (stable across restarts),
+    so a replayed trigger batch re-runs it — materialize/rebuild are
+    natural no-ops then and recluster/compact cost one bounded extra
+    rewrite; a maintenance failure never fails the batch.
 
     ``column_order``: the SOURCE column order for the positional CDC
     contract (``TableMeta.column_order``, recorded by full_load). Needed
@@ -236,6 +249,16 @@ def start_cdc_stream(
             version_cols=["_dms_filename", "_dms_rownum"],
             partition_by=partition_by,
         )
+        if maintenance is not None and batch_id % maintenance_every == 0:
+            from ..maintenance import run_maintenance
+
+            run_maintenance(
+                spark,
+                warehouse,
+                [target_table],
+                policy=maintenance,
+                layouts={target_table: {"partition_by": partition_by}},
+            )
 
     stream = read_cdc_stream(
         spark,

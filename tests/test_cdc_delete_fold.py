@@ -498,3 +498,39 @@ def test_whole_table_merge_preserves_bucket_layout(spark, tmp_path):
     got = {r.pk: r.name for r in wh.read_bucketed(spark, "bt").collect()}
     assert got[7] == "upd" and 9 not in got and got[900] == "new"
     assert len(got) == 200
+
+
+def test_cdc_stream_maintenance_hook(spark, tmp_path):
+    """A continuous CDC stream runs the bounded advisor pass every Nth
+    micro-batch: the defer-mode sidecar a GDPR queue left behind is
+    materialized BY THE STREAM once aged — no external scheduler needed
+    on the ingestion path."""
+    from example_dms_dataexport_spark.maintenance import MaintenancePolicy
+    from example_dms_dataexport_spark.streaming.cdc_stream import (
+        start_cdc_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, n=300, files=4).drop("bucket"), "t")
+    wh.delete_keys(spark, "t", "pk", [10, 20])
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "20240101-000000001.csv", "w") as f:
+        f.write("I,10,back\n")
+    q = start_cdc_stream(
+        spark,
+        str(landing / "2*.csv"),
+        wh,
+        "t",
+        pks=["pk"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        maintenance=MaintenancePolicy(max_delete_age_s=0.0),
+        maintenance_every=1,
+    )
+    q.awaitTermination(120)
+    got = {r.pk: r.name for r in wh.read(spark, "t").collect()}
+    assert got[10] == "back" and 20 not in got
+    # the stream's own maintenance pass materialized the remainder
+    assert wh.pending_deletes("t") is None
+    raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
+    assert 20 not in raw
