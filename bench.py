@@ -344,6 +344,32 @@ def main() -> None:
     times_min["q18d_mor_delete"] = round(best, 3)
     total += med
 
+    # Pending-delete FOLD through a zone-scoped merge (q144's machinery
+    # at bench scale: defer-mode GDPR sidecar + live CDC batch on one
+    # table) — regressions to refusal, whole-table rewrite, or losing
+    # the zone carry show up here (assertions + wall time).
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_fold_cdc_fixture,
+    )
+
+    fold_info: dict[str, int] = {}
+
+    def run_fold() -> None:
+        td = tempfile.mkdtemp(prefix="bench-fold-")
+        try:
+            n, rem, carried, files = run_fold_cdc_fixture(spark, sf_dir, td)
+            fold_info.update(
+                rows_written=n, sidecar_remaining=rem,
+                files_carried=carried, total_files=files,
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_fold)
+    times["q18f_fold_cdc"] = round(med, 3)
+    times_min["q18f_fold_cdc"] = round(best, 3)
+    total += med
+
     # Stdlib JPEG decode on a deterministic 1-in-25 document sample
     # (the full-corpus faces are correctness-only — see the HEADLINE
     # comment). Same plan shape as q132/q134: per-image parallel
@@ -397,6 +423,7 @@ def main() -> None:
         "hybrid_cdc": hcdc_info,
         "scan_cdc": scdc_info,
         "mor_delete": mor_info,
+        "fold_cdc": fold_info,
         "queries": times,
         "queries_min": times_min,
         "noise": {

@@ -443,3 +443,89 @@ def run_mor_delete_fixture(
             "materialize rewrote every file: bloom-pruned discovery regressed"
         )
     return res["keys_applied"], carried, len(before)
+
+
+def run_fold_cdc_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 16,
+) -> tuple[int, int, int, int]:
+    """Pending-delete FOLD through a zone-scoped CDC merge at bench
+    scale (the round-12 decoupling: defer-mode GDPR + live sync on one
+    table): customer stores pk-clustered with a zone map, a 5%-band key
+    set deletes through the ``_deletes`` sidecar (zero data-file I/O),
+    then a CDC batch re-inserts HALF that band and updates a disjoint
+    narrow band while deletes are pending. The merge must fold — the
+    sidecar shrinks to exactly the non-reasserted remainder, riding the
+    same atomic commit — and the zone scope must still carry the
+    untouched files. Benchmarked per-round so a regression to refusal,
+    whole-table rewrite, or sidecar-wide rewrites shows up as a
+    wall-time jump (or an assertion). Returns
+    (rows_written, sidecar_remaining, files_carried, files_total)."""
+    import os as _os
+
+    from ..cdc import merge_and_write
+
+    wh = ParquetWarehouse(_os.path.join(workdir, "wh"))
+    cust = load_table(spark, sf_dir, "customer").select(*CUST_COLS)
+    wh.overwrite(
+        cust,
+        "customer",
+        cluster_by=["c_custkey"],
+        cluster_partitions=n_files,
+        stat_cols=["c_custkey"],
+    )
+    maxk = cust.agg(F.max("c_custkey")).first()[0]
+    dele = cust.filter(
+        (F.col("c_custkey") * 20).between(8 * maxk, 9 * maxk)
+    ).select("c_custkey")
+    got = wh.delete_keys(spark, "customer", "c_custkey", dele)
+    reinserts = cust.filter(
+        (F.col("c_custkey") * 40).between(16 * maxk, 17 * maxk)
+    ).select(
+        F.lit("I").alias("op"),
+        *CUST_COLS,
+        F.lit("f1").alias("_f"),
+        F.lit(1).alias("_r"),
+    )
+    updates = cust.filter(
+        (F.col("c_custkey") * 20).between(2 * maxk, 3 * maxk)
+    ).select(
+        F.lit("U").alias("op"),
+        *CUST_COLS,
+        F.lit("f1").alias("_f"),
+        F.lit(1).alias("_r"),
+    )
+    n_re = reinserts.count()
+
+    def _files():
+        d = wh.path("customer")
+        return {
+            n: _os.stat(_os.path.join(d, n)).st_ino
+            for n in _os.listdir(d)
+            if n.endswith(".parquet")
+        }
+
+    before = _files()
+    n = merge_and_write(
+        wh,
+        "customer",
+        wh.read(spark, "customer"),
+        reinserts.unionByName(updates),
+        pks=["c_custkey"],
+        version_cols=["_f", "_r"],
+    )
+    dm = wh.pending_deletes("customer")
+    want = got["n_keys"] - n_re
+    if (dm["n_keys"] if dm else 0) != want:
+        raise AssertionError(
+            f"fold left {dm and dm['n_keys']} pending keys, expected {want}"
+        )
+    after = _files()
+    carried = sum(1 for r in before if r in after and after[r] == before[r])
+    if carried == 0:
+        raise AssertionError(
+            "fold merge rewrote every file: the zone scope regressed"
+        )
+    return n, want, carried, len(before)
