@@ -3,9 +3,10 @@ metadata-only advisors (``layout_drift`` / ``compaction_debt`` /
 ``pending_deletes``) that were report-only until round 12.
 
 The reference automates its maintenance decisions inside the task DAG
-(ref control_migration_script.sql:494-538 — the control plane's whole
-point); here the analogous hook is one bounded pass after each
-``run_queue`` sync cycle. The signals all cost ZERO data I/O (manifest
+(ref control_migration_schema_script.sql:494-538 — the control plane's
+whole point); here the analogous hook is one bounded pass after each
+``run_queue`` sync cycle (and, for continuous ingestion, every Nth
+micro-batch via ``start_cdc_stream(maintenance=...)``). The signals all cost ZERO data I/O (manifest
 sweeps + os.stat), so they run every cycle even at 100 TB; the ACTIONS
 are bounded to ``max_actions_per_cycle`` tables so a drifted warehouse
 heals incrementally instead of stalling ingestion behind one giant
@@ -58,6 +59,11 @@ class MaintenancePolicy:
     max_delete_age_s: float | None = 24 * 3600.0
     target_file_bytes: int = 128 << 20
     max_actions_per_cycle: int = 1
+    # warehouse-wide janitor (once per pass, not per table): sweep
+    # TTL-expired crash orphans + superseded delete sidecars. None = off.
+    # Does not count against the action budget — it is metadata-only
+    # unlink work, never a data rewrite.
+    vacuum_ttl_s: float | None = None
 
 
 def run_maintenance(
@@ -69,10 +75,12 @@ def run_maintenance(
 ) -> list[dict]:
     """One bounded maintenance pass over ``tables``; returns one record
     per considered table: ``{"table", "action", "reason", ...}`` where
-    action is ``materialize_deletes`` / ``recluster`` / ``compact`` /
-    ``none`` / ``error``. ``layouts`` supplies each table's declared
-    layout (``TableMeta.layout()``) so partitioned targets materialize
-    at file grain inside their partitions."""
+    action is ``materialize_deletes`` / ``write_zonemap`` /
+    ``recluster`` / ``compact`` / ``none`` / ``error``. ``layouts``
+    supplies each table's declared layout (``TableMeta.layout()``) so
+    partitioned targets materialize at file grain inside their
+    partitions and dropped zone maps rebuild over the declared
+    stat columns."""
     policy = policy or MaintenancePolicy()
     out: list[dict] = []
     budget = policy.max_actions_per_cycle
@@ -98,6 +106,17 @@ def run_maintenance(
                 continue
         except Exception as e:  # noqa: BLE001 — per-table isolation:
             # maintenance must never fail the sync cycle that hosts it
+            rec["action"] = "error"
+            rec["reason"] = repr(e)
+    if policy.vacuum_ttl_s is not None:
+        rec = {"table": "*", "action": "none", "reason": ""}
+        out.append(rec)
+        try:
+            removed = warehouse.vacuum(ttl_seconds=policy.vacuum_ttl_s)
+            rec["action"] = "vacuum"
+            rec["reason"] = f"{len(removed)} expired orphan(s) swept"
+            rec["stats"] = {"removed": removed}
+        except Exception as e:  # noqa: BLE001
             rec["action"] = "error"
             rec["reason"] = repr(e)
     return out

@@ -44,10 +44,14 @@ def run_migration(
     warehouse: ParquetWarehouse,
     schemas: dict[str, StructType] | None = None,
     task_count: int = 5,
+    maintenance=None,
 ) -> RunResult:
     """Plan + execute one migration round (root task + children, ref :494-552)."""
     items = prepare_migration_queue(spark, store, task_count=task_count)
-    return run_queue(spark, store, warehouse, items, schemas, task_count)
+    return run_queue(
+        spark, store, warehouse, items, schemas, task_count,
+        maintenance=maintenance,
+    )
 
 
 def run_queue(

@@ -318,6 +318,16 @@ def _read_stage_avro_fallback(
             return None
         if isinstance(v, bool):
             return "true" if v else "false"
+        if isinstance(v, float):
+            # Python repr gives 'inf'/'nan', which Spark's string cast
+            # NULLs silently — use the spellings the cast accepts
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "Infinity"
+            if v == float("-inf"):
+                return "-Infinity"
+            return repr(v)
         return v if isinstance(v, str) else repr(v)
 
     def kernel(batches):

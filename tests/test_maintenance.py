@@ -464,3 +464,28 @@ def test_run_maintenance_isolates_concurrent_writer(spark, tmp_path):
         spark, wh, ["t"], MaintenancePolicy(max_delete_age_s=0.0)
     )
     assert acts[0]["action"] == "materialize_deletes"
+
+
+def test_run_maintenance_vacuum_knob(spark, tmp_path):
+    """vacuum_ttl_s sweeps expired crash orphans once per pass (not per
+    table, never counted against the action budget)."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark).drop("bucket"), "t")
+    hx = "0123456789abcdef" * 2
+    os.makedirs(os.path.join(wh.root, f".tmp-t-{hx}"))
+    acts = run_maintenance(
+        spark, wh, ["t"],
+        MaintenancePolicy(
+            drift_threshold=None, max_excess_files=None,
+            max_delete_age_s=None, vacuum_ttl_s=-5,
+        ),
+    )
+    star = [r for r in acts if r["table"] == "*"]
+    assert star and star[0]["action"] == "vacuum"
+    assert star[0]["stats"]["removed"] == [f".tmp-t-{hx}"]
+    assert not os.path.exists(os.path.join(wh.root, f".tmp-t-{hx}"))
