@@ -1676,9 +1676,20 @@ class ParquetWarehouse:
         table: str,
         target_file_bytes: int = 128 << 20,
         sort_by: list[str] | None = None,
+        parallelism: int = 1,
     ) -> int:
         """Bin-pack small files up to ``target_file_bytes`` per output file.
         Returns the number of directories rewritten.
+
+        ``parallelism`` fans the per-leaf rewrites over a thread pool
+        (Spark's scheduler is thread-safe — the same pattern as
+        runner.py's workers): each leaf is an independent read→stage→
+        swap on its own directory, so N leaves rewrite concurrently in
+        the one application. A failure mid-fan-out leaves some leaves
+        compacted and others not — the same partial state a crash in
+        the serial loop leaves — and the zone map was already dropped
+        up-front, so pruned readers refuse loudly until the idempotent
+        re-run completes and rebuilds it.
 
         ``sort_by`` turns the repack into a PER-PARTITION recluster —
         the hive-layout counterpart of ``recluster`` (which covers flat
@@ -1719,7 +1730,7 @@ class ParquetWarehouse:
             table, lock_path=self._mutation_lock_path(table)
         ):
             return self._compact_unlocked(
-                spark, table, target_file_bytes, sort_by
+                spark, table, target_file_bytes, sort_by, parallelism
             )
 
     def _compact_unlocked(
@@ -1728,6 +1739,7 @@ class ParquetWarehouse:
         table: str,
         target_file_bytes: int,
         sort_by: list[str] | None = None,
+        parallelism: int = 1,
     ) -> int:
         self._refuse_pending_deletes(table, "compact")
         final = self.path(table)
@@ -1743,19 +1755,22 @@ class ParquetWarehouse:
             stat_cols = (zm := self.zonemap(table)) and zm["stat_cols"]
             if (bmm := self.bloom(table)) is not None:
                 bloom_spec = (bmm["cols"], bmm["bits_per_key"], bmm["k"])
-        rewritten = 0
+        work: list[tuple[str, int]] = []
         for d in sorted(self._leaf_data_dirs(table)):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
             n = max(1, math.ceil(total / target_file_bytes))
             if sort_by is None and len(files) <= n:
                 continue  # a sort pass rewrites every leaf (see compact)
-            if rewritten == 0:
-                # drop the zone map only when something WILL change, and
-                # before the first rewrite so a crash mid-compaction
-                # cannot leave a map describing replaced files; a no-op
-                # compaction keeps a still-valid map (idempotence)
-                self._drop_zonemap(table)
+            work.append((d, n))
+        if work:
+            # drop the zone map only when something WILL change, and
+            # before the first rewrite so a crash mid-compaction cannot
+            # leave a map describing replaced files; a no-op compaction
+            # keeps a still-valid map (idempotence)
+            self._drop_zonemap(table)
+
+        def _compact_leaf(d: str, n: int) -> None:
             df = spark.read.parquet(d)
             if sort_by is not None:
                 # per-partition recluster: one range shuffle scoped to
@@ -1771,7 +1786,19 @@ class ParquetWarehouse:
             os.replace(d, old)
             os.replace(tmp, d)
             shutil.rmtree(old, ignore_errors=True)
-            rewritten += 1
+
+        if parallelism > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, len(work))
+            ) as ex:
+                # list() propagates the first worker exception
+                list(ex.map(lambda w: _compact_leaf(*w), work))
+        else:
+            for d, n in work:
+                _compact_leaf(d, n)
+        rewritten = len(work)
         if (
             rewritten
             and stat_cols is None

@@ -489,3 +489,21 @@ def test_run_maintenance_vacuum_knob(spark, tmp_path):
     assert star and star[0]["action"] == "vacuum"
     assert star[0]["stats"]["removed"] == [f".tmp-t-{hx}"]
     assert not os.path.exists(os.path.join(wh.root, f".tmp-t-{hx}"))
+
+
+def test_compact_parallel_matches_serial(spark, tmp_path):
+    """compact(parallelism=N) fans the per-leaf rewrites over threads
+    (each leaf an independent read->stage->swap): same rewrite count,
+    same content, same zone-map rebuild, and the second pass is still
+    an idempotent no-op."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    wh.write_zonemap(spark, "t", ["pk"])
+    content = {(r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()}
+    rewritten = wh.compact(spark, "t", parallelism=4)
+    assert rewritten == 5  # every leaf had small files
+    assert {
+        (r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()
+    } == content
+    assert wh.zonemap("t") is not None  # rebuilt after the fan-out
+    assert wh.compact(spark, "t", parallelism=4) == 0  # idempotent
