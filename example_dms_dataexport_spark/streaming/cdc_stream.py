@@ -286,6 +286,8 @@ def start_cdc_group_stream(
     available_now: bool = True,
     max_files_per_trigger: int = 100,
     retain: int = 2,
+    maintenance=None,
+    maintenance_every: int = 20,
 ) -> StreamingQuery:
     """Co-stream CDC for SEVERAL tables with whole-epoch group commits —
     the streaming analogue of ``run_queue(group=...)``'s whole-cycle
@@ -416,6 +418,23 @@ def start_cdc_group_stream(
                     partition_by=spec.get("partition_by"),
                 )
             warehouse.commit_group_linked(member_names, group, retain=retain)
+            if maintenance is not None and batch_id % maintenance_every == 0:
+                # bounded advisor pass over the members AFTER the epoch
+                # commit (same contract as start_cdc_stream's hook and
+                # run_queue's post-cycle slot; failures never fail the
+                # epoch — run_maintenance isolates per table)
+                from ..maintenance import run_maintenance
+
+                run_maintenance(
+                    spark,
+                    warehouse,
+                    member_names,
+                    policy=maintenance,
+                    layouts={
+                        m: {"partition_by": specs[m].get("partition_by")}
+                        for m in member_names
+                    },
+                )
         finally:
             batch.unpersist()
 

@@ -304,3 +304,45 @@ def test_group_stream_epoch_with_pending_deletes(spark, tmp_path):
     assert wh.pending_deletes("cust") is None
     snap = wh.read_group(spark, "sync")
     assert 20 not in {r.id for r in snap["cust"].collect()}
+
+
+def test_group_stream_maintenance_hook(spark, tmp_path):
+    """The group stream runs the bounded advisor pass after the epoch
+    commit: a member's aged deferred deletes are materialized BY THE
+    STREAM, while the snapshot taken at the epoch boundary had carried
+    the still-pending sidecar (and stays masked)."""
+    from example_dms_dataexport_spark.maintenance import MaintenancePolicy
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cust_landing, ord_landing, members = _seed(spark, wh, tmp_path)
+    wh.overwrite(
+        spark.range(400).selectExpr(
+            "id", "concat('n-', id) AS name", "cast(id AS double) AS val"
+        ).repartition(4, "name"),
+        "cust",
+    )
+    wh.delete_keys(spark, "cust", "id", [10, 20])
+    _write_csv(
+        cust_landing / "20240101-000000001.csv", [("I", 10, "back", 1.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240101-000000001.parquet", [("U", 1, 101)]
+    )
+    q = start_cdc_group_stream(
+        spark, members, wh, group="sync",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        maintenance=MaintenancePolicy(max_delete_age_s=0.0),
+        maintenance_every=1,
+    )
+    q.awaitTermination(180)
+    got = {r.id: r.name for r in wh.read(spark, "cust").collect()}
+    assert got[10] == "back" and 20 not in got
+    # the stream's post-commit maintenance materialized the remainder
+    assert wh.pending_deletes("cust") is None
+    raw = {r.id for r in spark.read.parquet(wh.path("cust")).collect()}
+    assert 20 not in raw
+    # the epoch snapshot still resolves (carried sidecar or already-
+    # materialized members both read masked)
+    snap = wh.read_group(spark, "sync")
+    snap_ids = {r.id for r in snap["cust"].collect()}
+    assert 10 in snap_ids and 20 not in snap_ids
