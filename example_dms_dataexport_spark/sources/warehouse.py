@@ -2445,7 +2445,11 @@ class ParquetWarehouse:
         """EXECUTE a right-to-be-forgotten request against an on-disk
         table (the deletion q119 audits): remove every row whose
         ``key_col`` appears in ``subjects`` (a one-column DataFrame of
-        subject keys — request sets are small, so it broadcasts).
+        subject keys — request sets are small, so it broadcasts). For a
+        COMPOSITE subject key (the reference's comma-separated pk-list
+        shape), route through ``delete_keys(key_cols=[...])`` +
+        ``materialize_deletes`` instead — identical end state, tuple
+        matching, and the instant-masking window as a bonus.
         Returns ``{"rows_before", "rows_erased", "rows_after",
         "touched_partitions", "purged_versions"}`` (the last names the
         pre-erasure snapshots a versioned erase discarded — also
