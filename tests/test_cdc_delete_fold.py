@@ -394,8 +394,8 @@ def test_defer_erasure_stream_then_cdc_stream_coexist(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "layout",
-    ["flat", "zoned", "partitioned"],
-    ids=["scan-scope", "zone-scope", "partition-scope"],
+    ["flat", "zoned", "partitioned", "hybrid"],
+    ids=["scan-scope", "zone-scope", "partition-scope", "hybrid-scope"],
 )
 def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
     """Equivalence property over every merge scope: delete_keys(D) →
@@ -434,11 +434,14 @@ def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
                 )
             elif layout == "partitioned":
                 wh.overwrite(base, table, partition_by=["bucket"])
+            elif layout == "hybrid":
+                wh.overwrite(base, table, partition_by=["bucket"])
+                wh.write_zonemap(spark, table, ["pk"])
             else:
                 wh.overwrite(base, table)
             wh.delete_keys(spark, table, "pk", dset)
 
-        pb = ["bucket"] if layout == "partitioned" else None
+        pb = ["bucket"] if layout in ("partitioned", "hybrid") else None
         wh = ParquetWarehouse(str(tmp_path / f"wh-{layout}-{trial}"))
         build("folded", wh)
         merge_and_write(
@@ -534,3 +537,48 @@ def test_cdc_stream_maintenance_hook(spark, tmp_path):
     assert wh.pending_deletes("t") is None
     raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
     assert 20 not in raw
+
+
+def test_fold_hybrid_scoped_carries_files(spark, tmp_path):
+    """The HYBRID scope (partition pruning picks dirs, the zone map
+    picks files inside them) folds pending deletes through
+    replace_files' carry path: untouched files inside touched
+    partitions hard-link through, the sidecar rides the same atomic
+    swap, and untouched-partition files holding a still-pending key
+    stay masked."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    base = (
+        spark.range(4000)
+        .selectExpr(
+            "id AS pk", "id % 4 AS bucket", "concat('v-', id) AS name"
+        )
+        .repartitionByRange(4, "pk")
+        .sortWithinPartitions("pk")
+    )
+    wh.overwrite(base, "t", partition_by=["bucket"])
+    # per-partition range-sort so each partition has several narrow-band
+    # files (the hybrid scope's precondition)
+    wh.compact(spark, "t", target_file_bytes=8 << 10, sort_by=["pk"])
+    assert wh.zonemap("t") is not None
+    # pending: one key the batch re-inserts (bucket 0), one it never
+    # touches (bucket 1)
+    wh.delete_keys(spark, "t", "pk", [100, 101])
+    before = _inodes(wh.path("t"))
+    ch = _changes(spark, [("I", 100, 0, "back", "f1", 1)])
+    n = merge_and_write(
+        wh, "t", wh.read(spark, "t").select("pk", "bucket", "name"),
+        ch, pks=["pk"], version_cols=VC, partition_by=["bucket"],
+    )
+    assert n > 0
+    got = _read_pks(spark, wh)
+    assert got[100] == "back" and 101 not in got
+    dm = wh.pending_deletes("t")
+    assert dm["n_keys"] == 1
+    after = _inodes(wh.path("t"))
+    carried = [f for f in before if after.get(f) == before[f]]
+    # every untouched partition's files AND the touched partition's
+    # disjoint files must carry
+    assert len(carried) >= len(before) - 3, (len(carried), len(before))
+    # 101's bytes persist in a carried file; only the sidecar masks it
+    raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
+    assert 101 in raw
