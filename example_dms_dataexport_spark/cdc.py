@@ -257,14 +257,20 @@ def merge_and_write(
     if dm is not None:
         kcols = warehouse._delete_key_cols(dm)
         if set(kcols) != set(pks):
-            raise ValueError(
-                f"{target_table!r} has pending merge-on-read deletes on "
-                f"{kcols!r}, which differ from the merge's primary keys "
-                f"{pks!r} — the merge cannot prove the masked rows it "
-                "would unmask are all in its rewrite scope; run "
-                "materialize_deletes() (or recluster()) first"
-            )
-        fold_minus = changes.select(*kcols).distinct()
+            if not full_rewrite:
+                raise ValueError(
+                    f"{target_table!r} has pending merge-on-read deletes "
+                    f"on {kcols!r}, which differ from the merge's primary "
+                    f"keys {pks!r} — the merge cannot prove the masked "
+                    "rows it would unmask are all in its rewrite scope; "
+                    "run materialize_deletes() (or recluster()) first"
+                )
+            # a full_rewrite (evolution) batch rewrites EVERY file from
+            # the masked target, so any-key pending deletes apply
+            # physically and the swap drops the sidecar — no scoping
+            # proof needed, no sidecar carry (fold_minus stays None)
+        else:
+            fold_minus = changes.select(*kcols).distinct()
         # defensive re-mask: incremental_load's target comes from
         # warehouse.read (already masked); a direct caller's may not be.
         # The anti-join is idempotent and the pending set is bounded.

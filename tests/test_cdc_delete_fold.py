@@ -582,3 +582,92 @@ def test_fold_hybrid_scoped_carries_files(spark, tmp_path):
     # 101's bytes persist in a carried file; only the sidecar masks it
     raw = {r.pk for r in spark.read.parquet(wh.path("t")).collect()}
     assert 101 in raw
+
+
+def test_evolution_batch_with_pending_deletes(spark, tmp_path):
+    """A schema-evolution batch (full_rewrite) with pending deletes:
+    the one-time whole-table rewrite applies the full pending set
+    physically (masked target in, sidecar dropped by the swap) while
+    landing the evolved layout."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from tests.test_pipeline import make_env, write_file
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.cdc import incremental_load
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage, "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store, wh = make_env(tmp_path, stage)
+    from tests.test_pipeline import CUST_SCHEMA
+
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    wh.delete_keys(spark, "erp_customer", "c_custkey", [1])
+    evolved = StructType(
+        [*CUST_SCHEMA.fields, StructField("c_tier", StringType())]
+    )
+    write_file(
+        stage, "erp/customer/20240101-000000001.csv",
+        ["U,2,bob2,21.0,gold"],
+    )
+    msg = incremental_load(
+        spark, store, wh, "erp/customer", schema=evolved
+    )
+    assert msg.startswith("Rows affected:")
+    got = {
+        (r.c_custkey, r.c_name, r.c_tier)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+    assert got == {(2, "bob2", "gold"), (3, "carol", None)}
+    assert wh.pending_deletes("erp_customer") is None
+    raw = {r.c_custkey for r in spark.read.parquet(wh.path("erp_customer")).collect()}
+    assert 1 not in raw
+
+
+def test_evolution_folds_mismatched_key_deletes(spark, tmp_path):
+    """full_rewrite rewrites every file, so pending deletes on a
+    DIFFERENT key column than the pks fold there too (the non-evolution
+    refusal stays — pinned in test_mutations_refuse_while_pending)."""
+    from pyspark.sql.types import StringType, StructField
+
+    from tests.test_pipeline import CUST_SCHEMA, make_env, write_file
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.cdc import incremental_load
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage, "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store, wh = make_env(tmp_path, stage)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    # deletes keyed on c_name, pks are c_custkey
+    wh.delete_keys(spark, "erp_customer", "c_name", ["alice"])
+    from pyspark.sql.types import StructType as _ST
+
+    evolved = _ST([*CUST_SCHEMA.fields, StructField("c_tier", StringType())])
+    write_file(
+        stage, "erp/customer/20240101-000000001.csv",
+        ["U,2,bob2,21.0,gold"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer", schema=evolved)
+    assert msg.startswith("Rows affected:")
+    got = {(r.c_custkey, r.c_name) for r in wh.read(spark, "erp_customer").collect()}
+    assert got == {(2, "bob2"), (3, "carol")}
+    assert wh.pending_deletes("erp_customer") is None
+
+
+def test_fold_bench_fixture_contract(spark, tmp_path):
+    """Guards the q18f bench sentinel from rot: the fixture must fold
+    (sidecar = non-reasserted remainder) and carry files."""
+    from example_dms_dataexport_spark.streaming.cdc_fixture import (
+        run_fold_cdc_fixture,
+    )
+
+    n, remaining, carried, files = run_fold_cdc_fixture(
+        spark, "/root/testdata/sf0.01", str(tmp_path)
+    )
+    assert n > 0 and remaining > 0
+    assert 0 < carried < files
