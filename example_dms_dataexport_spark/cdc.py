@@ -413,6 +413,7 @@ def merge_and_write(
         zorder_by=lay.get("zorder_by"),
         cluster_partitions=lay.get("cluster_partitions"),
         stat_cols=lay.get("stat_cols"),
+        bloom_cols=lay.get("bloom_cols"),
     )
     merged.unpersist()
     return n

@@ -104,6 +104,7 @@ def full_load(
             zorder_by=lay.get("zorder_by"),
             cluster_partitions=lay.get("cluster_partitions"),
             stat_cols=lay.get("stat_cols"),
+            bloom_cols=lay.get("bloom_cols"),
         )
     n = warehouse.read(spark, meta.target_table).count()
     # record the SOURCE column order — later positional CDC casts must

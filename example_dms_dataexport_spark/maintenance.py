@@ -27,10 +27,16 @@ cycle):
    must fail loudly, never mis-prune — so after a partitioned sync the
    hybrid merge scope is blind until someone rebuilds; one columnar
    stat pass restores it);
-3. ``layout_drift``'s ``avg_cover`` above ``drift_threshold`` →
+3. a table whose declared layout names ``bloom_cols`` but whose Bloom
+   manifest is MISSING → ``write_bloom`` (every in-place mutation drops
+   the manifest by design — see ``_drop_zonemap`` — after which GDPR
+   file-grain erasure and single-key MOR delete discovery silently
+   degrade to partition-grain rewrites / full key scans; the rebuild
+   restores file skipping);
+4. ``layout_drift``'s ``avg_cover`` above ``drift_threshold`` →
    ``recluster`` (flat zone-mapped tables; restores file-grain merge
    pruning, and applies pending deletes for free);
-4. ``compaction_debt``'s ``excess_files`` above ``max_excess_files`` →
+5. ``compaction_debt``'s ``excess_files`` above ``max_excess_files`` →
    ``compact`` (skipped while deletes are pending and not yet aged —
    compact refuses then, and the delete will age into action 1 anyway).
 
@@ -98,6 +104,9 @@ def run_maintenance(
             if _try_rebuild_zonemap(spark, warehouse, t, lay, rec):
                 budget -= 1
                 continue
+            if _try_rebuild_bloom(spark, warehouse, t, lay, rec):
+                budget -= 1
+                continue
             if _try_recluster(spark, warehouse, t, policy, rec):
                 budget -= 1
                 continue
@@ -154,6 +163,20 @@ def _try_rebuild_zonemap(spark, warehouse, t, lay, rec) -> bool:
     rec["reason"] = (
         f"declared stat_cols {stat_cols} but no zone map on disk "
         "(dropped by a partition-scoped rewrite)"
+    )
+    return True
+
+
+def _try_rebuild_bloom(spark, warehouse, t, lay, rec) -> bool:
+    bloom_cols = lay.get("bloom_cols")
+    if not bloom_cols or warehouse.bloom(t) is not None:
+        return False
+    warehouse.write_bloom(spark, t, bloom_cols)
+    rec["action"] = "write_bloom"
+    rec["reason"] = (
+        f"declared bloom_cols {bloom_cols} but no bloom manifest on disk "
+        "(dropped by an in-place mutation) — file-grain erasure and MOR "
+        "delete discovery were degraded to partition grain / key scans"
     )
     return True
 

@@ -79,6 +79,7 @@ class TableMeta:
             "zorder_by",
             "cluster_partitions",
             "stat_cols",
+            "bloom_cols",
         }
     )
 
@@ -88,7 +89,18 @@ class TableMeta:
 
             {"layout": {"partition_by": [...], "cluster_by": [...],
                         "zorder_by": [...], "cluster_partitions": N,
-                        "stat_cols": [...]}}
+                        "stat_cols": [...], "bloom_cols": [...]}}
+
+        ``bloom_cols`` declares per-file Bloom manifests over point-
+        lookup key columns (GDPR file-grain erasure, MOR delete
+        discovery). Like ``stat_cols``, the declaration makes the
+        manifest part of the table's layout CONTRACT: full rewrites
+        build it atomically with the data, and the maintenance advisor
+        rebuilds it when an in-place mutation (compact / erase /
+        replace_partitions) has dropped it — without the declaration a
+        dropped manifest silently degrades erasure to partition-grain
+        rewrites or full key scans until someone remembers
+        ``write_bloom``.
 
         Declared once at registration, honored by EVERY load: full_load
         applies it to the initial overwrite, incremental_load derives

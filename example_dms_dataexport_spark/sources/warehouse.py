@@ -159,6 +159,7 @@ class ParquetWarehouse:
         zorder_by: list[str] | None = None,
         meta: dict | None = None,
         stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         """Full atomic replace: materialize to temp dir, swap, drop old.
 
@@ -186,6 +187,13 @@ class ParquetWarehouse:
         commits it atomically with the data — ``read_zoned`` then prunes
         whole files at planning time. Pair with ``cluster_by`` on the
         same column so the bands are narrow.
+
+        ``bloom_cols`` likewise builds the per-file Bloom manifest over
+        the temp dir and commits it atomically with the data — the
+        layout-contract path for tables whose declared layout names
+        ``bloom_cols`` (point-lookup pruning for GDPR erasure and MOR
+        delete discovery survives every full rewrite instead of waiting
+        for a manual ``write_bloom``).
         """
         df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         final = self.path(table)
@@ -204,6 +212,13 @@ class ParquetWarehouse:
             zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
             with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
                 json.dump(zm, f)
+        if bloom_cols:
+            # same atomicity contract as the zone map: rel paths inside
+            # the manifest are tmp-relative, which stay valid verbatim
+            # after the swap renames tmp to the table dir
+            bm = self._compute_bloom(df.sparkSession, tmp, bloom_cols)
+            with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
+                json.dump(bm, f)
         self._commit_swap(tmp, final, table)
 
     @staticmethod

@@ -491,6 +491,117 @@ def test_run_maintenance_vacuum_knob(spark, tmp_path):
     assert not os.path.exists(os.path.join(wh.root, f".tmp-t-{hx}"))
 
 
+def test_overwrite_bloom_cols_layout_contract(spark, tmp_path):
+    """overwrite(bloom_cols=...) builds the Bloom manifest atomically
+    with the data — the declared-layout path (metadata.TableMeta
+    layout key ``bloom_cols``) — and the manifest actually prunes:
+    a point lookup reads only the bloom-hit files yet returns exactly
+    the unpruned result."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(
+        _rows(spark, n=4000, files=8).drop("bucket"), "t",
+        bloom_cols=["pk"],
+    )
+    bm = wh.bloom("t")
+    assert bm is not None and bm["cols"] == ["pk"]
+    hit, missed = wh.bloom_hit_split(spark, "t", "pk", [7])
+    assert missed, "manifest never prunes — useless cover"
+    got = wh.read_bloom_keys(spark, "t", "pk", [7])
+    assert {r.pk for r in got.collect()} == {7}
+
+
+def test_full_load_declared_bloom_cols(spark, tmp_path):
+    """A table whose registered layout declares ``bloom_cols`` gets its
+    manifest built BY the load — the contract is in control metadata,
+    not a per-call argument someone must remember (same discipline as
+    stat_cols)."""
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.metadata import MetadataStore, TableMeta
+    from tests.test_pipeline import CUST_SCHEMA, write_file
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(
+        TableMeta(
+            full_path="erp/customer",
+            db_schema="erp",
+            db_table="customer",
+            stage=stage,
+            primary_keys=["c_custkey"],
+            additional_config='{"layout": {"bloom_cols": ["c_custkey"]}}',
+        )
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    bm = wh.bloom("erp_customer")
+    assert bm is not None and bm["cols"] == ["c_custkey"]
+    got = wh.read_bloom_keys(spark, "erp_customer", "c_custkey", [2])
+    assert [(r.c_custkey, r.c_name) for r in got.collect()] == [(2, "bob")]
+
+
+def test_run_maintenance_rebuilds_dropped_bloom(spark, tmp_path):
+    """A partition-scoped rewrite drops the Bloom manifest by design
+    (stale must fail loudly); until round 13 nothing ever rebuilt it,
+    so file-grain GDPR erasure silently degraded to partition-grain
+    rewrites forever after. The scheduler now rebuilds from the
+    DECLARED bloom_cols, and the next erase provably takes the
+    FILE-grain cover (untouched files inside a touched partition keep
+    their inodes — a partition-grain rewrite would replace them)."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    # ~4 hash-sliced files per bucket partition dir: a single subject
+    # key lives in ONE file of ONE partition; everything else is
+    # bloom-prunable
+    wh.overwrite(_rows(spark, n=4000, files=4), "t", partition_by=["bucket"])
+    wh.write_bloom(spark, "t", ["pk"])
+    wh._drop_zonemap("t")  # what replace_partitions does mid-sync
+    assert wh.bloom("t") is None
+    lay = {"t": {"partition_by": ["bucket"], "bloom_cols": ["pk"]}}
+    acts = run_maintenance(spark, wh, ["t"], MaintenancePolicy(), layouts=lay)
+    assert acts[0]["action"] == "write_bloom", acts
+    assert wh.bloom("t") is not None
+    # with the manifest back, the next pass leaves the table alone
+    acts = run_maintenance(spark, wh, ["t"], MaintenancePolicy(), layouts=lay)
+    assert acts[0]["action"] == "none", acts
+
+    def inodes():
+        out = {}
+        for dirpath, _dirs, names in os.walk(wh.path("t")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, wh.path("t"))] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    touched_dir = "bucket=2"  # pk=7 -> bucket 2
+    res = wh.erase_subjects(
+        spark, "t", "pk",
+        spark.createDataFrame([(7,)], "pk long"),
+        partition_by=["bucket"],
+    )
+    assert res["rows_erased"] == 1 and res["touched_partitions"] == 1
+    after = inodes()
+    carried_in_touched = [
+        rel for rel, ino in before.items()
+        if rel.startswith(touched_dir) and after.get(rel) == ino
+    ]
+    assert carried_in_touched, (
+        "no file inside the touched partition was carried — the erase "
+        "fell back to the partition-grain rewrite (bloom cover unused)"
+    )
+    assert 7 not in {r.pk for r in wh.read(spark, "t").collect()}
+
+
 def test_compact_parallel_matches_serial(spark, tmp_path):
     """compact(parallelism=N) fans the per-leaf rewrites over threads
     (each leaf an independent read->stage->swap): same rewrite count,
