@@ -249,22 +249,49 @@ def merge_and_write(
     # cols are stable per pk; a zone band holding a batch pk overlaps
     # the batch's range; the scan discovery is an exact pk semi-join),
     # so no masked row whose key leaves the sidecar survives unrewritten.
-    # With DIFFERENT key columns none of those scoping guarantees apply
-    # (a re-asserted subject key may mask rows in untouched files), so
-    # that combination still refuses loudly.
+    #
+    # With DIFFERENT key columns (the common compliance composition:
+    # defer-mode GDPR keyed on subject_id while the CDC pks are
+    # order/line ids) the sidecar cannot be subtracted — none of the
+    # scoping proofs cover the subject key — so the fold instead carries
+    # the sidecar INTACT (an empty subtraction) and masks the CHANGE
+    # BATCH against the pending set: (a) rewritten files are built from
+    # masked inputs, so they physically lack subject rows; (b) untouched
+    # files' subject rows stay masked by the carried sidecar; (c) a
+    # batch row RE-ASSERTING a pending subject is masked too — the
+    # compliance plane outranks the data plane until the deletion is
+    # materialized (the deliberate asymmetry vs the same-key fold, where
+    # batch re-inserts win). Crash-replay converges BECAUSE the sidecar
+    # survives the commit: a replayed batch is masked by the same
+    # pending set, unlike the drop-the-sidecar alternative, whose replay
+    # would resurrect the batch's masked rows. The compliance clock
+    # (manifest ts) keeps ticking, so the maintenance scheduler still
+    # materializes the physical bytes on schedule.
     fold_minus = None
+    carry_intact = False
     dm = warehouse.pending_deletes(target_table)
     if dm is not None:
         kcols = warehouse._delete_key_cols(dm)
         if set(kcols) != set(pks):
             if not full_rewrite:
-                raise ValueError(
-                    f"{target_table!r} has pending merge-on-read deletes "
-                    f"on {kcols!r}, which differ from the merge's primary "
-                    f"keys {pks!r} — the merge cannot prove the masked "
-                    "rows it would unmask are all in its rewrite scope; "
-                    "run materialize_deletes() (or recluster()) first"
+                missing = [c for c in kcols if c not in changes.columns]
+                if missing:
+                    raise ValueError(
+                        f"{target_table!r} has pending merge-on-read "
+                        f"deletes on {kcols!r}, and the change batch "
+                        f"lacks column(s) {missing!r} — the batch cannot "
+                        "be masked against the pending set; run "
+                        "materialize_deletes() first"
+                    )
+                # (bucketed targets cannot reach here: delete_keys
+                # refuses them outright, so no sidecar ever pends)
+                changes = warehouse._apply_pending_deletes(
+                    changes.sparkSession, changes, target_table
                 )
+                # empty subtraction: every scoped commit rewrites the
+                # sidecar verbatim (original keys, original ts)
+                fold_minus = changes.select(*kcols).limit(0)
+                carry_intact = True
             # a full_rewrite (evolution) batch rewrites EVERY file from
             # the masked target, so any-key pending deletes apply
             # physically and the swap drops the sidecar — no scoping
@@ -403,7 +430,10 @@ def merge_and_write(
         )
         return n
     # full_rewrite keeps the partition layout: the atomic whole-table
-    # swap also drops any pending tombstone marker with the old dir.
+    # swap also drops any pending tombstone marker with the old dir —
+    # EXCEPT under the mismatched-key fold, where the sidecar must
+    # survive the commit (carry_deletes_intact) or a crash-replay of
+    # the batch would resurrect its masked rows.
     lay = layout or {}
     warehouse.overwrite(
         merged,
@@ -414,6 +444,7 @@ def merge_and_write(
         cluster_partitions=lay.get("cluster_partitions"),
         stat_cols=lay.get("stat_cols"),
         bloom_cols=lay.get("bloom_cols"),
+        carry_deletes_intact=carry_intact,
     )
     merged.unpersist()
     return n

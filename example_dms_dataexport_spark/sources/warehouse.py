@@ -160,8 +160,18 @@ class ParquetWarehouse:
         meta: dict | None = None,
         stat_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        carry_deletes_intact: bool = False,
     ) -> None:
         """Full atomic replace: materialize to temp dir, swap, drop old.
+
+        ``carry_deletes_intact`` copies the pending ``_deletes`` sidecar
+        (keys + manifest, original compliance ``ts``) into the staged
+        dir so it commits atomically WITH the new state — the CDC
+        mismatched-key fold's whole-table branch (``cdc.merge_and_write``),
+        where the pending set must keep masking after the swap because a
+        crash-replayed batch is re-masked against it. Default False: a
+        full replace normally defines a complete new state that
+        supersedes the pending set.
 
         ``meta`` (JSON-serializable) is written into the temp directory
         BEFORE the swap, so it commits atomically with the data — the
@@ -219,6 +229,18 @@ class ParquetWarehouse:
             bm = self._compute_bloom(df.sparkSession, tmp, bloom_cols)
             with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
                 json.dump(bm, f)
+        if carry_deletes_intact and (dm := self.pending_deletes(table)):
+            ndir = f"{DELETES_DIR}-{uuid.uuid4().hex}"
+            shutil.copytree(self._deletes_dir(table, dm),
+                            os.path.join(tmp, ndir))
+            with open(os.path.join(tmp, DELETES_FILE), "w") as f:
+                json.dump(
+                    self._deletes_manifest(
+                        self._delete_key_cols(dm), dm["n_keys"], ndir,
+                        ts=dm.get("ts"),
+                    ),
+                    f,
+                )
         self._commit_swap(tmp, final, table)
 
     @staticmethod

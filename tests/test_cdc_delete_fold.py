@@ -16,8 +16,16 @@ set in:
   data on the in-place partition path — a crash between the two leaves
   reads correct (re-inserted keys stay masked = pre-batch view) and the
   un-advanced watermark's replay converges;
-- key columns ≠ merge pks still refuses (the scoping proof fails there;
-  pinned in tests/test_delete_vectors.py).
+- key columns ≠ merge pks (the compliance composition: subject-keyed
+  GDPR deletes vs order-keyed CDC) folds DIFFERENTLY since r13: the
+  sidecar is carried INTACT (an empty subtraction — no scoping proof
+  needed because nothing leaves the pending set) and the change batch
+  is masked against it, so a batch row re-asserting a pending subject
+  stays masked — the compliance plane outranks the data plane until
+  the deletion is materialized. The refusal remains only when the
+  batch lacks the pending key column (cannot be masked); pinned in
+  tests/test_delete_vectors.py. (Bucketed targets never reach the
+  fold: delete_keys refuses them outright.)
 
 Also pins COMPOSITE-key deletion vectors (``key_col`` as a list) —
 matching the reference's comma-separated primary-key list
@@ -467,6 +475,260 @@ def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
             f"D={sorted(dset)}\nops={ops}\n"
             f"fold-only={sorted(got - want)}\nstaged-only={sorted(want - got)}"
         )
+
+
+# ---------------------------------------------------------------- #
+# mismatched-key fold (pending key columns ≠ merge pks)             #
+# ---------------------------------------------------------------- #
+
+
+def test_fold_mismatched_key_scan_scoped(spark, tmp_path):
+    """Subject-keyed deferred deletes + pk-keyed CDC merge proceed in
+    one call: the sidecar carries intact (same keys, same compliance
+    ts), rewritten files physically lack subject rows, a batch row
+    RE-ASSERTING a pending subject stays masked, and untouched files'
+    subject rows stay masked by the carried sidecar."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t")
+    wh.delete_keys(spark, "t", "name", ["v-10", "v-20"])
+    ts0 = wh.pending_deletes("t")["ts"]
+    before = _inodes(wh.path("t"))
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(
+        spark,
+        [
+            ("I", 10, 10, "v-10", "f1", 1),  # re-asserts a pending subject
+            ("U", 5, 5, "upd", "f1", 2),
+            ("D", 7, 7, "x", "f1", 3),
+        ],
+    )
+    n = merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    assert n > 0
+    got = _read_pks(spark, wh)
+    assert 10 not in got, "re-asserted subject resurrected through the batch"
+    assert 20 not in got, "untouched subject row resurrected"
+    assert got[5] == "upd" and 7 not in got
+    dm = wh.pending_deletes("t")
+    assert dm is not None and dm["n_keys"] == 2, "sidecar not carried intact"
+    assert dm["ts"] == ts0, "compliance clock was pushed back"
+    after = _inodes(wh.path("t"))
+    carried = [f for f in before if after.get(f) == before[f]]
+    assert carried, "scan scope rewrote everything"
+    # subject v-20's bytes still exist in a carried file, masked only
+    raw = {r.name for r in spark.read.parquet(wh.path("t")).collect()}
+    assert "v-20" in raw
+    # the scheduled materialize later removes the physical bytes
+    wh.materialize_deletes(spark, "t")
+    assert wh.pending_deletes("t") is None
+    raw = {r.name for r in spark.read.parquet(wh.path("t")).collect()}
+    assert "v-10" not in raw and "v-20" not in raw
+    assert _read_pks(spark, wh) == got, "materialize changed the masked view"
+
+
+def test_fold_mismatched_key_whole_table_carries_sidecar(spark, tmp_path):
+    """The whole-table fallback (tiny/unprunable tables) must carry the
+    sidecar through the overwrite swap: a crash-replayed batch is only
+    re-maskable if the pending set survives the commit."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark, n=50, files=1), "t")
+    wh.delete_keys(spark, "t", "name", ["v-10"])
+    ts0 = wh.pending_deletes("t")["ts"]
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(
+        spark,
+        [("I", 10, 10, "v-10", "f1", 1), ("U", 5, 5, "upd", "f1", 2)],
+    )
+    merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    got = _read_pks(spark, wh)
+    assert 10 not in got and got[5] == "upd"
+    dm = wh.pending_deletes("t")
+    assert dm is not None and dm["n_keys"] == 1 and dm["ts"] == ts0
+    # the full rewrite was built from masked inputs: no subject bytes
+    raw = {r.name for r in spark.read.parquet(wh.path("t")).collect()}
+    assert "v-10" not in raw
+    # REPLAY the same batch (the watermark never advanced): the carried
+    # sidecar re-masks it — the state converges instead of resurrecting
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    merge_and_write(wh, "t", target, ch, pks=["pk"], version_cols=VC)
+    assert _read_pks(spark, wh) == got
+    assert wh.pending_deletes("t")["n_keys"] == 1
+
+
+def test_fold_mismatched_key_partition_crash_window(
+    spark, tmp_path, monkeypatch
+):
+    """Partition path: data commits, then the (empty) sidecar
+    subtraction runs. A crash between the two leaves the pending set
+    intact and every subject masked; the replay converges."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
+    wh.delete_keys(spark, "t", "name", ["v-10", "v-20"])
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    ch = _changes(spark, [("I", 10, 10, "v-10", "f1", 1),
+                          ("U", 5, 5, "upd", "f1", 2)])
+
+    real = ParquetWarehouse._subtract_pending_deletes
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before sidecar update")
+
+    monkeypatch.setattr(ParquetWarehouse, "_subtract_pending_deletes", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_and_write(
+            wh, "t", target, ch, pks=["pk"], version_cols=VC,
+            partition_by=["bucket"],
+        )
+    got = _read_pks(spark, wh)
+    assert 10 not in got and 20 not in got, "crash window exposed a subject"
+    assert wh.pending_deletes("t")["n_keys"] == 2
+
+    monkeypatch.setattr(
+        ParquetWarehouse, "_subtract_pending_deletes", real
+    )
+    target = wh.read(spark, "t").select("pk", "bucket", "name")
+    merge_and_write(
+        wh, "t", target, ch, pks=["pk"], version_cols=VC,
+        partition_by=["bucket"],
+    )
+    got = _read_pks(spark, wh)
+    assert 10 not in got and 20 not in got and got[5] == "upd"
+    assert wh.pending_deletes("t")["n_keys"] == 2
+
+
+@pytest.mark.parametrize(
+    "layout",
+    ["flat", "zoned", "partitioned", "hybrid"],
+    ids=["scan-scope", "zone-scope", "partition-scope", "hybrid-scope"],
+)
+def test_mismatched_fold_equals_masked_merge(spark, tmp_path, layout):
+    """Equivalence property for the MISMATCHED-key fold over every
+    merge scope: delete_keys(subjects) → fold-merge(B) must equal
+    delete_keys(subjects) → materialize → merge(B ⊖ subject-rows) —
+    i.e. the fold is a materialize deferred to maintenance plus a
+    batch mask, never anything else. Checked on the masked view after
+    the fold AND on the physical view after materializing the folded
+    twin. 6 seeded random (subjects, B) shapes per layout class,
+    biased toward re-asserting batches."""
+    import random
+
+    rnd = random.Random(f"mismatched-fold-{layout}")
+    for trial in range(6):
+        universe = list(range(120))
+        # subjects are NAME values (the non-pk column)
+        dpks = rnd.sample(universe, rnd.randint(1, 10))
+        dset = [f"v-{p}" for p in dpks]
+        ops = []
+        for i in range(rnd.randint(1, 15)):
+            pk = rnd.choice(universe)
+            # half the rows carry a pending subject name (re-assert bias)
+            name = (
+                f"v-{rnd.choice(dpks)}"
+                if rnd.random() < 0.5
+                else f"b{trial}-{i}"
+            )
+            ops.append((rnd.choice("IUD"), pk, pk % 5, name, "f1", i))
+        base = (
+            spark.range(120)
+            .selectExpr(
+                "id AS pk", "id % 5 AS bucket", "concat('v-', id) AS name"
+            )
+            .repartition(4, "name")
+        )
+        ch = _changes(spark, ops)
+        ch_masked = _changes(
+            spark, [o for o in ops if o[3] not in dset]
+        )
+
+        def build(table, wh):
+            if layout == "zoned":
+                wh.overwrite(
+                    base, table, cluster_by=["pk"], cluster_partitions=4,
+                    stat_cols=["pk"],
+                )
+            elif layout == "partitioned":
+                wh.overwrite(base, table, partition_by=["bucket"])
+            elif layout == "hybrid":
+                wh.overwrite(base, table, partition_by=["bucket"])
+                wh.write_zonemap(spark, table, ["pk"])
+            else:
+                wh.overwrite(base, table)
+            wh.delete_keys(spark, table, "name", dset)
+
+        pb = ["bucket"] if layout in ("partitioned", "hybrid") else None
+        wh = ParquetWarehouse(str(tmp_path / f"wh-{layout}-{trial}"))
+        build("folded", wh)
+        merge_and_write(
+            wh, "folded",
+            wh.read(spark, "folded").select("pk", "bucket", "name"),
+            ch, pks=["pk"], version_cols=VC, partition_by=pb,
+        )
+        build("staged", wh)
+        wh.materialize_deletes(spark, "staged", partition_by=pb)
+        merge_and_write(
+            wh, "staged",
+            wh.read(spark, "staged").select("pk", "bucket", "name"),
+            ch_masked, pks=["pk"], version_cols=VC, partition_by=pb,
+        )
+        got = {
+            (r.pk, r.bucket, r.name)
+            for r in wh.read(spark, "folded").collect()
+        }
+        want = {
+            (r.pk, r.bucket, r.name)
+            for r in wh.read(spark, "staged").collect()
+        }
+        assert got == want, (
+            f"{layout} trial {trial}: mismatched fold diverged\n"
+            f"subjects={sorted(dset)}\nops={ops}\n"
+            f"fold-only={sorted(got - want)}\nstaged-only={sorted(want - got)}"
+        )
+        # materializing the folded twin must change nothing visible
+        if wh.pending_deletes("folded") is not None:
+            wh.materialize_deletes(spark, "folded", partition_by=pb)
+        phys = {
+            (r.pk, r.bucket, r.name)
+            for r in spark.read.parquet(wh.path("folded")).collect()
+        }
+        assert phys == want, (
+            f"{layout} trial {trial}: physical state after materialize "
+            f"diverged\nextra={sorted(phys - want)}\n"
+            f"missing={sorted(want - phys)}"
+        )
+
+
+def test_fold_mismatched_incremental_load_e2e(spark, tmp_path):
+    """The VERDICT composition end-to-end: defer-mode GDPR keyed on a
+    subject column while the CDC sync merges on the table's pk — the
+    sync proceeds in one call, the subject stays erased, and the
+    pending set survives for the maintenance pass."""
+    from tests.test_pipeline import CUST_SCHEMA, make_env, write_file
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.cdc import incremental_load
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage,
+        "erp/customer/LOAD00000001.csv",
+        ["1,alice,10.5", "2,bob,20.0", "3,carol,30.25"],
+    )
+    store, wh = make_env(tmp_path, stage)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    # GDPR subject keyed on c_name; the sync's pk is c_custkey
+    wh.delete_keys(spark, "erp_customer", "c_name", ["alice"])
+    write_file(
+        stage,
+        "erp/customer/20240101-000000001.csv",
+        ["I,4,alice,11.0", "U,3,carol2,31.0"],  # re-asserts the subject
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer")
+    assert msg.startswith("Rows affected:")
+    got = {
+        (r.c_custkey, r.c_name)
+        for r in wh.read(spark, "erp_customer").collect()
+    }
+    assert got == {(2, "bob"), (3, "carol2")}, got
+    # tiny table → whole-table path → sidecar carried through the swap
+    assert wh.pending_deletes("erp_customer") is not None
 
 
 def test_whole_table_merge_preserves_bucket_layout(spark, tmp_path):

@@ -110,12 +110,14 @@ def test_mutations_refuse_while_pending(spark, tmp_path):
     changes = changes.withColumn("op", F.lit("I")).select(
         "op", "pk", "bucket", "name", "_file", "_rownum"
     )
-    # a CDC merge whose pks EQUAL the pending key columns now FOLDS the
+    # a CDC merge whose pks EQUAL the pending key columns FOLDS the
     # pending set instead of refusing (tests/test_cdc_delete_fold.py);
-    # with DIFFERENT key columns the scoping proof fails, so it refuses
-    with pytest.raises(ValueError, match="differ from the merge's primary keys"):
+    # since r13 DIFFERENT key columns fold too (sidecar carried intact,
+    # batch masked) — the refusal remains only when the change batch
+    # LACKS the pending key column, so it cannot be masked
+    with pytest.raises(ValueError, match="lacks column"):
         merge_and_write(
-            wh, "t", target, changes, pks=["bucket"],
+            wh, "t", target.drop("pk"), changes.drop("pk"), pks=["bucket"],
             version_cols=["_file", "_rownum"],
         )
     with pytest.raises(ValueError, match="pending merge-on-read deletes"):
