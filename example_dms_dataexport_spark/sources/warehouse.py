@@ -694,7 +694,14 @@ class ParquetWarehouse:
                 )["files"]
             new_bm_files = {}
             if bm is not None and staged_any:
-                missing = [c for c in bm["cols"] if c not in df.columns]
+                bm_cols = sorted(
+                    {
+                        p
+                        for s in bm["cols"]
+                        for p in self._bloom_spec_parts(s)
+                    }
+                )  # tuple specs reference their underlying columns
+                missing = [c for c in bm_cols if c not in df.columns]
                 if missing:
                     raise ValueError(
                         f"replacement data lacks bloom column(s) "
@@ -709,7 +716,7 @@ class ParquetWarehouse:
                     want = StructType.fromJson(bm["schema"])
                     drift = [
                         (c, str(df.schema[c].dataType), str(want[c].dataType))
-                        for c in bm["cols"]
+                        for c in bm_cols
                         if df.schema[c].dataType != want[c].dataType
                     ]
                     if drift:
@@ -949,6 +956,20 @@ class ParquetWarehouse:
         return m
 
     @staticmethod
+    def _bloom_spec_parts(spec: str) -> list[str]:
+        """A manifest ``cols`` entry is either a single column name or a
+        comma-joined TUPLE spec (``"region,seq"``) whose filter attests
+        whole key tuples — the reference's comma-separated composite-pk
+        model (ref control_migration_schema_script.sql:27,298-299).
+        Per-column filters cannot do that (a file holding key1 in one
+        row and key2 in another passes both columns' filters without
+        holding the tuple), so composite-key discovery gets its own
+        filter over ``xxhash64(c1, c2, ..., seed)`` — the variadic hash,
+        NOT a string concat, so it is type-exact and has no separator-
+        ambiguity ('a','bc' vs 'ab','c')."""
+        return [s.strip() for s in spec.split(",") if s.strip()]
+
+    @staticmethod
     def _compute_bloom(
         spark: SparkSession,
         data_dir: str,
@@ -956,13 +977,14 @@ class ParquetWarehouse:
         bits_per_key: int = BLOOM_BITS_PER_KEY,
         k: int = BLOOM_K,
     ) -> dict:
-        """Two distributed passes over ``data_dir`` per column: one
-        distinct-count agg to size each file's bitmap, one
-        k-seeded-hash agg to set its bits. The result is file-count
-        sized (driver JSON), like the zone map; bit positions come from
-        ``pmod(xxhash64(value, seed), m)`` — engine-internal metadata,
-        never oracle-compared, so Spark's native hash is the right
-        tool."""
+        """Two distributed passes over ``data_dir`` per column (or
+        tuple spec — see ``_bloom_spec_parts``): one distinct-count agg
+        to size each file's bitmap, one k-seeded-hash agg to set its
+        bits. The result is file-count sized (driver JSON), like the
+        zone map; bit positions come from
+        ``pmod(xxhash64(value..., seed), m)`` — engine-internal
+        metadata, never oracle-compared, so Spark's native hash is the
+        right tool."""
         import base64
 
         df = spark.read.parquet(data_dir)
@@ -972,7 +994,10 @@ class ParquetWarehouse:
 
         files: dict[str, dict] = {}
         fpcol = F.col("_metadata.file_path").alias("__fp")
+        schema_cols: list[str] = []
         for c in cols:
+            parts = ParquetWarehouse._bloom_spec_parts(c)
+            schema_cols += [p for p in parts if p not in schema_cols]
             # the distributed side keys everything by the RAW file_path
             # string (exact round-trip through collect — basenames are
             # NOT unique: Spark reuses one task filename across the
@@ -981,7 +1006,11 @@ class ParquetWarehouse:
             counts_fp = {
                 r["__fp"]: r["__nd"]
                 for r in df.groupBy(fpcol)
-                .agg(F.count_distinct(F.col(c)).alias("__nd"))
+                .agg(
+                    F.count_distinct(
+                        *[F.col(p) for p in parts]
+                    ).alias("__nd")
+                )
                 .collect()
             }
             rel_by_fp = {fp: rel_of(fp) for fp in counts_fp}
@@ -992,9 +1021,13 @@ class ParquetWarehouse:
             m_df = spark.createDataFrame(
                 [(fp, m) for fp, m in m_by_fp.items()], "__fp string, __m long"
             )
-            pos = df.select(fpcol, F.col(c).alias("__v")).where(
-                F.col("__v").isNotNull()
-            )
+            # a row with ANY NULL key column can never equality-match a
+            # probe key (delete_keys refuses NULL keys), so its bits
+            # need not be set
+            nn = F.lit(True)
+            for p in parts:
+                nn = nn & F.col(p).isNotNull()
+            pos = df.select(fpcol, *parts).where(nn)
             rows = (
                 pos.join(F.broadcast(m_df), "__fp")
                 .select(
@@ -1003,7 +1036,10 @@ class ParquetWarehouse:
                         F.array(
                             *[
                                 F.pmod(
-                                    F.xxhash64(F.col("__v"), F.lit(i)),
+                                    F.xxhash64(
+                                        *[F.col(p) for p in parts],
+                                        F.lit(i),
+                                    ),
                                     F.col("__m"),
                                 )
                                 for i in range(k)
@@ -1035,7 +1071,7 @@ class ParquetWarehouse:
             # the probe side must hash keys AS the column's exact type
             # (xxhash64 is type-sensitive); persisting the schema here
             # spares every point lookup a parquet footer read
-            "schema": df.select(*cols).schema.jsonValue(),
+            "schema": df.select(*schema_cols).schema.jsonValue(),
             "files": files,
         }
 
@@ -1045,6 +1081,10 @@ class ParquetWarehouse:
         partitioned table the manifest's point pruning COMPOSES with
         partition pruning, and file-grain erasure needs no partition-
         value rendering at all — rel paths address the dirs directly).
+        Each ``cols`` entry is a single column name or a comma-joined
+        TUPLE spec (``"region,seq"``) whose filter attests whole key
+        tuples — what composite-key delete discovery probes (see
+        ``_bloom_spec_parts``).
         Derived metadata with the zone map's lifecycle discipline:
         in-place mutations drop it (rebuild with this call),
         ``replace_files`` MAINTAINS it (carried files keep their
@@ -1087,16 +1127,22 @@ class ParquetWarehouse:
         driver-bounded job over len(keys) rows; the column type comes
         from the manifest itself (one parquet footer read per probe
         otherwise — at manifest scale that matters)."""
-        if "schema" in bm:
-            field = StructType.fromJson(bm["schema"])[col]
-        else:  # manifest written before the schema field existed
-            field = spark.read.parquet(self.path(table)).schema[col]
+        parts = self._bloom_spec_parts(col)
+        src = (
+            StructType.fromJson(bm["schema"])
+            if "schema" in bm
+            else spark.read.parquet(self.path(table)).schema
+        )  # pre-schema manifests fall back to one footer read
+        fields = [src[p] for p in parts]
         probe = spark.createDataFrame(
-            [(k,) for k in keys], StructType([field])
+            [k if len(parts) > 1 else (k,) for k in keys],
+            StructType(fields),
         )
         rows = probe.select(
             *[
-                F.xxhash64(F.col(col), F.lit(i)).alias(f"h{i}")
+                F.xxhash64(
+                    *[F.col(p) for p in parts], F.lit(i)
+                ).alias(f"h{i}")
                 for i in range(bm["k"])
             ]
         ).collect()
@@ -1168,7 +1214,26 @@ class ParquetWarehouse:
         df = spark.read.option("basePath", base).parquet(
             *[os.path.join(base, rel) for rel in hit]
         )
-        df = df.filter(F.col(col).isin(keys))
+        parts = self._bloom_spec_parts(col)
+        if len(parts) == 1:
+            df = df.filter(F.col(col).isin(keys))
+        else:
+            # tuple residual: struct-IN with literals cast to the exact
+            # column types (an untyped int literal next to a long column
+            # would silently match nothing)
+            df = df.filter(
+                F.struct(*parts).isin(
+                    [
+                        F.struct(
+                            *[
+                                F.lit(v).cast(df.schema[p].dataType).alias(p)
+                                for p, v in zip(parts, key)
+                            ]
+                        )
+                        for key in keys
+                    ]
+                )
+            )
         # same merge-on-read contract as read()/read_zoned(): pending
         # delete keys are masked, so the pruned lookup still returns
         # exactly what the unpruned read would
@@ -1592,9 +1657,10 @@ class ParquetWarehouse:
         drop the sidecar — the maintenance half of ``delete_keys``.
 
         File discovery is pruned, never whole-table: with a bloom
-        manifest covering the key column (and a driver-bounded pending
-        set) the hit files come from the manifest alone — zero data
-        I/O for the miss set; otherwise one key-column semi-join scan
+        manifest covering the key column — or, for a composite key, a
+        tuple spec over exactly the key columns — and a driver-bounded
+        pending set, the hit files come from the manifest alone — zero
+        data I/O for the miss set; otherwise one key-column semi-join scan
         (the same exact touched-file discovery as the scan-scoped CDC
         merge) finds them. Only the hit files rewrite (anti-joined
         survivors through the copy-on-write ``replace_files`` machinery,
@@ -1618,18 +1684,40 @@ class ParquetWarehouse:
             kcols = self._delete_key_cols(dm)
             dele = spark.read.parquet(self._deletes_dir(table, dm))
             hit = None
-            # bloom discovery covers SINGLE-column keys only: per-column
-            # filters can't attest a tuple's conjunction (a file holding
-            # key1 in one row and key2 in another hits both columns'
-            # filters without holding the tuple — a false POSITIVE is
-            # fine for discovery, but the scan below is exact and
-            # composite keys are rare enough not to special-case)
-            if len(kcols) == 1 and dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
+            # bloom discovery: a single-column filter for a one-column
+            # key, or a TUPLE-HASH filter (a "c1,c2" spec over
+            # xxhash64(c1, c2, seed) — see _bloom_spec_parts) for a
+            # composite key. Per-column filters can't attest a tuple's
+            # conjunction (a file holding key1 in one row and key2 in
+            # another hits both columns' filters without holding the
+            # tuple), which is why composite keys need their own spec;
+            # false POSITIVES only widen the rewrite, and the no-false-
+            # negative guarantee makes the pruned discovery provably
+            # complete. The exact scan below remains the fallback.
+            if dm["n_keys"] <= DELETE_BLOOM_PROBE_CAP:
                 bm = self.bloom(table)
-                if bm is not None and kcols[0] in bm["cols"]:
-                    key_list = [r[0] for r in dele.collect()]
+                spec = None
+                if bm is not None:
+                    spec = next(
+                        (
+                            s
+                            for s in bm["cols"]
+                            if set(self._bloom_spec_parts(s)) == set(kcols)
+                        ),
+                        None,
+                    )
+                if spec is not None:
+                    parts = self._bloom_spec_parts(spec)
+                    rows = dele.collect()
+                    key_list = (
+                        [r[parts[0]] for r in rows]
+                        if len(parts) == 1
+                        # reorder sidecar tuples into the SPEC's column
+                        # order — the hash is argument-order sensitive
+                        else [tuple(r[p] for p in parts) for r in rows]
+                    )
                     split = self.bloom_hit_split(
-                        spark, table, kcols[0], key_list
+                        spark, table, spec, key_list
                     )
                     if split is not None:
                         hit = split[0]

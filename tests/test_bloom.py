@@ -337,3 +337,116 @@ def test_partitioned_erase_without_bloom_keeps_partition_grain(spark, tmp_path):
     assert res["rows_erased"] == 2
     assert res["touched_partitions"] is not None
     assert wh.read(spark, "t").filter(F.col("pk").isin([7, 21])).count() == 0
+
+
+# ---------------------------------------------------------------- #
+# tuple-hash specs: composite-key delete discovery                  #
+# ---------------------------------------------------------------- #
+
+
+def _composite(spark, n=2000, files=16):
+    """2-column pk (region, seq) — the reference's comma-separated
+    composite-pk shape (ref :27,:298-299) — scattered so per-file
+    pruning is the only lever."""
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % 20).alias("region"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("d-"), F.col("id")).alias("payload"),
+        )
+        .repartition(files, "payload")
+    )
+
+
+def test_tuple_spec_no_false_negatives_and_prunes(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_composite(spark), "t")
+    bm = wh.write_bloom(spark, "t", ["region,seq"])
+    assert bm["cols"] == ["region,seq"]
+    keys = [(3, 3), (7, 1007), (19, 1999)]
+    hit, miss = wh.bloom_hit_split(spark, "t", "region,seq", keys)
+    assert miss, "tuple filter never prunes"
+    # no false negatives: no missed file may hold any probe tuple
+    base = wh.path("t")
+    if miss:
+        got = {
+            (r.region, r.seq)
+            for r in spark.read.parquet(
+                *[os.path.join(base, rel) for rel in miss]
+            ).collect()
+        }
+        assert got.isdisjoint(set(keys)), "tuple filter false negative"
+    # the pruned point lookup equals the unpruned scan
+    rows = {
+        (r.region, r.seq)
+        for r in wh.read_bloom_keys(spark, "t", "region,seq", keys).collect()
+    }
+    want = {
+        (r.region, r.seq)
+        for r in spark.read.parquet(base).collect()
+        if (r.region, r.seq) in set(keys)
+    }
+    assert rows == want and rows  # the keys exist in the fixture
+
+
+def test_tuple_spec_materialize_parity_with_exact_scan(spark, tmp_path):
+    """Bloom-discovered vs exact-scan composite materialize: identical
+    survivors; the bloom path's rewrite set covers the exact one (false
+    positives only widen) and stays far below the file count."""
+    dset = [(3, 3), (3, 23), (7, 7), (11, 1011)]
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for t in ("bloomed", "scanned"):
+        wh.overwrite(_composite(spark), t)
+    wh.write_bloom(spark, "bloomed", ["region,seq"])
+    res_b = {}
+    res_s = {}
+    for t, res in (("bloomed", res_b), ("scanned", res_s)):
+        wh.delete_keys(spark, t, ["region", "seq"], dset)
+        res.update(wh.materialize_deletes(spark, t))
+    assert res_b["keys_applied"] == res_s["keys_applied"] == 4
+    assert res_s["files_replaced"] <= res_b["files_replaced"] < 16
+    got_b = {(r.region, r.seq) for r in spark.read.parquet(wh.path("bloomed")).collect()}
+    got_s = {(r.region, r.seq) for r in spark.read.parquet(wh.path("scanned")).collect()}
+    assert got_b == got_s
+    assert got_b.isdisjoint(set(dset))
+    # conjunctive semantics: shared region / shared seq values survive
+    assert (3, 43) in got_b and (7, 27) in got_b
+
+
+def test_tuple_spec_survives_replace_files_maintenance(spark, tmp_path):
+    """materialize goes through replace_files, which must maintain the
+    tuple entry (carried files verbatim, new files recomputed with the
+    same spec) — the next composite probe is not stale."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_composite(spark), "t")
+    wh.write_bloom(spark, "t", ["region,seq"])
+    wh.delete_keys(spark, "t", ["region", "seq"], [(3, 3)])
+    wh.materialize_deletes(spark, "t")
+    bm = wh.bloom("t")
+    assert bm is not None and bm["cols"] == ["region,seq"]
+    # not stale, still correct, still pruning
+    hit, miss = wh.bloom_hit_split(spark, "t", "region,seq", [(3, 23)])
+    assert miss
+    rows = {
+        (r.region, r.seq)
+        for r in wh.read_bloom_keys(
+            spark, "t", "region,seq", [(3, 23)]
+        ).collect()
+    }
+    assert rows == {(3, 23)}
+
+
+def test_mixed_single_and_tuple_specs(spark, tmp_path):
+    """One manifest can hold a single-column filter (GDPR subject
+    erasure) AND a tuple filter (composite pk deletes) side by side."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite(_composite(spark), "t")
+    bm = wh.write_bloom(spark, "t", ["seq", "region,seq"])
+    assert bm["cols"] == ["seq", "region,seq"]
+    hit1, miss1 = wh.bloom_hit_split(spark, "t", "seq", [42])
+    assert miss1
+    hit2, miss2 = wh.bloom_hit_split(spark, "t", "region,seq", [(2, 42)])
+    assert miss2
+    # the tuple probe is at least as selective as its member column
+    assert set(hit2) <= set(hit1)
