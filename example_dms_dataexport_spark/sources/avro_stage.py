@@ -289,16 +289,13 @@ def write_container(
         f.write(buf.getvalue())
 
 
-def _read_stage_avro_fallback(
-    spark: SparkSession,
-    files: list[str],
-    schema: StructType,
-    with_file_metadata: bool,
-) -> DataFrame:
-    """Distributed stdlib decode: binaryFile (one row per stage file) →
-    mapInPandas kernel decoding whole files, emitting canonical string
-    renders + EXACT per-file row numbers (the decode sees the whole
-    file, so no split-safe window is needed), then the positional cast.
+def decode_binaryfile_frame(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Distributed stdlib decode over a ``binaryFile`` frame (one row
+    per stage file, batch OR streaming — mapInPandas is stream-capable
+    and binaryFile delivers whole files per row, so the EXACT per-file
+    row numbers hold under micro-batch replay too): a mapInPandas
+    kernel decodes whole OCF files, emitting canonical string renders +
+    ``_dms_filename``/``_dms_rownum``, then the positional cast.
     String intermediates mirror the CSV stage's semantics; the renders
     ('true'/'false', repr floats, raw strings) round-trip through
     Spark's cast exactly."""
@@ -350,15 +347,26 @@ def _read_stage_avro_fallback(
                     }
                 )
 
-    raw = spark.read.format("binaryFile").load(files)
     decoded = raw.select("path", "content").mapInPandas(kernel, mid)
     cols = [
         F.col(f"_c{i}").cast(f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
     ]
+    return decoded.select(*cols, "_dms_filename", "_dms_rownum")
+
+
+def _read_stage_avro_fallback(
+    spark: SparkSession,
+    files: list[str],
+    schema: StructType,
+    with_file_metadata: bool,
+) -> DataFrame:
+    out = decode_binaryfile_frame(
+        spark.read.format("binaryFile").load(files), schema
+    )
     if with_file_metadata:
-        return decoded.select(*cols, "_dms_filename", "_dms_rownum")
-    return decoded.select(*cols)
+        return out
+    return out.drop("_dms_filename", "_dms_rownum")
 
 
 def read_stage_avro(

@@ -62,7 +62,10 @@ def read_cdc_stream(
     ``_dms_blockstart`` (the split's byte offset): the caller's rownum
     window orders by (blockstart, mono-id), which reconstructs
     intra-file order under any file splitting — same contract as the
-    batch ``orc_stage``/``xml_stage`` readers. The positional contract
+    batch ``orc_stage``/``xml_stage`` readers. Avro follows the ORC
+    contract on the native spark-avro scan (blockstart), and the
+    parquet one (exact ``_dms_rownum``) on the stdlib OCF fallback,
+    whose binaryFile stream decodes whole files per row. The positional contract
     (parquet/ORC) needs the files' physical column names; they are
     discovered once at stream setup from the current landing contents
     (a driver-side schema read, not a data scan) — when the landing dir
@@ -114,6 +117,56 @@ def read_cdc_stream(
             F.col("_metadata.file_path").alias("_dms_filename"),
             F.col("_metadata.file_block_start").alias("_dms_blockstart"),
         )
+    if fmt == "avro":
+        from ..sources.avro_stage import (
+            avro_available,
+            decode_binaryfile_frame,
+        )
+
+        if avro_available(spark):
+            # native scan: positional contract with physical-name
+            # discovery, split offset for intra-file order (avro has no
+            # row_index) — same contract as the ORC branch
+            try:
+                physical = spark.read.format("avro").load(landing_glob).schema
+            except Exception:  # no files landed yet — assume contract names
+                physical = want
+            if len(physical) != len(want.fields):
+                raise ValueError(
+                    f"stage avro has {len(physical)} columns, CDC schema "
+                    f"needs {len(want.fields)} (positional contract)"
+                )
+            raw = (
+                spark.readStream.schema(physical)
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .format("avro")
+                .load(landing_glob)
+            )
+            names = physical.fieldNames()
+            return raw.select(
+                *[
+                    F.col(names[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(want.fields)
+                ],
+                F.col("_metadata.file_path").alias("_dms_filename"),
+                F.col("_metadata.file_block_start").alias("_dms_blockstart"),
+            )
+        # stdlib OCF fallback: a binaryFile STREAM (whole files per row)
+        # through the same distributed decode kernel as the batch stage
+        # reader — exact per-file rownums, so no ordering window is
+        # needed downstream (the parquet contract, not the ORC one)
+        raw = (
+            spark.readStream.schema(
+                # binaryFile's FIXED schema — streaming sources refuse
+                # to infer, even for a source whose schema never varies
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .format("binaryFile")
+            .load(landing_glob)
+        )
+        return decode_binaryfile_frame(raw, want)
     if fmt == "xml":
         return (
             spark.readStream.schema(want)
@@ -359,6 +412,11 @@ def start_cdc_group_stream(
             max_files_per_trigger,
             file_format=spec.get("file_format", "csv"),
         )
+        # capability flags from the stream's ACTUAL columns — format-
+        # agnostic (avro flips between the rownum and blockstart
+        # contracts depending on whether spark-avro is deployed)
+        spec["has_rownum"] = "_dms_rownum" in s.columns
+        spec["has_block"] = "_dms_blockstart" in s.columns
         payload_cols = [c for c in s.columns if not c.startswith("_dms_")]
         streams.append(
             s.select(
@@ -398,8 +456,8 @@ def start_cdc_group_stream(
                     "_dms_rownum",
                     "_dms_blockstart",
                 )
-                has_rownum = spec.get("file_format", "csv") == "parquet"
-                has_block = spec.get("file_format", "csv") in ("orc", "xml")
+                has_rownum = spec["has_rownum"]
+                has_block = spec["has_block"]
                 keep = ["__r.*", "_dms_filename"]
                 if has_rownum:
                     keep.append("_dms_rownum")

@@ -238,6 +238,7 @@ def _cdc_crash_recovery_scenario(spark, tmp_path, file_format):
         "parquet": _write_cdc_parquet,
         "orc": _write_cdc_orc,
         "xml": _write_cdc_xml,
+        "avro": _write_cdc_avro,
     }.get(file_format, _write_cdc_file)
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     landing = tmp_path / "landing"
@@ -307,6 +308,51 @@ def test_cdc_stream_crash_recovery_xml(spark, tmp_path):
     """XML stage through the stream: NAMED schema-driven parse + the
     (blockstart, mono-id) rownum window, across a checkpoint crash."""
     _cdc_crash_recovery_scenario(spark, tmp_path, "xml")
+
+
+def _write_cdc_avro(path, rows):
+    # physical names differ from the target's — position is the contract
+    from example_dms_dataexport_spark.sources.avro_stage import (
+        write_container,
+    )
+
+    write_container(
+        str(path),
+        ["Op", "c1", "c2", "c3"],
+        ["string", "long", "string?", "double"],
+        rows,
+    )
+
+
+def test_cdc_stream_crash_recovery_avro(spark, tmp_path):
+    """Avro stage through the stream across a checkpoint crash. With
+    spark-avro absent (this env) the stdlib OCF fallback runs: a
+    binaryFile STREAM through the whole-file decode kernel, whose exact
+    per-file ``_dms_rownum`` must make latest-in-file win identically
+    on the replayed micro-batch."""
+    _cdc_crash_recovery_scenario(spark, tmp_path, "avro")
+
+
+def test_cdc_stream_avro_latest_in_file_wins(spark, tmp_path):
+    """Two ops for one pk INSIDE one OCF file: the fallback's exact
+    rownum (not arrival order) decides — the ordering guarantee the
+    crash pin above relies on."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = spark.createDataFrame([(1, "alice", 10.0)], ["id", "name", "val"])
+    wh.overwrite(target, "t")
+    _write_cdc_avro(
+        landing / "20240101-000000001.avro",
+        [("U", 1, "first", 11.0), ("U", 1, "second", 12.0)],
+    )
+    q = start_cdc_stream(
+        spark, str(landing / "2*.avro"), wh, "t", ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), file_format="avro",
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["name"], r["val"]) for r in wh.read(spark, "t").collect()}
+    assert got == {1: ("second", 12.0)}
 
 
 def test_cdc_stream_agrees_with_batch_operator(spark, tmp_path):
