@@ -32,65 +32,66 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 13 window: ALL 49 queries whose latest green driver row is r10
-# (the r12 rotation remainder — the freshness floor is N-2, so every one
-# must re-check this round or round 14 fails `tools/check_freshness.py`),
-# then at most ONE face new this round (slot 50 of the window). After
-# this round no query's latest driver row is older than r11. Seed the
-# r14 rotation with the r11 cohort (50 queries — exactly a full window,
-# so r14 also admits zero-to-one new faces depending on window size).
+# Round 14 window (FORCED — zero spare slots): ALL 50 queries whose
+# latest green driver row is r11 (the r12 rotation seed; the freshness
+# floor is N-2, so every one must re-check this round or round 15 fails
+# `tools/check_freshness.py`). The rotation is saturated at 149 faces:
+# 149 / 50-slot window x the N-2 floor leaves no free slot, so NO new
+# face may be registered this round — all round-14 capability work is
+# pytest-gated (BASELINE.md "Face-budget policy"). Seed the r15
+# rotation with the r12 cohort (49 queries -> one spare slot in r15).
 PRIORITY = [
-    # latest driver row is r10 (lowest-numbered first) — all 49 MUST fit
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q17_load_plan",
-    "q19_text_features",
-    "q23_minhash_signatures",
-    "q25_simhash",
-    "q34_sessionize",
-    "q39_asof_attribution",
-    "q42_event_gaps",
-    "q46_token_chunks",
-    "q47_line_dedup",
-    "q48_unigram_logprob",
-    "q50_pack_chunks",
-    "q51_duplicate_spans",
-    "q52_tfidf_top_terms",
-    "q55_bpe_pair_counts",
-    "q56_mixture_sample",
-    "q57_kmeans_assign",
-    "q58_embedding_decontam",
-    "q67_incremental_neardup",
-    "q70_knn_quantized",
-    "q71_distinct_sketch_rollup",
-    "q72_exact_stratified_sample",
-    "q73_corpus_build",
-    "q78_inverted_index",
-    "q82_semantic_dedup",
-    "q83_bm25_rank",
-    "q84_quality_percentile",
-    "q85_mixture_weights",
-    "q86_leakage_safe_split",
-    "q99_quantile_sketch_accuracy",
-    "q100_heavy_hitters",
-    "q101_token_budget_shards",
-    "q102_audio_decode",
-    "q103_cms_accuracy",
-    "q104_domain_cap",
-    "q105_global_shuffle_index",
-    "q106_bpe_encode",
-    "q107_embedding_moments",
-    "q131_zone_merge_prune",
-    "q132_jpeg_decode",
-    "q134_jpeg_color_decode",
-    # new in round 13, never driver-checked (hard cap 1 — slot 50)
+    # latest driver row is r11 (lowest-numbered first) — all 50 MUST fit
+    "q08_customers_without_orders",
+    "q09_active_customers",
+    "q12_part_name_parsing",
+    "q13_file_prefix_grouping",
+    "q14_json_props",
+    "q15_orders_by_month",
+    "q49_incremental_rollup",
+    "q53_range_join_windows",
+    "q62_funnel_stages",
+    "q64_resample_ffill",
+    "q65_trailing_hour_avg",
+    "q68_quality_audit",
+    "q69_skew_report",
+    "q74_scd2_history",
+    "q75_scd2_point_in_time",
+    "q76_snapshot_diff",
+    "q79_event_debounce",
+    "q80_bloom_semi_join",
+    "q81_bpe_merges",
+    "q87_sketch_accuracy",
+    "q88_bigram_logprob",
+    "q89_retention_cohorts",
+    "q90_value_deciles",
+    "q91_event_path_patterns",
+    "q92_sketch_merge_accuracy",
+    "q93_rolling_active_users",
+    "q94_value_trend_regression",
+    "q95_source_token_entropy",
+    "q96_value_outliers",
+    "q97_weekly_value_wow",
+    "q98_cross_source_dup_matrix",
+    "q108_image_decode",
+    "q109_salted_join_revenue",
+    "q110_time_travel_diff",
+    "q111_cluster_canonical",
+    "q112_kll_quantile_accuracy",
+    "q113_jdbc_roundtrip",
+    "q114_bucketed_join_revenue",
+    "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
+    "q133_group_cycle_consistency",
+    "q135_stream_group_cycle",
+    "q136_bloom_point_lookup",
+    "q137_hybrid_merge_prune",
+    "q138_pps_sample",
+    "q139_bloom_partitioned_erase",
+    "q140_scan_scoped_merge",
+    "q141_recluster_merge_prune",
+    "q142_delete_vectors",
+    "q143_repetition_filter",
 ]
 
 
