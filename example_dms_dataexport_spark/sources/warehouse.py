@@ -590,11 +590,22 @@ class ParquetWarehouse:
         partition_by: list[str] | None = None,
         allow_pending_deletes: bool = False,
         carry_deletes_minus: DataFrame | None = None,
+        bucket_spec: dict | None = None,
     ) -> dict:
         """``replace_files`` body; the caller MUST hold the table's
         mutation fence (``erase_subjects`` calls this under its own).
         ``allow_pending_deletes`` is for ``materialize_deletes`` ONLY —
         its swap dropping the ``_deletes`` sidecar IS the point there.
+
+        ``bucket_spec``: BUCKET-preserving file replace (the bucket-
+        grain GDPR path). The replacement rows stage through Spark's
+        own bucketed writer (``_stage_bucketed``) so every staged file
+        carries the correct ``_NNNNN`` bucket-id suffix, and the spec
+        sidecar is carried into the new state. Mixing staged files with
+        carried ones is sound because a row's bucket is a pure function
+        of its key columns — a carried file and a staged file tagged
+        with the same bucket id hold disjoint row sets of that bucket,
+        and Spark's bucketed scan reads multi-file buckets natively.
 
         ``carry_deletes_minus`` is the CDC-merge fold (a DataFrame
         carrying the batch's key tuples): instead of dropping or
@@ -620,9 +631,18 @@ class ParquetWarehouse:
                 "overwrite_versioned"
             )
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
-            raise ValueError(
-                f"{table!r} is bucketed — rewrite through write_bucketed"
-            )
+            if bucket_spec is None:
+                raise ValueError(
+                    f"{table!r} is bucketed — rewrite through "
+                    "write_bucketed/overwrite_bucketed, or pass the "
+                    "bucket_spec for a bucket-preserving file replace"
+                )
+            if partition_by:
+                raise ValueError(
+                    "bucketed tables are not hive-partitioned"
+                )
+        elif bucket_spec is not None:
+            raise ValueError(f"{table!r} carries no bucket spec")
         self._reconcile(table, writer=True)
 
         def _list_parquet(root_dir: str) -> set[str]:
@@ -673,10 +693,13 @@ class ParquetWarehouse:
         tmp_new = os.path.join(self.root, f".tmp-{table}-new-{uuid.uuid4().hex}")
         asm = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
         try:
-            w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(tmp_new)
+            if bucket_spec is not None:
+                self._stage_bucketed(df, tmp_new, bucket_spec)
+            else:
+                w = df.write.mode("overwrite")
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(tmp_new)
             # a delete-only replacement stages ZERO files (a partitioned
             # writer emits nothing for an empty frame) — the manifest
             # passes below would fail to infer a schema over it
@@ -790,8 +813,20 @@ class ParquetWarehouse:
                         }
                         for c in bm["cols"]
                     }
-            # sidecars carry over (the batch-identity hook stays intact)
-            for side in (META_FILE,):
+            if bucket_spec is not None and not renamed and not carried:
+                # a fully-emptied bucketed table would commit a dir with
+                # no readable schema (the bucketed writer emits no file
+                # for an empty frame, unlike the flat writer's 0-row
+                # part) — refuse loudly rather than wedge plain reads
+                raise ValueError(
+                    f"replacement empties bucketed table {table!r} — "
+                    "rewrite the complete (empty) state through "
+                    "write_bucketed instead"
+                )
+            # sidecars carry over (the batch-identity hook stays intact;
+            # a bucketed state keeps its layout contract file)
+            sides = (META_FILE, BUCKET_SPEC_FILE) if bucket_spec else (META_FILE,)
+            for side in sides:
                 src = os.path.join(final, side)
                 if os.path.isfile(src):
                     shutil.copy(src, os.path.join(asm, side))
@@ -863,6 +898,8 @@ class ParquetWarehouse:
                 with open(os.path.join(asm, BLOOM_FILE), "w") as f:
                     json.dump(merged_bm, f)
             self._commit_swap(asm, final, table)
+            if bucket_spec is not None:
+                self._refresh_bucketed_catalog(spark, table)
         finally:
             shutil.rmtree(tmp_new, ignore_errors=True)
             if os.path.exists(asm):  # failed before the swap
@@ -1501,10 +1538,17 @@ class ParquetWarehouse:
         the sidecar minus the batch's keys) so deferred GDPR queues and
         live syncs coexist — see ``cdc.merge_and_write``. A full
         ``overwrite`` also remains allowed: it defines a complete new
-        state, superseding the pending set. Versioned and bucketed
-        tables are refused (snapshots are immutable — erase through
-        ``overwrite_versioned``; a bucketed layout's files ARE the
-        bucket spec).
+        state, superseding the pending set. Versioned tables are
+        refused (snapshots are immutable — erase through
+        ``overwrite_versioned``). BUCKETED layouts are ACCEPTED: the
+        sidecar is a read-side mask that touches no bucket file (both
+        ``read`` and ``read_bucketed`` anti-join it, and the broadcast
+        anti preserves the probe side's partitioning, so co-located
+        joins still plan zero exchanges), and ``materialize_deletes``
+        rewrites bucket files copy-on-write through the bucket-
+        preserving staged writer — when the key columns equal
+        ``bucket_by``, discovery is the computable bucket-id cover
+        (``pmod(hash(keys), n_buckets)``), zero data I/O.
 
         Crash-safety AND lock-free readers: the accumulated key set is
         written to a NEW versioned sidecar dir (``_deletes-<hex>``) and
@@ -1519,10 +1563,6 @@ class ParquetWarehouse:
             raise ValueError(
                 f"{table!r} is versioned — snapshots are immutable; erase "
                 "through erase_subjects/overwrite_versioned instead"
-            )
-        if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
-            raise ValueError(
-                f"{table!r} is bucketed — rewrite through write_bucketed"
             )
         kcols = [key_col] if isinstance(key_col, str) else list(key_col)
         if not kcols or len(set(kcols)) != len(kcols):
@@ -2389,6 +2429,12 @@ class ParquetWarehouse:
         shuffling.  If the catalog entry is gone (fresh session), it is
         recreated as an external bucketed table over the same files from
         the persisted spec.
+
+        Pending merge-on-read deletes are masked here too (same contract
+        as ``read``): the key set broadcasts, and a broadcast LEFT ANTI
+        preserves the streamed side's output partitioning, so a
+        downstream join on the bucket key still plans ZERO exchanges on
+        this side (pinned by tests/test_bucket_gdpr.py).
         """
         name = self._catalog_name(table)
         final = self.path(table)
@@ -2410,7 +2456,7 @@ class ParquetWarehouse:
                 f"CLUSTERED BY ({bcols}){sorted_by} "
                 f"INTO {spec['n_buckets']} BUCKETS LOCATION '{final}'"
             )
-        return spark.table(name)
+        return self._apply_pending_deletes(spark, spark.table(name), table)
 
     def replace_partitions(
         self,
