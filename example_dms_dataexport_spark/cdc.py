@@ -273,21 +273,19 @@ def merge_and_write(
     if dm is not None:
         kcols = warehouse._delete_key_cols(dm)
         if set(kcols) != set(pks):
-            if not full_rewrite:
-                missing = [c for c in kcols if c not in changes.columns]
-                if missing:
-                    raise ValueError(
-                        f"{target_table!r} has pending merge-on-read "
-                        f"deletes on {kcols!r}, and the change batch "
-                        f"lacks column(s) {missing!r} — the batch cannot "
-                        "be masked against the pending set; run "
-                        "materialize_deletes() first"
-                    )
-                # (bucketed targets cannot reach here: delete_keys
-                # refuses them outright, so no sidecar ever pends)
-                changes = warehouse._apply_pending_deletes(
-                    changes.sparkSession, changes, target_table
+            missing = [c for c in kcols if c not in changes.columns]
+            if missing:
+                raise ValueError(
+                    f"{target_table!r} has pending merge-on-read "
+                    f"deletes on {kcols!r}, and the change batch "
+                    f"lacks column(s) {missing!r} — the batch cannot "
+                    "be masked against the pending set; run "
+                    "materialize_deletes() first"
                 )
+            changes = warehouse._apply_pending_deletes(
+                changes.sparkSession, changes, target_table
+            )
+            if not full_rewrite:
                 # empty subtraction: every scoped commit rewrites the
                 # sidecar verbatim (original keys, original ts)
                 fold_minus = changes.select(*kcols).limit(0)
@@ -295,7 +293,13 @@ def merge_and_write(
             # a full_rewrite (evolution) batch rewrites EVERY file from
             # the masked target, so any-key pending deletes apply
             # physically and the swap drops the sidecar — no scoping
-            # proof needed, no sidecar carry (fold_minus stays None)
+            # proof needed, no sidecar carry (fold_minus stays None).
+            # The batch is masked ABOVE too: without it, a batch row
+            # re-asserting a pending GDPR subject would land physically
+            # in the evolved state while the erasure record vanished
+            # with the sidecar — the compliance plane outranks the data
+            # plane until the deletion is materialized, same asymmetry
+            # as the carry-intact fold.
         else:
             fold_minus = changes.select(*kcols).distinct()
         # defensive re-mask: incremental_load's target comes from

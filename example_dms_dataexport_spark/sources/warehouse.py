@@ -577,9 +577,13 @@ class ParquetWarehouse:
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
         ):
+            # bucketed layouts replace at file grain too: auto-load the
+            # persisted spec so the rewrite stages through the
+            # bucket-preserving writer and the layout contract survives
             return self._replace_files_unlocked(
                 df, table, replaced, partition_by,
                 carry_deletes_minus=carry_deletes_minus,
+                bucket_spec=self.bucket_spec(table),
             )
 
     def _replace_files_unlocked(
@@ -1700,9 +1704,15 @@ class ParquetWarehouse:
         manifest covering the key column — or, for a composite key, a
         tuple spec over exactly the key columns — and a driver-bounded
         pending set, the hit files come from the manifest alone — zero
-        data I/O for the miss set; otherwise one key-column semi-join scan
-        (the same exact touched-file discovery as the scan-scoped CDC
-        merge) finds them. Only the hit files rewrite (anti-joined
+        data I/O for the miss set; on a BUCKETED table whose bucket
+        keys equal the key columns, the computable bucket-id cover
+        (``pmod(hash(keys), n_buckets)`` against the file-name bucket
+        suffixes) finds them with zero data I/O; otherwise one
+        key-column semi-join scan (the same exact touched-file
+        discovery as the scan-scoped CDC merge) finds them. Bucketed
+        hit files rewrite through the bucket-preserving staged writer
+        (``_stage_bucketed``), so the co-located-join layout and its
+        catalog entry survive materialization. Only the hit files rewrite (anti-joined
         survivors through the copy-on-write ``replace_files`` machinery,
         every other file carried as a hard link), and the commit swap
         atomically drops the sidecar WITH the rewrite — a crash before
@@ -1722,6 +1732,12 @@ class ParquetWarehouse:
                 return {"keys_applied": 0, "files_replaced": 0}
             final = self.path(table)
             kcols = self._delete_key_cols(dm)
+            bspec = self.bucket_spec(table)
+            if bspec is not None and partition_by:
+                raise ValueError(
+                    "bucketed tables are not hive-partitioned — drop "
+                    "partition_by"
+                )
             dele = spark.read.parquet(self._deletes_dir(table, dm))
             hit = None
             # bloom discovery: a single-column filter for a one-column
@@ -1761,6 +1777,39 @@ class ParquetWarehouse:
                     )
                     if split is not None:
                         hit = split[0]
+            if (
+                hit is None
+                and bspec is not None
+                and set(kcols) == set(bspec["bucket_by"])
+            ):
+                # computable bucket-id COVER: a row's bucket is a pure
+                # function of the bucket keys, so when the pending key
+                # columns ARE the bucket keys the hit set is exactly the
+                # files of the buckets the keys hash into — pmod(hash)
+                # over the driver-bounded pending set, ZERO data I/O.
+                # Hash argument order must match the spec's (hash is
+                # order-sensitive); the sidecar already carries the
+                # table's exact column types (delete_keys casts), so the
+                # type-sensitive Murmur3 agrees with the writer's.
+                bids = {
+                    r["__b"]
+                    for r in dele.select(
+                        F.pmod(
+                            F.hash(
+                                *[F.col(c) for c in bspec["bucket_by"]]
+                            ),
+                            F.lit(bspec["n_buckets"]),
+                        ).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                hit = sorted(
+                    n
+                    for n in os.listdir(final)
+                    if n.endswith(".parquet")
+                    and self._bucket_id_of(n) in bids
+                )
             if hit is None:
                 # exact distributed discovery: one key-column semi-join
                 # scan (columnar — reads the key column(s), not the table)
@@ -1801,6 +1850,7 @@ class ParquetWarehouse:
                 hit,
                 partition_by,
                 allow_pending_deletes=True,
+                bucket_spec=bspec,
             )
             res["keys_applied"] = dm["n_keys"]
             return res
@@ -2423,6 +2473,62 @@ class ParquetWarehouse:
         with open(p) as f:
             return json.load(f)
 
+    # Spark's own bucket-id convention (BucketingUtils.getBucketId):
+    # the LAST ``_<digits>`` run before the extension chain names the
+    # bucket, e.g. part-00000-<uuid>_00003.c000.snappy.parquet → 3.
+    # The cow-<hex>- collision prefix _link_staged may prepend is at
+    # the FRONT of the name, so renamed carried files keep parsing.
+    _BUCKET_FILE_RE = re.compile(r".*_(\d+)(?:\..*)?$")
+
+    @classmethod
+    def _bucket_id_of(cls, filename: str) -> int | None:
+        m = cls._BUCKET_FILE_RE.match(os.path.basename(filename))
+        return int(m.group(1)) if m else None
+
+    def _stage_bucketed(self, df: DataFrame, dest: str, spec: dict) -> None:
+        """Stage ``df`` into ``dest`` through Spark's OWN bucketed
+        writer so every staged file carries the ``_NNNNN`` bucket-id
+        suffix the bucketed scan keys on — the write-side half of the
+        bucket-preserving file replace (``_replace_files_unlocked``).
+
+        Spark only writes bucketed layouts through ``saveAsTable``, so
+        the staging goes through a throwaway EXTERNAL catalog entry
+        (``option("path", dest)``) dropped immediately after — dropping
+        an external table keeps its files. One repartition on the
+        bucket keys first: ``repartition(n, keys)`` hash-partitions
+        with the same Murmur3-pmod the writer assigns bucket ids with,
+        so each task holds exactly one bucket and the stage emits ONE
+        file per non-empty bucket instead of files × tasks."""
+        missing = [c for c in spec["bucket_by"] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"replacement data lacks bucket column(s) {missing}"
+            )
+        spark = df.sparkSession
+        out = df.repartition(
+            spec["n_buckets"], *[F.col(c) for c in spec["bucket_by"]]
+        )
+        w = out.write.format("parquet").mode("overwrite")
+        w = w.bucketBy(spec["n_buckets"], *spec["bucket_by"])
+        if spec.get("sort_by"):
+            w = w.sortBy(*spec["sort_by"])
+        name = f"wh_stage_{uuid.uuid4().hex}"
+        try:
+            w.option("path", dest).saveAsTable(name)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+    def _refresh_bucketed_catalog(self, spark: SparkSession, table: str) -> None:
+        """After a bucket-preserving swap the session's external catalog
+        entry (if ``read_bucketed`` created one) still describes the
+        right location and layout, but Spark caches the file listing —
+        invalidate it so the next read lists the NEW state's files. A
+        fresh session needs nothing: ``read_bucketed`` recreates the
+        entry from the carried ``_bucket_spec.json``."""
+        name = self._catalog_name(table)
+        if spark.catalog.tableExists(name):
+            spark.catalog.refreshTable(name)
+
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
         """Read a bucketed table THROUGH the catalog so joins/aggregations
         on the bucket key can use the existing layout instead of
@@ -2647,11 +2753,17 @@ class ParquetWarehouse:
           snapshot immediately — erasure is only complete once no
           retained snapshot holds the subject's rows; pass a larger
           ``retain`` only if policy allows the grace window).
-        - **bucketed** (``_bucket_spec.json`` present): the survivors
-          rewrite THROUGH ``write_bucketed`` with the persisted spec, so
-          the co-located-join layout survives the erasure (a plain
-          overwrite here would silently destroy the bucket files while
-          the spec and catalog still claimed them).
+        - **bucketed** (``_bucket_spec.json`` present): FILE-grain
+          copy-on-write — the subject cover comes from the bloom
+          manifest, the computable bucket-id cover (when the subject
+          key IS the bucket key: ``pmod(hash(key), n_buckets)`` against
+          the file-name suffixes, zero data I/O), or an exact
+          key-column scan; only the cover's files anti-join and rewrite
+          through the bucket-preserving staged writer, every other file
+          hard-links through untouched, and the layout contract +
+          catalog entry survive. An erase that would EMPTY the table
+          refuses loudly (rewrite the empty state through
+          ``write_bucketed`` instead).
         - **plain**: anti-join + the atomic temp-dir ``overwrite`` swap.
 
         The survivor set is materialized (localCheckpoint) before any
@@ -2796,15 +2908,68 @@ class ParquetWarehouse:
         elif bucketed:
             with open(bucket_spec_path) as f:
                 spec = json.load(f)
-            # write_bucketed rmtree's the table dir before writing, so
-            # the survivors (which READ those files) must be
-            # materialized first
-            self.write_bucketed(
-                survivors.localCheckpoint(eager=True),
-                table,
-                spec["bucket_by"],
-                spec["n_buckets"],
-                sort_by=spec["sort_by"] or None,
+            # FILE-grain erase (r13 finding: the old path rewrote the
+            # WHOLE table through write_bucketed — at 100 TB one subject
+            # erasure paid the full table). Cover discovery, cheapest
+            # first: bloom manifest (file grain, zero data I/O) →
+            # computable bucket-id cover when the subject key IS the
+            # bucket key (bucket grain, zero data I/O) → exact
+            # key-column semi-join scan (file grain, one columnar
+            # pass). Only the cover rewrites — through the
+            # bucket-preserving staged writer, so layout and catalog
+            # survive — and every other file hard-links through with
+            # its inode intact.
+            subject_keys = [r["__erase_key"] for r in subj.collect()]
+            hit = None
+            bloom_split = self.bloom_hit_split(
+                spark, table, key_col, subject_keys
+            )
+            if bloom_split is not None:
+                hit = bloom_split[0]
+            if hit is None and spec["bucket_by"] == [key_col]:
+                # hash is type-sensitive: probe with the TABLE's column
+                # type, exactly what the bucketed writer hashed
+                key_dt = current.schema[key_col].dataType
+                bids = {
+                    r["__b"]
+                    for r in subj.select(
+                        F.pmod(
+                            F.hash(F.col("__erase_key").cast(key_dt)),
+                            F.lit(spec["n_buckets"]),
+                        ).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                hit = sorted(
+                    n
+                    for n in os.listdir(self.path(table))
+                    if n.endswith(".parquet")
+                    and self._bucket_id_of(n) in bids
+                )
+            if hit is None:
+                fps = (
+                    current.select(
+                        key_col,
+                        F.col("_metadata.file_path").alias("__fp"),
+                    )
+                    .join(
+                        F.broadcast(subj),
+                        F.col(key_col) == F.col("__erase_key"),
+                        "left_semi",
+                    )
+                    .select("__fp")
+                    .distinct()
+                    .collect()
+                )
+                hit = sorted(
+                    {
+                        self.file_rel(r["__fp"], self.path(table))
+                        for r in fps
+                    }
+                )
+            self._bloom_cow_erase(
+                spark, table, key_col, subj, hit, bucket_spec=spec
             )
         else:
             # Plain table: zone-pruned copy-on-write when the map covers
@@ -2877,12 +3042,14 @@ class ParquetWarehouse:
         subj: DataFrame,
         hit: list[str],
         partition_by: list[str] | None = None,
+        bucket_spec: dict | None = None,
     ) -> None:
         """Shared cover-pruned copy-on-write rewrite for
-        ``erase_subjects``' plain and partitioned branches: anti-join
-        the hit files' rows against the subjects and commit through the
-        (fence-held) ``_replace_files_unlocked``. ``hit == []`` means
-        no file can hold a subject — nothing to do."""
+        ``erase_subjects``' plain, partitioned, and bucketed branches:
+        anti-join the hit files' rows against the subjects and commit
+        through the (fence-held) ``_replace_files_unlocked`` —
+        bucket-preserving when ``bucket_spec`` rides along. ``hit ==
+        []`` means no file can hold a subject — nothing to do."""
         if not hit:
             return
         base = self.path(table)
@@ -2894,7 +3061,10 @@ class ParquetWarehouse:
             sub[key_col] == F.col("__erase_key"),
             "left_anti",
         )
-        self._replace_files_unlocked(sub_survivors, table, hit, partition_by)
+        self._replace_files_unlocked(
+            sub_survivors, table, hit, partition_by,
+            bucket_spec=bucket_spec,
+        )
 
     def _write_tombstone(
         self, table: str, batch: str, dirs: list[str], committed: bool

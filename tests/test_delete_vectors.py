@@ -6,7 +6,9 @@ Pins:
   read_zoned() mask the deleted keys — the Iceberg equality-delete
   shape, the instant-delete path at 100 TB;
 - repeated deletes accumulate (set union) under one key column; NULL
-  keys, a second key column, versioned and bucketed tables refuse;
+  keys, a second key column, and versioned tables refuse; bucketed
+  tables are accepted (mask + bucket-preserving materialization,
+  tests/test_bucket_gdpr.py);
 - every state-assembling mutation (CDC merge, replace_files, compact,
   replace_partitions, erase_subjects, commit_group_linked) refuses
   while deletes are pending — their commit swap would drop the sidecar
@@ -93,9 +95,13 @@ def test_delete_refusals(spark, tmp_path):
     wh.overwrite_versioned(_rows(spark), "v")
     with pytest.raises(ValueError, match="versioned"):
         wh.delete_keys(spark, "v", "pk", [1])
+    # bucketed layouts are ACCEPTED since r15: the sidecar is a
+    # read-side mask and materialize_deletes rewrites bucket files
+    # through the bucket-preserving writer (tests/test_bucket_gdpr.py)
     wh.write_bucketed(_rows(spark), "b", bucket_by=["pk"], n_buckets=4)
-    with pytest.raises(ValueError, match="bucketed"):
-        wh.delete_keys(spark, "b", "pk", [1])
+    wh.delete_keys(spark, "b", "pk", [1])
+    assert 1 not in {r.pk for r in wh.read(spark, "b").collect()}
+    assert 1 not in {r.pk for r in wh.read_bucketed(spark, "b").collect()}
 
 
 def test_mutations_refuse_while_pending(spark, tmp_path):
