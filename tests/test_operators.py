@@ -2597,3 +2597,79 @@ def test_repetition_stats_edges(spark):
     # are all distinct: 8 grams, 0 dups, top count 1
     assert got[4]["n_2grams"] == 8 and got[4]["n_dup_2grams"] == 0
     assert got[4]["top_2gram_n"] == 1 and got[4]["keep"]
+
+
+# ------------------------------------------------------------------ #
+# unigram-LM tokenizer trainer (SentencePiece-style Viterbi-EM)      #
+# ------------------------------------------------------------------ #
+
+UNIGRAM_TEXTS = [
+    "low low low lower lower lowest",
+    "new newer newest new new",
+    "widow widow window window",
+    "banana bandana banana",
+]
+
+
+def _unigram_docs(spark):
+    return spark.createDataFrame([(t,) for t in UNIGRAM_TEXTS], ["text"])
+
+
+def test_unigram_train_properties(spark):
+    from example_dms_dataexport_spark.operators.unigram import unigram_train
+
+    vocab = unigram_train(
+        _unigram_docs(spark), vocab_size=12, max_piece_len=6,
+        seed_size=256, em_iters=3,
+    )
+    pieces = dict(vocab)
+    alphabet = {c for t in UNIGRAM_TEXTS for c in t if c != " "}
+    # coverage invariant: every corpus character is a piece
+    assert alphabet <= set(pieces)
+    multi = [p for p in pieces if len(p) > 1]
+    assert 0 < len(multi) <= 12
+    assert all(lp <= 0.0 and lp == lp for lp in pieces.values())
+    # deterministic: same corpus, same result
+    again = unigram_train(
+        _unigram_docs(spark), vocab_size=12, max_piece_len=6,
+        seed_size=256, em_iters=3,
+    )
+    assert vocab == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unigram_train(_unigram_docs(spark), vocab_size=0)
+    with _pytest.raises(ValueError):
+        unigram_train(_unigram_docs(spark), em_iters=0)
+
+
+def test_unigram_local_and_distributed_paths_identical(spark):
+    from example_dms_dataexport_spark.operators.unigram import unigram_train
+
+    kw = dict(vocab_size=10, max_piece_len=5, seed_size=200, em_iters=3)
+    local = unigram_train(_unigram_docs(spark), **kw)
+    dist = unigram_train(
+        _unigram_docs(spark), local_threshold=0, **kw
+    )  # force the mapInPandas E-step
+    assert local == dist and len(local) > 0
+
+
+def test_unigram_segment_reconstructs_words(spark):
+    from example_dms_dataexport_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = _unigram_docs(spark)
+    vocab = unigram_train(
+        docs, vocab_size=12, max_piece_len=6, seed_size=256, em_iters=3
+    )
+    allowed = {p for p, _ in vocab}
+    got = {r["w"]: list(r["pieces"]) for r in unigram_segment(docs, vocab).collect()}
+    words = {w for t in UNIGRAM_TEXTS for w in t.split()}
+    assert set(got) == words
+    for w, seg in got.items():
+        assert "".join(seg) == w, (w, seg)
+        assert all(p in allowed for p in seg), (w, seg)
+    # a frequent whole word should have learned a coarse segmentation
+    assert len(got["low"]) < 3
