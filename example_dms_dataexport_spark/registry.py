@@ -32,66 +32,69 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 14 window (FORCED — zero spare slots): ALL 50 queries whose
-# latest green driver row is r11 (the r12 rotation seed; the freshness
-# floor is N-2, so every one must re-check this round or round 15 fails
-# `tools/check_freshness.py`). The rotation is saturated at 149 faces:
-# 149 / 50-slot window x the N-2 floor leaves no free slot, so NO new
-# face may be registered this round — all round-14 capability work is
-# pytest-gated (BASELINE.md "Face-budget policy"). Seed the r15
-# rotation with the r12 cohort (49 queries -> one spare slot in r15).
+# Round 15 window: the 49 queries whose latest green driver row is r12
+# (the r13 rotation seed; the N-2 freshness floor means every one must
+# re-check this round or round 16 fails `tools/check_freshness.py`),
+# plus ONE spare slot — the first since r12. Per the r14 verdict, the
+# spare re-attests q114_bucketed_join_revenue rather than registering a
+# new face: this round changed the bucketed read path (the pending-
+# delete mask in read_bucketed) and q114 is the zero-exchange
+# co-located-join witness for it. Seed the r16 rotation with the r13
+# cohort (the 50 faces rotated out here).
 PRIORITY = [
-    # latest driver row is r11 (lowest-numbered first) — all 50 MUST fit
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q12_part_name_parsing",
-    "q13_file_prefix_grouping",
-    "q14_json_props",
-    "q15_orders_by_month",
-    "q49_incremental_rollup",
-    "q53_range_join_windows",
-    "q62_funnel_stages",
-    "q64_resample_ffill",
-    "q65_trailing_hour_avg",
-    "q68_quality_audit",
-    "q69_skew_report",
-    "q74_scd2_history",
-    "q75_scd2_point_in_time",
-    "q76_snapshot_diff",
-    "q79_event_debounce",
-    "q80_bloom_semi_join",
-    "q81_bpe_merges",
-    "q87_sketch_accuracy",
-    "q88_bigram_logprob",
-    "q89_retention_cohorts",
-    "q90_value_deciles",
-    "q91_event_path_patterns",
-    "q92_sketch_merge_accuracy",
-    "q93_rolling_active_users",
-    "q94_value_trend_regression",
-    "q95_source_token_entropy",
-    "q96_value_outliers",
-    "q97_weekly_value_wow",
-    "q98_cross_source_dup_matrix",
-    "q108_image_decode",
-    "q109_salted_join_revenue",
-    "q110_time_travel_diff",
-    "q111_cluster_canonical",
-    "q112_kll_quantile_accuracy",
-    "q113_jdbc_roundtrip",
+    # latest driver row is r12 (lowest-numbered first) — all 49 fit
+    "q16_hourly_event_windows",
+    "q18_cdc_merge",
+    "q21_quality_filter",
+    "q22_exact_dedup",
+    "q24_minhash_dedup_pairs",
+    "q26_simhash_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q28_knn_brute",
+    "q29_knn_lsh",
+    "q30_knn_ivf",
+    "q31_embedding_dup_pairs",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q35_length_percentiles",
+    "q36_rollup_acctbal",
+    "q37_repetition_ratio",
+    "q38_cleaning_pipeline",
+    "q40_pii_redaction",
+    "q41_vocab_df",
+    "q43_dedup_clusters",
+    "q44_decontaminate",
+    "q45_stratified_sample",
+    "q54_profile_orders",
+    "q59_histogram_totalprice",
+    "q60_pivot_lang_source",
+    "q61_cube_flag_status",
+    "q63_intersect_except",
+    "q66_grouping_sets",
+    "q77_unpivot_metrics",
+    "q117_cdc_backlog",
+    "q118_chunk_integrity",
+    "q119_user_erasure_audit",
+    "q120_pack_efficiency",
+    "q121_scd2_current_view",
+    "q122_png_decode",
+    "q123_erasure_execution",
+    "q124_scd2_delta_apply",
+    "q125_group_commit_join",
+    "q126_orc_stage_roundtrip",
+    "q127_xml_stage_roundtrip",
+    "q128_zonemap_prune",
+    "q129_declared_layout_pipeline",
+    "q130_zorder_multicol_prune",
+    "q144_composite_delete_fold",
+    "q145_maintenance_cycle",
+    "q146_avro_stage_roundtrip",
+    "q147_group_snapshot_mask",
+    "q148_dsir_importance_weights",
+    "q149_mixture_temperature",
+    # spare slot: re-attest the bucketed co-located join after this
+    # round's read_bucketed pending-delete mask change
     "q114_bucketed_join_revenue",
-    "q115_hybrid_retrieval",
-    "q116_source_kl_divergence",
-    "q133_group_cycle_consistency",
-    "q135_stream_group_cycle",
-    "q136_bloom_point_lookup",
-    "q137_hybrid_merge_prune",
-    "q138_pps_sample",
-    "q139_bloom_partitioned_erase",
-    "q140_scan_scoped_merge",
-    "q141_recluster_merge_prune",
-    "q142_delete_vectors",
-    "q143_repetition_filter",
 ]
 
 

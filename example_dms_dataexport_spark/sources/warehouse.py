@@ -1135,8 +1135,10 @@ class ParquetWarehouse:
         set cannot swap mid-compute."""
         if os.path.isfile(self._version_pointer(table)):
             raise ValueError(
-                f"{table!r} is versioned — bloom manifests cover plain "
-                "tables (snapshots are immutable; filter at write time)"
+                f"{table!r} is versioned — snapshots are immutable, so "
+                "their filters build at WRITE time: commit with "
+                "overwrite_versioned(bloom_cols=[...]) and every "
+                "snapshot carries its own manifest"
             )
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
@@ -1151,8 +1153,19 @@ class ParquetWarehouse:
             os.replace(tmp, os.path.join(self.path(table), BLOOM_FILE))
         return bm
 
-    def bloom(self, table: str) -> dict | None:
-        p = os.path.join(self.path(table), BLOOM_FILE)
+    def bloom(self, table: str, version: int | None = None) -> dict | None:
+        """The table's Bloom manifest — the live one for plain tables,
+        the resolved snapshot's own for versioned tables (mirrors
+        ``zonemap``: each immutable snapshot carries its manifest, so it
+        can never go stale). None when absent; an explicit ``version``
+        that isn't retained raises like every other versioned read."""
+        try:
+            base = self._zoned_base(table, version)
+        except (KeyError, ValueError):
+            if version is not None:
+                raise
+            return None  # e.g. a versioned table with no snapshot yet
+        p = os.path.join(base, BLOOM_FILE)
         if not os.path.isfile(p):
             return None
         with open(p) as f:
@@ -1190,20 +1203,26 @@ class ParquetWarehouse:
         return [[r[f"h{i}"] for i in range(bm["k"])] for r in rows]
 
     def bloom_hit_split(
-        self, spark: SparkSession, table: str, col: str, keys: list
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        keys: list,
+        version: int | None = None,
     ) -> tuple[list[str], list[str]] | None:
         """Split the table's files into (possibly-containing, definitely
         -not-containing) for the probe ``keys``. None when the table has
         no manifest covering ``col`` (callers fall back to an unpruned
         plan); raises when the manifest is STALE (doesn't describe the
         exact committed file set) — stale must be loud, never a
-        mis-prune."""
+        mis-prune. ``version`` probes a retained snapshot of a
+        versioned table (its own in-snapshot manifest)."""
         import base64
 
-        bm = self.bloom(table)
+        bm = self.bloom(table, version)
         if bm is None or col not in bm["cols"]:
             return None
-        final = self.path(table)
+        final = self._zoned_base(table, version)
         current = set()
         for dirpath, dirs, fnames in os.walk(final):
             # hidden dirs (_deletes sidecar) are not part of the file set
@@ -1236,20 +1255,28 @@ class ParquetWarehouse:
         return hit, miss
 
     def read_bloom_keys(
-        self, spark: SparkSession, table: str, col: str, keys: list
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        keys: list,
+        version: int | None = None,
     ) -> DataFrame:
         """Manifest-pruned point lookup: scan only the files whose Bloom
         filter admits at least one probe key, then apply the exact
         ``IN`` filter as the residual. The no-false-negative guarantee
-        makes the pruned scan return exactly the unpruned result."""
-        split = self.bloom_hit_split(spark, table, col, keys)
+        makes the pruned scan return exactly the unpruned result.
+        ``version`` prunes a time-travel read of a versioned table
+        through the snapshot's own manifest."""
+        split = self.bloom_hit_split(spark, table, col, keys, version)
         if split is None:
             raise ValueError(
                 f"table {table!r} has no {BLOOM_FILE} covering {col!r}; "
-                "write it with write_bloom()"
+                "write it with write_bloom() (or "
+                "overwrite_versioned(bloom_cols=...) for snapshots)"
             )
         hit, _miss = split
-        base = self.path(table)
+        base = self._zoned_base(table, version)
         if not hit:
             return spark.read.parquet(base).filter(F.lit(False))
         df = spark.read.option("basePath", base).parquet(
@@ -3279,6 +3306,7 @@ class ParquetWarehouse:
         cluster_partitions: int | None = None,
         zorder_by: list[str] | None = None,
         stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as the table's next immutable snapshot and
         return its version number. Keeps the newest ``retain`` snapshots
@@ -3310,6 +3338,7 @@ class ParquetWarehouse:
                 cluster_partitions=cluster_partitions,
                 zorder_by=zorder_by,
                 stat_cols=stat_cols,
+                bloom_cols=bloom_cols,
             )
 
     def _overwrite_versioned_unlocked(
@@ -3322,6 +3351,7 @@ class ParquetWarehouse:
         cluster_partitions: int | None = None,
         zorder_by: list[str] | None = None,
         stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """``overwrite_versioned`` body; the caller MUST hold the
         table's ``_write_fence`` (``erase_subjects`` spans its
@@ -3346,6 +3376,15 @@ class ParquetWarehouse:
             zm = self._compute_zonemap(df.sparkSession, tmp, stat_cols)
             with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
                 json.dump(zm, f)
+        if bloom_cols:
+            # same write-time discipline as stat_cols: the manifest is
+            # computed over the staged snapshot and rides inside it
+            # through the rename, so every immutable snapshot carries
+            # its own never-stale filters and time-travel point reads
+            # (version diffs, q110) file-prune
+            bm = self._compute_bloom(df.sparkSession, tmp, bloom_cols)
+            with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
+                json.dump(bm, f)
         os.replace(tmp, final)
         state["versions"][version] = {"dir": vdir, "meta": meta or {}}
         state["current"] = version

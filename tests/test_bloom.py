@@ -450,3 +450,41 @@ def test_mixed_single_and_tuple_specs(spark, tmp_path):
     assert miss2
     # the tuple probe is at least as selective as its member column
     assert set(hit2) <= set(hit1)
+
+
+def test_versioned_snapshots_carry_their_own_bloom(spark, tmp_path):
+    """overwrite_versioned(bloom_cols=...) builds the manifest INSIDE
+    the staged snapshot (write-time, like stat_cols), so every retained
+    immutable snapshot file-prunes its own time-travel point reads —
+    write_bloom itself still refuses versioned tables (nothing mutable
+    to rebuild). Each version probes through its OWN manifest: a key
+    present only in v1 misses every v2 file and vice versa."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    v1 = wh.overwrite_versioned(
+        _scattered(spark, n=2000, files=16), "t", bloom_cols=["pk"]
+    )
+    v2 = wh.overwrite_versioned(
+        _scattered(spark, n=2000, files=16).filter(F.col("pk") != 7)
+        .unionByName(
+            spark.createDataFrame([(99991, 0, "added")], "pk long, bucket long, name string")
+        ),
+        "t",
+        bloom_cols=["pk"],
+    )
+    assert wh.bloom("t", v1) is not None and wh.bloom("t", v2) is not None
+    # current-version resolution: bloom(t) == bloom(t, v2)
+    assert wh.bloom("t") == wh.bloom("t", v2)
+    # real pruning + no false negatives, per version
+    hit1, miss1 = wh.bloom_hit_split(spark, "t", "pk", [7], version=v1)
+    assert hit1 and miss1, "v1 probe should prune but still hit"
+    got1 = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [7], version=v1).collect()}
+    assert got1 == {7}
+    # the same key was erased from v2: pruned lookup finds nothing
+    got2 = {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [7], version=v2).collect()}
+    assert got2 == set()
+    # and v2's new key is invisible to v1
+    assert not wh.read_bloom_keys(spark, "t", "pk", [99991], version=v1).count()
+    assert wh.read_bloom_keys(spark, "t", "pk", [99991], version=v2).count() == 1
+    # the mutable-table rebuild path still refuses loudly
+    with pytest.raises(ValueError, match="overwrite_versioned"):
+        wh.write_bloom(spark, "t", ["pk"])
