@@ -2474,7 +2474,16 @@ class ParquetWarehouse:
         final = self.path(table)
         if os.path.exists(final):
             shutil.rmtree(final)
-        w = df.write.format("parquet").mode("overwrite")
+        # one shuffle on the bucket keys first: without it every task
+        # writes a file for every bucket it happens to hold (tasks x
+        # buckets small files — the classic bucketed-write explosion);
+        # repartition's hash-pmod is the same Murmur3 the writer
+        # assigns bucket ids with, so each task holds exactly one
+        # bucket and the table lands as ONE file per bucket, each
+        # fully sorted when sort_by is set (file fragments of a bucket
+        # are only per-file sorted otherwise)
+        out = df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+        w = out.write.format("parquet").mode("overwrite")
         w = w.bucketBy(n_buckets, *bucket_by)
         if sort_by:
             w = w.sortBy(*sort_by)
