@@ -1960,8 +1960,14 @@ class ParquetWarehouse:
         body is what you'd fan out over a thread pool exactly like
         runner.py does for loads.
 
-        Bucketed tables are refused: their file layout IS the bucket
-        spec — rewrite them with ``write_bucketed`` instead.
+        Bucketed tables repack at BUCKET grain: fragmented buckets
+        (multi-file, accumulated by bucket-preserving file replaces)
+        merge back to one file per bucket through the bucket-preserving
+        staged writer — single-file buckets hard-link through untouched,
+        the spec's own ``sort_by`` re-sorts each merged bucket whole,
+        and the layout contract + catalog survive. ``target_file_bytes``
+        does not split buckets (the bucket count is the parallelism
+        contract); ``sort_by`` contradicting the spec refuses.
 
         Runs under the table's mutation fence: compaction reads the
         live file listing and swaps directories, so a concurrent
@@ -1986,10 +1992,47 @@ class ParquetWarehouse:
         self._refuse_pending_deletes(table, "compact")
         final = self.path(table)
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
-            raise ValueError(
-                f"{table} is bucketed; its file layout is the bucket spec — "
-                "rewrite with write_bucketed instead of compact"
+            # BUCKETED repack: repeated bucket-preserving file replaces
+            # (CDC merges, materialized deletes, public replace_files)
+            # leave multi-file buckets — correct to read (Spark scans
+            # multi-file buckets natively) but paying open() overhead
+            # and per-file-only sortedness. Merge each fragmented
+            # bucket's files back to ONE through the bucket-preserving
+            # staged writer: fragment files are the replaced set,
+            # single-file buckets hard-link through untouched, and the
+            # spec's own sort_by re-sorts each merged bucket whole (the
+            # reason a caller-supplied sort_by that contradicts the
+            # layout contract refuses). Buckets never SPLIT here: the
+            # bucket count is the table's parallelism contract.
+            spec = self.bucket_spec(table)
+            if sort_by is not None and list(sort_by) != spec["sort_by"]:
+                raise ValueError(
+                    f"{table!r} is bucketed — its sort contract is the "
+                    f"spec's sort_by {spec['sort_by']}; rewrite through "
+                    "write_bucketed to change it"
+                )
+            self._reconcile(table, writer=True)
+            by_bucket: dict[int | None, list[str]] = {}
+            for f in os.listdir(final):
+                if f.endswith(".parquet") and os.path.isfile(
+                    os.path.join(final, f)
+                ):
+                    by_bucket.setdefault(self._bucket_id_of(f), []).append(f)
+            frag = [
+                fl
+                for b, fl in by_bucket.items()
+                if b is not None and len(fl) > 1
+            ]
+            if not frag:
+                return 0  # idempotent: one file per bucket already
+            replaced = sorted(f for fl in frag for f in fl)
+            sub = spark.read.option("basePath", final).parquet(
+                *[os.path.join(final, rel) for rel in replaced]
             )
+            self._replace_files_unlocked(
+                sub, table, replaced, bucket_spec=spec
+            )
+            return 1
         self._reconcile(table)
         stat_cols = None
         bloom_spec = None  # (cols, bits_per_key, k): preserve the tuning
@@ -2272,6 +2315,29 @@ class ParquetWarehouse:
         scan planning + open() overhead from millions of
         CDC-accumulated small files, which grows silently until reads
         degrade."""
+        spec = self.bucket_spec(table)
+        if spec is not None:
+            # bucketed ideal is ONE file per bucket (compact never
+            # splits a bucket), so the debt is the fragment count —
+            # sized against the bucket layout, not target_file_bytes,
+            # or the scheduler would call a no-op compact every cycle
+            # on any bucketed table whose buckets are smaller than the
+            # flat target
+            by_bucket: dict[int | None, int] = {}
+            for f in os.listdir(self.path(table)):
+                if f.endswith(".parquet"):
+                    b = self._bucket_id_of(f)
+                    by_bucket[b] = by_bucket.get(b, 0) + 1
+            files = sum(by_bucket.values())
+            excess = sum(
+                n - 1 for b, n in by_bucket.items() if b is not None and n > 1
+            )
+            return {
+                "leaves": 1,
+                "leaves_over_target": 1 if excess else 0,
+                "files": files,
+                "excess_files": excess,
+            }
         leaves = over = files = excess = 0
         for d in self._leaf_data_dirs(table):
             names = [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -2925,7 +2991,21 @@ class ParquetWarehouse:
                     )
         elif versioned:
             held_before = set(self._load_versions(table)["versions"])
-            self._overwrite_versioned_unlocked(survivors, table, retain=retain)
+            # the republished snapshot KEEPS the erased snapshot's
+            # derived-metadata contract: a snapshot committed with
+            # stat_cols / bloom_cols would otherwise silently lose its
+            # zone map and bloom manifest at the erase, degrading every
+            # later time-travel read (and the NEXT erase's file-grain
+            # cover) to full scans
+            prior_zm = self.zonemap(table)
+            prior_bm = self.bloom(table)
+            self._overwrite_versioned_unlocked(
+                survivors,
+                table,
+                retain=retain,
+                stat_cols=prior_zm["stat_cols"] if prior_zm else None,
+                bloom_cols=prior_bm["cols"] if prior_bm else None,
+            )
             # With retain=1 (the GDPR-complete default) every
             # pre-erasure snapshot is purged — history is gone by
             # design, but silently. Name the purged versions so

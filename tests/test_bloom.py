@@ -488,3 +488,29 @@ def test_versioned_snapshots_carry_their_own_bloom(spark, tmp_path):
     # the mutable-table rebuild path still refuses loudly
     with pytest.raises(ValueError, match="overwrite_versioned"):
         wh.write_bloom(spark, "t", ["pk"])
+
+
+def test_versioned_erase_keeps_manifest_contract(spark, tmp_path):
+    """erase_subjects on a versioned table republishes the survivors as
+    the next snapshot — which must CARRY the erased snapshot's derived-
+    metadata contract (zone map + bloom manifest), or every later
+    time-travel read and the next erase's file-grain cover silently
+    degrade to full scans."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.overwrite_versioned(
+        _scattered(spark, n=2000, files=16), "t",
+        stat_cols=["bucket"], bloom_cols=["pk"],
+    )
+    res = wh.erase_subjects(
+        spark, "t", "pk", spark.createDataFrame([(7,), (19,)], "k long")
+    )
+    assert res["rows_erased"] == 2 and res["purged_versions"] == [1]
+    v = wh._load_versions("t")["current"]
+    zm, bm = wh.zonemap("t", v), wh.bloom("t", v)
+    assert zm is not None and zm["stat_cols"] == ["bucket"]
+    assert bm is not None and bm["cols"] == ["pk"]
+    # and the carried manifest actually prunes the erased snapshot
+    hit, miss = wh.bloom_hit_split(spark, "t", "pk", [11], version=v)
+    assert hit and miss
+    assert {r.pk for r in wh.read_bloom_keys(spark, "t", "pk", [11], version=v).collect()} == {11}
+    assert wh.read_bloom_keys(spark, "t", "pk", [7], version=v).count() == 0

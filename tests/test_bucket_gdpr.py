@@ -262,3 +262,88 @@ def test_composite_bucket_key_cover(spark, tmp_path):
     raw = {r.pk for r in spark.read.parquet(wh.path("b")).collect()}
     assert raw == set(range(2000)) - {9, 100}
     assert wh.read_bucketed(spark, "b").count() == 1998
+
+
+def test_bucketed_compact_merges_fragmented_buckets(spark, tmp_path):
+    """Bucket-preserving file replaces can leave multi-file buckets
+    (staged file + carried original); compact merges each fragmented
+    bucket back to ONE file through the bucket-preserving writer,
+    hard-links untouched buckets (inode proof), restores whole-bucket
+    sort order, and is idempotent. compaction_debt sizes the advisor
+    signal against the bucket layout so the scheduler never loops a
+    no-op compact."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=1000)
+    files0 = _data_inodes(wh, "b")
+    assert len(files0) == N_BUCKETS  # write lands one file per bucket
+    victim = sorted(files0)[0]
+    victim_bucket = wh._bucket_id_of(victim)
+    base = wh.path("b")
+    sub = spark.read.option("basePath", base).parquet(
+        os.path.join(base, victim)
+    )
+    extras = spark.createDataFrame(
+        [(10000 + i, 0, f"x-{i}") for i in range(4)],
+        "pk long, grp long, name string",
+    )
+    extra_buckets = {
+        r["b"]
+        for r in extras.select(
+            F.pmod(F.hash("pk"), F.lit(N_BUCKETS)).alias("b")
+        ).collect()
+    }
+    wh.replace_files(sub.unionByName(extras), "b", [victim])
+    expected_excess = len(extra_buckets - {victim_bucket})
+    debt = wh.compaction_debt("b")
+    assert debt["excess_files"] == expected_excess
+    assert debt["leaves_over_target"] == (1 if expected_excess else 0)
+    before = _data_inodes(wh, "b")
+    frag_buckets = extra_buckets - {victim_bucket}
+    assert wh.compact(spark, "b") == (1 if expected_excess else 0)
+    after = _data_inodes(wh, "b")
+    # one file per bucket again, untouched buckets carried by inode
+    per_bucket = {}
+    for n in after:
+        per_bucket.setdefault(wh._bucket_id_of(n), []).append(n)
+    assert all(len(v) == 1 for v in per_bucket.values()), per_bucket
+    for n, ino in before.items():
+        if wh._bucket_id_of(n) not in frag_buckets:
+            assert after.get(n) == ino, f"untouched bucket file {n} relinked"
+    # content survived and merged buckets are whole-sorted (spec sort_by)
+    got = {r.pk for r in wh.read_bucketed(spark, "b").collect()}
+    assert got == set(range(1000)) | {10000, 10001, 10002, 10003}
+    import pyarrow.parquet as pq
+
+    for b in frag_buckets:
+        fn = per_bucket[b][0]
+        pks = pq.read_table(os.path.join(base, fn), columns=["pk"])["pk"].to_pylist()
+        assert pks == sorted(pks), f"merged bucket {b} not whole-sorted"
+    # idempotent; debt clean; contradicting sort refuses
+    assert wh.compact(spark, "b") == 0
+    assert wh.compaction_debt("b")["excess_files"] == 0
+    with pytest.raises(ValueError, match="sort contract"):
+        wh.compact(spark, "b", sort_by=["name"])
+
+
+def test_maintenance_compacts_fragmented_bucketed_table(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=1000)
+    base = wh.path("b")
+    victim = sorted(_data_inodes(wh, "b"))[0]
+    sub = spark.read.option("basePath", base).parquet(
+        os.path.join(base, victim)
+    )
+    extras = spark.createDataFrame(
+        [(10000 + i, 0, f"x-{i}") for i in range(6)],
+        "pk long, grp long, name string",
+    )
+    wh.replace_files(sub.unionByName(extras), "b", [victim])
+    if wh.compaction_debt("b")["excess_files"] == 0:
+        pytest.skip("all extras hashed into the victim bucket")
+    recs = run_maintenance(
+        spark, wh, ["b"], policy=MaintenancePolicy(max_excess_files=0)
+    )
+    rec = next(r for r in recs if r["table"] == "b")
+    assert rec["action"] == "compact", rec
+    assert wh.compaction_debt("b")["excess_files"] == 0
+    assert wh.read_bucketed(spark, "b").count() == 1006
