@@ -347,3 +347,70 @@ def test_maintenance_compacts_fragmented_bucketed_table(spark, tmp_path):
     assert rec["action"] == "compact", rec
     assert wh.compaction_debt("b")["excess_files"] == 0
     assert wh.read_bucketed(spark, "b").count() == 1006
+
+
+def test_erasure_stream_on_bucketed_target_end_to_end(spark, tmp_path):
+    """The full compliance pipeline on the co-located-join layout:
+    defer-mode GDPR requests stream in (sidecar, zero data I/O per
+    batch), reads mask instantly, the scheduled maintenance pass
+    materializes the aged set at bucket-cover grain, and a rewrite-mode
+    batch afterwards erases at file grain — the layout contract
+    surviving every step."""
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=2000)
+    inodes0 = _data_inodes(wh, "b")
+
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(10,), (20,)], "pk long").coalesce(1)\
+        .write.parquet(str(req / "r0"))
+    stream = spark.readStream.schema("pk long").parquet(str(req / "*"))
+    qe = start_erasure_stream(
+        spark, stream, wh, "b", "pk",
+        checkpoint_dir=str(tmp_path / "eckpt"), mode="defer",
+    )
+    qe.awaitTermination(120)
+    assert wh.pending_deletes("b")["n_keys"] == 2
+    assert _data_inodes(wh, "b") == inodes0, "defer batch touched a file"
+    assert {10, 20} & {r.pk for r in wh.read_bucketed(spark, "b").collect()} == set()
+
+    recs = run_maintenance(
+        spark, wh, ["b"], MaintenancePolicy(max_delete_age_s=0.0)
+    )
+    assert recs[0]["action"] == "materialize_deletes", recs
+    raw = {r.pk for r in spark.read.parquet(wh.path("b")).collect()}
+    assert raw == set(range(2000)) - {10, 20}
+
+    # rewrite-mode batch straight through erase_subjects' file grain
+    spark.createDataFrame([(30,)], "pk long").coalesce(1)\
+        .write.parquet(str(req / "r1"))
+    stream2 = spark.readStream.schema("pk long").parquet(str(req / "*"))
+    qr = start_erasure_stream(
+        spark, stream2, wh, "b", "pk",
+        checkpoint_dir=str(tmp_path / "rckpt"), mode="rewrite",
+    )
+    qr.awaitTermination(180)
+    raw = {r.pk for r in spark.read.parquet(wh.path("b")).collect()}
+    assert raw == set(range(2000)) - {10, 20, 30}
+    assert os.path.isfile(os.path.join(wh.path("b"), BUCKET_SPEC_FILE))
+    assert wh.read_bucketed(spark, "b").count() == 1997
+
+
+def test_group_snapshot_of_bucketed_table(spark, tmp_path):
+    """A linked group snapshot over a bucketed member resolves the
+    masked view (sidecar rides in the snapshot) and stays stable after
+    the live table materializes — bucket files hard-link, so the
+    snapshot costs no data I/O."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=500)
+    wh.delete_keys(spark, "b", "pk", [7])
+    wh.commit_group_linked(["b"], "g")
+    snap = wh.read_group(spark, "g")["b"]
+    assert 7 not in {r.pk for r in snap.collect()}
+    wh.materialize_deletes(spark, "b")
+    snap = wh.read_group(spark, "g")["b"]
+    assert snap.count() == 499 and 7 not in {r.pk for r in snap.collect()}
