@@ -1807,11 +1807,13 @@ class ParquetWarehouse:
             if (
                 hit is None
                 and bspec is not None
-                and set(kcols) == set(bspec["bucket_by"])
+                and set(bspec["bucket_by"]) <= set(kcols)
             ):
                 # computable bucket-id COVER: a row's bucket is a pure
-                # function of the bucket keys, so when the pending key
-                # columns ARE the bucket keys the hit set is exactly the
+                # function of the bucket keys, so whenever the pending
+                # key columns CONTAIN the bucket keys (equality is the
+                # common case; a composite delete key extending the
+                # bucket key also qualifies) the hit set is exactly the
                 # files of the buckets the keys hash into — pmod(hash)
                 # over the driver-bounded pending set, ZERO data I/O.
                 # Hash argument order must match the spec's (hash is

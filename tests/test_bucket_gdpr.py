@@ -414,3 +414,25 @@ def test_group_snapshot_of_bucketed_table(spark, tmp_path):
     wh.materialize_deletes(spark, "b")
     snap = wh.read_group(spark, "g")["b"]
     assert snap.count() == 499 and 7 not in {r.pk for r in snap.collect()}
+
+
+def test_superset_key_deletes_use_bucket_cover(spark, tmp_path):
+    """A composite delete key that EXTENDS the bucket key still gets the
+    zero-I/O bucket-id cover (the cover only needs the bucket columns,
+    which the sidecar carries), and the conjunctive tuple mask stays
+    exact: a (pk, grp) tuple with the wrong grp deletes nothing."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=1000)  # bucket_by=["pk"]
+    before = _data_inodes(wh, "b")
+    wh.delete_keys(
+        spark, "b", ["pk", "grp"],
+        [(9, 9 % 31), (100, 0)],  # second tuple mismatches grp: no-op
+    )
+    res = wh.materialize_deletes(spark, "b")
+    assert res["keys_applied"] == 2
+    cover = _bucket_ids_of_keys(spark, [9, 100])
+    assert res["files_replaced"] == sum(
+        1 for n in before if wh._bucket_id_of(n) in cover
+    )
+    raw = {r.pk for r in spark.read.parquet(wh.path("b")).collect()}
+    assert raw == set(range(1000)) - {9}, "tuple mask must be conjunctive"
