@@ -2424,7 +2424,9 @@ class ParquetWarehouse:
             )
         if os.path.isfile(os.path.join(final, BUCKET_SPEC_FILE)):
             raise ValueError(
-                f"{table!r} is bucketed — rewrite through write_bucketed"
+                f"{table!r} is bucketed — hash bucketing IS its "
+                "clustering contract; compact() merges fragmented "
+                "buckets whole-sorted, or rewrite through write_bucketed"
             )
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)

@@ -325,14 +325,24 @@ def test_compact_partitioned_skips_compact_partitions(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in _parquet_files(wh.path("t"))} == mtimes
 
 
-def test_compact_refuses_bucketed(spark, tmp_path):
+def test_compact_bucketed_is_noop_when_unfragmented(spark, tmp_path):
+    """Since r15 compact ACCEPTS bucketed tables (it merges fragmented
+    multi-file buckets — tests/test_bucket_gdpr.py pins the rewrite);
+    a freshly written table is one file per bucket already, so the pass
+    is an idempotent no-op that touches nothing. A sort_by contradicting
+    the spec's layout contract still refuses."""
     import pyspark.sql.functions as F
 
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     df = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
     wh.write_bucketed(df, "bt", ["k"], 4)
-    with pytest.raises(ValueError, match="bucketed"):
-        wh.compact(spark, "bt")
+    mtimes = {f: os.path.getmtime(f) for f in _parquet_files(wh.path("bt"))}
+    assert wh.compact(spark, "bt") == 0
+    assert {
+        f: os.path.getmtime(f) for f in _parquet_files(wh.path("bt"))
+    } == mtimes
+    with pytest.raises(ValueError, match="sort contract"):
+        wh.compact(spark, "bt", sort_by=["v"])
 
 
 def test_overwrite_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
