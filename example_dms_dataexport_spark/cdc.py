@@ -22,6 +22,8 @@ Reference flow → Spark mapping:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -415,23 +417,41 @@ def merge_and_write(
     n = merged.count()  # materialization also validates before the swap
     spec = warehouse.bucket_spec(target_table)
     if spec is not None:
-        # BUCKETED target: the whole-table rewrite must go THROUGH
-        # write_bucketed with the persisted spec, or the merge silently
-        # degrades the co-located-join layout to plain parquet (the
-        # same trap erase_subjects guards). write_bucketed clears the
-        # directory BEFORE writing and `merged` lazily reads those
-        # files, so the result is pinned with localCheckpoint first —
-        # persist alone could be evicted mid-write and recompute from
-        # deleted inputs.
-        pinned = merged.localCheckpoint(eager=True)
-        merged.unpersist()
-        warehouse.write_bucketed(
-            pinned,
+        # BUCKETED target: the whole-table rewrite goes through the
+        # bucket-preserving staged replace (every existing file in the
+        # replaced set), or the merge silently degrades the co-located-
+        # join layout to plain parquet. Versus the old write_bucketed
+        # (rmtree + rewrite) path this (a) stages to a temp dir and
+        # swaps atomically, so `merged` can lazily read the files it
+        # replaces — no localCheckpoint materialization needed; and
+        # (b) handles pending merge-on-read deletes correctly:
+        # write_bucketed's rmtree would DESTROY a carried sidecar,
+        # letting a crash-replayed (or later) batch resurrect a pending
+        # GDPR subject — the carry-intact fold instead rides the same
+        # atomic swap, and the matched-key fold drops the sidecar with
+        # the swap exactly like the flat whole-table overwrite (the
+        # complete new state was built from the masked target, so every
+        # pending delete applied physically).
+        final = warehouse.path(target_table)
+        with warehouse._write_fence(
             target_table,
-            bucket_by=spec["bucket_by"],
-            n_buckets=spec["n_buckets"],
-            sort_by=spec.get("sort_by") or None,
-        )
+            lock_path=warehouse._mutation_lock_path(target_table),
+        ):
+            existing = sorted(
+                f
+                for f in os.listdir(final)
+                if f.endswith(".parquet")
+                and os.path.isfile(os.path.join(final, f))
+            )
+            warehouse._replace_files_unlocked(
+                merged,
+                target_table,
+                existing,
+                allow_pending_deletes=(dm is not None and not carry_intact),
+                carry_deletes_minus=fold_minus if carry_intact else None,
+                bucket_spec=spec,
+            )
+        merged.unpersist()
         return n
     # full_rewrite keeps the partition layout: the atomic whole-table
     # swap also drops any pending tombstone marker with the old dir —

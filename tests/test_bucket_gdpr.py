@@ -436,3 +436,53 @@ def test_superset_key_deletes_use_bucket_cover(spark, tmp_path):
     )
     raw = {r.pk for r in spark.read.parquet(wh.path("b")).collect()}
     assert raw == set(range(1000)) - {9}, "tuple mask must be conjunctive"
+
+
+def test_whole_table_merge_carries_sidecar_on_bucketed(spark, tmp_path):
+    """A CDC merge into a bucketed target with MISMATCHED-key pending
+    deletes must carry the sidecar through the whole-table rewrite (the
+    old write_bucketed path rmtree'd it away — a crash-replayed batch
+    could then resurrect a pending GDPR subject). The layout survives,
+    the batch row re-asserting a subject stays masked, and the matched-
+    key fold still drops the sidecar like the flat overwrite."""
+    from example_dms_dataexport_spark.cdc import merge_and_write
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=300)
+    wh.delete_keys(spark, "b", "name", ["v-10", "v-20"])
+    ts0 = wh.pending_deletes("b")["ts"]
+    target = wh.read(spark, "b").select("pk", "grp", "name")
+    ch = spark.createDataFrame(
+        [("I", 9000, 0, "v-10", "f1", 1),  # re-asserts a pending subject
+         ("U", 5, 5, "upd", "f1", 2)],
+        "op string, pk long, grp long, name string, _f string, _r long",
+    )
+    n = merge_and_write(
+        wh, "b", target, ch, pks=["pk"], version_cols=["_f", "_r"]
+    )
+    assert n > 0
+    dm = wh.pending_deletes("b")
+    assert dm is not None and dm["n_keys"] == 2 and dm["ts"] == ts0, (
+        "sidecar not carried intact through the bucketed whole-table merge"
+    )
+    got = {r.pk: r.name for r in wh.read_bucketed(spark, "b").collect()}
+    assert 9000 not in got, "re-asserted subject resurrected"
+    assert 10 not in got and 20 not in got
+    assert got[5] == "upd"
+    assert wh.bucket_spec("b") == {
+        "bucket_by": ["pk"], "n_buckets": N_BUCKETS, "sort_by": ["pk"],
+    }
+    # matched-key fold on the same layout: sidecar drops with the swap
+    wh.materialize_deletes(spark, "b")
+    wh.delete_keys(spark, "b", "pk", [7])
+    ch2 = spark.createDataFrame(
+        [("I", 7, 7, "back", "f2", 1)],
+        "op string, pk long, grp long, name string, _f string, _r long",
+    )
+    merge_and_write(
+        wh, "b", wh.read(spark, "b").select("pk", "grp", "name"), ch2,
+        pks=["pk"], version_cols=["_f", "_r"],
+    )
+    assert wh.pending_deletes("b") is None
+    got = {r.pk: r.name for r in wh.read_bucketed(spark, "b").collect()}
+    assert got[7] == "back", "matched-key re-insert must win"
