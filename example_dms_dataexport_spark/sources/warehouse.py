@@ -204,14 +204,48 @@ class ParquetWarehouse:
         ``bloom_cols`` (point-lookup pruning for GDPR erasure and MOR
         delete discovery survives every full rewrite instead of waiting
         for a manual ``write_bloom``).
+
+        A BUCKETED table keeps its layout through a full replace: the
+        new state stages through the bucket-preserving writer and
+        carries the spec sidecar, so the complete-new-state semantics
+        (TRUNCATE, a superseding reload) compose with the co-located-
+        join contract instead of silently degrading it to flat parquet
+        under a still-bucketed catalog entry — which would make the
+        zero-exchange join return WRONG rows, not an error. Hive/
+        cluster/zorder layout args conflict with the spec and refuse;
+        change the layout itself through ``write_bucketed``.
         """
+        bspec = self.bucket_spec(table)
+        if bspec is not None and (partition_by or cluster_by or zorder_by):
+            raise ValueError(
+                f"{table!r} is bucketed — its layout contract is the "
+                "persisted bucket spec; drop the layout args, or change "
+                "the layout through write_bucketed"
+            )
         df = self._apply_layout(df, cluster_by, zorder_by, cluster_partitions)
         final = self.path(table)
         tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
+        if bspec is not None:
+            self._stage_bucketed(df, tmp, bspec)
+            if not any(
+                n.endswith(".parquet") for n in os.listdir(tmp)
+            ):
+                # the bucketed writer emits NO file for an empty frame;
+                # committing the dir would wedge every read on a
+                # schema-less table — same refusal as the replace path
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(
+                    f"overwrite would empty bucketed table {table!r} — "
+                    "rewrite the complete (empty) state through "
+                    "write_bucketed instead"
+                )
+            with open(os.path.join(tmp, BUCKET_SPEC_FILE), "w") as f:
+                json.dump(bspec, f)
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
         if meta is not None:
             with open(os.path.join(tmp, META_FILE), "w") as f:
                 json.dump(meta, f)
@@ -242,6 +276,8 @@ class ParquetWarehouse:
                     f,
                 )
         self._commit_swap(tmp, final, table)
+        if bspec is not None:
+            self._refresh_bucketed_catalog(df.sparkSession, table)
 
     @staticmethod
     def _apply_layout(

@@ -486,3 +486,39 @@ def test_whole_table_merge_carries_sidecar_on_bucketed(spark, tmp_path):
     assert wh.pending_deletes("b") is None
     got = {r.pk: r.name for r in wh.read_bucketed(spark, "b").collect()}
     assert got[7] == "back", "matched-key re-insert must win"
+
+
+def test_overwrite_keeps_bucket_layout(spark, tmp_path):
+    """A full replace (the TRUNCATE/superseding-reload shape) on a
+    bucketed table stages through the bucket-preserving writer: spec
+    sidecar carried, files bucket-suffixed, catalog refreshed, and the
+    zero-exchange co-located join still holds on the NEW state —
+    previously a plain overwrite silently degraded the layout under a
+    still-bucketed catalog entry (wrong joins, not an error). Layout
+    args conflict with the spec; an emptying overwrite refuses."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b", n=500)
+    _bucketed(spark, wh, "b2", n=500)
+    wh.read_bucketed(spark, "b")  # registers the catalog entry
+    wh.overwrite(_rows(spark, 400).withColumn("name", F.lit("new")), "b")
+    assert wh.bucket_spec("b") == {
+        "bucket_by": ["pk"], "n_buckets": N_BUCKETS, "sort_by": ["pk"],
+    }
+    assert all(
+        wh._bucket_id_of(n) is not None for n in _data_inodes(wh, "b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = wh.read_bucketed(spark, "b").join(
+            wh.read_bucketed(spark, "b2").select("pk"), "pk"
+        )
+        assert exchange_count(j) == 0, physical_plan(j)
+        assert j.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with pytest.raises(ValueError, match="layout contract is the"):
+        wh.overwrite(_rows(spark, 10), "b", cluster_by=["pk"])
+    with pytest.raises(ValueError, match="empty bucketed"):
+        wh.overwrite(_rows(spark, 10).filter(F.lit(False)), "b")
+    assert wh.read_bucketed(spark, "b").count() == 400, "refusal mutated state"
