@@ -78,10 +78,21 @@ def full_load(
     df = read_stage(spark, files, schema, file_format=meta.file_format)
     lay = meta.layout()
     spec = warehouse.bucket_spec(meta.target_table)
+    if spec is None and lay.get("bucket_by"):
+        # declared bucket layout, first load: CREATE the co-located
+        # layout from the control metadata — the same
+        # declared-once-honored-everywhere contract as
+        # stat_cols/bloom_cols; afterwards the persisted spec governs
+        # every mutation
+        spec = {
+            "bucket_by": lay["bucket_by"],
+            "n_buckets": lay["n_buckets"],
+            "sort_by": lay.get("sort_by") or [],
+        }
     if spec is not None:
-        # a reload of a BUCKETED target rewrites through write_bucketed
-        # with the persisted spec — the declared-layout contract, same
-        # as the CDC merge path (a plain overwrite would silently
+        # a (re)load of a BUCKETED target rewrites through
+        # write_bucketed with the spec — the declared-layout contract,
+        # same as the CDC merge path (a plain overwrite would silently
         # degrade the co-located-join layout to flat parquet). The
         # stage read never overlaps the target files, so no pinning is
         # needed here.

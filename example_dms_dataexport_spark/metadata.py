@@ -80,6 +80,9 @@ class TableMeta:
             "cluster_partitions",
             "stat_cols",
             "bloom_cols",
+            "bucket_by",
+            "n_buckets",
+            "sort_by",
         }
     )
 
@@ -89,7 +92,16 @@ class TableMeta:
 
             {"layout": {"partition_by": [...], "cluster_by": [...],
                         "zorder_by": [...], "cluster_partitions": N,
-                        "stat_cols": [...], "bloom_cols": [...]}}
+                        "stat_cols": [...], "bloom_cols": [...],
+                        "bucket_by": [...], "n_buckets": N,
+                        "sort_by": [...]}}
+
+        ``bucket_by``/``n_buckets`` (+ optional ``sort_by``) declare the
+        HASH-BUCKETED co-located-join layout: full_load CREATES the
+        table through ``write_bucketed`` and every later mutation (CDC
+        merge, GDPR delete/erase, compact, overwrite) preserves it via
+        the persisted ``_bucket_spec.json``. Mutually exclusive with
+        the hive/cluster/zorder keys — bucketing IS the layout.
 
         ``bloom_cols`` declares per-file Bloom manifests over point-
         lookup key columns (GDPR file-grain erasure, MOR delete
@@ -128,6 +140,32 @@ class TableMeta:
             raise ValueError(
                 f"unknown layout key(s) {sorted(unknown)} for "
                 f"{self.full_path!r}; supported: {sorted(self._LAYOUT_KEYS)}"
+            )
+        # bucket layout: hash bucketing IS the table's clustering AND
+        # partitioning contract, so it is mutually exclusive with the
+        # hive/cluster/zorder keys; misdeclaration must fail at
+        # registration read, not as a wrong layout three loads later
+        if lay.get("bucket_by"):
+            if not isinstance(lay.get("n_buckets"), int) or lay["n_buckets"] < 1:
+                raise ValueError(
+                    f"layout for {self.full_path!r} declares bucket_by "
+                    "but n_buckets is missing or not a positive int"
+                )
+            conflict = [
+                k
+                for k in ("partition_by", "cluster_by", "zorder_by")
+                if lay.get(k)
+            ]
+            if conflict:
+                raise ValueError(
+                    f"layout for {self.full_path!r} combines bucket_by "
+                    f"with {conflict} — hash bucketing is the layout; "
+                    "declare one or the other"
+                )
+        elif lay.get("n_buckets") or lay.get("sort_by"):
+            raise ValueError(
+                f"layout for {self.full_path!r} declares "
+                "n_buckets/sort_by without bucket_by"
             )
         return lay
 

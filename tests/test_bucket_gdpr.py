@@ -522,3 +522,81 @@ def test_overwrite_keeps_bucket_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="empty bucketed"):
         wh.overwrite(_rows(spark, 10).filter(F.lit(False)), "b")
     assert wh.read_bucketed(spark, "b").count() == 400, "refusal mutated state"
+
+
+def test_declared_bucket_layout_created_by_full_load(spark, tmp_path):
+    """A table whose registered layout declares bucket_by/n_buckets is
+    CREATED bucketed by full_load (declared once, honored by every
+    load — the stat_cols/bloom_cols contract extended to the
+    co-located-join layout), the following CDC sync preserves it, and a
+    misdeclared layout fails at registration read, not three loads
+    later."""
+    from example_dms_dataexport_spark.cdc import incremental_load
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.metadata import MetadataStore, TableMeta
+    from tests.test_pipeline import CUST_SCHEMA, write_file
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage, "erp/customer/LOAD00000001.csv",
+        [f"{i},name{i},{i}.5" for i in range(1, 41)],
+    )
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(TableMeta(
+        full_path="erp/customer",
+        db_schema="erp",
+        db_table="customer",
+        stage=stage,
+        primary_keys=["c_custkey"],
+        last_incremental_file="0",
+        additional_config=(
+            '{"layout": {"bucket_by": ["c_custkey"], "n_buckets": 4, '
+            '"sort_by": ["c_custkey"]}}'
+        ),
+    ))
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    assert wh.bucket_spec("erp_customer") == {
+        "bucket_by": ["c_custkey"], "n_buckets": 4,
+        "sort_by": ["c_custkey"],
+    }
+    assert all(
+        wh._bucket_id_of(n) is not None
+        for n in _data_inodes(wh, "erp_customer")
+    )
+    # the CDC sync keeps the layout
+    write_file(
+        stage, "erp/customer/20240101-000000001.csv",
+        ["U,2,name2b,21.0", "D,3,x,0", "I,99,name99,9.9"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    assert msg.startswith("Rows affected:")
+    assert wh.bucket_spec("erp_customer") is not None
+    got = {r.c_custkey: r.c_name for r in wh.read_bucketed(spark, "erp_customer").collect()}
+    assert got[2] == "name2b" and 3 not in got and got[99] == "name99"
+    assert len(got) == 40  # 40 - 1 delete + 1 insert
+    # misdeclarations fail at layout() read
+    bad = TableMeta(
+        full_path="erp/bad", db_schema="erp", db_table="bad", stage=stage,
+        primary_keys=["k"],
+        additional_config='{"layout": {"bucket_by": ["k"]}}',
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        bad.layout()
+    bad2 = TableMeta(
+        full_path="erp/bad2", db_schema="erp", db_table="bad2", stage=stage,
+        primary_keys=["k"],
+        additional_config=(
+            '{"layout": {"bucket_by": ["k"], "n_buckets": 4, '
+            '"cluster_by": ["k"]}}'
+        ),
+    )
+    with pytest.raises(ValueError, match="bucket_by"):
+        bad2.layout()
+    bad3 = TableMeta(
+        full_path="erp/bad3", db_schema="erp", db_table="bad3", stage=stage,
+        primary_keys=["k"],
+        additional_config='{"layout": {"n_buckets": 4}}',
+    )
+    with pytest.raises(ValueError, match="without bucket_by"):
+        bad3.layout()
