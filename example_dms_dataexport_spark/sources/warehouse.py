@@ -2662,13 +2662,29 @@ class ParquetWarehouse:
 
     def _refresh_bucketed_catalog(self, spark: SparkSession, table: str) -> None:
         """After a bucket-preserving swap the session's external catalog
-        entry (if ``read_bucketed`` created one) still describes the
-        right location and layout, but Spark caches the file listing —
-        invalidate it so the next read lists the NEW state's files. A
-        fresh session needs nothing: ``read_bucketed`` recreates the
-        entry from the carried ``_bucket_spec.json``."""
+        entry (if one exists) still describes the right location and
+        layout, but Spark caches the file listing — invalidate it so
+        the next read lists the NEW state's files. If the swap EVOLVED
+        the schema (an additive CDC evolution batch), the entry's
+        pinned column list would silently DROP the new columns from
+        every later read — detect the drift (names+types; catalog
+        nullability is not authoritative) and drop the entry instead,
+        so ``read_bucketed`` lazily recreates it from the committed
+        state. A fresh session needs nothing either way."""
         name = self._catalog_name(table)
-        if spark.catalog.tableExists(name):
+        if not spark.catalog.tableExists(name):
+            return
+        disk = [
+            (f.name, f.dataType)
+            for f in spark.read.parquet(self.path(table)).schema.fields
+        ]
+        cur = [
+            (f.name, f.dataType)
+            for f in spark.table(name).schema.fields
+        ]
+        if cur != disk:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        else:
             spark.catalog.refreshTable(name)
 
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:

@@ -600,3 +600,54 @@ def test_declared_bucket_layout_created_by_full_load(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="without bucket_by"):
         bad3.layout()
+
+
+def test_schema_evolution_preserves_bucket_layout(spark, tmp_path):
+    """An additive schema-evolution CDC batch (full_rewrite) on a
+    bucketed target rewrites every file through the bucket-preserving
+    staged replace: the evolved column lands, old rows back-fill NULL,
+    and the layout contract + zero-exchange read survive."""
+    from example_dms_dataexport_spark.cdc import incremental_load
+    from example_dms_dataexport_spark.full_load import full_load
+    from example_dms_dataexport_spark.metadata import MetadataStore, TableMeta
+    from tests.test_pipeline import CUST_SCHEMA, write_file
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    stage = str(tmp_path / "stage")
+    write_file(
+        stage, "erp/customer/LOAD00000001.csv",
+        [f"{i},name{i},{i}.5" for i in range(1, 21)],
+    )
+    store = MetadataStore(str(tmp_path / "meta.json"))
+    store.register(TableMeta(
+        full_path="erp/customer", db_schema="erp", db_table="customer",
+        stage=stage, primary_keys=["c_custkey"], last_incremental_file="0",
+        additional_config=(
+            '{"layout": {"bucket_by": ["c_custkey"], "n_buckets": 4}}'
+        ),
+    ))
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    evolved = StructType(
+        [*CUST_SCHEMA.fields, StructField("c_tier", StringType())]
+    )
+    write_file(
+        stage, "erp/customer/20240101-000000001.csv",
+        ["U,2,name2b,21.0,gold"],
+    )
+    msg = incremental_load(spark, store, wh, "erp/customer", schema=evolved)
+    assert msg.startswith("Rows affected:")
+    assert wh.bucket_spec("erp_customer") == {
+        "bucket_by": ["c_custkey"], "n_buckets": 4, "sort_by": [],
+    }
+    got = {
+        r.c_custkey: (r.c_name, r.c_tier)
+        for r in wh.read_bucketed(spark, "erp_customer").collect()
+    }
+    assert got[2] == ("name2b", "gold")
+    assert got[1] == ("name1", None)  # back-filled NULL
+    assert len(got) == 20
+    assert all(
+        wh._bucket_id_of(n) is not None
+        for n in _data_inodes(wh, "erp_customer")
+    )
