@@ -99,6 +99,23 @@ def run_maintenance(
             rec["reason"] = "cycle action budget exhausted"
             continue
         lay = (layouts or {}).get(t) or {}
+        if lay.get("bucket_by"):
+            # REPORT-ONLY: reconciling a drifted bucket layout is a
+            # full-table rewrite (write_bucketed), far beyond the
+            # bounded maintenance budget — but silent drift is how a
+            # co-located-join contract rots, so every pass surfaces it
+            # for the operator alongside whatever action runs
+            spec = warehouse.bucket_spec(t)
+            declared = {
+                "bucket_by": lay["bucket_by"],
+                "n_buckets": lay["n_buckets"],
+                "sort_by": lay.get("sort_by") or [],
+            }
+            if spec is not None and spec != declared:
+                rec["bucket_drift"] = {
+                    "declared": declared,
+                    "persisted": spec,
+                }
         try:
             if _try_materialize(spark, warehouse, t, policy, lay, rec):
                 budget -= 1

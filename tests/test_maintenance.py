@@ -650,3 +650,28 @@ def test_compact_parallel_matches_serial(spark, tmp_path):
     } == content
     assert wh.zonemap("t") is not None  # rebuilt after the fan-out
     assert wh.compact(spark, "t", parallelism=4) == 0  # idempotent
+
+
+def test_run_maintenance_reports_bucket_layout_drift(spark, tmp_path):
+    """A persisted bucket spec that drifted from the DECLARED layout is
+    surfaced on every pass (report-only: the reconcile is a full
+    rewrite, the operator's call) — and a matching spec reports
+    nothing."""
+    from example_dms_dataexport_spark.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = _rows(spark, n=200)
+    wh.write_bucketed(df, "t", bucket_by=["pk"], n_buckets=4)
+    lay = {"t": {"bucket_by": ["pk"], "n_buckets": 8}}  # declared 8, on disk 4
+    recs = run_maintenance(spark, wh, ["t"], MaintenancePolicy(), layouts=lay)
+    rec = next(r for r in recs if r["table"] == "t")
+    assert rec["bucket_drift"] == {
+        "declared": {"bucket_by": ["pk"], "n_buckets": 8, "sort_by": []},
+        "persisted": {"bucket_by": ["pk"], "n_buckets": 4, "sort_by": []},
+    }
+    lay_ok = {"t": {"bucket_by": ["pk"], "n_buckets": 4}}
+    recs = run_maintenance(spark, wh, ["t"], MaintenancePolicy(), layouts=lay_ok)
+    assert "bucket_drift" not in next(r for r in recs if r["table"] == "t")
