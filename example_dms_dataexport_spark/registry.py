@@ -32,69 +32,64 @@ def query(name: str, oracle: str | None):
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 15 window: the 49 queries whose latest green driver row is r12
-# (the r13 rotation seed; the N-2 freshness floor means every one must
-# re-check this round or round 16 fails `tools/check_freshness.py`),
-# plus ONE spare slot — the first since r12. Per the r14 verdict, the
-# spare re-attests q114_bucketed_join_revenue rather than registering a
-# new face: this round changed the bucketed read path (the pending-
-# delete mask in read_bucketed) and q114 is the zero-exchange
-# co-located-join witness for it. Seed the r16 rotation with the r13
-# cohort (the 50 faces rotated out here).
+# Round 16 window: FORCED with ZERO spare slots — exactly the 50 faces
+# whose latest green driver row is r13 (the CORRECTNESS_r13.json keys;
+# the N-2 freshness floor makes every one of them mandatory this round,
+# per tools/check_freshness.py). No new face can register in r16; new
+# capability work this round is pytest-gated or folded into existing
+# faces' fixtures (the q114/q139 pattern). r17's rotation seed is the
+# r14 cohort (also exactly 50, zero spare again).
 PRIORITY = [
-    # latest driver row is r12 (lowest-numbered first) — all 49 fit
-    "q16_hourly_event_windows",
-    "q18_cdc_merge",
-    "q21_quality_filter",
-    "q22_exact_dedup",
-    "q24_minhash_dedup_pairs",
-    "q26_simhash_pairs",
-    "q27_ngram_jaccard_pairs",
-    "q28_knn_brute",
-    "q29_knn_lsh",
-    "q30_knn_ivf",
-    "q31_embedding_dup_pairs",
-    "q32_media_decode",
-    "q33_frame_sample",
-    "q35_length_percentiles",
-    "q36_rollup_acctbal",
-    "q37_repetition_ratio",
-    "q38_cleaning_pipeline",
-    "q40_pii_redaction",
-    "q41_vocab_df",
-    "q43_dedup_clusters",
-    "q44_decontaminate",
-    "q45_stratified_sample",
-    "q54_profile_orders",
-    "q59_histogram_totalprice",
-    "q60_pivot_lang_source",
-    "q61_cube_flag_status",
-    "q63_intersect_except",
-    "q66_grouping_sets",
-    "q77_unpivot_metrics",
-    "q117_cdc_backlog",
-    "q118_chunk_integrity",
-    "q119_user_erasure_audit",
-    "q120_pack_efficiency",
-    "q121_scd2_current_view",
-    "q122_png_decode",
-    "q123_erasure_execution",
-    "q124_scd2_delta_apply",
-    "q125_group_commit_join",
-    "q126_orc_stage_roundtrip",
-    "q127_xml_stage_roundtrip",
-    "q128_zonemap_prune",
-    "q129_declared_layout_pipeline",
-    "q130_zorder_multicol_prune",
-    "q144_composite_delete_fold",
-    "q145_maintenance_cycle",
-    "q146_avro_stage_roundtrip",
-    "q147_group_snapshot_mask",
-    "q148_dsir_importance_weights",
-    "q149_mixture_temperature",
-    # spare slot: re-attest the bucketed co-located join after this
-    # round's read_bucketed pending-delete mask change
-    "q114_bucketed_join_revenue",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_priority_counts",
+    "q05_forecast_revenue",
+    "q06_distinct_segments",
+    "q07_union_nation_keys",
+    "q10_top_orders_per_customer",
+    "q11_latest_event_per_user",
+    "q17_load_plan",
+    "q19_text_features",
+    "q20_corpus_profile",
+    "q23_minhash_signatures",
+    "q25_simhash",
+    "q34_sessionize",
+    "q39_asof_attribution",
+    "q42_event_gaps",
+    "q46_token_chunks",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q50_pack_chunks",
+    "q51_duplicate_spans",
+    "q52_tfidf_top_terms",
+    "q55_bpe_pair_counts",
+    "q56_mixture_sample",
+    "q57_kmeans_assign",
+    "q58_embedding_decontam",
+    "q67_incremental_neardup",
+    "q70_knn_quantized",
+    "q71_distinct_sketch_rollup",
+    "q72_exact_stratified_sample",
+    "q73_corpus_build",
+    "q78_inverted_index",
+    "q82_semantic_dedup",
+    "q83_bm25_rank",
+    "q84_quality_percentile",
+    "q85_mixture_weights",
+    "q86_leakage_safe_split",
+    "q99_quantile_sketch_accuracy",
+    "q100_heavy_hitters",
+    "q101_token_budget_shards",
+    "q102_audio_decode",
+    "q103_cms_accuracy",
+    "q104_domain_cap",
+    "q105_global_shuffle_index",
+    "q106_bpe_encode",
+    "q107_embedding_moments",
+    "q131_zone_merge_prune",
+    "q132_jpeg_decode",
+    "q134_jpeg_color_decode",
 ]
 
 
