@@ -102,6 +102,11 @@ def full_load(
             bucket_by=spec["bucket_by"],
             n_buckets=spec["n_buckets"],
             sort_by=spec.get("sort_by") or None,
+            # declared zone/bloom manifests build atomically with the
+            # data on bucketed layouts too — without the bloom manifest,
+            # GDPR/MOR delete discovery on a NON-bucket key exact-scans
+            stat_cols=lay.get("stat_cols"),
+            bloom_cols=lay.get("bloom_cols"),
         )
     else:
         warehouse.overwrite(

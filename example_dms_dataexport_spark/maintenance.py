@@ -21,6 +21,11 @@ cycle):
    compliance deadline — age is the manifest's ``ts``, the OLDEST
    still-pending delete, carried through accumulations so a trickle
    can't push the deadline back);
+1b. (opt-in, ``rebucket_drift=True``) a table whose declared bucket
+   layout differs from the persisted spec (or that has none) →
+   ``rebucket`` — the whole-table staged rewrite that converges the
+   co-located-join contract; without the flag the drift is still
+   reported on every pass (``bucket_drift``), never silently dropped;
 2. a table whose DECLARED layout (``TableMeta.layout()``) names
    ``stat_cols`` but whose zone map is MISSING → ``write_zonemap``
    (partition-scoped rewrites drop the map by design — stale-and-absent
@@ -67,6 +72,12 @@ class MaintenancePolicy:
     max_delete_age_s: float | None = 24 * 3600.0
     target_file_bytes: int = 128 << 20
     max_actions_per_cycle: int = 1
+    # OPT-IN: converge declared-vs-persisted bucket drift via a staged
+    # whole-table rebucket (one table per cycle, same budget discipline
+    # as recluster). Default off — a full rewrite is the most expensive
+    # action the scheduler can take, so the operator enables it
+    # deliberately; drift is always REPORTED either way.
+    rebucket_drift: bool = False
     # warehouse-wide janitor (once per pass, not per table): sweep
     # TTL-expired crash orphans + superseded delete sidecars. None = off.
     # Does not count against the action budget — it is metadata-only
@@ -99,25 +110,30 @@ def run_maintenance(
             rec["reason"] = "cycle action budget exhausted"
             continue
         lay = (layouts or {}).get(t) or {}
-        if lay.get("bucket_by"):
-            # REPORT-ONLY: reconciling a drifted bucket layout is a
-            # full-table rewrite (write_bucketed), far beyond the
-            # bounded maintenance budget — but silent drift is how a
-            # co-located-join contract rots, so every pass surfaces it
-            # for the operator alongside whatever action runs
+        if lay.get("bucket_by") and warehouse.exists(t):
+            # silent drift is how a co-located-join contract rots, so
+            # every pass REPORTS it; the fix is a full-table rewrite —
+            # the most expensive action the scheduler can take — so
+            # acting on the report is gated behind the opt-in
+            # ``rebucket_drift`` flag (see _try_rebucket below)
             spec = warehouse.bucket_spec(t)
             declared = {
                 "bucket_by": lay["bucket_by"],
                 "n_buckets": lay["n_buckets"],
                 "sort_by": lay.get("sort_by") or [],
             }
-            if spec is not None and spec != declared:
+            if spec != declared:
+                # spec None = a FLAT table that gained the bucket
+                # declaration after creation — drift too
                 rec["bucket_drift"] = {
                     "declared": declared,
                     "persisted": spec,
                 }
         try:
             if _try_materialize(spark, warehouse, t, policy, lay, rec):
+                budget -= 1
+                continue
+            if _try_rebucket(spark, warehouse, t, policy, lay, rec):
                 budget -= 1
                 continue
             if _try_rebuild_zonemap(spark, warehouse, t, lay, rec):
@@ -168,6 +184,32 @@ def _try_materialize(spark, warehouse, t, policy, lay, rec) -> bool:
     rec["reason"] = (
         f"{dm['n_keys']} deletes pending {age:.0f}s "
         f">= {policy.max_delete_age_s:.0f}s age bound"
+    )
+    rec["stats"] = res
+    return True
+
+
+def _try_rebucket(spark, warehouse, t, policy, lay, rec) -> bool:
+    """Converge a ``bucket_drift`` report (set by the caller) onto the
+    declared layout — opt-in (``policy.rebucket_drift``), budgeted like
+    every other action, and carrying the declared manifests so the new
+    layout lands with its zone/bloom contract intact."""
+    if not policy.rebucket_drift or "bucket_drift" not in rec:
+        return False
+    declared = rec["bucket_drift"]["declared"]
+    res = warehouse.rebucket(
+        spark,
+        t,
+        bucket_by=declared["bucket_by"],
+        n_buckets=declared["n_buckets"],
+        sort_by=declared["sort_by"],
+        stat_cols=lay.get("stat_cols"),
+        bloom_cols=lay.get("bloom_cols"),
+    )
+    rec["action"] = "rebucket"
+    rec["reason"] = (
+        f"declared bucket layout {declared} != persisted "
+        f"{rec['bucket_drift']['persisted']} — converged"
     )
     rec["stats"] = res
     return True

@@ -15,7 +15,9 @@ jars ship with pyspark but the DataSource itself does not. Two paths:
   — still DISTRIBUTED (one task per file, Arrow-batched, no driver
   collect), covering the DMS stage subset: records of primitives
   (null/boolean/int/long/float/double/string) and nullable unions,
-  ``null`` and ``deflate`` codecs. The OCF layout and binary encoding
+  ``null``, ``deflate`` and ``snappy`` codecs (snappy via the
+  pure-Python raw-format codec in ``snappy_pure`` — CRC-checked per
+  the Avro spec). The OCF layout and binary encoding
   are the public Avro 1.11 spec (zigzag-varint longs, little-endian
   IEEE floats, length-prefixed UTF-8, sync-marker-delimited blocks).
   Each task holds one whole stage file — fine for DMS-sized CDC files;
@@ -187,10 +189,10 @@ def decode_container(blob: bytes) -> tuple[list[str], list[tuple]]:
             meta[k] = d.read_bytes()
     sync = d.read(16)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(
-            f"avro fallback supports null/deflate codecs, got {codec!r} "
-            "— deploy the spark-avro module"
+            f"avro fallback supports null/deflate/snappy codecs, got "
+            f"{codec!r} — deploy the spark-avro module"
         )
     names, decs = _field_decoders(json.loads(meta["avro.schema"]))
     rows: list[tuple] = []
@@ -199,6 +201,16 @@ def decode_container(blob: bytes) -> tuple[list[str], list[tuple]]:
         data = d.read_bytes()
         if codec == "deflate":
             data = zlib.decompress(data, -15)  # raw deflate, no header
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte big-endian CRC32
+            # of the UNCOMPRESSED data after the compressed bytes
+            from .snappy_pure import snappy_decompress
+
+            if len(data) < 4:
+                raise ValueError("avro snappy block too short for CRC")
+            data, crc = snappy_decompress(data[:-4]), data[-4:]
+            if zlib.crc32(data) != int.from_bytes(crc, "big"):
+                raise ValueError("avro snappy block CRC mismatch")
         block = _Bin(data)
         for _ in range(count):
             rows.append(tuple(dec(block) for dec in decs))
@@ -217,7 +229,8 @@ def write_container(
     records_per_block: int = 1000,
 ) -> None:
     """Minimal OCF writer for FIXTURES (production stage files come from
-    DMS itself): primitives + nullable unions, null/deflate codecs. Each
+    DMS itself): primitives + nullable unions, null/deflate/snappy
+    codecs (snappy blocks are literal-only — valid, not compact). Each
     ``types`` entry is a primitive name or ``"string?"``-style
     nullable marker."""
 
@@ -282,6 +295,12 @@ def write_container(
         )
         if codec == "deflate":
             data = zlib.compress(data)[2:-4]  # strip zlib header+adler
+        elif codec == "snappy":
+            from .snappy_pure import snappy_compress
+
+            data = snappy_compress(data) + zlib.crc32(data).to_bytes(
+                4, "big"
+            )
         buf.write(enc_long(len(chunk)))
         buf.write(enc_bytes(data))
         buf.write(sync)

@@ -2537,6 +2537,160 @@ class ParquetWarehouse:
             "rows": rows,
         }
 
+    def rebucket(
+        self,
+        spark: SparkSession,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> dict:
+        """Maintenance rewrite that CONVERGES a table onto a declared
+        hash-bucket layout — the reconcile path for declared-vs-persisted
+        bucket drift (``maintenance``'s ``bucket_drift`` report was
+        report-only before this existed: a drifted table stayed drifted
+        forever unless manually overwritten, and a co-located-join
+        contract quietly rotted).
+
+        Accepts a bucketed table whose persisted spec drifted from the
+        declaration (changed keys, bucket count, or sort), or a FLAT
+        table that gained a bucket declaration after creation. The
+        whole table rewrites through the staged bucketed writer and
+        promotes via the atomic swap — same crash-safety as
+        ``write_bucketed``. Pending merge-on-read deletes are APPLIED
+        by the rewrite (the swap drops the sidecar — a full-table
+        materialize for free, like ``recluster``). Zone/Bloom manifests
+        rebuild over the new files, keeping each manifest's persisted
+        column specs unless ``stat_cols``/``bloom_cols`` override (the
+        declared layout passes them explicitly). Versioned and
+        hive-partitioned tables are refused — neither can carry a
+        bucket spec.
+
+        This is deliberately a FULL-table rewrite: a bucket id is a
+        pure function of the key columns, so no per-file subset can
+        change ``bucket_by``/``n_buckets`` consistently. That is why
+        the maintenance scheduler gates it behind an opt-in policy flag
+        and the per-cycle action budget (one table per cycle) instead
+        of firing on every drift report.
+
+        Returns ``{"files_before", "files_after", "rows"}``.
+        """
+        final = self.path(table)
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — snapshots are immutable and "
+                "carry no bucket layout"
+            )
+        if not bucket_by or not isinstance(n_buckets, int) or n_buckets < 1:
+            raise ValueError(
+                "rebucket needs bucket_by and a positive n_buckets"
+            )
+        spec = {
+            "bucket_by": list(bucket_by),
+            "n_buckets": n_buckets,
+            "sort_by": list(sort_by or []),
+        }
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._reconcile(table)
+            if any(
+                os.path.isdir(os.path.join(final, n))
+                for n in os.listdir(final)
+                if not n.startswith(("_", "."))  # hidden dirs: sidecars
+            ):
+                raise ValueError(
+                    f"{table!r} is hive-partitioned — a hive layout and "
+                    "a bucket layout are mutually exclusive contracts"
+                )
+            files_before = [
+                n for n in os.listdir(final) if n.endswith(".parquet")
+            ]
+            zm = self.zonemap(table)
+            bm = self.bloom(table)
+            if stat_cols is None and zm is not None:
+                stat_cols = zm["stat_cols"]
+            if bloom_cols is None and bm is not None:
+                bloom_cols = bm["cols"]
+            # masked read: the swap below drops the _deletes sidecar,
+            # so the rewrite must bake the pending deletes in
+            df = self._apply_pending_deletes(
+                spark, spark.read.parquet(final), table
+            )
+            tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+            try:
+                self._stage_bucketed(df, tmp, spec)
+                staged = [
+                    n for n in os.listdir(tmp) if n.endswith(".parquet")
+                ]
+                with open(os.path.join(tmp, BUCKET_SPEC_FILE), "w") as f:
+                    json.dump({**spec, "schema": df.schema.jsonValue()}, f)
+                src_meta = os.path.join(final, META_FILE)
+                if os.path.isfile(src_meta):
+                    shutil.copy(src_meta, os.path.join(tmp, META_FILE))
+                rows = 0
+                if staged:
+                    import pyarrow.parquet as pq
+
+                    rows = sum(
+                        pq.read_metadata(os.path.join(tmp, n)).num_rows
+                        for n in staged
+                    )
+                if stat_cols:
+                    new_zm = (
+                        self._compute_zonemap(spark, tmp, stat_cols)
+                        if staged
+                        else {"stat_cols": list(stat_cols), "files": {}}
+                    )
+                    with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                        json.dump(new_zm, f)
+                if bloom_cols:
+                    if staged:
+                        new_bm = self._compute_bloom(
+                            spark, tmp, bloom_cols,
+                            *(
+                                (bm["bits_per_key"], bm["k"])
+                                if bm is not None
+                                else ()
+                            ),
+                        )
+                    else:
+                        schema_cols: list[str] = []
+                        for s in bloom_cols:
+                            for p in self._bloom_spec_parts(s):
+                                if p not in schema_cols:
+                                    schema_cols.append(p)
+                        new_bm = {
+                            "cols": list(bloom_cols),
+                            "k": bm["k"] if bm is not None else BLOOM_K,
+                            "bits_per_key": (
+                                bm["bits_per_key"]
+                                if bm is not None
+                                else BLOOM_BITS_PER_KEY
+                            ),
+                            "schema": df.select(
+                                *schema_cols
+                            ).schema.jsonValue(),
+                            "files": {},
+                        }
+                    with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
+                        json.dump(new_bm, f)
+                self._commit_swap(tmp, final, table)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            # the session catalog still describes the OLD layout — drop
+            # it; read_bucketed recreates from the new committed spec
+            spark.sql(
+                f"DROP TABLE IF EXISTS `{self._catalog_name(table)}`"
+            )
+        return {
+            "files_before": len(files_before),
+            "files_after": len(staged),
+            "rows": rows,
+        }
+
     def _leaf_data_dirs(self, table: str) -> list[str]:
         """Directories under ``table`` that directly hold parquet files —
         the table root itself, or each hive partition leaf."""
@@ -2558,6 +2712,8 @@ class ParquetWarehouse:
         bucket_by: list[str],
         n_buckets: int,
         sort_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         """Write ``table`` hash-bucketed on ``bucket_by`` (optionally
         sorted within each bucket).
@@ -2572,48 +2728,95 @@ class ParquetWarehouse:
         Spark keeps bucketing metadata in the catalog, not in parquet, so
         the spec is also persisted to ``_bucket_spec.json`` in the table
         directory and ``read_bucketed`` re-registers the table in a fresh
-        session's (in-memory) catalog from that file.
+        session's (in-memory) catalog from that file. The spec also
+        records the frame's SCHEMA, so a committed-empty bucketed table
+        (zero bucket files — the writer emits none for an empty frame)
+        stays readable in a fresh session.
+
+        ``stat_cols`` / ``bloom_cols`` build the per-file zone map /
+        Bloom manifest over the staged files and commit them atomically
+        WITH the data — same contract as ``overwrite``. On a bucketed
+        table the Bloom manifest is what keeps GDPR/MOR delete discovery
+        at FILE grain for keys the bucket layout does NOT cluster
+        (``materialize_deletes`` otherwise exact-scans the key column;
+        deletes on the bucket keys use the computable bucket-id cover
+        either way). Both manifests then survive every bucket-preserving
+        mutation via ``_replace_files_unlocked``'s carry/recompute.
+
+        Crash-safe: the new state stages into a temp dir (through
+        Spark's own bucketed writer) and promotes via the same atomic
+        swap as ``overwrite`` — the previous committed state stays
+        readable until the flip, closing the old destroy-before-write
+        window where a crash mid-write lost the table entirely.
         """
         spark = df.sparkSession
-        name = self._catalog_name(table)
-        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         final = self.path(table)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        # one shuffle on the bucket keys first: without it every task
-        # writes a file for every bucket it happens to hold (tasks x
-        # buckets small files — the classic bucketed-write explosion);
-        # repartition's hash-pmod is the same Murmur3 the writer
-        # assigns bucket ids with, so each task holds exactly one
-        # bucket and the table lands as ONE file per bucket, each
-        # fully sorted when sort_by is set (file fragments of a bucket
-        # are only per-file sorted otherwise)
-        out = df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
-        w = out.write.format("parquet").mode("overwrite")
-        w = w.bucketBy(n_buckets, *bucket_by)
-        if sort_by:
-            w = w.sortBy(*sort_by)
-        w.option("path", final).saveAsTable(name)
         spec = {
             "bucket_by": list(bucket_by),
             "n_buckets": n_buckets,
             "sort_by": list(sort_by or []),
         }
-        tmp = os.path.join(final, BUCKET_SPEC_FILE + f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(spec, f)
-        os.replace(tmp, os.path.join(final, BUCKET_SPEC_FILE))
+        tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
+        try:
+            self._stage_bucketed(df, tmp, spec)
+            staged_any = any(
+                n.endswith(".parquet") for n in os.listdir(tmp)
+            )
+            with open(os.path.join(tmp, BUCKET_SPEC_FILE), "w") as f:
+                json.dump({**spec, "schema": df.schema.jsonValue()}, f)
+            if stat_cols:
+                zm = (
+                    self._compute_zonemap(spark, tmp, stat_cols)
+                    if staged_any
+                    # empty table: a files:{} map is exact (nothing to
+                    # prune) — _compute_zonemap can't infer a schema
+                    # over a file-less dir
+                    else {"stat_cols": list(stat_cols), "files": {}}
+                )
+                with open(os.path.join(tmp, ZONEMAP_FILE), "w") as f:
+                    json.dump(zm, f)
+            if bloom_cols:
+                if staged_any:
+                    bm = self._compute_bloom(spark, tmp, bloom_cols)
+                else:
+                    schema_cols: list[str] = []
+                    for s in bloom_cols:
+                        for p in self._bloom_spec_parts(s):
+                            if p not in schema_cols:
+                                schema_cols.append(p)
+                    bm = {
+                        "cols": list(bloom_cols),
+                        "k": BLOOM_K,
+                        "bits_per_key": BLOOM_BITS_PER_KEY,
+                        "schema": df.select(*schema_cols).schema.jsonValue(),
+                        "files": {},
+                    }
+                with open(os.path.join(tmp, BLOOM_FILE), "w") as f:
+                    json.dump(bm, f)
+            self._commit_swap(tmp, final, table)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # the session catalog may still describe the OLD layout/schema
+        # (this call can change both) — drop it; read_bucketed recreates
+        # the external entry lazily from the committed spec sidecar
+        spark.sql(f"DROP TABLE IF EXISTS `{self._catalog_name(table)}`")
 
     def bucket_spec(self, table: str) -> dict | None:
         """The persisted bucket layout (``{"bucket_by", "n_buckets",
         "sort_by"}``) or None for non-bucketed tables — the contract
         rewriters (CDC merge, erasure) use to rewrite THROUGH
-        ``write_bucketed`` so the co-located-join layout survives."""
+        ``write_bucketed`` so the co-located-join layout survives.
+        The sidecar's recorded frame schema (an empty-state read aid —
+        see ``write_bucketed``) is NOT part of the layout: it is
+        stripped here so drift comparisons and spec re-persists stay
+        layout-only."""
         p = os.path.join(self.path(table), BUCKET_SPEC_FILE)
         if not os.path.isfile(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            spec = json.load(f)
+        spec.pop("schema", None)
+        return spec
 
     # Spark's own bucket-id convention (BucketingUtils.getBucketId):
     # the LAST ``_<digits>`` run before the extension chain names the
@@ -2705,7 +2908,24 @@ class ParquetWarehouse:
         if not spark.catalog.tableExists(name):
             with open(os.path.join(final, BUCKET_SPEC_FILE)) as f:
                 spec = json.load(f)
-            schema = spark.read.parquet(final).schema
+            # schema comes from the committed FILES when any exist (a
+            # schema-evolving replace carries the spec sidecar verbatim,
+            # so its recorded schema may lag the data's); the sidecar
+            # schema covers the committed-EMPTY state, where there is no
+            # file to infer from
+            has_files = any(
+                n.endswith(".parquet") for n in os.listdir(final)
+            )
+            if has_files:
+                schema = spark.read.parquet(final).schema
+            elif "schema" in spec:
+                schema = StructType.fromJson(spec["schema"])
+            else:
+                raise ValueError(
+                    f"bucketed table {table!r} has no data files and its "
+                    "spec sidecar predates schema recording — rewrite "
+                    "through write_bucketed"
+                )
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
             )
