@@ -2490,6 +2490,10 @@ _Q114_ORACLE = """
            count(*) AS n_orders,
            round(sum(o.o_totalprice), 2) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey NOT IN (
+        (SELECT min(o_orderkey) FROM orders),
+        (SELECT max(o_orderkey) FROM orders)
+    )
     GROUP BY c.c_mktsegment
 """
 
@@ -2506,7 +2510,17 @@ def q114_bucketed_join_revenue(spark, sf_dir):
     the final segment aggregation (pinned in
     tests/test_plans.py::test_q114_bucketed_join_plan); the hash match
     against the plain-join restatement proves the bucketed layout and
-    catalog round-trip lose nothing."""
+    catalog round-trip lose nothing.
+
+    r16 fixture extension (the verdict's fold-into-faces pattern): the
+    orders side carries a BLOOM manifest on o_orderkey — a column the
+    bucket layout does NOT cluster — and a two-key GDPR delete
+    (min/max orderkey) materializes through the manifest's file cover
+    before the join. Guards pin the discovery at FILE grain (fewer
+    files rewritten than the table holds) and the layout surviving the
+    rewrite; the oracle subtracts the same two keys, so the hash match
+    proves bloom-pruned erasure changes WHAT the table says exactly as
+    much as the full scan would."""
     import re as _re
 
     from .sources.warehouse import ParquetWarehouse
@@ -2518,11 +2532,25 @@ def q114_bucketed_join_revenue(spark, sf_dir):
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     wh.write_bucketed(
-        orders, f"orders_bkt_{tag}", ["o_custkey"], 8, sort_by=["o_custkey"]
+        orders, f"orders_bkt_{tag}", ["o_custkey"], 8, sort_by=["o_custkey"],
+        bloom_cols=["o_orderkey"],
     )
     wh.write_bucketed(
         cust, f"customer_bkt_{tag}", ["c_custkey"], 8, sort_by=["c_custkey"]
     )
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    n_files = len(wh.bloom(f"orders_bkt_{tag}")["files"])
+    wh.delete_keys(spark, f"orders_bkt_{tag}", "o_orderkey", [lo, hi])
+    res = wh.materialize_deletes(spark, f"orders_bkt_{tag}")
+    if not 0 < res["files_replaced"] < n_files:
+        raise AssertionError(
+            "non-bucket-key erasure must be bloom-FILE-grain, not a "
+            f"whole-table rewrite: {res} over {n_files} files"
+        )
+    if wh.bucket_spec(f"orders_bkt_{tag}") is None:
+        raise AssertionError("materialization dropped the bucket layout")
     o = wh.read_bucketed(spark, f"orders_bkt_{tag}")
     c = wh.read_bucketed(spark, f"customer_bkt_{tag}")
     joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
@@ -4651,6 +4679,31 @@ def q145_maintenance_cycle(spark, sf_dir):
     pass3 = run_maintenance(spark, wh, ["cust_maint"], policy)
     if pass3[0]["action"] != "none":
         raise AssertionError(f"healed table must be left alone: {pass3}")
+    # r16: the scheduler's REBUCKET arm on the same cycle discipline — a
+    # bucketed sibling whose persisted spec (4 buckets) drifted from the
+    # declared layout (8) is REPORTED under the default policy and
+    # CONVERGED by one budgeted pass once the operator opts in
+    wh.write_bucketed(
+        cust.select("c_custkey", "c_acctbal"), "cust_bkt",
+        bucket_by=["c_custkey"], n_buckets=4,
+    )
+    declared = {"cust_bkt": {"bucket_by": ["c_custkey"], "n_buckets": 8}}
+    report = run_maintenance(
+        spark, wh, ["cust_bkt"], policy, layouts=declared
+    )
+    if report[0]["action"] != "none" or "bucket_drift" not in report[0]:
+        raise AssertionError(
+            f"drift must be report-only under the default policy: {report}"
+        )
+    act = run_maintenance(
+        spark, wh, ["cust_bkt"],
+        MaintenancePolicy(rebucket_drift=True, max_delete_age_s=0.0),
+        layouts=declared,
+    )
+    if act[0]["action"] != "rebucket":
+        raise AssertionError(f"opt-in drift must rebucket: {act}")
+    if wh.bucket_spec("cust_bkt")["n_buckets"] != 8:
+        raise AssertionError("rebucket did not converge the declared layout")
     return wh.read(spark, "cust_maint")
 
 
