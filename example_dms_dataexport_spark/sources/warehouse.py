@@ -111,7 +111,21 @@ class ParquetWarehouse:
         if os.path.isfile(self._version_pointer(table)):
             return self.read_version(spark, table)
         self._reconcile(table)
-        df = spark.read.parquet(self.path(table))
+        final = self.path(table)
+        spec_p = os.path.join(final, BUCKET_SPEC_FILE)
+        if os.path.isfile(spec_p) and not any(
+            n.endswith(".parquet") for n in os.listdir(final)
+        ):
+            # committed-EMPTY bucketed table: the bucketed writer emits
+            # no file for an empty frame, so there is no parquet to
+            # infer a schema from — the spec sidecar records it
+            with open(spec_p) as f:
+                spec = json.load(f)
+            if "schema" in spec:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(spec["schema"])
+                )
+        df = spark.read.parquet(final)
         return self._apply_pending_deletes(spark, df, table)
 
     def _tombstone_path(self, table: str) -> str:
@@ -2462,7 +2476,7 @@ class ParquetWarehouse:
             raise ValueError(
                 f"{table!r} is bucketed — hash bucketing IS its "
                 "clustering contract; compact() merges fragmented "
-                "buckets whole-sorted, or rewrite through write_bucketed"
+                "buckets whole-sorted, rebucket() changes the layout"
             )
         with self._write_fence(
             table, lock_path=self._mutation_lock_path(table)
@@ -2615,10 +2629,10 @@ class ParquetWarehouse:
             if bloom_cols is None and bm is not None:
                 bloom_cols = bm["cols"]
             # masked read: the swap below drops the _deletes sidecar,
-            # so the rewrite must bake the pending deletes in
-            df = self._apply_pending_deletes(
-                spark, spark.read.parquet(final), table
-            )
+            # so the rewrite must bake the pending deletes in (read()
+            # also covers the committed-EMPTY bucketed state, where no
+            # parquet file exists to infer a schema from)
+            df = self.read(spark, table)
             tmp = os.path.join(self.root, f".tmp-{table}-{uuid.uuid4().hex}")
             try:
                 self._stage_bucketed(df, tmp, spec)

@@ -448,3 +448,19 @@ def test_cdc_stream_preserves_bucket_layout_across_crash(spark, tmp_path):
         assert j.count() == 4
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_empty_bucketed_plain_read_and_rebucket(spark, tmp_path):
+    """wh.read() (the universal reader) and rebucket() both handle the
+    committed-EMPTY bucketed state via the spec sidecar's schema — no
+    parquet file exists to infer from."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.write_bucketed(
+        _rows(spark, 10).filter("pk < 0"), "e", bucket_by=["pk"], n_buckets=4,
+    )
+    got = wh.read(spark, "e")
+    assert got.count() == 0 and set(got.columns) == {"pk", "grp", "name"}
+    wh.rebucket(spark, "e", bucket_by=["pk"], n_buckets=8)
+    assert wh.bucket_spec("e")["n_buckets"] == 8
+    assert wh.read(spark, "e").count() == 0
+    assert wh.read_bucketed(spark, "e").count() == 0
