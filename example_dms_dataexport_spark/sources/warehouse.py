@@ -1357,6 +1357,93 @@ class ParquetWarehouse:
         # exactly what the unpruned read would
         return self._apply_pending_deletes(spark, df, table)
 
+    def read_bucket_keys(
+        self, spark: SparkSession, table: str, keys: list
+    ) -> DataFrame:
+        """Bucket-cover point lookup on a BUCKETED table's bucket key:
+        scan only the files of the buckets the probe keys hash into
+        (``pmod(hash(key), n_buckets)`` against the ``_NNNNN`` file-name
+        suffixes — the same zero-I/O cover ``materialize_deletes`` uses
+        for discovery), then apply the exact ``IN`` residual. A row's
+        bucket is a pure function of its key, so the cover is provably
+        complete and the pruned scan returns exactly the unpruned
+        result. At 100 TB with thousands of buckets this reads
+        |keys|/n_buckets of the table for a subject lookup.
+
+        This path exists because Spark's OWN bucket pruning
+        (``SelectedBucketsCount`` in the scan) only survives when the
+        planner keeps the bucketed scan — ``DisableUnnecessaryBucketedScan``
+        (on by default) drops it for a bare filter query with no
+        join/aggregate consuming the distribution, and the point lookup
+        silently reads every file. The engine-owned cover does not
+        depend on planner rules. ``keys``: scalar values for a
+        single-column bucket key, tuples (in ``bucket_by`` order) for a
+        composite one. Pending merge-on-read deletes are masked, same
+        contract as ``read``/``read_bloom_keys``."""
+        spec = self.bucket_spec(table)
+        if spec is None:
+            raise ValueError(
+                f"{table!r} carries no bucket spec — bucket-cover point "
+                "reads need a bucketed layout (use read_bloom_keys for "
+                "manifest-pruned lookups on other layouts)"
+            )
+        final = self.path(table)
+        bcols = spec["bucket_by"]
+        rows = (
+            [(k,) for k in keys]
+            if len(bcols) == 1
+            else [tuple(k) for k in keys]
+        )
+        from pyspark.sql.types import StructField
+
+        tsch = self.read(spark, table).schema
+        kdf = spark.createDataFrame(
+            rows,
+            StructType([StructField(c, tsch[c].dataType, True) for c in bcols]),
+        )
+        # type-exact hash: the sidecar frame carries the table's column
+        # types, so Murmur3 agrees with what the writer assigned
+        bids = {
+            r["__b"]
+            for r in kdf.select(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in bcols]),
+                    F.lit(spec["n_buckets"]),
+                ).alias("__b")
+            )
+            .distinct()
+            .collect()
+        }
+        hit = sorted(
+            n
+            for n in os.listdir(final)
+            if n.endswith(".parquet") and self._bucket_id_of(n) in bids
+        )
+        if not hit:
+            # all named buckets are empty in the committed state
+            df = self.read(spark, table).filter(F.lit(False))
+            return df
+        df = spark.read.option("basePath", final).parquet(
+            *[os.path.join(final, rel) for rel in hit]
+        )
+        if len(bcols) == 1:
+            df = df.filter(F.col(bcols[0]).isin(keys))
+        else:
+            df = df.filter(
+                F.struct(*bcols).isin(
+                    [
+                        F.struct(
+                            *[
+                                F.lit(v).cast(tsch[c].dataType).alias(c)
+                                for c, v in zip(bcols, key)
+                            ]
+                        )
+                        for key in rows
+                    ]
+                )
+            )
+        return self._apply_pending_deletes(spark, df, table)
+
     def _zoned_base(self, table: str, version: int | None) -> str:
         """Directory holding the data AND its zone map: the table dir
         for plain tables, the resolved snapshot dir for versioned ones

@@ -464,3 +464,46 @@ def test_empty_bucketed_plain_read_and_rebucket(spark, tmp_path):
     assert wh.bucket_spec("e")["n_buckets"] == 8
     assert wh.read(spark, "e").count() == 0
     assert wh.read_bucketed(spark, "e").count() == 0
+
+
+def test_read_bucket_keys_point_lookup_prunes(spark, tmp_path):
+    """Bucket-cover point reads: Spark's own SelectedBucketsCount
+    pruning is lost when DisableUnnecessaryBucketedScan (default-on)
+    drops the bucketed scan for a bare filter, so the engine-owned
+    cover must prune instead — the lookup plans ONLY the hit buckets'
+    files, returns exactly the unpruned result, and masks pending
+    merge-on-read deletes."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    _bucketed(spark, wh, "b")  # 8 buckets, one file each
+    keys = [3, 77, 3999]
+    got = wh.read_bucket_keys(spark, "b", keys)
+    cover = {
+        r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "pk long")
+        .select(F.pmod(F.hash("pk"), F.lit(N_BUCKETS)).alias("b"))
+        .collect()
+    }
+    n_scanned = len(got.inputFiles())
+    assert n_scanned == len(cover) < len(_data_inodes(wh, "b"))
+    assert {r.pk for r in got.collect()} == set(keys)
+    # pending-delete mask applies to the pruned read too
+    wh.delete_keys(spark, "b", "pk", [77])
+    assert {
+        r.pk for r in wh.read_bucket_keys(spark, "b", keys).collect()
+    } == {3, 3999}
+    # misses return empty, not wrong
+    assert wh.read_bucket_keys(spark, "b", [10**12]).count() == 0
+
+
+def test_read_bucket_keys_composite(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = _rows(spark, 2000)
+    wh.write_bucketed(df, "b", bucket_by=["grp", "pk"], n_buckets=4)
+    # pk 36 has grp 36%31=5, pk 100 has grp 100%31=7 — both real tuples
+    got = wh.read_bucket_keys(spark, "b", [(5, 36), (7, 100)])
+    assert {(r.grp, r.pk) for r in got.collect()} == {(5, 36), (7, 100)}
+    # a tuple that exists column-wise but not conjunctively matches nothing
+    assert wh.read_bucket_keys(spark, "b", [(6, 36)]).count() == 0
+    with pytest.raises(ValueError, match="no bucket spec"):
+        wh.overwrite(df, "flat")
+        wh.read_bucket_keys(spark, "flat", [(1, 2)])
