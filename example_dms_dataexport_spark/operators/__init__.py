@@ -5,6 +5,8 @@ dedup          exact / MinHash-LSH / SimHash / n-gram-Jaccard near-dup
 simsearch      embedding cosine k-NN: brute-force, LSH- and IVF-pruned
 pq             product-quantization ANN: sampled Lloyd codebooks, Arrow
                encode, JVM table-lookup ADC scoring + exact rerank
+quality_model  learned quality filter: hashed-BoW logistic regression
+               (GPT-3/CCNet pattern) + deterministic Pareto keep rule
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
 rangejoin      interval containment join (bucketed equi-join, no NLJ)
