@@ -1829,14 +1829,23 @@ class ParquetWarehouse:
                 null_any = F.lit(False)
                 for c in kcols:
                     null_any = null_any | F.col(c).isNull()
-                if kdf.filter(null_any).limit(1).count():
+                # one aggregate job carries BOTH the NULL refusal and the
+                # manifest's key count (these were two separate jobs; on
+                # the deferred-GDPR hot path every delete_keys call is
+                # micro-batch latency, and the pending set is tiny
+                # relative to a job launch)
+                stats = kdf.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(null_any.cast("int")).alias("has_null"),
+                ).first()
+                if stats["has_null"]:
                     raise ValueError(
                         "NULL delete key fields are refused: NULL never "
                         "equality-matches, so the read-path anti-join "
                         "would silently delete nothing (a NULL here may "
                         "also be a failed cast to the column's type)"
                     )
-                n_keys = kdf.count()
+                n_keys = stats["n"]
                 kdf.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(final, ndir)
                 )
