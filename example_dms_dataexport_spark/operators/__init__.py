@@ -7,6 +7,8 @@ pq             product-quantization ANN: sampled Lloyd codebooks, Arrow
                encode, JVM table-lookup ADC scoring + exact rerank
 quality_model  learned quality filter: hashed-BoW logistic regression
                (GPT-3/CCNet pattern) + deterministic Pareto keep rule
+ann_index      warehouse-managed IVF-PQ index: coarse lists as hive
+               partitions (static pruning), codebooks in atomic meta
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
 rangejoin      interval containment join (bucketed equi-join, no NLJ)

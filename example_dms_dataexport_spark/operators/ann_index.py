@@ -1,0 +1,204 @@
+"""Warehouse-managed IVF-PQ ANN index — the faiss ``IVFPQ`` design
+(Jégou et al. 2011) expressed as a warehouse table + layout contract.
+
+``operators/pq`` gives the compressed scoring kernel; this module makes
+it a MANAGED INDEX: ``build_ann_index`` trains the coarse quantizer
+(k-means as the m=1 degenerate PQ — same deterministic sampled-Lloyd
+trainer) and the PQ codebook, encodes the corpus, and commits the codes
+as a warehouse table HIVE-PARTITIONED BY COARSE LIST with both
+codebooks in the table's atomic ``meta`` sidecar — index data and index
+parameters can never drift (they commit in one swap, and a rebuild
+replaces both).
+
+Why this layout at 100 TB: a probe visits ``nprobe`` of ``n_lists``
+coarse lists, and because each list is a hive partition the pruned read
+is STATIC partition pruning at planning time — the scan never opens the
+other partitions' files. Scoring inside the visited lists is the pure-
+JVM ADC kernel from ``operators/pq`` (m ``element_at`` lookups per
+corpus row against the probe's broadcast lookup table). Total cost per
+query batch: read nprobe/n_lists of the (already 32x compressed) codes,
+one broadcast, one top-k window — no full-corpus anything.
+
+Correctness anchors (tests/test_ann_index.py): with
+``nprobe = n_lists`` the query is EXACTLY ``pq.pq_search`` over the
+same codes (the IVF tier only prunes, never re-scores), and with a
+full shortlist + rerank it reproduces brute force; recall floors pin
+the pruned tiers, and the plan pin asserts the partition filter
+actually reached the scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.window import Window
+
+from .pq import _probe_luts, _subspaces, adc_score, pq_encode, pq_train
+from .simsearch import EMBED_DIM, as_double, cosine, norm
+
+ANN_META_KEY = "ann_index"
+
+
+def build_ann_index(
+    wh,
+    vectors: DataFrame,
+    name: str,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+    sample_cap: int | None = None,
+) -> dict:
+    """Train, encode, and commit the index table ``name``; returns the
+    index descriptor (also persisted in the table's ``meta`` sidecar).
+
+    The coarse quantizer is ``pq_train(m=1, k=n_lists)`` — plain
+    k-means through the same deterministic sampled-Lloyd path, so the
+    whole index (lists, codes, codebooks) is a pure function of the
+    corpus. The codes table is (vec_id, code, vnorm, list_id),
+    partitioned by list_id; rebuilding is one more ``overwrite`` — the
+    swap replaces data and descriptor atomically.
+    """
+    kw = {"sample_cap": sample_cap} if sample_cap is not None else {}
+    coarse = pq_train(
+        vectors, vec_col=vec_col, m=1, k=n_lists, iters=iters, dim=dim, **kw
+    )
+    book = pq_train(
+        vectors, vec_col=vec_col, m=m, k=k, iters=iters, dim=dim, **kw
+    )
+    codes = pq_encode(vectors, book, vec_col=vec_col, id_col=id_col)
+    lists = pq_encode(vectors, coarse, vec_col=vec_col, id_col=id_col).select(
+        "vec_id", F.element_at("code", 1).alias("list_id")
+    )
+    desc = {
+        "n_lists": n_lists,
+        "coarse": coarse,
+        "book": book,
+        "dim": dim,
+        "id_col": id_col,
+    }
+    wh.overwrite(
+        codes.join(lists, "vec_id"),
+        name,
+        partition_by=["list_id"],
+        meta={ANN_META_KEY: desc},
+    )
+    return desc
+
+
+def _probe_lists(
+    probes: DataFrame, coarse: dict, nprobe: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(probe_id, lists array<int>): each probe's nprobe nearest coarse
+    lists by exact L2 — one Arrow batch over the (small) probe relation;
+    ties break to the lower list id (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(coarse["centroids"], dtype=np.float64)[0]  # (C, dim)
+    dim = int(coarse["dim"])
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)  # (n, C)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    v = as_double(vec_col)
+    return probes.select(
+        F.col(id_col).alias("probe_id"), v.alias("_v")
+    ).filter(F.size("_v") == dim).select(
+        "probe_id", nearest(F.col("_v")).alias("lists")
+    )
+
+
+def ann_query(
+    wh,
+    spark: SparkSession,
+    name: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    rerank_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k ANN against the committed index: (probe_id, vec_id, score,
+    rank) — the ``knn_*``/``pq_search`` output contract.
+
+    Two pruning tiers compose: the UNION of every probe's visited lists
+    becomes a static ``isin`` partition filter (planning-time pruning —
+    unvisited partitions' files are never opened), and the per-probe
+    equi-join on ``list_id`` restricts scoring to each probe's OWN
+    lists inside that union. The probe relation (lut + lists, both
+    tiny) broadcasts; with ``rerank_with`` the ADC pass shortlists and
+    exact cosine re-scores only the shortlist.
+    """
+    desc = wh.read_meta(name)[ANN_META_KEY]
+    book, coarse = desc["book"], desc["coarse"]
+    pl = _probe_lists(probes, coarse, nprobe, vec_col, id_col)
+    luts = _probe_luts(probes, book, vec_col, id_col)
+    probe_rel = (
+        pl.select("probe_id", F.explode("lists").alias("list_id"))
+        .join(luts, "probe_id")
+    )
+    visited = sorted(
+        r["list_id"]
+        for r in pl.select(F.explode("lists").alias("list_id"))
+        .distinct()
+        .collect()
+    )
+    codes = wh.read(spark, name).filter(F.col("list_id").isin(visited))
+    scored = (
+        codes.join(F.broadcast(probe_rel), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", adc_score(book).alias("score"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    if rerank_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score", "rank")
+        )
+    n_short = shortlist if shortlist is not None else 4 * k
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_short)
+        .select("probe_id", "vec_id")
+    )
+    v = as_double(vec_col)
+    vecs = rerank_with.select(
+        F.col(id_col).alias("_rid"), v.alias("_rv")
+    ).filter(norm(F.col("_rv")) > 0)
+    exact = (
+        cand.join(
+            vecs.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("_cv")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col("_rid").alias("probe_id"), F.col("_rv").alias("_pv")
+                )
+            ),
+            "probe_id",
+        )
+        .select(
+            "probe_id", "vec_id", cosine(F.col("_cv"), F.col("_pv")).alias("score")
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "score", "rank")
+    )

@@ -1,0 +1,125 @@
+"""Warehouse-managed IVF-PQ index (operators/ann_index.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_dms_dataexport_spark.operators import ann_index as AI
+from example_dms_dataexport_spark.operators import pq
+from example_dms_dataexport_spark.operators.simsearch import knn_brute
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+SF_DIR = "/root/testdata/sf0.001"
+N_LISTS = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def wh(tmp_path_factory):
+    return ParquetWarehouse(str(tmp_path_factory.mktemp("annwh")))
+
+
+@pytest.fixture(scope="module")
+def desc(wh, emb):
+    return AI.build_ann_index(wh, emb, "emb_idx", n_lists=N_LISTS, m=8, k=64)
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") % 101 == 0)
+
+
+def test_build_layout_and_descriptor(wh, emb, desc, spark):
+    """Codes land hive-partitioned by coarse list; the descriptor commits
+    atomically with them in the meta sidecar."""
+    root = wh.path("emb_idx")
+    parts = [d for d in os.listdir(root) if d.startswith("list_id=")]
+    assert 2 <= len(parts) <= N_LISTS
+    persisted = wh.read_meta("emb_idx")[AI.ANN_META_KEY]
+    assert json.dumps(persisted, sort_keys=True) == json.dumps(
+        desc, sort_keys=True
+    )
+    tbl = wh.read(spark, "emb_idx")
+    assert set(tbl.columns) == {"vec_id", "code", "vnorm", "list_id"}
+    # every non-zero corpus vector is indexed exactly once
+    assert tbl.count() == emb.count()
+    assert tbl.select("vec_id").distinct().count() == emb.count()
+
+
+def test_full_nprobe_equals_pq_search(wh, emb, desc, probes, spark):
+    """With nprobe = n_lists the IVF tier prunes nothing, so the query
+    must EQUAL pq_search over the same codes and codebook — pairs,
+    ranks, and exact scores (the list partitioning only routes work)."""
+    got = AI.ann_query(
+        wh, spark, "emb_idx", probes, k=5, nprobe=N_LISTS
+    ).collect()
+    codes = wh.read(spark, "emb_idx").select("vec_id", "code", "vnorm")
+    want = pq.pq_search(codes, probes, desc["book"], k=5).collect()
+    key = lambda r: (r["probe_id"], r["rank"])
+    got, want = sorted(got, key=key), sorted(want, key=key)
+    assert [(r["probe_id"], r["vec_id"], r["rank"]) for r in got] == [
+        (r["probe_id"], r["vec_id"], r["rank"]) for r in want
+    ]
+    for g, x in zip(got, want):
+        assert g["score"] == x["score"]
+
+
+def test_pruned_recall_and_monotone_nprobe(wh, emb, desc, probes, spark):
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in knn_brute(emb, probes, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["probe_id"], r["vec_id"])
+            for r in AI.ann_query(
+                wh, spark, "emb_idx", probes, k=10, nprobe=nprobe,
+                shortlist=80, rerank_with=emb,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_all = recall(N_LISTS)
+    r_half = recall(N_LISTS // 2)
+    assert r_all >= 0.9  # full visit + rerank ~= brute
+    assert r_half >= 0.4  # visiting half the lists keeps useful recall
+    assert r_all >= r_half  # more lists never hurt
+
+
+def test_partition_pruning_reaches_the_scan(wh, spark, desc, probes):
+    """nprobe=1 must plan a scan whose partition filter admits only the
+    visited lists — planning-time pruning, not a post-scan filter."""
+    plan = (
+        AI.ann_query(wh, spark, "emb_idx", probes, k=3, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [list_id" in plan.replace("\n", " ") or (
+        "list_id#" in plan and "PartitionFilters" in plan
+    )
+
+
+def test_rebuild_is_deterministic_and_atomic(wh, emb, desc, spark):
+    d2 = AI.build_ann_index(wh, emb, "emb_idx2", n_lists=N_LISTS, m=8, k=64)
+    assert json.dumps(d2, sort_keys=True) == json.dumps(desc, sort_keys=True)
+    a = {
+        (r["vec_id"], tuple(r["code"]), r["list_id"])
+        for r in wh.read(spark, "emb_idx").collect()
+    }
+    b = {
+        (r["vec_id"], tuple(r["code"]), r["list_id"])
+        for r in wh.read(spark, "emb_idx2").collect()
+    }
+    assert a == b
