@@ -92,6 +92,76 @@ def build_ann_index(
     return desc
 
 
+def extend_ann_index(
+    wh,
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental index maintenance: encode ONLY the new vectors with
+    the index's FROZEN codebooks and append them into their coarse-list
+    partitions — the at-scale refresh path (re-training/re-encoding the
+    corpus per ingest batch is exactly what an index exists to avoid;
+    faiss likewise adds to a trained index without retraining).
+
+    Only the touched list partitions rewrite (read partition-pruned,
+    union, ``replace_partitions``); untouched partitions' files are
+    never opened (inode pin in tests). The codebooks and descriptor are
+    untouched at the table root. Append-only: ids already indexed are
+    refused loudly (an upsert would need a merge, and silently
+    re-encoding a changed vector under a stale id would corrupt recall
+    measurements). Pending merge-on-read deletes refuse through
+    ``replace_partitions``' standard consistency contract. Returns
+    ``{"added", "touched_lists"}``.
+    """
+    desc = wh.read_meta(name)[ANN_META_KEY]
+    codes = pq_encode(new_vectors, desc["book"], vec_col=vec_col, id_col=id_col)
+    lists = pq_encode(
+        new_vectors, desc["coarse"], vec_col=vec_col, id_col=id_col
+    ).select("vec_id", F.element_at("code", 1).alias("list_id"))
+    new_tbl = codes.join(lists, "vec_id").persist()
+    try:
+        if new_tbl.limit(1).count() == 0:
+            return {"added": 0, "touched_lists": []}
+        # columnar id-only semi-join against the existing index (reads
+        # the vec_id column, not the codes)
+        dup = (
+            wh.read(spark, name)
+            .select("vec_id")
+            .join(new_tbl.select("vec_id"), "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ann index {name!r} already holds vec_id "
+                f"{dup[0]['vec_id']} — the index is append-only; rebuild "
+                "or materialize deletes before re-adding an id"
+            )
+        stats = new_tbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("list_id").alias("lists"),
+        ).first()
+        touched = sorted(stats["lists"])
+        cur = (
+            wh.read(spark, name)
+            .filter(F.col("list_id").isin(touched))
+            .select(*new_tbl.columns)
+        )
+        merged = cur.unionByName(new_tbl).persist()
+        try:
+            wh.replace_partitions(
+                merged, name, ["list_id"], [(t,) for t in touched]
+            )
+        finally:
+            merged.unpersist()
+        return {"added": stats["n"], "touched_lists": touched}
+    finally:
+        new_tbl.unpersist()
+
+
 def _probe_lists(
     probes: DataFrame, coarse: dict, nprobe: int, vec_col: str, id_col: str
 ) -> DataFrame:

@@ -123,3 +123,87 @@ def test_rebuild_is_deterministic_and_atomic(wh, emb, desc, spark):
         for r in wh.read(spark, "emb_idx2").collect()
     }
     assert a == b
+
+
+def test_extend_appends_with_frozen_codebooks(spark, emb, tmp_path_factory):
+    """Build on the even half, extend with the odd half: new rows carry
+    codes from the FROZEN codebooks, untouched partitions' files keep
+    their inodes, and a full-visit query equals pq_search over the
+    union."""
+    wh2 = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_ext")))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    d = AI.build_ann_index(wh2, even, "idx", n_lists=N_LISTS, m=8, k=32)
+
+    root = wh2.path("idx")
+
+    def part_inodes():
+        out = {}
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dp, fn)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    before = part_inodes()
+    res = AI.extend_ann_index(wh2, spark, odd, "idx")
+    assert res["added"] == odd.count()
+    assert res["touched_lists"]
+    after = part_inodes()
+    untouched = {
+        rel: ino
+        for rel, ino in before.items()
+        if not any(rel.startswith(f"list_id={t}/") for t in res["touched_lists"])
+    }
+    for rel, ino in untouched.items():
+        assert after.get(rel) == ino, f"untouched partition rewritten: {rel}"
+
+    tbl = wh2.read(spark, "idx")
+    assert tbl.count() == emb.count()
+    # new rows' codes equal a fresh frozen-codebook encode
+    want = {
+        r["vec_id"]: tuple(r["code"])
+        for r in pq.pq_encode(odd, d["book"]).collect()
+    }
+    got = {
+        r["vec_id"]: tuple(r["code"])
+        for r in tbl.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    assert got == want
+    # descriptor survived the partition-scoped rewrite
+    assert wh2.read_meta("idx")[AI.ANN_META_KEY] == d
+    # full-visit query == pq_search over the union codes
+    probes = emb.filter(F.col("vec_id") % 151 == 0)
+    a = AI.ann_query(wh2, spark, "idx", probes, k=5, nprobe=N_LISTS).collect()
+    b = pq.pq_search(
+        tbl.select("vec_id", "code", "vnorm"), probes, d["book"], k=5
+    ).collect()
+    key = lambda r: (r["probe_id"], r["rank"])
+    assert [(r["probe_id"], r["vec_id"]) for r in sorted(a, key=key)] == [
+        (r["probe_id"], r["vec_id"]) for r in sorted(b, key=key)
+    ]
+
+
+def test_extend_refuses_duplicate_ids(spark, emb, wh, desc):
+    with pytest.raises(ValueError, match="append-only"):
+        AI.extend_ann_index(wh, spark, emb.limit(5), "emb_idx")
+
+
+def test_gdpr_composes_with_the_index(spark, emb, tmp_path_factory):
+    """The index is a warehouse table: delete_keys masks reads at once,
+    materialize rewrites only hit partitions, and the codebook meta
+    survives the rewrite."""
+    wh3 = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_gdpr")))
+    d = AI.build_ann_index(wh3, emb, "idx", n_lists=N_LISTS, m=8, k=32)
+    victim = emb.select(F.min("vec_id")).first()[0]
+    wh3.delete_keys(spark, "idx", "vec_id", [victim])
+    assert (
+        wh3.read(spark, "idx").filter(F.col("vec_id") == victim).count() == 0
+    )
+    res = wh3.materialize_deletes(spark, "idx", partition_by=["list_id"])
+    assert res["keys_applied"] == 1
+    tbl = wh3.read(spark, "idx")
+    assert tbl.filter(F.col("vec_id") == victim).count() == 0
+    assert tbl.count() == emb.count() - 1
+    assert wh3.read_meta("idx")[AI.ANN_META_KEY] == d
