@@ -9,6 +9,8 @@ quality_model  learned quality filter: hashed-BoW logistic regression
                (GPT-3/CCNet pattern) + deterministic Pareto keep rule
 ann_index      warehouse-managed IVF-PQ index: coarse lists as hive
                partitions (static pruning), codebooks in atomic meta
+wordpiece      WordPiece trainer (likelihood-ratio merges, ## pieces)
+               + greedy longest-match encoder — the BERT tokenizer
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
 rangejoin      interval containment join (bucketed equi-join, no NLJ)

@@ -70,15 +70,24 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _apply_merge(
-    words: DataFrame, left: str, right: str, extra_cols: tuple[str, ...] = ("cnt",)
+    words: DataFrame,
+    left: str,
+    right: str,
+    extra_cols: tuple[str, ...] = ("cnt",),
+    fused: str | None = None,
 ) -> DataFrame:
     """Replace every adjacent (left, right) with the fused symbol via a
-    greedy left-to-right aggregate() fold — in-row, no shuffle."""
+    greedy left-to-right aggregate() fold — in-row, no shuffle.
+
+    ``fused`` defaults to ``left + right`` (BPE); WordPiece passes the
+    continuation-marker-stripped fusion instead (``a`` + ``##b`` ->
+    ``ab``)."""
     l, r = _sql_quote(left), _sql_quote(right)
+    fs = _sql_quote(fused if fused is not None else left + right)
     fold = (
         "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} AND x = {r} "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), array({l} || {r})) "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({fs})) "
         "ELSE concat(acc, array(x)) END)"
     )
     return words.select(F.expr(fold).alias("syms"), *extra_cols)

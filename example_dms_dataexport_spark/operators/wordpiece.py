@@ -1,0 +1,232 @@
+"""Distributed WordPiece tokenizer training — the BERT-family member of
+the engine's tokenizer trio (BPE in ``operators/bpe``, unigram-LM in
+``operators/unigram``).
+
+WordPiece (Schuster & Nakajima 2012; the BERT variant, Wu et al. 2016)
+is BPE with a different pair-selection statistic: instead of the most
+FREQUENT adjacent pair it merges the pair maximizing the likelihood
+gain ``count(ab) / (count(a) * count(b))`` — rare symbols that almost
+always co-occur fuse before frequent-but-independent ones. Symbols
+carry the ``##`` continuation convention: a word's first character is
+bare, every later one is ``##``-prefixed, and fusing strips the right
+side's marker (``a`` + ``##b`` -> ``ab``, ``##a`` + ``##b`` ->
+``##ab``), so a learned piece is usable exactly where it was learned.
+
+Scale shape: identical to BPE's — the corpus folds once to its
+word-frequency relation, and each merge iteration is two small
+vocabulary-sized aggregations (pair counts + symbol counts), one
+argmax collect, and an in-row fold; nothing per-iteration touches the
+corpus again. The same adaptive execution applies: vocabularies at or
+below ``LOCAL_VOCAB_MAX`` train driver-side in one collect, and the
+two paths are pinned merge-for-merge identical.
+
+Encoding is NOT merge replay (BPE's rule) but greedy longest-match-
+first against the final vocabulary — the canonical WordPiece matcher —
+run as one Arrow batch over the DISTINCT-WORD relation (vocabulary-
+sized, never the corpus) with the vocab set riding the closure.
+
+Determinism: the ranking statistic is compared as
+(score double, pair count desc, left asc, right asc); the driver twin
+computes the double with the same operation order
+(``n / (float(nl) * float(nr))``) so both paths rank identically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ..functions import texthash as TH
+from .bpe import LOCAL_VOCAB_MAX, _apply_merge, _pair_counts
+
+
+def _wp_fuse(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def wp_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (w, syms, cnt) with the ## continuation convention:
+    "word" -> ["w", "##o", "##r", "##d"]."""
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    syms = F.expr(
+        "transform(filter(split(w, ''), c -> c != ''),"
+        " (c, i) -> CASE WHEN i = 0 THEN c ELSE '##' || c END)"
+    )
+    return (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", syms.alias("syms"), "cnt")
+        .filter(F.size(chars) >= 1)
+    )
+
+
+def _train_local_wp(
+    rows: list[tuple[list[str], int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, float, int]]:
+    """Driver twin of the distributed loop: same statistic, identical
+    float evaluation order, same tie-break."""
+    words = [(list(syms), cnt) for syms, cnt in rows]
+    merges: list[tuple[str, str, float, int]] = []
+    for _ in range(num_merges):
+        pair_n: dict[tuple[str, str], int] = {}
+        sym_n: dict[str, int] = {}
+        for syms, cnt in words:
+            for s in syms:
+                sym_n[s] = sym_n.get(s, 0) + cnt
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + cnt
+        if not pair_n:
+            break
+        (l, r), n = min(
+            pair_n.items(),
+            key=lambda kv: (
+                -(kv[1] / (float(sym_n[kv[0][0]]) * float(sym_n[kv[0][1]]))),
+                -kv[1],
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        if n < min_pair_count:
+            break
+        score = n / (float(sym_n[l]) * float(sym_n[r]))
+        merges.append((l, r, score, n))
+        fused = _wp_fuse(l, r)
+        for i, (syms, cnt) in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = fused
+                else:
+                    out.append(s)
+            words[i] = (out, cnt)
+    return merges
+
+
+def _sym_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.select(F.explode("syms").alias("s"), "cnt")
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("sn"))
+    )
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+    local_threshold: int = LOCAL_VOCAB_MAX,
+) -> dict:
+    """Learn up to ``num_merges`` WordPiece merges; returns
+    ``{"merges": [(left, right, score, pair_count), ...],
+    "vocab": [piece, ...]}`` — vocab is every initial symbol plus each
+    merge's fused piece, sorted (the greedy encoder's match set).
+
+    Stops early when no pair reaches ``min_pair_count``. The likelihood
+    ratio prefers pairs that predict each other over pairs that are
+    merely common — the BERT-family inductive bias.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = wp_word_counts(docs, text_col).localCheckpoint()
+    initial = [
+        r["s"] for r in _sym_counts(words).select("s").distinct().collect()
+    ]
+    merges: list[tuple[str, str, float, int]] = []
+    try:
+        if words.count() <= local_threshold:
+            rows = [(list(r["syms"]), int(r["cnt"])) for r in words.collect()]
+            merges = _train_local_wp(rows, num_merges, min_pair_count)
+        else:
+            for _ in range(num_merges):
+                syms = _sym_counts(words)
+                ln = syms.select(
+                    F.col("s").alias("l"), F.col("sn").alias("_ln")
+                )
+                rn = syms.select(
+                    F.col("s").alias("r"), F.col("sn").alias("_rn")
+                )
+                top = (
+                    _pair_counts(words)
+                    .join(ln, "l")
+                    .join(rn, "r")
+                    .select(
+                        "l",
+                        "r",
+                        "n",
+                        (
+                            F.col("n")
+                            / (
+                                F.col("_ln").cast("double")
+                                * F.col("_rn").cast("double")
+                            )
+                        ).alias("score"),
+                    )
+                    .orderBy(
+                        F.desc("score"), F.desc("n"), F.asc("l"), F.asc("r")
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not top or top[0]["n"] < min_pair_count:
+                    break
+                l, r = top[0]["l"], top[0]["r"]
+                merges.append((l, r, float(top[0]["score"]), int(top[0]["n"])))
+                prev = words
+                words = _apply_merge(
+                    words, l, r, extra_cols=("w", "cnt"), fused=_wp_fuse(l, r)
+                ).localCheckpoint()
+                prev.unpersist()
+    finally:
+        words.unpersist()
+    vocab = sorted(set(initial) | {_wp_fuse(l, r) for l, r, _, _ in merges})
+    return {"merges": merges, "vocab": vocab}
+
+
+def wordpiece_segment(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """(w, pieces array<string>): canonical greedy longest-match-first
+    WordPiece encoding of every DISTINCT corpus word against ``vocab``
+    (a word with any unmatchable remainder encodes as ``[unk]`` whole,
+    per BERT). One Arrow batch over the vocabulary-sized distinct-word
+    relation; the vocab set rides the closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = frozenset(vocab)
+    max_len = max((len(v) for v in vset), default=1)
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(wordser: pd.Series) -> pd.Series:
+        out = []
+        for w in wordser:
+            pieces: list[str] = []
+            i, n = 0, len(w)
+            bad = n == 0
+            while i < n and not bad:
+                j = min(n, i + max_len)
+                while j > i:
+                    cand = w[i:j] if i == 0 else "##" + w[i:j]
+                    if cand in vset:
+                        pieces.append(cand)
+                        break
+                    j -= 1
+                if j == i:
+                    bad = True
+                i = j
+            out.append([unk] if bad else pieces)
+        return pd.Series(out)
+
+    return (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
+        .distinct()
+        .select("w", encode(F.col("w")).alias("pieces"))
+    )
