@@ -1119,27 +1119,48 @@ class ParquetWarehouse:
             for p in parts:
                 nn = nn & F.col(p).isNotNull()
             pos = df.select(fpcol, *parts).where(nn)
+            # bit positions are Spark-hashed (the probe side hashes with
+            # the same xxhash64, so builder and prober must share the
+            # JVM hash), but the BITMAP packs executor-side in one
+            # Arrow-grouped pass: shipping the m/8-byte bitmap per file
+            # beats collecting ~k*n_distinct set-bit positions through a
+            # collect_set (an order of magnitude less driver transfer on
+            # a wide rebuild, and no JVM set materialization)
+            import numpy as _np
+            import pandas as _pd
+
+            def _pack(pdf: _pd.DataFrame) -> _pd.DataFrame:
+                m = int(pdf["__m"].iloc[0])
+                bitmap = _np.zeros((m + 7) // 8, dtype=_np.uint8)
+                ps = _np.unique(
+                    pdf[[f"__h{i}" for i in range(k)]].to_numpy(
+                        dtype=_np.int64
+                    )
+                )
+                _np.bitwise_or.at(
+                    bitmap, ps >> 3, (1 << (ps & 7)).astype(_np.uint8)
+                )
+                return _pd.DataFrame(
+                    {"__fp": [pdf["__fp"].iloc[0]], "__bits": [bitmap.tobytes()]}
+                )
+
             rows = (
                 pos.join(F.broadcast(m_df), "__fp")
                 .select(
                     "__fp",
-                    F.explode(
-                        F.array(
-                            *[
-                                F.pmod(
-                                    F.xxhash64(
-                                        *[F.col(p) for p in parts],
-                                        F.lit(i),
-                                    ),
-                                    F.col("__m"),
-                                )
-                                for i in range(k)
-                            ]
-                        )
-                    ).alias("__pos"),
+                    "__m",
+                    *[
+                        F.pmod(
+                            F.xxhash64(
+                                *[F.col(p) for p in parts], F.lit(i)
+                            ),
+                            F.col("__m"),
+                        ).alias(f"__h{i}")
+                        for i in range(k)
+                    ],
                 )
                 .groupBy("__fp")
-                .agg(F.collect_set("__pos").alias("__bits"))
+                .applyInPandas(_pack, "__fp string, __bits binary")
                 .collect()
             )
             bits_by_rel = {
@@ -1147,13 +1168,13 @@ class ParquetWarehouse:
             }
             for fp, m in m_by_fp.items():
                 rel = rel_by_fp[fp]
-                bitmap = bytearray((m + 7) // 8)
-                for p in bits_by_rel.get(rel, []):
-                    bitmap[p >> 3] |= 1 << (p & 7)
+                packed = bits_by_rel.get(rel)
+                if packed is None:
+                    packed = bytes(bytearray((m + 7) // 8))
                 files.setdefault(rel, {})[c] = {
                     "m": m,
                     "n_distinct": counts_fp[fp],
-                    "bits": base64.b64encode(bytes(bitmap)).decode(),
+                    "bits": base64.b64encode(bytes(packed)).decode(),
                 }
         return {
             "cols": list(cols),
