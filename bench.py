@@ -397,6 +397,38 @@ def main() -> None:
     times_min["q134s_jpeg_color_sampled"] = round(best, 3)
     total += med
 
+    # Managed IVF-PQ index end-to-end (train coarse+PQ codebooks, encode,
+    # commit hive-partitioned by list, then a pruned nprobe query with
+    # exact rerank) — regressions in the ANN build/query path (extra
+    # jobs, lost partition pruning, broken broadcast) show up here.
+    from example_dms_dataexport_spark.operators import ann_index as _AI
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ParquetWarehouse as _PW,
+    )
+
+    def run_ann() -> None:
+        td = tempfile.mkdtemp(prefix="bench-ann-")
+        try:
+            wh = _PW(td)
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            _AI.build_ann_index(wh, emb, "idx", n_lists=8, m=8, k=64)
+            probes = emb.filter(F.col("vec_id") % 50 == 0)
+            materialize(
+                _AI.ann_query(
+                    wh, spark, "idx", probes, k=10, nprobe=2,
+                    shortlist=40, rerank_with=emb,
+                )
+            )
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    med, best = timed(run_ann)
+    times["ann_ivfpq_build_query"] = round(med, 3)
+    times_min["ann_ivfpq_build_query"] = round(best, 3)
+    total += med
+
     cal_med, cal_best = timed(calibrate)
 
     spread = max(

@@ -36,10 +36,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
-from .pq import _probe_luts, _subspaces, adc_score, pq_encode, pq_train
+from ..partitioning import spread
+from .pq import _norm, _probe_luts, adc_score, assign_udf, pq_train
 from .simsearch import EMBED_DIM, as_double, cosine, norm
 
 ANN_META_KEY = "ann_index"
+
+
+def _encode_with_lists(
+    vectors: DataFrame, book: dict, coarse: dict, vec_col: str, id_col: str
+) -> DataFrame:
+    """(vec_id, code, vnorm, list_id) in ONE projection pass: both
+    codebooks' assigners run over the same scan — encoding the corpus
+    never shuffles, never joins two derivations of itself."""
+    a_book, a_coarse = assign_udf(book), assign_udf(coarse)
+    dim = int(book["dim"])
+    v = as_double(vec_col)
+    return (
+        spread(vectors)
+        .select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+        .filter(F.size("_v") == dim)
+        .withColumn("vnorm", _norm(F.col("_v"), dim))
+        .filter(F.col("vnorm") > 0)
+        .select(
+            "vec_id",
+            a_book(F.col("_v")).alias("code"),
+            "vnorm",
+            F.element_at(a_coarse(F.col("_v")), 1).alias("list_id"),
+        )
+    )
 
 
 def build_ann_index(
@@ -72,10 +97,6 @@ def build_ann_index(
     book = pq_train(
         vectors, vec_col=vec_col, m=m, k=k, iters=iters, dim=dim, **kw
     )
-    codes = pq_encode(vectors, book, vec_col=vec_col, id_col=id_col)
-    lists = pq_encode(vectors, coarse, vec_col=vec_col, id_col=id_col).select(
-        "vec_id", F.element_at("code", 1).alias("list_id")
-    )
     desc = {
         "n_lists": n_lists,
         "coarse": coarse,
@@ -84,7 +105,7 @@ def build_ann_index(
         "id_col": id_col,
     }
     wh.overwrite(
-        codes.join(lists, "vec_id"),
+        _encode_with_lists(vectors, book, coarse, vec_col, id_col),
         name,
         partition_by=["list_id"],
         meta={ANN_META_KEY: desc},
@@ -117,11 +138,9 @@ def extend_ann_index(
     ``{"added", "touched_lists"}``.
     """
     desc = wh.read_meta(name)[ANN_META_KEY]
-    codes = pq_encode(new_vectors, desc["book"], vec_col=vec_col, id_col=id_col)
-    lists = pq_encode(
-        new_vectors, desc["coarse"], vec_col=vec_col, id_col=id_col
-    ).select("vec_id", F.element_at("code", 1).alias("list_id"))
-    new_tbl = codes.join(lists, "vec_id").persist()
+    new_tbl = _encode_with_lists(
+        new_vectors, desc["book"], desc["coarse"], vec_col, id_col
+    ).persist()
     try:
         if new_tbl.limit(1).count() == 0:
             return {"added": 0, "touched_lists": []}
@@ -162,16 +181,13 @@ def extend_ann_index(
         new_tbl.unpersist()
 
 
-def _probe_lists(
-    probes: DataFrame, coarse: dict, nprobe: int, vec_col: str, id_col: str
-) -> DataFrame:
-    """(probe_id, lists array<int>): each probe's nprobe nearest coarse
-    lists by exact L2 — one Arrow batch over the (small) probe relation;
-    ties break to the lower list id (stable argsort)."""
+def _nearest_lists_udf(coarse: dict, nprobe: int):
+    """Arrow-batched nprobe-nearest-coarse-list assigner: exact L2
+    against the coarse centroids, ties to the lower list id (stable
+    argsort)."""
     from pyspark.sql.functions import pandas_udf
 
     cent = np.asarray(coarse["centroids"], dtype=np.float64)[0]  # (C, dim)
-    dim = int(coarse["dim"])
 
     @pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -182,12 +198,7 @@ def _probe_lists(
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
-    v = as_double(vec_col)
-    return probes.select(
-        F.col(id_col).alias("probe_id"), v.alias("_v")
-    ).filter(F.size("_v") == dim).select(
-        "probe_id", nearest(F.col("_v")).alias("lists")
-    )
+    return nearest
 
 
 def ann_query(
@@ -215,11 +226,28 @@ def ann_query(
     """
     desc = wh.read_meta(name)[ANN_META_KEY]
     book, coarse = desc["book"], desc["coarse"]
-    pl = _probe_lists(probes, coarse, nprobe, vec_col, id_col)
-    luts = _probe_luts(probes, book, vec_col, id_col)
-    probe_rel = (
-        pl.select("probe_id", F.explode("lists").alias("list_id"))
-        .join(luts, "probe_id")
+    from .pq import _lut_udf
+
+    dim = int(book["dim"])
+    v = as_double(vec_col)
+    nearest = _nearest_lists_udf(coarse, nprobe)
+    lut = _lut_udf(book)
+    # one projection computes BOTH probe-side relations (visited lists
+    # + ADC lookup table) — no join of two derivations of the probe scan
+    pl = (
+        probes.select(F.col(id_col).alias("probe_id"), v.alias("_v"))
+        .filter(F.size("_v") == dim)
+        .withColumn("pnorm", _norm(F.col("_v"), dim))
+        .filter(F.col("pnorm") > 0)
+        .select(
+            "probe_id",
+            nearest(F.col("_v")).alias("lists"),
+            lut(F.col("_v")).alias("lut"),
+            "pnorm",
+        )
+    )
+    probe_rel = pl.select(
+        "probe_id", F.explode("lists").alias("list_id"), "lut", "pnorm"
     )
     visited = sorted(
         r["list_id"]

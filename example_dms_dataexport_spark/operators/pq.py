@@ -100,7 +100,9 @@ def pq_train(
         df.select(v.alias("_v"))
         .filter(F.size("_v") == dim)
         .filter(_norm(F.col("_v"), dim) > 0)
-        .withColumn("_h", F.xxhash64(F.col("_v").cast("string")))
+        # hash the array value directly — stringifying 64 doubles per
+        # row just to hash it would dominate the sampling scan at scale
+        .withColumn("_h", F.xxhash64(F.col("_v")))
         .orderBy("_h")
         .limit(int(sample_cap))
         .select("_v")
@@ -137,6 +139,30 @@ def pq_train(
     }
 
 
+def assign_udf(codebook: dict):
+    """Arrow-batched nearest-centroid assigner for ``codebook`` — the
+    shared encode kernel (``pq_encode`` wraps it; ``ann_index`` composes
+    two of them in ONE projection so corpus encoding never joins two
+    derivations of the same scan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(codebook["centroids"], dtype=np.float64)  # (m,k,sub)
+    m = int(codebook["m"])
+    c_sq = (cent**2).sum(-1)  # (m, k)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        xs = _subspaces(x, m)
+        d2 = -2.0 * np.einsum("nms,mks->nmk", xs, cent) + c_sq[None, :, :]
+        code = d2.argmin(-1).astype(np.int32)
+        return pd.Series(list(code))
+
+    return assign
+
+
 def pq_encode(
     df: DataFrame,
     codebook: dict,
@@ -153,22 +179,8 @@ def pq_encode(
     m*k*sub doubles). Encoding is a pure function of (vector, codebook)
     — bit-stable across runs and partitionings (pinned by tests).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    cent = np.asarray(codebook["centroids"], dtype=np.float64)  # (m,k,sub)
-    m, dim = int(codebook["m"]), int(codebook["dim"])
-    c_sq = (cent**2).sum(-1)  # (m, k)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def assign(vecs: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vecs])
-        if x.size == 0:
-            return pd.Series([], dtype=object)
-        xs = _subspaces(x, m)
-        d2 = -2.0 * np.einsum("nms,mks->nmk", xs, cent) + c_sq[None, :, :]
-        code = d2.argmin(-1).astype(np.int32)
-        return pd.Series(list(code))
-
+    assign = assign_udf(codebook)
+    dim = int(codebook["dim"])
     v = as_double(vec_col)
     return (
         spread(df)
@@ -180,19 +192,14 @@ def pq_encode(
     )
 
 
-def _probe_luts(
-    probes: DataFrame,
-    codebook: dict,
-    vec_col: str,
-    id_col: str,
-) -> DataFrame:
-    """(probe_id, lut array<double> length m*k, pnorm): per-probe ADC
-    lookup table — lut[j*k + c] = dot(probe_sub_j, centroid[j][c]) —
-    flattened so the scoring expression is plain ``element_at``."""
+def _lut_udf(codebook: dict):
+    """Arrow-batched ADC lookup-table builder: per vector, the
+    flattened m*k table lut[j*k + c] = dot(vec_sub_j, centroid[j][c])
+    so the scoring expression is plain ``element_at``."""
     from pyspark.sql.functions import pandas_udf
 
     cent = np.asarray(codebook["centroids"], dtype=np.float64)
-    m, k, dim = int(codebook["m"]), int(codebook["k"]), int(codebook["dim"])
+    m, k = int(codebook["m"]), int(codebook["k"])
 
     @pandas_udf(ArrayType(DoubleType()))
     def lut(vecs: pd.Series) -> pd.Series:
@@ -203,6 +210,19 @@ def _probe_luts(
         t = np.einsum("nms,mks->nmk", xs, cent)  # (n, m, k)
         return pd.Series(list(t.reshape(len(x), m * k)))
 
+    return lut
+
+
+def _probe_luts(
+    probes: DataFrame,
+    codebook: dict,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(probe_id, lut array<double> length m*k, pnorm): per-probe ADC
+    lookup table relation (see ``_lut_udf``)."""
+    lut = _lut_udf(codebook)
+    dim = int(codebook["dim"])
     v = as_double(vec_col)
     return (
         probes.select(F.col(id_col).alias("probe_id"), v.alias("_v"))
