@@ -1,1 +1,3 @@
-"""Sources and sinks: CSV stage reader, parquet warehouse, JDBC source."""
+"""Sources and sinks: CSV/parquet/ORC/XML/Avro stage readers, parquet
+warehouse, JDBC source, JSONL shard export, WebDataset tar-shard
+export/ingest."""
