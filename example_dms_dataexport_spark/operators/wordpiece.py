@@ -188,6 +188,32 @@ def wordpiece_train(
     return {"merges": merges, "vocab": vocab}
 
 
+def greedy_encode(
+    w: str, vset: frozenset, max_len: int, unk: str = "[UNK]"
+) -> list[str]:
+    """Pure greedy longest-match-first WordPiece matcher (the udf's
+    kernel, module-level so the property suite can hammer it without a
+    session): position 0 matches bare pieces, later positions match
+    ##-prefixed ones; any unmatchable remainder yields whole-word
+    ``unk`` (BERT's rule)."""
+    pieces: list[str] = []
+    i, n = 0, len(w)
+    if n == 0:
+        return [unk]
+    while i < n:
+        j = min(n, i + max_len)
+        while j > i:
+            cand = w[i:j] if i == 0 else "##" + w[i:j]
+            if cand in vset:
+                pieces.append(cand)
+                break
+            j -= 1
+        if j == i:
+            return [unk]
+        i = j
+    return pieces
+
+
 def wordpiece_segment(
     docs: DataFrame,
     vocab: list[str],
@@ -206,24 +232,9 @@ def wordpiece_segment(
 
     @pandas_udf(ArrayType(StringType()))
     def encode(wordser: pd.Series) -> pd.Series:
-        out = []
-        for w in wordser:
-            pieces: list[str] = []
-            i, n = 0, len(w)
-            bad = n == 0
-            while i < n and not bad:
-                j = min(n, i + max_len)
-                while j > i:
-                    cand = w[i:j] if i == 0 else "##" + w[i:j]
-                    if cand in vset:
-                        pieces.append(cand)
-                        break
-                    j -= 1
-                if j == i:
-                    bad = True
-                i = j
-            out.append([unk] if bad else pieces)
-        return pd.Series(out)
+        return pd.Series(
+            [greedy_encode(w, vset, max_len, unk) for w in wordser]
+        )
 
     return (
         docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
