@@ -1491,6 +1491,48 @@ class ParquetWarehouse:
         with open(p) as f:
             return json.load(f)
 
+    def metadata_stats(
+        self, table: str, version: int | None = None
+    ) -> dict | None:
+        """Answer ``count(*)`` / per-column ``min``/``max`` from the
+        zone-map manifest alone — ZERO data I/O (the Iceberg-metadata-
+        table pattern: the planner's row estimate, a freshness probe, a
+        dashboard tile — none of them should scan 100 TB). Returns
+        ``{"rows", "files", "cols": {c: {"min", "max"}}}`` or ``None``
+        when the table carries no zone map; column bounds are exact
+        because every mutation path rebuilds or carries exact manifest
+        entries. All-NULL file bands are skipped per column (min/max
+        ignore NULLs); a column whose every band is NULL reports
+        ``{"min": None, "max": None}``.
+
+        Pending merge-on-read deletes REFUSE by default: the manifest
+        still counts masked rows, so serving it would overcount —
+        ``allow_pending`` is deliberately absent; materialize first
+        (the sidecar's whole point is that readers never see stale
+        state)."""
+        if self.pending_deletes(table) is not None:
+            raise ValueError(
+                f"{table!r} has pending merge-on-read deletes — manifest "
+                "counts include masked rows; materialize_deletes() first"
+            )
+        zm = self.zonemap(table, version=version)
+        if zm is None:
+            return None
+        cols: dict[str, dict] = {c: {"min": None, "max": None} for c in zm["stat_cols"]}
+        rows = 0
+        for entry in zm["files"].values():
+            rows += entry["n"]
+            for c in zm["stat_cols"]:
+                lo, hi = entry[c]
+                if lo is None:
+                    continue  # all-NULL band for this column
+                cur = cols[c]
+                if cur["min"] is None or lo < cur["min"]:
+                    cur["min"] = lo
+                if cur["max"] is None or hi > cur["max"]:
+                    cur["max"] = hi
+        return {"rows": rows, "files": len(zm["files"]), "cols": cols}
+
     def read_zoned(
         self,
         spark: SparkSession,
