@@ -145,3 +145,31 @@ def test_null_entry_skips_modality(spark, tmp_path_factory):
     }
     assert back["1"] == (b"a", b"x")
     assert back["2"] == (None, b"y")
+
+
+def test_multimodal_pnm_survives_the_tar_round_trip(spark, tmp_path_factory):
+    """End-to-end multimodal hand-off: real binary PNM images export as
+    tar entries and decode IDENTICALLY after the round trip — the format
+    is a faithful media carrier, not just a text one."""
+    from example_dms_dataexport_spark.operators import multimodal
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    imgs = multimodal.pnm_from_documents(docs)
+    out = str(tmp_path_factory.mktemp("wdsm") / "imgs")
+    WDS.write_webdataset(imgs, out, {"media": "pnm"}, key_col="doc_id")
+    back = WDS.read_webdataset(spark, out).select(
+        F.col("__key").cast("long").alias("doc_id"), "media"
+    )
+    want = {
+        r["doc_id"]: (r["format"], r["width"], r["height"], r["channels"], r["pix_sum"])
+        for r in multimodal.decode_pnm(imgs).collect()
+    }
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"], r["channels"], r["pix_sum"])
+        for r in multimodal.decode_pnm(back).collect()
+    }
+    assert got == want and len(got) == docs.count()
