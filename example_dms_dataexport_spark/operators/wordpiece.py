@@ -188,6 +188,100 @@ def wordpiece_train(
     return {"merges": merges, "vocab": vocab}
 
 
+def wordpiece_oracle_sql(
+    num_merges: int, min_pair_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB restatement of ``wordpiece_train`` over the ``documents``
+    view — the q81-BPE sentinel-replace pattern with WordPiece's two
+    deltas: symbol counts join the pair relation so the argmax ranks by
+    ``n / (ln * rn)`` (double division in the same operation order as
+    both engine paths), and the rewrite's replacement strips the right
+    side's ``##`` marker. Emits (merge_rank, left, right, score,
+    pair_count) in merge order. Register-ready as a driver face once a
+    window slot opens (r18 — the r16/r17 windows are forced); until
+    then tests/test_wordpiece.py runs the parity check in pytest."""
+    from ..functions import texthash as TH
+
+    stages = [
+        f"""
+    w0 AS MATERIALIZED (
+        SELECT w,
+               chr(1) || substr(w, 1, 1) || chr(1) ||
+               CASE WHEN len(w) > 1
+                    THEN regexp_replace(substr(w, 2), '(.)',
+                         chr(1) || '##\\1' || chr(1), 'g')
+                    ELSE '' END AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({TH.sql_tokens('text')}) AS w FROM {table})
+        WHERE len(w) >= 1
+        GROUP BY w
+    )"""
+    ]
+    prev = "w0"
+    for k in range(1, num_merges + 1):
+        p, sc, m, w = f"p{k}", f"s{k}", f"m{k}", f"w{k}"
+        stages.append(
+            f"""
+    {p} AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(syms) - 1),
+                       i -> {{'l': trim(syms[i], chr(1)),
+                             'r': trim(syms[i + 1], chr(1))}})) AS p,
+                   cnt
+            FROM (SELECT string_split(s, chr(1) || chr(1)) AS syms, cnt
+                  FROM {prev})
+            WHERE len(syms) >= 2
+        )
+        GROUP BY p.l, p.r
+    ),
+    {sc} AS MATERIALIZED (
+        SELECT sym, CAST(sum(cnt) AS BIGINT) AS sn
+        FROM (
+            SELECT unnest(list_transform(
+                       string_split(s, chr(1) || chr(1)),
+                       x -> trim(x, chr(1)))) AS sym, cnt
+            FROM {prev}
+        )
+        GROUP BY sym
+    ),
+    {m} AS MATERIALIZED (
+        SELECT l, r, n,
+               CAST(n AS DOUBLE) /
+                   (CAST(ln.sn AS DOUBLE) * CAST(rn.sn AS DOUBLE)) AS score,
+               chr(1) || l || chr(1) || chr(1) || r || chr(1) AS pat,
+               chr(1) || l ||
+                   CASE WHEN starts_with(r, '##') THEN substr(r, 3)
+                        ELSE r END || chr(1) AS rep
+        FROM {p}
+        JOIN {sc} ln ON ln.sym = l
+        JOIN {sc} rn ON rn.sym = r
+        WHERE n >= {min_pair_count}
+        ORDER BY score DESC, n DESC, l ASC, r ASC LIMIT 1
+    ),
+    {w} AS MATERIALIZED (
+        SELECT w,
+               CASE WHEN (SELECT pat FROM {m}) IS NULL THEN s
+                    ELSE replace(s, (SELECT pat FROM {m}),
+                                 (SELECT rep FROM {m}))
+               END AS s, cnt
+        FROM {prev}
+    )"""
+        )
+        prev = w
+    union = "\n        UNION ALL ".join(
+        f'SELECT {k} AS merge_rank, l AS "left", r AS "right",'
+        f" score, n AS pair_count FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
 def greedy_encode(
     w: str, vset: frozenset, max_len: int, unk: str = "[UNK]"
 ) -> list[str]:

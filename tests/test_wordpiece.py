@@ -101,3 +101,24 @@ def test_roundtrip_on_corpus(docs):
         ).alias("r"),
     )
     assert recon.filter(F.col("w") != F.col("r")).count() == 0
+
+
+def test_duckdb_oracle_parity(docs):
+    """The register-ready DuckDB oracle replays training identically:
+    same merges, same order, same pair counts, same double scores —
+    the q81-BPE parity contract run in pytest until a driver face slot
+    opens."""
+    import duckdb
+
+    got = WP.wordpiece_train(docs, num_merges=6)["merges"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.execute(WP.wordpiece_oracle_sql(6)).fetchall()
+    assert [(r[1], r[2], r[4]) for r in rows] == [
+        (l, r, n) for l, r, _, n in got
+    ]
+    for (_, _, _, sql_score, _), (_, _, py_score, _) in zip(rows, got):
+        assert sql_score == pytest.approx(py_score, rel=1e-12)
