@@ -70,3 +70,19 @@ def test_all_null_band_reports_none(spark, wh):
     got = wh.metadata_stats("t")
     assert got["rows"] == 2
     assert got["cols"]["v"] == {"min": None, "max": None}
+
+
+def test_versioned_snapshots_answer_per_version(spark, wh):
+    """Each immutable snapshot carries its own zone map, so stats
+    answer per retained version — time travel at zero data I/O."""
+    df = _orders(spark)
+    v1 = wh.overwrite_versioned(
+        df, "v", cluster_by=["o_orderkey"], stat_cols=["o_orderkey"]
+    )
+    half = df.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = wh.overwrite_versioned(
+        half, "v", cluster_by=["o_orderkey"], stat_cols=["o_orderkey"]
+    )
+    assert wh.metadata_stats("v", version=v1)["rows"] == df.count()
+    assert wh.metadata_stats("v", version=v2)["rows"] == half.count()
+    assert wh.metadata_stats("v")["rows"] == half.count()  # current
