@@ -3428,6 +3428,18 @@ def q131_zone_merge_prune(spark, sf_dir):
         )
     if wh.zonemap("customer_z") is None:
         raise AssertionError("merge dropped the zone map: next merge won't prune")
+    # r16 fold-into-faces guard: the committed state must answer
+    # count(*) from the manifest ALONE (metadata_stats — zero data I/O)
+    # and agree with the scan the face returns; a drifting manifest
+    # would silently mis-prune the NEXT merge, so attest it here where
+    # the driver hash-checks the surrounding state every window.
+    ms = wh.metadata_stats("customer_z")
+    n_actual = wh.read(spark, "customer_z").count()
+    if ms is None or ms["rows"] != n_actual:
+        raise AssertionError(
+            f"metadata_stats disagrees with the committed state: "
+            f"{ms} vs {n_actual} rows"
+        )
     return wh.read(spark, "customer_z")
 
 
