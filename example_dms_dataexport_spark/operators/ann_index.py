@@ -37,7 +37,7 @@ from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from ..partitioning import spread
-from .pq import _norm, _probe_luts, adc_score, assign_udf, pq_train
+from .pq import _norm, adc_score, assign_udf, pq_train
 from .simsearch import EMBED_DIM, as_double, cosine, norm
 
 ANN_META_KEY = "ann_index"
