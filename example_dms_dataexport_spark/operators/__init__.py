@@ -11,6 +11,8 @@ ann_index      warehouse-managed IVF-PQ index: coarse lists as hive
                partitions (static pruning), codebooks in atomic meta
 wordpiece      WordPiece trainer (likelihood-ratio merges, ## pieces)
                + greedy longest-match encoder — the BERT tokenizer
+corpus_pipeline  spec-driven stage composition over the library:
+               strict up-front validation, one lazy DAG, audit mode
 multimodal     opaque binary media columns + Arrow-batched decode stubs
 asof           point-in-time join (union + running-last, one shuffle)
 rangejoin      interval containment join (bucketed equi-join, no NLJ)

@@ -1,0 +1,214 @@
+"""Spec-driven corpus pipeline runner — the one-call composition
+surface over the cleaning/dedup/decontam/sampling operator library.
+
+q38/q73 hard-code the canonical chains; real pipelines vary the stages
+and their thresholds per corpus. ``run_corpus_pipeline`` takes a plain
+list-of-dicts spec (JSON-able except where a stage genuinely needs a
+DataFrame or trained model), validates it STRICTLY up front — every
+stage name and every parameter key is checked before any Spark work,
+so a typo'd threshold fails in milliseconds, not after an hour of
+cluster time — and folds the stages into ONE lazy DataFrame: no
+materialization between stages, so Catalyst plans the whole pipeline
+as a single DAG exactly like the hand-written q38 (stages that
+iterate, e.g. near-dup clustering, materialize internally by
+construction).
+
+``report=True`` additionally counts rows after each stage — N extra
+actions, the audit mode for pipeline development; production runs
+leave it off and stay one-action lazy.
+
+Stage catalogue (params beyond these refuse):
+
+    {"op": "quality",       "min_quality": 0.5}
+    {"op": "quality_lang",  "min_quality": 0.5, "lang": "en"}
+    {"op": "model_quality", "classifier": <train_quality_classifier()>,
+                            "min_prob": 0.5}            # threshold cut
+    {"op": "model_quality", "classifier": ...,
+                            "pareto_alpha": 9.0, "salt": 0}  # GPT-3 cut
+    {"op": "exact_dedup"}
+    {"op": "near_dedup",    "method": "minhash", "threshold": 0.5}
+    {"op": "near_dedup",    "method": "simhash", "max_hamming": 8}
+    {"op": "near_dedup",    "method": "ngram", "n": 3,
+                            "threshold": 0.4}
+    {"op": "decontam",      "ref": <DataFrame>, "n": 3, "max_shared": 0}
+    {"op": "sample",        "rate": 0.5}
+    {"op": "repetition",    "dup_max_pct": 20, "top_max_pct": 6}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup, decontam, quality_model, sampling, text_analysis
+
+
+def _stage_quality(df, p, ctx):
+    return text_analysis.quality_filter(
+        df, text_col=ctx["text_col"], min_quality=p.get("min_quality", 0.5)
+    )
+
+
+def _stage_quality_lang(df, p, ctx):
+    return text_analysis.quality_lang_gate(
+        df,
+        text_col=ctx["text_col"],
+        min_quality=p.get("min_quality", 0.5),
+        lang=p.get("lang", "en"),
+    )
+
+
+def _stage_model_quality(df, p, ctx):
+    if "classifier" not in p:
+        raise ValueError(
+            "model_quality needs 'classifier' (train_quality_classifier())"
+        )
+    if ("min_prob" in p) == ("pareto_alpha" in p):
+        raise ValueError(
+            "model_quality takes exactly one of 'min_prob' (threshold "
+            "cut) or 'pareto_alpha' (reproducible stochastic cut)"
+        )
+    scored = quality_model.score_quality(
+        df, p["classifier"], id_col=ctx["id_col"], text_col=ctx["text_col"]
+    )
+    if "min_prob" in p:
+        keep = scored.filter(F.col("quality_prob") >= p["min_prob"])
+    else:
+        keep = quality_model.pareto_keep(
+            scored,
+            alpha=p["pareto_alpha"],
+            id_col=ctx["id_col"],
+            salt=p.get("salt", 0),
+        )
+    return df.join(keep.select(ctx["id_col"]), ctx["id_col"], "left_semi")
+
+
+def _stage_exact_dedup(df, p, ctx):
+    return dedup.exact_dedup(df, id_col=ctx["id_col"], text_col=ctx["text_col"])
+
+
+def _stage_near_dedup(df, p, ctx):
+    method = p.get("method", "minhash")
+    idc, txt = ctx["id_col"], ctx["text_col"]
+    if method == "minhash":
+        pairs = dedup.minhash_dedup_pairs(
+            df, id_col=idc, text_col=txt, threshold=p.get("threshold", 0.5)
+        )
+    elif method == "simhash":
+        pairs = dedup.simhash_pairs(
+            dedup.simhash(df, id_col=idc, text_col=txt),
+            id_col=idc,
+            max_hamming=p.get("max_hamming", 8),
+        )
+    elif method == "ngram":
+        pairs = dedup.ngram_jaccard_pairs(
+            df,
+            id_col=idc,
+            text_col=txt,
+            n=p.get("n", 3),
+            threshold=p.get("threshold", 0.4),
+        )
+    else:
+        raise ValueError(f"near_dedup method {method!r} not in minhash/simhash/ngram")
+    return dedup.cluster_survivors(df, pairs, id_col=idc)
+
+
+def _stage_decontam(df, p, ctx):
+    if "ref" not in p or not isinstance(p["ref"], DataFrame):
+        raise ValueError("decontam needs 'ref': the held-out DataFrame")
+    return decontam.decontaminate(
+        df,
+        p["ref"],
+        id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+        n=p.get("n", 3),
+        max_shared=p.get("max_shared", 0),
+    )
+
+
+def _stage_sample(df, p, ctx):
+    if "rate" not in p:
+        raise ValueError("sample needs 'rate'")
+    return sampling.hash_sample(df, key_col=ctx["id_col"], rate=p["rate"])
+
+
+def _stage_repetition(df, p, ctx):
+    # repetition_stats keys on doc_id by contract; align the ctx id
+    src = df if ctx["id_col"] == "doc_id" else df.withColumnRenamed(
+        ctx["id_col"], "doc_id"
+    )
+    stats = text_analysis.repetition_stats(
+        src,
+        text_col=ctx["text_col"],
+        dup_max_pct=p.get("dup_max_pct", text_analysis.REP_DUP_MAX_PCT),
+        top_max_pct=p.get("top_max_pct", text_analysis.REP_TOP_MAX_PCT),
+    )
+    bad = stats.filter(~F.col("keep")).select(
+        F.col("doc_id").alias(ctx["id_col"])
+    )
+    return df.join(bad, ctx["id_col"], "left_anti")
+
+
+_STAGES = {
+    "quality": (_stage_quality, {"min_quality"}),
+    "quality_lang": (_stage_quality_lang, {"min_quality", "lang"}),
+    "model_quality": (
+        _stage_model_quality,
+        {"classifier", "min_prob", "pareto_alpha", "salt"},
+    ),
+    "exact_dedup": (_stage_exact_dedup, set()),
+    "near_dedup": (
+        _stage_near_dedup,
+        {"method", "threshold", "max_hamming", "n"},
+    ),
+    "decontam": (_stage_decontam, {"ref", "n", "max_shared"}),
+    "sample": (_stage_sample, {"rate"}),
+    "repetition": (_stage_repetition, {"dup_max_pct", "top_max_pct"}),
+}
+
+
+def validate_spec(stages: list[dict]) -> None:
+    """Strict up-front validation: unknown stage names and unknown
+    parameter keys refuse BEFORE any Spark work."""
+    if not isinstance(stages, list) or not stages:
+        raise ValueError("spec must be a non-empty list of stage dicts")
+    for i, st in enumerate(stages):
+        if not isinstance(st, dict) or "op" not in st:
+            raise ValueError(f"stage {i} must be a dict with an 'op' key")
+        op = st["op"]
+        if op not in _STAGES:
+            raise ValueError(
+                f"stage {i}: unknown op {op!r} (known: {sorted(_STAGES)})"
+            )
+        allowed = _STAGES[op][1]
+        extra = set(st) - allowed - {"op"}
+        if extra:
+            raise ValueError(
+                f"stage {i} ({op}): unknown params {sorted(extra)} "
+                f"(allowed: {sorted(allowed)})"
+            )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    stages: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    report: bool = False,
+):
+    """Fold ``stages`` over ``docs``; returns the resulting (lazy)
+    DataFrame, or ``(df, report_rows)`` with per-stage in/out counts
+    when ``report=True``."""
+    validate_spec(stages)
+    ctx = {"id_col": id_col, "text_col": text_col}
+    df = docs
+    rows = []
+    for st in stages:
+        fn = _STAGES[st["op"]][0]
+        n_in = df.count() if report else None
+        df = fn(df, st, ctx)
+        if report:
+            n_out = df.count()
+            rows.append({"op": st["op"], "rows_in": n_in, "rows_out": n_out})
+    return (df, rows) if report else df

@@ -1,0 +1,118 @@
+"""Spec-driven corpus pipeline runner (operators/corpus_pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_dms_dataexport_spark.operators import corpus_pipeline as CP
+from example_dms_dataexport_spark.operators import dedup, text_analysis
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_equals_the_handwritten_q38_chain(spark, docs):
+    """The spec restatement of q38's stages keeps exactly the ids the
+    hand-written composition keeps."""
+    spec = [
+        {"op": "quality_lang", "min_quality": 0.5, "lang": "en"},
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "method": "minhash", "threshold": 0.5},
+    ]
+    got = {
+        r["doc_id"]
+        for r in CP.run_corpus_pipeline(spark, docs, spec).collect()
+    }
+    kept = dedup.exact_dedup(
+        text_analysis.quality_lang_gate(docs).select("doc_id", "text", "quality")
+    )
+    pairs = dedup.minhash_dedup_pairs(kept, threshold=0.5)
+    want = {
+        r["doc_id"] for r in dedup.cluster_survivors(kept, pairs).collect()
+    }
+    assert got == want
+
+
+def test_report_counts_are_monotone_filters(spark, docs):
+    spec = [
+        {"op": "quality", "min_quality": 0.4},
+        {"op": "repetition"},
+        {"op": "exact_dedup"},
+        {"op": "sample", "rate": 0.5},
+    ]
+    out, rep = CP.run_corpus_pipeline(spark, docs, spec, report=True)
+    assert [r["op"] for r in rep] == [s["op"] for s in spec]
+    n = docs.count()
+    for r in rep:
+        assert r["rows_in"] >= r["rows_out"] >= 0  # every stage filters
+        assert r["rows_in"] <= n
+        n = r["rows_out"]
+    assert out.count() == rep[-1]["rows_out"]
+
+
+def test_decontam_and_model_quality_stages(spark, docs):
+    from example_dms_dataexport_spark.operators import quality_model as QM
+
+    ref = docs.filter(F.col("doc_id") % 97 == 0)
+    gib = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(F.split("text", " "), F.reverse), " "
+        ).alias("text"),
+    )
+    clf = QM.train_quality_classifier(docs, gib)
+    spec = [
+        {"op": "decontam", "ref": ref, "n": 3, "max_shared": 0},
+        {"op": "model_quality", "classifier": clf, "min_prob": 0.5},
+    ]
+    out = CP.run_corpus_pipeline(
+        spark, docs.unionByName(gib), spec
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids  # real docs survive
+    assert not {i for i in ids if i >= 1_000_000}  # gibberish filtered
+    assert not ids & {r["doc_id"] for r in ref.collect()}  # ref-overlap gone
+
+
+def test_strict_validation_fails_fast(spark, docs):
+    with pytest.raises(ValueError, match="unknown op"):
+        CP.validate_spec([{"op": "nope"}])
+    with pytest.raises(ValueError, match="unknown params"):
+        CP.validate_spec([{"op": "quality", "min_qual": 0.5}])
+    with pytest.raises(ValueError, match="non-empty list"):
+        CP.validate_spec([])
+    with pytest.raises(ValueError, match="exactly one of"):
+        CP.run_corpus_pipeline(
+            spark, docs, [{"op": "model_quality", "classifier": {}}]
+        )
+    with pytest.raises(ValueError, match="needs 'ref'"):
+        CP.run_corpus_pipeline(spark, docs, [{"op": "decontam"}])
+    with pytest.raises(ValueError, match="not in minhash"):
+        CP.run_corpus_pipeline(
+            spark, docs, [{"op": "near_dedup", "method": "magic"}]
+        )
+
+
+def test_lazy_by_default(spark, docs):
+    """Without report, composing stages triggers no Spark job (the spec
+    folds into one lazy plan like the hand-written chain)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    CP.run_corpus_pipeline(
+        spark,
+        docs,
+        [
+            {"op": "quality", "min_quality": 0.5},
+            {"op": "exact_dedup"},
+            {"op": "sample", "rate": 0.5},
+        ],
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
