@@ -212,3 +212,44 @@ def run_corpus_pipeline(
             n_out = df.count()
             rows.append({"op": st["op"], "rows_in": n_in, "rows_out": n_out})
     return (df, rows) if report else df
+
+
+def export_corpus(df: DataFrame, export: dict, id_col: str = "doc_id") -> dict:
+    """Hand the pipeline result to a training loader in one call;
+    returns the sink's manifest. Formats (each atomic-commit +
+    manifest, see the sink modules):
+
+        {"format": "jsonl",      "out_dir": ..., "max_records_per_file": ...}
+        {"format": "webdataset", "out_dir": ..., "columns": {...},
+                                 "n_shards": ...}
+        {"format": "shards",     "warehouse": <ParquetWarehouse>,
+                                 "table": ..., "max_records_per_file": ...,
+                                 "shuffle_by": [...]}
+    """
+    fmt = export.get("format")
+    if fmt == "jsonl":
+        from ..sources.jsonl import write_jsonl_shards
+
+        kw = {
+            k: export[k]
+            for k in ("max_records_per_file",)
+            if k in export
+        }
+        return write_jsonl_shards(df, export["out_dir"], **kw)
+    if fmt == "webdataset":
+        from ..sources.webdataset import write_webdataset
+
+        kw = {k: export[k] for k in ("n_shards",) if k in export}
+        return write_webdataset(
+            df, export["out_dir"], export["columns"], key_col=id_col, **kw
+        )
+    if fmt == "shards":
+        kw = {
+            k: export[k]
+            for k in ("max_records_per_file", "shuffle_by", "n_tasks")
+            if k in export
+        }
+        return export["warehouse"].write_shards(df, export["table"], **kw)
+    raise ValueError(
+        f"export format {fmt!r} not in jsonl/webdataset/shards"
+    )

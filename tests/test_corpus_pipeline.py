@@ -116,3 +116,33 @@ def test_lazy_by_default(spark, docs):
     )
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_export_hand_off(spark, docs, tmp_path):
+    """Pipeline result -> each sink in one call, manifests returned."""
+    out = CP.run_corpus_pipeline(
+        spark, docs, [{"op": "quality", "min_quality": 0.5}]
+    )
+    m1 = CP.export_corpus(
+        out, {"format": "jsonl", "out_dir": str(tmp_path / "jl")}
+    )
+    assert m1["total_rows"] == out.count()
+    m2 = CP.export_corpus(
+        out,
+        {
+            "format": "webdataset",
+            "out_dir": str(tmp_path / "wd"),
+            "columns": {"text": "txt"},
+            "n_shards": 2,
+        },
+    )
+    assert m2["total_samples"] == out.count()
+    from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    m3 = CP.export_corpus(
+        out, {"format": "shards", "warehouse": wh, "table": "corp"}
+    )
+    assert m3["total_rows"] == out.count()
+    with pytest.raises(ValueError, match="export format"):
+        CP.export_corpus(out, {"format": "nope"})
