@@ -37,8 +37,16 @@ from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from ..partitioning import spread
-from .pq import _norm, adc_score, assign_udf, pq_train
-from .simsearch import EMBED_DIM, as_double, cosine, norm
+from .pq import (
+    PQ_TRAIN_SAMPLE_CAP,
+    _collect_sample,
+    _cosine,
+    _lloyd_from_sample,
+    _norm,
+    adc_score,
+    assign_udf,
+)
+from .simsearch import EMBED_DIM, as_double
 
 ANN_META_KEY = "ann_index"
 
@@ -90,13 +98,19 @@ def build_ann_index(
     partitioned by list_id; rebuilding is one more ``overwrite`` — the
     swap replaces data and descriptor atomically.
     """
-    kw = {"sample_cap": sample_cap} if sample_cap is not None else {}
-    coarse = pq_train(
-        vectors, vec_col=vec_col, m=1, k=n_lists, iters=iters, dim=dim, **kw
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    # ONE corpus scan + sample collect trains BOTH codebooks (they use
+    # the identical deterministic sample; scanning twice doubled the
+    # most expensive phase of the build)
+    x = _collect_sample(
+        vectors,
+        vec_col,
+        dim,
+        sample_cap if sample_cap is not None else PQ_TRAIN_SAMPLE_CAP,
     )
-    book = pq_train(
-        vectors, vec_col=vec_col, m=m, k=k, iters=iters, dim=dim, **kw
-    )
+    coarse = _lloyd_from_sample(x, 1, n_lists, iters, dim)
+    book = _lloyd_from_sample(x, m, k, iters, dim)
     desc = {
         "n_lists": n_lists,
         "coarse": coarse,
@@ -161,8 +175,15 @@ def extend_ann_index(
             )
         stats = new_tbl.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("nd"),
             F.collect_set("list_id").alias("lists"),
         ).first()
+        if stats["nd"] != stats["n"]:
+            raise ValueError(
+                f"new batch repeats {stats['n'] - stats['nd']} vec_id(s) "
+                "— the index holds each id exactly once; dedup the batch "
+                "first"
+            )
         touched = sorted(stats["lists"])
         cur = (
             wh.read(spark, name)
@@ -233,8 +254,11 @@ def ann_query(
     nearest = _nearest_lists_udf(coarse, nprobe)
     lut = _lut_udf(book)
     # one projection computes BOTH probe-side relations (visited lists
-    # + ADC lookup table) — no join of two derivations of the probe scan
-    pl = (
+    # + ADC lookup table), and ONE collect materializes it: the probe
+    # relation is broadcast-sized by design, so `visited` and the
+    # broadcast side both come from the same collected pass instead of
+    # re-running the probe scan + numpy udf twice
+    pl_df = (
         probes.select(F.col(id_col).alias("probe_id"), v.alias("_v"))
         .filter(F.size("_v") == dim)
         .withColumn("pnorm", _norm(F.col("_v"), dim))
@@ -246,15 +270,12 @@ def ann_query(
             "pnorm",
         )
     )
+    pl_rows = pl_df.collect()
+    pl = spark.createDataFrame(pl_rows, pl_df.schema)
     probe_rel = pl.select(
         "probe_id", F.explode("lists").alias("list_id"), "lut", "pnorm"
     )
-    visited = sorted(
-        r["list_id"]
-        for r in pl.select(F.explode("lists").alias("list_id"))
-        .distinct()
-        .collect()
-    )
+    visited = sorted({l for r in pl_rows for l in r["lists"]})
     codes = wh.read(spark, name).filter(F.col("list_id").isin(visited))
     scored = (
         codes.join(F.broadcast(probe_rel), "list_id")
@@ -274,10 +295,9 @@ def ann_query(
         .filter(F.col("rank") <= n_short)
         .select("probe_id", "vec_id")
     )
-    v = as_double(vec_col)
     vecs = rerank_with.select(
-        F.col(id_col).alias("_rid"), v.alias("_rv")
-    ).filter(norm(F.col("_rv")) > 0)
+        F.col(id_col).alias("_rid"), as_double(vec_col).alias("_rv")
+    ).filter(_norm(F.col("_rv"), dim) > 0)
     exact = (
         cand.join(
             vecs.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("_cv")),
@@ -292,7 +312,9 @@ def ann_query(
             "probe_id",
         )
         .select(
-            "probe_id", "vec_id", cosine(F.col("_cv"), F.col("_pv")).alias("score")
+            "probe_id",
+            "vec_id",
+            _cosine(F.col("_cv"), F.col("_pv"), dim).alias("score"),
         )
     )
     return (

@@ -134,6 +134,12 @@ def _stage_sample(df, p, ctx):
 
 def _stage_repetition(df, p, ctx):
     # repetition_stats keys on doc_id by contract; align the ctx id
+    if ctx["id_col"] != "doc_id" and "doc_id" in df.columns:
+        raise ValueError(
+            "repetition stage: the frame already has a 'doc_id' column "
+            f"alongside id_col {ctx['id_col']!r} — renaming would be "
+            "ambiguous; drop or rename one of them"
+        )
     src = df if ctx["id_col"] == "doc_id" else df.withColumnRenamed(
         ctx["id_col"], "doc_id"
     )
@@ -168,8 +174,10 @@ _STAGES = {
 
 
 def validate_spec(stages: list[dict]) -> None:
-    """Strict up-front validation: unknown stage names and unknown
-    parameter keys refuse BEFORE any Spark work."""
+    """Strict up-front validation: unknown stage names, unknown
+    parameter keys, AND missing/contradictory required parameters all
+    refuse BEFORE any Spark work — in report mode a stage-time error
+    would surface only after earlier stages' count jobs ran."""
     if not isinstance(stages, list) or not stages:
         raise ValueError("spec must be a non-empty list of stage dicts")
     for i, st in enumerate(stages):
@@ -187,6 +195,34 @@ def validate_spec(stages: list[dict]) -> None:
                 f"stage {i} ({op}): unknown params {sorted(extra)} "
                 f"(allowed: {sorted(allowed)})"
             )
+        if op == "decontam":
+            if "ref" not in st or not isinstance(st["ref"], DataFrame):
+                raise ValueError(
+                    f"stage {i}: decontam needs 'ref': the held-out "
+                    "DataFrame"
+                )
+        elif op == "sample":
+            if "rate" not in st:
+                raise ValueError(f"stage {i}: sample needs 'rate'")
+        elif op == "model_quality":
+            if "classifier" not in st:
+                raise ValueError(
+                    f"stage {i}: model_quality needs 'classifier' "
+                    "(train_quality_classifier())"
+                )
+            if ("min_prob" in st) == ("pareto_alpha" in st):
+                raise ValueError(
+                    f"stage {i}: model_quality takes exactly one of "
+                    "'min_prob' (threshold cut) or 'pareto_alpha' "
+                    "(reproducible stochastic cut)"
+                )
+        elif op == "near_dedup":
+            method = st.get("method", "minhash")
+            if method not in ("minhash", "simhash", "ngram"):
+                raise ValueError(
+                    f"stage {i}: near_dedup method {method!r} not in "
+                    "minhash/simhash/ngram"
+                )
 
 
 def run_corpus_pipeline(
@@ -227,29 +263,57 @@ def export_corpus(df: DataFrame, export: dict, id_col: str = "doc_id") -> dict:
                                  "shuffle_by": [...]}
     """
     fmt = export.get("format")
+    allowed = {
+        "jsonl": {
+            "out_dir",
+            "max_records_per_file",
+            "shuffle_by",
+            "n_tasks",
+            "compression",
+        },
+        "webdataset": {"out_dir", "columns", "n_shards"},
+        "shards": {
+            "warehouse",
+            "table",
+            "max_records_per_file",
+            "shuffle_by",
+            "n_tasks",
+        },
+    }
+    if fmt not in allowed:
+        raise ValueError(
+            f"export format {fmt!r} not in jsonl/webdataset/shards"
+        )
+    extra = set(export) - allowed[fmt] - {"format"}
+    if extra:
+        # same fail-fast discipline as validate_spec: a silently
+        # dropped key (a typo, or shuffle_by on the wrong format)
+        # would export the WRONG corpus without an error
+        raise ValueError(
+            f"export ({fmt}): unknown params {sorted(extra)} "
+            f"(allowed: {sorted(allowed[fmt])})"
+        )
+    required = {
+        "jsonl": {"out_dir"},
+        "webdataset": {"out_dir", "columns"},
+        "shards": {"warehouse", "table"},
+    }[fmt]
+    missing = required - set(export)
+    if missing:
+        raise ValueError(f"export ({fmt}): missing params {sorted(missing)}")
+    kw = {
+        k: export[k] for k in export if k not in ("format", "out_dir",
+                                                  "columns", "warehouse",
+                                                  "table")
+    }
     if fmt == "jsonl":
         from ..sources.jsonl import write_jsonl_shards
 
-        kw = {
-            k: export[k]
-            for k in ("max_records_per_file",)
-            if k in export
-        }
         return write_jsonl_shards(df, export["out_dir"], **kw)
     if fmt == "webdataset":
         from ..sources.webdataset import write_webdataset
 
-        kw = {k: export[k] for k in ("n_shards",) if k in export}
         return write_webdataset(
             df, export["out_dir"], export["columns"], key_col=id_col, **kw
         )
-    if fmt == "shards":
-        kw = {
-            k: export[k]
-            for k in ("max_records_per_file", "shuffle_by", "n_tasks")
-            if k in export
-        }
-        return export["warehouse"].write_shards(df, export["table"], **kw)
-    raise ValueError(
-        f"export format {fmt!r} not in jsonl/webdataset/shards"
-    )
+    return export["warehouse"].write_shards(df, export["table"], **kw)

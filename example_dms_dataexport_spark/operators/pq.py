@@ -66,6 +66,16 @@ def _norm(c, dim: int):
     return norm(c) if dim == EMBED_DIM else F.sqrt(dot_any(c, c))
 
 
+def _cosine(a, b, dim: int):
+    """Dim-aware cosine: the unrolled 64-wide kernel at the native
+    width, the interpreted fold otherwise — the rerank path must follow
+    the codebook's dim, not assume the table default (a fixed-width
+    kernel silently NULLs short vectors / truncates long ones)."""
+    if dim == EMBED_DIM:
+        return cosine(a, b)
+    return dot_any(a, b) / (F.sqrt(dot_any(a, a)) * F.sqrt(dot_any(b, b)))
+
+
 def _subspaces(x: np.ndarray, m: int) -> np.ndarray:
     """(n, dim) -> (n, m, dim//m) float64 view."""
     n, dim = x.shape
@@ -95,6 +105,16 @@ def pq_train(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    x = _collect_sample(df, vec_col, dim, sample_cap)
+    return _lloyd_from_sample(x, m, k, iters, dim)
+
+
+def _collect_sample(
+    df: DataFrame, vec_col: str, dim: int, sample_cap: int
+) -> "np.ndarray":
+    """The deterministic hash-ordered training sample as one (n, dim)
+    float64 array — factored out so composite trainers (the IVF-PQ
+    index builds TWO codebooks) scan and collect the corpus ONCE."""
     v = as_double(vec_col)
     rows = (
         df.select(v.alias("_v"))
@@ -108,9 +128,16 @@ def pq_train(
         .select("_v")
         .collect()
     )
-    if len(rows) < k:
-        raise ValueError(f"need at least k={k} sample vectors, got {len(rows)}")
-    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
+def _lloyd_from_sample(
+    x: "np.ndarray", m: int, k: int, iters: int, dim: int
+) -> dict:
+    """Deterministic numpy Lloyd's over a collected sample (the second
+    half of ``pq_train``; see its docstring for the contract)."""
+    if len(x) < k:
+        raise ValueError(f"need at least k={k} sample vectors, got {len(x)}")
     xs = _subspaces(x, m)  # (n, m, sub)
     # init: first k sample subvectors per subspace, in hash order
     cent = np.array([xs[:k, j, :] for j in range(m)])  # (m, k, sub)
@@ -293,10 +320,11 @@ def pq_search(
         .filter(F.col("rank") <= n_short)
         .select("probe_id", "vec_id")
     )
+    dim = int(codebook["dim"])
     v = as_double(vec_col)
     vecs = rerank_with.select(
         F.col(id_col).alias("_rid"), v.alias("_rv")
-    ).filter(norm(F.col("_rv")) > 0)
+    ).filter(_norm(F.col("_rv"), dim) > 0)
     pv = vecs.select(
         F.col("_rid").alias("probe_id"), F.col("_rv").alias("_pv")
     )
@@ -307,7 +335,7 @@ def pq_search(
         .select(
             "probe_id",
             "vec_id",
-            cosine(F.col("_cv"), F.col("_pv")).alias("score"),
+            _cosine(F.col("_cv"), F.col("_pv"), dim).alias("score"),
         )
     )
     return (

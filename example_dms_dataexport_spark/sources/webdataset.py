@@ -149,10 +149,18 @@ def write_webdataset(
             ]
         )
 
-    rows = (
-        staged.mapInPandas(_write, "shard string, samples long, bytes long")
-        .collect()
-    )
+    try:
+        rows = (
+            staged.mapInPandas(_write, "shard string, samples long, bytes long")
+            .collect()
+        )
+    except Exception:
+        # a failed export (duplicate key, task error) must not leave a
+        # corpus-sized orphan staging dir next to the destination
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shards = sorted(
         ({"file": r["shard"], "samples": r["samples"], "bytes": r["bytes"]}
          for r in rows),

@@ -146,3 +146,52 @@ def test_export_hand_off(spark, docs, tmp_path):
     assert m3["total_rows"] == out.count()
     with pytest.raises(ValueError, match="export format"):
         CP.export_corpus(out, {"format": "nope"})
+
+
+def test_required_params_fail_before_any_spark_work(spark, docs):
+    """The r16 review finding: missing required params must refuse at
+    validate time, not after earlier stages' count jobs ran."""
+    for spec, msg in [
+        ([{"op": "quality"}, {"op": "decontam"}], "needs 'ref'"),
+        ([{"op": "sample"}], "needs 'rate'"),
+        ([{"op": "model_quality"}], "needs 'classifier'"),
+        (
+            [{"op": "model_quality", "classifier": {}, "min_prob": 0.5,
+              "pareto_alpha": 9.0}],
+            "exactly one of",
+        ),
+        ([{"op": "near_dedup", "method": "magic"}], "not in minhash"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            CP.validate_spec(spec)
+
+
+def test_export_refuses_unknown_and_missing_params(spark, docs, tmp_path):
+    out = docs.limit(5)
+    with pytest.raises(ValueError, match="unknown params"):
+        CP.export_corpus(
+            out, {"format": "jsonl", "out_dir": str(tmp_path), "max_records": 5}
+        )
+    with pytest.raises(ValueError, match="missing params"):
+        CP.export_corpus(out, {"format": "webdataset", "out_dir": str(tmp_path)})
+    # a sink-supported key now actually reaches the sink
+    m = CP.export_corpus(
+        out,
+        {
+            "format": "jsonl",
+            "out_dir": str(tmp_path / "j2"),
+            "shuffle_by": ["doc_id"],
+            "max_records_per_file": 2,
+        },
+    )
+    assert m["total_rows"] == 5
+
+
+def test_repetition_refuses_ambiguous_doc_id(spark, docs):
+    df = docs.withColumnRenamed("doc_id", "id").withColumn(
+        "doc_id", F.lit(0)
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        CP.run_corpus_pipeline(
+            spark, df, [{"op": "repetition"}], id_col="id"
+        )

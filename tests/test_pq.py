@@ -208,3 +208,29 @@ def test_search_plan_broadcasts_probes(codes, emb, book, spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rerank_respects_non_default_dim(spark):
+    """The rerank path must follow the codebook's dim: with 8-dim
+    vectors the fixed 64-wide kernel would NULL every norm and return
+    an empty result (the r16 review finding)."""
+    import math
+
+    rows = [(i, [float((i * 7 + j * 3) % 10 - 5) for j in range(8)]) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = pq.pq_train(df, m=2, k=4, iters=4, dim=8, sample_cap=100)
+    codes = pq.pq_encode(df, book)
+    probes = df.filter(F.col("vec_id") % 10 == 0)
+    out = pq.pq_search(
+        codes, probes, book, k=3, shortlist=40, rerank_with=df
+    ).collect()
+    assert out  # non-empty: norms computed at dim=8
+    # spot-check one exact cosine against numpy
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    r0 = out[0]
+    a, b = vecs[r0["probe_id"]], vecs[r0["vec_id"]]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isfinite(r0["score"])
+    assert r0["score"] == pytest.approx(want, rel=1e-9)

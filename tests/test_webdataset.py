@@ -173,3 +173,14 @@ def test_multimodal_pnm_survives_the_tar_round_trip(spark, tmp_path_factory):
         for r in multimodal.decode_pnm(back).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_failed_export_cleans_its_staging_dir(spark, samples, tmp_path):
+    out = str(tmp_path / "x")
+    with pytest.raises(Exception, match="duplicate sample key"):
+        WDS.write_webdataset(
+            samples.unionByName(samples.limit(1)), out, COLS
+        )
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert leftovers == []
+    assert not os.path.exists(out)
