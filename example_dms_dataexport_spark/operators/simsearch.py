@@ -371,3 +371,94 @@ def knn_quantized(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "score", "rank")
     )
+
+
+# --- binary (1-bit) signatures ----------------------------------------------
+
+
+def dim_means(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension corpus means (one 1-row aggregate) — the centering
+    vector that makes sign bits informative: raw sign bits of a
+    non-centered dimension are constant and carry zero ranking signal."""
+    v = as_double(vec_col)
+    row = df.select(v.alias("_v")).filter(
+        F.size("_v") == EMBED_DIM
+    ).agg(
+        *[
+            F.avg(F.element_at("_v", i + 1)).alias(f"m{i}")
+            for i in range(EMBED_DIM)
+        ]
+    ).first()
+    return [float(row[f"m{i}"]) for i in range(EMBED_DIM)]
+
+
+def binary_signature(
+    vec: Column, means: list[float] | None = None, dim: int = EMBED_DIM
+) -> Column:
+    """Pack the vector's centered sign bits into ONE BIGINT — the
+    extreme end of the compression ladder (float64 2,048 bits -> int8
+    512 -> PQ ~64 -> THIS, 64 bits/vector): bit i set iff
+    ``v[i] > means[i]``. Unrolled bitwise-OR of 64 conditional
+    shiftlefts — whole-stage codegen, no udf; bit 63 wraps to the long
+    sign bit, which is fine (signatures are bit patterns, compared only
+    by XOR/popcount)."""
+    if means is None:
+        means = [0.0] * dim
+    acc = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc.bitwiseOR(
+            F.when(
+                F.element_at(vec, i + 1) > F.lit(float(means[i])),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return acc
+
+
+def binary_signatures(
+    df: DataFrame,
+    means: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig bigint): the 64-bit signature relation — 8 bytes per
+    vector is what a 100 TB pre-ranking sweep actually scans."""
+    v = as_double(vec_col)
+    return df.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v")
+    ).filter(F.size("_v") == EMBED_DIM).select(
+        "vec_id", binary_signature(F.col("_v"), means).alias("sig")
+    )
+
+
+def knn_hamming(
+    corpus_sigs: DataFrame,
+    probe_sigs: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by Hamming distance over 64-bit signatures: one
+    ``bit_count(XOR)`` per candidate — the cheapest possible scoring
+    kernel (two long ops inside codegen), the same broadcast-probes +
+    window-top-k plan shape as every knn_* here. Output
+    (probe_id, vec_id, hamming, rank); ties break on vec_id so ranking
+    is total. The standard use is PRE-RANKING: shortlist by Hamming,
+    exact-rerank the shortlist (compose with pq_search's rerank or
+    cosine_topk)."""
+    p = probe_sigs.select(
+        F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
+    )
+    scored = corpus_sigs.crossJoin(F.broadcast(p)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("psig"))).alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "hamming", "rank")
+    )
