@@ -253,3 +253,17 @@ def test_non_default_dim_index_end_to_end(spark, tmp_path_factory):
         )
         for rank in (1, 2, 3):
             assert got[(pid, rank)] == scored[rank - 1][1]
+
+
+def test_query_with_no_valid_probes_returns_empty(spark, wh, desc, emb):
+    none = emb.filter(F.col("vec_id") < 0)
+    out = AI.ann_query(wh, spark, "emb_idx", none, k=3, nprobe=2)
+    assert out.count() == 0
+    assert out.columns == ["probe_id", "vec_id", "score", "rank"]
+
+
+def test_extend_with_empty_batch_is_a_noop(spark, wh, desc, emb):
+    res = AI.extend_ann_index(
+        wh, spark, emb.filter(F.col("vec_id") < 0), "emb_idx"
+    )
+    assert res == {"added": 0, "touched_lists": []}

@@ -184,3 +184,11 @@ def test_failed_export_cleans_its_staging_dir(spark, samples, tmp_path):
     leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
     assert leftovers == []
     assert not os.path.exists(out)
+
+
+def test_empty_corpus_exports_manifest_only(spark, tmp_path):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "empty")
+    m = WDS.write_webdataset(df, out, {"text": "txt"}, n_shards=2)
+    assert m["total_samples"] == 0 and m["n_shards"] == 0
+    assert os.listdir(out) == [WDS.WDS_MANIFEST]
