@@ -33,6 +33,14 @@ Stage catalogue (params beyond these refuse):
     {"op": "decontam",      "ref": <DataFrame>, "n": 3, "max_shared": 0}
     {"op": "sample",        "rate": 0.5}
     {"op": "repetition",    "dup_max_pct": 20, "top_max_pct": 6}
+
+Terminal (grain-changing) stages — the training-ingestion tail. They
+change the row grain from documents to chunks, so doc-grain filters
+cannot follow them; the validator enforces the order (``chunk`` may
+only be followed by ``pack``, ``pack`` must follow ``chunk``):
+
+    {"op": "chunk", "chunk_size": 64, "overlap": 0}
+    {"op": "pack",  "budget": 256, "n_shards": 8}
 """
 
 from __future__ import annotations
@@ -155,6 +163,29 @@ def _stage_repetition(df, p, ctx):
     return df.join(bad, ctx["id_col"], "left_anti")
 
 
+def _stage_chunk(df, p, ctx):
+    return text_analysis.chunk_tokens(
+        df,
+        id_col=ctx["id_col"],
+        text_col=ctx["text_col"],
+        chunk_size=p.get("chunk_size", 64),
+        overlap=p.get("overlap", 0),
+    )
+
+
+def _stage_pack(df, p, ctx):
+    return text_analysis.pack_chunks(
+        df,
+        budget=p.get("budget", 256),
+        n_shards=p.get("n_shards", 8),
+        id_col=ctx["id_col"],
+    )
+
+
+# stages that change the row grain (documents -> chunks -> packed
+# chunks); the validator pins them to the spec's TAIL in this order
+_TERMINAL_ORDER = ["chunk", "pack"]
+
 _STAGES = {
     "quality": (_stage_quality, {"min_quality"}),
     "quality_lang": (_stage_quality_lang, {"min_quality", "lang"}),
@@ -170,6 +201,8 @@ _STAGES = {
     "decontam": (_stage_decontam, {"ref", "n", "max_shared"}),
     "sample": (_stage_sample, {"rate"}),
     "repetition": (_stage_repetition, {"dup_max_pct", "top_max_pct"}),
+    "chunk": (_stage_chunk, {"chunk_size", "overlap"}),
+    "pack": (_stage_pack, {"budget", "n_shards"}),
 }
 
 
@@ -223,6 +256,24 @@ def validate_spec(stages: list[dict]) -> None:
                     f"stage {i}: near_dedup method {method!r} not in "
                     "minhash/simhash/ngram"
                 )
+    # grain-changing stages must form the spec's TAIL, in chunk->pack
+    # order: a doc-grain filter after `chunk` would run on chunk rows
+    # (wrong columns, wrong semantics), and `pack` consumes exactly
+    # chunk_tokens' output
+    ops = [st["op"] for st in stages]
+    terminal_idx = [i for i, o in enumerate(ops) if o in _TERMINAL_ORDER]
+    if terminal_idx:
+        tail = ops[terminal_idx[0]:]
+        if any(o not in _TERMINAL_ORDER for o in tail):
+            raise ValueError(
+                "grain-changing stages (chunk/pack) must be the spec's "
+                f"tail — found doc-grain stages after {tail[0]!r}"
+            )
+        if tail != _TERMINAL_ORDER[: len(tail)]:
+            raise ValueError(
+                f"terminal stages must run in order {_TERMINAL_ORDER} "
+                f"(pack consumes chunk's output); got {tail}"
+            )
 
 
 def run_corpus_pipeline(

@@ -195,3 +195,35 @@ def test_repetition_refuses_ambiguous_doc_id(spark, docs):
         CP.run_corpus_pipeline(
             spark, df, [{"op": "repetition"}], id_col="id"
         )
+
+
+def test_terminal_chunk_pack_tail(spark, docs):
+    """The full training tail: filters -> chunk -> pack, one spec; the
+    packed output equals the hand-composed chain."""
+    spec = [
+        {"op": "quality", "min_quality": 0.5},
+        {"op": "chunk", "chunk_size": 32, "overlap": 4},
+        {"op": "pack", "budget": 128, "n_shards": 4},
+    ]
+    got = CP.run_corpus_pipeline(spark, docs, spec)
+    kept = text_analysis.quality_filter(docs, min_quality=0.5)
+    want = text_analysis.pack_chunks(
+        text_analysis.chunk_tokens(kept, chunk_size=32, overlap=4),
+        budget=128,
+        n_shards=4,
+    )
+    key = ["doc_id", "chunk_id"]
+    a = {tuple(r) for r in got.select(*key, "shard", "pack_id", "pack_pos").collect()}
+    b = {tuple(r) for r in want.select(*key, "shard", "pack_id", "pack_pos").collect()}
+    assert a == b and a
+
+
+def test_terminal_order_enforced(spark, docs):
+    with pytest.raises(ValueError, match="must be the spec's tail"):
+        CP.validate_spec(
+            [{"op": "chunk"}, {"op": "sample", "rate": 0.5}]
+        )
+    with pytest.raises(ValueError, match="must run in order"):
+        CP.validate_spec([{"op": "pack"}])
+    with pytest.raises(ValueError, match="must run in order"):
+        CP.validate_spec([{"op": "pack"}, {"op": "chunk"}])
