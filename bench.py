@@ -84,7 +84,11 @@ HEADLINE = [
     "q110_time_travel_diff",
     "q111_cluster_canonical",
     "q112_kll_quantile_accuracy",
-    "q114_bucketed_join_revenue",
+    # q114: benched below as the q114_bucketed_join_revenue /
+    # q114g_bloom_gdpr sentinel PAIR (r17 split) — the r16 fixture fold
+    # buried the zero-exchange-join signal under ~4 s of bloom manifest
+    # + GDPR materialize; the registered face still composes both for
+    # the driver's correctness row.
     "q115_hybrid_retrieval",
     "q116_source_kl_divergence",
     # round 8 ops/compliance faces (registered after the r8 bench froze)
@@ -395,6 +399,26 @@ def main() -> None:
     med, best = timed(lambda: run_jpeg(True))
     times["q134s_jpeg_color_sampled"] = round(med, 3)
     times_min["q134s_jpeg_color_sampled"] = round(best, 3)
+    total += med
+
+    # q114 sentinel pair (r17 split, r16 verdict What's wrong #2): the
+    # zero-exchange bucketed join and the bloom-manifest GDPR
+    # materialize timed SEPARATELY. q114_bucketed_join_revenue keeps
+    # its pre-r16 meaning (bucketed write + catalog read-back + merge
+    # join, ~1 s) so a join-plan regression is visible again; the
+    # erasure fold's cost moves to q114g_bloom_gdpr.
+    from example_dms_dataexport_spark.queries_relational import (
+        q114_bench_join,
+        q114g_bench_gdpr,
+    )
+
+    med, best = timed(lambda: materialize(q114_bench_join(spark, sf_dir)))
+    times["q114_bucketed_join_revenue"] = round(med, 3)
+    times_min["q114_bucketed_join_revenue"] = round(best, 3)
+    total += med
+    med, best = timed(lambda: materialize(q114g_bench_gdpr(spark, sf_dir)))
+    times["q114g_bloom_gdpr"] = round(med, 3)
+    times_min["q114g_bloom_gdpr"] = round(best, 3)
     total += med
 
     # Managed IVF-PQ index end-to-end (train coarse+PQ codebooks, encode,

@@ -3217,3 +3217,36 @@ def q149_mixture_temperature(spark, sf_dir):
         f"pfix * {_MIX_SCALE} div psum AS share_ppm",
         f"pfix * {_MIX_SCALE} div psum * toksum div n_tokens AS boost_ppm",
     )
+
+
+def _q150_oracle():
+    from .operators.wordpiece import wordpiece_oracle_sql
+
+    return wordpiece_oracle_sql(num_merges=6, min_pair_count=2)
+
+
+@query("q150_wordpiece_merges", _q150_oracle())
+def q150_wordpiece_merges(spark, sf_dir):
+    """WordPiece tokenizer training over the corpus (ref: the tokenizer
+    surface q81/q106 cover for BPE; WordPiece is the BERT-family variant,
+    Schuster & Nakajima 2012, public). Same corpus-fold-to-word-relation
+    shape as q81 — every iteration touches only the vocabulary-sized
+    word-frequency relation — but the argmax ranks by the likelihood
+    ratio n/(ln*rn) instead of raw pair count, so the symbol-count
+    relation joins the pair relation (two extra vocab-sized joins per
+    merge, still no corpus re-scan). The score column is a double whose
+    operation order (exact integer product cast to double, one IEEE
+    division) is matched in the DuckDB oracle, so the driver hash
+    compares bit-identical values."""
+    from .operators.wordpiece import wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents")
+    res = wordpiece_train(docs, num_merges=6, min_pair_count=2)
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, float(s), int(n))
+            for i, (l, r, s, n) in enumerate(res["merges"])
+        ],
+        "merge_rank INT, left STRING, right STRING, "
+        "score DOUBLE, pair_count BIGINT",
+    )

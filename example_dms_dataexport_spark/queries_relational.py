@@ -2498,6 +2498,91 @@ _Q114_ORACLE = """
 """
 
 
+def _q114_write_orders(spark, sf_dir, wh, bloom: bool) -> str:
+    """Land orders hash-bucketed on o_custkey (8 buckets, sorted);
+    optionally with a bloom manifest on o_orderkey — a column the
+    bucket layout does NOT cluster. Returns the table tag."""
+    import re as _re
+
+    tag = _re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    kw = {"bloom_cols": ["o_orderkey"]} if bloom else {}
+    wh.write_bucketed(
+        orders, f"orders_bkt_{tag}", ["o_custkey"], 8,
+        sort_by=["o_custkey"], **kw,
+    )
+    return tag
+
+
+def _q114_write_customer(spark, sf_dir, wh, tag: str) -> None:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wh.write_bucketed(
+        cust, f"customer_bkt_{tag}", ["c_custkey"], 8, sort_by=["c_custkey"]
+    )
+
+
+def _q114_gdpr(spark, sf_dir, wh, tag: str) -> None:
+    """Two-key GDPR delete (min/max orderkey) materialized through the
+    bloom manifest's file cover. Guards pin the discovery at FILE grain
+    (fewer files rewritten than the table holds) and the bucket layout
+    surviving the rewrite."""
+    orders = _t(spark, sf_dir, "orders")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    n_files = len(wh.bloom(f"orders_bkt_{tag}")["files"])
+    wh.delete_keys(spark, f"orders_bkt_{tag}", "o_orderkey", [lo, hi])
+    res = wh.materialize_deletes(spark, f"orders_bkt_{tag}")
+    if not 0 < res["files_replaced"] < n_files:
+        raise AssertionError(
+            "non-bucket-key erasure must be bloom-FILE-grain, not a "
+            f"whole-table rewrite: {res} over {n_files} files"
+        )
+    if wh.bucket_spec(f"orders_bkt_{tag}") is None:
+        raise AssertionError("materialization dropped the bucket layout")
+
+
+def _q114_join(spark, wh, tag: str):
+    o = wh.read_bucketed(spark, f"orders_bkt_{tag}")
+    c = wh.read_bucketed(spark, f"customer_bkt_{tag}")
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q114_bench_join(spark, sf_dir):
+    """Bench sentinel: the co-located bucketed join ALONE — bucketed
+    write + catalog read-back + zero-exchange merge join, nothing else.
+    The r16 fixture fold buried this signal under ~4 s of bloom-manifest
+    build + GDPR materialize (r16 verdict, What's wrong #2); bench.py
+    times this and q114g_bench_gdpr separately so a join-plan
+    regression can't hide inside erasure noise. Matches the pre-r16
+    q114 bench face, keeping the cross-round series comparable."""
+    from .sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(_scratch_root("q114j", sf_dir))
+    tag = _q114_write_orders(spark, sf_dir, wh, bloom=False)
+    _q114_write_customer(spark, sf_dir, wh, tag)
+    return _q114_join(spark, wh, tag)
+
+
+def q114g_bench_gdpr(spark, sf_dir):
+    """Bench sentinel: the r16 erasure fold alone — bloom-manifest
+    bucketed write + two-key FILE-grain GDPR materialize, returning the
+    erased orders table for the bench hash-reduce. Tracks the bloom
+    discovery + rewrite path's cost separately from the join."""
+    from .sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(_scratch_root("q114g", sf_dir))
+    tag = _q114_write_orders(spark, sf_dir, wh, bloom=True)
+    _q114_gdpr(spark, sf_dir, wh, tag)
+    return wh.read_bucketed(spark, f"orders_bkt_{tag}")
+
+
 @query("q114_bucketed_join_revenue", _Q114_ORACLE)
 def q114_bucketed_join_revenue(spark, sf_dir):
     """The co-located bucketed join's oracle face (SURVEY S16's layout
@@ -2513,51 +2598,21 @@ def q114_bucketed_join_revenue(spark, sf_dir):
     catalog round-trip lose nothing.
 
     r16 fixture extension (the verdict's fold-into-faces pattern): the
-    orders side carries a BLOOM manifest on o_orderkey — a column the
-    bucket layout does NOT cluster — and a two-key GDPR delete
-    (min/max orderkey) materializes through the manifest's file cover
-    before the join. Guards pin the discovery at FILE grain (fewer
-    files rewritten than the table holds) and the layout surviving the
-    rewrite; the oracle subtracts the same two keys, so the hash match
-    proves bloom-pruned erasure changes WHAT the table says exactly as
-    much as the full scan would."""
-    import re as _re
-
+    orders side carries a BLOOM manifest on o_orderkey and a two-key
+    GDPR delete (min/max orderkey) materializes through the manifest's
+    file cover before the join (_q114_gdpr's guards). The oracle
+    subtracts the same two keys, so the hash match proves bloom-pruned
+    erasure changes WHAT the table says exactly as much as the full
+    scan would. r17: bench.py times the two halves separately
+    (q114_bench_join / q114g_bench_gdpr); this face composes them for
+    the driver's correctness row."""
     from .sources.warehouse import ParquetWarehouse
 
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
     wh = ParquetWarehouse(_scratch_root("q114", sf_dir))
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    wh.write_bucketed(
-        orders, f"orders_bkt_{tag}", ["o_custkey"], 8, sort_by=["o_custkey"],
-        bloom_cols=["o_orderkey"],
-    )
-    wh.write_bucketed(
-        cust, f"customer_bkt_{tag}", ["c_custkey"], 8, sort_by=["c_custkey"]
-    )
-    lo, hi = orders.agg(
-        F.min("o_orderkey"), F.max("o_orderkey")
-    ).first()
-    n_files = len(wh.bloom(f"orders_bkt_{tag}")["files"])
-    wh.delete_keys(spark, f"orders_bkt_{tag}", "o_orderkey", [lo, hi])
-    res = wh.materialize_deletes(spark, f"orders_bkt_{tag}")
-    if not 0 < res["files_replaced"] < n_files:
-        raise AssertionError(
-            "non-bucket-key erasure must be bloom-FILE-grain, not a "
-            f"whole-table rewrite: {res} over {n_files} files"
-        )
-    if wh.bucket_spec(f"orders_bkt_{tag}") is None:
-        raise AssertionError("materialization dropped the bucket layout")
-    o = wh.read_bucketed(spark, f"orders_bkt_{tag}")
-    c = wh.read_bucketed(spark, f"customer_bkt_{tag}")
-    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
+    tag = _q114_write_orders(spark, sf_dir, wh, bloom=True)
+    _q114_write_customer(spark, sf_dir, wh, tag)
+    _q114_gdpr(spark, sf_dir, wh, tag)
+    return _q114_join(spark, wh, tag)
 
 
 _Q117_ORACLE = """

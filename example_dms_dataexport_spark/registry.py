@@ -14,6 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str | None] = {}
 
+# Faces written and oracle-verified locally but NOT yet registered with
+# the driver: the freshness floor (tools/check_freshness.py) requires
+# every *registered* new face to sit inside the 50-slot window, so in a
+# slot-starved round new work stages here and promotes to @query when a
+# rotation slot opens.  ``tools/check_oracle.py --staged`` exercises
+# these against DuckDB exactly like registered faces.
+STAGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
 
 def query(name: str, oracle: str | None):
     """Register a (spark, sf_dir) -> DataFrame callable with its DuckDB
@@ -27,69 +35,80 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+def staged_query(name: str, oracle: str | None):
+    """Like ``query`` but holds the face out of the driver window until a
+    rotation slot opens (promote by swapping the decorator to ``query``
+    and appending the name to PRIORITY)."""
+
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
 # The driver's correctness harness records only the FIRST 50 registered
 # queries each round (CORRECTNESS_r{N}.json is a 50-row window over
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 16 window: FORCED with ZERO spare slots — exactly the 50 faces
-# whose latest green driver row is r13 (the CORRECTNESS_r13.json keys;
-# the N-2 freshness floor makes every one of them mandatory this round,
-# per tools/check_freshness.py). No new face can register in r16; new
-# capability work this round is pytest-gated or folded into existing
-# faces' fixtures (the q114/q139 pattern). r17's rotation seed is the
-# r14 cohort (also exactly 50, zero spare again).
+# Round 17 window: 49 mandatory faces (the r14 cohort — every face whose
+# latest green driver row is r14, per tools/check_freshness.py) plus ONE
+# spare slot, spent on q150_wordpiece_merges: the first driver-oracle row
+# for the r16 tokenizer batch (operators/wordpiece.py). The remaining r16
+# capability faces stage in registry.STAGED (oracle-verified locally via
+# `tools/check_oracle.py --staged`) and promote when r18 slots open.
 PRIORITY = [
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q17_load_plan",
-    "q19_text_features",
-    "q20_corpus_profile",
-    "q23_minhash_signatures",
-    "q25_simhash",
-    "q34_sessionize",
-    "q39_asof_attribution",
-    "q42_event_gaps",
-    "q46_token_chunks",
-    "q47_line_dedup",
-    "q48_unigram_logprob",
-    "q50_pack_chunks",
-    "q51_duplicate_spans",
-    "q52_tfidf_top_terms",
-    "q55_bpe_pair_counts",
-    "q56_mixture_sample",
-    "q57_kmeans_assign",
-    "q58_embedding_decontam",
-    "q67_incremental_neardup",
-    "q70_knn_quantized",
-    "q71_distinct_sketch_rollup",
-    "q72_exact_stratified_sample",
-    "q73_corpus_build",
-    "q78_inverted_index",
-    "q82_semantic_dedup",
-    "q83_bm25_rank",
-    "q84_quality_percentile",
-    "q85_mixture_weights",
-    "q86_leakage_safe_split",
-    "q99_quantile_sketch_accuracy",
-    "q100_heavy_hitters",
-    "q101_token_budget_shards",
-    "q102_audio_decode",
-    "q103_cms_accuracy",
-    "q104_domain_cap",
-    "q105_global_shuffle_index",
-    "q106_bpe_encode",
-    "q107_embedding_moments",
-    "q131_zone_merge_prune",
-    "q132_jpeg_decode",
-    "q134_jpeg_color_decode",
+    "q08_customers_without_orders",
+    "q09_active_customers",
+    "q12_part_name_parsing",
+    "q13_file_prefix_grouping",
+    "q14_json_props",
+    "q15_orders_by_month",
+    "q49_incremental_rollup",
+    "q53_range_join_windows",
+    "q62_funnel_stages",
+    "q64_resample_ffill",
+    "q65_trailing_hour_avg",
+    "q68_quality_audit",
+    "q69_skew_report",
+    "q74_scd2_history",
+    "q75_scd2_point_in_time",
+    "q76_snapshot_diff",
+    "q79_event_debounce",
+    "q80_bloom_semi_join",
+    "q81_bpe_merges",
+    "q87_sketch_accuracy",
+    "q88_bigram_logprob",
+    "q89_retention_cohorts",
+    "q90_value_deciles",
+    "q91_event_path_patterns",
+    "q92_sketch_merge_accuracy",
+    "q93_rolling_active_users",
+    "q94_value_trend_regression",
+    "q95_source_token_entropy",
+    "q96_value_outliers",
+    "q97_weekly_value_wow",
+    "q98_cross_source_dup_matrix",
+    "q108_image_decode",
+    "q109_salted_join_revenue",
+    "q110_time_travel_diff",
+    "q111_cluster_canonical",
+    "q112_kll_quantile_accuracy",
+    "q113_jdbc_roundtrip",
+    "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
+    "q133_group_cycle_consistency",
+    "q135_stream_group_cycle",
+    "q136_bloom_point_lookup",
+    "q137_hybrid_merge_prune",
+    "q138_pps_sample",
+    "q139_bloom_partitioned_erase",
+    "q140_scan_scoped_merge",
+    "q141_recluster_merge_prune",
+    "q142_delete_vectors",
+    "q143_repetition_filter",
+    "q150_wordpiece_merges",
 ]
 
 

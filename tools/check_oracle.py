@@ -5,7 +5,12 @@ Runs every ``queries()`` entry at a scale factor and compares against
 order-insensitive value comparison (floats rounded to 6 significant
 decimals before comparing).  Usage:
 
-    python tools/check_oracle.py [--exact] [sf_dir] [query ...]
+    python tools/check_oracle.py [--exact] [--staged] [sf_dir] [query ...]
+
+``--staged`` also includes ``registry.STAGED`` faces (written and
+oracle-verified this round, but held out of the driver window until a
+rotation slot opens).  Unknown query-name filters are an error: a typo'd
+name must not let the gate report ALL OK having tested nothing.
 
 ``--exact`` compares dtype-faithful renderings with NO rounding — the
 local equivalent of the driver's value-hash strictness.  The default
@@ -106,18 +111,30 @@ def main():
     global _SAW_DECIMAL
     argv = sys.argv[1:]
     exact = "--exact" in argv
-    argv = [a for a in argv if a != "--exact"]
+    staged = "--staged" in argv
+    argv = [a for a in argv if a not in ("--exact", "--staged")]
     cell = norm_cell_exact if exact else norm_cell
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if staged:
+        from example_dms_dataexport_spark.registry import STAGED
+
+        for name, (fn, oracle) in STAGED.items():
+            qs[name] = fn
+            if oracle is not None:
+                oracles[name] = oracle
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL: unknown query name filter(s): {unknown}")
+        sys.exit(1)
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
