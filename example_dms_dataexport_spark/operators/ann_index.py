@@ -158,45 +158,54 @@ def extend_ann_index(
     try:
         if new_tbl.limit(1).count() == 0:
             return {"added": 0, "touched_lists": []}
-        # columnar id-only semi-join against the existing index (reads
-        # the vec_id column, not the codes)
-        dup = (
-            wh.read(spark, name)
-            .select("vec_id")
-            .join(new_tbl.select("vec_id"), "vec_id", "left_semi")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"ann index {name!r} already holds vec_id "
-                f"{dup[0]['vec_id']} — the index is append-only; rebuild "
-                "or materialize deletes before re-adding an id"
+        # The append-only dup check MUST observe the index under the
+        # same mutation fence that commits the append: checked outside
+        # it, two concurrent extends adding the same vec_id would both
+        # pass and both commit, silently violating the
+        # each-id-exactly-once invariant this error message promises.
+        with wh._write_fence(
+            name, lock_path=wh._mutation_lock_path(name)
+        ):
+            # columnar id-only semi-join against the existing index
+            # (reads the vec_id column, not the codes)
+            dup = (
+                wh.read(spark, name)
+                .select("vec_id")
+                .join(new_tbl.select("vec_id"), "vec_id", "left_semi")
+                .limit(1)
+                .collect()
             )
-        stats = new_tbl.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("vec_id").alias("nd"),
-            F.collect_set("list_id").alias("lists"),
-        ).first()
-        if stats["nd"] != stats["n"]:
-            raise ValueError(
-                f"new batch repeats {stats['n'] - stats['nd']} vec_id(s) "
-                "— the index holds each id exactly once; dedup the batch "
-                "first"
+            if dup:
+                raise ValueError(
+                    f"ann index {name!r} already holds vec_id "
+                    f"{dup[0]['vec_id']} — the index is append-only; "
+                    "rebuild or materialize deletes before re-adding "
+                    "an id"
+                )
+            stats = new_tbl.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("vec_id").alias("nd"),
+                F.collect_set("list_id").alias("lists"),
+            ).first()
+            if stats["nd"] != stats["n"]:
+                raise ValueError(
+                    f"new batch repeats {stats['n'] - stats['nd']} "
+                    "vec_id(s) — the index holds each id exactly once; "
+                    "dedup the batch first"
+                )
+            touched = sorted(stats["lists"])
+            cur = (
+                wh.read(spark, name)
+                .filter(F.col("list_id").isin(touched))
+                .select(*new_tbl.columns)
             )
-        touched = sorted(stats["lists"])
-        cur = (
-            wh.read(spark, name)
-            .filter(F.col("list_id").isin(touched))
-            .select(*new_tbl.columns)
-        )
-        merged = cur.unionByName(new_tbl).persist()
-        try:
-            wh.replace_partitions(
-                merged, name, ["list_id"], [(t,) for t in touched]
-            )
-        finally:
-            merged.unpersist()
+            merged = cur.unionByName(new_tbl).persist()
+            try:
+                wh._replace_partitions_unlocked(
+                    merged, name, ["list_id"], [(t,) for t in touched]
+                )
+            finally:
+                merged.unpersist()
         return {"added": stats["n"], "touched_lists": touched}
     finally:
         new_tbl.unpersist()

@@ -426,7 +426,13 @@ def binary_signatures(
     v = as_double(vec_col)
     return df.select(
         F.col(id_col).alias("vec_id"), v.alias("_v")
-    ).filter(F.size("_v") == EMBED_DIM).select(
+    ).filter(
+        # same admission rule as the other similarity tiers (pq_encode,
+        # knn_quantized, the cosine kernels): a zero-norm vector has no
+        # direction, so its centering-means-only signature would rank
+        # in Hamming shortlists that exact-cosine rerank then NULLs out
+        (F.size("_v") == EMBED_DIM) & (norm(F.col("_v")) > 0)
+    ).select(
         "vec_id", binary_signature(F.col("_v"), means).alias("sig")
     )
 

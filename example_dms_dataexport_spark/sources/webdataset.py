@@ -102,15 +102,26 @@ def write_webdataset(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(tmp, f"shard-{pid:06d}.tar")
+        # Each ATTEMPT streams to its own temp name and renames into
+        # place only on success: with speculative execution (or a
+        # zombie first attempt racing its retry) two attempts of the
+        # same partition would otherwise interleave writes into one
+        # torn tar that the atomic dir-commit then publishes. The
+        # rename loser simply overwrites the winner's byte-identical
+        # output (the sort makes shard contents deterministic).
+        part = os.path.join(
+            tmp, f".shard-{pid:06d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
         n = 0
         tf = None
         last_key = None
         try:
             for pdf in iterator:
                 if tf is None and len(pdf):
-                    tf = tarfile.open(path, "w")
+                    tf = tarfile.open(part, "w")
                 # positional tuples: itertuples renames leading-
                 # underscore columns, so (key, col...) unpack by index
                 for row in pdf.itertuples(index=False, name=None):
@@ -132,11 +143,22 @@ def write_webdataset(
                         ti.uname = ti.gname = ""
                         tf.addfile(ti, io.BytesIO(data))
                     n += 1
-        finally:
+        except BaseException:
+            if tf is not None:
+                tf.close()
+            # a failed/killed attempt must not leave its partial temp
+            # file to be swept into the committed dir
+            try:
+                os.remove(part)
+            except OSError:
+                pass
+            raise
+        else:
             if tf is not None:
                 tf.close()
         if n == 0:
             return iter(())
+        os.replace(part, path)
         return iter(
             [
                 pd.DataFrame(
@@ -230,6 +252,10 @@ def read_webdataset(
                     fileobj=io.BytesIO(row["content"])
                 ) as tf:
                     for ti in tf:
+                        # foreign tars may carry dirs/symlinks, for
+                        # which extractfile() returns None — skip them
+                        if not ti.isfile():
+                            continue
                         base, _, ext = ti.name.rpartition(".")
                         col = by_ext.get(ext)
                         if col is None:

@@ -267,3 +267,39 @@ def test_extend_with_empty_batch_is_a_noop(spark, wh, desc, emb):
         wh, spark, emb.filter(F.col("vec_id") < 0), "emb_idx"
     )
     assert res == {"added": 0, "touched_lists": []}
+
+
+def test_extend_runs_under_the_mutation_fence(spark, emb, tmp_path_factory):
+    """The append-only dup check and the partition replace hold ONE
+    mutation fence: a concurrent writer holding the table's lock makes
+    extend fail fast with ConcurrentWriteError instead of passing the
+    dup check against a mid-mutation index (two racing extends of the
+    same vec_id would otherwise both commit)."""
+    import os as _os
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ConcurrentWriteError,
+    )
+
+    whf = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_fence")))
+    AI.build_ann_index(
+        whf, emb.filter(F.col("vec_id") % 2 == 0), "idx",
+        n_lists=N_LISTS, m=8, k=32,
+    )
+    lock = whf._mutation_lock_path("idx")
+    # a LIVE same-host holder (our own pid): the stale-lock breaker
+    # must not bypass the fence
+    with open(lock, "w") as f:
+        f.write(f"pid={_os.getpid()} host={_os.uname().nodename}")
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            AI.extend_ann_index(
+                whf, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx"
+            )
+    finally:
+        _os.remove(lock)
+    # fence released -> the same extend commits
+    res = AI.extend_ann_index(
+        whf, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx"
+    )
+    assert res["added"] == emb.filter(F.col("vec_id") % 2 == 1).count()

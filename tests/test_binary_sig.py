@@ -95,3 +95,13 @@ def test_plan_is_pure_jvm(sigs, spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zero_norm_vectors_are_excluded(spark, means):
+    """Same admission rule as the other similarity tiers: a zero-norm
+    vector has no direction — its centering-means-only signature must
+    not enter Hamming shortlists that exact-cosine rerank NULLs out."""
+    rows = [(1, [0.0] * 64), (2, [0.0] * 63 + [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in SS.binary_signatures(df, means).collect()}
+    assert got == {2}

@@ -192,3 +192,38 @@ def test_empty_corpus_exports_manifest_only(spark, tmp_path):
     m = WDS.write_webdataset(df, out, {"text": "txt"}, n_shards=2)
     assert m["total_samples"] == 0 and m["n_shards"] == 0
     assert os.listdir(out) == [WDS.WDS_MANIFEST]
+
+
+def test_no_attempt_temp_files_survive_the_commit(exported):
+    """Each task attempt streams to a '.shard-*.attempt-*.tmp' name and
+    renames into place on success (speculative-execution / zombie-retry
+    guard); the committed dir must hold only final shards + manifest."""
+    out, _ = exported
+    stray = [
+        f
+        for f in os.listdir(out)
+        if not (f.startswith("shard-") or f == WDS.WDS_MANIFEST)
+    ]
+    assert stray == []
+
+
+def test_foreign_tar_directory_members_are_skipped(spark, tmp_path):
+    """tarfile.extractfile returns None for dirs/symlinks; a foreign
+    webdataset tar carrying a directory entry must be skipped, not
+    crash the untar task."""
+    import io
+
+    out = tmp_path / "foreign"
+    out.mkdir()
+    with tarfile.open(out / "shard-000000.tar", "w") as tf:
+        d = tarfile.TarInfo(name="subdir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        data = b"hello"
+        ti = tarfile.TarInfo(name="k1.txt")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    rows = WDS.read_webdataset(
+        spark, str(out), columns={"text": "txt"}
+    ).collect()
+    assert [(r["__key"], bytes(r["text"])) for r in rows] == [("k1", b"hello")]
