@@ -242,6 +242,7 @@ def ann_query(
     rerank_with: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    collect_probes: bool = True,
 ) -> DataFrame:
     """Top-k ANN against the committed index: (probe_id, vec_id, score,
     rank) — the ``knn_*``/``pq_search`` output contract.
@@ -250,9 +251,25 @@ def ann_query(
     becomes a static ``isin`` partition filter (planning-time pruning —
     unvisited partitions' files are never opened), and the per-probe
     equi-join on ``list_id`` restricts scoring to each probe's OWN
-    lists inside that union. The probe relation (lut + lists, both
-    tiny) broadcasts; with ``rerank_with`` the ADC pass shortlists and
-    exact cosine re-scores only the shortlist.
+    lists inside that union. With ``rerank_with`` the ADC pass
+    shortlists and exact cosine re-scores only the shortlist.
+
+    ``collect_probes`` picks how the probe relation materializes:
+
+    - ``True`` (point/batch queries): ONE collect brings the lists+LUT
+      relation to the driver — the broadcast side and the visited-list
+      union come from the same pass, and the whole probe side must be
+      broadcast-sized anyway.
+    - ``False`` (corpus-scale probes, e.g. routing semantic dedup
+      through the index): the probe relation stays DISTRIBUTED
+      (localCheckpoint computes the numpy udfs once); only the
+      visited-list UNION — bounded by ``n_lists``, not by probe count —
+      reaches the driver via ``collect_set(explode(lists))`` to become
+      the static partition filter. Note the scoring join still
+      broadcasts the probe relation (every probe meets only its own
+      lists' codes); at truly unbounded probe counts swap the broadcast
+      for a shuffle join on ``list_id`` — the plan shape downstream of
+      the filter is unchanged.
     """
     desc = wh.read_meta(name)[ANN_META_KEY]
     book, coarse = desc["book"], desc["coarse"]
@@ -263,10 +280,8 @@ def ann_query(
     nearest = _nearest_lists_udf(coarse, nprobe)
     lut = _lut_udf(book)
     # one projection computes BOTH probe-side relations (visited lists
-    # + ADC lookup table), and ONE collect materializes it: the probe
-    # relation is broadcast-sized by design, so `visited` and the
-    # broadcast side both come from the same collected pass instead of
-    # re-running the probe scan + numpy udf twice
+    # + ADC lookup table); one materialization (collect or checkpoint)
+    # keeps the probe scan + numpy udfs from running twice
     pl_df = (
         probes.select(F.col(id_col).alias("probe_id"), v.alias("_v"))
         .filter(F.size("_v") == dim)
@@ -279,12 +294,19 @@ def ann_query(
             "pnorm",
         )
     )
-    pl_rows = pl_df.collect()
-    pl = spark.createDataFrame(pl_rows, pl_df.schema)
+    if collect_probes:
+        pl_rows = pl_df.collect()
+        pl = spark.createDataFrame(pl_rows, pl_df.schema)
+        visited = sorted({l for r in pl_rows for l in r["lists"]})
+    else:
+        pl = pl_df.localCheckpoint()
+        agg = pl.select(F.explode("lists").alias("l")).agg(
+            F.collect_set("l").alias("ls")
+        ).first()
+        visited = sorted(agg["ls"] or [])
     probe_rel = pl.select(
         "probe_id", F.explode("lists").alias("list_id"), "lut", "pnorm"
     )
-    visited = sorted({l for r in pl_rows for l in r["lists"]})
     codes = wh.read(spark, name).filter(F.col("list_id").isin(visited))
     scored = (
         codes.join(F.broadcast(probe_rel), "list_id")
@@ -330,4 +352,89 @@ def ann_query(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "score", "rank")
+    )
+
+
+def index_dup_pairs(
+    wh,
+    spark: SparkSession,
+    name: str,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 20,
+    nprobe: int | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, score) near-duplicate candidate pairs THROUGH the
+    managed index — the corpus-scale composition that proves the index
+    serves the pipeline, not just point queries (SemDeDup's pair stage
+    routed via IVF-PQ instead of q31's LSH sign-buckets).
+
+    The whole corpus becomes the probe relation with
+    ``collect_probes=False`` — nothing corpus-sized touches the driver;
+    only the visited-list union (bounded by ``n_lists``) does. Each
+    probe ADC-scans just its ``nprobe`` lists, the shortlist reranks
+    with EXACT cosine against ``corpus``, and pairs above ``threshold``
+    survive. ``nprobe`` defaults to the index's ``n_lists`` (exhaustive
+    visit — exact recall, still partition-local scoring); lower it for
+    the at-scale recall/cost trade faiss makes.
+
+    ``k`` bounds pair fan-out per probe (a probe in a dup-cluster of
+    size > k misses pairs; transitive closure downstream usually
+    recovers them — SemDeDup needs components, not the full clique).
+    """
+    if nprobe is None:
+        nprobe = int(wh.read_meta(name)[ANN_META_KEY]["n_lists"])
+    res = ann_query(
+        wh,
+        spark,
+        name,
+        probes=corpus,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist if shortlist is not None else 4 * k,
+        rerank_with=corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        collect_probes=False,
+    )
+    return (
+        res.filter(F.col("score") >= threshold)
+        .filter(F.col("probe_id") < F.col("vec_id"))
+        .select(
+            F.col("probe_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            "score",
+        )
+    )
+
+
+def semantic_dedup_via_index(
+    wh,
+    spark: SparkSession,
+    name: str,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 20,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup survivors (q82's contract) with the pair stage served by
+    the managed IVF-PQ index: candidate pairs from ``index_dup_pairs``,
+    connected components + min-id survivor from ``cluster_survivors``.
+    With ``nprobe=None`` (exhaustive visit) and the planted-duplicate
+    fixture this is pinned result-identical to the LSH-blocked q82
+    path; at scale, ``nprobe < n_lists`` trades recall for an
+    ``nprobe/n_lists`` scan fraction."""
+    from .dedup import cluster_survivors
+
+    pairs = index_dup_pairs(
+        wh, spark, name, corpus, threshold=threshold, k=k,
+        nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+    )
+    return cluster_survivors(
+        corpus.select(id_col), pairs, id_col=id_col
     )

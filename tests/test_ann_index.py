@@ -303,3 +303,82 @@ def test_extend_runs_under_the_mutation_fence(spark, emb, tmp_path_factory):
         whf, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx"
     )
     assert res["added"] == emb.filter(F.col("vec_id") % 2 == 1).count()
+
+
+def test_distributed_probe_path_equals_collect_path(wh, spark, desc, probes, emb):
+    """collect_probes=False (corpus-scale probes: only the visited-list
+    union — bounded by n_lists — reaches the driver) returns EXACTLY the
+    collect path's results, with and without rerank."""
+    key = lambda r: (r["probe_id"], r["rank"])
+    for kw in (
+        {"k": 5, "nprobe": 2},
+        {"k": 5, "nprobe": N_LISTS, "shortlist": 20, "rerank_with": emb},
+    ):
+        a = AI.ann_query(
+            wh, spark, "emb_idx", probes, collect_probes=True, **kw
+        ).collect()
+        b = AI.ann_query(
+            wh, spark, "emb_idx", probes, collect_probes=False, **kw
+        ).collect()
+        assert [(r["probe_id"], r["vec_id"], r["score"]) for r in sorted(a, key=key)] == [
+            (r["probe_id"], r["vec_id"], r["score"]) for r in sorted(b, key=key)
+        ]
+
+
+def test_distributed_probe_partition_filter_reaches_the_scan(
+    wh, spark, desc, probes
+):
+    """The static isin partition filter must survive the no-collect
+    derivation (collect_set over exploded lists) — planning-time
+    pruning, not a post-scan filter."""
+    plan = (
+        AI.ann_query(
+            wh, spark, "emb_idx", probes, k=3, nprobe=1,
+            collect_probes=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [list_id" in plan.replace("\n", " ") or (
+        "list_id#" in plan and "PartitionFilters" in plan
+    )
+
+
+def test_semantic_dedup_via_index_matches_the_lsh_path(
+    spark, emb, tmp_path_factory
+):
+    """Corpus-scale composition: q82's SemDeDup survivors with the pair
+    stage routed THROUGH the index (whole corpus as distributed probes,
+    exhaustive nprobe, exact rerank) equals the LSH-blocked q82 path's
+    survivors on the planted-duplicate fixture — the index serves the
+    pipeline, not just point queries."""
+    from example_dms_dataexport_spark.operators import dedup, simsearch
+    from example_dms_dataexport_spark.queries_llm import (
+        _planted_embedding_corpus,
+    )
+
+    corpus = _planted_embedding_corpus(emb)
+    whx = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_sem")))
+    AI.build_ann_index(whx, corpus, "idx", n_lists=N_LISTS, m=8, k=32)
+
+    got = {
+        r["vec_id"]
+        for r in AI.semantic_dedup_via_index(
+            whx, spark, "idx", corpus, threshold=0.95, k=20
+        ).collect()
+    }
+    # reference: q82's LSH-blocked pair relation. With exhaustive
+    # nprobe + exact rerank the index path finds every pair the exact
+    # threshold admits (k fan-out permitting), so equality here also
+    # certifies the fixture's planted duplicates never straddle an LSH
+    # bucket (if they did, the index path would keep MORE pairs and
+    # this assert would catch the divergence loudly).
+    pairs = simsearch.embedding_dup_pairs(corpus, threshold=0.95)
+    want = {
+        r["vec_id"]
+        for r in dedup.cluster_survivors(
+            corpus.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert got == want
