@@ -25,7 +25,7 @@ from .operators import (
     simsearch,
     text_analysis,
 )
-from .registry import query
+from .registry import query, staged_query
 from .tables import load_table
 
 
@@ -3249,4 +3249,26 @@ def q150_wordpiece_merges(spark, sf_dir):
         ],
         "merge_rank INT, left STRING, right STRING, "
         "score DOUBLE, pair_count BIGINT",
+    )
+
+
+@staged_query("q151_pq_rerank_knn", _Q28_ORACLE)
+def q151_pq_rerank_knn(spark, sf_dir):
+    """PQ ANN with a FULL shortlist + exact rerank reproduces brute
+    force exactly (the r16 pq.py batch's first driver-oracle face,
+    staged for an r18 window slot): train the codebook, encode the
+    corpus to 32x-compressed codes, ADC-shortlist EVERY candidate, and
+    let the exact-cosine rerank decide — by construction this equals
+    q28's knn_brute, so the q28 oracle certifies the whole
+    train->encode->ADC->rerank path end to end (the same kernel the
+    pruned pq/IVF tiers share; their recall is pinned in pytest)."""
+    from .operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq.pq_train(emb, m=8, k=16)
+    codes = pq.pq_encode(emb, book)
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    return pq.pq_search(
+        codes, probes, book, k=5, shortlist=n, rerank_with=emb
     )

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import QUERIES, ORACLES, query  # noqa: F401  (re-exported)
+from .registry import QUERIES, ORACLES, query, staged_query  # noqa: F401
 from .tables import load_table
 
 
@@ -4829,3 +4829,49 @@ def q147_group_snapshot_mask(spark, sf_dir):
             "snapshot lost its carried mask after the live materialize"
         )
     return snap.select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+_Q152_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           min(o_orderpriority) AS min_priority,
+           max(o_orderpriority) AS max_priority
+    FROM orders
+"""
+
+
+@staged_query("q152_metadata_stats", _Q152_ORACLE)
+def q152_metadata_stats(spark, sf_dir):
+    """Metadata-only stats face (r16 warehouse batch, staged for an r18
+    slot): orders lands range-clustered with a zone-map manifest, and
+    count/min/max are answered from the MANIFEST ALONE — zero data I/O
+    (warehouse.metadata_stats, the Iceberg-metadata-table pattern). The
+    oracle recomputes the same aggregates by scanning, so the hash
+    match proves the manifest's exact-bounds invariant end to end."""
+    from .sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(_scratch_root("q152", sf_dir))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    wh.overwrite(
+        orders,
+        "o_stats",
+        cluster_by=["o_orderkey"],
+        stat_cols=["o_orderkey", "o_orderpriority"],
+    )
+    st = wh.metadata_stats("o_stats")
+    return spark.createDataFrame(
+        [
+            (
+                st["rows"],
+                st["cols"]["o_orderkey"]["min"],
+                st["cols"]["o_orderkey"]["max"],
+                st["cols"]["o_orderpriority"]["min"],
+                st["cols"]["o_orderpriority"]["max"],
+            )
+        ],
+        "n_rows BIGINT, min_key BIGINT, max_key BIGINT, "
+        "min_priority STRING, max_priority STRING",
+    )
