@@ -1,0 +1,92 @@
+"""Streaming ANN-index maintenance — the continuous-ingest twin of
+``operators.ann_index.extend_ann_index``.
+
+A corpus that ingests continuously cannot rebuild its ANN index per
+sync (re-train + re-encode is the O(corpus) cost the index exists to
+avoid); the at-scale shape is the one faiss uses — add to a trained
+index without retraining. Here each micro-batch of new vectors is
+encoded with the index's FROZEN codebooks and appended into its coarse
+list partitions: per-batch cost is proportional to the batch's touched
+lists, untouched partitions' files are never opened (same inode
+contract as the batch extend, pinned in tests/test_ann_stream.py).
+
+Exactly-once across foreachBatch retries: a replayed trigger batch
+re-delivers the same files, and the index's append-only refusal exists
+for USER error, not for replays — so the hook first drops ids the
+index already holds (a columnar id-only anti-join) and extends with
+the remainder. A full replay therefore extends with an empty batch,
+which is a no-op that touches no partition. Two concurrent writers are
+still excluded by the table's mutation fence inside
+``extend_ann_index`` (the stream is the single writer by contract, as
+with every warehouse table).
+
+MaintenancePolicy precedent: ``start_cdc_stream`` runs layout advice
+every N batches; the index needs no such pass — extends rewrite whole
+list partitions already, and the codebooks are frozen by design (drift
+is a REBUILD decision, measured by recall, not a layout pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from ..operators.ann_index import ANN_META_KEY, extend_ann_index
+
+
+def ann_ingest_schema(id_col: str = "vec_id", vec_col: str = "embedding") -> StructType:
+    """Landing-file schema for vector ingest: (id bigint, vec double[])."""
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+
+
+def start_ann_ingest_stream(
+    spark: SparkSession,
+    landing_glob: str,
+    warehouse,
+    index_name: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Feed parquet vector landing files into the managed IVF-PQ index,
+    one ``extend_ann_index`` per micro-batch. The index must already
+    exist (``build_ann_index`` — the stream never trains codebooks).
+    """
+    # fail fast at start, not inside batch 0: the descriptor must exist
+    warehouse.read_meta(index_name)[ANN_META_KEY]
+
+    stream = (
+        spark.readStream.schema(ann_ingest_schema(id_col, vec_col))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_glob)
+    )
+
+    def extend_batch(batch: DataFrame, batch_id: int) -> None:
+        # replay idempotence: drop already-indexed ids (columnar
+        # vec_id-only read) so a re-delivered batch is a clean no-op
+        indexed = warehouse.read(spark, index_name).select(
+            F.col("vec_id").alias(id_col)
+        )
+        fresh = batch.join(indexed, id_col, "left_anti")
+        extend_ann_index(
+            warehouse, spark, fresh, index_name,
+            vec_col=vec_col, id_col=id_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(extend_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -227,3 +227,70 @@ def test_terminal_order_enforced(spark, docs):
         CP.validate_spec([{"op": "pack"}])
     with pytest.raises(ValueError, match="must run in order"):
         CP.validate_spec([{"op": "pack"}, {"op": "chunk"}])
+
+
+def test_chunk_pack_webdataset_round_trip(spark, docs, tmp_path):
+    """E2E training tail: a spec ending chunk->pack feeds export_corpus
+    (format=webdataset) with text + json-meta + binary modality columns
+    per packed chunk, and read_webdataset reassembles every sample
+    BYTE-identically — the loader sees exactly what the pipeline
+    computed."""
+    from example_dms_dataexport_spark.sources import webdataset as WDS
+
+    head = [
+        {"op": "quality", "min_quality": 0.4},
+        {"op": "exact_dedup"},
+        {"op": "chunk", "chunk_size": 32, "overlap": 0},
+    ]
+    chunks = CP.run_corpus_pipeline(spark, docs, head)
+    packed = CP.run_corpus_pipeline(
+        spark, docs, head + [{"op": "pack", "budget": 128, "n_shards": 4}]
+    )
+    # pack_chunks emits the ASSIGNMENT relation (it deliberately drops
+    # chunk_text — a packed manifest is metadata, not a text copy), so
+    # the export joins it back to the chunk text on the chunk key.
+    # One sample per packed chunk: a composite key (chunk grain has
+    # many rows per doc_id), the chunk text, the pack assignment as
+    # json sidecar, and a binary modality stand-in
+    samples = packed.join(
+        chunks.select("doc_id", "chunk_id", "chunk_text"),
+        ["doc_id", "chunk_id"],
+    ).select(
+        F.format_string(
+            "%d-%04d", F.col("doc_id"), F.col("chunk_id")
+        ).alias("sample_id"),
+        F.col("chunk_text").alias("text"),
+        F.struct("shard", "pack_id", "pack_pos", "n_tokens").alias("meta"),
+        F.encode(F.reverse("chunk_text"), "utf-8").alias("blob"),
+    )
+    out = str(tmp_path / "wds")
+    manifest = CP.export_corpus(
+        samples,
+        {
+            "format": "webdataset",
+            "out_dir": out,
+            "columns": {"text": "txt", "meta": "json", "blob": "bin"},
+            "n_shards": 4,
+        },
+        id_col="sample_id",
+    )
+    assert manifest["total_samples"] == samples.count() > 0
+
+    back = WDS.read_webdataset(spark, out)
+    got = {
+        r["__key"]: (bytes(r["text"]), bytes(r["meta"]), bytes(r["blob"]))
+        for r in back.collect()
+    }
+    import json as _json
+
+    want = {
+        r["sample_id"]: (
+            r["text"].encode(),
+            _json.dumps(
+                r["meta"].asDict(), sort_keys=True, separators=(",", ":")
+            ).encode(),
+            bytes(r["blob"]),
+        )
+        for r in samples.collect()
+    }
+    assert got == want
