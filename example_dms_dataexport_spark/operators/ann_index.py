@@ -265,11 +265,11 @@ def ann_query(
       (localCheckpoint computes the numpy udfs once); only the
       visited-list UNION — bounded by ``n_lists``, not by probe count —
       reaches the driver via ``collect_set(explode(lists))`` to become
-      the static partition filter. Note the scoring join still
-      broadcasts the probe relation (every probe meets only its own
-      lists' codes); at truly unbounded probe counts swap the broadcast
-      for a shuffle join on ``list_id`` — the plan shape downstream of
-      the filter is unchanged.
+      the static partition filter. The scoring and rerank joins drop
+      their forced broadcasts on this path — plain equi-joins on
+      ``list_id``/``probe_id`` that AQE upgrades to broadcast only when
+      the probe side really is small, so unbounded probe counts never
+      route through the driver.
     """
     desc = wh.read_meta(name)[ANN_META_KEY]
     book, coarse = desc["book"], desc["coarse"]
@@ -308,8 +308,15 @@ def ann_query(
         "probe_id", F.explode("lists").alias("list_id"), "lut", "pnorm"
     )
     codes = wh.read(spark, name).filter(F.col("list_id").isin(visited))
+    # corpus-scale probes (collect_probes=False) must not force a
+    # probe-sized broadcast through the driver: the scoring join
+    # becomes a plain equi-join on list_id and AQE picks broadcast
+    # only if the probe side really is small. Point/batch queries keep
+    # the forced broadcast (the probe relation is broadcast-sized by
+    # that contract, and skipping the exchange matters at that grain).
+    probe_side = F.broadcast(probe_rel) if collect_probes else probe_rel
     scored = (
-        codes.join(F.broadcast(probe_rel), "list_id")
+        codes.join(probe_side, "list_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", adc_score(book).alias("score"))
     )
@@ -335,7 +342,9 @@ def ann_query(
             "vec_id",
         )
         .join(
-            F.broadcast(
+            # same rule as the scoring join: forced broadcast only for
+            # the broadcast-sized point/batch probe contract
+            (lambda p: F.broadcast(p) if collect_probes else p)(
                 vecs.select(
                     F.col("_rid").alias("probe_id"), F.col("_rv").alias("_pv")
                 )
