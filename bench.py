@@ -180,21 +180,52 @@ def main() -> None:
 
     calibrate()  # warm
 
-    def timed(fn) -> tuple[float, float]:
-        """(median, min) wall seconds over n_runs invocations."""
-        runs = []
+    # Interleaved per-query calibration (round 17, ADDITIVE — the
+    # headline stays sum-of-medians over the same runs): a SHORT fixed
+    # pure-CPU stanza (1/8th of the end-of-run calibration) runs right
+    # after each query invocation, so every query carries the ambient
+    # host speed MEASURED AT ITS OWN TIMESLOT. Cross-round, divide a
+    # query's delta by its calibration_interleaved ratio before calling
+    # it a plan change — the end-of-run calibration can miss a load
+    # spike that hit only part of the sweep (the r15/r16 "three closing
+    # runs" workaround this replaces).
+    def mini_calibrate() -> None:
+        (
+            spark.range(0, 25_000_000, 1, 32)
+            .select(F.xxhash64("id").cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+
+    mini_calibrate()  # warm the short stanza too
+    cal_inter: dict[str, float] = {}
+
+    def timed(fn, cal_key: str | None = None) -> tuple[float, float]:
+        """(median, min) wall seconds over n_runs invocations; with
+        ``cal_key``, a mini-calibration follows every invocation and
+        its median lands in ``cal_inter[cal_key]``."""
+        runs, cals = [], []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             fn()
             runs.append(time.perf_counter() - t0)
+            if cal_key is not None:
+                c0 = time.perf_counter()
+                mini_calibrate()
+                cals.append(time.perf_counter() - c0)
         runs.sort()
+        if cal_key is not None:
+            cals.sort()
+            cal_inter[cal_key] = round(cals[len(cals) // 2], 3)
         return runs[len(runs) // 2], runs[0]
 
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
     total = 0.0
     for name in names:
-        med, best = timed(lambda: materialize(QUERIES[name](spark, sf_dir)))
+        med, best = timed(
+            lambda: materialize(QUERIES[name](spark, sf_dir)), cal_key=name
+        )
         times[name] = round(med, 3)
         times_min[name] = round(best, 3)
         total += med
@@ -216,7 +247,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_stream)
+    med, best = timed(run_stream, cal_key="cdc_stream_e2e")
     times["cdc_stream_e2e"] = round(med, 3)
     times_min["cdc_stream_e2e"] = round(best, 3)
     total += med
@@ -243,7 +274,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_pcdc)
+    med, best = timed(run_pcdc, cal_key="q18p_partitioned_cdc")
     times["q18p_partitioned_cdc"] = round(med, 3)
     times_min["q18p_partitioned_cdc"] = round(best, 3)
     total += med
@@ -267,7 +298,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_zcdc)
+    med, best = timed(run_zcdc, cal_key="q18z_zone_cdc")
     times["q18z_zone_cdc"] = round(med, 3)
     times_min["q18z_zone_cdc"] = round(best, 3)
     total += med
@@ -293,7 +324,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_hcdc)
+    med, best = timed(run_hcdc, cal_key="q18h_hybrid_cdc")
     times["q18h_hybrid_cdc"] = round(med, 3)
     times_min["q18h_hybrid_cdc"] = round(best, 3)
     total += med
@@ -318,7 +349,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_scdc)
+    med, best = timed(run_scdc, cal_key="q18s_scan_cdc")
     times["q18s_scan_cdc"] = round(med, 3)
     times_min["q18s_scan_cdc"] = round(best, 3)
     total += med
@@ -343,7 +374,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_mor)
+    med, best = timed(run_mor, cal_key="q18d_mor_delete")
     times["q18d_mor_delete"] = round(med, 3)
     times_min["q18d_mor_delete"] = round(best, 3)
     total += med
@@ -369,7 +400,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_fold)
+    med, best = timed(run_fold, cal_key="q18f_fold_cdc")
     times["q18f_fold_cdc"] = round(med, 3)
     times_min["q18f_fold_cdc"] = round(best, 3)
     total += med
@@ -392,11 +423,11 @@ def main() -> None:
         )
         materialize(multimodal.decode_jpeg(fixture))
 
-    med, best = timed(lambda: run_jpeg(False))
+    med, best = timed(lambda: run_jpeg(False), cal_key="q132s_jpeg_decode_sampled")
     times["q132s_jpeg_decode_sampled"] = round(med, 3)
     times_min["q132s_jpeg_decode_sampled"] = round(best, 3)
     total += med
-    med, best = timed(lambda: run_jpeg(True))
+    med, best = timed(lambda: run_jpeg(True), cal_key="q134s_jpeg_color_sampled")
     times["q134s_jpeg_color_sampled"] = round(med, 3)
     times_min["q134s_jpeg_color_sampled"] = round(best, 3)
     total += med
@@ -412,11 +443,11 @@ def main() -> None:
         q114g_bench_gdpr,
     )
 
-    med, best = timed(lambda: materialize(q114_bench_join(spark, sf_dir)))
+    med, best = timed(lambda: materialize(q114_bench_join(spark, sf_dir)), cal_key="q114_bucketed_join_revenue")
     times["q114_bucketed_join_revenue"] = round(med, 3)
     times_min["q114_bucketed_join_revenue"] = round(best, 3)
     total += med
-    med, best = timed(lambda: materialize(q114g_bench_gdpr(spark, sf_dir)))
+    med, best = timed(lambda: materialize(q114g_bench_gdpr(spark, sf_dir)), cal_key="q114g_bloom_gdpr")
     times["q114g_bloom_gdpr"] = round(med, 3)
     times_min["q114g_bloom_gdpr"] = round(best, 3)
     total += med
@@ -448,7 +479,7 @@ def main() -> None:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    med, best = timed(run_ann)
+    med, best = timed(run_ann, cal_key="ann_ivfpq_build_query")
     times["ann_ivfpq_build_query"] = round(med, 3)
     times_min["ann_ivfpq_build_query"] = round(best, 3)
     total += med
@@ -482,6 +513,12 @@ def main() -> None:
         "fold_cdc": fold_info,
         "queries": times,
         "queries_min": times_min,
+        # per-query ambient-speed samples taken interleaved with the
+        # query's own runs (median of the short stanza; ~1/8th the
+        # end-of-run calibration workload). Divide a cross-round query
+        # delta by its interleaved-calibration ratio before reading it
+        # as a plan change.
+        "calibration_interleaved": cal_inter,
         "noise": {
             "max_median_over_min": round(spread, 3),
             "note": (
