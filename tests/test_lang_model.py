@@ -1,0 +1,125 @@
+"""Trainable char-n-gram language ID (operators/lang_model.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_dms_dataexport_spark.operators import lang_model as LM
+
+# Deterministic labeled fixture with genuinely distinct character
+# distributions (the sf testdata's `lang` column is synthetic metadata
+# uncorrelated with its text, so it can't certify accuracy — it still
+# exercises the distributed shape below).
+WORDS = {
+    "en": ("the quick brown fox jumps over lazy dogs with great "
+           "enthusiasm and remarkable speed through fields").split(),
+    "de": ("der schnelle braune fuchs springt ueber faule hunde mit "
+           "grosser begeisterung und bemerkenswerter geschwindigkeit").split(),
+    "fr": ("le renard brun rapide saute par dessus les chiens "
+           "paresseux avec beaucoup enthousiasme et vitesse").split(),
+}
+
+
+def _corpus(spark, docs_per_lang=40, words_per_doc=12, salt=0):
+    rows = []
+    doc_id = 0
+    for lang, words in sorted(WORDS.items()):
+        for d in range(docs_per_lang):
+            picks = [
+                words[(d * 7 + i * 3 + salt) % len(words)]
+                for i in range(words_per_doc)
+            ]
+            rows.append((doc_id, " ".join(picks), lang))
+            doc_id += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    return _corpus(spark)
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return LM.train_lang_model(labeled)
+
+
+def test_holdout_accuracy(spark, model):
+    """A disjoint draw from the same per-language word lists classifies
+    correctly — the profiles carry real signal, not doc identity."""
+    test = _corpus(spark, docs_per_lang=15, words_per_doc=10, salt=101)
+    pred = LM.classify_lang(test, model)
+    joined = pred.join(test.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    ok = joined.filter(F.col("lang_pred") == F.col("lang")).count()
+    assert n == 45
+    assert ok / n >= 0.95
+    # margins are positive log-odds over the runner-up
+    assert joined.filter(F.col("margin") <= 0).count() == 0
+
+
+def test_model_is_a_pure_function_of_the_corpus(spark, labeled, model):
+    """Repartitioning the training input changes nothing: same profile
+    table, same priors/floors (ties in the top-V cut break on trigram)."""
+    m2 = LM.train_lang_model(labeled.repartition(13))
+    assert m2["vocab_size"] == model["vocab_size"]
+    assert m2["langs"] == model["langs"]
+    assert sorted(m2["table"]) == sorted(model["table"])
+
+
+def test_short_text_predicts_und_with_null_margin(spark, model):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["margin"])
+        for r in LM.classify_lang(df, model).collect()
+    }
+    assert got[1] == (LM.UND, None)
+    assert got[2] == (LM.UND, None)
+    assert got[3][0] == "en" and got[3][1] > 0
+
+
+def test_scoring_plan_is_jvm_only_with_broadcast_model(spark, model):
+    """No Python evaluation anywhere in the scoring plan, and the model
+    relation joins as a broadcast — the 100 TB scoring pass is one
+    explode + broadcast join + doc-keyed aggregations."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id long, text string"
+    )
+    plan = (
+        LM.classify_lang(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_profile_truncation_bounds_the_model(spark, labeled):
+    m = LM.train_lang_model(labeled, top_per_lang=25)
+    per_lang = {}
+    for _, lang, _ in m["table"]:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert per_lang and all(v <= 25 for v in per_lang.values())
+
+
+def test_runs_distributed_over_the_documents_table(spark):
+    """Scale-shape check on the real table: train on the synthetic
+    labels and score the corpus — every doc gets exactly one
+    prediction from the label set (accuracy is meaningless here; the
+    labels are uncorrelated with the text by construction)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    model = LM.train_lang_model(docs)
+    pred = LM.classify_lang(docs.drop("lang"), model)
+    assert pred.count() == docs.count()
+    assert pred.select("doc_id").distinct().count() == docs.count()
+    seen = {r["lang_pred"] for r in pred.select("lang_pred").distinct().collect()}
+    assert seen <= set(model["langs"]) | {LM.UND}
