@@ -3272,3 +3272,94 @@ def q151_pq_rerank_knn(spark, sf_dir):
     return pq.pq_search(
         codes, probes, book, k=5, shortlist=n, rerank_with=emb
     )
+
+
+def _q153_oracle() -> str:
+    """Full SQL restatement of the binary-signature tier: fixed-point
+    exact centering means (the q107 integer-micro discipline — float
+    avg would expose cross-engine summation order), the 64-bit sign
+    pack with bit 63 as the BIGINT sign bit, and bit_count(xor) top-k.
+    Every arithmetic step is integer or a single IEEE division, so the
+    driver hash compares bit-identical values."""
+    w_terms = ", ".join(
+        "-9223372036854775808" if i == 63 else f"{1 << i}"
+        for i in range(64)
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) = 64
+    ),
+    dims AS MATERIALIZED (
+        SELECT u.vec_id, t.i, u.v[t.i] AS x,
+               ([{w_terms}]::BIGINT[])[t.i] AS w
+        FROM u, generate_series(1, 64) t(i)
+    ),
+    m AS MATERIALIZED (
+        SELECT i,
+               CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1e6) AS mu
+        FROM dims GROUP BY i
+    ),
+    sigs AS MATERIALIZED (
+        SELECT d.vec_id,
+               CAST(sum(CASE WHEN d.x > m.mu THEN d.w ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM dims d JOIN m USING (i)
+        WHERE d.vec_id IN (
+            SELECT vec_id FROM u
+            WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+        )
+        GROUP BY d.vec_id
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(bit_count(xor(c.sig, p.sig)) AS INTEGER) AS hamming
+        FROM sigs c, sigs p
+        WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id
+    )
+    SELECT probe_id, vec_id, hamming, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY hamming, vec_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@staged_query("q153_binary_hamming_knn", _q153_oracle())
+def q153_binary_hamming_knn(spark, sf_dir):
+    """Binary-signature pre-ranking tier end to end (staged for an r18
+    slot): corpus-mean-centered sign bits packed into one BIGINT per
+    vector, probes = every 50th vector, top-5 by bit_count(XOR). The
+    centering means come from a FIXED-POINT micro-unit aggregate (the
+    q107 discipline) so both engines derive bit-identical thresholds —
+    a float avg would expose double-summation order. Certifies the
+    sign pack (incl. bit 63 on the long sign bit), the zero-norm
+    admission rule, and the Hamming ranking cross-engine."""
+    from .operators import simsearch as SS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = simsearch.as_double("embedding")
+    sums = (
+        emb.select(v.alias("_v"))
+        .filter(F.size("_v") == simsearch.EMBED_DIM)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.element_at("_v", i + 1) * 1e6 + 0.5).cast(
+                        "long"
+                    )
+                ).alias(f"s{i}")
+                for i in range(simsearch.EMBED_DIM)
+            ],
+        )
+        .first()
+    )
+    means = [
+        float(sums[f"s{i}"]) / (sums["n"] * 1e6)
+        for i in range(simsearch.EMBED_DIM)
+    ]
+    sigs = SS.binary_signatures(emb, means)
+    probes = sigs.filter(F.col("vec_id") % 50 == 0)
+    return SS.knn_hamming(sigs, probes, k=5)
