@@ -3363,3 +3363,44 @@ def q153_binary_hamming_knn(spark, sf_dir):
     sigs = SS.binary_signatures(emb, means)
     probes = sigs.filter(F.col("vec_id") % 50 == 0)
     return SS.knn_hamming(sigs, probes, k=5)
+
+
+@staged_query("q154_webdataset_roundtrip", """
+    SELECT CAST(doc_id AS VARCHAR) AS __key, text FROM documents
+""")
+def q154_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset sink/source round-trip as a driver-oracle face
+    (staged for r18): export the documents corpus to tar shards, read
+    it back distributed, decode the text modality — the hash match
+    against the raw table proves the whole export/commit/untar path
+    loses and alters nothing."""
+    import os
+
+    from .queries_relational import _scratch_root
+    from .sources.webdataset import read_webdataset, write_webdataset
+
+    out = os.path.join(_scratch_root("q154", sf_dir), "wds")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_webdataset(docs, out, {"text": "txt"}, key_col="doc_id")
+    back = read_webdataset(spark, out)
+    return back.select("__key", F.decode(F.col("text"), "utf-8").alias("text"))
+
+
+@staged_query("q155_pipeline_spec_build", _Q38_ORACLE)
+def q155_pipeline_spec_build(spark, sf_dir):
+    """The spec-driven pipeline runner under the driver oracle (staged
+    for r18): q38's flagship cleaning chain restated as a plain
+    list-of-dicts spec through run_corpus_pipeline — the hash match
+    against q38's oracle proves spec execution is semantics-identical
+    to the hand-written composition, on the driver's own gate rather
+    than only in pytest."""
+    from .operators.corpus_pipeline import run_corpus_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = [
+        {"op": "quality_lang", "min_quality": 0.5, "lang": "en"},
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "method": "minhash", "threshold": 0.5},
+    ]
+    out = run_corpus_pipeline(spark, docs, spec)
+    return out.select("doc_id", F.round("quality", 4).alias("quality"))
