@@ -3404,3 +3404,29 @@ def q155_pipeline_spec_build(spark, sf_dir):
     ]
     out = run_corpus_pipeline(spark, docs, spec)
     return out.select("doc_id", F.round("quality", 4).alias("quality"))
+
+
+@staged_query("q156_semantic_dedup_indexed", _Q82_ORACLE)
+def q156_semantic_dedup_indexed(spark, sf_dir):
+    """q82's SemDeDup survivors with the pair stage routed THROUGH the
+    managed IVF-PQ index (staged for r18): the planted corpus builds an
+    index in a scratch warehouse, the WHOLE corpus becomes distributed
+    probes (collect_probes=False — nothing corpus-sized reaches the
+    driver), exhaustive nprobe + exact rerank recovers every
+    exact-threshold pair, and connected components pick survivors. The
+    hash match against q82's oracle proves the index serves the
+    corpus-scale pipeline, not just point queries — on the driver's own
+    gate. (Equality also certifies the fixture's planted duplicates
+    never straddle an LSH bucket; a miss would make this face keep MORE
+    pairs and fail loudly.)"""
+    from .operators.ann_index import build_ann_index, semantic_dedup_via_index
+    from .queries_relational import _scratch_root
+    from .sources.warehouse import ParquetWarehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_embedding_corpus(emb)
+    wh = ParquetWarehouse(_scratch_root("q156", sf_dir))
+    build_ann_index(wh, corpus, "semidx", n_lists=8, m=8, k=32)
+    return semantic_dedup_via_index(
+        wh, spark, "semidx", corpus, threshold=0.95, k=20
+    )
