@@ -26,6 +26,8 @@ Stage catalogue (params beyond these refuse):
     {"op": "model_quality", "classifier": ...,
                             "pareto_alpha": 9.0, "salt": 0}  # GPT-3 cut
     {"op": "exact_dedup"}
+    {"op": "model_lang",    "model": train_lang_model(...),
+                            "lang": "en", "min_margin": 0.0}
     {"op": "near_dedup",    "method": "minhash", "threshold": 0.5}
     {"op": "near_dedup",    "method": "simhash", "max_hamming": 8}
     {"op": "near_dedup",    "method": "ngram", "n": 3,
@@ -89,6 +91,21 @@ def _stage_model_quality(df, p, ctx):
             salt=p.get("salt", 0),
         )
     return df.join(keep.select(ctx["id_col"]), ctx["id_col"], "left_semi")
+
+
+def _stage_model_lang(df, p, ctx):
+    if "model" not in p or "lang" not in p:
+        raise ValueError(
+            "model_lang needs 'model' (train_lang_model()) and 'lang'"
+        )
+    from . import lang_model
+
+    pred = lang_model.classify_lang(
+        df, p["model"], id_col=ctx["id_col"], text_col=ctx["text_col"]
+    ).filter(F.col("lang_pred") == p["lang"])
+    if "min_margin" in p:
+        pred = pred.filter(F.col("margin") >= p["min_margin"])
+    return df.join(pred.select(ctx["id_col"]), ctx["id_col"], "left_semi")
 
 
 def _stage_exact_dedup(df, p, ctx):
@@ -193,6 +210,7 @@ _STAGES = {
         _stage_model_quality,
         {"classifier", "min_prob", "pareto_alpha", "salt"},
     ),
+    "model_lang": (_stage_model_lang, {"model", "lang", "min_margin"}),
     "exact_dedup": (_stage_exact_dedup, set()),
     "near_dedup": (
         _stage_near_dedup,
@@ -248,6 +266,12 @@ def validate_spec(stages: list[dict]) -> None:
                     f"stage {i}: model_quality takes exactly one of "
                     "'min_prob' (threshold cut) or 'pareto_alpha' "
                     "(reproducible stochastic cut)"
+                )
+        elif op == "model_lang":
+            if "model" not in st or "lang" not in st:
+                raise ValueError(
+                    f"stage {i}: model_lang needs 'model' "
+                    "(train_lang_model()) and 'lang'"
                 )
         elif op == "near_dedup":
             method = st.get("method", "minhash")

@@ -123,3 +123,34 @@ def test_runs_distributed_over_the_documents_table(spark):
     assert pred.select("doc_id").distinct().count() == docs.count()
     seen = {r["lang_pred"] for r in pred.select("lang_pred").distinct().collect()}
     assert seen <= set(model["langs"]) | {LM.UND}
+
+
+def test_model_lang_pipeline_stage(spark, labeled, model):
+    """The learned lang gate composes in the spec runner like
+    model_quality: keeps exactly the docs classify_lang assigns the
+    requested language (optional margin floor), and spec validation
+    fails fast on missing params."""
+    import pytest as _pytest
+
+    from example_dms_dataexport_spark.operators import corpus_pipeline as CP
+
+    test = _corpus(spark, docs_per_lang=10, words_per_doc=10, salt=7)
+    kept = CP.run_corpus_pipeline(
+        spark,
+        test.select("doc_id", "text"),
+        [{"op": "model_lang", "model": model, "lang": "de"}],
+    )
+    want = {
+        r["doc_id"]
+        for r in LM.classify_lang(test, model)
+        .filter(F.col("lang_pred") == "de")
+        .collect()
+    }
+    assert {r["doc_id"] for r in kept.collect()} == want
+    assert len(want) > 0
+    with _pytest.raises(ValueError, match="model_lang needs"):
+        CP.validate_spec([{"op": "model_lang", "lang": "de"}])
+    with _pytest.raises(ValueError, match="unknown"):
+        CP.validate_spec(
+            [{"op": "model_lang", "model": model, "lang": "de", "nope": 1}]
+        )
