@@ -28,6 +28,8 @@ Stage catalogue (params beyond these refuse):
     {"op": "exact_dedup"}
     {"op": "model_lang",    "model": train_lang_model(...),
                             "lang": "en", "min_margin": 0.0}
+    {"op": "perplexity",    "min_logprob": -3.2}        # CCNet LM band
+
     {"op": "near_dedup",    "method": "minhash", "threshold": 0.5}
     {"op": "near_dedup",    "method": "simhash", "max_hamming": 8}
     {"op": "near_dedup",    "method": "ngram", "n": 3,
@@ -91,6 +93,21 @@ def _stage_model_quality(df, p, ctx):
             salt=p.get("salt", 0),
         )
     return df.join(keep.select(ctx["id_col"]), ctx["id_col"], "left_semi")
+
+
+def _stage_perplexity(df, p, ctx):
+    if "min_logprob" not in p and "max_logprob" not in p:
+        raise ValueError(
+            "perplexity needs 'min_logprob' and/or 'max_logprob'"
+        )
+    scored = text_analysis.unigram_logprob(
+        df, id_col=ctx["id_col"], text_col=ctx["text_col"]
+    )
+    if "min_logprob" in p:
+        scored = scored.filter(F.col("logprob") >= p["min_logprob"])
+    if "max_logprob" in p:
+        scored = scored.filter(F.col("logprob") <= p["max_logprob"])
+    return df.join(scored.select(ctx["id_col"]), ctx["id_col"], "left_semi")
 
 
 def _stage_model_lang(df, p, ctx):
@@ -211,6 +228,10 @@ _STAGES = {
         {"classifier", "min_prob", "pareto_alpha", "salt"},
     ),
     "model_lang": (_stage_model_lang, {"model", "lang", "min_margin"}),
+    "perplexity": (
+        _stage_perplexity,
+        {"min_logprob", "max_logprob"},
+    ),
     "exact_dedup": (_stage_exact_dedup, set()),
     "near_dedup": (
         _stage_near_dedup,
@@ -272,6 +293,12 @@ def validate_spec(stages: list[dict]) -> None:
                 raise ValueError(
                     f"stage {i}: model_lang needs 'model' "
                     "(train_lang_model()) and 'lang'"
+                )
+        elif op == "perplexity":
+            if "min_logprob" not in st and "max_logprob" not in st:
+                raise ValueError(
+                    f"stage {i}: perplexity needs 'min_logprob' and/or "
+                    "'max_logprob'"
                 )
         elif op == "near_dedup":
             method = st.get("method", "minhash")

@@ -294,3 +294,23 @@ def test_chunk_pack_webdataset_round_trip(spark, docs, tmp_path):
         for r in samples.collect()
     }
     assert got == want
+
+
+def test_perplexity_band_stage(spark, docs):
+    """CCNet-style LM band: keep documents whose mean unigram logprob
+    lies in [min, max] under the corpus's own model — equals the
+    direct unigram_logprob filter; missing params refuse fast."""
+    lp = text_analysis.unigram_logprob(docs)
+    lo = lp.approxQuantile("logprob", [0.25], 0.0)[0]
+    kept = CP.run_corpus_pipeline(
+        spark, docs, [{"op": "perplexity", "min_logprob": lo}]
+    )
+    want = {
+        r["doc_id"]
+        for r in lp.filter(F.col("logprob") >= lo).collect()
+    }
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    with pytest.raises(ValueError, match="perplexity needs"):
+        CP.validate_spec([{"op": "perplexity"}])
