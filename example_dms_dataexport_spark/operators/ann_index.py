@@ -134,6 +134,7 @@ def extend_ann_index(
     name: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "rewrite",
 ) -> dict:
     """Incremental index maintenance: encode ONLY the new vectors with
     the index's FROZEN codebooks and append them into their coarse-list
@@ -141,16 +142,34 @@ def extend_ann_index(
     corpus per ingest batch is exactly what an index exists to avoid;
     faiss likewise adds to a trained index without retraining).
 
-    Only the touched list partitions rewrite (read partition-pruned,
-    union, ``replace_partitions``); untouched partitions' files are
-    never opened (inode pin in tests). The codebooks and descriptor are
-    untouched at the table root. Append-only: ids already indexed are
-    refused loudly (an upsert would need a merge, and silently
-    re-encoding a changed vector under a stale id would corrupt recall
-    measurements). Pending merge-on-read deletes refuse through
-    ``replace_partitions``' standard consistency contract. Returns
-    ``{"added", "touched_lists"}``.
+    ``mode`` picks the commit shape:
+
+    - ``"rewrite"``: read the touched list partitions, union, commit
+      through ``replace_partitions`` (tombstone-protocol atomicity).
+      Write amplification is O(touched list size) per batch — right
+      for occasional large extends.
+    - ``"append"``: stage the new rows as their own parquet files and
+      RENAME them into the touched partition dirs — write cost is
+      O(batch), independent of list size; no existing file is opened
+      or replaced (ALL prior inodes survive, pinned). This is the
+      continuous-ingest shape (each rename is atomic, so readers never
+      see a torn file; a crash mid-batch leaves a PREFIX of the batch
+      appended — re-entry must dedup against the index first, which
+      ``start_ann_ingest_stream``'s anti-join does). Small-file
+      accretion is curable with the standard ``wh.compact(name)``
+      leaf repack. Refused on versioned tables and while merge-on-read
+      deletes pend (same consistency contract replace_partitions
+      enforces).
+
+    In both modes the codebooks and descriptor are untouched at the
+    table root, and the append-only id contract is enforced under the
+    table's mutation fence: ids already indexed refuse loudly (an
+    upsert would need a merge, and silently re-encoding a changed
+    vector under a stale id would corrupt recall measurements).
+    Returns ``{"added", "touched_lists"}``.
     """
+    if mode not in ("rewrite", "append"):
+        raise ValueError(f"mode {mode!r} not in rewrite/append")
     desc = wh.read_meta(name)[ANN_META_KEY]
     new_tbl = _encode_with_lists(
         new_vectors, desc["book"], desc["coarse"], vec_col, id_col
@@ -194,21 +213,68 @@ def extend_ann_index(
                     "dedup the batch first"
                 )
             touched = sorted(stats["lists"])
-            cur = (
-                wh.read(spark, name)
-                .filter(F.col("list_id").isin(touched))
-                .select(*new_tbl.columns)
-            )
-            merged = cur.unionByName(new_tbl).persist()
-            try:
-                wh._replace_partitions_unlocked(
-                    merged, name, ["list_id"], [(t,) for t in touched]
+            if mode == "append":
+                _append_list_files(wh, name, new_tbl, touched)
+            else:
+                cur = (
+                    wh.read(spark, name)
+                    .filter(F.col("list_id").isin(touched))
+                    .select(*new_tbl.columns)
                 )
-            finally:
-                merged.unpersist()
+                merged = cur.unionByName(new_tbl).persist()
+                try:
+                    wh._replace_partitions_unlocked(
+                        merged, name, ["list_id"], [(t,) for t in touched]
+                    )
+                finally:
+                    merged.unpersist()
         return {"added": stats["n"], "touched_lists": touched}
     finally:
         new_tbl.unpersist()
+
+
+def _append_list_files(wh, name: str, new_tbl: DataFrame, touched) -> None:
+    """Append-mode commit body (caller holds the mutation fence): stage
+    the encoded batch hive-partitioned by list, then rename each staged
+    parquet file into its partition dir under a unique name. O(batch)
+    write cost; every pre-existing file keeps its inode."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isfile(wh._version_pointer(name)):
+        raise ValueError(
+            f"{name!r} is a versioned table — append-mode extend would "
+            "bypass its snapshot commits; use mode='rewrite'"
+        )
+    if wh.pending_deletes(name) is not None:
+        raise ValueError(
+            f"{name!r} has pending merge-on-read deletes — materialize "
+            "first (same contract as replace_partitions)"
+        )
+    root = wh.path(name)
+    staging = root.rstrip("/") + f".extend-tmp-{uuid.uuid4().hex}"
+    try:
+        new_tbl.write.partitionBy("list_id").parquet(staging)
+        tag = uuid.uuid4().hex[:12]
+        for t in touched:
+            src_dir = os.path.join(staging, f"list_id={t}")
+            if not os.path.isdir(src_dir):
+                continue
+            dest_dir = os.path.join(root, f"list_id={t}")
+            os.makedirs(dest_dir, exist_ok=True)
+            for fn in sorted(os.listdir(src_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                # unique dest name: renames are atomic per file, and a
+                # crashed batch's already-moved files can never collide
+                # with a later batch's
+                os.rename(
+                    os.path.join(src_dir, fn),
+                    os.path.join(dest_dir, f"ext-{tag}-{fn}"),
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _nearest_lists_udf(coarse: dict, nprobe: int):

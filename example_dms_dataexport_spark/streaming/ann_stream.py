@@ -56,10 +56,18 @@ def start_ann_ingest_stream(
     id_col: str = "vec_id",
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    mode: str = "append",
 ) -> StreamingQuery:
     """Feed parquet vector landing files into the managed IVF-PQ index,
     one ``extend_ann_index`` per micro-batch. The index must already
     exist (``build_ann_index`` — the stream never trains codebooks).
+
+    ``mode`` defaults to ``"append"`` (O(batch) file-append commits —
+    the continuous-ingest shape; list-size-proportional rewrites per
+    micro-batch would be exactly the write amplification a stream
+    cannot afford). Append's crash window — a prefix of a batch's
+    files landed — is healed by this stream's own anti-join on replay;
+    ``"rewrite"`` keeps the tombstone-protocol partition replace.
     """
     # fail fast at start, not inside batch 0: the descriptor must exist
     warehouse.read_meta(index_name)[ANN_META_KEY]
@@ -79,7 +87,7 @@ def start_ann_ingest_stream(
         fresh = batch.join(indexed, id_col, "left_anti")
         extend_ann_index(
             warehouse, spark, fresh, index_name,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=vec_col, id_col=id_col, mode=mode,
         )
 
     writer = (

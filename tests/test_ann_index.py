@@ -382,3 +382,67 @@ def test_semantic_dedup_via_index_matches_the_lsh_path(
         ).collect()
     }
     assert got == want
+
+
+def test_append_mode_extend(spark, emb, tmp_path_factory):
+    """mode='append': result-identical to rewrite mode, but NO existing
+    file is opened or replaced — every pre-extend inode survives, write
+    cost is O(batch) — and the standard leaf compaction folds the
+    appended files back without changing the table's content."""
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    whr = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_rw")))
+    wha = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_ap")))
+    d1 = AI.build_ann_index(whr, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    d2 = AI.build_ann_index(wha, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    assert d1 == d2
+
+    def inodes(wh):
+        out = {}
+        root = wh.path("idx")
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dp, fn)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    before = inodes(wha)
+    r1 = AI.extend_ann_index(whr, spark, odd, "idx")
+    r2 = AI.extend_ann_index(wha, spark, odd, "idx", mode="append")
+    assert r1["added"] == r2["added"] and r1["touched_lists"] == r2["touched_lists"]
+    after = inodes(wha)
+    # EVERY pre-extend file survives untouched in append mode
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"append mode replaced {rel}"
+    assert len(after) > len(before)
+
+    def content(wh):
+        return {
+            (r["vec_id"], tuple(r["code"]), r["list_id"])
+            for r in wh.read(spark, "idx").collect()
+        }
+
+    assert content(wha) == content(whr)
+    # descriptor untouched; appended files compact away content-neutrally
+    assert wha.read_meta("idx")[AI.ANN_META_KEY] == d2
+    want = content(wha)
+    wha.compact(spark, "idx", target_file_bytes=1 << 30)
+    assert content(wha) == want
+    assert len(inodes(wha)) < len(after)
+
+
+def test_append_mode_refusals(spark, emb, tmp_path_factory):
+    wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_apr")))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    victim = even.select(F.min("vec_id")).first()[0]
+    wh.delete_keys(spark, "idx", "vec_id", [victim])
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        AI.extend_ann_index(
+            wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="not in rewrite/append"):
+        AI.extend_ann_index(wh, spark, emb, "idx", mode="upsert")
