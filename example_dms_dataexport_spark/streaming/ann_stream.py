@@ -57,6 +57,8 @@ def start_ann_ingest_stream(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     mode: str = "append",
+    compact_every: int | None = 20,
+    compact_target_bytes: int = 128 << 20,
 ) -> StreamingQuery:
     """Feed parquet vector landing files into the managed IVF-PQ index,
     one ``extend_ann_index`` per micro-batch. The index must already
@@ -68,6 +70,13 @@ def start_ann_ingest_stream(
     cannot afford). Append's crash window — a prefix of a batch's
     files landed — is healed by this stream's own anti-join on replay;
     ``"rewrite"`` keeps the tombstone-protocol partition replace.
+
+    ``compact_every``: append mode accretes one file per touched list
+    per batch, so every N-th batch runs the standard leaf repack on the
+    index (the ``start_cdc_stream`` MaintenancePolicy precedent: keyed
+    off ``batch_id`` so restarts re-run it harmlessly — compaction of
+    an already-compacted table is an idempotent no-op — and a
+    maintenance failure never fails the batch). ``None`` disables.
     """
     # fail fast at start, not inside batch 0: the descriptor must exist
     warehouse.read_meta(index_name)[ANN_META_KEY]
@@ -89,6 +98,22 @@ def start_ann_ingest_stream(
             warehouse, spark, fresh, index_name,
             vec_col=vec_col, id_col=id_col, mode=mode,
         )
+        # batch 0 is skipped: a fresh stream (or a replay from a new
+        # checkpoint) has accreted nothing yet, and compacting the
+        # just-built index there would break the no-op-replay inode
+        # contract for no benefit
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            try:
+                warehouse.compact(
+                    spark, index_name,
+                    target_file_bytes=compact_target_bytes,
+                )
+            except Exception:  # noqa: BLE001 — maintenance never fails a batch
+                pass
 
     writer = (
         stream.writeStream.foreachBatch(extend_batch)

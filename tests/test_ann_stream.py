@@ -154,3 +154,31 @@ def test_refuses_a_missing_index(spark, tmp_path):
             spark, str(tmp_path / "landing") + "/*", wh, "nope",
             str(tmp_path / "ckpt"),
         )
+
+
+def test_stream_compaction_folds_appended_files(spark, emb, tmp_path):
+    """compact_every folds append-mode file accretion back to one file
+    per leaf without changing what the index says."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+
+    landing = str(tmp_path / "landing")
+    _land_batches(spark, emb, landing)
+    q = start_ann_ingest_stream(
+        spark, landing + "/*", wh, "idx", str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, compact_every=1,
+        compact_target_bytes=1 << 30,
+    )
+    q.awaitTermination(120)
+
+    root = wh.path("idx")
+    for d in os.listdir(root):
+        if d.startswith("list_id="):
+            files = [
+                f for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d} not folded: {files}"
+    got = {r["vec_id"] for r in wh.read(spark, "idx").select("vec_id").collect()}
+    assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}
