@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 UND = "und"
+# fixed-point log-prob scale (the q48/q88 LP_SCALE discipline): log-probs
+# quantize to integer micro-units at TRAIN time, so every scoring sum is
+# exact integer arithmetic — partition-order-independent, and restatable
+# in SQL without exposing double-summation order
+LM_SCALE = 1_000_000
 
 
 def char_ngrams(col, n: int = 3):
@@ -78,7 +83,9 @@ def train_lang_model(
     model stays bounded regardless of corpus size, and truncated mass
     falls into the smoothing floor like any unseen trigram. All
     log-probs use add-one smoothing over the UNION vocabulary, so
-    scores are comparable across languages.
+    scores are comparable across languages; every log-prob quantizes
+    to integer micro-units (LM_SCALE) at train time so downstream
+    scoring sums are EXACT — deterministic under any partitioning.
     """
     tri = _doc_tri_counts(labeled, [lang_col], text_col, n).select(
         F.col(lang_col).alias("lang"), "tri", "cnt"
@@ -101,18 +108,29 @@ def train_lang_model(
         r["lang"]: r["tot"]
         for r in kept.groupBy("lang").agg(F.sum("cnt").alias("tot")).collect()
     }
+    def _micro(x: float) -> int:
+        return int(math.floor(x * LM_SCALE + 0.5))
+
     langs = {}
     for r in doc_counts:
         lg = r[lang_col]
         tot = int(totals.get(lg, 0))
         langs[lg] = {
-            "prior": math.log(r["docs"] / total_docs),
-            "floor": math.log(1.0 / (tot + vocab_size)),
+            "prior": _micro(math.log(r["docs"] / total_docs)),
+            "floor": _micro(math.log(1.0 / (tot + vocab_size))),
             "total": tot,
         }
     table = [
-        (r["tri"], r["lang"],
-         math.log((r["cnt"] + 1.0) / (langs[r["lang"]]["total"] + vocab_size)))
+        (
+            r["tri"],
+            r["lang"],
+            _micro(
+                math.log(
+                    (r["cnt"] + 1.0)
+                    / (langs[r["lang"]]["total"] + vocab_size)
+                )
+            ),
+        )
         for r in kept.collect()
     ]
     return {"n": n, "langs": langs, "table": table, "vocab_size": vocab_size}
@@ -127,12 +145,15 @@ def classify_lang(
     """(id, lang_pred, margin): argmax language per document plus the
     log-odds margin over the runner-up (0.0 when only one language is
     modeled). Documents shorter than the n-gram width predict ``und``
-    with margin NULL. Ties break lexicographically — deterministic."""
+    with margin NULL. Ties break lexicographically, and every score is
+    an EXACT integer sum of micro-unit log-probs — the classification
+    is deterministic under any partitioning (no double-summation
+    order), and restatable in SQL for the driver oracle."""
     spark = df.sparkSession
     n = int(model["n"])
     mdl = F.broadcast(
         spark.createDataFrame(
-            model["table"], "tri string, lang string, logp double"
+            model["table"], "tri string, lang string, logp long"
         )
     )
     langs = F.broadcast(
@@ -141,7 +162,7 @@ def classify_lang(
                 (lg, p["prior"], p["floor"])
                 for lg, p in sorted(model["langs"].items())
             ],
-            "lang string, prior double, floor double",
+            "lang string, prior long, floor long",
         )
     )
     tri = _doc_tri_counts(df, [id_col], text_col, n)
@@ -167,7 +188,7 @@ def classify_lang(
             (
                 F.col("prior")
                 + F.col("_n") * F.col("floor")
-                + F.coalesce(F.col("_m"), F.lit(0.0))
+                + F.coalesce(F.col("_m"), F.lit(0).cast("long"))
             ).alias("score"),
         )
     )
@@ -184,9 +205,12 @@ def classify_lang(
         .select(
             id_col,
             "lang_pred",
-            F.coalesce(F.col("_s1") - F.col("_s2"), F.lit(0.0)).alias(
-                "margin"
-            ),
+            (
+                F.coalesce(
+                    F.col("_s1") - F.col("_s2"), F.lit(0).cast("long")
+                ).cast("double")
+                / LM_SCALE
+            ).alias("margin"),
         )
     )
     # documents with no trigram at all (len < n) never enter the grid

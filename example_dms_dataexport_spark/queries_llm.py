@@ -3430,3 +3430,113 @@ def q156_semantic_dedup_indexed(spark, sf_dir):
     return semantic_dedup_via_index(
         wh, spark, "semidx", corpus, threshold=0.95, k=20
     )
+
+
+def _q157_oracle() -> str:
+    """Full SQL restatement of lang-model train + classify (both sides
+    of the NB pipeline): char-trigram extraction, per-lang top-V
+    profile cut (count desc / trigram asc), union-vocab add-one
+    smoothing with every log-prob quantized to integer micro-units at
+    'train' time (the q48/q88 LP_SCALE discipline — scoring sums are
+    then exact integers on both engines), matched-mass scoring with the
+    analytic unseen floor, window argmax, and the und short-text rule."""
+    return """
+    WITH docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+    tri AS MATERIALIZED (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, len(text) - 2),
+                   i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        FROM docs WHERE len(text) >= 3
+    ),
+    ltri AS MATERIALIZED (
+        SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+        FROM tri GROUP BY lang, tri
+    ),
+    kept AS MATERIALIZED (
+        SELECT lang, tri, cnt FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, tri ASC
+            ) AS rn FROM ltri
+        ) WHERE rn <= 2000
+    ),
+    vocab AS MATERIALIZED (
+        SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v FROM kept
+    ),
+    totals AS MATERIALIZED (
+        SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM kept GROUP BY lang
+    ),
+    langs AS MATERIALIZED (
+        SELECT p.lang,
+               CAST(floor(ln(CAST(p.docs_n AS DOUBLE)
+                             / (SELECT CAST(count(*) AS BIGINT) FROM docs))
+                          * 1e6 + 0.5) AS BIGINT) AS prior,
+               CAST(floor(ln(1.0 / (t.tot + (SELECT v FROM vocab)))
+                          * 1e6 + 0.5) AS BIGINT) AS floor_m,
+               t.tot AS tot
+        FROM (SELECT lang, CAST(count(*) AS BIGINT) AS docs_n
+              FROM docs GROUP BY lang) p
+        JOIN totals t USING (lang)
+    ),
+    model AS MATERIALIZED (
+        SELECT k.tri, k.lang,
+               CAST(floor(ln((k.cnt + 1.0)
+                             / (l.tot + (SELECT v FROM vocab)))
+                          * 1e6 + 0.5) AS BIGINT) AS logp
+        FROM kept k JOIN langs l USING (lang)
+    ),
+    dtri AS MATERIALIZED (
+        SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt
+        FROM tri GROUP BY doc_id, tri
+    ),
+    ntri AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
+        FROM dtri GROUP BY doc_id
+    ),
+    matched AS MATERIALIZED (
+        SELECT d.doc_id, m.lang,
+               CAST(sum(d.cnt * (m.logp - l.floor_m)) AS BIGINT) AS mm
+        FROM dtri d
+        JOIN model m USING (tri)
+        JOIN langs l ON l.lang = m.lang
+        GROUP BY d.doc_id, m.lang
+    ),
+    ranked AS MATERIALIZED (
+        SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang ASC
+        ) AS rn FROM (
+            SELECT n.doc_id, l.lang,
+                   l.prior + n.nt * l.floor_m + coalesce(mm.mm, 0) AS score
+            FROM ntri n
+            CROSS JOIN langs l
+            LEFT JOIN matched mm
+              ON mm.doc_id = n.doc_id AND mm.lang = l.lang
+        )
+    )
+    SELECT b.doc_id, b.lang_pred,
+           CAST(coalesce(b.s1 - s.s2, 0) AS DOUBLE) / 1e6 AS margin
+    FROM (SELECT doc_id, lang AS lang_pred, score AS s1
+          FROM ranked WHERE rn = 1) b
+    LEFT JOIN (SELECT doc_id, score AS s2 FROM ranked WHERE rn = 2) s
+      USING (doc_id)
+    UNION ALL
+    SELECT doc_id, 'und' AS lang_pred, NULL AS margin
+    FROM docs WHERE len(text) < 3
+"""
+
+
+@staged_query("q157_lang_model_id", _q157_oracle())
+def q157_lang_model_id(spark, sf_dir):
+    """Trainable char-trigram NB language ID end to end (staged for
+    r18): train on the documents table's own labels, classify the
+    corpus, emit (doc_id, lang_pred, margin). The fixture labels are
+    uncorrelated with the text, which is irrelevant here — the face
+    certifies CROSS-ENGINE PARITY of the whole train+score pipeline
+    (profile cut ties, micro-unit quantization boundaries, integer
+    scoring, argmax tie-breaks), not linguistic accuracy (that's
+    pinned on a distribution-distinct fixture in pytest)."""
+    from .operators import lang_model as LM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = LM.train_lang_model(docs)
+    return LM.classify_lang(docs.drop("lang"), model)
