@@ -155,11 +155,14 @@ def extend_ann_index(
       continuous-ingest shape (each rename is atomic, so readers never
       see a torn file; a crash mid-batch leaves a PREFIX of the batch
       appended — re-entry must dedup against the index first, which
-      ``start_ann_ingest_stream``'s anti-join does). Small-file
-      accretion is curable with the standard ``wh.compact(name)``
-      leaf repack. Refused on versioned tables and while merge-on-read
-      deletes pend (same consistency contract replace_partitions
-      enforces).
+      ``start_ann_ingest_stream``'s reconciling join does). Zone-map /
+      bloom manifests are invalidated like every in-place mutation
+      (stale pruning must fail loudly, never mis-prune), and abandoned
+      staging dirs from crashed appends sweep on the next fenced
+      append. Small-file accretion is curable with the standard
+      ``wh.compact(spark, name)`` leaf repack. Refused on versioned
+      tables and while merge-on-read deletes pend (same consistency
+      contract replace_partitions enforces).
 
     In both modes the codebooks and descriptor are untouched at the
     table root, and the append-only id contract is enforced under the
@@ -252,7 +255,19 @@ def _append_list_files(wh, name: str, new_tbl: DataFrame, touched) -> None:
             f"{name!r} has pending merge-on-read deletes — materialize "
             "first (same contract as replace_partitions)"
         )
+    # derived file metadata describing a file set this append is about
+    # to change must fail loudly in pruned readers, never mis-prune —
+    # the same invalidation every in-place mutation performs
+    wh._drop_zonemap(name)
     root = wh.path(name)
+    # single-writer sweep: the mutation fence is held, so any sibling
+    # staging dir from a crashed prior append is abandoned — remove it
+    # instead of accreting corpus-batch-sized residue forever
+    base = os.path.basename(root.rstrip("/"))
+    parent = os.path.dirname(root.rstrip("/"))
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}.extend-tmp-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     staging = root.rstrip("/") + f".extend-tmp-{uuid.uuid4().hex}"
     try:
         new_tbl.write.partitionBy("list_id").parquet(staging)
@@ -402,6 +417,9 @@ def ann_query(
     vecs = rerank_with.select(
         F.col(id_col).alias("_rid"), as_double(vec_col).alias("_rv")
     ).filter(_norm(F.col("_rv"), dim) > 0)
+    probe_vecs = vecs.select(
+        F.col("_rid").alias("probe_id"), F.col("_rv").alias("_pv")
+    )
     exact = (
         cand.join(
             vecs.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("_cv")),
@@ -410,11 +428,7 @@ def ann_query(
         .join(
             # same rule as the scoring join: forced broadcast only for
             # the broadcast-sized point/batch probe contract
-            (lambda p: F.broadcast(p) if collect_probes else p)(
-                vecs.select(
-                    F.col("_rid").alias("probe_id"), F.col("_rv").alias("_pv")
-                )
-            ),
+            F.broadcast(probe_vecs) if collect_probes else probe_vecs,
             "probe_id",
         )
         .select(
@@ -456,9 +470,15 @@ def index_dup_pairs(
     visit — exact recall, still partition-local scoring); lower it for
     the at-scale recall/cost trade faiss makes.
 
-    ``k`` bounds pair fan-out per probe (a probe in a dup-cluster of
-    size > k misses pairs; transitive closure downstream usually
-    recovers them — SemDeDup needs components, not the full clique).
+    Both discovery directions contribute: pair (a, b) found only in
+    ONE endpoint's top-k (the other endpoint's list saturated by
+    closer neighbors) still survives — directions normalize to
+    (least, greatest) and the exact rerank makes the two directions'
+    scores bit-identical (dot and norm-product are commutative), so
+    the dedup is a plain ``distinct``. ``k`` still bounds fan-out: a
+    pair outside BOTH endpoints' top-k is missed; transitive closure
+    downstream usually recovers it (SemDeDup needs components, not
+    the full clique).
     """
     if nprobe is None:
         nprobe = int(wh.read_meta(name)[ANN_META_KEY]["n_lists"])
@@ -477,12 +497,12 @@ def index_dup_pairs(
     )
     return (
         res.filter(F.col("score") >= threshold)
-        .filter(F.col("probe_id") < F.col("vec_id"))
         .select(
-            F.col("probe_id").alias("id_a"),
-            F.col("vec_id").alias("id_b"),
+            F.least("probe_id", "vec_id").alias("id_a"),
+            F.greatest("probe_id", "vec_id").alias("id_b"),
             "score",
         )
+        .distinct()
     )
 
 

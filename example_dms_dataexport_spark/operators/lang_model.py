@@ -90,12 +90,16 @@ def train_lang_model(
     tri = _doc_tri_counts(labeled, [lang_col], text_col, n).select(
         F.col(lang_col).alias("lang"), "tri", "cnt"
     )
-    # per-lang profile truncation: vocabulary-sized window, not corpus-sized
+    # per-lang profile truncation: vocabulary-sized window, not corpus-
+    # sized. kept feeds THREE actions below (vocab count, totals,
+    # collect) — localCheckpoint pins the bounded post-cut relation so
+    # the corpus explode + window run exactly once.
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
     kept = (
         tri.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_per_lang)
         .drop("_rn")
+        .localCheckpoint()
     )
     vocab_size = kept.select("tri").distinct().count()
     doc_counts = (
@@ -165,7 +169,13 @@ def classify_lang(
             "lang string, prior long, floor long",
         )
     )
-    tri = _doc_tri_counts(df, [id_col], text_col, n)
+    # ONE corpus explode + (doc, tri) shuffle feeds both aggregations:
+    # without the lazy checkpoint, n_tri and matched are independent
+    # subtrees and Catalyst re-executes the most expensive stage twice
+    # per action (the q38 shared-prefix pattern)
+    tri = _doc_tri_counts(df, [id_col], text_col, n).localCheckpoint(
+        eager=False
+    )
     n_tri = tri.groupBy(id_col).agg(F.sum("cnt").alias("_n"))
     # matched mass: only (doc, lang) pairs sharing >=1 modeled trigram —
     # the floor term below covers the rest analytically

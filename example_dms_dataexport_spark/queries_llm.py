@@ -3467,16 +3467,21 @@ def _q157_oracle() -> str:
         SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM kept GROUP BY lang
     ),
     langs AS MATERIALIZED (
+        -- LEFT join + coalesce: a language whose every doc is shorter
+        -- than the n-gram width contributes no trigrams but still
+        -- holds a grid slot with tot=0, exactly as train_lang_model's
+        -- totals.get(lang, 0) does
         SELECT p.lang,
                CAST(floor(ln(CAST(p.docs_n AS DOUBLE)
                              / (SELECT CAST(count(*) AS BIGINT) FROM docs))
                           * 1e6 + 0.5) AS BIGINT) AS prior,
-               CAST(floor(ln(1.0 / (t.tot + (SELECT v FROM vocab)))
+               CAST(floor(ln(1.0 / (coalesce(t.tot, 0)
+                                    + (SELECT v FROM vocab)))
                           * 1e6 + 0.5) AS BIGINT) AS floor_m,
-               t.tot AS tot
+               coalesce(t.tot, 0) AS tot
         FROM (SELECT lang, CAST(count(*) AS BIGINT) AS docs_n
               FROM docs GROUP BY lang) p
-        JOIN totals t USING (lang)
+        LEFT JOIN totals t USING (lang)
     ),
     model AS MATERIALIZED (
         SELECT k.tri, k.lang,
@@ -3520,8 +3525,11 @@ def _q157_oracle() -> str:
     LEFT JOIN (SELECT doc_id, score AS s2 FROM ranked WHERE rn = 2) s
       USING (doc_id)
     UNION ALL
+    -- NULL text ORs in: Spark's short-branch anti-join emits und for
+    -- it (char_ngrams of NULL is the empty array), and a bare
+    -- len(text) < 3 is NULL for NULL text, silently dropping the row
     SELECT doc_id, 'und' AS lang_pred, NULL AS margin
-    FROM docs WHERE len(text) < 3
+    FROM docs WHERE text IS NULL OR len(text) < 3
 """
 
 

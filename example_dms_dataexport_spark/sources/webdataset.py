@@ -132,16 +132,29 @@ def write_webdataset(
                             "would merge into one sample"
                         )
                     last_key = key
+                    wrote_entry = False
                     for i, c in enumerate(cols):
                         data = _entry_bytes(row[1 + i], exts[c])
                         if data is None:
                             continue
+                        wrote_entry = True
                         ti = tarfile.TarInfo(name=f"{key}.{exts[c]}")
                         ti.size = len(data)
                         ti.mtime = 0
                         ti.uid = ti.gid = 0
                         ti.uname = ti.gname = ""
                         tf.addfile(ti, io.BytesIO(data))
+                    if not wrote_entry:
+                        # a sample with every mapped column NULL has no
+                        # tar representation — counting it would make
+                        # the manifest overcount what read_webdataset
+                        # can reassemble (silent sample loss); refuse
+                        # loudly like NULL/duplicate keys
+                        raise ValueError(
+                            f"sample {key!r} has NULL in every mapped "
+                            "column — no tar entry to write; filter "
+                            "such rows or map a non-NULL column"
+                        )
                     n += 1
         except BaseException:
             if tf is not None:

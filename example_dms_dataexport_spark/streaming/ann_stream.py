@@ -12,10 +12,12 @@ contract as the batch extend, pinned in tests/test_ann_stream.py).
 
 Exactly-once across foreachBatch retries: a replayed trigger batch
 re-delivers the same files, and the index's append-only refusal exists
-for USER error, not for replays — so the hook first drops ids the
-index already holds (a columnar id-only anti-join) and extends with
-the remainder. A full replay therefore extends with an empty batch,
-which is a no-op that touches no partition. Two concurrent writers are
+for USER error, not for replays — so the hook drops ids the index
+already holds, but only after VERIFYING each dropped row is a true
+replay (re-encoding under the frozen codebooks must reproduce the
+indexed code+norm; a changed vector under an existing id refuses
+loudly — silent discard would corrupt recall). A full replay
+therefore extends with an empty batch, a no-op touching no partition. Two concurrent writers are
 still excluded by the table's mutation fence inside
 ``extend_ann_index`` (the stream is the single writer by contract, as
 with every warehouse table).
@@ -88,11 +90,49 @@ def start_ann_ingest_stream(
     )
 
     def extend_batch(batch: DataFrame, batch_id: int) -> None:
-        # replay idempotence: drop already-indexed ids (columnar
-        # vec_id-only read) so a re-delivered batch is a clean no-op
-        indexed = warehouse.read(spark, index_name).select(
-            F.col("vec_id").alias(id_col)
+        # Replay idempotence: drop already-indexed ids so a
+        # re-delivered batch is a clean no-op — but VERIFY first that
+        # each dropped row is a true replay (same vector -> same
+        # frozen-codebook code+norm as the indexed row). Without the
+        # check, a user landing a CHANGED embedding under an existing
+        # id (an upsert attempt) would be silently discarded — exactly
+        # the recall-corrupting divergence the batch API's append-only
+        # ValueError exists to surface loudly.
+        from ..operators.ann_index import _encode_with_lists
+
+        index_tbl = warehouse.read(spark, index_name)
+        desc = warehouse.read_meta(index_name)[ANN_META_KEY]
+        dup = batch.join(
+            index_tbl.select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_semi",
         )
+        conflict = (
+            _encode_with_lists(
+                dup, desc["book"], desc["coarse"], vec_col, id_col
+            )
+            .select(
+                "vec_id",
+                F.col("code").alias("_new_code"),
+                F.col("vnorm").alias("_new_vnorm"),
+            )
+            .join(index_tbl.select("vec_id", "code", "vnorm"), "vec_id")
+            .filter(
+                (F.col("code") != F.col("_new_code"))
+                | (F.col("vnorm") != F.col("_new_vnorm"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            raise ValueError(
+                f"ann ingest stream for {index_name!r}: vec_id "
+                f"{conflict[0]['vec_id']} re-landed with a DIFFERENT "
+                "vector — the index is append-only (a replayed batch "
+                "re-delivers identical vectors); rebuild or materialize "
+                "deletes before re-adding a changed id"
+            )
+        indexed = index_tbl.select(F.col("vec_id").alias(id_col))
         fresh = batch.join(indexed, id_col, "left_anti")
         extend_ann_index(
             warehouse, spark, fresh, index_name,

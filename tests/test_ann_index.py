@@ -446,3 +446,64 @@ def test_append_mode_refusals(spark, emb, tmp_path_factory):
         )
     with pytest.raises(ValueError, match="not in rewrite/append"):
         AI.extend_ann_index(wh, spark, emb, "idx", mode="upsert")
+
+
+def test_append_mode_invalidates_derived_manifests(
+    spark, emb, tmp_path_factory
+):
+    """Append-mode extends drop the zone-map/bloom sidecars like every
+    in-place mutation: a stale manifest describing the pre-append file
+    set would silently exclude appended rows from pruned reads."""
+    wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_zm")))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    wh.write_zonemap(spark, "idx", ["vec_id"])
+    assert wh.zonemap("idx") is not None
+    AI.extend_ann_index(
+        wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
+        mode="append",
+    )
+    assert wh.zonemap("idx") is None  # pruned readers now refuse loudly
+
+
+def test_append_mode_sweeps_abandoned_staging(spark, emb, tmp_path_factory):
+    """A crashed append's sibling staging dir is removed by the next
+    fenced append instead of accreting forever."""
+    wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_sweep")))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    ghost = wh.path("idx").rstrip("/") + ".extend-tmp-deadbeef"
+    os.makedirs(ghost)
+    AI.extend_ann_index(
+        wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
+        mode="append",
+    )
+    assert not os.path.isdir(ghost)
+
+
+def test_dup_pairs_keep_single_direction_discoveries(
+    spark, tmp_path_factory
+):
+    """A pair present in only ONE endpoint's top-k (the other list
+    saturated by a closer neighbor) must survive: directions normalize
+    to (least, greatest) instead of being filtered to probe<vec. With
+    k=1 on a near-dup triple, the old filter could leave the highest-id
+    member isolated (2 survivors); the fix connects all three (1)."""
+    import numpy as _np
+
+    rng = [0.0] * 64
+    base = _np.ones(64)
+    rows = []
+    for vid, eps in [(1, 0.0), (2, 1e-4), (3, 5e-3)]:
+        v = base.copy()
+        v[0] += eps
+        rows.append((vid, [float(x) for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    whd = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_dir")))
+    AI.build_ann_index(whd, corpus, "idx", n_lists=1, m=8, k=2)
+    survivors = AI.semantic_dedup_via_index(
+        whd, spark, "idx", corpus, threshold=0.95, k=1
+    ).collect()
+    assert {r["vec_id"] for r in survivors} == {1}

@@ -182,3 +182,39 @@ def test_stream_compaction_folds_appended_files(spark, emb, tmp_path):
             assert len(files) == 1, f"{d} not folded: {files}"
     got = {r["vec_id"] for r in wh.read(spark, "idx").select("vec_id").collect()}
     assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_changed_vector_under_existing_id_refuses_loudly(
+    spark, emb, tmp_path
+):
+    """The replay reconciliation verifies dropped ids are TRUE replays:
+    a new landing file carrying a DIFFERENT embedding for an indexed id
+    (an upsert attempt) fails the stream loudly instead of being
+    silently discarded."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+
+    changed = (
+        even.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast(
+                    ann_ingest_schema()["embedding"].dataType
+                ),
+                lambda x: x * 3.0 + 1.0,
+            ).alias("embedding"),
+        )
+    )
+    landing = str(tmp_path / "landing")
+    changed.coalesce(1).write.parquet(os.path.join(landing, "batch-0"))
+
+    q = start_ann_ingest_stream(
+        spark, landing + "/*", wh, "idx", str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="DIFFERENT|StreamingQuery"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()

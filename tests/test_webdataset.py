@@ -227,3 +227,19 @@ def test_foreign_tar_directory_members_are_skipped(spark, tmp_path):
         spark, str(out), columns={"text": "txt"}
     ).collect()
     assert [(r["__key"], bytes(r["text"])) for r in rows] == [("k1", b"hello")]
+
+
+def test_all_null_sample_refuses_loudly(spark, tmp_path):
+    """A sample with NULL in every mapped column has no tar
+    representation — counting it would overcount the manifest vs what
+    read_webdataset can reassemble, so it refuses like NULL keys."""
+    df = spark.createDataFrame(
+        [(1, "ok", b"x"), (2, None, None)],
+        "doc_id long, text string, blob binary",
+    )
+    with pytest.raises(Exception, match="NULL in every mapped"):
+        WDS.write_webdataset(
+            df, str(tmp_path / "w"), {"text": "txt", "blob": "bin"},
+            key_col="doc_id",
+        )
+    assert not (tmp_path / "w").exists()  # staging cleaned up
