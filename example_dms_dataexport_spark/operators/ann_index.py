@@ -217,7 +217,13 @@ def extend_ann_index(
                 )
             touched = sorted(stats["lists"])
             if mode == "append":
-                _append_list_files(wh, name, new_tbl, touched)
+                # the generic O(batch) INSERT INTO primitive, run under
+                # THIS fence (its checks: versioned/bucketed/pending-
+                # delete refusals, schema match, zone-map invalidation,
+                # crashed-staging sweep, atomic per-file renames)
+                wh._append_files_unlocked(
+                    spark, new_tbl, name, partition_by=["list_id"]
+                )
             else:
                 cur = (
                     wh.read(spark, name)
@@ -235,61 +241,6 @@ def extend_ann_index(
     finally:
         new_tbl.unpersist()
 
-
-def _append_list_files(wh, name: str, new_tbl: DataFrame, touched) -> None:
-    """Append-mode commit body (caller holds the mutation fence): stage
-    the encoded batch hive-partitioned by list, then rename each staged
-    parquet file into its partition dir under a unique name. O(batch)
-    write cost; every pre-existing file keeps its inode."""
-    import os
-    import shutil
-    import uuid
-
-    if os.path.isfile(wh._version_pointer(name)):
-        raise ValueError(
-            f"{name!r} is a versioned table — append-mode extend would "
-            "bypass its snapshot commits; use mode='rewrite'"
-        )
-    if wh.pending_deletes(name) is not None:
-        raise ValueError(
-            f"{name!r} has pending merge-on-read deletes — materialize "
-            "first (same contract as replace_partitions)"
-        )
-    # derived file metadata describing a file set this append is about
-    # to change must fail loudly in pruned readers, never mis-prune —
-    # the same invalidation every in-place mutation performs
-    wh._drop_zonemap(name)
-    root = wh.path(name)
-    # single-writer sweep: the mutation fence is held, so any sibling
-    # staging dir from a crashed prior append is abandoned — remove it
-    # instead of accreting corpus-batch-sized residue forever
-    base = os.path.basename(root.rstrip("/"))
-    parent = os.path.dirname(root.rstrip("/"))
-    for d in os.listdir(parent):
-        if d.startswith(f"{base}.extend-tmp-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    staging = root.rstrip("/") + f".extend-tmp-{uuid.uuid4().hex}"
-    try:
-        new_tbl.write.partitionBy("list_id").parquet(staging)
-        tag = uuid.uuid4().hex[:12]
-        for t in touched:
-            src_dir = os.path.join(staging, f"list_id={t}")
-            if not os.path.isdir(src_dir):
-                continue
-            dest_dir = os.path.join(root, f"list_id={t}")
-            os.makedirs(dest_dir, exist_ok=True)
-            for fn in sorted(os.listdir(src_dir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                # unique dest name: renames are atomic per file, and a
-                # crashed batch's already-moved files can never collide
-                # with a later batch's
-                os.rename(
-                    os.path.join(src_dir, fn),
-                    os.path.join(dest_dir, f"ext-{tag}-{fn}"),
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _nearest_lists_udf(coarse: dict, nprobe: int):

@@ -2123,6 +2123,117 @@ class ParquetWarehouse:
             .parquet(self.path(table))
         )
 
+    def append_files(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """O(batch) INSERT INTO: stage ``df`` as its own parquet files
+        and atomically RENAME them into the table directory (or its
+        hive partition dirs with ``partition_by``). No existing file is
+        opened or replaced — write cost follows the batch, not the
+        table, which is the only append shape that survives continuous
+        ingest at 100 TB (a per-batch rewrite is O(table)).
+
+        Consistency contract: runs under the table's mutation fence;
+        refuses versioned tables (appends would bypass snapshot
+        commits), bucketed tables (a side-loaded file breaks the
+        bucket-file layout the zero-exchange join trusts), pending
+        merge-on-read deletes (the sidecar's manifest describes a file
+        set this append changes), and schema drift (appended columns
+        must match the table's read schema by name — silently unioning
+        mismatched files would corrupt every later scan). Zone-map /
+        bloom sidecars are invalidated first (stale pruning must fail
+        loudly, never mis-prune; rebuild with write_zonemap /
+        write_bloom after the batch). Each file lands via one atomic
+        rename, so readers never observe a torn file; a crash
+        mid-batch leaves a PREFIX of the batch appended — callers
+        needing exactly-once reconcile by key against the table (the
+        streaming ingest pattern), and a crashed batch's abandoned
+        staging dir is swept by the next fenced append. Small-file
+        accretion folds away with ``compact``.
+
+        Returns ``{"files_added", "rows"}``.
+        """
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            return self._append_files_unlocked(
+                spark, df, table, partition_by
+            )
+
+    def _append_files_unlocked(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """``append_files`` body; the caller MUST hold the table's
+        mutation fence (the ANN index extend holds one fence across its
+        dup check + this append)."""
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is a versioned table — appends would bypass "
+                "its snapshot commits; write a new version instead"
+            )
+        if self.bucket_spec(table) is not None:
+            raise ValueError(
+                f"{table!r} is bucketed — a side-loaded file breaks the "
+                "bucket-file layout contract; merge through the bucket-"
+                "preserving writers"
+            )
+        if self.pending_deletes(table) is not None:
+            raise ValueError(
+                f"{table!r} has pending merge-on-read deletes — "
+                "materialize first (same contract as replace_partitions)"
+            )
+        want = set(self.read(spark, table).columns)
+        got = set(df.columns)
+        if got != want:
+            raise ValueError(
+                f"append schema mismatch for {table!r}: batch columns "
+                f"{sorted(got)} != table columns {sorted(want)}"
+            )
+        self._drop_zonemap(table)
+        root = self.path(table)
+        base = os.path.basename(root.rstrip("/"))
+        parent = os.path.dirname(root.rstrip("/"))
+        # single-writer sweep of a crashed prior append's staging dir
+        for d in os.listdir(parent):
+            if d.startswith(f".{base}.append-tmp-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        staging = os.path.join(
+            parent, f".{base}.append-tmp-{uuid.uuid4().hex}"
+        )
+        n_files = 0
+        rows = df.count()
+        try:
+            w = df.write
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(staging)
+            tag = uuid.uuid4().hex[:12]
+            for dp, _, fns in os.walk(staging):
+                rel = os.path.relpath(dp, staging)
+                dest_dir = root if rel == "." else os.path.join(root, rel)
+                parquet = sorted(
+                    fn for fn in fns if fn.endswith(".parquet")
+                )
+                if parquet:
+                    os.makedirs(dest_dir, exist_ok=True)
+                for fn in parquet:
+                    os.rename(
+                        os.path.join(dp, fn),
+                        os.path.join(dest_dir, f"app-{tag}-{fn}"),
+                    )
+                    n_files += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return {"files_added": n_files, "rows": rows}
+
     def compact(
         self,
         spark: SparkSession,

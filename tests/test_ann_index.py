@@ -472,7 +472,11 @@ def test_append_mode_sweeps_abandoned_staging(spark, emb, tmp_path_factory):
     wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_sweep")))
     even = emb.filter(F.col("vec_id") % 2 == 0)
     AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
-    ghost = wh.path("idx").rstrip("/") + ".extend-tmp-deadbeef"
+    root = wh.path("idx").rstrip("/")
+    ghost = os.path.join(
+        os.path.dirname(root),
+        f".{os.path.basename(root)}.append-tmp-deadbeef",
+    )
     os.makedirs(ghost)
     AI.extend_ann_index(
         wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
