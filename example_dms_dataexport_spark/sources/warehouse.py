@@ -2197,6 +2197,13 @@ class ParquetWarehouse:
                 f"append schema mismatch for {table!r}: batch columns "
                 f"{sorted(got)} != table columns {sorted(want)}"
             )
+        rows = df.count()
+        if rows == 0:
+            # a zero-row append is a true no-op: no file lands, no
+            # sidecar invalidates (a schema-only parquet file per empty
+            # batch would make replayed/filtered-empty batches accrete
+            # inode churn forever)
+            return {"files_added": 0, "rows": 0}
         self._drop_zonemap(table)
         root = self.path(table)
         base = os.path.basename(root.rstrip("/"))
@@ -2209,7 +2216,6 @@ class ParquetWarehouse:
             parent, f".{base}.append-tmp-{uuid.uuid4().hex}"
         )
         n_files = 0
-        rows = df.count()
         try:
             w = df.write
             if partition_by:

@@ -111,3 +111,13 @@ def test_append_under_foreign_fence_fails_fast(spark, wh):
             wh.append_files(spark, df.limit(1), "o")
     finally:
         _os.remove(lock)
+
+
+def test_empty_append_is_a_true_noop(spark, wh):
+    df = _orders(spark)
+    wh.overwrite(df, "o", cluster_by=["o_orderkey"], stat_cols=["o_orderkey"])
+    before = _inodes(wh.path("o"))
+    res = wh.append_files(spark, df.limit(0), "o")
+    assert res == {"files_added": 0, "rows": 0}
+    assert _inodes(wh.path("o")) == before
+    assert wh.zonemap("o") is not None  # no mutation -> sidecar intact

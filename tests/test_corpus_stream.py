@@ -1,0 +1,152 @@
+"""Continuous corpus ingestion (streaming/corpus_stream.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_dms_dataexport_spark.operators import corpus_pipeline as CP
+from example_dms_dataexport_spark.operators import dedup, text_analysis
+from example_dms_dataexport_spark.sources.warehouse import ParquetWarehouse
+from example_dms_dataexport_spark.streaming.corpus_stream import (
+    FP_COL,
+    start_corpus_ingest_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SPEC = [{"op": "quality", "min_quality": 0.4}]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _land(spark, docs, landing, n_batches=3):
+    """Batch i holds doc_id % n == i PLUS a replica of batch 0's first
+    few docs under shifted ids (cross-batch content dups)."""
+    os.makedirs(landing, exist_ok=True)
+    for i in range(n_batches):
+        part = docs.filter(F.col("doc_id") % n_batches == i)
+        if i > 0:
+            dups = (
+                docs.filter(F.col("doc_id") % n_batches == 0)
+                .orderBy("doc_id")
+                .limit(3)
+                .select(
+                    (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+                    "text",
+                )
+            )
+            part = part.unionByName(dups)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"batch-{i}")
+        )
+
+
+def _expected_ids(docs):
+    """Quality-filtered docs, exact-deduped by content with min-id wins
+    (batch order = id order here, so first-arrival == min-id)."""
+    kept = text_analysis.quality_filter(docs, min_quality=0.4)
+    return {
+        r["doc_id"] for r in dedup.exact_dedup(kept).collect()
+    }
+
+
+def test_stream_builds_the_cleaned_deduped_corpus(spark, docs, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing)
+
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    tbl = wh.read(spark, "corpus")
+    got = {r["doc_id"] for r in tbl.select("doc_id").collect()}
+    # planted cross-batch replicas (ids >= 1M) must all be dropped:
+    # their content already landed in an earlier batch
+    assert not {i for i in got if i >= 1_000_000}
+    assert got == _expected_ids(docs)
+    assert FP_COL in tbl.columns
+    # content-unique by construction
+    assert tbl.select(FP_COL).distinct().count() == len(got)
+
+
+def test_replay_and_restart_are_no_ops(spark, docs, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, ckpt
+    )
+    q.awaitTermination(180)
+
+    def inodes():
+        out = {}
+        for dp, _, fns in os.walk(wh.path("corpus")):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dp, fn)
+                    out[os.path.relpath(p, wh.path("corpus"))] = os.stat(
+                        p
+                    ).st_ino
+        return out
+
+    before = inodes()
+    # same checkpoint, no new files
+    q2 = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, ckpt
+    )
+    q2.awaitTermination(180)
+    assert inodes() == before
+    # lost checkpoint: every batch re-delivers; id+fingerprint
+    # reconciliation drops everything
+    shutil.rmtree(ckpt)
+    q3 = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination(180)
+    assert inodes() == before
+
+
+def test_corpus_relative_stages_refuse_at_start(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for op in (
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "method": "minhash", "threshold": 0.5},
+        {"op": "chunk", "chunk_size": 8, "overlap": 0},
+        {"op": "perplexity", "min_logprob": -4.0},
+    ):
+        with pytest.raises(ValueError, match="corpus-relative"):
+            start_corpus_ingest_stream(
+                spark, str(tmp_path / "landing") + "/*", wh, "c",
+                [op], str(tmp_path / "ckpt"),
+            )
+
+
+def test_streamed_result_matches_the_batch_pipeline(spark, docs, tmp_path):
+    """The whole point: streaming ingestion lands exactly what the
+    batch pipeline (same spec + exact dedup) would keep over the same
+    corpus."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing, n_batches=4)
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    batch = CP.run_corpus_pipeline(
+        spark, docs, SPEC + [{"op": "exact_dedup"}]
+    )
+    got = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
+    assert got == {r["doc_id"] for r in batch.collect()}
