@@ -29,6 +29,8 @@ Stage catalogue (params beyond these refuse):
     {"op": "model_lang",    "model": train_lang_model(...),
                             "lang": "en", "min_margin": 0.0}
     {"op": "perplexity",    "min_logprob": -3.2}        # CCNet LM band
+    {"op": "perplexity",    "lm": train_unigram_lm(ref),
+                            "min_logprob": -3.2}        # frozen LM
 
     {"op": "near_dedup",    "method": "minhash", "threshold": 0.5}
     {"op": "near_dedup",    "method": "simhash", "max_hamming": 8}
@@ -100,9 +102,16 @@ def _stage_perplexity(df, p, ctx):
         raise ValueError(
             "perplexity needs 'min_logprob' and/or 'max_logprob'"
         )
-    scored = text_analysis.unigram_logprob(
-        df, id_col=ctx["id_col"], text_col=ctx["text_col"]
-    )
+    if "lm" in p:
+        # frozen-model variant (train_unigram_lm): per-document given
+        # the side input, so the stage composes into the ingest stream
+        scored = text_analysis.unigram_logprob_frozen(
+            df, p["lm"], id_col=ctx["id_col"], text_col=ctx["text_col"]
+        )
+    else:
+        scored = text_analysis.unigram_logprob(
+            df, id_col=ctx["id_col"], text_col=ctx["text_col"]
+        )
     if "min_logprob" in p:
         scored = scored.filter(F.col("logprob") >= p["min_logprob"])
     if "max_logprob" in p:
@@ -230,7 +239,7 @@ _STAGES = {
     "model_lang": (_stage_model_lang, {"model", "lang", "min_margin"}),
     "perplexity": (
         _stage_perplexity,
-        {"min_logprob", "max_logprob"},
+        {"min_logprob", "max_logprob", "lm"},
     ),
     "exact_dedup": (_stage_exact_dedup, set()),
     "near_dedup": (

@@ -583,3 +583,85 @@ def chunk_tokens(
             F.size("_toks") - F.col("_start") + 1, F.lit(chunk_size)
         ).alias("n_tokens"),
     )
+
+
+def train_unigram_lm(df: DataFrame, text_col: str = "text") -> dict:
+    """Freeze the corpus unigram LM ``unigram_logprob`` derives inline:
+    ``{"lp": {token: lp_micro}, "floor": lp_micro, "total": n}`` with
+    the SAME fixed-point quantization (LP_SCALE after log10), so
+    scoring a frozen model over its own training corpus reproduces
+    ``unigram_logprob`` exactly (pinned). The floor is the unseen-token
+    score, log10(1/(total+1)) — strictly below any seen token's score —
+    which inline scoring never needs (every token is in its own
+    corpus) but frozen scoring of NEW text does. Vocabulary-sized, a
+    pure function of the corpus: the spec runner's frozen-side-input
+    pattern (like the lang/quality models), which is what makes the
+    perplexity gate STREAMABLE."""
+    stream = df.select(F.explode(TH.tokens(F.col(text_col))).alias("tok"))
+    tf = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    total = stream.count()
+    rows = tf.select(
+        "tok",
+        F.floor(
+            F.log10(F.col("_tf").cast("double") / F.lit(float(total)))
+            * LP_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_lp"),
+    ).collect()
+    import math as _math
+
+    floor_lp = int(
+        _math.floor(_math.log10(1.0 / (total + 1)) * LP_SCALE + 0.5)
+    )
+    return {
+        "lp": {r["tok"]: int(r["_lp"]) for r in rows},
+        "floor": floor_lp,
+        "total": int(total),
+    }
+
+
+def unigram_logprob_frozen(
+    df: DataFrame,
+    lm: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``unigram_logprob``'s output contract (id, n_tokens, logprob)
+    under a FROZEN model: tokens left-join the broadcast LM relation,
+    unseen tokens take the model's floor, and the integer micro-unit
+    sums keep the score exact under any partitioning."""
+    spark = df.sparkSession
+    mdl = F.broadcast(
+        spark.createDataFrame(
+            list(lm["lp"].items()), "tok string, _lp long"
+        )
+    )
+    stream = df.select(
+        F.col(id_col), F.explode(TH.tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        stream.join(mdl, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("_lp"), F.lit(int(lm["floor"])))
+            ).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("_slp").cast("double")
+                    / F.col("n_tokens")
+                    / LP_SCALE
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("logprob"),
+        )
+    )

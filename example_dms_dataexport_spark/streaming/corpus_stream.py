@@ -18,8 +18,9 @@ FROZEN side input compose into a stream — ``quality``, ``quality_lang``,
 content-hash reconciliation (running it per batch would silently
 narrow its scope to the batch), ``near_dedup`` needs the corpus-wide
 signature store (compose ``operators.dedup.incremental_neardup``
-downstream), ``perplexity`` trains its LM from its input (batch-local
-LM ≠ the batch pipeline's corpus LM), and ``chunk``/``pack`` change the
+downstream), ``perplexity`` WITHOUT a frozen ``lm`` trains from its input
+(batch-local LM ≠ the batch pipeline's corpus LM — pass
+``train_unigram_lm(ref)`` to stream it), and ``chunk``/``pack`` change the
 row grain (they belong in the export pipeline over the corpus table).
 
 Exactly-once: each appended row carries a ``_fp`` content fingerprint
@@ -86,7 +87,15 @@ def start_corpus_ingest_stream(
     (with the ``_fp`` fingerprint column); later batches append.
     """
     validate_spec(spec)
-    bad = [st["op"] for st in spec if st["op"] not in STREAMABLE_STAGES]
+    bad = [
+        st["op"]
+        for st in spec
+        if st["op"] not in STREAMABLE_STAGES
+        # perplexity streams ONLY with a frozen LM: without one it
+        # trains its model from the batch, which silently diverges
+        # from the batch pipeline's corpus LM
+        and not (st["op"] == "perplexity" and "lm" in st)
+    ]
     if bad:
         raise ValueError(
             f"stage(s) {bad} are corpus-relative and cannot stream "

@@ -314,3 +314,48 @@ def test_perplexity_band_stage(spark, docs):
     assert 0 < len(got) < docs.count()
     with pytest.raises(ValueError, match="perplexity needs"):
         CP.validate_spec([{"op": "perplexity"}])
+
+
+def test_frozen_lm_perplexity_equals_inline_on_its_own_corpus(spark, docs):
+    """unigram_logprob_frozen(df, train_unigram_lm(df)) reproduces the
+    inline corpus-LM scoring exactly (no unseen tokens, identical
+    quantization), and the spec stage with 'lm' keeps the same ids."""
+    lm = text_analysis.train_unigram_lm(docs)
+    inline = {
+        (r["doc_id"], r["n_tokens"], r["logprob"])
+        for r in text_analysis.unigram_logprob(docs).collect()
+    }
+    frozen = {
+        (r["doc_id"], r["n_tokens"], r["logprob"])
+        for r in text_analysis.unigram_logprob_frozen(docs, lm).collect()
+    }
+    assert frozen == inline
+
+    lo = sorted(x[2] for x in inline)[len(inline) // 4]
+    a = {
+        r["doc_id"]
+        for r in CP.run_corpus_pipeline(
+            spark, docs, [{"op": "perplexity", "min_logprob": lo}]
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in CP.run_corpus_pipeline(
+            spark, docs, [{"op": "perplexity", "lm": lm, "min_logprob": lo}]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_frozen_lm_floors_unseen_tokens(spark, docs):
+    """New text full of out-of-corpus tokens scores at the floor —
+    strictly below every seen token's logprob."""
+    lm = text_analysis.train_unigram_lm(docs)
+    new = spark.createDataFrame(
+        [(1, "zzqx vvwk jjqz yyxw")], "doc_id long, text string"
+    )
+    got = text_analysis.unigram_logprob_frozen(new, lm).first()
+    want = round(lm["floor"] / text_analysis.LP_SCALE, 4)
+    assert got["n_tokens"] == 4
+    assert got["logprob"] == pytest.approx(want, abs=1e-4)
+    assert lm["floor"] < min(lm["lp"].values())

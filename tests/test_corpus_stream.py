@@ -150,3 +150,33 @@ def test_streamed_result_matches_the_batch_pipeline(spark, docs, tmp_path):
     )
     got = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
     assert got == {r["doc_id"] for r in batch.collect()}
+
+
+def test_frozen_lm_perplexity_streams(spark, docs, tmp_path):
+    """perplexity with a frozen LM passes stream admission and filters
+    per batch exactly as the batch stage would."""
+    lm = text_analysis.train_unigram_lm(docs)
+    lp = text_analysis.unigram_logprob_frozen(docs, lm)
+    lo = lp.approxQuantile("logprob", [0.3], 0.0)[0]
+    spec = [{"op": "perplexity", "lm": lm, "min_logprob": lo}]
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing)
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", spec, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    batch = CP.run_corpus_pipeline(
+        spark, docs, spec + [{"op": "exact_dedup"}]
+    )
+    got = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
+    assert got == {r["doc_id"] for r in batch.collect()}
+    # and the un-frozen variant still refuses
+    with pytest.raises(ValueError, match="corpus-relative"):
+        start_corpus_ingest_stream(
+            spark, landing + "/*", wh, "c2",
+            [{"op": "perplexity", "min_logprob": lo}],
+            str(tmp_path / "ckpt2"),
+        )
