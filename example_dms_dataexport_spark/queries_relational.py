@@ -4875,3 +4875,35 @@ def q152_metadata_stats(spark, sf_dir):
         "n_rows BIGINT, min_key BIGINT, max_key BIGINT, "
         "min_priority STRING, max_priority STRING",
     )
+
+
+_Q158_ORACLE = """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+"""
+
+
+@staged_query("q158_append_files_insert", _Q158_ORACLE)
+def q158_append_files_insert(spark, sf_dir):
+    """The O(batch) INSERT INTO primitive under the driver oracle
+    (staged for r18): orders lands in two halves — a full overwrite,
+    then append_files renaming the second half's files in without
+    opening any existing file — and the read-back hash-matches the raw
+    table, certifying that file-append commits lose and alter nothing
+    (the commit shape every continuous-ingest stream in the engine
+    rides)."""
+    from .sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(_scratch_root("q158", sf_dir))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0), "o_app")
+    res = wh.append_files(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), "o_app"
+    )
+    if res["files_added"] < 1:
+        raise AssertionError(f"append landed no files: {res}")
+    return wh.read(spark, "o_app")
