@@ -154,3 +154,114 @@ def test_model_lang_pipeline_stage(spark, labeled, model):
         CP.validate_spec(
             [{"op": "model_lang", "model": model, "lang": "de", "nope": 1}]
         )
+
+
+def _py_nb_reference(train_rows, test_rows, n=3, top_per_lang=2000):
+    """Pure-Python replication of train_lang_model + classify_lang
+    (micro-unit fixed point, same tie rules) — the property suite's
+    engine-free twin."""
+    import math
+    from collections import Counter, defaultdict
+
+    def grams(t):
+        return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+    by_lang = defaultdict(Counter)
+    docs_n = Counter()
+    for _, text, lang in train_rows:
+        docs_n[lang] += 1
+        by_lang[lang].update(grams(text))
+    kept = {}
+    for lang, c in by_lang.items():
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept[lang] = dict(ordered[:top_per_lang])
+    vocab = {t for c in kept.values() for t in c}
+    total_docs = sum(docs_n.values())
+
+    def micro(x):
+        return int(math.floor(x * 1_000_000 + 0.5))
+
+    langs = {}
+    for lang in docs_n:
+        tot = sum(kept.get(lang, {}).values())
+        langs[lang] = (
+            micro(math.log(docs_n[lang] / total_docs)),
+            micro(math.log(1.0 / (tot + len(vocab)))),
+            tot,
+        )
+    logp = {
+        (lang, t): micro(math.log((c + 1.0) / (langs[lang][2] + len(vocab))))
+        for lang, cc in kept.items()
+        for t, c in cc.items()
+    }
+    out = {}
+    for did, text in test_rows:
+        gs = Counter(grams(text))
+        nt = sum(gs.values())
+        if nt == 0:
+            out[did] = ("und", None)
+            continue
+        scores = {}
+        for lang, (prior, floor, _) in langs.items():
+            s = prior + nt * floor
+            for t, c in gs.items():
+                lp = logp.get((lang, t))
+                if lp is not None:
+                    s += c * (lp - floor)
+            scores[lang] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        margin = (
+            (ranked[0][1] - ranked[1][1]) / 1e6 if len(ranked) > 1 else 0.0
+        )
+        out[did] = (ranked[0][0], margin)
+    return out
+
+
+def test_property_distributed_equals_pure_python(spark):
+    """Randomized corpora (hypothesis): the distributed train+classify
+    pipeline is EXACTLY the pure-Python NB — every prediction and every
+    micro-exact margin — regardless of text shape, label skew, or
+    profile-cut ties."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from("abc x")
+    text = st.text(alphabet=alphabet, min_size=0, max_size=24)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(text, st.sampled_from(["l1", "l2", "l3"])),
+            min_size=2,
+            max_size=14,
+        ).filter(lambda rows: any(len(t) >= 3 for t, _ in rows)),
+        st.integers(min_value=1, max_value=6),
+    )
+    def run(train, top):
+        train_rows = [
+            (i, t, lang) for i, (t, lang) in enumerate(train)
+        ]
+        df = spark.createDataFrame(
+            train_rows, "doc_id long, text string, lang string"
+        )
+        model = LM.train_lang_model(df, top_per_lang=top)
+        got = {
+            r["doc_id"]: (r["lang_pred"], r["margin"])
+            for r in LM.classify_lang(df.drop("lang"), model).collect()
+        }
+        want = _py_nb_reference(
+            train_rows, [(i, t) for i, t, _ in train_rows], top_per_lang=top
+        )
+        assert set(got) == set(want)
+        for did, (lang, margin) in want.items():
+            assert got[did][0] == lang, (did, got[did], want[did])
+            if margin is None:
+                assert got[did][1] is None
+            else:
+                assert got[did][1] == pytest.approx(margin, abs=1e-9)
+
+    run()
