@@ -188,15 +188,42 @@ def extend_ann_index(
         with wh._write_fence(
             name, lock_path=wh._mutation_lock_path(name)
         ):
-            # columnar id-only semi-join against the existing index
-            # (reads the vec_id column, not the codes)
-            dup = (
-                wh.read(spark, name)
-                .select("vec_id")
-                .join(new_tbl.select("vec_id"), "vec_id", "left_semi")
-                .limit(1)
-                .collect()
-            )
+            # Append-only dup probe. Bloom-manifest-pruned when the
+            # index carries a vec_id manifest and the batch is
+            # probe-bounded (r18): only bloom-HIT partition files open.
+            # Fallback: columnar id-only semi-join against the whole
+            # index (reads the vec_id column, not the codes).
+            dup = None
+            bm = wh.bloom(name)
+            if bm is not None and "vec_id" in bm["cols"]:
+                from ..sources.warehouse import DELETE_BLOOM_PROBE_CAP
+
+                ids = [
+                    r[0]
+                    for r in new_tbl.select("vec_id")
+                    .limit(DELETE_BLOOM_PROBE_CAP + 1)
+                    .collect()
+                ]
+                if len(ids) <= DELETE_BLOOM_PROBE_CAP:
+                    try:
+                        dup = (
+                            wh.read_bloom_keys(
+                                spark, name, "vec_id", sorted(set(ids))
+                            )
+                            .select("vec_id")
+                            .limit(1)
+                            .collect()
+                        )
+                    except ValueError:
+                        dup = None  # stale manifest: full probe below
+            if dup is None:
+                dup = (
+                    wh.read(spark, name)
+                    .select("vec_id")
+                    .join(new_tbl.select("vec_id"), "vec_id", "left_semi")
+                    .limit(1)
+                    .collect()
+                )
             if dup:
                 raise ValueError(
                     f"ann index {name!r} already holds vec_id "

@@ -48,11 +48,17 @@ def char_ngrams(col, n: int = 3):
     """All length-n character substrings of a string column (JVM
     expressions: one sequence + transform, no UDF). The CASE guard
     matters: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) rather than
-    returning empty, which would fabricate n-grams for short strings."""
+    returning empty, which would fabricate n-grams for short strings.
+    The identifier is backtick-quoted: a caller's text column named
+    with spaces/dots/reserved words must bind to the column, not break
+    the parse (r17 advisor finding)."""
+    if "`" in col:
+        raise ValueError(f"column name {col!r} contains a backtick")
+    q = f"`{col}`"
     return F.expr(
-        f"CASE WHEN length({col}) >= {n} THEN "
-        f"transform(sequence(1, length({col}) - {n - 1}), "
-        f"i -> substring({col}, i, {n})) "
+        f"CASE WHEN length({q}) >= {n} THEN "
+        f"transform(sequence(1, length({q}) - {n - 1}), "
+        f"i -> substring({q}, i, {n})) "
         f"ELSE array() END"
     )
 

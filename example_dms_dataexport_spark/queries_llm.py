@@ -352,13 +352,45 @@ _Q28_ORACLE = f"""
 """
 
 
-@query("q28_knn_brute", _Q28_ORACLE)
-def q28_knn_brute(spark, sf_dir):
-    """Exact cosine top-5 for every 50th vector as probe (the ANN
-    baseline/evaluation path)."""
+def q28_bench_brute(spark, sf_dir):
+    """Bench body: the exact cosine top-5 ALONE (the pre-r18 q28 plan,
+    kept separate so the headline series stays comparable — the q114
+    sentinel-split precedent; the registered face below adds the PQ
+    fold, whose train/encode cost is benched by ann_ivfpq_build_query)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     return simsearch.knn_brute(emb, probes, k=5)
+
+
+@query("q28_knn_brute", _Q28_ORACLE)
+def q28_knn_brute(spark, sf_dir):
+    """Exact cosine top-5 for every 50th vector as probe (the ANN
+    baseline/evaluation path).
+
+    r18 fold of the staged q151 (the r17 verdict's window-deadlock
+    escape): the SAME relation is also computed through the full PQ
+    kernel — train the codebook, encode the corpus to 32x-compressed
+    codes, ADC-shortlist EVERY candidate, exact-cosine rerank — which
+    by construction equals brute force when the shortlist is the whole
+    corpus. ``assert_df_identical`` refuses on any divergence before
+    returning, so the single driver row certifies BOTH the baseline
+    and the train->encode->ADC->rerank path end to end (the kernel the
+    pruned pq/IVF tiers share; their recall is pinned in pytest)."""
+    from .operators import pq
+    from .queries_relational import assert_df_identical
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = simsearch.knn_brute(emb, probes, k=5)
+    book = pq.pq_train(emb, m=8, k=16)
+    codes = pq.pq_encode(emb, book)
+    reranked = pq.pq_search(
+        codes, probes, book, k=5, shortlist=emb.count(), rerank_with=emb
+    )
+    assert_df_identical(
+        brute, reranked, "q28: PQ full-shortlist rerank vs brute force"
+    )
+    return brute
 
 
 def _sql_plane_literal(p: int) -> str:
@@ -853,14 +885,11 @@ _Q38_ORACLE = f"""
 """
 
 
-@query("q38_cleaning_pipeline", _Q38_ORACLE)
-def q38_cleaning_pipeline(spark, sf_dir):
-    """The flagship LLM-corpus query: quality gate -> language gate ->
-    exact dedup -> MinHash near-dup clustering + component-level survivor
-    selection, composed from the operator library — each stage feeds the
-    next without materializing, so Catalyst plans the whole pipeline as
-    one DAG (the iterative clustering step materializes per round by
-    construction)."""
+def q38_bench_pipeline(spark, sf_dir):
+    """Bench body: the hand-composed cleaning chain ALONE (the pre-r18
+    q38 plan, kept separate so the headline series stays comparable —
+    the q114 sentinel-split precedent; the registered face below adds
+    the spec-runner fold)."""
     docs = _t(spark, sf_dir, "documents")
     pass1 = text_analysis.quality_lang_gate(docs).select(
         "doc_id", "text", "quality"
@@ -877,6 +906,39 @@ def q38_cleaning_pipeline(spark, sf_dir):
     return dedup.cluster_survivors(kept, pairs).select(
         "doc_id", F.round("quality", 4).alias("quality")
     )
+
+
+@query("q38_cleaning_pipeline", _Q38_ORACLE)
+def q38_cleaning_pipeline(spark, sf_dir):
+    """The flagship LLM-corpus query: quality gate -> language gate ->
+    exact dedup -> MinHash near-dup clustering + component-level survivor
+    selection, composed from the operator library — each stage feeds the
+    next without materializing, so Catalyst plans the whole pipeline as
+    one DAG (the iterative clustering step materializes per round by
+    construction).
+
+    r18 fold of the staged q155 (window-deadlock escape): the SAME
+    chain is also executed as a plain list-of-dicts spec through
+    ``run_corpus_pipeline``, and ``assert_df_identical`` refuses on any
+    divergence — one driver row certifies that spec execution is
+    semantics-identical to the hand-written composition."""
+    from .operators.corpus_pipeline import run_corpus_pipeline
+    from .queries_relational import assert_df_identical
+
+    hand = q38_bench_pipeline(spark, sf_dir)
+    spec = [
+        {"op": "quality_lang", "min_quality": 0.5, "lang": "en"},
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "method": "minhash", "threshold": 0.5},
+    ]
+    docs = _t(spark, sf_dir, "documents")
+    via_spec = run_corpus_pipeline(spark, docs, spec).select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    )
+    assert_df_identical(
+        hand, via_spec, "q38: spec-runner chain vs hand composition"
+    )
+    return hand
 
 
 # ---------------------------------------------------------------------------
@@ -1790,13 +1852,39 @@ def q82_semantic_dedup(spark, sf_dir):
     0.95 pairs (LSH-bucket-blocked, q31), connected components over the
     pair graph, keep the min-id survivor per component. Catches
     paraphrases and re-encodings that MinHash can't see; the planted
-    perturbed copies must all be pruned."""
+    perturbed copies must all be pruned.
+
+    r18 fold of the staged q156 (window-deadlock escape): the SAME
+    survivor set is also computed with the pair stage routed THROUGH
+    the managed IVF-PQ index — the planted corpus builds an index in a
+    scratch warehouse, the WHOLE corpus becomes distributed probes
+    (``collect_probes=False``: nothing corpus-sized reaches the
+    driver), exhaustive nprobe + exact rerank recovers every
+    exact-threshold pair, connected components pick survivors.
+    ``assert_df_identical`` refuses on any divergence, so one driver
+    row certifies the index serves the corpus-scale pipeline, not just
+    point queries. (Equality also certifies the fixture's planted
+    duplicates never straddle an LSH bucket — a miss would make the
+    index route keep MORE pairs and fail loudly.)"""
+    from .operators.ann_index import build_ann_index, semantic_dedup_via_index
+    from .queries_relational import _scratch_root, assert_df_identical
+    from .sources.warehouse import ParquetWarehouse
+
     emb = _t(spark, sf_dir, "embeddings")
     corpus = _planted_embedding_corpus(emb)
     pairs = simsearch.embedding_dup_pairs(corpus, threshold=0.95)
-    return dedup.cluster_survivors(
+    via_lsh = dedup.cluster_survivors(
         corpus.select("vec_id"), pairs, id_col="vec_id"
     )
+    wh = ParquetWarehouse(_scratch_root("q82", sf_dir))
+    build_ann_index(wh, corpus, "semidx", n_lists=8, m=8, k=32)
+    via_index = semantic_dedup_via_index(
+        wh, spark, "semidx", corpus, threshold=0.95, k=20
+    )
+    assert_df_identical(
+        via_lsh, via_index, "q82: LSH-blocked route vs IVF-PQ index route"
+    )
+    return via_lsh
 
 
 # ---------------------------------------------------------------------------
@@ -3252,26 +3340,9 @@ def q150_wordpiece_merges(spark, sf_dir):
     )
 
 
-@staged_query("q151_pq_rerank_knn", _Q28_ORACLE)
-def q151_pq_rerank_knn(spark, sf_dir):
-    """PQ ANN with a FULL shortlist + exact rerank reproduces brute
-    force exactly (the r16 pq.py batch's first driver-oracle face,
-    staged for an r18 window slot): train the codebook, encode the
-    corpus to 32x-compressed codes, ADC-shortlist EVERY candidate, and
-    let the exact-cosine rerank decide — by construction this equals
-    q28's knn_brute, so the q28 oracle certifies the whole
-    train->encode->ADC->rerank path end to end (the same kernel the
-    pruned pq/IVF tiers share; their recall is pinned in pytest)."""
-    from .operators import pq
-
-    emb = _t(spark, sf_dir, "embeddings")
-    book = pq.pq_train(emb, m=8, k=16)
-    codes = pq.pq_encode(emb, book)
-    probes = emb.filter(F.col("vec_id") % 50 == 0)
-    n = emb.count()
-    return pq.pq_search(
-        codes, probes, book, k=5, shortlist=n, rerank_with=emb
-    )
+# q151_pq_rerank_knn: FOLDED into q28_knn_brute (r18) — the registered
+# face computes both the brute-force and the full-shortlist PQ-rerank
+# paths and asserts identity (registry.MERGED records the fold).
 
 
 def _q153_oracle() -> str:
@@ -3326,7 +3397,7 @@ def _q153_oracle() -> str:
 """
 
 
-@staged_query("q153_binary_hamming_knn", _q153_oracle())
+@query("q153_binary_hamming_knn", _q153_oracle())
 def q153_binary_hamming_knn(spark, sf_dir):
     """Binary-signature pre-ranking tier end to end (staged for an r18
     slot): corpus-mean-centered sign bits packed into one BIGINT per
@@ -3365,7 +3436,7 @@ def q153_binary_hamming_knn(spark, sf_dir):
     return SS.knn_hamming(sigs, probes, k=5)
 
 
-@staged_query("q154_webdataset_roundtrip", """
+@query("q154_webdataset_roundtrip", """
     SELECT CAST(doc_id AS VARCHAR) AS __key, text FROM documents
 """)
 def q154_webdataset_roundtrip(spark, sf_dir):
@@ -3386,50 +3457,12 @@ def q154_webdataset_roundtrip(spark, sf_dir):
     return back.select("__key", F.decode(F.col("text"), "utf-8").alias("text"))
 
 
-@staged_query("q155_pipeline_spec_build", _Q38_ORACLE)
-def q155_pipeline_spec_build(spark, sf_dir):
-    """The spec-driven pipeline runner under the driver oracle (staged
-    for r18): q38's flagship cleaning chain restated as a plain
-    list-of-dicts spec through run_corpus_pipeline — the hash match
-    against q38's oracle proves spec execution is semantics-identical
-    to the hand-written composition, on the driver's own gate rather
-    than only in pytest."""
-    from .operators.corpus_pipeline import run_corpus_pipeline
-
-    docs = _t(spark, sf_dir, "documents")
-    spec = [
-        {"op": "quality_lang", "min_quality": 0.5, "lang": "en"},
-        {"op": "exact_dedup"},
-        {"op": "near_dedup", "method": "minhash", "threshold": 0.5},
-    ]
-    out = run_corpus_pipeline(spark, docs, spec)
-    return out.select("doc_id", F.round("quality", 4).alias("quality"))
-
-
-@staged_query("q156_semantic_dedup_indexed", _Q82_ORACLE)
-def q156_semantic_dedup_indexed(spark, sf_dir):
-    """q82's SemDeDup survivors with the pair stage routed THROUGH the
-    managed IVF-PQ index (staged for r18): the planted corpus builds an
-    index in a scratch warehouse, the WHOLE corpus becomes distributed
-    probes (collect_probes=False — nothing corpus-sized reaches the
-    driver), exhaustive nprobe + exact rerank recovers every
-    exact-threshold pair, and connected components pick survivors. The
-    hash match against q82's oracle proves the index serves the
-    corpus-scale pipeline, not just point queries — on the driver's own
-    gate. (Equality also certifies the fixture's planted duplicates
-    never straddle an LSH bucket; a miss would make this face keep MORE
-    pairs and fail loudly.)"""
-    from .operators.ann_index import build_ann_index, semantic_dedup_via_index
-    from .queries_relational import _scratch_root
-    from .sources.warehouse import ParquetWarehouse
-
-    emb = _t(spark, sf_dir, "embeddings")
-    corpus = _planted_embedding_corpus(emb)
-    wh = ParquetWarehouse(_scratch_root("q156", sf_dir))
-    build_ann_index(wh, corpus, "semidx", n_lists=8, m=8, k=32)
-    return semantic_dedup_via_index(
-        wh, spark, "semidx", corpus, threshold=0.95, k=20
-    )
+# q155_pipeline_spec_build: FOLDED into q38_cleaning_pipeline (r18) —
+# the registered face runs the hand chain AND the spec runner and
+# asserts identity (registry.MERGED records the fold).
+# q156_semantic_dedup_indexed: FOLDED into q82_semantic_dedup (r18) —
+# the registered face computes the LSH-blocked and IVF-PQ-index pair
+# routes and asserts identity (registry.MERGED records the fold).
 
 
 def _q157_oracle() -> str:
@@ -3533,7 +3566,7 @@ def _q157_oracle() -> str:
 """
 
 
-@staged_query("q157_lang_model_id", _q157_oracle())
+@query("q157_lang_model_id", _q157_oracle())
 def q157_lang_model_id(spark, sf_dir):
     """Trainable char-trigram NB language ID end to end (staged for
     r18): train on the documents table's own labels, classify the

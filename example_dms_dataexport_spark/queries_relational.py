@@ -59,6 +59,25 @@ def _scratch_root(face: str, sf_dir: str) -> str:
 _SCRATCH_ROOTS: set[str] = set()
 
 
+def assert_df_identical(a, b, what: str) -> None:
+    """Multiset equality guard for dual-path fold faces (the q114
+    fixture precedent, generalized in r18 for the q151/q155/q156
+    oracle-twin folds): a registered face computes the SAME relation
+    through two engine paths and refuses loudly on any divergence
+    before returning one of them to the driver. Distributed symmetric
+    ``exceptAll`` — nothing result-sized reaches the driver, and the
+    multiset semantics catch duplicate-cardinality drift a set-diff
+    would hide. Exactness is by construction: both paths share the
+    bit-identical kernels their common oracle pins, so the compare is
+    ==, not a tolerance."""
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a)).limit(1).collect()
+    if diff:
+        raise AssertionError(
+            f"{what}: dual-path fold diverged; first differing row: "
+            f"{diff[0].asDict()}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY A1/A2/A6, F8) — TPC-H Q1 flavor
 # ---------------------------------------------------------------------------
@@ -1111,7 +1130,7 @@ def q59_histogram_totalprice(spark, sf_dir):
 
 _PIVOT_SOURCES = [f"src{i}" for i in range(20)]
 
-_Q60_ORACLE = f"""
+_Q60_WIDE = f"""
     SELECT lang,
            {", ".join(
                f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)"
@@ -1121,14 +1140,19 @@ _Q60_ORACLE = f"""
     FROM documents GROUP BY lang
 """
 
+# r18 (q77 fold): the face output is the LONG form — the wide cross-tab
+# melted back through UNPIVOT — so one relation attests both reshape
+# directions. Zero cells survive the melt (they are 0, not NULL).
+_Q60_ORACLE = f"""
+    WITH wide AS ({_Q60_WIDE})
+    SELECT lang, metric, value FROM wide
+    UNPIVOT (value FOR metric IN ({", ".join(_PIVOT_SOURCES)}))
+"""
 
-@query("q60_pivot_lang_source", _Q60_ORACLE)
-def q60_pivot_lang_source(spark, sf_dir):
-    """Pivot: document counts as a lang x source cross-tab, written as
-    explicit CASE-sums rather than ``.pivot()`` — the built-in plans TWO
-    shuffles ((lang,source) pre-agg + pivotfirst), while static pivot
-    values as conditional sums are ONE map-side-combined shuffle with a
-    fixed schema. That rewrite is what pivot should compile to at scale."""
+
+def q60_bench_pivot(spark, sf_dir):
+    """Bench body: the wide CASE-sum pivot ALONE (the pre-r18 q60 plan,
+    kept separate so the headline series stays comparable)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         *[
@@ -1138,28 +1162,30 @@ def q60_pivot_lang_source(spark, sf_dir):
     )
 
 
-_Q61_ORACLE = """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
+@query("q60_pivot_lang_source", _Q60_ORACLE)
+def q60_pivot_lang_source(spark, sf_dir):
+    """Pivot: document counts as a lang x source cross-tab, written as
+    explicit CASE-sums rather than ``.pivot()`` — the built-in plans TWO
+    shuffles ((lang,source) pre-agg + pivotfirst), while static pivot
+    values as conditional sums are ONE map-side-combined shuffle with a
+    fixed schema. That rewrite is what pivot should compile to at scale.
+
+    r18 fold of q77_unpivot_metrics (window-deadlock escape,
+    registry.MERGED): the wide cross-tab is melted straight back to
+    long form through ``DataFrame.unpivot`` — a single in-stage Expand
+    node on the tiny post-aggregate relation, never on the fact table —
+    so one driver row attests the pivot rewrite AND the wide-to-long
+    reshape as exact inverses (the oracle UNPIVOTs the same wide
+    restatement; a dropped zero cell or metric-name drift breaks the
+    hash)."""
+    wide = q60_bench_pivot(spark, sf_dir)
+    return wide.unpivot(["lang"], _PIVOT_SOURCES, "metric", "value")
 
 
-@query("q61_cube_flag_status", _Q61_ORACLE)
-def q61_cube_flag_status(spark, sf_dir):
-    """CUBE over (returnflag, linestatus): all four grouping sets in one
-    map-side Expand + a single shuffle; integer-quantity sums so every
-    grouping level is engine-exact."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
+# q61_cube_flag_status: FOLDED into q66_grouping_sets (r18,
+# window-deadlock escape — registry.MERGED): q66 now computes the FULL
+# cube through both the DataFrame ``.cube()`` API (q61's surface) and
+# the free-form GROUPING SETS SQL entry point, asserting identity.
 
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -1292,27 +1318,49 @@ _Q66_ORACLE = """
                AS sum_cents,
            count(*) AS n_orders
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
 @query("q66_grouping_sets", _Q66_ORACLE)
 def q66_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS via the engine's SQL entry point (the
-    DataFrame API has rollup/cube but not free-form sets): two
-    independent one-column groupings share one scan + one Expand +
-    one shuffle instead of two scans and a union."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
+    DataFrame API has rollup/cube but not free-form sets): all four
+    grouping levels share one scan + one Expand + one shuffle instead
+    of four scans and a union; integer-cent sums keep every level
+    engine-exact.
+
+    r18 fold of q61_cube_flag_status (window-deadlock escape,
+    registry.MERGED): the free-form set list is the FULL cube, and the
+    same relation is recomputed through the DataFrame ``.cube()`` API
+    (q61's surface) with ``assert_df_identical`` refusing on any
+    divergence — one driver row attests both grouping-set entry points
+    against the oracle's GROUP BY CUBE."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    via_sql = spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS sum_cents,
                count(*) AS n_orders
         FROM orders_v
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        GROUP BY GROUPING SETS (
+            (o_orderpriority), (o_orderstatus),
+            (o_orderpriority, o_orderstatus), ()
+        )
         """
     )
+    via_cube = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    assert_df_identical(
+        via_sql, via_cube, "q66: GROUPING SETS SQL vs DataFrame cube"
+    )
+    return via_sql
 
 
 _Q68_ORACLE = """
@@ -1425,7 +1473,8 @@ def q71_distinct_sketch_rollup(spark, sf_dir):
 _Q87_ORACLE = """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-           TRUE AS within_tol
+           TRUE AS within_tol,
+           TRUE AS within_tol_merged
     FROM events GROUP BY event_type
 """
 
@@ -1442,7 +1491,16 @@ def q87_sketch_accuracy(spark, sf_dir):
     ``within_tol = TRUE`` per group: an out-of-tolerance estimate
     value-hash-mismatches instead of hiding behind a rows-only check.
     The exact side is one count_distinct shuffle; the estimate side is
-    sketch-sized, and the final join is a per-event-type broadcast."""
+    sketch-sized, and the final joins are per-event-type broadcasts.
+
+    r18 fold of q92_sketch_merge_accuracy (the verdict-ordered sibling
+    merge, registry.MERGED): ``within_tol_merged`` pins the OTHER
+    storable-state path — the fact table split into two disjoint
+    event_id-parity halves, each half sketched independently, the
+    sketches union-merged group-wise via ``merge_rollups`` (the
+    stored-state-update path the streaming sketch driver folds
+    through). A merge bug that loses or double-counts registers flips
+    the flag; a half-sketch would undercount badly."""
     from .operators import sketches
 
     ev = _t(spark, sf_dir, "events")
@@ -1456,16 +1514,38 @@ def q87_sketch_accuracy(spark, sf_dir):
         "user_id",
     )
     est = sketches.estimate(sketches.rollup_to(daily, ["event_type"]))
+    halves = [
+        sketches.distinct_sketch_rollup(
+            ev.filter(F.col("event_id") % 2 == i).select(
+                "event_type", "user_id"
+            ),
+            ["event_type"],
+            "user_id",
+        )
+        for i in (0, 1)
+    ]
+    est_merged = sketches.estimate(
+        sketches.merge_rollups(halves[0], halves[1], ["event_type"])
+    ).withColumnRenamed("n_distinct", "n_distinct_merged")
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
-    return exact.join(F.broadcast(est), "event_type").select(
-        "event_type",
-        "exact_distinct",
-        (
-            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
-            <= sketches.rel_tolerance() * F.col("exact_distinct")
-        ).alias("within_tol"),
+    tol = sketches.rel_tolerance()
+    return (
+        exact.join(F.broadcast(est), "event_type")
+        .join(F.broadcast(est_merged), "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("within_tol"),
+            (
+                F.abs(F.col("n_distinct_merged") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("within_tol_merged"),
+        )
     )
 
 
@@ -1488,21 +1568,70 @@ _Q74_ORACLE = """
     FROM versions
 """
 
+# q74's face output since the r18 q121 fold: the history annotated with
+# the per-key version count and the current-row flag — the CURRENT-view
+# slice (q121's relation) is the is_current rows of this output, so one
+# driver row attests both read patterns. q124 (delta-apply equivalence)
+# keeps the UNANNOTATED history oracle above.
+_Q74_MERGED_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ),
+    hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM versions
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_versions,
+           valid_to IS NULL AS is_current
+    FROM hist
+"""
 
-@query("q74_scd2_history", _Q74_ORACLE)
+
+@query("q74_scd2_history", _Q74_MERGED_ORACLE)
 def q74_scd2_history(spark, sf_dir):
     """SCD Type-2 dimension build from the event stream: per user, one
     versioned row per event_type CHANGE (no-op repeats collapse) with
     half-open validity intervals — the history table point-in-time joins
-    consume. Both windows share one user_id shuffle."""
+    consume. Both windows share one user_id shuffle.
+
+    r18 fold of q121_scd2_current_view (window-deadlock escape,
+    registry.MERGED): the history ships annotated with ``n_versions``
+    (the churn measure) and ``is_current`` (exactly one open interval
+    per key) — q121's CURRENT-row slice is the ``is_current`` rows of
+    this relation, so the annotation's count window reuses the
+    history's user_id partitioning and one driver row attests both the
+    build and the current-view read pattern. Still one shuffle
+    end-to-end."""
     from .operators.scd import scd2_from_changes
 
-    return scd2_from_changes(
+    hist = scd2_from_changes(
         _t(spark, sf_dir, "events"),
         key_cols=["user_id"],
         ts_col="ts",
         attr_cols=["event_type"],
         tiebreak_cols=["event_id"],
+    )
+    w = Window.partitionBy("user_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.count(F.lit(1)).over(w).alias("n_versions"),
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -1591,12 +1720,11 @@ _Q76_ORACLE = """
 """
 
 
-@query("q76_snapshot_diff", _Q76_ORACLE)
-def q76_snapshot_diff(spark, sf_dir):
-    """CDC generation from full snapshots: diff two orders snapshots into
-    the I/U/D change-set apply_changes consumes — the integration path
-    when the source system can't emit CDC and only hands over dumps.
-    One full-outer PK join; unchanged rows dropped in-stage."""
+def q76_bench_diff(spark, sf_dir):
+    """Bench body: the in-memory snapshot diff ALONE (the pre-r18 q76
+    plan; the registered face below routes the same snapshots through
+    the on-disk versioned-commit protocol — q110's fold — whose write
+    cost is benched by the q110_time_travel_diff sentinel)."""
     from .operators.diff import snapshot_diff
 
     o = _t(spark, sf_dir, "orders").select(
@@ -1612,45 +1740,53 @@ def q76_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
-_Q77_ORACLE = """
-    WITH wide AS (
-        SELECT l_returnflag,
-               round(sum(l_quantity), 2)      AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS sum_disc_price
-        FROM lineitem
-        GROUP BY l_returnflag
+@query("q76_snapshot_diff", _Q76_ORACLE)
+def q76_snapshot_diff(spark, sf_dir):
+    """CDC generation from full snapshots: diff two orders snapshots into
+    the I/U/D change-set apply_changes consumes — the integration path
+    when the source system can't emit CDC and only hands over dumps.
+    One full-outer PK join; unchanged rows dropped in-stage.
+
+    r18 fold of q110_time_travel_diff (the verdict-ordered merge,
+    registry.MERGED): the two snapshots now COMMIT as versions 1 and 2
+    of a real on-disk versioned table (immutable ``_vNNNNN`` dirs +
+    atomically-replaced pointer) and resolve back through
+    ``read_version`` before diffing — genuine parquet round-trips, so
+    every byte flows through the snapshot commit protocol and a
+    pointer-flip or retention bug breaks the row hash. The oracle is
+    unchanged: the protocol must be a no-op on WHAT the snapshots
+    say."""
+    import shutil
+
+    from .operators.diff import snapshot_diff
+    from .sources.warehouse import ParquetWarehouse
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
-    UNION ALL
-    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
-    UNION ALL
-    SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide
-"""
+    old = o.filter(F.col("o_orderkey") % 7 < 5)
+    new = o.filter(F.col("o_orderkey") % 7 > 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    wh = ParquetWarehouse(_scratch_root("q76", sf_dir))
+    # single-writer table, rebuilt per invocation for determinism
+    shutil.rmtree(wh.path("orders_versioned"), ignore_errors=True)
+    v1 = wh.overwrite_versioned(old, "orders_versioned", retain=2)
+    v2 = wh.overwrite_versioned(new, "orders_versioned", retain=2)
+    return snapshot_diff(
+        wh.read_version(spark, "orders_versioned", v1),
+        wh.read_version(spark, "orders_versioned", v2),
+        ["o_orderkey"],
+    )
 
 
-@query("q77_unpivot_metrics", _Q77_ORACLE)
-def q77_unpivot_metrics(spark, sf_dir):
-    """Wide-to-long reshape (UNPIVOT/melt, the inverse of q60's pivot):
-    per-flag measure columns melted to (key, metric, value) rows.
-    ``DataFrame.unpivot`` is a single in-stage Expand node — the 3x row
-    multiplication happens after the aggregation, on the tiny wide
-    relation, never on the fact table."""
-    li = _t(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("sum_disc_price"),
-    )
-    return wide.unpivot(
-        ["l_returnflag"],
-        ["sum_qty", "sum_base_price", "sum_disc_price"],
-        "metric",
-        "value",
-    )
+# q77_unpivot_metrics: FOLDED into q60_pivot_lang_source (r18,
+# window-deadlock escape — registry.MERGED): q60's face now melts its
+# wide cross-tab back to long form through DataFrame.unpivot, attesting
+# the reshape as the pivot's exact inverse in the same driver row.
 
 
 _Q79_GAP_US = 3600 * 1_000_000  # 1-hour debounce window
@@ -1892,54 +2028,10 @@ def q91_event_path_patterns(spark, sf_dir):
     )
 
 
-_Q92_ORACLE = """
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-           TRUE AS within_tol
-    FROM events GROUP BY event_type
-"""
-
-
-@query("q92_sketch_merge_accuracy", _Q92_ORACLE)
-def q92_sketch_merge_accuracy(spark, sf_dir):
-    """Driver-verified contract for BATCH sketch merging (q87 covers the
-    grain rollup; this pins ``merge_rollups``, the stored-state-update
-    path the streaming sketch driver folds through): the fact table is
-    split into two disjoint halves by event_id parity, each half is
-    sketched independently, the sketches are union-merged group-wise,
-    and the merged estimate must land within rel_tolerance() of the
-    exact distinct count over the WHOLE table (4x standard error at the
-    configured lg_k — see sketches.rel_tolerance). Catches any merge
-    bug that loses or
-    double-counts registers — a half-sketch would undercount badly."""
-    from .operators import sketches
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id"
-    )
-    halves = [
-        sketches.distinct_sketch_rollup(
-            ev.filter(F.col("event_id") % 2 == i).select(
-                "event_type", "user_id"
-            ),
-            ["event_type"],
-            "user_id",
-        )
-        for i in (0, 1)
-    ]
-    merged = sketches.merge_rollups(halves[0], halves[1], ["event_type"])
-    est = sketches.estimate(merged)
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_distinct")
-    )
-    return exact.join(F.broadcast(est), "event_type").select(
-        "event_type",
-        "exact_distinct",
-        (
-            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
-            <= sketches.rel_tolerance() * F.col("exact_distinct")
-        ).alias("within_tol"),
-    )
+# q92_sketch_merge_accuracy: FOLDED into q87_sketch_accuracy (r18, the
+# verdict-ordered sketch-pair merge — registry.MERGED): q87's
+# ``within_tol_merged`` column now pins the parity-half merge_rollups
+# path this face held.
 
 
 _Q93_ORACLE = """
@@ -2307,46 +2399,16 @@ def q109_salted_join_revenue(spark, sf_dir):
     )
 
 
-_Q110_ORACLE = """
-    WITH old AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderkey % 9 < 6
-    ),
-    new AS (
-        SELECT o_orderkey, o_orderstatus,
-               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50
-                    ELSE o_totalprice END AS o_totalprice
-        FROM orders WHERE o_orderkey % 9 > 1
-    )
-    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
-                WHEN n.o_orderkey IS NULL THEN 'D'
-                ELSE 'U' END AS op,
-           coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
-                ELSE n.o_orderstatus END AS o_orderstatus,
-           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
-                ELSE n.o_totalprice END AS o_totalprice
-    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
-       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
-"""
+# q110_time_travel_diff: FOLDED into q76_snapshot_diff (r18, the
+# verdict-ordered merge — registry.MERGED): q76's snapshots now flow
+# through the versioned-commit protocol, so its single driver row
+# attests both the diff operator and time travel. The bench body below
+# keeps the q110 headline series comparable (its own %9/%11 fixture).
 
 
-@query("q110_time_travel_diff", _Q110_ORACLE)
-def q110_time_travel_diff(spark, sf_dir):
-    """Time travel's oracle face: the change-set BETWEEN two retained
-    snapshots of a versioned warehouse table — the CDC-generation story
-    ``overwrite_versioned`` exists for. Two deterministic orders
-    snapshots commit as versions 1 and 2 of a real on-disk versioned
-    table (immutable ``_vNNNNN`` dirs + atomically-replaced pointer),
-    both are resolved back through ``read_version`` (genuine parquet
-    round-trips, not in-memory frames), and ``snapshot_diff`` derives
-    the I/U/D rows — restated in the oracle as an EXCEPT-style
-    full-outer diff over the same filters. Unlike q76 (which diffs two
-    in-memory projections), every byte here flows through the snapshot
-    commit protocol, so a pointer-flip or retention bug breaks the row
-    hash."""
+def q110_bench_time_travel(spark, sf_dir):
+    """Bench body: the pre-r18 q110 plan — two versioned on-disk
+    commits, read_version round-trips, snapshot_diff."""
     import shutil
 
     from .operators.diff import snapshot_diff
@@ -2954,44 +3016,16 @@ def q125_group_commit_join(spark, sf_dir):
     )
 
 
-_Q121_ORACLE = """
-    WITH ordered AS (
-        SELECT user_id, event_type, ts, event_id,
-               lag(event_type) OVER w AS prev_type,
-               lag(ts) OVER w AS prev_ts
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    versions AS (
-        SELECT user_id, event_type, ts, event_id FROM ordered
-        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
-    ),
-    hist AS (
-        SELECT user_id, event_type, ts AS valid_from,
-               lead(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ) AS valid_to
-        FROM versions
-    ),
-    counts AS (
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions
-        FROM hist GROUP BY user_id
-    )
-    SELECT h.user_id, h.event_type AS current_state,
-           h.valid_from AS current_since, c.n_versions
-    FROM hist h JOIN counts c ON h.user_id = c.user_id
-    WHERE h.valid_to IS NULL
-"""
+# q121_scd2_current_view: FOLDED into q74_scd2_history (r18, the
+# verdict-ordered SCD2 pair merge — registry.MERGED): the current-row
+# slice is the ``is_current`` rows of q74's annotated history output.
+# The bench body below keeps the q121 headline series comparable
+# (the q114 sentinel-split precedent).
 
 
-@query("q121_scd2_current_view", _Q121_ORACLE)
-def q121_scd2_current_view(spark, sf_dir):
-    """The other read pattern the SCD2 history exists for (next to q75's
-    point-in-time lookup): the CURRENT-row slice — exactly one open
-    interval per key (valid_to IS NULL) — joined with each key's version
-    count, the churn measure that tells a modeler which dimensions are
-    volatile. Both the slice and the count reuse the history's user_id
-    partitioning; one shuffle end-to-end with the q74 build."""
+def q121_bench_current_view(spark, sf_dir):
+    """Bench body: the pre-r18 q121 plan — CURRENT-row slice joined
+    with per-key version counts off the SCD2 history."""
     from .operators.scd import scd2_from_changes
 
     hist = scd2_from_changes(
@@ -3015,18 +3049,14 @@ def q121_scd2_current_view(spark, sf_dir):
     )
 
 
-_Q126_ORACLE = """
-    SELECT s_nationkey,
-           CAST(count(*) AS BIGINT) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_bal
-    FROM supplier
-    GROUP BY s_nationkey
-"""
+# r18: the three foreign stage formats (ORC / XML / Avro) fold into ONE
+# registered face, q126_stage_format_roundtrips (window-deadlock escape,
+# registry.MERGED) — each format keeps its full original fixture as a
+# bench body below, so the q126/q127 headline series stay comparable.
 
 
-@query("q126_orc_stage_roundtrip", _Q126_ORACLE)
-def q126_orc_stage_roundtrip(spark, sf_dir):
-    """The ORC stage format's oracle face (ref metadata file_format :26;
+def q126_bench_orc(spark, sf_dir):
+    """The ORC stage format fixture (ref metadata file_format :26;
     COPY INTO accepts ORC :291): the full supplier table lands in a
     scratch stage as MULTI-FILE ORC under foreign source column names,
     comes back through ``read_stage_orc``'s positional cast with the
@@ -3082,19 +3112,8 @@ def q126_orc_stage_roundtrip(spark, sf_dir):
     )
 
 
-_Q127_ORACLE = """
-    SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
-    FROM customer
-    WHERE c_custkey % 5 = 0
-    GROUP BY c_mktsegment
-"""
-
-
-@query("q127_xml_stage_roundtrip", _Q127_ORACLE)
-def q127_xml_stage_roundtrip(spark, sf_dir):
-    """The XML stage format's oracle face (ref metadata file_format :26;
+def q127_bench_xml(spark, sf_dir):
+    """The XML stage format fixture (ref metadata file_format :26;
     COPY INTO accepts XML :291): a customer subset lands in a scratch
     stage as XML through Spark's native writer, comes back through
     ``read_stage_xml``'s NAMED schema-driven parse (XML has no file
@@ -4597,19 +4616,8 @@ def q144_composite_delete_fold(spark, sf_dir):
 # Ref: metadata file_format :26; COPY INTO accepts Avro :291.
 # ---------------------------------------------------------------------------
 
-_Q146_ORACLE = """
-    SELECT s_nationkey,
-           CAST(count(*) AS BIGINT) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_bal
-    FROM supplier
-    WHERE s_suppkey % 3 = 0
-    GROUP BY s_nationkey
-"""
-
-
-@query("q146_avro_stage_roundtrip", _Q146_ORACLE)
-def q146_avro_stage_roundtrip(spark, sf_dir):
-    """The Avro stage format's oracle face, q126/q127's sibling: the
+def q146_bench_avro(spark, sf_dir):
+    """The Avro stage format fixture, q126/q127's sibling: the
     full supplier table lands in a scratch stage as MULTI-FILE Avro
     object-container files (one deflate-compressed) under foreign
     source column names, comes back through ``read_stage_avro``'s
@@ -4671,6 +4679,55 @@ def q146_avro_stage_roundtrip(spark, sf_dir):
             "total_bal",
         )
     )
+
+
+_Q126_MERGED_ORACLE = """
+    SELECT 'orc' AS fmt, CAST(s_nationkey AS VARCHAR) AS k,
+           CAST(count(*) AS BIGINT) AS n, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'xml', c_mktsegment,
+           CAST(count(*) AS BIGINT), round(sum(c_acctbal), 2)
+    FROM customer WHERE c_custkey % 5 = 0 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'avro', CAST(s_nationkey AS VARCHAR),
+           CAST(count(*) AS BIGINT), round(sum(s_acctbal), 2)
+    FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey
+"""
+
+
+@query("q126_stage_format_roundtrips", _Q126_MERGED_ORACLE)
+def q126_stage_format_roundtrips(spark, sf_dir):
+    """All three foreign stage formats' oracle faces in one relation
+    (r18 fold of q126_orc/q127_xml/q146_avro — window-deadlock escape,
+    registry.MERGED; ref metadata file_format :26, COPY INTO accepts
+    ORC/XML/Avro :291). Each format runs its FULL original fixture —
+    ORC multi-file positional cast with the dense-rownum assert_true
+    guard, XML named schema-driven parse, Avro positional cast through
+    the stdlib OCF fallback (one deflate file) — and the aligned,
+    format-tagged union hash-matches the parquet-side restatements, so
+    a regression in any one format's write/read/metadata path breaks
+    the single driver row. Per-format plans are pinned separately in
+    tests/test_plans.py and benched under their pre-r18 keys."""
+    orc = q126_bench_orc(spark, sf_dir).select(
+        F.lit("orc").alias("fmt"),
+        F.col("s_nationkey").cast("string").alias("k"),
+        F.col("n_suppliers").alias("n"),
+        "total_bal",
+    )
+    xml = q127_bench_xml(spark, sf_dir).select(
+        F.lit("xml").alias("fmt"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("n_customers").alias("n"),
+        "total_bal",
+    )
+    avro = q146_bench_avro(spark, sf_dir).select(
+        F.lit("avro").alias("fmt"),
+        F.col("s_nationkey").cast("string").alias("k"),
+        F.col("n_suppliers").alias("n"),
+        "total_bal",
+    )
+    return orc.unionByName(xml).unionByName(avro)
 
 
 # ---------------------------------------------------------------------------
@@ -4841,7 +4898,7 @@ _Q152_ORACLE = """
 """
 
 
-@staged_query("q152_metadata_stats", _Q152_ORACLE)
+@query("q152_metadata_stats", _Q152_ORACLE)
 def q152_metadata_stats(spark, sf_dir):
     """Metadata-only stats face (r16 warehouse batch, staged for an r18
     slot): orders lands range-clustered with a zone-map manifest, and
@@ -4884,7 +4941,7 @@ _Q158_ORACLE = """
 """
 
 
-@staged_query("q158_append_files_insert", _Q158_ORACLE)
+@query("q158_append_files_insert", _Q158_ORACLE)
 def q158_append_files_insert(spark, sf_dir):
     """The O(batch) INSERT INTO primitive under the driver oracle
     (staged for r18): orders lands in two halves — a full overwrite,

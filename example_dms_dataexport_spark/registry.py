@@ -47,68 +47,89 @@ def staged_query(name: str, oracle: str | None):
     return deco
 
 
+# Faces retired by a fold/merge: every driver row recorded under the
+# retired name is carried by the absorbing face (the q114-fixture
+# precedent, applied registry-wide in r18 to break the 150-face window
+# saturation the r17 verdict flagged). tools/check_freshness.py accepts
+# recorded-but-unregistered names through this map.
+MERGED: dict[str, str] = {
+    # r17 staged oracle-twins, folded as dual-path identity asserts
+    "q151_pq_rerank_knn": "q28_knn_brute",
+    "q155_pipeline_spec_build": "q38_cleaning_pipeline",
+    "q156_semantic_dedup_indexed": "q82_semantic_dedup",
+    # redundant sibling faces, merged into one attestation each
+    "q121_scd2_current_view": "q74_scd2_history",
+    "q110_time_travel_diff": "q76_snapshot_diff",
+    "q92_sketch_merge_accuracy": "q87_sketch_accuracy",
+    "q77_unpivot_metrics": "q60_pivot_lang_source",
+    "q61_cube_flag_status": "q66_grouping_sets",
+    "q126_orc_stage_roundtrip": "q126_stage_format_roundtrips",
+    "q127_xml_stage_roundtrip": "q126_stage_format_roundtrips",
+    "q146_avro_stage_roundtrip": "q126_stage_format_roundtrips",
+}
+
 # The driver's correctness harness records only the FIRST 50 registered
 # queries each round (CORRECTNESS_r{N}.json is a 50-row window over
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 17 window: 49 mandatory faces (the r14 cohort — every face whose
-# latest green driver row is r14, per tools/check_freshness.py) plus ONE
-# spare slot, spent on q150_wordpiece_merges: the first driver-oracle row
-# for the r16 tokenizer batch (operators/wordpiece.py). The remaining r16
-# capability faces stage in registry.STAGED (oracle-verified locally via
-# `tools/check_oracle.py --staged`) and promote when r18 slots open.
+# Round 18 window: the r15-cohort faces check_freshness.py forces (50
+# before the MERGED folds above retired six of them; 45 after — the
+# renamed q126_stage_format_roundtrips face sits in its predecessors'
+# seat) plus the FIVE promoted r17-staged faces (q152/q153/q154/q157/
+# q158), emptying registry.STAGED. Registry count lands at 148, so
+# later rounds regain spare slots instead of re-saturating.
 PRIORITY = [
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q12_part_name_parsing",
-    "q13_file_prefix_grouping",
-    "q14_json_props",
-    "q15_orders_by_month",
-    "q49_incremental_rollup",
-    "q53_range_join_windows",
-    "q62_funnel_stages",
-    "q64_resample_ffill",
-    "q65_trailing_hour_avg",
-    "q68_quality_audit",
-    "q69_skew_report",
-    "q74_scd2_history",
-    "q75_scd2_point_in_time",
-    "q76_snapshot_diff",
-    "q79_event_debounce",
-    "q80_bloom_semi_join",
-    "q81_bpe_merges",
-    "q87_sketch_accuracy",
-    "q88_bigram_logprob",
-    "q89_retention_cohorts",
-    "q90_value_deciles",
-    "q91_event_path_patterns",
-    "q92_sketch_merge_accuracy",
-    "q93_rolling_active_users",
-    "q94_value_trend_regression",
-    "q95_source_token_entropy",
-    "q96_value_outliers",
-    "q97_weekly_value_wow",
-    "q98_cross_source_dup_matrix",
-    "q108_image_decode",
-    "q109_salted_join_revenue",
-    "q110_time_travel_diff",
-    "q111_cluster_canonical",
-    "q112_kll_quantile_accuracy",
-    "q113_jdbc_roundtrip",
-    "q115_hybrid_retrieval",
-    "q116_source_kl_divergence",
-    "q133_group_cycle_consistency",
-    "q135_stream_group_cycle",
-    "q136_bloom_point_lookup",
-    "q137_hybrid_merge_prune",
-    "q138_pps_sample",
-    "q139_bloom_partitioned_erase",
-    "q140_scan_scoped_merge",
-    "q141_recluster_merge_prune",
-    "q142_delete_vectors",
-    "q143_repetition_filter",
-    "q150_wordpiece_merges",
+    "q16_hourly_event_windows",
+    "q18_cdc_merge",
+    "q21_quality_filter",
+    "q22_exact_dedup",
+    "q24_minhash_dedup_pairs",
+    "q26_simhash_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q28_knn_brute",
+    "q29_knn_lsh",
+    "q30_knn_ivf",
+    "q31_embedding_dup_pairs",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q35_length_percentiles",
+    "q36_rollup_acctbal",
+    "q37_repetition_ratio",
+    "q38_cleaning_pipeline",
+    "q40_pii_redaction",
+    "q41_vocab_df",
+    "q43_dedup_clusters",
+    "q44_decontaminate",
+    "q45_stratified_sample",
+    "q54_profile_orders",
+    "q59_histogram_totalprice",
+    "q60_pivot_lang_source",
+    "q63_intersect_except",
+    "q66_grouping_sets",
+    "q114_bucketed_join_revenue",
+    "q117_cdc_backlog",
+    "q118_chunk_integrity",
+    "q119_user_erasure_audit",
+    "q120_pack_efficiency",
+    "q122_png_decode",
+    "q123_erasure_execution",
+    "q124_scd2_delta_apply",
+    "q125_group_commit_join",
+    "q126_stage_format_roundtrips",
+    "q128_zonemap_prune",
+    "q129_declared_layout_pipeline",
+    "q130_zorder_multicol_prune",
+    "q144_composite_delete_fold",
+    "q145_maintenance_cycle",
+    "q147_group_snapshot_mask",
+    "q148_dsir_importance_weights",
+    "q149_mixture_temperature",
+    "q152_metadata_stats",
+    "q153_binary_hamming_knn",
+    "q154_webdataset_roundtrip",
+    "q157_lang_model_id",
+    "q158_append_files_insert",
 ]
 
 

@@ -2137,23 +2137,44 @@ class ParquetWarehouse:
         table, which is the only append shape that survives continuous
         ingest at 100 TB (a per-batch rewrite is O(table)).
 
+        BUCKETED tables append THROUGH the bucket layout (r18, the r17
+        verdict's task 4): the batch stages via Spark's own bucketed
+        writer, so every landed file carries the ``_NNNNN`` bucket-id
+        suffix and rows stay routed by ``pmod(hash(keys))`` — the
+        bucket-cover point lookup and the zero-exchange co-located join
+        stay correct (a bucket now holds several files; Spark unions
+        them into the bucket's task and, seeing >1 file per bucket,
+        simply re-sorts before a merge join instead of trusting the
+        per-file sort — correctness never depends on the file count).
+        ``partition_by`` on a bucketed table refuses (the layouts don't
+        compose here). The cached catalog file listing is refreshed.
+
         Consistency contract: runs under the table's mutation fence;
         refuses versioned tables (appends would bypass snapshot
-        commits), bucketed tables (a side-loaded file breaks the
-        bucket-file layout the zero-exchange join trusts), pending
-        merge-on-read deletes (the sidecar's manifest describes a file
-        set this append changes), and schema drift (appended columns
-        must match the table's read schema by name — silently unioning
-        mismatched files would corrupt every later scan). Zone-map /
-        bloom sidecars are invalidated first (stale pruning must fail
-        loudly, never mis-prune; rebuild with write_zonemap /
-        write_bloom after the batch). Each file lands via one atomic
-        rename, so readers never observe a torn file; a crash
-        mid-batch leaves a PREFIX of the batch appended — callers
-        needing exactly-once reconcile by key against the table (the
-        streaming ingest pattern), and a crashed batch's abandoned
-        staging dir is swept by the next fenced append. Small-file
-        accretion folds away with ``compact``.
+        commits), pending merge-on-read deletes (the sidecar's manifest
+        describes a file set this append changes), and schema drift
+        (appended columns must match the table's read schema by name —
+        silently unioning mismatched files would corrupt every later
+        scan). Zone-map and Bloom manifests are EXTENDED, not dropped
+        (r18): both are per-file, so the staged batch's entries compute
+        in O(batch) and merge into the existing manifest, committed
+        atomically AFTER the renames — pruned reads and metadata_stats
+        survive continuous ingest (a crash between rename and manifest
+        commit leaves the manifest ABSENT, so pruned readers fail loudly
+        toward their unpruned fallbacks, never mis-prune; rebuild with
+        write_zonemap / write_bloom). Each file lands via one atomic
+        rename, so readers never observe a torn file; a crash mid-batch
+        leaves a PREFIX of the batch appended — callers needing
+        exactly-once reconcile by key against the table (the streaming
+        ingest pattern), and a crashed batch's abandoned staging dir is
+        swept by the next fenced append. Small-file accretion folds
+        away with ``compact``.
+
+        The batch plan is evaluated ONCE (r17 advisor finding): rows
+        are counted from the staged files' parquet footers, never by a
+        second ``df.count()`` evaluation — a nondeterministic input
+        cannot make the reported rows disagree with the written files,
+        and a zero-row batch no-ops from the staged evidence itself.
 
         Returns ``{"files_added", "rows"}``.
         """
@@ -2179,11 +2200,12 @@ class ParquetWarehouse:
                 f"{table!r} is a versioned table — appends would bypass "
                 "its snapshot commits; write a new version instead"
             )
-        if self.bucket_spec(table) is not None:
+        bspec = self.bucket_spec(table)
+        if bspec is not None and partition_by:
             raise ValueError(
-                f"{table!r} is bucketed — a side-loaded file breaks the "
-                "bucket-file layout contract; merge through the bucket-"
-                "preserving writers"
+                f"{table!r} is bucketed — partition_by does not compose "
+                "with the bucket-file layout; append routes through the "
+                "bucketed writer instead"
             )
         if self.pending_deletes(table) is not None:
             raise ValueError(
@@ -2197,14 +2219,6 @@ class ParquetWarehouse:
                 f"append schema mismatch for {table!r}: batch columns "
                 f"{sorted(got)} != table columns {sorted(want)}"
             )
-        rows = df.count()
-        if rows == 0:
-            # a zero-row append is a true no-op: no file lands, no
-            # sidecar invalidates (a schema-only parquet file per empty
-            # batch would make replayed/filtered-empty batches accrete
-            # inode churn forever)
-            return {"files_added": 0, "rows": 0}
-        self._drop_zonemap(table)
         root = self.path(table)
         base = os.path.basename(root.rstrip("/"))
         parent = os.path.dirname(root.rstrip("/"))
@@ -2215,29 +2229,88 @@ class ParquetWarehouse:
         staging = os.path.join(
             parent, f".{base}.append-tmp-{uuid.uuid4().hex}"
         )
-        n_files = 0
         try:
-            w = df.write
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(staging)
-            tag = uuid.uuid4().hex[:12]
+            if bspec is not None:
+                self._stage_bucketed(df, staging, bspec)
+            else:
+                w = df.write
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(staging)
+            # ONE evaluation: rows come from the staged footers, and the
+            # zero-row no-op is decided on the same evidence (an empty
+            # first evaluation can't be contradicted by a write)
+            import pyarrow.parquet as _pq
+
+            staged: list[str] = []  # rel paths under staging
+            rows = 0
             for dp, _, fns in os.walk(staging):
-                rel = os.path.relpath(dp, staging)
-                dest_dir = root if rel == "." else os.path.join(root, rel)
-                parquet = sorted(
-                    fn for fn in fns if fn.endswith(".parquet")
+                for fn in sorted(fns):
+                    if fn.endswith(".parquet"):
+                        fp = os.path.join(dp, fn)
+                        rows += _pq.ParquetFile(fp).metadata.num_rows
+                        staged.append(os.path.relpath(fp, staging))
+            if rows == 0:
+                # a zero-row append is a true no-op: no file lands, no
+                # sidecar changes (a schema-only parquet file per empty
+                # batch would make replayed/filtered-empty batches
+                # accrete inode churn forever)
+                return {"files_added": 0, "rows": 0}
+            # Per-file manifest entries for JUST the staged batch —
+            # O(batch), computed BEFORE the renames so a crash leaves
+            # the table without manifests (loud fallback), never with a
+            # manifest missing committed files (silent mis-prune).
+            zm, bm = self.zonemap(table), self.bloom(table)
+            new_zm = (
+                self._compute_zonemap(spark, staging, zm["stat_cols"])
+                if zm is not None and staged
+                else None
+            )
+            new_bm = (
+                self._compute_bloom(
+                    spark, staging, bm["cols"],
+                    bits_per_key=bm["bits_per_key"], k=bm["k"],
                 )
-                if parquet:
-                    os.makedirs(dest_dir, exist_ok=True)
-                for fn in parquet:
-                    os.rename(
-                        os.path.join(dp, fn),
-                        os.path.join(dest_dir, f"app-{tag}-{fn}"),
-                    )
-                    n_files += 1
+                if bm is not None and staged
+                else None
+            )
+            self._drop_zonemap(table)
+            tag = uuid.uuid4().hex[:12]
+
+            def final_rel(rel: str) -> str:
+                d, fn = os.path.split(rel)
+                return os.path.join(d, f"app-{tag}-{fn}") if d else f"app-{tag}-{fn}"
+
+            n_files = 0
+            for rel in staged:
+                dest = os.path.join(root, final_rel(rel))
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(staging, rel), dest)
+                n_files += 1
+            # extend-and-recommit the manifests atomically, AFTER the
+            # data renames (crash window = manifest absent, see above)
+            if new_zm is not None:
+                zm["files"].update(
+                    {final_rel(r): e for r, e in new_zm["files"].items()}
+                )
+                ztmp = os.path.join(root, ZONEMAP_FILE + f".tmp-{tag}")
+                with open(ztmp, "w") as f:
+                    json.dump(zm, f)
+                os.replace(ztmp, os.path.join(root, ZONEMAP_FILE))
+            if new_bm is not None:
+                bm["files"].update(
+                    {final_rel(r): e for r, e in new_bm["files"].items()}
+                )
+                btmp = os.path.join(root, BLOOM_FILE + f".tmp-{tag}")
+                with open(btmp, "w") as f:
+                    json.dump(bm, f)
+                os.replace(btmp, os.path.join(root, BLOOM_FILE))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        if bspec is not None:
+            # the session catalog caches the bucketed file listing —
+            # invalidate so the next read sees the appended files
+            self._refresh_bucketed_catalog(spark, table)
         return {"files_added": n_files, "rows": rows}
 
     def compact(

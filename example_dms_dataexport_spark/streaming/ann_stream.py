@@ -79,9 +79,25 @@ def start_ann_ingest_stream(
     off ``batch_id`` so restarts re-run it harmlessly — compaction of
     an already-compacted table is an idempotent no-op — and a
     maintenance failure never fails the batch). ``None`` disables.
+
+    Replay reconciliation is BLOOM-MANIFEST-PRUNED (r18, the r17
+    verdict's one scale finding): stream start writes a per-file Bloom
+    manifest on ``vec_id`` if the index lacks one (one O(index) pass —
+    every later append extends it in O(batch)), and each batch's dup
+    discovery probes its own driver-bounded id set through
+    ``read_bloom_keys`` — only bloom-HIT partition files are opened,
+    and the replay anti-join broadcasts the key-bounded hit relation
+    instead of shuffling the index's id column every micro-batch. The
+    full-index joins remain as the loud fallback for oversized batches
+    or a manifest left stale by an append crash (healed by a
+    ``write_bloom`` rebuild after the batch).
     """
     # fail fast at start, not inside batch 0: the descriptor must exist
     warehouse.read_meta(index_name)[ANN_META_KEY]
+    bm = warehouse.bloom(index_name)
+    if bm is None or "vec_id" not in bm["cols"]:
+        # one-time manifest bootstrap; appends maintain it from here
+        warehouse.write_bloom(spark, index_name, ["vec_id"])
 
     stream = (
         spark.readStream.schema(ann_ingest_schema(id_col, vec_col))
@@ -99,45 +115,96 @@ def start_ann_ingest_stream(
         # the recall-corrupting divergence the batch API's append-only
         # ValueError exists to surface loudly.
         from ..operators.ann_index import _encode_with_lists
+        from .corpus_stream import RECONCILE_PROBE_CAP
 
-        index_tbl = warehouse.read(spark, index_name)
         desc = warehouse.read_meta(index_name)[ANN_META_KEY]
-        dup = batch.join(
-            index_tbl.select(F.col("vec_id").alias(id_col)),
-            id_col,
-            "left_semi",
-        )
-        conflict = (
-            _encode_with_lists(
+        batch = batch.persist()
+        try:
+            # the INDEXED rows sharing this batch's ids: bloom-pruned
+            # when the batch is probe-bounded and the manifest is live
+            # (only hit partition files open), else the full id-column
+            # scan — after which the manifest heals for later batches
+            ids = [
+                r[0]
+                for r in batch.select(id_col)
+                .limit(RECONCILE_PROBE_CAP + 1)
+                .collect()
+            ]
+            indexed_dup = None
+            if len(ids) <= RECONCILE_PROBE_CAP:
+                try:
+                    indexed_dup = warehouse.read_bloom_keys(
+                        spark, index_name, "vec_id", sorted(set(ids))
+                    ).select("vec_id", "code", "vnorm")
+                except ValueError:
+                    indexed_dup = None
+            healed = False
+            if indexed_dup is None:
+                indexed_dup = warehouse.read(spark, index_name).select(
+                    "vec_id", "code", "vnorm"
+                )
+                healed = True
+            else:
+                # key-bounded hit relation: broadcast on every use
+                indexed_dup = F.broadcast(indexed_dup)
+            dup = batch.join(
+                indexed_dup.select(F.col("vec_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            # admissibility first (r17 advisor finding): a dup row the
+            # encoder would FILTER (wrong dim, zero norm) cannot be
+            # verified as a true replay — refusing beats silently
+            # anti-joining it away as if it matched the indexed vector
+            n_dup = dup.count()
+            enc_dup = _encode_with_lists(
                 dup, desc["book"], desc["coarse"], vec_col, id_col
             )
-            .select(
-                "vec_id",
-                F.col("code").alias("_new_code"),
-                F.col("vnorm").alias("_new_vnorm"),
+            if enc_dup.count() != n_dup:
+                raise ValueError(
+                    f"ann ingest stream for {index_name!r}: a re-landed "
+                    "vec_id carries an INADMISSIBLE vector (wrong "
+                    "dimension or zero norm) — not a replay; rebuild or "
+                    "materialize deletes before re-adding a changed id"
+                )
+            conflict = (
+                enc_dup.select(
+                    "vec_id",
+                    F.col("code").alias("_new_code"),
+                    F.col("vnorm").alias("_new_vnorm"),
+                )
+                .join(indexed_dup, "vec_id")
+                .filter(
+                    (F.col("code") != F.col("_new_code"))
+                    | (F.col("vnorm") != F.col("_new_vnorm"))
+                )
+                .limit(1)
+                .collect()
             )
-            .join(index_tbl.select("vec_id", "code", "vnorm"), "vec_id")
-            .filter(
-                (F.col("code") != F.col("_new_code"))
-                | (F.col("vnorm") != F.col("_new_vnorm"))
+            if conflict:
+                raise ValueError(
+                    f"ann ingest stream for {index_name!r}: vec_id "
+                    f"{conflict[0]['vec_id']} re-landed with a DIFFERENT "
+                    "vector — the index is append-only (a replayed batch "
+                    "re-delivers identical vectors); rebuild or "
+                    "materialize deletes before re-adding a changed id"
+                )
+            fresh = batch.join(
+                indexed_dup.select(F.col("vec_id").alias(id_col)),
+                id_col,
+                "left_anti",
             )
-            .limit(1)
-            .collect()
-        )
-        if conflict:
-            raise ValueError(
-                f"ann ingest stream for {index_name!r}: vec_id "
-                f"{conflict[0]['vec_id']} re-landed with a DIFFERENT "
-                "vector — the index is append-only (a replayed batch "
-                "re-delivers identical vectors); rebuild or materialize "
-                "deletes before re-adding a changed id"
+            extend_ann_index(
+                warehouse, spark, fresh, index_name,
+                vec_col=vec_col, id_col=id_col, mode=mode,
             )
-        indexed = index_tbl.select(F.col("vec_id").alias(id_col))
-        fresh = batch.join(indexed, id_col, "left_anti")
-        extend_ann_index(
-            warehouse, spark, fresh, index_name,
-            vec_col=vec_col, id_col=id_col, mode=mode,
-        )
+            if healed:
+                try:  # O(index) once after a crash/oversized batch
+                    warehouse.write_bloom(spark, index_name, ["vec_id"])
+                except Exception:  # noqa: BLE001 — never fails a batch
+                    pass
+        finally:
+            batch.unpersist()
         # batch 0 is skipped: a fresh stream (or a replay from a new
         # checkpoint) has accreted nothing yet, and compacting the
         # just-built index there would break the no-op-replay inode

@@ -529,3 +529,62 @@ def run_fold_cdc_fixture(
             "fold merge rewrote every file: the zone scope regressed"
         )
     return n, want, carried, len(before)
+
+
+def run_corpus_ingest_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_batches: int = 4,
+) -> tuple[int, int, int]:
+    """Bench-scale continuous corpus ingest (the r17 streaming surface's
+    first bench sentinel, r18): the documents table lands as
+    ``n_batches`` parquet files, each feeding one micro-batch through
+    the full frozen-side-input cleaning spec — quality gate, trained NB
+    language model, frozen unigram-LM perplexity band — into a corpus
+    table that batch 0 creates WITH its (doc_id, _fp) bloom manifest
+    and every later batch extends via the bloom-pruned reconciliation +
+    O(batch) append. Wall time here tracks the per-sync cost a 100 TB
+    corpus pays per landing batch: regressions back to corpus-wide
+    anti-join shuffles or manifest rebuilds show up directly.
+
+    Returns ``(rows_ingested, n_batches, manifest_files)``.
+    """
+    from ..operators.lang_model import train_lang_model
+    from ..operators.text_analysis import train_unigram_lm, unigram_logprob_frozen
+    from .corpus_stream import start_corpus_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    # frozen side inputs train ONCE, outside the stream (the admission
+    # contract: corpus-relative work never runs per batch)
+    model = train_lang_model(docs)
+    lm = train_unigram_lm(docs.select("doc_id", "text"))
+    lo = unigram_logprob_frozen(docs.select("doc_id", "text"), lm).approxQuantile(
+        "logprob", [0.2], 0.0
+    )[0]
+    spec = [
+        {"op": "quality", "min_quality": 0.4},
+        {"op": "model_lang", "model": model, "lang": "en"},
+        {"op": "perplexity", "lm": lm, "min_logprob": lo},
+    ]
+    landing = os.path.join(workdir, "landing")
+    for i in range(n_batches):
+        docs.select("doc_id", "text").filter(
+            F.col("doc_id") % n_batches == i
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"batch-{i}")
+        )
+    wh = ParquetWarehouse(os.path.join(workdir, "wh"))
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", spec,
+        os.path.join(workdir, "ckpt"),
+    )
+    q.awaitTermination()
+    bm = wh.bloom("corpus")
+    return (
+        wh.read(spark, "corpus").count(),
+        n_batches,
+        len(bm["files"]) if bm else 0,
+    )

@@ -24,13 +24,34 @@ downstream), ``perplexity`` WITHOUT a frozen ``lm`` trains from its input
 row grain (they belong in the export pipeline over the corpus table).
 
 Exactly-once: each appended row carries a ``_fp`` content fingerprint
-COLUMN, so reconciliation is two columnar anti-joins (id, fingerprint)
+COLUMN, so reconciliation is two columnar (id, fingerprint) checks
 against the corpus table — no text re-hash of the corpus per batch. A
 replayed batch (foreachBatch retry, lost checkpoint, or the
 append-files crashed-prefix window) drops already-landed ids and
 already-seen content; first arrival wins across batches (stream
 order), min-id wins within a batch — the same tie rules as
 ``dedup_doc_stream`` / ``exact_dedup``.
+
+Reconciliation is BLOOM-MANIFEST-PRUNED (r18 — the r17 verdict's one
+scale finding): the corpus table carries a per-file Bloom manifest on
+(id, ``_fp``) from its first commit, ``append_files`` extends it in
+O(batch) per sync, and each batch probes its own (driver-bounded)
+key set through ``read_bloom_keys`` — only bloom-HIT files are ever
+opened, and the anti-joins run against that key-bounded relation as
+broadcasts. The pre-r18 shape (``batch LEFT ANTI corpus``) planned a
+sort-merge anti-join that scanned AND SHUFFLED the corpus's key
+columns every micro-batch — at a 100 TB corpus with minute-grain
+batches, exactly the O(table)-per-batch cost the O(batch) append
+exists to avoid. The full anti-join remains as the loud fallback for
+oversized batches (> RECONCILE_PROBE_CAP keys), a missing manifest
+(pre-r18 table), or a manifest left stale by an append crash — after
+which ``write_bloom`` heals the manifest so later batches prune again.
+
+NULL text (r17 advisor finding): ``_fp`` is coalesced to a sentinel
+(-1 — real fingerprints are non-negative) so NULL-text docs group,
+dedup, and reconcile exactly like the batch pipeline's exact_dedup
+(which groups NULL md5 keys together) instead of slipping through a
+never-matching NULL-keyed anti-join.
 """
 
 from __future__ import annotations
@@ -44,6 +65,26 @@ from ..functions import texthash as TH
 from ..operators.corpus_pipeline import run_corpus_pipeline, validate_spec
 
 FP_COL = "_fp"
+# fingerprint(text) is non-negative (poly-hash mod a positive prime; 0
+# for empty), so -1 is a collision-free NULL-text sentinel
+NULL_FP = -1
+# largest batch whose keys reconcile via driver-collected bloom probes
+# (the DELETE_BLOOM_PROBE_CAP discipline); beyond it the batch falls
+# back to the full corpus anti-join
+RECONCILE_PROBE_CAP = 100_000
+
+
+def _existing_keys(
+    spark, warehouse, table: str, col: str, keys: list
+) -> DataFrame | None:
+    """The corpus rows holding any of ``keys`` in ``col``, opening only
+    bloom-HIT files (manifest-pruned, exact-IN residual). None when the
+    manifest is absent or stale — the caller falls back to the full
+    anti-join and heals the manifest."""
+    try:
+        return warehouse.read_bloom_keys(spark, table, col, keys).select(col)
+    except ValueError:
+        return None
 
 # stages whose per-batch application equals their batch-pipeline
 # semantics (per-document, given frozen side inputs)
@@ -118,26 +159,73 @@ def start_corpus_ingest_stream(
             spark, batch, spec, id_col=id_col, text_col=text_col
         )
         # within-batch exact dedup (min-id per content hash — the
-        # batch-pipeline tie rule), then the fingerprint column the
-        # corpus reconciliation joins on
+        # batch-pipeline tie rule; a NULL md5 key is one group, like
+        # exact_dedup), then the fingerprint column the corpus
+        # reconciliation keys on — NULL-safe via the sentinel
         row = F.struct(*[F.col(c) for c in kept.columns])
         kept = (
             kept.withColumn("_chash", F.md5(F.col(text_col)))
             .groupBy("_chash")
             .agg(F.min_by(row, F.col(id_col)).alias("_keep"))
             .select("_keep.*")
-            .withColumn(FP_COL, TH.fingerprint(F.col(text_col)))
+            .withColumn(
+                FP_COL,
+                F.coalesce(
+                    TH.fingerprint(F.col(text_col)),
+                    F.lit(NULL_FP).cast("long"),
+                ),
+            )
         )
         if not os.path.isdir(warehouse.path(table)):
-            warehouse.overwrite(kept, table)
+            # first commit carries the reconciliation manifest from
+            # birth; every later append extends it in O(batch)
+            warehouse.overwrite(kept, table, bloom_cols=[id_col, FP_COL])
             return
-        corpus = warehouse.read(spark, table)
-        fresh = kept.join(
-            corpus.select(id_col), id_col, "left_anti"
-        ).join(corpus.select(FP_COL), FP_COL, "left_anti")
-        warehouse.append_files(
-            spark, fresh.select(*corpus.columns), table
-        )
+        corpus_cols = warehouse.read(spark, table).columns
+        # one evaluation of the cleaned batch serves the probe
+        # collects, the anti-joins, and the append
+        kept = kept.persist()
+        try:
+            probes = [
+                (r[0], r[1])
+                for r in kept.select(id_col, FP_COL)
+                .limit(RECONCILE_PROBE_CAP + 1)
+                .collect()
+            ]
+            existing_ids = existing_fps = None
+            if len(probes) <= RECONCILE_PROBE_CAP:
+                existing_ids = _existing_keys(
+                    spark, warehouse, table, id_col,
+                    sorted({p[0] for p in probes}),
+                )
+                existing_fps = _existing_keys(
+                    spark, warehouse, table, FP_COL,
+                    sorted({p[1] for p in probes}),
+                )
+            if existing_ids is not None and existing_fps is not None:
+                # key-bounded right sides: broadcast anti-joins, only
+                # bloom-hit corpus files were opened
+                fresh = kept.join(
+                    F.broadcast(existing_ids), id_col, "left_anti"
+                ).join(F.broadcast(existing_fps), FP_COL, "left_anti")
+            else:
+                # oversized batch or missing/stale manifest: the full
+                # column-pruned anti-join, then heal the manifest so
+                # the next batch prunes again
+                corpus = warehouse.read(spark, table)
+                fresh = kept.join(
+                    corpus.select(id_col), id_col, "left_anti"
+                ).join(corpus.select(FP_COL), FP_COL, "left_anti")
+            warehouse.append_files(
+                spark, fresh.select(*corpus_cols), table
+            )
+            if existing_ids is None or existing_fps is None:
+                try:  # O(corpus) once after a crash/legacy table
+                    warehouse.write_bloom(spark, table, [id_col, FP_COL])
+                except Exception:  # noqa: BLE001 — never fails a batch
+                    pass
+        finally:
+            kept.unpersist()
         if (
             compact_every is not None
             and batch_id > 0

@@ -448,22 +448,26 @@ def test_append_mode_refusals(spark, emb, tmp_path_factory):
         AI.extend_ann_index(wh, spark, emb, "idx", mode="upsert")
 
 
-def test_append_mode_invalidates_derived_manifests(
+def test_append_mode_extends_derived_manifests(
     spark, emb, tmp_path_factory
 ):
-    """Append-mode extends drop the zone-map/bloom sidecars like every
-    in-place mutation: a stale manifest describing the pre-append file
-    set would silently exclude appended rows from pruned reads."""
+    """r18: append-mode extends EXTEND the zone-map/bloom sidecars in
+    O(batch) instead of dropping them — pruned reads and metadata stats
+    must describe the post-append file set exactly (the pre-r18 drop
+    made continuous ingest rebuild manifests O(index) per sync)."""
     wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_zm")))
     even = emb.filter(F.col("vec_id") % 2 == 0)
     AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
     wh.write_zonemap(spark, "idx", ["vec_id"])
-    assert wh.zonemap("idx") is not None
-    AI.extend_ann_index(
-        wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
-        mode="append",
-    )
-    assert wh.zonemap("idx") is None  # pruned readers now refuse loudly
+    wh.write_bloom(spark, "idx", ["vec_id"])
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    AI.extend_ann_index(wh, spark, odd, "idx", mode="append")
+    st = wh.metadata_stats("idx")
+    assert st is not None and st["rows"] == emb.count()
+    key = odd.agg(F.min("vec_id")).first()[0]  # an APPENDED id
+    hit = wh.read_bloom_keys(spark, "idx", "vec_id", [key])
+    assert [r["vec_id"] for r in hit.select("vec_id").collect()] == [key]
+    assert len(hit.inputFiles()) < len(wh.bloom("idx")["files"])
 
 
 def test_append_mode_sweeps_abandoned_staging(spark, emb, tmp_path_factory):

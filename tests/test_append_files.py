@@ -61,20 +61,100 @@ def test_append_partitioned_lands_in_hive_dirs(spark, wh):
     assert any(d.startswith("bucket=") for d in os.listdir(root))
 
 
-def test_append_invalidates_zonemap_and_sweeps_staging(spark, wh):
+def test_append_extends_zonemap_and_sweeps_staging(spark, wh):
+    # r18 contract: appends EXTEND the per-file zone map in O(batch) —
+    # metadata_stats and pruned reads survive continuous ingest
     df = _orders(spark)
     wh.overwrite(
         df, "z", cluster_by=["o_orderkey"], stat_cols=["o_orderkey"]
     )
-    assert wh.zonemap("z") is not None
+    zm_before = wh.zonemap("z")
+    assert zm_before is not None
     root = wh.path("z").rstrip("/")
     ghost = os.path.join(
         os.path.dirname(root), f".{os.path.basename(root)}.append-tmp-dead"
     )
     os.makedirs(ghost)
-    wh.append_files(spark, df.limit(5), "z")
-    assert wh.zonemap("z") is None
+    extra = df.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    wh.append_files(spark, extra, "z")
+    zm = wh.zonemap("z")
+    assert zm is not None
+    assert len(zm["files"]) == len(zm_before["files"]) + 1
+    st = wh.metadata_stats("z")
+    assert st["rows"] == df.count() + 5
+    assert st["cols"]["o_orderkey"]["max"] > 10_000_000
+    # pruned range read over the appended band returns exactly its rows
+    got = wh.read_zoned(
+        spark, "z", "o_orderkey", 10_000_000, 2 * 10_000_000 + 10_000_000
+    )
+    assert got.count() == 5
     assert not os.path.isdir(ghost)
+
+
+def test_append_extends_bloom_manifest(spark, wh):
+    df = _orders(spark)
+    head = df.filter(F.col("o_orderkey") % 2 == 0)
+    tail = df.filter(F.col("o_orderkey") % 2 == 1)
+    wh.overwrite(head, "o", bloom_cols=["o_orderkey"])
+    n_files_before = len(wh.bloom("o")["files"])
+    wh.append_files(spark, tail, "o")
+    bm = wh.bloom("o")
+    assert bm is not None and len(bm["files"]) > n_files_before
+    # a key that landed via append resolves through the pruned lookup
+    # (no stale-manifest refusal), opening only bloom-hit files
+    key = tail.agg(F.min("o_orderkey")).first()[0]
+    hit = wh.read_bloom_keys(spark, "o", "o_orderkey", [key])
+    assert [r["o_orderkey"] for r in hit.collect()] == [key]
+    split = wh.bloom_hit_split(spark, "o", "o_orderkey", [key])
+    assert split is not None and len(split[1]) > 0  # some files pruned
+
+
+def test_append_bucketed_preserves_layout(spark, wh):
+    # r18 (r17 verdict task 4): bucketed tables take O(batch) appends
+    # through the bucket-preserving stager — layout, bucket-cover point
+    # lookups, and the zero-exchange join all survive
+    from example_dms_dataexport_spark.plans import exchange_count
+
+    df = _orders(spark)
+    head = df.filter(F.col("o_orderkey") % 2 == 0)
+    tail = df.filter(F.col("o_orderkey") % 2 == 1)
+    wh.write_bucketed(head, "b", ["o_custkey"], 4, sort_by=["o_custkey"])
+    before = _inodes(wh.path("b"))
+    res = wh.append_files(spark, tail, "b")
+    assert res["rows"] == tail.count() and res["files_added"] >= 1
+    after = _inodes(wh.path("b"))
+    for rel, ino in before.items():  # no pre-append file touched
+        assert after.get(rel) == ino
+    assert wh.bucket_spec("b")["n_buckets"] == 4
+    # every appended file parses to a bucket id (layout not broken)
+    for rel in set(after) - set(before):
+        assert wh._bucket_id_of(rel) is not None, rel
+    # content-exact through the catalog read
+    got = {r["o_orderkey"] for r in wh.read_bucketed(spark, "b").collect()}
+    assert got == {r["o_orderkey"] for r in df.collect()}
+    # bucket-cover point lookup finds appended keys
+    key = tail.select("o_custkey").first()[0]
+    pk = wh.read_bucket_keys(spark, "b", [key])
+    assert pk.count() == df.filter(F.col("o_custkey") == key).count()
+    # the co-located join still plans with NO exchange on either input
+    # side (one final agg exchange only); >1 file per bucket merely
+    # costs an in-task sort, never a shuffle
+    o = wh.read_bucketed(spark, "b")
+    joined = o.hint("merge").join(
+        wh.read_bucketed(spark, "b").alias("r"),
+        o["o_custkey"] == F.col("r.o_custkey"),
+    )
+    agg = joined.groupBy(o["o_custkey"]).count()
+    assert exchange_count(agg) <= 1
+
+
+def test_append_bucketed_refuses_partition_by(spark, wh):
+    df = _orders(spark)
+    wh.write_bucketed(df, "b", ["o_custkey"], 4)
+    with pytest.raises(ValueError, match="partition_by does not compose"):
+        wh.append_files(spark, df.limit(1), "b", partition_by=["o_custkey"])
 
 
 def test_append_refusals(spark, wh):
@@ -86,9 +166,6 @@ def test_append_refusals(spark, wh):
     wh.delete_keys(spark, "o", "o_orderkey", [lo])
     with pytest.raises(ValueError, match="pending merge-on-read"):
         wh.append_files(spark, df.limit(1), "o")
-    wh.write_bucketed(df, "b", ["o_custkey"], 4)
-    with pytest.raises(ValueError, match="bucketed"):
-        wh.append_files(spark, df.limit(1), "b")
     wh.overwrite_versioned(df, "v")
     with pytest.raises(ValueError, match="versioned"):
         wh.append_files(spark, df.limit(1), "v")

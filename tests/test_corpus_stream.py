@@ -180,3 +180,86 @@ def test_frozen_lm_perplexity_streams(spark, docs, tmp_path):
             [{"op": "perplexity", "min_logprob": lo}],
             str(tmp_path / "ckpt2"),
         )
+
+
+def test_reconciliation_is_bloom_pruned_and_manifest_survives(
+    spark, docs, tmp_path
+):
+    """r18 (verdict task 3): the per-batch reconciliation must not scan
+    the corpus — the table carries a (doc_id, _fp) bloom manifest from
+    birth, appends EXTEND it, and a batch's existing-key probe opens
+    only bloom-hit files. Result identity with the full anti-join is
+    pinned by test_streamed_result_matches_the_batch_pipeline above."""
+    from example_dms_dataexport_spark.streaming.corpus_stream import (
+        _existing_keys,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing, n_batches=4)
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    bm = wh.bloom("corpus")
+    assert bm is not None, "manifest dropped by an append"
+    assert set(bm["cols"]) == {"doc_id", FP_COL}
+    n_files = len(bm["files"])
+    assert n_files >= 4  # one initial commit + one file per append
+
+    # probe a handful of landed ids: the pruned read must open a
+    # STRICT SUBSET of the table's files and return exactly those rows
+    some = [
+        r["doc_id"]
+        for r in wh.read(spark, "corpus").select("doc_id").limit(3).collect()
+    ]
+    ex = _existing_keys(spark, wh, "corpus", "doc_id", some)
+    assert ex is not None, "manifest did not serve the pruned probe"
+    opened = ex.inputFiles()
+    assert 0 < len(opened) < n_files, (len(opened), n_files)
+    assert {r["doc_id"] for r in ex.collect()} == set(some)
+    # absent keys open no files at all on a miss-everywhere probe set
+    ex_miss = _existing_keys(
+        spark, wh, "corpus", "doc_id", [10**15, 10**15 + 1]
+    )
+    assert ex_miss is not None and ex_miss.count() == 0
+
+
+def test_null_text_reconciles_like_batch_exact_dedup(spark, tmp_path):
+    """r17 advisor finding: NULL-text docs must group under the _fp
+    sentinel — ONE survivor lands (min-id, first batch) and replicas in
+    later batches reconcile away instead of accreting through a
+    never-matching NULL-keyed anti-join."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows0 = [(1, "alpha beta gamma delta"), (2, None), (3, None)]
+    rows1 = [(10, None), (11, "epsilon zeta eta theta")]
+    spark.createDataFrame(rows0, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "batch-0"))
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "batch-1"))
+
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus",
+        [{"op": "sample", "rate": 1.0}], str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    tbl = wh.read(spark, "corpus")
+    nulls = tbl.filter(F.col("text").isNull()).collect()
+    assert [r["doc_id"] for r in nulls] == [2], nulls  # min-id, batch 0
+    got = {r["doc_id"] for r in tbl.collect()}
+    assert got == {1, 2, 11}
+    # replay from a fresh checkpoint: still exactly one NULL survivor
+    q2 = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus",
+        [{"op": "sample", "rate": 1.0}], str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert wh.read(spark, "corpus").filter(
+        F.col("text").isNull()
+    ).count() == 1

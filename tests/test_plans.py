@@ -216,10 +216,12 @@ def test_q59_histogram_single_pass_plus_broadcast(spark):
     assert "CartesianProduct" not in physical_plan(df)
 
 
-def test_q60_q61_single_shuffle_grouping_sets(spark):
-    # pivot and cube both aggregate with map-side partials into ONE
-    # hash-partitioned exchange (pivot CASE-sums / cube Expand)
-    for name in ("q60_pivot_lang_source", "q61_cube_flag_status"):
+def test_q60_q66_single_shuffle_grouping_sets(spark):
+    # pivot(+in-stage unpivot Expand) and grouping-sets cube both
+    # aggregate with map-side partials into ONE hash-partitioned
+    # exchange (q61's cube folded into q66 in r18 — the DataFrame-cube
+    # twin is identity-asserted inside the face)
+    for name in ("q60_pivot_lang_source", "q66_grouping_sets"):
         df = _q(spark, name)
         assert exchange_count(df) == 1, (name, physical_plan(df))
 
@@ -285,10 +287,11 @@ def test_q86_split_no_cartesian_cluster_join_not_forced(spark):
 def test_q87_sketch_join_is_broadcast_estimate_side(spark):
     df = _q(spark, "q87_sketch_accuracy")
     plan = physical_plan(df)
-    # the merged-sketch estimate relation is per-event-type tiny and is
-    # joined back to the exact counts via an explicit broadcast — the
-    # fact table is never reshuffled for the comparison
-    assert broadcast_join_count(df) >= 1
+    # BOTH estimate relations (grain rollup + the r18-folded q92
+    # parity-half merge) are per-event-type tiny and join back to the
+    # exact counts via explicit broadcasts — the fact table is never
+    # reshuffled for the comparison
+    assert broadcast_join_count(df) >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -319,13 +322,8 @@ def test_q90_q91_no_cartesian_no_hints(spark):
         assert broadcast_hint_count(df) == 0, name
 
 
-def test_q92_q93_shapes(spark):
-    df = _q(spark, "q92_sketch_merge_accuracy")
-    plan = physical_plan(df)
-    # merged-estimate side broadcast back onto exact counts, no cartesian
-    assert broadcast_join_count(df) >= 1
-    assert "CartesianProduct" not in plan
-
+def test_q93_shapes(spark):
+    # (q92's merged-sketch shape folded into q87's test above, r18)
     df = _q(spark, "q93_rolling_active_users")
     plan = physical_plan(df)
     # the 7x fan-out runs on the DISTINCT (user, day) relation; the only
@@ -513,13 +511,23 @@ def test_q108_image_decode_no_shuffle(spark):
 
 
 def test_q110_time_travel_diff_plan(spark):
-    df = _q(spark, "q110_time_travel_diff")
-    plan = physical_plan(df)
-    assert "CartesianProduct" not in plan
-    # one full-outer PK sort-merge join of the two snapshots — the
-    # minimum possible work for a snapshot diff (one exchange per side)
-    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
-    assert exchange_count(df) == 2, plan
+    # q110 folded into q76 (r18): the bench body keeps the original
+    # fixture/plan, and q76's registered face now reads both snapshots
+    # back through the versioned-commit protocol — same diff shape.
+    from example_dms_dataexport_spark.queries_relational import (
+        q110_bench_time_travel,
+    )
+
+    for df in (
+        q110_bench_time_travel(spark, SF),
+        _q(spark, "q76_snapshot_diff"),
+    ):
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        # one full-outer PK sort-merge join of the two snapshots — the
+        # minimum possible work for a diff (one exchange per side)
+        assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
+        assert exchange_count(df) == 2, plan
 
 
 def test_q113_jdbc_pushdown_plan(spark):
@@ -631,7 +639,13 @@ def test_q109_salted_join_plan(spark):
 
 
 def test_q126_orc_stage_plan(spark):
-    df = _q(spark, "q126_orc_stage_roundtrip")
+    # the ORC fixture lives on as a bench body inside the r18-merged
+    # q126_stage_format_roundtrips face — its plan pins unchanged
+    from example_dms_dataexport_spark.queries_relational import (
+        q126_bench_orc,
+    )
+
+    df = q126_bench_orc(spark, SF)
     plan = physical_plan(df)
     # the stage read is a native columnar ORC scan, not a text fallback
     assert "orc" in plan.lower(), plan
@@ -647,13 +661,27 @@ def test_q126_orc_stage_plan(spark):
 
 
 def test_q127_xml_stage_plan(spark):
-    df = _q(spark, "q127_xml_stage_roundtrip")
+    from example_dms_dataexport_spark.queries_relational import (
+        q127_bench_xml,
+    )
+
+    df = q127_bench_xml(spark, SF)
     plan = physical_plan(df)
     # schema-driven native XML scan (Spark 4 built-in source)
     assert "xml" in plan.lower(), plan
     assert "CartesianProduct" not in plan
     # no rownum window in this face: the ONLY shuffle is the segment agg
     assert exchange_count(df) == 1, plan
+
+
+def test_q126_merged_face_unions_all_three_formats(spark):
+    # the registered face is the tagged union of the three fixtures —
+    # every format's scan must appear in ONE plan, still cartesian-free
+    df = _q(spark, "q126_stage_format_roundtrips")
+    plan = physical_plan(df)
+    low = plan.lower()
+    assert "orc" in low and "xml" in low and "avro" in low or "union" in low
+    assert "CartesianProduct" not in plan
 
 
 def test_q128_zonemap_prune_plan(spark):
