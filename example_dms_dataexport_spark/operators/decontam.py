@@ -100,6 +100,68 @@ def embedding_contamination(
     )
 
 
+def embedding_contamination_via_index(
+    wh,
+    spark,
+    index_name: str,
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.8,
+    k: int | None = None,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, n_eval_hits, max_score) — ``embedding_contamination``'s
+    contract served by the managed IVF-PQ index (r18, the r17 verdict's
+    stretch item): the held-out eval vectors become DISTRIBUTED probes
+    (``collect_probes=False`` — nothing eval-corpus-sized reaches the
+    driver), each probe ADC-scans its ``nprobe`` coarse lists over the
+    committed codes table (unvisited partitions' files never open), and
+    the shortlist reranks with EXACT cosine against ``train`` before the
+    threshold gate. With ``nprobe=None`` (exhaustive visit) and
+    ``k=None`` (full fan-out) this is EXACT exhaustive contamination —
+    the staged-face configuration the oracle restates as a plain cross
+    join; at 100 TB both knobs shrink for the faiss recall/cost trade.
+    The benchmark-overlap gate thus rides the same at-scale backbone as
+    index-routed semantic dedup (q82's fold)."""
+    from .ann_index import ANN_META_KEY, ann_query
+
+    desc = wh.read_meta(index_name)[ANN_META_KEY]
+    if nprobe is None:
+        nprobe = int(desc["n_lists"])
+    if k is None:
+        k = wh.read(spark, index_name).count()
+    # the exact rerank resolves BOTH endpoints' vectors from
+    # rerank_with by id; the eval probes are disjoint from the indexed
+    # training set here (unlike the dedup route, where corpus == probes),
+    # so the side input is their union
+    rerank_src = train.select(id_col, vec_col).unionByName(
+        evalset.select(id_col, vec_col)
+    )
+    res = ann_query(
+        wh,
+        spark,
+        index_name,
+        probes=evalset,
+        k=k,
+        nprobe=nprobe,
+        shortlist=k,
+        rerank_with=rerank_src,
+        vec_col=vec_col,
+        id_col=id_col,
+        collect_probes=False,
+    )
+    return (
+        res.filter(F.col("score") >= threshold)
+        .groupBy(F.col("vec_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     ref: DataFrame,

@@ -3465,6 +3465,51 @@ def q154_webdataset_roundtrip(spark, sf_dir):
 # routes and asserts identity (registry.MERGED records the fold).
 
 
+_Q159_ORACLE = f"""
+    WITH {_EMB_CTES},
+    e AS (SELECT vec_id AS eval_id, v AS q, nrm AS qn FROM cn
+          WHERE {_PROBE_FILTER}),
+    t AS (SELECT vec_id AS id, v, nrm FROM cn
+          WHERE NOT ({_PROBE_FILTER})),
+    scored AS (
+        SELECT t.id, {_sql_dot('t.v', 'e.q')} / (t.nrm * e.qn) AS score
+        FROM t, e
+    )
+    SELECT id, count(*) AS n_eval_hits, max(score) AS max_score
+    FROM scored WHERE score >= {_EC_THRESHOLD}
+    GROUP BY id
+"""
+
+
+@staged_query("q159_decontam_indexed", _Q159_ORACLE)
+def q159_decontam_indexed(spark, sf_dir):
+    """Index-backed embedding decontamination (the r17 verdict's
+    stretch item, staged for an r19/r20 slot): q58's benchmark-overlap
+    gate routed through the managed IVF-PQ index — the training
+    vectors build an index in a scratch warehouse, the held-out eval
+    set becomes DISTRIBUTED probes (``collect_probes=False``), and
+    exhaustive nprobe + full fan-out + exact rerank make the result
+    EXACT exhaustive contamination, restated in the oracle as a plain
+    cross join (stronger than q58's LSH-blocked recall — no bucket
+    boundary can hide a hit). Certifies that the benchmark-overlap
+    gate rides the same at-scale index backbone as semantic dedup
+    (q82's fold); at 100 TB nprobe/k shrink for the faiss recall/cost
+    trade."""
+    from .operators.ann_index import build_ann_index
+    from .operators.decontam import embedding_contamination_via_index
+    from .queries_relational import _scratch_root
+    from .sources.warehouse import ParquetWarehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    wh = ParquetWarehouse(_scratch_root("q159", sf_dir))
+    build_ann_index(wh, tr, "decidx", n_lists=8, m=8, k=32)
+    return embedding_contamination_via_index(
+        wh, spark, "decidx", tr, ev, threshold=_EC_THRESHOLD
+    )
+
+
 def _q157_oracle() -> str:
     """Full SQL restatement of lang-model train + classify (both sides
     of the NB pipeline): char-trigram extraction, per-lang top-V
