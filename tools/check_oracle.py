@@ -127,7 +127,17 @@ def main():
                 oracles[name] = oracle
     unknown = sorted(only - set(qs))
     if unknown:
-        print(f"FAIL: unknown query name filter(s): {unknown}")
+        print(
+            f"usage error: unknown query name filter(s): {unknown}\n"
+            "usage: check_oracle.py [--exact] [--staged] [sf_dir] "
+            "[query ...]\n"
+            "  (staged faces need --staged; names must match the "
+            "@query/@staged_query registration exactly — "
+            "try: python -c \"from example_dms_dataexport_spark."
+            "registry import load_all, STAGED; load_all(); "
+            "print(sorted(STAGED))\")",
+            file=sys.stderr,
+        )
         sys.exit(1)
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
