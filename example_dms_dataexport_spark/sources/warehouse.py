@@ -946,7 +946,15 @@ class ParquetWarehouse:
                             for rel in carried
                             if rel in bm["files"]
                         },
-                        **{renamed[k]: v for k, v in new_bm_files.items()},
+                        # only LINKED staged files enter the manifest:
+                        # _compute_bloom covers 0-row staged files with
+                        # zero bitmaps (r18), but delete-only 0-row
+                        # parts are skipped from linking above
+                        **{
+                            renamed[k]: v
+                            for k, v in new_bm_files.items()
+                            if k in renamed
+                        },
                     },
                 }
                 with open(os.path.join(asm, BLOOM_FILE), "w") as f:
@@ -1083,6 +1091,21 @@ class ParquetWarehouse:
         def rel_of(fp: str) -> str:
             return ParquetWarehouse.file_rel(fp, data_dir)
 
+        # the row-driven passes below can only see files that HOLD rows
+        # (groupBy(_metadata.file_path) has no group for an empty part
+        # file), but the manifest must describe the EXACT committed
+        # file set or the staleness check refuses forever — enumerate
+        # every parquet file up front and give row-less ones zero
+        # bitmaps (an empty file can never contain a probe key)
+        all_rels: list[str] = []
+        for dirpath, dirs, fnames in os.walk(data_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in fnames:
+                if n.endswith(".parquet"):
+                    all_rels.append(
+                        os.path.relpath(os.path.join(dirpath, n), data_dir)
+                    )
+
         files: dict[str, dict] = {}
         fpcol = F.col("_metadata.file_path").alias("__fp")
         schema_cols: list[str] = []
@@ -1176,6 +1199,14 @@ class ParquetWarehouse:
                     "n_distinct": counts_fp[fp],
                     "bits": base64.b64encode(bytes(packed)).decode(),
                 }
+            covered = {rel_by_fp[fp] for fp in m_by_fp}
+            for rel in all_rels:
+                if rel not in covered:  # row-less file: zero bitmap
+                    files.setdefault(rel, {})[c] = {
+                        "m": 64,
+                        "n_distinct": 0,
+                        "bits": base64.b64encode(bytes(8)).decode(),
+                    }
         return {
             "cols": list(cols),
             "k": k,
@@ -2248,7 +2279,15 @@ class ParquetWarehouse:
                 for fn in sorted(fns):
                     if fn.endswith(".parquet"):
                         fp = os.path.join(dp, fn)
-                        rows += _pq.ParquetFile(fp).metadata.num_rows
+                        n = _pq.ParquetFile(fp).metadata.num_rows
+                        if n == 0:
+                            # a zero-row part file (empty write task)
+                            # carries no data: renaming it in would
+                            # only accrete inodes and blind row-driven
+                            # manifest passes
+                            os.remove(fp)
+                            continue
+                        rows += n
                         staged.append(os.path.relpath(fp, staging))
             if rows == 0:
                 # a zero-row append is a true no-op: no file lands, no

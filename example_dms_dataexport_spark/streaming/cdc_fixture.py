@@ -531,34 +531,24 @@ def run_fold_cdc_fixture(
     return n, want, carried, len(before)
 
 
-def run_corpus_ingest_fixture(
+def prepare_corpus_ingest_inputs(
     spark: SparkSession,
     sf_dir: str,
-    workdir: str,
+    prep_dir: str,
     n_batches: int = 4,
-) -> tuple[int, int, int]:
-    """Bench-scale continuous corpus ingest (the r17 streaming surface's
-    first bench sentinel, r18): the documents table lands as
-    ``n_batches`` parquet files, each feeding one micro-batch through
-    the full frozen-side-input cleaning spec — quality gate, trained NB
-    language model, frozen unigram-LM perplexity band — into a corpus
-    table that batch 0 creates WITH its (doc_id, _fp) bloom manifest
-    and every later batch extends via the bloom-pruned reconciliation +
-    O(batch) append. Wall time here tracks the per-sync cost a 100 TB
-    corpus pays per landing batch: regressions back to corpus-wide
-    anti-join shuffles or manifest rebuilds show up directly.
-
-    Returns ``(rows_ingested, n_batches, manifest_files)``.
-    """
+) -> tuple[list[dict], str]:
+    """One-time fixture prep for the corpus-ingest sentinel: train the
+    FROZEN side inputs (NB language model, unigram LM + its 20th-pct
+    logprob floor — the admission contract says corpus-relative work
+    never runs per batch, so it must not be timed per run either) and
+    land the documents table as ``n_batches`` parquet files. Returns
+    ``(spec, landing_glob)`` for any number of timed stream runs."""
     from ..operators.lang_model import train_lang_model
     from ..operators.text_analysis import train_unigram_lm, unigram_logprob_frozen
-    from .corpus_stream import start_corpus_ingest_stream
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    # frozen side inputs train ONCE, outside the stream (the admission
-    # contract: corpus-relative work never runs per batch)
     model = train_lang_model(docs)
     lm = train_unigram_lm(docs.select("doc_id", "text"))
     lo = unigram_logprob_frozen(docs.select("doc_id", "text"), lm).approxQuantile(
@@ -569,16 +559,49 @@ def run_corpus_ingest_fixture(
         {"op": "model_lang", "model": model, "lang": "en"},
         {"op": "perplexity", "lm": lm, "min_logprob": lo},
     ]
-    landing = os.path.join(workdir, "landing")
+    landing = os.path.join(prep_dir, "landing")
     for i in range(n_batches):
         docs.select("doc_id", "text").filter(
             F.col("doc_id") % n_batches == i
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(landing, f"batch-{i}")
         )
+    return spec, landing + "/*"
+
+
+def run_corpus_ingest_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_batches: int = 4,
+    spec: list[dict] | None = None,
+    landing_glob: str | None = None,
+) -> tuple[int, int, int]:
+    """Bench-scale continuous corpus ingest (the r17 streaming surface's
+    first bench sentinel, r18): ``n_batches`` document landing files
+    each feed one micro-batch through the full frozen-side-input
+    cleaning spec — quality gate, trained NB language model, frozen
+    unigram-LM perplexity band — into a corpus table that batch 0
+    creates WITH its (doc_id, _fp) bloom manifest and every later
+    batch extends via the bloom-pruned reconciliation + O(batch)
+    append. Wall time of THIS call tracks the per-sync cost a 100 TB
+    corpus pays per landing batch (regressions back to corpus-wide
+    anti-join shuffles or manifest rebuilds show up directly); the
+    frozen-model training and landing-file prep live in
+    ``prepare_corpus_ingest_inputs`` so bench reruns never re-time
+    fixture construction (the q131 fixture-cost precedent).
+
+    Returns ``(rows_ingested, n_batches, manifest_files)``.
+    """
+    from .corpus_stream import start_corpus_ingest_stream
+
+    if spec is None or landing_glob is None:
+        spec, landing_glob = prepare_corpus_ingest_inputs(
+            spark, sf_dir, workdir, n_batches
+        )
     wh = ParquetWarehouse(os.path.join(workdir, "wh"))
     q = start_corpus_ingest_stream(
-        spark, landing + "/*", wh, "corpus", spec,
+        spark, landing_glob, wh, "corpus", spec,
         os.path.join(workdir, "ckpt"),
     )
     q.awaitTermination()
