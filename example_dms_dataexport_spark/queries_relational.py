@@ -4941,6 +4941,42 @@ _Q158_ORACLE = """
 """
 
 
+@staged_query("q160_append_bucketed_insert", _Q158_ORACLE)
+def q160_append_bucketed_insert(spark, sf_dir):
+    """q158's INSERT INTO face for BUCKETED targets (r18 — the r17
+    verdict's task-4 primitive under the driver oracle, staged for an
+    r19/r20 slot): orders lands in two halves — a bucketed overwrite on
+    o_custkey, then append_files routing the second half through the
+    bucket-preserving stager (every landed file carries its _NNNNN
+    bucket suffix; no existing file opened) — and the catalog read-back
+    hash-matches the raw table. A mis-bucketed row, a broken layout
+    sidecar, or a lost/duplicated file breaks the hash; the
+    zero-exchange join over the post-append layout is pinned in
+    tests/test_append_files.py."""
+    from .sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(_scratch_root("q160", sf_dir))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    wh.write_bucketed(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_bapp",
+        ["o_custkey"], 4, sort_by=["o_custkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    res = wh.append_files(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), "o_bapp"
+    )
+    if res["files_added"] < 1:
+        raise AssertionError(f"append landed no files: {res}")
+    if wh.bucket_spec("o_bapp")["n_buckets"] != 4:
+        raise AssertionError("append dropped the bucket layout")
+    if wh.bloom("o_bapp") is None:
+        raise AssertionError("append dropped the bloom manifest")
+    return wh.read_bucketed(spark, "o_bapp").select(*orders.columns)
+
+
 @query("q158_append_files_insert", _Q158_ORACLE)
 def q158_append_files_insert(spark, sf_dir):
     """The O(batch) INSERT INTO primitive under the driver oracle
