@@ -1069,6 +1069,80 @@ class ParquetWarehouse:
         return [s.strip() for s in spec.split(",") if s.strip()]
 
     @staticmethod
+    def _compute_bloom_small(
+        spark: SparkSession,
+        data_dir: str,
+        cols: list[str],
+        bits_per_key: int = BLOOM_BITS_PER_KEY,
+        k: int = BLOOM_K,
+    ) -> dict:
+        """Batch-sized twin of ``_compute_bloom``: ONE Spark job
+        projects every column spec's k seeded xxhash64 values (the
+        hashes must come from the JVM — probe parity), the rows collect
+        (caller guarantees the dir is batch-bounded, the same
+        discipline as the reconciliation probe collects), and the
+        per-file bitmaps pack driver-side. Bit-identical to the
+        distributed pass (pinned in tests/test_append_files.py): the
+        same NULL-key skip, the same m sizing, the same bit positions —
+        only WHERE the packing runs differs. Exists because a streaming
+        ingest append paid ~4 small distributed jobs per batch for
+        manifest upkeep; one job per append matters at minute-grain
+        syncs."""
+        import base64
+
+        df = spark.read.parquet(data_dir)
+        proj = [F.col("_metadata.file_path").alias("__fp")]
+        for ci, c in enumerate(cols):
+            parts = ParquetWarehouse._bloom_spec_parts(c)
+            nn = F.lit(True)
+            for p in parts:
+                nn = nn & F.col(p).isNotNull()
+            proj.append(nn.alias(f"__nn{ci}"))
+            # the raw (type-exact) key hash identifies distinct keys for
+            # m sizing; the k seeded hashes set the bits
+            proj.append(
+                F.xxhash64(*[F.col(p) for p in parts]).alias(f"__id{ci}")
+            )
+            for i in range(k):
+                proj.append(
+                    F.xxhash64(
+                        *[F.col(p) for p in parts], F.lit(i)
+                    ).alias(f"__h{ci}_{i}")
+                )
+        rows = df.select(*proj).collect()
+        by_fp: dict[str, list] = {}
+        for r in rows:
+            by_fp.setdefault(r["__fp"], []).append(r)
+        files: dict[str, dict] = {}
+        schema_cols: list[str] = []
+        for ci, c in enumerate(cols):
+            for p in ParquetWarehouse._bloom_spec_parts(c):
+                if p not in schema_cols:
+                    schema_cols.append(p)
+            for fp, frows in by_fp.items():
+                rel = ParquetWarehouse.file_rel(fp, data_dir)
+                keyed = [r for r in frows if r[f"__nn{ci}"]]
+                nd = len({r[f"__id{ci}"] for r in keyed})
+                m = ParquetWarehouse._bloom_m(nd, bits_per_key)
+                bitmap = bytearray((m + 7) // 8)
+                for r in keyed:
+                    for i in range(k):
+                        pos = r[f"__h{ci}_{i}"] % m
+                        bitmap[pos >> 3] |= 1 << (pos & 7)
+                files.setdefault(rel, {})[c] = {
+                    "m": m,
+                    "n_distinct": nd,
+                    "bits": base64.b64encode(bytes(bitmap)).decode(),
+                }
+        return {
+            "cols": list(cols),
+            "k": k,
+            "bits_per_key": bits_per_key,
+            "schema": df.select(*schema_cols).schema.jsonValue(),
+            "files": files,
+        }
+
+    @staticmethod
     def _compute_bloom(
         spark: SparkSession,
         data_dir: str,
@@ -2305,8 +2379,17 @@ class ParquetWarehouse:
                 if zm is not None and staged
                 else None
             )
+            # batch-bounded appends pack their manifest entries in ONE
+            # job (driver-side packing, bit-identical — see
+            # _compute_bloom_small); big backfill appends keep the
+            # distributed pass
+            bloom_fn = (
+                self._compute_bloom_small
+                if rows <= DELETE_BLOOM_PROBE_CAP
+                else self._compute_bloom
+            )
             new_bm = (
-                self._compute_bloom(
+                bloom_fn(
                     spark, staging, bm["cols"],
                     bits_per_key=bm["bits_per_key"], k=bm["k"],
                 )

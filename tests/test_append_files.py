@@ -198,3 +198,22 @@ def test_empty_append_is_a_true_noop(spark, wh):
     assert res == {"files_added": 0, "rows": 0}
     assert _inodes(wh.path("o")) == before
     assert wh.zonemap("o") is not None  # no mutation -> sidecar intact
+
+
+def test_small_bloom_pass_is_bit_identical_to_distributed(spark, wh):
+    """The batch-sized driver-pack manifest pass (one Spark job per
+    append) must produce EXACTLY the distributed pass's manifest —
+    same m sizing, same NULL-key skip, same bit positions — on plain
+    and composite (tuple) specs."""
+    df = _orders(spark).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    root = str(wh.path("raw"))
+    df.repartition(3).write.parquet(root)
+    cols = ["o_orderkey", "o_custkey", "o_orderkey,o_custkey"]
+    big = wh._compute_bloom(spark, root, cols)
+    small = wh._compute_bloom_small(spark, root, cols)
+    assert big == small
