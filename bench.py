@@ -161,8 +161,12 @@ def main() -> None:
     # merged faces' extra paths are benched by their own sentinels
     # (ann_ivfpq_build_query) or are correctness-window-only cost.
     from example_dms_dataexport_spark.queries_llm import (
+        q19_bench_text_features,
+        q24_bench_pairs,
         q28_bench_brute,
         q38_bench_pipeline,
+        q48_bench_unigram,
+        q88_bench_bigram,
     )
     from example_dms_dataexport_spark.queries_relational import (
         q76_bench_diff,
@@ -173,6 +177,13 @@ def main() -> None:
     )
 
     OVERRIDES = {
+        # r19 folds: q19/q88 retired (absorbed by q20/q48), q24/q48
+        # widened with the absorbed relations — the headline keeps the
+        # pre-fold single-path bodies under the historical keys
+        "q19_text_features": q19_bench_text_features,
+        "q24_minhash_dedup_pairs": q24_bench_pairs,
+        "q48_unigram_logprob": q48_bench_unigram,
+        "q88_bigram_logprob": q88_bench_bigram,
         "q28_knn_brute": q28_bench_brute,
         "q38_cleaning_pipeline": q38_bench_pipeline,
         "q76_snapshot_diff": q76_bench_diff,

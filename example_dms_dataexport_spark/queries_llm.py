@@ -13,6 +13,8 @@ approximate.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import functions as F
 
 from .functions import texthash as TH
@@ -37,23 +39,11 @@ def _t(spark, sf_dir, name):
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_Q19_ORACLE = f"""
-    SELECT doc_id,
-           {TH.sql_token_count('text')}                    AS n_tokens,
-           {TH.sql_bpe_token_count('text')}                AS n_bpe_tokens,
-           len(list_distinct({TH.sql_tokens('text')}))     AS n_uniq_tokens,
-           {TH.sql_avg_token_len('text')}                  AS avg_token_len,
-           {TH.sql_lang_id('text')}                        AS lang_pred,
-           {TH.sql_quality_score('text')}                  AS quality,
-           {TH.sql_fingerprint('text')}                    AS fingerprint
-    FROM documents
-"""
-
-
-@query("q19_text_features", _Q19_ORACLE)
-def q19_text_features(spark, sf_dir):
-    """Per-document token stats, language ID, quality, fingerprint —
-    one narrow no-shuffle projection over the scan."""
+def q19_bench_text_features(spark, sf_dir):
+    """Bench body: the per-document feature projection ALONE (the pre-r19
+    q19_text_features plan, kept under its historical bench key after the
+    r19 fold retired the face into q20_corpus_profile — the q28/q38
+    sentinel-split precedent, so the headline series stays comparable)."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.text_features(docs).select(
         "doc_id",
@@ -73,16 +63,47 @@ def q19_text_features(spark, sf_dir):
 # rounded doubles use the shared floor(x*10^k + 0.5)/10^k form — the floor
 # absorbs the engines' last-ulp disagreement in the mean, and the integer /
 # power-of-ten division is then the same IEEE op on both sides.
+# r19 fold (q19_text_features -> q20_corpus_profile, the r18 merged-
+# absorber precedent): the per-source rollup now pins EVERY q19 feature
+# column, so one driver row attests the whole text_features kernel —
+# counts by exact BIGINT sums, fingerprint / lang_pred by modular
+# checksums ((x % M) summed then re-reduced mod M: every term is exact
+# int64 on both engines, and a single per-doc divergence moves the
+# residue with probability 1 - 1/M).
+_CHK_M = 1_000_003  # checksum modulus — keeps every partial < 2^63
+_LANG_PRIME_SQL = (
+    "CASE {lang} WHEN 'en' THEN 2 WHEN 'de' THEN 3 WHEN 'fr' THEN 5 "
+    "WHEN 'es' THEN 7 ELSE 11 END"
+)
+
 _Q20_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               {TH.sql_token_count('text')}                AS n_tokens,
+               {TH.sql_bpe_token_count('text')}            AS n_bpe_tokens,
+               len(list_distinct({TH.sql_tokens('text')})) AS n_uniq_tokens,
+               {TH.sql_avg_token_len('text')}              AS avg_token_len,
+               {TH.sql_lang_id('text')}                    AS lang_pred,
+               {TH.sql_quality_score('text')}              AS quality,
+               {TH.sql_fingerprint('text')}                AS fingerprint
+        FROM documents
+    )
     SELECT source,
            count(*) AS n_docs,
-           floor(avg({TH.sql_quality_score('text')}) * 10000 + 0.5) / 10000.0
-               AS avg_quality,
-           CAST(sum(CASE WHEN {TH.sql_lang_id('text')} = 'en' THEN 1 ELSE 0 END)
+           floor(avg(quality) * 10000 + 0.5) / 10000.0 AS avg_quality,
+           CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_en,
-           floor(avg({TH.sql_token_count('text')}) * 10000 + 0.5) / 10000.0
-               AS avg_tokens
-    FROM documents
+           floor(avg(n_tokens) * 10000 + 0.5) / 10000.0 AS avg_tokens,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           CAST(sum(n_uniq_tokens) AS BIGINT) AS sum_uniq_tokens,
+           floor(avg(avg_token_len) * 10000 + 0.5) / 10000.0
+               AS avg_token_len,
+           CAST(sum(fingerprint % {_CHK_M}) AS BIGINT) % {_CHK_M}
+               AS fp_check,
+           CAST(sum((doc_id % {_CHK_M})
+                    * {_LANG_PRIME_SQL.format(lang='lang_pred')})
+                AS BIGINT) % {_CHK_M} AS lang_check
+    FROM feat
     GROUP BY source
 """
 
@@ -92,17 +113,46 @@ def _round4(col):
     return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
 
 
+def _lang_prime(col):
+    """Small-prime encoding of the lang_id domain for the q20 checksum."""
+    return (
+        F.when(col == "en", 2)
+        .when(col == "de", 3)
+        .when(col == "fr", 5)
+        .when(col == "es", 7)
+        .otherwise(11)
+        .cast("long")
+    )
+
+
 @query("q20_corpus_profile", _Q20_ORACLE)
 def q20_corpus_profile(spark, sf_dir):
     """Corpus profiling rollup per source (the dataset-card query) —
-    per-doc features computed once, then one partial-agg'd groupBy."""
+    per-doc features computed once, then one partial-agg'd groupBy.
+
+    r19 fold: absorbs q19_text_features (registry.MERGED) — the rollup
+    pins every text_features column per source: exact sums for the
+    integer counts, floor-rounded means for the doubles, and modular
+    checksums for fingerprint (value-weighted) and lang_pred
+    (doc_id-weighted prime encoding), so the single driver row certifies
+    the per-document feature kernel, not just the profile."""
     docs = _t(spark, sf_dir, "documents")
     feats = text_analysis.text_features(docs)
+    m = F.lit(_CHK_M)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         _round4(F.avg("quality")).alias("avg_quality"),
         F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias("n_en"),
         _round4(F.avg("n_tokens").cast("double")).alias("avg_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+        F.sum("n_uniq_tokens").cast("long").alias("sum_uniq_tokens"),
+        _round4(F.avg("avg_token_len")).alias("avg_token_len"),
+        (F.sum(F.col("fingerprint") % m) % m).cast("long").alias("fp_check"),
+        (
+            F.sum((F.col("doc_id") % m) * _lang_prime(F.col("lang_pred"))) % m
+        )
+        .cast("long")
+        .alias("lang_check"),
     )
 
 
@@ -172,13 +222,17 @@ def _sig_ctes(src: str) -> str:
 
 _SIG_CTES = _sig_ctes("documents")
 
-_Q23_ORACLE = f"WITH {_SIG_CTES} SELECT * FROM sig"
+# r19 fold: q23_minhash_signatures retired into q24 (registry.MERGED).
+# The signature relation is the pair stage's input — q24's oracle embeds
+# _SIG_CTES — and q24's widened output now carries a per-document
+# signature checksum section, so the single driver row pins every mh_i
+# value directly (not just through the band/verify funnel).
 
 
-@query("q23_minhash_signatures", _Q23_ORACLE)
-def q23_minhash_signatures(spark, sf_dir):
-    """16-permutation MinHash signature per document (explode + one
-    partial-aggregated groupBy; shuffle = one row per doc)."""
+def q23_bench_signatures(spark, sf_dir):
+    """Bench/test body: the MinHash signature relation ALONE (the pre-r19
+    q23 face, kept callable after the fold so plan tests and any local
+    timing keep a stable body)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs)
 
@@ -195,7 +249,10 @@ _BANDS_SQL = "\nUNION ALL\n".join(
     for b in range(TH.LSH_BANDS)
 )
 
-_Q24_ORACLE = f"""
+# pairs-only pipeline (the pre-r19 q24 oracle) — still referenced by
+# q67's restriction oracle; the registered q24 face appends the
+# signature-checksum section below
+_Q24_PAIRS_ORACLE = f"""
     WITH {_SIG_CTES},
     bands AS ({_BANDS_SQL}),
     cand AS (
@@ -220,12 +277,51 @@ _Q24_ORACLE = f"""
     ) WHERE jaccard >= 0.5
 """
 
+_Q24_ORACLE = f"""{_Q24_PAIRS_ORACLE}
+    UNION ALL
+    SELECT doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(({" + ".join(
+               f"(mh{i} % {_CHK_M}) * {i + 1}" for i in range(TH.NUM_HASHES)
+           )}) % {_CHK_M} AS DOUBLE) AS jaccard
+    FROM sig
+"""
+
+
+def q24_bench_pairs(spark, sf_dir):
+    """Bench body: the LSH near-dup pair pipeline ALONE (the pre-r19 q24
+    plan, kept under its historical bench key after the q23 fold widened
+    the registered face with the signature-checksum section)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
 
 @query("q24_minhash_dedup_pairs", _Q24_ORACLE)
 def q24_minhash_dedup_pairs(spark, sf_dir):
-    """Near-dup pairs: LSH candidates verified by exact Jaccard >= 0.5."""
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= 0.5.
+
+    r19 fold: absorbs q23_minhash_signatures (registry.MERGED) — the
+    output unions a per-document section (id_b = -1) whose ``jaccard``
+    column carries a position-weighted modular checksum of the 16
+    MinHash values, so the driver row pins the signature relation
+    directly; the pair section pins the band/verify funnel as before.
+    The signatures are computed ONCE (corpus_signatures persists them)
+    and feed both sections."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    sets, sigs = dedup.corpus_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    pairs = dedup.jaccard_verify(cand, sets, threshold=0.5)
+    m = F.lit(_CHK_M)
+    check = reduce(
+        lambda acc, i: acc + (F.col(f"mh{i}") % m) * F.lit(i + 1),
+        range(TH.NUM_HASHES),
+        F.lit(0).cast("long"),
+    )
+    sig_rows = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        (check % m).cast("double").alias("jaccard"),
+    )
+    return pairs.unionByName(sig_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -247,12 +343,15 @@ _SIMHASH_CTES = f"""
     sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)
 """
 
-_Q25_ORACLE = f"WITH {_SIMHASH_CTES} SELECT * FROM sim"
+# r19 fold: q25_simhash retired into q26 (registry.MERGED) — q26's
+# widened output carries the full per-document sim relation as a
+# sentinel section (id_b = -1, hamming = the 32-bit simhash value), so
+# one driver row pins every sketch value AND the banded pair funnel.
 
 
-@query("q25_simhash", _Q25_ORACLE)
-def q25_simhash(spark, sf_dir):
-    """32-bit SimHash sketch per document."""
+def q25_bench_simhash(spark, sf_dir):
+    """Bench/test body: the SimHash sketch relation ALONE (the pre-r19
+    q25 face, kept callable after the fold)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs)
 
@@ -268,19 +367,45 @@ _Q26_ORACLE = f"""
     bands AS ({_SIMBANDS_SQL})
     SELECT * FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ) WHERE hamming <= 3
+    UNION ALL
+    SELECT doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b, simhash AS hamming
+    FROM sim
 """
+
+
+def q26_bench_pairs(spark, sf_dir):
+    """Bench/test body: the banded SimHash pair pipeline ALONE (the
+    pre-r19 q26 plan, pre-fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
 
 
 @query("q26_simhash_pairs", _Q26_ORACLE)
 def q26_simhash_pairs(spark, sf_dir):
     """Byte-banded SimHash pairs within Hamming distance 3 — the radius
-    where 4-byte pigeonhole blocking guarantees full recall."""
+    where 4-byte pigeonhole blocking guarantees full recall.
+
+    r19 fold: absorbs q25_simhash (registry.MERGED) — the output unions
+    a per-document sentinel section (id_b = -1) whose ``hamming`` column
+    carries the raw 32-bit simhash, so the driver row pins the sketch
+    relation VALUE-exactly alongside the pair funnel. The sketch is
+    computed once and feeds both sections (simhash_pairs persists its
+    band relation; the sentinel section reads the same sim input)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+    sim = dedup.simhash(docs)
+    pairs = dedup.simhash_pairs(sim, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+    sentinel = sim.select(
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("simhash").alias("hamming"),
+    )
+    return pairs.unionByName(sentinel)
 
 
 # ---------------------------------------------------------------------------
@@ -1034,10 +1159,16 @@ _Q46_ORACLE = f"""
 """
 
 
-@query("q46_token_chunks", _Q46_ORACLE)
-def q46_token_chunks(spark, sf_dir):
-    """Context-window chunking: 64-token chunks with 16-token overlap —
-    one posexplode generator over a narrow projection, no shuffle."""
+# r19 fold: q46_token_chunks retired into q50_pack_chunks
+# (registry.MERGED) — the pack face's widened output carries the full
+# overlap-chunking relation as its 'chunk' section (chunk_text pinned by
+# the exact fingerprint), so one driver row attests chunk_tokens at BOTH
+# parameterizations (64/16 with text, 64/0 feeding the packer).
+
+
+def q46_bench_chunks(spark, sf_dir):
+    """Bench/test body: the overlap-chunking generator ALONE (the pre-r19
+    q46 face, kept callable after the fold)."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.chunk_tokens(
         docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
@@ -1046,9 +1177,33 @@ def q46_token_chunks(spark, sf_dir):
 
 _PACK_BUDGET, _PACK_SHARDS = 256, 8
 
+# pack-section value encoding: shard (<8) . pack_id . pack_pos (<256)
+# packed into one BIGINT so both sections share a (part, doc_id,
+# chunk_id, n_tokens, v) schema — pack_id is bounded by shard token
+# mass / budget, far under 2^24 at any tested SF.
+_PACK_V = "shard * {s} + pack_id * {p} + pack_pos".format(
+    s=1 << 40, p=1 << 16
+)
+
 _Q50_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
+    ),
+    stc AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}
+               )) AS start
+        FROM t WHERE len(toks) > 0
+    ),
+    chunkc AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               array_to_string(
+                   list_slice(toks, start, start + {_CHUNK_SIZE} - 1), ' '
+               ) AS chunk_text,
+               least(len(toks) - start + 1, {_CHUNK_SIZE}) AS n_tokens
+        FROM stc
     ),
     st AS (
         SELECT doc_id, toks,
@@ -1069,23 +1224,33 @@ _Q50_ORACLE = f"""
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_tokens AS start_tok
         FROM chunks
+    ),
+    packed AS (
+        SELECT doc_id, chunk_id, n_tokens, shard,
+               CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+                   AS pack_id,
+               CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_pos
+        FROM cum
     )
-    SELECT doc_id, chunk_id, n_tokens, shard,
-           CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
-               AS pack_id,
-           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_pos
-    FROM cum
+    SELECT 'chunk' AS part, doc_id, chunk_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {TH.sql_fingerprint('chunk_text')} AS v
+    FROM chunkc
+    UNION ALL
+    SELECT 'pack' AS part, doc_id, chunk_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({_PACK_V} AS BIGINT) AS v
+    FROM packed
 """.replace(
     "{shard}",
     f"{TH.sql_poly_hash('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS}",
 )
 
 
-@query("q50_pack_chunks", _Q50_ORACLE)
-def q50_pack_chunks(spark, sf_dir):
-    """Sequence packing: 64-token chunks greedily packed into 256-token
-    context windows, sharded by a document hash so the running-total
-    window parallelizes (window parallelism = shard count)."""
+def q50_bench_pack(spark, sf_dir):
+    """Bench body: the sharded sequence-packing pipeline ALONE (the
+    pre-r19 q50 plan, kept under its historical key after the q46
+    fold widened the registered face)."""
     docs = _t(spark, sf_dir, "documents")
     chunks = text_analysis.chunk_tokens(docs, chunk_size=64, overlap=0).drop(
         "chunk_text"
@@ -1093,6 +1258,52 @@ def q50_pack_chunks(spark, sf_dir):
     return text_analysis.pack_chunks(
         chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+@query("q50_pack_chunks", _Q50_ORACLE)
+def q50_pack_chunks(spark, sf_dir):
+    """Sequence packing: 64-token chunks greedily packed into 256-token
+    context windows, sharded by a document hash so the running-total
+    window parallelizes (window parallelism = shard count).
+
+    r19 fold: absorbs q46_token_chunks (registry.MERGED) — the output is
+    a two-section normalized relation: the 'chunk' section is the full
+    64/16 overlap-chunking relation with chunk_text pinned by the exact
+    fingerprint, and the 'pack' section encodes (shard, pack_id,
+    pack_pos) into one BIGINT. Both generators share one tokenized scan
+    projection; one driver row attests chunking AND packing."""
+    docs = _t(spark, sf_dir, "documents")
+    overlap_chunks = text_analysis.chunk_tokens(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    chunk_rows = overlap_chunks.select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        "chunk_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        TH.fingerprint(F.col("chunk_text")).alias("v"),
+    )
+    packed = text_analysis.pack_chunks(
+        text_analysis.chunk_tokens(docs, chunk_size=64, overlap=0).drop(
+            "chunk_text"
+        ),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+    pack_rows = packed.select(
+        F.lit("pack").alias("part"),
+        "doc_id",
+        "chunk_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.col("shard").cast("long") * F.lit(1 << 40)
+            + F.col("pack_id") * F.lit(1 << 16)
+            + F.col("pack_pos")
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    return chunk_rows.unionByName(pack_rows)
 
 
 # The corpus has no newlines, so — like q22's planted duplicates — both
@@ -1168,6 +1379,10 @@ def q47_line_dedup(spark, sf_dir):
     return lines.remove_boilerplate_lines(lined, max_docs=_LINE_MAX_DOCS)
 
 
+# r19 fold (q88_bigram_logprob -> q48, registry.MERGED): one face
+# carries BOTH language-model fluency scores per document. The oracle
+# shares the token stream and term-frequency relation between the
+# unigram scorer and the bigram model's unigram denominator (c1 = tf).
 _Q48_ORACLE = f"""
     WITH stream AS (
         SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents
@@ -1178,13 +1393,52 @@ _Q48_ORACLE = f"""
                CAST(floor(log10(CAST(tf AS DOUBLE) / (SELECT sum(tf) FROM tf))
                           * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS lp
         FROM tf
+    ),
+    uni_doc AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               floor(CAST(sum(lp) AS DOUBLE) / count(*)
+                     / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4 AS logprob
+        FROM stream JOIN lp USING (tok)
+        GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, {TH.sql_tokens('text')} AS t FROM documents),
+    big AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    model AS (
+        SELECT w1, w2,
+               CAST(floor(log10(CAST(c2 + 1 AS DOUBLE)
+                                / (c1 + (SELECT count(*) FROM tf)))
+                          * {text_analysis.LP_SCALE} + 0.5) AS BIGINT) AS blp
+        FROM (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+        JOIN (SELECT tok AS w1, tf AS c1 FROM tf) USING (w1)
+    ),
+    big_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               floor(CAST(sum(blp) AS DOUBLE) / count(*)
+                     / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4 AS blogprob
+        FROM big JOIN model USING (w1, w2)
+        GROUP BY doc_id
     )
-    SELECT doc_id, count(*) AS n_tokens,
-           floor(CAST(sum(lp) AS DOUBLE) / count(*)
-                 / {text_analysis.LP_SCALE} * 1e4 + 0.5) / 1e4 AS logprob
-    FROM stream JOIN lp USING (tok)
-    GROUP BY doc_id
+    SELECT u.doc_id, u.n_tokens, u.logprob,
+           CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           b.blogprob AS bigram_logprob
+    FROM uni_doc u LEFT JOIN big_doc b USING (doc_id)
 """
+
+
+def q48_bench_unigram(spark, sf_dir):
+    """Bench body: the unigram perplexity proxy ALONE (the pre-r19 q48
+    plan, kept under its historical bench key after the q88 fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.unigram_logprob(docs)
 
 
 @query("q48_unigram_logprob", _Q48_ORACLE)
@@ -1192,9 +1446,28 @@ def q48_unigram_logprob(spark, sf_dir):
     """CCNet-style perplexity proxy: mean unigram log10-prob per document
     under the corpus's own unigram model. Per-token scores are fixed-point
     int64 before the (order-nondeterministic) sum, so both engines
-    aggregate exactly."""
+    aggregate exactly.
+
+    r19 fold: absorbs q88_bigram_logprob (registry.MERGED) — the face
+    left-joins the add-one bigram fluency score onto the unigram
+    relation (docs with < 2 tokens keep n_bigrams = 0 / NULL score), so
+    one driver row attests both LM scoring kernels."""
     docs = _t(spark, sf_dir, "documents")
-    return text_analysis.unigram_logprob(docs)
+    uni = text_analysis.unigram_logprob(docs)
+    big = text_analysis.bigram_logprob(docs).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("logprob").alias("bigram_logprob"),
+    )
+    return uni.join(big, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "logprob",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+            "n_bigrams"
+        ),
+        "bigram_logprob",
+    )
 
 
 _Q52_ORACLE = f"""
@@ -1505,7 +1778,7 @@ def q58_embedding_decontam(spark, sf_dir):
 _INCR_SPLIT = 300  # docs with doc_id >= split arrive as the "new batch"
 
 _Q67_ORACLE = f"""
-    SELECT * FROM ({_Q24_ORACLE})
+    SELECT * FROM ({_Q24_PAIRS_ORACLE})
     WHERE id_a >= {_INCR_SPLIT} OR id_b >= {_INCR_SPLIT}
 """
 
@@ -2124,8 +2397,11 @@ _Q88_ORACLE = f"""
 """
 
 
-@query("q88_bigram_logprob", _Q88_ORACLE)
-def q88_bigram_logprob(spark, sf_dir):
+# r19 fold: q88_bigram_logprob retired into q48_unigram_logprob
+# (registry.MERGED) — the absorber left-joins this relation per doc.
+
+
+def q88_bench_bigram(spark, sf_dir):
     """Fluency scoring one step past q48's unigram perplexity proxy:
     per-document mean log10-probability under the corpus's own add-one
     bigram model. Word-salad documents built from common words pass a
@@ -2848,8 +3124,14 @@ _Q132_ORACLE = """
 """
 
 
-@query("q132_jpeg_decode", _Q132_ORACLE)
-def q132_jpeg_decode(spark, sf_dir):
+# r19 fold: q132_jpeg_decode retired into q134_jpeg_color_decode
+# (registry.MERGED) — the absorber decodes BOTH the grayscale and the
+# 3-component color container per document and joins the stats, so one
+# driver row attests the single-component SOF parse + DC chain AND the
+# interleaved-MCU color path.
+
+
+def q132_bench_jpeg(spark, sf_dir):
     """REAL entropy-coded DCT decode, no external library — the last
     rung of the q102 (WAV) -> q108 (PNM) -> q122 (PNG) ladder:
     documents -> conformant baseline sequential JPEGs (one 8x8 block
@@ -2925,10 +3207,60 @@ _Q134_ORACLE = """
     FROM stats
 """
 
+# r19 merged oracle: both the grayscale (q132) and color (q134) stats
+# restated from ONE shared stats CTE — gray_* columns are the retired
+# q132 surface, color_* the original q134 surface.
+_Q134_MERGED_ORACLE = f"""
+    WITH geo AS (
+        SELECT doc_id, text,
+               (doc_id % 4) + 2 AS bw,
+               GREATEST(1, (GREATEST(1, len(text)) + (doc_id % 4) + 1)
+                           // ((doc_id % 4) + 2)) AS bh
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, bw, bh,
+               len(text) AS nd,
+               COALESCE(list_sum(
+                   [CAST(LEAST(239, GREATEST(16,
+                        ascii(substring(text, i, 1)))) AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS data_level_sum,
+               COALESCE(list_sum(
+                   [CAST(CASE WHEN ascii(substring(text, i, 1)) % 3 <> 0
+                              THEN 1 ELSE 0 END AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS n_striped,
+               COALESCE(list_sum(
+                   [CAST(ascii(substring(text, i, 1)) % 3 AS BIGINT)
+                    FOR i IN generate_series(1, len(text), 1)]), 0)
+                   AS stripe_sum
+        FROM geo
+    )
+    SELECT doc_id,
+           CAST(bw * 8 AS INTEGER) AS width,
+           CAST(bh * 8 AS INTEGER) AS height,
+           CAST(bw * bh AS INTEGER) AS gray_blocks,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd)) AS BIGINT)
+               AS gray_pix_sum,
+           CAST(n_striped AS INTEGER) AS gray_ac_nonzero,
+           CAST(8 * stripe_sum AS BIGINT) AS gray_ac_abs_sum,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd)) AS DOUBLE)
+               / (bw * bh * 64) AS gray_mean,
+           CAST(bw * bh * 3 AS INTEGER) AS color_blocks,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd))
+                + 2 * 128 * 64 * bw * bh AS BIGINT) AS color_pix_sum,
+           CAST(n_striped AS INTEGER) AS color_ac_nonzero,
+           CAST(8 * stripe_sum AS BIGINT) AS color_ac_abs_sum,
+           CAST(64 * (data_level_sum + 16 * (bw * bh - nd))
+                + 2 * 128 * 64 * bw * bh AS DOUBLE)
+               / (bw * bh * 64 * 3) AS color_mean
+    FROM stats
+"""
 
-@query("q134_jpeg_color_decode", _Q134_ORACLE)
-def q134_jpeg_color_decode(spark, sf_dir):
-    """The COLOR rung of the baseline-JPEG decode (q132's 3-component
+
+def q134_bench_color(spark, sf_dir):
+    """Bench/test body: the COLOR rung of the baseline-JPEG decode (q132's 3-component
     4:4:4 variant): interleaved MCUs — one block per component per MCU,
     three independent DC predictor chains — through the same stdlib
     canonical-Huffman + IDCT pipeline. The fixture's luma plane is
@@ -2955,6 +3287,52 @@ def q134_jpeg_color_decode(spark, sf_dir):
             / (F.col("width").cast("long") * F.col("height") * 3)
         ).alias("mean_intensity"),
     )
+
+
+@query("q134_jpeg_color_decode", _Q134_MERGED_ORACLE)
+def q134_jpeg_color_decode(spark, sf_dir):
+    """Stdlib baseline-JPEG decode, BOTH container shapes in one face.
+
+    r19 fold: absorbs q132_jpeg_decode (registry.MERGED). Each document
+    is rendered twice — as q132's single-component grayscale container
+    and as q134's 3-component 4:4:4 interleaved color container — and
+    both go through the same marker-parse -> canonical-Huffman ->
+    dequant -> IDCT pipeline (operators/multimodal.py); the per-doc
+    stats join on doc_id (gray_* = the retired q132 surface, color_* =
+    the original q134 surface). A hash mismatch localizes: gray_* means
+    the single-SOF/DC-chain path broke, color_* the interleaved-MCU /
+    triple-DC-predictor path. Fixture-grade cost by design — the bench
+    times the sampled q132s/q134s sentinels instead."""
+    docs = _t(spark, sf_dir, "documents")
+    gray = multimodal.decode_jpeg(
+        multimodal.jpeg_from_documents(docs)
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_blocks").alias("gray_blocks"),
+        F.col("pix_sum").alias("gray_pix_sum"),
+        F.col("ac_nonzero").alias("gray_ac_nonzero"),
+        F.col("ac_abs_sum").alias("gray_ac_abs_sum"),
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width").cast("long") * F.col("height"))
+        ).alias("gray_mean"),
+    )
+    color = multimodal.decode_jpeg(
+        multimodal.jpeg_color_from_documents(docs)
+    ).select(
+        "doc_id",
+        F.col("n_blocks").alias("color_blocks"),
+        F.col("pix_sum").alias("color_pix_sum"),
+        F.col("ac_nonzero").alias("color_ac_nonzero"),
+        F.col("ac_abs_sum").alias("color_ac_abs_sum"),
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width").cast("long") * F.col("height") * 3)
+        ).alias("color_mean"),
+    )
+    return gray.join(color, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3481,7 +3859,7 @@ _Q159_ORACLE = f"""
 """
 
 
-@staged_query("q159_decontam_indexed", _Q159_ORACLE)
+@query("q159_decontam_indexed", _Q159_ORACLE)
 def q159_decontam_indexed(spark, sf_dir):
     """Index-backed embedding decontamination (the r17 verdict's
     stretch item, staged for an r19/r20 slot): q58's benchmark-overlap

@@ -4941,7 +4941,7 @@ _Q158_ORACLE = """
 """
 
 
-@staged_query("q160_append_bucketed_insert", _Q158_ORACLE)
+@query("q160_append_bucketed_insert", _Q158_ORACLE)
 def q160_append_bucketed_insert(spark, sf_dir):
     """q158's INSERT INTO face for BUCKETED targets (r18 — the r17
     verdict's task-4 primitive under the driver oracle, staged for an

@@ -66,6 +66,17 @@ MERGED: dict[str, str] = {
     "q126_orc_stage_roundtrip": "q126_stage_format_roundtrips",
     "q127_xml_stage_roundtrip": "q126_stage_format_roundtrips",
     "q146_avro_stage_roundtrip": "q126_stage_format_roundtrips",
+    # r19 folds: durable window headroom (the r18 verdict's Next #1) —
+    # each absorber's widened output pins the retired face's relation
+    # (checksum/sentinel sections, join-merged columns, or the dual
+    # container decode); bench keeps the historical series via the
+    # *_bench_* single-path bodies in bench.py OVERRIDES.
+    "q19_text_features": "q20_corpus_profile",
+    "q23_minhash_signatures": "q24_minhash_dedup_pairs",
+    "q25_simhash": "q26_simhash_pairs",
+    "q46_token_chunks": "q50_pack_chunks",
+    "q88_bigram_logprob": "q48_unigram_logprob",
+    "q132_jpeg_decode": "q134_jpeg_color_decode",
 }
 
 # The driver's correctness harness records only the FIRST 50 registered
@@ -73,63 +84,68 @@ MERGED: dict[str, str] = {
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 18 window: the r15-cohort faces check_freshness.py forces (50
-# before the MERGED folds above retired six of them; 45 after — the
-# renamed q126_stage_format_roundtrips face sits in its predecessors'
-# seat) plus the FIVE promoted r17-staged faces (q152/q153/q154/q157/
-# q158), emptying registry.STAGED. Registry count lands at 148, so
-# later rounds regain spare slots instead of re-saturating.
+# Round 19 window: the 45 faces check_freshness.py forces (the r16
+# cohort, 50 before the r19 MERGED folds above retired five of its
+# members — q19/q23/q25/q46/q132 — whose absorbers sit in their seats),
+# plus the TWO promoted r18-staged faces (q159/q160, emptying
+# registry.STAGED), plus three spare-slot pre-refreshes from the r17
+# cohort (q08/q09/q15) to flatten the r20 forced set. Registry count
+# lands at 144 = 50*3 - 6 slack: ~2 spare slots per round in steady
+# state instead of r18's zero.
 PRIORITY = [
-    "q16_hourly_event_windows",
-    "q18_cdc_merge",
-    "q21_quality_filter",
-    "q22_exact_dedup",
-    "q24_minhash_dedup_pairs",
-    "q26_simhash_pairs",
-    "q27_ngram_jaccard_pairs",
-    "q28_knn_brute",
-    "q29_knn_lsh",
-    "q30_knn_ivf",
-    "q31_embedding_dup_pairs",
-    "q32_media_decode",
-    "q33_frame_sample",
-    "q35_length_percentiles",
-    "q36_rollup_acctbal",
-    "q37_repetition_ratio",
-    "q38_cleaning_pipeline",
-    "q40_pii_redaction",
-    "q41_vocab_df",
-    "q43_dedup_clusters",
-    "q44_decontaminate",
-    "q45_stratified_sample",
-    "q54_profile_orders",
-    "q59_histogram_totalprice",
-    "q60_pivot_lang_source",
-    "q63_intersect_except",
-    "q66_grouping_sets",
-    "q114_bucketed_join_revenue",
-    "q117_cdc_backlog",
-    "q118_chunk_integrity",
-    "q119_user_erasure_audit",
-    "q120_pack_efficiency",
-    "q122_png_decode",
-    "q123_erasure_execution",
-    "q124_scd2_delta_apply",
-    "q125_group_commit_join",
-    "q126_stage_format_roundtrips",
-    "q128_zonemap_prune",
-    "q129_declared_layout_pipeline",
-    "q130_zorder_multicol_prune",
-    "q144_composite_delete_fold",
-    "q145_maintenance_cycle",
-    "q147_group_snapshot_mask",
-    "q148_dsir_importance_weights",
-    "q149_mixture_temperature",
-    "q152_metadata_stats",
-    "q153_binary_hamming_knn",
-    "q154_webdataset_roundtrip",
-    "q157_lang_model_id",
-    "q158_append_files_insert",
+    # --- forced r16 cohort (45) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_priority_counts",
+    "q05_forecast_revenue",
+    "q06_distinct_segments",
+    "q07_union_nation_keys",
+    "q10_top_orders_per_customer",
+    "q11_latest_event_per_user",
+    "q17_load_plan",
+    "q20_corpus_profile",
+    "q34_sessionize",
+    "q39_asof_attribution",
+    "q42_event_gaps",
+    "q47_line_dedup",
+    "q48_unigram_logprob",
+    "q50_pack_chunks",
+    "q51_duplicate_spans",
+    "q52_tfidf_top_terms",
+    "q55_bpe_pair_counts",
+    "q56_mixture_sample",
+    "q57_kmeans_assign",
+    "q58_embedding_decontam",
+    "q67_incremental_neardup",
+    "q70_knn_quantized",
+    "q71_distinct_sketch_rollup",
+    "q72_exact_stratified_sample",
+    "q73_corpus_build",
+    "q78_inverted_index",
+    "q82_semantic_dedup",
+    "q83_bm25_rank",
+    "q84_quality_percentile",
+    "q85_mixture_weights",
+    "q86_leakage_safe_split",
+    "q99_quantile_sketch_accuracy",
+    "q100_heavy_hitters",
+    "q101_token_budget_shards",
+    "q102_audio_decode",
+    "q103_cms_accuracy",
+    "q104_domain_cap",
+    "q105_global_shuffle_index",
+    "q106_bpe_encode",
+    "q107_embedding_moments",
+    "q131_zone_merge_prune",
+    "q134_jpeg_color_decode",
+    # --- promoted r18-staged faces (2) ---
+    "q159_decontam_indexed",
+    "q160_append_bucketed_insert",
+    # --- spare-slot pre-refreshes from the r17 cohort (3) ---
+    "q08_customers_without_orders",
+    "q09_active_customers",
+    "q15_orders_by_month",
 ]
 
 

@@ -2256,18 +2256,25 @@ class ParquetWarehouse:
 
         Consistency contract: runs under the table's mutation fence;
         refuses versioned tables (appends would bypass snapshot
-        commits), pending merge-on-read deletes (the sidecar's manifest
-        describes a file set this append changes), and schema drift
-        (appended columns must match the table's read schema by name —
-        silently unioning mismatched files would corrupt every later
-        scan). Zone-map and Bloom manifests are EXTENDED, not dropped
-        (r18): both are per-file, so the staged batch's entries compute
-        in O(batch) and merge into the existing manifest, committed
-        atomically AFTER the renames — pruned reads and metadata_stats
-        survive continuous ingest (a crash between rename and manifest
-        commit leaves the manifest ABSENT, so pruned readers fail loudly
-        toward their unpruned fallbacks, never mis-prune; rebuild with
-        write_zonemap / write_bloom). Each file lands via one atomic
+        commits) and schema drift (appended columns must match the
+        table's read schema by name — silently unioning mismatched
+        files would corrupt every later scan). Pending merge-on-read
+        deletes no longer refuse (r19): the batch is anti-join MASKED
+        against the pending key set before staging, so appended files
+        never hold a pending-keyed row and the sidecar's guarantees
+        hold untouched — defer-mode GDPR and continuous ingest compose
+        (see the body comment). Zone-map and Bloom manifests are
+        EXTENDED, not dropped (r18): both are per-file, so the staged
+        batch's entries compute in O(batch) and merge into the existing
+        manifest, committed atomically AFTER the renames — pruned reads
+        and metadata_stats survive continuous ingest. A crash between
+        the renames and the manifest commit leaves the ZONE MAP absent
+        (dropped up-front, so zoned readers fall back loudly) and the
+        BLOOM manifest stale-but-present — safe because every bloom
+        consumer (``bloom_hit_split``) first checks the manifest's file
+        set against the directory and refuses a mismatch toward its
+        unpruned fallback, never mis-prunes; rebuild with
+        write_zonemap / write_bloom. Each file lands via one atomic
         rename, so readers never observe a torn file; a crash mid-batch
         leaves a PREFIX of the batch appended — callers needing
         exactly-once reconcile by key against the table (the streaming
@@ -2312,11 +2319,6 @@ class ParquetWarehouse:
                 "with the bucket-file layout; append routes through the "
                 "bucketed writer instead"
             )
-        if self.pending_deletes(table) is not None:
-            raise ValueError(
-                f"{table!r} has pending merge-on-read deletes — "
-                "materialize first (same contract as replace_partitions)"
-            )
         want = set(self.read(spark, table).columns)
         got = set(df.columns)
         if got != want:
@@ -2324,6 +2326,35 @@ class ParquetWarehouse:
                 f"append schema mismatch for {table!r}: batch columns "
                 f"{sorted(got)} != table columns {sorted(want)}"
             )
+        dm = self.pending_deletes(table)
+        if dm is not None:
+            # r19 fold (defer-mode GDPR × continuous ingest): appends no
+            # longer refuse on a pending _deletes sidecar — the batch is
+            # MASKED against the pending key set before staging, so no
+            # appended file ever contains a pending-keyed row. That
+            # preserves every sidecar invariant without touching it:
+            # reads stay correct (the read-path anti-join is now a no-op
+            # over the appended files), materialize_deletes' pruned
+            # discovery never has to rewrite an appended file, a crash
+            # mid-append lands a prefix of already-masked files
+            # (resurrects nothing), and a subject re-asserted while its
+            # erasure is pending stays erased — its rows never land.
+            # Unlike the CDC-merge fold (cdc.merge_and_write, which
+            # SUBTRACTS the batch's keys because a MERGE upsert
+            # legitimately supersedes a delete), an insert-only append
+            # must leave the pending set intact: it still masks the
+            # pre-existing files. The refusal survives only for a
+            # corrupt manifest whose key columns aren't table columns
+            # (unmaskable — nothing sound can be staged).
+            kcols = self._delete_key_cols(dm)
+            if not set(kcols) <= want:
+                raise ValueError(
+                    f"{table!r} has pending merge-on-read deletes on "
+                    f"{kcols!r}, which are not all table columns — the "
+                    "batch cannot be masked; materialize_deletes() first"
+                )
+            dele = spark.read.parquet(self._deletes_dir(table, dm))
+            df = self._anti_join_keys(df, dele, kcols, dm["n_keys"])
         root = self.path(table)
         base = os.path.basename(root.rstrip("/"))
         parent = os.path.dirname(root.rstrip("/"))

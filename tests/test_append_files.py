@@ -162,13 +162,54 @@ def test_append_refusals(spark, wh):
     wh.overwrite(df, "o")
     with pytest.raises(ValueError, match="schema mismatch"):
         wh.append_files(spark, df.drop("o_totalprice"), "o")
-    lo = df.agg(F.min("o_orderkey")).first()[0]
-    wh.delete_keys(spark, "o", "o_orderkey", [lo])
-    with pytest.raises(ValueError, match="pending merge-on-read"):
-        wh.append_files(spark, df.limit(1), "o")
     wh.overwrite_versioned(df, "v")
     with pytest.raises(ValueError, match="versioned"):
         wh.append_files(spark, df.limit(1), "v")
+
+
+def test_append_folds_pending_deletes_by_masking_the_batch(spark, wh):
+    """r19 fold (defer-mode GDPR × continuous ingest): an append while
+    deletes are pending MASKS the batch against the pending key set
+    instead of refusing — pending-keyed rows never land, every other
+    row appends, and the sidecar stays intact so pre-existing files
+    keep masking at read."""
+    df = _orders(spark)
+    keep = df.filter(F.col("o_orderkey") % 2 == 0)
+    wh.overwrite(keep, "o")
+    lo = keep.agg(F.min("o_orderkey")).first()[0]
+    wh.delete_keys(spark, "o", "o_orderkey", [lo])
+    # batch contains the pending key (a re-asserted subject) plus fresh
+    # odd-key rows: only the fresh rows may land
+    batch = df.filter(
+        (F.col("o_orderkey") == lo) | (F.col("o_orderkey") % 2 == 1)
+    )
+    res = wh.append_files(spark, batch, "o")
+    assert res["rows"] == batch.count() - 1  # the pending key was masked
+    # the sidecar is untouched: the old file's row stays masked too
+    assert wh.pending_deletes("o") is not None
+    got = {r["o_orderkey"] for r in wh.read(spark, "o").collect()}
+    assert lo not in got
+    assert got == {r["o_orderkey"] for r in df.collect()} - {lo}
+    # the re-asserted subject stays erased even after materialization
+    # drops the sidecar — its appended row never landed in any file
+    wh.materialize_deletes(spark, "o")
+    got = {r["o_orderkey"] for r in wh.read(spark, "o").collect()}
+    assert lo not in got
+
+
+def test_append_pending_deletes_batch_entirely_masked_is_noop(spark, wh):
+    """A batch that is ENTIRELY pending-keyed rows lands nothing (the
+    zero-row no-op path) and leaves every file and the sidecar intact —
+    the crash-window shape: nothing to resurrect."""
+    df = _orders(spark)
+    wh.overwrite(df, "o")
+    lo = df.agg(F.min("o_orderkey")).first()[0]
+    wh.delete_keys(spark, "o", "o_orderkey", [lo])
+    before = _inodes(wh.path("o"))
+    res = wh.append_files(spark, df.filter(F.col("o_orderkey") == lo), "o")
+    assert res == {"files_added": 0, "rows": 0}
+    assert _inodes(wh.path("o")) == before
+    assert wh.pending_deletes("o") is not None
 
 
 def test_append_under_foreign_fence_fails_fast(spark, wh):

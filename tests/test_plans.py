@@ -105,7 +105,14 @@ def test_q34_single_shuffle_sessionize(spark):
 
 
 def test_q19_text_features_scan_prunes_columns(spark):
-    cols = scan_columns(_q(spark, "q19_text_features"))[0]
+    # r19 fold: the q19 face retired into q20 (registry.MERGED); the
+    # single-path body is kept as q19_bench_text_features and the scan
+    # pruning property is pinned on it
+    from example_dms_dataexport_spark.queries_llm import (
+        q19_bench_text_features,
+    )
+
+    cols = scan_columns(q19_bench_text_features(spark, SF))[0]
     # only doc_id + text are needed from documents (source/n_chars unused)
     assert "text" in cols and "embedding_seed" not in cols
 
@@ -157,11 +164,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_q48_vocab_join_broadcasts_not_forced(spark):
     # the token stream must NOT shuffle for the vocab join: the
     # vocabulary-sized lp relation is broadcast (chosen, never forced);
-    # shuffles are: vocab groupBy + final per-doc agg
-    df = _q(spark, "q48_unigram_logprob")
+    # shuffles are: vocab groupBy + final per-doc agg. Pinned on the
+    # single-path unigram body (the r19 fold joined the bigram relation
+    # onto the registered face; its plan is covered below).
+    from example_dms_dataexport_spark.queries_llm import q48_bench_unigram
+
+    df = q48_bench_unigram(spark, SF)
     assert broadcast_hint_count(df) == 0
     assert broadcast_join_count(df) >= 1
     assert exchange_count(df) == 2, physical_plan(df)
+
+
+def test_q48_merged_face_no_forced_broadcast(spark):
+    # the r19-merged face (unigram ⋈ bigram per doc): still no pinned
+    # broadcasts, no cartesian — AQE owns the model-side join strategy
+    df = _q(spark, "q48_unigram_logprob")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(df) == 0
 
 
 def test_q47_line_dedup_no_forced_broadcast(spark):
@@ -296,7 +316,11 @@ def test_q87_sketch_join_is_broadcast_estimate_side(spark):
 
 
 def test_q88_bigram_model_joins_not_forced(spark):
-    df = _q(spark, "q88_bigram_logprob")
+    # q88 retired into q48 (r19 fold); the single-path body keeps the
+    # plan property pinned under its historical name
+    from example_dms_dataexport_spark.queries_llm import q88_bench_bigram
+
+    df = q88_bench_bigram(spark, SF)
     plan = physical_plan(df)
     # model sides are vocab-sized: joins must stay equi (AQE decides
     # broadcast at runtime), never cartesian or pinned broadcast
