@@ -315,11 +315,17 @@ def main() -> None:
     def run_corpus_ingest() -> None:
         td = tempfile.mkdtemp(prefix="bench-cing-")
         try:
-            rows, batches, mfiles = run_corpus_ingest_fixture(
+            rows, batches, mfiles, per_batch = run_corpus_ingest_fixture(
                 spark, sf_dir, td, spec=ci_spec, landing_glob=ci_landing
             )
             ci_info.update(
-                rows_ingested=rows, batches=batches, manifest_files=mfiles
+                rows_ingested=rows,
+                batches=batches,
+                manifest_files=mfiles,
+                # per-batch wall split (r19): spec / reconcile / append
+                # (+ the append's stage/manifest/commit sub-split) so
+                # the sentinel's next mover localizes without a rerun
+                per_batch=per_batch,
             )
         finally:
             shutil.rmtree(td, ignore_errors=True)

@@ -85,6 +85,24 @@ def incremental_load(
     if not new_files:
         return "No files to process."  # ref :421-423
 
+    # Zero-data-I/O replay early-exit (r19 — ref :358-367's check taken
+    # one level deeper): the warehouse meta sidecar records the last
+    # file each COMMITTED merge consumed (written strictly AFTER the
+    # commit, so it can lag the data but never lead it). A re-delivered
+    # window — crash between the merge commit and the metadata-store
+    # watermark advance — therefore skips the whole merge: the files are
+    # "new" only to the stale watermark, which just advances. One JSON
+    # read; no data file opens. Genuinely new files (> the recorded
+    # mark) fall through to the merge, which re-applies any replayed
+    # prefix idempotently (latest-wins).
+    last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
+    last_merged = warehouse.read_meta(meta.target_table).get(
+        "last_merged_file"
+    )
+    if last_merged is not None and last_file <= last_merged:
+        store.update_watermarks(full_path, last_incremental_file=last_file)
+        return "No files to process."  # already merged; watermark healed
+
     target = warehouse.read(spark, meta.target_table)
     evolved = False
     if schema is not None:
@@ -159,7 +177,11 @@ def incremental_load(
         layout=layout,
     )
 
-    last_file = max(f.rsplit("/", 1)[-1] for f in new_files)
+    # ordering: data commit (above) -> merge high-water mark -> store
+    # watermark. Every crash window re-runs conservatively: before the
+    # mark, the replay early-exit can't trigger (re-merge, idempotent);
+    # after it, the early-exit heals the watermark without a merge.
+    warehouse.update_meta(meta.target_table, {"last_merged_file": last_file})
     if schema is not None:  # evolution: the new order is authoritative
         store.update_column_order(full_path, schema.fieldNames())
     store.update_watermarks(full_path, last_incremental_file=last_file)

@@ -204,6 +204,13 @@ def extend_ann_index(
                     .limit(DELETE_BLOOM_PROBE_CAP + 1)
                     .collect()
                 ]
+                if any(i is None for i in ids):
+                    # sorted() below would TypeError on None — refuse
+                    # with the contract's message instead
+                    raise ValueError(
+                        f"extend of ANN index {name!r}: batch carries "
+                        "a NULL vec_id — ids must be non-NULL"
+                    )
                 if len(ids) <= DELETE_BLOOM_PROBE_CAP:
                     try:
                         dup = (

@@ -135,7 +135,23 @@ def embedding_contamination_via_index(
     # the exact rerank resolves BOTH endpoints' vectors from
     # rerank_with by id; the eval probes are disjoint from the indexed
     # training set here (unlike the dedup route, where corpus == probes),
-    # so the side input is their union
+    # so the side input is their union. Disjointness is ENFORCED, not
+    # assumed (r18 advisor finding): an id in both relations would make
+    # the rerank join resolve two vectors per endpoint and silently
+    # inflate n_eval_hits/max_score.
+    overlap = (
+        train.select(id_col)
+        .join(evalset.select(id_col), id_col, "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if overlap:
+        raise ValueError(
+            f"embedding_contamination_via_index: {id_col!r} "
+            f"{overlap[0][0]!r} appears in BOTH train and evalset — the "
+            "id spaces must be disjoint (the exact rerank resolves "
+            "vectors by id from their union)"
+        )
     rerank_src = train.select(id_col, vec_col).unionByName(
         evalset.select(id_col, vec_col)
     )

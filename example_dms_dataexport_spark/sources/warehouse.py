@@ -1069,12 +1069,28 @@ class ParquetWarehouse:
         return [s.strip() for s in spec.split(",") if s.strip()]
 
     @staticmethod
+    def _walk_parquet_rels(data_dir: str) -> list[str]:
+        """Every committed parquet file under ``data_dir`` as rel
+        paths — the exact file set a bloom/zone manifest must describe
+        (hidden ``_``/``.`` dirs, e.g. the _deletes sidecar, excluded)."""
+        rels: list[str] = []
+        for dirpath, dirs, fnames in os.walk(data_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in fnames:
+                if n.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(dirpath, n), data_dir)
+                    )
+        return rels
+
+    @staticmethod
     def _compute_bloom_small(
         spark: SparkSession,
         data_dir: str,
         cols: list[str],
         bits_per_key: int = BLOOM_BITS_PER_KEY,
         k: int = BLOOM_K,
+        paths: list[str] | None = None,
     ) -> dict:
         """Batch-sized twin of ``_compute_bloom``: ONE Spark job
         projects every column spec's k seeded xxhash64 values (the
@@ -1087,10 +1103,24 @@ class ParquetWarehouse:
         only WHERE the packing runs differs. Exists because a streaming
         ingest append paid ~4 small distributed jobs per batch for
         manifest upkeep; one job per append matters at minute-grain
-        syncs."""
+        syncs.
+
+        ``paths``: restrict to these files (absolute, under
+        ``data_dir``) — the incremental-heal shape; rel keys stay
+        relative to ``data_dir``. Zero-row files get zero bitmaps like
+        the distributed pass (r19, closing the coverage gap the r18
+        advisor flagged), so a manifest assembled from these entries
+        always describes the exact file set."""
         import base64
 
-        df = spark.read.parquet(data_dir)
+        if paths is None:
+            df = spark.read.parquet(data_dir)
+            expected = ParquetWarehouse._walk_parquet_rels(data_dir)
+        else:
+            df = spark.read.option("basePath", data_dir).parquet(*paths)
+            expected = [
+                ParquetWarehouse.file_rel(p, data_dir) for p in paths
+            ]
         proj = [F.col("_metadata.file_path").alias("__fp")]
         for ci, c in enumerate(cols):
             parts = ParquetWarehouse._bloom_spec_parts(c)
@@ -1134,6 +1164,19 @@ class ParquetWarehouse:
                     "n_distinct": nd,
                     "bits": base64.b64encode(bytes(bitmap)).decode(),
                 }
+            # row-less files are invisible to the row-driven pass but
+            # the manifest must describe the EXACT file set — zero
+            # bitmaps, same as the distributed pass
+            covered = {
+                ParquetWarehouse.file_rel(fp, data_dir) for fp in by_fp
+            }
+            for rel in expected:
+                if rel not in covered:
+                    files.setdefault(rel, {})[c] = {
+                        "m": 64,
+                        "n_distinct": 0,
+                        "bits": base64.b64encode(bytes(8)).decode(),
+                    }
         return {
             "cols": list(cols),
             "k": k,
@@ -1149,6 +1192,7 @@ class ParquetWarehouse:
         cols: list[str],
         bits_per_key: int = BLOOM_BITS_PER_KEY,
         k: int = BLOOM_K,
+        paths: list[str] | None = None,
     ) -> dict:
         """Two distributed passes over ``data_dir`` per column (or
         tuple spec — see ``_bloom_spec_parts``): one distinct-count agg
@@ -1157,28 +1201,28 @@ class ParquetWarehouse:
         zone map; bit positions come from
         ``pmod(xxhash64(value..., seed), m)`` — engine-internal
         metadata, never oracle-compared, so Spark's native hash is the
-        right tool."""
+        right tool. ``paths`` restricts the passes to those files (the
+        incremental-heal shape, matching ``_compute_bloom_small``)."""
         import base64
 
-        df = spark.read.parquet(data_dir)
+        if paths is None:
+            df = spark.read.parquet(data_dir)
+            # the row-driven passes below can only see files that HOLD
+            # rows (groupBy(_metadata.file_path) has no group for an
+            # empty part file), but the manifest must describe the
+            # EXACT committed file set or the staleness check refuses
+            # forever — enumerate every parquet file up front and give
+            # row-less ones zero bitmaps (an empty file can never
+            # contain a probe key)
+            all_rels = ParquetWarehouse._walk_parquet_rels(data_dir)
+        else:
+            df = spark.read.option("basePath", data_dir).parquet(*paths)
+            all_rels = [
+                ParquetWarehouse.file_rel(p, data_dir) for p in paths
+            ]
 
         def rel_of(fp: str) -> str:
             return ParquetWarehouse.file_rel(fp, data_dir)
-
-        # the row-driven passes below can only see files that HOLD rows
-        # (groupBy(_metadata.file_path) has no group for an empty part
-        # file), but the manifest must describe the EXACT committed
-        # file set or the staleness check refuses forever — enumerate
-        # every parquet file up front and give row-less ones zero
-        # bitmaps (an empty file can never contain a probe key)
-        all_rels: list[str] = []
-        for dirpath, dirs, fnames in os.walk(data_dir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for n in fnames:
-                if n.endswith(".parquet"):
-                    all_rels.append(
-                        os.path.relpath(os.path.join(dirpath, n), data_dir)
-                    )
 
         files: dict[str, dict] = {}
         fpcol = F.col("_metadata.file_path").alias("__fp")
@@ -1327,6 +1371,75 @@ class ParquetWarehouse:
             with open(tmp, "w") as f:
                 json.dump(bm, f)
             os.replace(tmp, os.path.join(self.path(table), BLOOM_FILE))
+        return bm
+
+    def heal_bloom(
+        self, spark: SparkSession, table: str, cols: list[str]
+    ) -> dict:
+        """Incremental Bloom-manifest repair (r19) for the one stale
+        shape a present manifest can be in — MISSING entries for files
+        appended during ``append_files``' crash window (renames landed,
+        manifest commit didn't). Entries compute for JUST those files
+        (plus dropping entries for files no longer present, a
+        defensive case no current mutation produces: in-place mutations
+        drop the whole manifest), every other per-file filter is kept
+        verbatim — sound because committed data files are immutable
+        (every mutation lands new names or drops the manifest), so an
+        existing entry can never describe changed content. Equals the
+        full ``write_bloom`` rebuild bit-for-bit (pinned in tests) at
+        O(unmanifested files) cost instead of O(table) — the ingest
+        streams' heal path. Falls back to the full rebuild when no
+        manifest exists or ``cols`` doesn't match the manifest's specs.
+        Returns the committed manifest."""
+        if os.path.isfile(self._version_pointer(table)):
+            raise ValueError(
+                f"{table!r} is versioned — snapshots carry their own "
+                "immutable manifests; nothing to heal"
+            )
+        with self._write_fence(
+            table, lock_path=self._mutation_lock_path(table)
+        ):
+            self._reconcile(table)
+            final = self.path(table)
+            bm = self.bloom(table)
+            if bm is None or list(bm["cols"]) != list(cols):
+                bm = self._compute_bloom(spark, final, cols)
+            else:
+                current = set(self._walk_parquet_rels(final))
+                have = set(bm["files"])
+                if have == current:
+                    return bm  # already exact — nothing to commit
+                for rel in have - current:
+                    del bm["files"][rel]
+                missing = sorted(current - have)
+                if missing:
+                    abs_paths = [os.path.join(final, r) for r in missing]
+                    import pyarrow.parquet as _pq
+
+                    nrows = sum(
+                        _pq.ParquetFile(p).metadata.num_rows
+                        for p in abs_paths
+                    )
+                    fn = (
+                        self._compute_bloom_small
+                        if nrows <= DELETE_BLOOM_PROBE_CAP
+                        else self._compute_bloom
+                    )
+                    add = fn(
+                        spark,
+                        final,
+                        bm["cols"],
+                        bits_per_key=bm["bits_per_key"],
+                        k=bm["k"],
+                        paths=abs_paths,
+                    )
+                    bm["files"].update(add["files"])
+            tmp = os.path.join(
+                final, BLOOM_FILE + f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(bm, f)
+            os.replace(tmp, os.path.join(final, BLOOM_FILE))
         return bm
 
     def bloom(self, table: str, version: int | None = None) -> dict | None:
@@ -1727,6 +1840,27 @@ class ParquetWarehouse:
             return {}
         with open(p) as f:
             return json.load(f)
+
+    def update_meta(self, table: str, updates: dict) -> dict:
+        """Merge ``updates`` into the table's ``_meta.json`` sidecar
+        (atomic tmp+replace; creates it if absent). NOT part of a data
+        commit — callers must order it strictly AFTER the commit it
+        describes (the CDC watermark pattern, r19): a crash between the
+        commit and this write leaves the sidecar CONSERVATIVE (older
+        than the data), never ahead of it, so consumers like
+        ``incremental_load``'s replay early-exit can trust a recorded
+        value without a fence. A full ``overwrite`` swap drops the
+        sidecar unless re-passed — the right default for markers scoped
+        to a table state (e.g. a reload resets the merge high-water
+        mark)."""
+        m = self.read_meta(table)
+        m.update(updates)
+        final = self.path(table)
+        tmp = os.path.join(final, META_FILE + f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(final, META_FILE))
+        return m
 
     # ---- merge-on-read deletion vectors ---------------------------------
 
@@ -2365,6 +2499,8 @@ class ParquetWarehouse:
         staging = os.path.join(
             parent, f".{base}.append-tmp-{uuid.uuid4().hex}"
         )
+        timings: dict[str, float] = {}
+        _t0 = time.monotonic()
         try:
             if bspec is not None:
                 self._stage_bucketed(df, staging, bspec)
@@ -2400,6 +2536,8 @@ class ParquetWarehouse:
                 # batch would make replayed/filtered-empty batches
                 # accrete inode churn forever)
                 return {"files_added": 0, "rows": 0}
+            timings["stage_s"] = round(time.monotonic() - _t0, 4)
+            _t0 = time.monotonic()
             # Per-file manifest entries for JUST the staged batch —
             # O(batch), computed BEFORE the renames so a crash leaves
             # the table without manifests (loud fallback), never with a
@@ -2427,6 +2565,8 @@ class ParquetWarehouse:
                 if bm is not None and staged
                 else None
             )
+            timings["manifest_s"] = round(time.monotonic() - _t0, 4)
+            _t0 = time.monotonic()
             self._drop_zonemap(table)
             tag = uuid.uuid4().hex[:12]
 
@@ -2464,7 +2604,11 @@ class ParquetWarehouse:
             # the session catalog caches the bucketed file listing —
             # invalidate so the next read sees the appended files
             self._refresh_bucketed_catalog(spark, table)
-        return {"files_added": n_files, "rows": rows}
+        # stage/manifest/commit wall split (r19, the ingest sentinel's
+        # localization ask): additive diagnostics — callers key on
+        # files_added/rows; the zero-row no-op return above stays bare
+        timings["commit_s"] = round(time.monotonic() - _t0, 4)
+        return {"files_added": n_files, "rows": rows, "timings": timings}
 
     def compact(
         self,

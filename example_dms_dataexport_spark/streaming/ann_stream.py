@@ -89,8 +89,11 @@ def start_ann_ingest_stream(
     and the replay anti-join broadcasts the key-bounded hit relation
     instead of shuffling the index's id column every micro-batch. The
     full-index joins remain as the loud fallback for oversized batches
-    or a manifest left stale by an append crash (healed by a
-    ``write_bloom`` rebuild after the batch).
+    or a manifest left stale by an append crash; only the STALE case
+    heals — incrementally, via ``warehouse.heal_bloom`` (entries for
+    just the manifest's gap files, r19). An oversized batch needs no
+    heal: its append extends the live manifest in O(batch), so the
+    next bounded batch prunes again.
     """
     # fail fast at start, not inside batch 0: the descriptor must exist
     warehouse.read_meta(index_name)[ANN_META_KEY]
@@ -130,20 +133,35 @@ def start_ann_ingest_stream(
                 .limit(RECONCILE_PROBE_CAP + 1)
                 .collect()
             ]
+            if any(i is None for i in ids):
+                # NULL ids would TypeError inside sorted() below with
+                # an opaque message — refuse in the admissibility
+                # contract's own voice
+                raise ValueError(
+                    f"ann ingest stream for {index_name!r}: the batch "
+                    f"carries a NULL {id_col!r} — vec_ids key the "
+                    "replay reconciliation and must be non-NULL"
+                )
+            # oversized batches (> probe cap) fall back to the full
+            # id-column scan but need NO heal: extend_ann_index extends
+            # a live manifest in O(batch) (r18 advisor finding — the
+            # old flag paid an O(index) rebuild per oversized batch).
+            # Only a STALE/MISSING manifest (read_bloom_keys raised)
+            # heals, and incrementally: entries for just the missing
+            # files (warehouse.heal_bloom).
             indexed_dup = None
+            stale = False
             if len(ids) <= RECONCILE_PROBE_CAP:
                 try:
                     indexed_dup = warehouse.read_bloom_keys(
                         spark, index_name, "vec_id", sorted(set(ids))
                     ).select("vec_id", "code", "vnorm")
                 except ValueError:
-                    indexed_dup = None
-            healed = False
+                    stale = True
             if indexed_dup is None:
                 indexed_dup = warehouse.read(spark, index_name).select(
                     "vec_id", "code", "vnorm"
                 )
-                healed = True
             else:
                 # key-bounded hit relation: broadcast on every use
                 indexed_dup = F.broadcast(indexed_dup)
@@ -198,9 +216,9 @@ def start_ann_ingest_stream(
                 warehouse, spark, fresh, index_name,
                 vec_col=vec_col, id_col=id_col, mode=mode,
             )
-            if healed:
-                try:  # O(index) once after a crash/oversized batch
-                    warehouse.write_bloom(spark, index_name, ["vec_id"])
+            if stale:
+                try:  # O(manifest gap) after a crash/legacy table
+                    warehouse.heal_bloom(spark, index_name, ["vec_id"])
                 except Exception:  # noqa: BLE001 — never fails a batch
                     pass
         finally:

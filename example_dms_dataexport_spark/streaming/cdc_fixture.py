@@ -591,7 +591,10 @@ def run_corpus_ingest_fixture(
     ``prepare_corpus_ingest_inputs`` so bench reruns never re-time
     fixture construction (the q131 fixture-cost precedent).
 
-    Returns ``(rows_ingested, n_batches, manifest_files)``.
+    Returns ``(rows_ingested, n_batches, manifest_files, batch_timings)``
+    — the last a per-batch wall split (spec / reconcile / append, with
+    the append's stage/manifest/commit sub-split) so a sentinel
+    regression localizes without a rerun (r19).
     """
     from .corpus_stream import start_corpus_ingest_stream
 
@@ -600,9 +603,11 @@ def run_corpus_ingest_fixture(
             spark, sf_dir, workdir, n_batches
         )
     wh = ParquetWarehouse(os.path.join(workdir, "wh"))
+    batch_timings: list[dict] = []
     q = start_corpus_ingest_stream(
         spark, landing_glob, wh, "corpus", spec,
         os.path.join(workdir, "ckpt"),
+        batch_timings=batch_timings,
     )
     q.awaitTermination()
     bm = wh.bloom("corpus")
@@ -610,4 +615,5 @@ def run_corpus_ingest_fixture(
         wh.read(spark, "corpus").count(),
         n_batches,
         len(bm["files"]) if bm else 0,
+        batch_timings,
     )

@@ -44,8 +44,12 @@ columns every micro-batch — at a 100 TB corpus with minute-grain
 batches, exactly the O(table)-per-batch cost the O(batch) append
 exists to avoid. The full anti-join remains as the loud fallback for
 oversized batches (> RECONCILE_PROBE_CAP keys), a missing manifest
-(pre-r18 table), or a manifest left stale by an append crash — after
-which ``write_bloom`` heals the manifest so later batches prune again.
+(pre-r18 table), or a manifest left stale by an append crash. Only
+the STALE/MISSING case heals — incrementally, via
+``warehouse.heal_bloom`` (entries computed for just the manifest's gap
+files, r19) — an oversized batch needs no heal at all: its append
+extends the live manifest in O(batch), so the next bounded batch
+prunes again (the r18 advisor's oversized-rebuild finding).
 
 NULL text (r17 advisor finding): ``_fp`` is coalesced to a sentinel
 (-1 — real fingerprints are non-negative) so NULL-text docs group,
@@ -121,11 +125,18 @@ def start_corpus_ingest_stream(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     compact_every: int | None = 20,
+    batch_timings: list | None = None,
 ) -> StreamingQuery:
     """Feed parquet document landing files through the per-document
     cleaning ``spec`` into the corpus ``table``, one reconciled
     O(batch) append per micro-batch. The first batch CREATES the table
     (with the ``_fp`` fingerprint column); later batches append.
+
+    ``batch_timings``: optional caller-owned list; each committed batch
+    appends a wall-clock split dict (spec+dedup / reconcile-probe /
+    append, with the append's own stage/manifest/commit sub-split) —
+    the bench sentinel's localization hook (r19). Purely additive
+    diagnostics; no stage gains an extra action for timing's sake.
     """
     validate_spec(spec)
     bad = [
@@ -184,6 +195,10 @@ def start_corpus_ingest_stream(
         corpus_cols = warehouse.read(spark, table).columns
         # one evaluation of the cleaned batch serves the probe
         # collects, the anti-joins, and the append
+        import time as _time
+
+        _t0 = _time.monotonic()
+        _bt = {"batch_id": batch_id}
         kept = kept.persist()
         try:
             probes = [
@@ -192,8 +207,31 @@ def start_corpus_ingest_stream(
                 .limit(RECONCILE_PROBE_CAP + 1)
                 .collect()
             ]
+            if any(p[0] is None for p in probes):
+                # NULL ids would TypeError inside sorted() below with an
+                # opaque message — refuse in the contract's own voice
+                # (the fingerprint side is NULL-safe via the sentinel)
+                raise ValueError(
+                    f"corpus ingest stream for {table!r}: the cleaned "
+                    f"batch carries a NULL {id_col!r} — ids key the "
+                    "exactly-once reconciliation and must be non-NULL"
+                )
+            # the probe collect is the first ACTION: it evaluates the
+            # whole spec + within-batch dedup into the persisted batch,
+            # so this span IS the spec stage's wall
+            _bt["spec_s"] = round(_time.monotonic() - _t0, 4)
+            _t0 = _time.monotonic()
+            # an OVERSIZED batch (> probe cap) and a STALE/MISSING
+            # manifest both fall back to the full anti-join, but only
+            # staleness needs a heal: the append below EXTENDS a live
+            # manifest in O(batch), so an oversized batch leaves it
+            # exact and the next probe-bounded batch prunes again (r18
+            # advisor finding — the old code paid an O(corpus) rebuild
+            # per oversized batch)
+            oversized = len(probes) > RECONCILE_PROBE_CAP
+            stale = False
             existing_ids = existing_fps = None
-            if len(probes) <= RECONCILE_PROBE_CAP:
+            if not oversized:
                 existing_ids = _existing_keys(
                     spark, warehouse, table, id_col,
                     sorted({p[0] for p in probes}),
@@ -202,26 +240,39 @@ def start_corpus_ingest_stream(
                     spark, warehouse, table, FP_COL,
                     sorted({p[1] for p in probes}),
                 )
-            if existing_ids is not None and existing_fps is not None:
+                stale = existing_ids is None or existing_fps is None
+            if not oversized and not stale:
                 # key-bounded right sides: broadcast anti-joins, only
                 # bloom-hit corpus files were opened
                 fresh = kept.join(
                     F.broadcast(existing_ids), id_col, "left_anti"
                 ).join(F.broadcast(existing_fps), FP_COL, "left_anti")
             else:
-                # oversized batch or missing/stale manifest: the full
-                # column-pruned anti-join, then heal the manifest so
-                # the next batch prunes again
+                # the full column-pruned anti-join
                 corpus = warehouse.read(spark, table)
                 fresh = kept.join(
                     corpus.select(id_col), id_col, "left_anti"
                 ).join(corpus.select(FP_COL), FP_COL, "left_anti")
-            warehouse.append_files(
+            # manifest probe + bloom-hit plan construction (the anti-
+            # join itself evaluates lazily inside the append's staging
+            # write and lands in append_s)
+            _bt["reconcile_s"] = round(_time.monotonic() - _t0, 4)
+            _t0 = _time.monotonic()
+            _res = warehouse.append_files(
                 spark, fresh.select(*corpus_cols), table
             )
-            if existing_ids is None or existing_fps is None:
-                try:  # O(corpus) once after a crash/legacy table
-                    warehouse.write_bloom(spark, table, [id_col, FP_COL])
+            _bt["append_s"] = round(_time.monotonic() - _t0, 4)
+            _bt["rows"] = _res["rows"]
+            if "timings" in _res:
+                _bt["append_split"] = _res["timings"]
+            if batch_timings is not None:
+                batch_timings.append(_bt)
+            if stale:
+                try:
+                    # incremental repair (r19): entries compute for just
+                    # the files the manifest is missing — O(gap), not
+                    # O(corpus) — so the next batch prunes again
+                    warehouse.heal_bloom(spark, table, [id_col, FP_COL])
                 except Exception:  # noqa: BLE001 — never fails a batch
                     pass
         finally:

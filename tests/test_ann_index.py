@@ -437,15 +437,34 @@ def test_append_mode_refusals(spark, emb, tmp_path_factory):
     wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_apr")))
     even = emb.filter(F.col("vec_id") % 2 == 0)
     AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
-    victim = even.select(F.min("vec_id")).first()[0]
-    wh.delete_keys(spark, "idx", "vec_id", [victim])
-    with pytest.raises(ValueError, match="pending merge-on-read"):
-        AI.extend_ann_index(
-            wh, spark, emb.filter(F.col("vec_id") % 2 == 1), "idx",
-            mode="append",
-        )
     with pytest.raises(ValueError, match="not in rewrite/append"):
         AI.extend_ann_index(wh, spark, emb, "idx", mode="upsert")
+
+
+def test_append_mode_folds_pending_deletes(spark, emb, tmp_path_factory):
+    """r19 (the append pending-deletes fold, applied to the ANN index):
+    an append-mode extend while merge-on-read deletes pend no longer
+    refuses — the batch masks against the pending vec_ids, new vectors
+    land, a re-asserted deleted vec stays erased, and the sidecar stays
+    intact so old files keep masking at read."""
+    wh = ParquetWarehouse(str(tmp_path_factory.mktemp("annwh_apf")))
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.build_ann_index(wh, even, "idx", n_lists=N_LISTS, m=8, k=32)
+    victim = even.select(F.min("vec_id")).first()[0]
+    wh.delete_keys(spark, "idx", "vec_id", [victim])
+    batch = emb.filter(
+        (F.col("vec_id") % 2 == 1) | (F.col("vec_id") == victim)
+    )
+    AI.extend_ann_index(wh, spark, batch, "idx", mode="append")
+    got = {r["vec_id"] for r in wh.read(spark, "idx").select("vec_id").collect()}
+    assert victim not in got  # re-asserted subject stays erased
+    assert got == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    } - {victim}
+    assert wh.pending_deletes("idx") is not None  # sidecar intact
+    wh.materialize_deletes(spark, "idx", partition_by=["list_id"])
+    got2 = {r["vec_id"] for r in wh.read(spark, "idx").select("vec_id").collect()}
+    assert victim not in got2
 
 
 def test_append_mode_extends_derived_manifests(

@@ -258,3 +258,90 @@ def test_small_bloom_pass_is_bit_identical_to_distributed(spark, wh):
     big = wh._compute_bloom(spark, root, cols)
     small = wh._compute_bloom_small(spark, root, cols)
     assert big == small
+
+
+def test_heal_bloom_incremental_equals_full_rebuild(spark, wh, monkeypatch):
+    """r19: heal_bloom repairs the append crash window (files landed,
+    manifest commit didn't) by computing entries for ONLY the missing
+    files — and the healed manifest is bit-identical to a full
+    write_bloom rebuild."""
+    import json
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ParquetWarehouse as PW,
+    )
+
+    df = _orders(spark)
+    wh.overwrite(df.filter("o_orderkey % 3 = 0"), "o", bloom_cols=["o_orderkey"])
+    wh.append_files(spark, df.filter("o_orderkey % 3 = 1"), "o")
+    wh.append_files(spark, df.filter("o_orderkey % 3 = 2"), "o")
+    bp = os.path.join(wh.path("o"), "_bloom.json")
+    with open(bp) as f:
+        bm = json.load(f)
+    assert len(bm["files"]) >= 3
+    dropped = sorted(bm["files"])[-2:]  # simulate the crash window
+    for rel in dropped:
+        del bm["files"][rel]
+    with open(bp, "w") as f:
+        json.dump(bm, f)
+
+    seen_paths = []
+    orig_small = PW._compute_bloom_small
+
+    def spy(spark_, dir_, cols, **kw):
+        seen_paths.append(kw.get("paths"))
+        return orig_small(spark_, dir_, cols, **kw)
+
+    monkeypatch.setattr(PW, "_compute_bloom_small", staticmethod(spy))
+    healed = wh.heal_bloom(spark, "o", ["o_orderkey"])
+    # files-opened bound: exactly one pass over exactly the gap files
+    assert len(seen_paths) == 1
+    assert sorted(
+        os.path.relpath(p, wh.path("o")) for p in seen_paths[0]
+    ) == sorted(dropped)
+    rebuilt = wh.write_bloom(spark, "o", ["o_orderkey"])
+    assert healed == rebuilt
+    # already-exact manifests are a true no-op (no re-commit)
+    seen_paths.clear()
+    again = wh.heal_bloom(spark, "o", ["o_orderkey"])
+    assert again == rebuilt and seen_paths == []
+
+
+def test_heal_bloom_full_rebuild_when_manifest_absent(spark, wh):
+    df = _orders(spark)
+    wh.overwrite(df, "o", bloom_cols=["o_orderkey"])
+    os.remove(os.path.join(wh.path("o"), "_bloom.json"))
+    healed = wh.heal_bloom(spark, "o", ["o_orderkey"])
+    assert healed == wh.write_bloom(spark, "o", ["o_orderkey"])
+
+
+def test_compute_bloom_small_paths_covers_zero_row_files(spark, wh, tmp_path):
+    """r18 advisor finding: the one-job small pass must give row-less
+    part files zero bitmaps like the distributed pass, or a healed
+    manifest would permanently fail the exact-file-set check."""
+    import shutil as _sh
+
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ParquetWarehouse as PW,
+    )
+
+    d = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "k long"
+    ).coalesce(1).write.parquet(d)
+    z = str(tmp_path / "z")
+    spark.createDataFrame([], "k long").coalesce(1).write.parquet(z)
+    zpart = next(
+        n for n in os.listdir(z) if n.endswith(".parquet")
+    )
+    _sh.copy(os.path.join(z, zpart), os.path.join(d, f"empty-{zpart}"))
+    paths = [
+        os.path.join(d, n) for n in sorted(os.listdir(d))
+        if n.endswith(".parquet")
+    ]
+    assert len(paths) == 2
+    small = PW._compute_bloom_small(spark, d, ["k"], paths=paths)
+    dist = PW._compute_bloom(spark, d, ["k"], paths=paths)
+    assert small == dist
+    rels = set(small["files"])
+    assert any(r.startswith("empty-") for r in rels) and len(rels) == 2

@@ -368,3 +368,113 @@ def test_stream_appends_into_a_declared_bucketed_corpus(
         o["doc_id"] == _F.col("r.doc_id"),
     )
     assert exchange_count(joined.groupBy(o["doc_id"]).count()) <= 1
+
+
+def test_oversized_batch_falls_back_without_o_corpus_heal(
+    spark, docs, tmp_path, monkeypatch
+):
+    """r18 advisor finding: a batch above the probe cap takes the full
+    anti-join fallback ONCE but must NOT pay any manifest rebuild — the
+    append already extends a live manifest in O(batch), so it stays
+    exact and the next probe-bounded batch prunes again. heal_bloom /
+    write_bloom are never invoked."""
+    from example_dms_dataexport_spark.streaming import corpus_stream as CS
+
+    monkeypatch.setattr(CS, "RECONCILE_PROBE_CAP", 1)
+    heals: list = []
+    rebuilds: list = []
+    orig_heal = ParquetWarehouse.heal_bloom
+    orig_wb = ParquetWarehouse.write_bloom
+    monkeypatch.setattr(
+        ParquetWarehouse,
+        "heal_bloom",
+        lambda self, *a, **k: (heals.append(a), orig_heal(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        ParquetWarehouse,
+        "write_bloom",
+        lambda self, *a, **k: (rebuilds.append(a), orig_wb(self, *a, **k))[1],
+    )
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing, n_batches=3)
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert heals == [] and rebuilds == []
+    assert {
+        r["doc_id"] for r in wh.read(spark, "corpus").collect()
+    } == _expected_ids(docs)
+    # the manifest stayed EXACT through the oversized-batch appends:
+    # pruned probes serve with no stale refusal
+    some = [r["doc_id"] for r in wh.read(spark, "corpus").limit(2).collect()]
+    hit = wh.read_bloom_keys(spark, "corpus", "doc_id", some)
+    assert {r["doc_id"] for r in hit.select("doc_id").collect()} == set(some)
+
+
+def test_defer_erasure_composes_with_continuous_ingest(spark, docs, tmp_path):
+    """r19 (verdict task 4): defer-mode GDPR on a continuously-ingested
+    corpus must not stall the stream — appends mask the batch against
+    the pending set instead of refusing. An erased subject re-asserted
+    mid-pendency stays erased through every window (before and after
+    materialization), and genuinely new docs keep landing."""
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    spec = [{"op": "sample", "rate": 1.0}]
+    _land(spark, docs, landing, n_batches=2)
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", spec, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    base_ids = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
+    victims = sorted(base_ids)[:2]
+
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame(
+        [(v,) for v in victims], "doc_id long"
+    ).coalesce(1).write.parquet(os.path.join(req_dir, "r0"))
+    reqs = spark.readStream.schema("doc_id long").parquet(req_dir + "/*")
+    eq = start_erasure_stream(
+        spark, reqs, wh, "corpus", "doc_id", str(tmp_path / "eckpt"),
+        mode="defer",
+    )
+    eq.awaitTermination(120)
+    assert eq.exception() is None
+    assert wh.pending_deletes("corpus") is not None
+    assert not set(victims) & {
+        r["doc_id"] for r in wh.read(spark, "corpus").collect()
+    }
+
+    # ingest continues WHILE the deletes pend: a re-assertion of an
+    # erased subject (same id + text) plus a genuinely new doc — the
+    # batch must COMMIT (pre-r19 every such append failed and stalled
+    # the stream) and the subject must stay erased
+    victim_rows = docs.filter(F.col("doc_id") == victims[0])
+    fresh = spark.createDataFrame(
+        [(9_000_001, "brand new unseen sentence for the defer fold")],
+        "doc_id long, text string",
+    )
+    victim_rows.unionByName(fresh).coalesce(1).write.parquet(
+        os.path.join(landing, "batch-9")
+    )
+    q2 = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", spec, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    got = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
+    assert 9_000_001 in got
+    assert not set(victims) & got  # re-asserted subject stays erased
+    # materialization drops the sidecar; crash-window semantics mean
+    # nothing can resurrect — the masked rows never landed in any file
+    wh.materialize_deletes(spark, "corpus")
+    assert wh.pending_deletes("corpus") is None
+    got2 = {r["doc_id"] for r in wh.read(spark, "corpus").collect()}
+    assert 9_000_001 in got2 and not set(victims) & got2

@@ -1987,3 +1987,80 @@ def test_full_load_preserves_bucket_layout(spark, tmp_path, landing):
         for r in wh.read_bucketed(spark, "erp_customer").collect()
     }
     assert got == {(1, "alice"), (2, "bob"), (3, "carol")}
+
+
+def test_replay_window_early_exits_at_zero_data_io(spark, tmp_path, landing):
+    """r19 (stretch): a crash between the merge commit and the metadata
+    watermark advance re-delivers the already-merged batch; the
+    warehouse meta's merge high-water mark must skip the whole merge —
+    no target file read or rewritten — and just heal the watermark.
+    Genuinely new files past the mark still merge."""
+    import os as _os
+
+    store, wh = make_env(tmp_path, landing)
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    write_file(
+        landing,
+        "erp/customer/20240101-000000001.csv",
+        ["U,2,bob2,22.0"],
+    )
+    assert incremental_load(spark, store, wh, "erp/customer").startswith(
+        "Rows affected:"
+    )
+    assert wh.read_meta("erp_customer")["last_merged_file"] == (
+        "20240101-000000001.csv"
+    )
+
+    def snap():
+        root = wh.path("erp_customer")
+        return {
+            p: (_os.stat(_os.path.join(dp, p)).st_ino,
+                _os.stat(_os.path.join(dp, p)).st_mtime_ns)
+            for dp, _, fns in _os.walk(root)
+            for p in fns
+            if p.endswith(".parquet")
+        }
+
+    # simulate the crash window: watermark regresses, data + mark stay
+    store.update_watermarks(
+        "erp/customer", last_incremental_file="0"
+    )
+    before = snap()
+    assert incremental_load(spark, store, wh, "erp/customer") == (
+        "No files to process."
+    )
+    assert snap() == before  # zero data I/O: nothing read-rewritten
+    assert store.get("erp/customer").last_incremental_file == (
+        "20240101-000000001.csv"
+    )  # watermark healed
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob2", 22.0),
+        (3, "carol", 30.25),
+    }
+
+    # a genuinely new file past the mark merges even with a stale
+    # watermark (the replayed prefix re-applies idempotently)
+    store.update_watermarks("erp/customer", last_incremental_file="0")
+    write_file(
+        landing,
+        "erp/customer/20240102-000000001.csv",
+        ["U,4,dave,40.0"],
+    )
+    assert incremental_load(spark, store, wh, "erp/customer").startswith(
+        "Rows affected:"
+    )
+    assert rows_of(spark, wh) == {
+        (1, "alice", 10.5),
+        (2, "bob2", 22.0),
+        (3, "carol", 30.25),
+        (4, "dave", 40.0),
+    }
+    assert wh.read_meta("erp_customer")["last_merged_file"] == (
+        "20240102-000000001.csv"
+    )
+
+    # a full RELOAD swaps the table state and drops the sidecar — the
+    # mark cannot leak across states and wrongly skip post-reload CDC
+    full_load(spark, store, wh, "erp/customer", schema=CUST_SCHEMA)
+    assert "last_merged_file" not in wh.read_meta("erp_customer")
