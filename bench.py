@@ -170,7 +170,9 @@ def main() -> None:
     )
     from example_dms_dataexport_spark.queries_relational import (
         q76_bench_diff,
+        q99_bench_hist,
         q110_bench_time_travel,
+        q112_bench_kll,
         q121_bench_current_view,
         q126_bench_orc,
         q127_bench_xml,
@@ -184,6 +186,8 @@ def main() -> None:
         "q24_minhash_dedup_pairs": q24_bench_pairs,
         "q48_unigram_logprob": q48_bench_unigram,
         "q88_bigram_logprob": q88_bench_bigram,
+        "q99_quantile_sketch_accuracy": q99_bench_hist,
+        "q112_kll_quantile_accuracy": q112_bench_kll,
         "q28_knn_brute": q28_bench_brute,
         "q38_cleaning_pipeline": q38_bench_pipeline,
         "q76_snapshot_diff": q76_bench_diff,

@@ -1185,25 +1185,12 @@ _PACK_V = "shard * {s} + pack_id * {p} + pack_pos".format(
     s=1 << 40, p=1 << 16
 )
 
-_Q50_ORACLE = f"""
+# the raw packed relation (the pre-r19 q50 oracle) — still referenced
+# by q120_pack_efficiency's rollup; the registered q50 face normalizes
+# it into the merged two-section shape below
+_Q50_PACKED_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
-    ),
-    stc AS (
-        SELECT doc_id, toks,
-               unnest(generate_series(
-                   1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}
-               )) AS start
-        FROM t WHERE len(toks) > 0
-    ),
-    chunkc AS (
-        SELECT doc_id,
-               CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
-               array_to_string(
-                   list_slice(toks, start, start + {_CHUNK_SIZE} - 1), ' '
-               ) AS chunk_text,
-               least(len(toks) - start + 1, {_CHUNK_SIZE}) AS n_tokens
-        FROM stc
     ),
     st AS (
         SELECT doc_id, toks,
@@ -1224,13 +1211,36 @@ _Q50_ORACLE = f"""
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_tokens AS start_tok
         FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens, shard,
+           CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_pos
+    FROM cum
+""".replace(
+    "{shard}",
+    f"{TH.sql_poly_hash('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS}",
+)
+
+_Q50_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {TH.sql_tokens('text')} AS toks FROM documents
     ),
-    packed AS (
-        SELECT doc_id, chunk_id, n_tokens, shard,
-               CAST(floor(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
-                   AS pack_id,
-               CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_pos
-        FROM cum
+    stc AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}
+               )) AS start
+        FROM t WHERE len(toks) > 0
+    ),
+    chunkc AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               array_to_string(
+                   list_slice(toks, start, start + {_CHUNK_SIZE} - 1), ' '
+               ) AS chunk_text,
+               least(len(toks) - start + 1, {_CHUNK_SIZE}) AS n_tokens
+        FROM stc
     )
     SELECT 'chunk' AS part, doc_id, chunk_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1240,11 +1250,8 @@ _Q50_ORACLE = f"""
     SELECT 'pack' AS part, doc_id, chunk_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST({_PACK_V} AS BIGINT) AS v
-    FROM packed
-""".replace(
-    "{shard}",
-    f"{TH.sql_poly_hash('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS}",
-)
+    FROM ({_Q50_PACKED_ORACLE})
+"""
 
 
 def q50_bench_pack(spark, sf_dir):
@@ -3053,7 +3060,7 @@ _Q120_ORACLE = f"""
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE)
                / ((max(pack_id) + 1) * {_PACK_BUDGET}) AS utilization
-    FROM ({_Q50_ORACLE})
+    FROM ({_Q50_PACKED_ORACLE})
     GROUP BY shard
 """
 

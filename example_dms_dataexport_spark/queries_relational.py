@@ -2290,6 +2290,13 @@ def q97_weekly_value_wow(spark, sf_dir):
 # Mergeable quantile state (histogram sketch) — accuracy contract
 # ---------------------------------------------------------------------------
 
+# r19 fold (q112_kll_quantile_accuracy -> q99, registry.MERGED): ONE
+# face carries both quantile-sketch accuracy contracts as a tagged
+# union — 'hist' rows pin the fixed-range histogram family (stat =
+# the exact rank-based p95 the estimate must bracket), 'kll' rows pin
+# the bounds-free KLL family (stat = the sketch-conserved non-null
+# count). Both operator kernels still run in full; bench keeps the two
+# historical series via the single-path bodies below.
 _Q99_ORACLE = """
     WITH ranked AS (
         SELECT event_type, value,
@@ -2299,14 +2306,18 @@ _Q99_ORACLE = """
                count(*) OVER (PARTITION BY event_type) AS n
         FROM events
     )
-    SELECT event_type, value AS exact_p95, TRUE AS within_tol
+    SELECT 'hist' AS sketch, event_type,
+           CAST(value AS DOUBLE) AS stat, TRUE AS within_tol
     FROM ranked
     WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+    UNION ALL
+    SELECT 'kll' AS sketch, event_type,
+           CAST(count(value) AS DOUBLE) AS stat, TRUE AS within_tol
+    FROM events GROUP BY event_type
 """
 
 
-@query("q99_quantile_sketch_accuracy", _Q99_ORACLE)
-def q99_quantile_sketch_accuracy(spark, sf_dir):
+def q99_bench_hist(spark, sf_dir):
     """Accuracy contract for the histogram-sketch quantile family (the
     percentile analogue of q87/q92's HLL contracts): per-event_type
     p95 reconstructed from MERGED equi-width histogram state — the fact
@@ -2359,6 +2370,33 @@ def q99_quantile_sketch_accuracy(spark, sf_dir):
         "exact_p95",
         ((diff > 0) & (diff <= F.lit(step) + F.lit(1e-9))).alias("within_tol"),
     )
+
+
+@query("q99_quantile_sketch_accuracy", _Q99_ORACLE)
+def q99_quantile_sketch_accuracy(spark, sf_dir):
+    """Both quantile-sketch accuracy contracts in one face (r19 fold —
+    absorbs q112_kll_quantile_accuracy, registry.MERGED): the 'hist'
+    section is the fixed-range equi-width histogram contract (merged
+    halves' p95 within one bin width above the exact rank-based p95),
+    the 'kll' section the bounds-free KLL contract (estimate's true
+    rank span, padded by the sketch's err certificate, contains the
+    target rank; ``stat`` = the sketch-conserved non-null count, so the
+    hash also pins weight conservation through compaction and merge).
+    Each section runs its family's full build-split-merge-query kernel
+    (q99_bench_hist / q112_bench_kll above and below)."""
+    hist = q99_bench_hist(spark, sf_dir).select(
+        F.lit("hist").alias("sketch"),
+        "event_type",
+        F.col("exact_p95").cast("double").alias("stat"),
+        "within_tol",
+    )
+    kll_rows = q112_bench_kll(spark, sf_dir).select(
+        F.lit("kll").alias("sketch"),
+        "event_type",
+        F.col("n").cast("double").alias("stat"),
+        "within_tol",
+    )
+    return hist.unionByName(kll_rows)
 
 
 _Q109_ORACLE = """
@@ -2436,14 +2474,13 @@ def q110_bench_time_travel(spark, sf_dir):
     )
 
 
-_Q112_ORACLE = """
-    SELECT event_type, count(value) AS n, TRUE AS within_tol
-    FROM events GROUP BY event_type
-"""
+# r19 fold: q112_kll_quantile_accuracy retired into
+# q99_quantile_sketch_accuracy (registry.MERGED) — its full KLL
+# build-split-merge-query contract runs as the absorber's 'kll'
+# section; this single-path body keeps the bench series comparable.
 
 
-@query("q112_kll_quantile_accuracy", _Q112_ORACLE)
-def q112_kll_quantile_accuracy(spark, sf_dir):
+def q112_bench_kll(spark, sf_dir):
     """Accuracy contract for the bounds-free KLL quantile sketch (the
     unknown-domain complement of q99's fixed-range histogram): p95 per
     event_type pulled from sketches built INDEPENDENTLY on the two

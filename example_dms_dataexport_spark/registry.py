@@ -77,6 +77,7 @@ MERGED: dict[str, str] = {
     "q46_token_chunks": "q50_pack_chunks",
     "q88_bigram_logprob": "q48_unigram_logprob",
     "q132_jpeg_decode": "q134_jpeg_color_decode",
+    "q112_kll_quantile_accuracy": "q99_quantile_sketch_accuracy",
 }
 
 # The driver's correctness harness records only the FIRST 50 registered
@@ -90,8 +91,8 @@ MERGED: dict[str, str] = {
 # plus the TWO promoted r18-staged faces (q159/q160, emptying
 # registry.STAGED), plus three spare-slot pre-refreshes from the r17
 # cohort (q08/q09/q15) to flatten the r20 forced set. Registry count
-# lands at 144 = 50*3 - 6 slack: ~2 spare slots per round in steady
-# state instead of r18's zero.
+# lands at 143 = 50*3 - 7 slack (seven r19 folds incl. q112->q99):
+# >=2 spare slots per round in steady state instead of r18's zero.
 PRIORITY = [
     # --- forced r16 cohort (45) ---
     "q01_pricing_summary",

@@ -406,13 +406,23 @@ def test_q98_matrix_no_cartesian(spark):
 
 
 def test_q99_sketch_estimate_broadcast_no_cartesian(spark):
-    df = _q(spark, "q99_quantile_sketch_accuracy")
+    # single-path histogram body (the r19 fold unions the KLL contract
+    # onto the registered face; each section keeps its own plan pin)
+    from example_dms_dataexport_spark.queries_relational import (
+        q99_bench_hist,
+    )
+
+    df = q99_bench_hist(spark, SF)
     plan = physical_plan(df)
     # the (groups x bins)-sized estimate relation broadcasts back onto
     # the exact side; no cartesian anywhere
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 1
     assert broadcast_hint_count(df) == 1
+    # the merged face (hist ∪ kll sections) stays cartesian-free
+    assert "CartesianProduct" not in physical_plan(
+        _q(spark, "q99_quantile_sketch_accuracy")
+    )
 
 
 def test_q101_shard_cumsum_is_two_level_not_global_window(spark):
@@ -516,7 +526,13 @@ def test_kll_sketch_pipeline_single_exchange(spark):
 
 
 def test_q112_kll_plan(spark):
-    df = _q(spark, "q112_kll_quantile_accuracy")
+    # q112 retired into q99 (r19 fold); the single-path body keeps the
+    # plan property pinned under its historical name
+    from example_dms_dataexport_spark.queries_relational import (
+        q112_bench_kll,
+    )
+
+    df = q112_bench_kll(spark, SF)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     # the rank-span verification joins the tiny estimate relation to the
