@@ -18,14 +18,19 @@ Python in either hot path:
   which also bounds the model size independently of corpus size), and
   one vocabulary-sized collect. The model is a plain dict, like the PQ
   codebooks: a pure function of the corpus, serializable, versionable.
-- **Score**: docs explode to (doc, trigram, count); an equi-join
-  against the BROADCAST model relation accumulates the matched term
-  ``sum(cnt * (logp - floor))`` per (doc, lang); the unseen-trigram
-  mass folds in analytically as ``n_trigrams * floor_lang`` (add-one
-  smoothing gives every unseen trigram one fixed per-lang floor, so it
-  never needs a per-trigram lookup); argmax via one window. Everything
-  is whole-stage-codegen expressions; scoring a 100 TB corpus is one
-  explode + one broadcast join + two partial-agg shuffles on doc_id.
+- **Score**: docs explode to trigram occurrences; an equi-join against
+  the BROADCAST model relation (carrying ``logp - floor`` precomputed
+  driver-side — the model is a bounded dict, so no in-plan langs join)
+  accumulates the matched term per (doc, lang) with map-side combine
+  — the shuffle holds at most n_langs rows per doc, never the trigram
+  stream; the unseen-trigram mass folds in analytically as
+  ``n_trigrams * floor_lang``, where ``n_trigrams`` is the PROJECTION
+  ``greatest(length(text) - n + 1, 0)`` (no second pass over the
+  corpus); argmax + runner-up margin come from sorting the bounded
+  per-doc score array (``array_sort`` over a langs-literal transform),
+  not a window. Everything is whole-stage-codegen expressions; scoring
+  a 100 TB corpus is one explode + one broadcast join + two doc-keyed
+  partial-agg shuffles whose payload is n_langs-bounded per doc.
 """
 
 from __future__ import annotations
@@ -158,83 +163,99 @@ def classify_lang(
     with margin NULL. Ties break lexicographically, and every score is
     an EXACT integer sum of micro-unit log-probs — the classification
     is deterministic under any partitioning (no double-summation
-    order), and restatable in SQL for the driver oracle."""
+    order), and restatable in SQL for the driver oracle.
+
+    Plan shape (the 100 TB scoring pass): the trigram stream is never
+    shuffled — the broadcast model join filters it to modeled trigrams
+    and the (doc, lang) partial agg combines map-side to at most
+    n_langs rows per doc before the exchange; the total-trigram count
+    is the projection ``greatest(length - n + 1, 0)`` (no second corpus
+    pass, no checkpoint); argmax + margin sort the n_langs-bounded
+    per-doc score array instead of running a corpus-wide window."""
     spark = df.sparkSession
     n = int(model["n"])
+    # (logp - floor) folds in driver-side: the model dict is bounded
+    # (top-V per lang), so the scoring plan needs no langs join at all
+    floors = {lg: p["floor"] for lg, p in model["langs"].items()}
     mdl = F.broadcast(
         spark.createDataFrame(
-            model["table"], "tri string, lang string, logp long"
+            [(tri, lg, logp - floors[lg]) for tri, lg, logp in model["table"]],
+            "tri string, lang string, delta long",
         )
     )
-    langs = F.broadcast(
-        spark.createDataFrame(
-            [
-                (lg, p["prior"], p["floor"])
-                for lg, p in sorted(model["langs"].items())
-            ],
-            "lang string, prior long, floor long",
-        )
+    # bounded literal: one struct per modeled language, lex-sorted
+    langs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(lg).alias("lang"),
+                F.lit(p["prior"]).cast("long").alias("prior"),
+                F.lit(p["floor"]).cast("long").alias("floor"),
+            )
+            for lg, p in sorted(model["langs"].items())
+        ]
     )
-    # ONE corpus explode + (doc, tri) shuffle feeds both aggregations:
-    # without the lazy checkpoint, n_tri and matched are independent
-    # subtrees and Catalyst re-executes the most expensive stage twice
-    # per action (the q38 shared-prefix pattern)
-    tri = _doc_tri_counts(df, [id_col], text_col, n).localCheckpoint(
-        eager=False
-    )
-    n_tri = tri.groupBy(id_col).agg(F.sum("cnt").alias("_n"))
-    # matched mass: only (doc, lang) pairs sharing >=1 modeled trigram —
-    # the floor term below covers the rest analytically
+    # matched mass per (doc, lang): sum of (logp - floor) over every
+    # matched trigram OCCURRENCE == sum(cnt * (logp - floor)) — exact
+    # integer arithmetic, so no per-(doc, tri) pre-count is needed and
+    # the only corpus-sized shuffle payload is n_langs rows per doc
     matched = (
-        tri.join(mdl, "tri")
-        .join(langs.select("lang", "floor"), "lang")
+        df.select(id_col, F.explode(char_ngrams(text_col, n)).alias("tri"))
+        .join(mdl, "tri")
         .groupBy(id_col, "lang")
-        .agg(
-            F.sum(
-                F.col("cnt") * (F.col("logp") - F.col("floor"))
-            ).alias("_m")
+        .agg(F.sum("delta").alias("_m"))
+    )
+    per_doc = matched.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", "_m"))
+        ).alias("_mm")
+    )
+    docs = df.select(
+        id_col,
+        F.when(
+            F.length(text_col) >= n, F.length(text_col) - (n - 1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_n"),
+    )
+    # negated-score structs sort ascending = score desc, lang asc —
+    # the exact window tie rule, on an n_langs-bounded array
+    scores = F.array_sort(
+        F.transform(
+            langs_arr,
+            lambda l: F.struct(
+                (
+                    -(
+                        l["prior"]
+                        + F.col("_n") * l["floor"]
+                        + F.coalesce(
+                            # try_element_at: NULL (not an ANSI error)
+                            # for langs with no matched trigram
+                            F.try_element_at(F.col("_mm"), l["lang"]),
+                            F.lit(0).cast("long"),
+                        )
+                    )
+                ).alias("neg"),
+                l["lang"].alias("lang"),
+            ),
         )
     )
-    grid = n_tri.crossJoin(langs)
-    scored = (
-        grid.join(matched, [id_col, "lang"], "left")
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_sc", scores)
         .select(
             id_col,
-            "lang",
-            (
-                F.col("prior")
-                + F.col("_n") * F.col("floor")
-                + F.coalesce(F.col("_m"), F.lit(0).cast("long"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w))
-    best = ranked.filter(F.col("_rn") == 1).select(
-        id_col, F.col("lang").alias("lang_pred"), F.col("score").alias("_s1")
-    )
-    second = ranked.filter(F.col("_rn") == 2).select(
-        id_col, F.col("score").alias("_s2")
-    )
-    out = (
-        best.join(second, id_col, "left")
-        .select(
-            id_col,
-            "lang_pred",
-            (
+            F.when(F.col("_n") == 0, F.lit(UND))
+            .otherwise(F.get(F.col("_sc"), 0)["lang"])
+            .alias("lang_pred"),
+            F.when(
+                F.col("_n") > 0,
                 F.coalesce(
-                    F.col("_s1") - F.col("_s2"), F.lit(0).cast("long")
+                    F.get(F.col("_sc"), 1)["neg"]
+                    - F.get(F.col("_sc"), 0)["neg"],
+                    F.lit(0).cast("long"),
                 ).cast("double")
-                / LM_SCALE
+                / LM_SCALE,
             ).alias("margin"),
-        )
-    )
-    # documents with no trigram at all (len < n) never enter the grid
-    short = df.select(id_col).join(out.select(id_col), id_col, "left_anti")
-    return out.unionByName(
-        short.select(
-            id_col,
-            F.lit(UND).alias("lang_pred"),
-            F.lit(None).cast("double").alias("margin"),
         )
     )
