@@ -1463,13 +1463,17 @@ class ParquetWarehouse:
     def _bloom_key_hashes(
         self, spark: SparkSession, table: str, col: str, keys: list, bm: dict
     ) -> list[list[int]]:
-        """k xxhash64 values per probe key, computed by the SAME Spark
-        expression as the build pass with the key cast to the column's
-        exact type (xxhash64 is type-sensitive: hashing an int where
-        the column is long would probe garbage positions). One tiny
-        driver-bounded job over len(keys) rows; the column type comes
-        from the manifest itself (one parquet footer read per probe
-        otherwise — at manifest scale that matters)."""
+        """k xxhash64 values per probe key, computed by the SAME hash as
+        the build pass with the key cast to the column's exact type
+        (xxhash64 is type-sensitive: hashing an int where the column is
+        long would probe garbage positions). Integral key columns hash
+        driver-side in vectorized numpy (``functions/xxh64.py``,
+        bit-identical to ``F.xxhash64`` by pinned test) — zero Spark
+        jobs on the ingest streams' per-batch reconcile probes and every
+        point lookup; other types run the one tiny driver-bounded job
+        over len(keys) rows. The column type comes from the manifest
+        itself (one parquet footer read per probe otherwise — at
+        manifest scale that matters)."""
         parts = self._bloom_spec_parts(col)
         src = (
             StructType.fromJson(bm["schema"])
@@ -1477,10 +1481,15 @@ class ParquetWarehouse:
             else spark.read.parquet(self.path(table)).schema
         )  # pre-schema manifests fall back to one footer read
         fields = [src[p] for p in parts]
-        probe = spark.createDataFrame(
-            [k if len(parts) > 1 else (k,) for k in keys],
-            StructType(fields),
+        from ..functions.xxh64 import chain_integral_hashes
+
+        rows = [k if len(parts) > 1 else (k,) for k in keys]
+        fast = chain_integral_hashes(
+            rows, [f.dataType.typeName() for f in fields], bm["k"]
         )
+        if fast is not None:
+            return fast
+        probe = spark.createDataFrame(rows, StructType(fields))
         rows = probe.select(
             *[
                 F.xxhash64(
