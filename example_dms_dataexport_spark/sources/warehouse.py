@@ -100,6 +100,12 @@ class ParquetWarehouse:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # per-table-dir parsed bloom manifest (merged head+segments) and
+        # decoded probe bitmaps, keyed by the head file's (mtime_ns,
+        # size) signature — correct across instances because every
+        # manifest commit lands via os.replace (fresh mtime), and
+        # segments are immutable once referenced
+        self._bloom_cache: dict[str, dict] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -974,18 +980,28 @@ class ParquetWarehouse:
         }
 
 
-    def _drop_zonemap(self, table: str) -> None:
+    def _drop_zonemap(self, table: str, drop_bloom: bool = True) -> None:
         """Every in-place mutation (replace_partitions / compact /
         erase_subjects) calls this FIRST: derived file metadata (zone
         map AND bloom manifest) describing files that no longer exist
         would silently exclude the new files from pruned reads —
         stale-and-absent must fail loudly in the pruned readers, never
         mis-prune. Rebuild after the mutation with write_zonemap /
-        write_bloom."""
-        for side in (ZONEMAP_FILE, BLOOM_FILE):
+        write_bloom.
+
+        ``drop_bloom=False`` (append_files only): appends never change
+        committed files, so the bloom head and its immutable segments
+        stay in place through the renames — a crash leaves the head at
+        its pre-append version, which the file-set check refuses as
+        STALE (never a mis-prune) and ``heal_bloom`` repairs at O(new
+        files), instead of the absent-manifest full rebuild."""
+        sides = (ZONEMAP_FILE, BLOOM_FILE) if drop_bloom else (ZONEMAP_FILE,)
+        for side in sides:
             p = os.path.join(self.path(table), side)
             if os.path.isfile(p):
                 os.remove(p)
+        if drop_bloom:
+            self._clear_bloom_segments(self.path(table))
 
     def write_zonemap(
         self, spark: SparkSession, table: str, stat_cols: list[str]
@@ -1082,6 +1098,102 @@ class ParquetWarehouse:
                         os.path.relpath(os.path.join(dirpath, n), data_dir)
                     )
         return rels
+
+    @staticmethod
+    def _bloom_seg_name(tag: str, suffix: str = "") -> str:
+        return f"_bloom.seg-{tag}{suffix}.json"
+
+    @staticmethod
+    def _write_bloom_segment(
+        base: str, name: str, files: dict
+    ) -> None:
+        """Atomically land one immutable segment file (entries only)."""
+        tmp = os.path.join(base, name + f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, os.path.join(base, name))
+
+    @staticmethod
+    def _clear_bloom_segments(base: str) -> None:
+        """Delete segment files after an INLINE head lands (write_bloom
+        / heal_bloom / compaction rebuilds reference none) — best
+        effort: an orphaned segment is unreferenced dead weight, never
+        a correctness hazard."""
+        try:
+            names = os.listdir(base)
+        except FileNotFoundError:
+            return
+        for n in names:
+            if n.startswith("_bloom.seg-") and n.endswith(".json"):
+                try:
+                    os.remove(os.path.join(base, n))
+                except OSError:
+                    pass
+
+    def _bloom_decoded(self, base: str, col: str, merged: dict):
+        """(rels, m_arr, offsets, flat_bitmap_bytes) numpy views of the
+        manifest's bitmaps for ``col``, cached with the manifest parse
+        (decode is O(manifest) — pay it once per manifest version, not
+        per probe)."""
+        import base64
+
+        import numpy as np
+
+        cached = self._bloom_cache.get(base)
+        if cached is not None:
+            slot = cached["decoded"]
+            got = slot.get(col)
+            if got is not None:
+                return got
+            # decode from the cache's own merged view (== disk at parse
+            # time): caching arrays derived from a caller's older copy
+            # would poison later probes of the newer manifest
+            src = cached["merged"]["files"]
+        else:
+            slot, src = None, merged["files"]
+        rels = sorted(src)
+        ms, chunks, sizes = [], [], []
+        for rel in rels:
+            e = src[rel][col]
+            b = base64.b64decode(e["bits"])
+            ms.append(e["m"])
+            chunks.append(b)
+            sizes.append(len(b))
+        m_arr = np.array(ms, dtype=np.int64)
+        offsets = np.zeros(len(rels), dtype=np.int64)
+        if len(rels) > 1:
+            offsets[1:] = np.cumsum(sizes[:-1])
+        flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        got = (rels, m_arr, offsets, flat)
+        if slot is not None:
+            slot[col] = got
+        return got
+
+    @staticmethod
+    def _bloom_vec_contains(decoded, hashes: list[list[int]]):
+        """Per-file ``any(key) all(hash) bit-set`` membership over the
+        whole manifest in vectorized numpy — the Python triple loop at
+        100k+ files was seconds per probe; this is the same test as a
+        handful of array ops per (key, hash)."""
+        import numpy as np
+
+        rels, m_arr, offsets, flat = decoded
+        hit = np.zeros(len(rels), dtype=bool)
+        for key_hashes in hashes:
+            match = ~hit  # files already hit need no further testing
+            for h in key_hashes:
+                if not match.any():
+                    break
+                pos = np.int64(h) % m_arr  # numpy % sign == Python %
+                byte = flat[offsets + (pos >> np.int64(3))]
+                bit = np.left_shift(
+                    np.uint8(1), (pos & np.int64(7)).astype(np.uint8)
+                )
+                match &= (byte & bit) != 0
+            hit |= match
+            if hit.all():
+                break
+        return hit
 
     @staticmethod
     def _compute_bloom_small(
@@ -1371,6 +1483,7 @@ class ParquetWarehouse:
             with open(tmp, "w") as f:
                 json.dump(bm, f)
             os.replace(tmp, os.path.join(self.path(table), BLOOM_FILE))
+            self._clear_bloom_segments(self.path(table))
         return bm
 
     def heal_bloom(
@@ -1401,7 +1514,10 @@ class ParquetWarehouse:
         ):
             self._reconcile(table)
             final = self.path(table)
-            bm = self.bloom(table)
+            try:
+                bm = self.bloom(table)
+            except ValueError:
+                bm = None  # missing segment → full rebuild below
             if bm is None or list(bm["cols"]) != list(cols):
                 bm = self._compute_bloom(spark, final, cols)
             else:
@@ -1440,6 +1556,7 @@ class ParquetWarehouse:
             with open(tmp, "w") as f:
                 json.dump(bm, f)
             os.replace(tmp, os.path.join(final, BLOOM_FILE))
+            self._clear_bloom_segments(final)
         return bm
 
     def bloom(self, table: str, version: int | None = None) -> dict | None:
@@ -1455,10 +1572,43 @@ class ParquetWarehouse:
                 raise
             return None  # e.g. a versioned table with no snapshot yet
         p = os.path.join(base, BLOOM_FILE)
-        if not os.path.isfile(p):
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            self._bloom_cache.pop(base, None)
             return None
-        with open(p) as f:
-            return json.load(f)
+        sig = (st.st_mtime_ns, st.st_size)
+        cached = self._bloom_cache.get(base)
+        if cached is None or cached["sig"] != sig:
+            with open(p) as f:
+                head = json.load(f)
+            files = dict(head.get("files") or {})
+            for seg in head.get("segments") or []:
+                # append_files writes each batch's entries as one
+                # immutable SEGMENT (O(batch) manifest I/O per sync,
+                # the LSM/manifest-list shape); the merged view is
+                # assembled here and cached until the head changes
+                sp = os.path.join(base, seg)
+                try:
+                    with open(sp) as f:
+                        files.update(json.load(f)["files"])
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"bloom manifest of {table!r} references a "
+                        f"missing segment {seg!r} — rebuild with "
+                        "write_bloom"
+                    ) from None
+            merged = {k: v for k, v in head.items() if k != "segments"}
+            merged["files"] = files
+            cached = {"sig": sig, "merged": merged, "decoded": {}}
+            self._bloom_cache[base] = cached
+        # fresh top-level + files dict per call: heal/extend callers
+        # mutate the returned mapping, and the cache must only ever
+        # reflect what is ON DISK (per-file entries are shared — they
+        # are immutable once committed)
+        out = dict(cached["merged"])
+        out["files"] = dict(out["files"])
+        return out
 
     def _bloom_key_hashes(
         self, spark: SparkSession, table: str, col: str, keys: list, bm: dict
@@ -1515,21 +1665,11 @@ class ParquetWarehouse:
         exact committed file set) — stale must be loud, never a
         mis-prune. ``version`` probes a retained snapshot of a
         versioned table (its own in-snapshot manifest)."""
-        import base64
-
         bm = self.bloom(table, version)
         if bm is None or col not in bm["cols"]:
             return None
         final = self._zoned_base(table, version)
-        current = set()
-        for dirpath, dirs, fnames in os.walk(final):
-            # hidden dirs (_deletes sidecar) are not part of the file set
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for n in fnames:
-                if n.endswith(".parquet"):
-                    current.add(
-                        os.path.relpath(os.path.join(dirpath, n), final)
-                    )
+        current = set(self._walk_parquet_rels(final))
         if set(bm["files"]) != current:
             raise ValueError(
                 f"bloom manifest of {table!r} is stale (files changed "
@@ -1538,18 +1678,10 @@ class ParquetWarehouse:
         if not keys:
             return [], sorted(current)
         hashes = self._bloom_key_hashes(spark, table, col, keys, bm)
-        hit, miss = [], []
-        for rel, entry in bm["files"].items():
-            e = entry[col]
-            m, bitmap = e["m"], base64.b64decode(e["bits"])
-            contains = any(
-                all(
-                    bitmap[(h % m) >> 3] & (1 << ((h % m) & 7))
-                    for h in key_hashes
-                )
-                for key_hashes in hashes
-            )
-            (hit if contains else miss).append(rel)
+        rels, *_rest = decoded = self._bloom_decoded(final, col, bm)
+        mask = self._bloom_vec_contains(decoded, hashes)
+        hit = [r for r, h in zip(rels, mask) if h]
+        miss = [r for r, h in zip(rels, mask) if not h]
         return hit, miss
 
     def read_bloom_keys(
@@ -2408,16 +2540,19 @@ class ParquetWarehouse:
         hold untouched — defer-mode GDPR and continuous ingest compose
         (see the body comment). Zone-map and Bloom manifests are
         EXTENDED, not dropped (r18): both are per-file, so the staged
-        batch's entries compute in O(batch) and merge into the existing
-        manifest, committed atomically AFTER the renames — pruned reads
-        and metadata_stats survive continuous ingest. A crash between
-        the renames and the manifest commit leaves the ZONE MAP absent
-        (dropped up-front, so zoned readers fall back loudly) and the
-        BLOOM manifest stale-but-present — safe because every bloom
-        consumer (``bloom_hit_split``) first checks the manifest's file
-        set against the directory and refuses a mismatch toward its
-        unpruned fallback, never mis-prunes; rebuild with
-        write_zonemap / write_bloom. Each file lands via one atomic
+        batch's entries compute in O(batch). The zone map merges into
+        the existing inline manifest; the BLOOM manifest lands as one
+        immutable SEGMENT file plus a head rewrite (r19) — head size is
+        params + segment list, so per-append bloom-manifest I/O is
+        O(batch) at any corpus size, and the head is NEVER dropped
+        mid-append. A crash between the renames and the manifest
+        commits leaves the ZONE MAP absent (dropped up-front, so zoned
+        readers fall back loudly) and the BLOOM head at its pre-append
+        version: stale-but-present — safe because every bloom consumer
+        (``bloom_hit_split``) first checks the manifest's file set
+        against the directory and refuses a mismatch toward its
+        unpruned fallback, never mis-prunes — and ``heal_bloom``
+        repairs it at O(files in the gap). Each file lands via one atomic
         rename, so readers never observe a torn file; a crash mid-batch
         leaves a PREFIX of the batch appended — callers needing
         exactly-once reconcile by key against the table (the streaming
@@ -2551,7 +2686,20 @@ class ParquetWarehouse:
             # O(batch), computed BEFORE the renames so a crash leaves
             # the table without manifests (loud fallback), never with a
             # manifest missing committed files (silent mis-prune).
-            zm, bm = self.zonemap(table), self.bloom(table)
+            zm = self.zonemap(table)
+            try:
+                bm = self.bloom(table)
+            except ValueError:
+                # a head referencing a missing segment: skip manifest
+                # maintenance — pruned readers refuse loudly and
+                # heal_bloom rebuilds, while the append itself proceeds
+                bm = None
+            # raw head (params + inline files + segment list), captured
+            # BEFORE the crash-safety drop below removes the head file
+            bloom_head = None
+            if bm is not None:
+                with open(os.path.join(root, BLOOM_FILE)) as f:
+                    bloom_head = json.load(f)
             new_zm = (
                 self._compute_zonemap(spark, staging, zm["stat_cols"])
                 if zm is not None and staged
@@ -2576,7 +2724,7 @@ class ParquetWarehouse:
             )
             timings["manifest_s"] = round(time.monotonic() - _t0, 4)
             _t0 = time.monotonic()
-            self._drop_zonemap(table)
+            self._drop_zonemap(table, drop_bloom=False)
             tag = uuid.uuid4().hex[:12]
 
             def final_rel(rel: str) -> str:
@@ -2590,7 +2738,8 @@ class ParquetWarehouse:
                 os.rename(os.path.join(staging, rel), dest)
                 n_files += 1
             # extend-and-recommit the manifests atomically, AFTER the
-            # data renames (crash window = manifest absent, see above)
+            # data renames (crash window: zone map absent, bloom head
+            # at its pre-append version = stale-and-refused, see above)
             if new_zm is not None:
                 zm["files"].update(
                     {final_rel(r): e for r, e in new_zm["files"].items()}
@@ -2600,13 +2749,39 @@ class ParquetWarehouse:
                     json.dump(zm, f)
                 os.replace(ztmp, os.path.join(root, ZONEMAP_FILE))
             if new_bm is not None:
-                bm["files"].update(
-                    {final_rel(r): e for r, e in new_bm["files"].items()}
-                )
-                btmp = os.path.join(root, BLOOM_FILE + f".tmp-{tag}")
-                with open(btmp, "w") as f:
-                    json.dump(bm, f)
-                os.replace(btmp, os.path.join(root, BLOOM_FILE))
+                # O(batch) manifest I/O at any corpus size: the batch's
+                # entries land as one immutable SEGMENT file and the
+                # head (params + segment list) is rewritten — never the
+                # full entry set (at 100 TB that inline rewrite is an
+                # O(corpus-files) JSON dump per sync). A head still
+                # carrying inline entries (the overwrite-time build)
+                # spills them to a base segment once, so every later
+                # append rewrites only the tiny head. Crash anywhere
+                # before the head replace leaves the previous head
+                # intact → stale-and-refused, the same contract as the
+                # old inline rewrite.
+                head = bloom_head
+                p_head = os.path.join(root, BLOOM_FILE)
+                if head is not None:
+                    segs = list(head.get("segments") or [])
+                    if head.get("files"):
+                        base_name = self._bloom_seg_name(tag, "-base")
+                        self._write_bloom_segment(
+                            root, base_name, head["files"]
+                        )
+                        segs.insert(0, base_name)
+                        head["files"] = {}
+                    seg_name = self._bloom_seg_name(tag)
+                    self._write_bloom_segment(
+                        root,
+                        seg_name,
+                        {final_rel(r): e for r, e in new_bm["files"].items()},
+                    )
+                    head["segments"] = [*segs, seg_name]
+                    btmp = os.path.join(root, BLOOM_FILE + f".tmp-{tag}")
+                    with open(btmp, "w") as f:
+                        json.dump(head, f)
+                    os.replace(btmp, p_head)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         if bspec is not None:
@@ -2818,6 +2993,7 @@ class ParquetWarehouse:
             with open(btmp, "w") as f:
                 json.dump(bm, f)
             os.replace(btmp, os.path.join(final, BLOOM_FILE))
+            self._clear_bloom_segments(final)
         return rewritten
 
     # Staging artifacts all carry a dotted stage kind (.tmp-/.old-/

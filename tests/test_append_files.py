@@ -277,13 +277,20 @@ def test_heal_bloom_incremental_equals_full_rebuild(spark, wh, monkeypatch):
     wh.append_files(spark, df.filter("o_orderkey % 3 = 2"), "o")
     bp = os.path.join(wh.path("o"), "_bloom.json")
     with open(bp) as f:
-        bm = json.load(f)
-    assert len(bm["files"]) >= 3
-    dropped = sorted(bm["files"])[-2:]  # simulate the crash window
-    for rel in dropped:
-        del bm["files"][rel]
+        head = json.load(f)
+    # appends land entries as immutable segments (r19): the crash
+    # window is now "data files renamed, head not yet re-referencing
+    # the batch's segment" — rewind the head to before the last append
+    # and leave the segment file orphaned, exactly what a crash between
+    # the segment write and the head replace leaves behind
+    segs = head["segments"]
+    assert len(segs) >= 2 and not head.get("files")
+    with open(os.path.join(wh.path("o"), segs[-1])) as f:
+        dropped = sorted(json.load(f)["files"])
+    assert dropped
+    head["segments"] = segs[:-1]
     with open(bp, "w") as f:
-        json.dump(bm, f)
+        json.dump(head, f)
 
     seen_paths = []
     orig_small = PW._compute_bloom_small
@@ -345,3 +352,70 @@ def test_compute_bloom_small_paths_covers_zero_row_files(spark, wh, tmp_path):
     assert small == dist
     rels = set(small["files"])
     assert any(r.startswith("empty-") for r in rels) and len(rels) == 2
+
+
+def test_append_manifest_io_is_o_batch_segments(spark, wh):
+    """r19 scale contract: each append's bloom-manifest I/O is O(batch)
+    — one immutable segment file plus a head whose size is the params
+    + segment LIST, never the full entry set (which an inline rewrite
+    re-dumps per sync, O(corpus files) at 100 TB)."""
+    import json
+
+    df = _orders(spark)
+    wh.overwrite(df.filter("o_orderkey % 4 = 0"), "o", bloom_cols=["o_orderkey"])
+    for i in (1, 2, 3):
+        wh.append_files(spark, df.filter(f"o_orderkey % 4 = {i}"), "o")
+    bp = os.path.join(wh.path("o"), "_bloom.json")
+    with open(bp) as f:
+        head = json.load(f)
+    # head holds NO inline entries after the first append spills them
+    assert head["files"] == {}
+    segs = head["segments"]
+    assert len(segs) == 4  # spilled base + one per append
+    seg_sets = []
+    for s in segs:
+        with open(os.path.join(wh.path("o"), s)) as f:
+            seg_sets.append(set(json.load(f)["files"]))
+    # segments are disjoint and union to the merged view
+    assert sum(len(s) for s in seg_sets) == len(set().union(*seg_sets))
+    merged = wh.bloom("o")
+    assert set(merged["files"]) == set().union(*seg_sets)
+    # the merged manifest equals a full rebuild entry-for-entry (the
+    # entries were computed by the same pass at append time)
+    rebuilt = wh.write_bloom(spark, "o", ["o_orderkey"])
+    assert merged["files"] == rebuilt["files"]
+    # the rebuild re-inlined the head and cleared the segments
+    assert not [
+        n
+        for n in os.listdir(wh.path("o"))
+        if n.startswith("_bloom.seg-")
+    ]
+    with open(bp) as f:
+        assert "segments" not in json.load(f)
+
+
+def test_bloom_point_lookup_exact_across_segments(spark, wh):
+    """Pruned lookups over a segmented manifest return exactly the
+    unpruned result, for keys in the base, in appended segments, and
+    absent; the parsed manifest is served from the per-signature cache
+    on repeat probes and invalidated by the next append."""
+    df = _orders(spark)
+    wh.overwrite(df.filter("o_orderkey % 2 = 0"), "o", bloom_cols=["o_orderkey"])
+    wh.append_files(spark, df.filter("o_orderkey % 2 = 1"), "o")
+    keys = [r["o_orderkey"] for r in df.limit(7).collect()]
+    got = sorted(
+        r["o_orderkey"]
+        for r in wh.read_bloom_keys(spark, "o", "o_orderkey", keys).collect()
+    )
+    assert got == sorted(keys)
+    assert (
+        wh.read_bloom_keys(spark, "o", "o_orderkey", [-12345]).count() == 0
+    )
+    # cache: second probe reuses the parsed manifest (same signature)
+    base = wh.path("o")
+    sig1 = wh._bloom_cache[base]["sig"]
+    wh.bloom("o")
+    assert wh._bloom_cache[base]["sig"] == sig1
+    wh.append_files(spark, df.limit(0).unionByName(df.limit(1)), "o")
+    wh.bloom("o")
+    assert wh._bloom_cache[base]["sig"] != sig1
