@@ -100,12 +100,12 @@ class ParquetWarehouse:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # per-table-dir parsed bloom manifest (merged head+segments) and
-        # decoded probe bitmaps, keyed by the head file's (mtime_ns,
-        # size) signature — correct across instances because every
-        # manifest commit lands via os.replace (fresh mtime), and
-        # segments are immutable once referenced
-        self._bloom_cache: dict[str, dict] = {}
+        # per-(table-dir, sidecar) parsed manifest (merged head +
+        # segments) plus decoded probe bitmaps for bloom, keyed by the
+        # head file's (mtime_ns, size) signature — correct across
+        # instances because every manifest commit lands via os.replace
+        # (fresh mtime), and segments are immutable once referenced
+        self._sidecar_cache: dict[tuple[str, str], dict] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -990,18 +990,22 @@ class ParquetWarehouse:
         write_bloom.
 
         ``drop_bloom=False`` (append_files only): appends never change
-        committed files, so the bloom head and its immutable segments
-        stay in place through the renames — a crash leaves the head at
-        its pre-append version, which the file-set check refuses as
-        STALE (never a mis-prune) and ``heal_bloom`` repairs at O(new
-        files), instead of the absent-manifest full rebuild."""
+        committed files, so the bloom head and BOTH manifests'
+        immutable segments stay in place through the renames (the new
+        heads re-reference them) — a crash leaves the bloom head at its
+        pre-append version, which the file-set check refuses as STALE
+        (never a mis-prune) and ``heal_bloom`` repairs at O(new files),
+        instead of the absent-manifest full rebuild; the zone-map head
+        is dropped (zoned readers trust the map, so absent-and-loud is
+        its only safe crash state)."""
         sides = (ZONEMAP_FILE, BLOOM_FILE) if drop_bloom else (ZONEMAP_FILE,)
         for side in sides:
             p = os.path.join(self.path(table), side)
             if os.path.isfile(p):
                 os.remove(p)
         if drop_bloom:
-            self._clear_bloom_segments(self.path(table))
+            for side in (ZONEMAP_FILE, BLOOM_FILE):
+                self._clear_sidecar_segments(self.path(table), side)
 
     def write_zonemap(
         self, spark: SparkSession, table: str, stat_cols: list[str]
@@ -1021,8 +1025,13 @@ class ParquetWarehouse:
         # deleted rows and resurrect them in pruned reads
         self._reconcile(table)
         zm = self._compute_zonemap(spark, self.path(table), stat_cols)
-        with open(os.path.join(self.path(table), ZONEMAP_FILE), "w") as f:
+        tmp = os.path.join(
+            self.path(table), ZONEMAP_FILE + f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
             json.dump(zm, f)
+        os.replace(tmp, os.path.join(self.path(table), ZONEMAP_FILE))
+        self._clear_sidecar_segments(self.path(table), ZONEMAP_FILE)
         return zm
 
     # ------------------------------------------------------------------
@@ -1100,11 +1109,18 @@ class ParquetWarehouse:
         return rels
 
     @staticmethod
-    def _bloom_seg_name(tag: str, suffix: str = "") -> str:
-        return f"_bloom.seg-{tag}{suffix}.json"
+    def _seg_prefix(filename: str) -> str:
+        # "_bloom.json" -> "_bloom.seg-", "_zonemap.json" -> "_zonemap.seg-"
+        return filename[: -len(".json")] + ".seg-"
+
+    @classmethod
+    def _sidecar_seg_name(
+        cls, filename: str, tag: str, suffix: str = ""
+    ) -> str:
+        return f"{cls._seg_prefix(filename)}{tag}{suffix}.json"
 
     @staticmethod
-    def _write_bloom_segment(
+    def _write_sidecar_segment(
         base: str, name: str, files: dict
     ) -> None:
         """Atomically land one immutable segment file (entries only)."""
@@ -1113,22 +1129,49 @@ class ParquetWarehouse:
             json.dump({"files": files}, f)
         os.replace(tmp, os.path.join(base, name))
 
-    @staticmethod
-    def _clear_bloom_segments(base: str) -> None:
-        """Delete segment files after an INLINE head lands (write_bloom
-        / heal_bloom / compaction rebuilds reference none) — best
-        effort: an orphaned segment is unreferenced dead weight, never
-        a correctness hazard."""
+    @classmethod
+    def _clear_sidecar_segments(cls, base: str, filename: str) -> None:
+        """Delete segment files after an INLINE head lands (rebuilds
+        reference none) — best effort: an orphaned segment is
+        unreferenced dead weight, never a correctness hazard."""
+        prefix = cls._seg_prefix(filename)
         try:
             names = os.listdir(base)
         except FileNotFoundError:
             return
         for n in names:
-            if n.startswith("_bloom.seg-") and n.endswith(".json"):
+            if n.startswith(prefix) and n.endswith(".json"):
                 try:
                     os.remove(os.path.join(base, n))
                 except OSError:
                     pass
+
+    def _clear_bloom_segments(self, base: str) -> None:
+        self._clear_sidecar_segments(base, BLOOM_FILE)
+
+    def _extend_sidecar_segmented(
+        self, base: str, filename: str, head: dict, new_files: dict, tag: str
+    ) -> None:
+        """Commit ``new_files`` as one immutable segment + a head
+        rewrite (params + segment list). A head still carrying inline
+        entries spills them to a base segment once, so every later
+        extension rewrites O(segment-list) bytes — never the entry set.
+        Segment files land BEFORE the head references them: a crash
+        leaves the previous head consistent (bloom: stale-and-refused;
+        zonemap: the head was dropped up-front, absent-and-loud)."""
+        segs = list(head.get("segments") or [])
+        if head.get("files"):
+            base_name = self._sidecar_seg_name(filename, tag, "-base")
+            self._write_sidecar_segment(base, base_name, head["files"])
+            segs.insert(0, base_name)
+            head["files"] = {}
+        seg_name = self._sidecar_seg_name(filename, tag)
+        self._write_sidecar_segment(base, seg_name, new_files)
+        head["segments"] = [*segs, seg_name]
+        tmp = os.path.join(base, filename + f".tmp-{tag}")
+        with open(tmp, "w") as f:
+            json.dump(head, f)
+        os.replace(tmp, os.path.join(base, filename))
 
     def _bloom_decoded(self, base: str, col: str, merged: dict):
         """(rels, m_arr, offsets, flat_bitmap_bytes) numpy views of the
@@ -1139,7 +1182,7 @@ class ParquetWarehouse:
 
         import numpy as np
 
-        cached = self._bloom_cache.get(base)
+        cached = self._sidecar_cache.get((base, BLOOM_FILE))
         if cached is not None:
             slot = cached["decoded"]
             got = slot.get(col)
@@ -1571,37 +1614,45 @@ class ParquetWarehouse:
             if version is not None:
                 raise
             return None  # e.g. a versioned table with no snapshot yet
-        p = os.path.join(base, BLOOM_FILE)
+        return self._sidecar_merged(base, BLOOM_FILE, table)
+
+    def _sidecar_merged(
+        self, base: str, filename: str, table: str
+    ) -> dict | None:
+        """Cached merged view of a segment-list sidecar manifest
+        (``_bloom.json`` / ``_zonemap.json``): head ``files`` plus every
+        referenced immutable segment's. ``append_files`` writes each
+        batch's entries as one SEGMENT (O(batch) manifest I/O per sync,
+        the LSM/manifest-list shape); the merged view is assembled here
+        once per manifest version and served from the signature-keyed
+        cache."""
+        p = os.path.join(base, filename)
+        key = (base, filename)
         try:
             st = os.stat(p)
         except FileNotFoundError:
-            self._bloom_cache.pop(base, None)
+            self._sidecar_cache.pop(key, None)
             return None
         sig = (st.st_mtime_ns, st.st_size)
-        cached = self._bloom_cache.get(base)
+        cached = self._sidecar_cache.get(key)
         if cached is None or cached["sig"] != sig:
             with open(p) as f:
                 head = json.load(f)
             files = dict(head.get("files") or {})
             for seg in head.get("segments") or []:
-                # append_files writes each batch's entries as one
-                # immutable SEGMENT (O(batch) manifest I/O per sync,
-                # the LSM/manifest-list shape); the merged view is
-                # assembled here and cached until the head changes
                 sp = os.path.join(base, seg)
                 try:
                     with open(sp) as f:
                         files.update(json.load(f)["files"])
                 except FileNotFoundError:
                     raise ValueError(
-                        f"bloom manifest of {table!r} references a "
-                        f"missing segment {seg!r} — rebuild with "
-                        "write_bloom"
+                        f"{filename} of {table!r} references a missing "
+                        f"segment {seg!r} — rebuild the manifest"
                     ) from None
             merged = {k: v for k, v in head.items() if k != "segments"}
             merged["files"] = files
             cached = {"sig": sig, "merged": merged, "decoded": {}}
-            self._bloom_cache[base] = cached
+            self._sidecar_cache[key] = cached
         # fresh top-level + files dict per call: heal/extend callers
         # mutate the returned mapping, and the cache must only ever
         # reflect what is ON DISK (per-file entries are shared — they
@@ -1844,11 +1895,9 @@ class ParquetWarehouse:
     def zonemap(
         self, table: str, version: int | None = None
     ) -> dict | None:
-        p = os.path.join(self._zoned_base(table, version), ZONEMAP_FILE)
-        if not os.path.isfile(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return self._sidecar_merged(
+            self._zoned_base(table, version), ZONEMAP_FILE, table
+        )
 
     def metadata_stats(
         self, table: str, version: int | None = None
@@ -1931,14 +1980,12 @@ class ParquetWarehouse:
         if not os.path.isfile(self._version_pointer(table)):
             self._reconcile(table)  # same healing contract as read()
         base = self._zoned_base(table, version)
-        zm_path = os.path.join(base, ZONEMAP_FILE)
-        if not os.path.isfile(zm_path):
+        zm = self.zonemap(table, version)
+        if zm is None:
             raise ValueError(
                 f"table {table!r} has no {ZONEMAP_FILE}; write it with "
                 "write_zonemap() or overwrite(..., stat_cols=[...])"
             )
-        with open(zm_path) as f:
-            zm = json.load(f)
         missing = [c for c in ranges if c not in zm["stat_cols"]]
         if missing:
             raise ValueError(
@@ -2540,19 +2587,19 @@ class ParquetWarehouse:
         hold untouched — defer-mode GDPR and continuous ingest compose
         (see the body comment). Zone-map and Bloom manifests are
         EXTENDED, not dropped (r18): both are per-file, so the staged
-        batch's entries compute in O(batch). The zone map merges into
-        the existing inline manifest; the BLOOM manifest lands as one
+        batch's entries compute in O(batch), and BOTH commit as one
         immutable SEGMENT file plus a head rewrite (r19) — head size is
-        params + segment list, so per-append bloom-manifest I/O is
-        O(batch) at any corpus size, and the head is NEVER dropped
-        mid-append. A crash between the renames and the manifest
-        commits leaves the ZONE MAP absent (dropped up-front, so zoned
-        readers fall back loudly) and the BLOOM head at its pre-append
-        version: stale-but-present — safe because every bloom consumer
-        (``bloom_hit_split``) first checks the manifest's file set
-        against the directory and refuses a mismatch toward its
-        unpruned fallback, never mis-prunes — and ``heal_bloom``
-        repairs it at O(files in the gap). Each file lands via one atomic
+        params + segment list, so per-append manifest I/O is O(batch)
+        at any corpus size (an inline rewrite re-dumps every entry per
+        sync, O(corpus files) at 100 TB). A crash between the renames
+        and the manifest commits leaves the ZONE MAP absent (its head
+        is dropped up-front — zoned readers trust the map, so
+        absent-and-loud is its only safe crash state) and the BLOOM
+        head at its pre-append version: stale-but-present — safe
+        because every bloom consumer (``bloom_hit_split``) first checks
+        the manifest's file set against the directory and refuses a
+        mismatch toward its unpruned fallback, never mis-prunes — and
+        ``heal_bloom`` repairs it at O(files in the gap). Each file lands via one atomic
         rename, so readers never observe a torn file; a crash mid-batch
         leaves a PREFIX of the batch appended — callers needing
         exactly-once reconcile by key against the table (the streaming
@@ -2694,12 +2741,15 @@ class ParquetWarehouse:
                 # maintenance — pruned readers refuse loudly and
                 # heal_bloom rebuilds, while the append itself proceeds
                 bm = None
-            # raw head (params + inline files + segment list), captured
-            # BEFORE the crash-safety drop below removes the head file
-            bloom_head = None
+            # raw heads (params + inline files + segment list), captured
+            # BEFORE the crash-safety drop below removes the head files
+            bloom_head = zm_head = None
             if bm is not None:
                 with open(os.path.join(root, BLOOM_FILE)) as f:
                     bloom_head = json.load(f)
+            if zm is not None:
+                with open(os.path.join(root, ZONEMAP_FILE)) as f:
+                    zm_head = json.load(f)
             new_zm = (
                 self._compute_zonemap(spark, staging, zm["stat_cols"])
                 if zm is not None and staged
@@ -2737,51 +2787,30 @@ class ParquetWarehouse:
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.rename(os.path.join(staging, rel), dest)
                 n_files += 1
-            # extend-and-recommit the manifests atomically, AFTER the
-            # data renames (crash window: zone map absent, bloom head
-            # at its pre-append version = stale-and-refused, see above)
-            if new_zm is not None:
-                zm["files"].update(
-                    {final_rel(r): e for r, e in new_zm["files"].items()}
+            # extend-and-recommit the manifests AFTER the data renames,
+            # each as one immutable SEGMENT + a tiny head rewrite
+            # (_extend_sidecar_segmented): O(batch) manifest I/O at any
+            # corpus size — the inline rewrite both sides used to do is
+            # an O(corpus-files) JSON dump per sync at 100 TB. Crash
+            # window: zone map absent (head dropped up-front, zoned
+            # readers refuse loudly), bloom head at its pre-append
+            # version (stale-and-refused, healed incrementally).
+            if new_zm is not None and zm_head is not None:
+                self._extend_sidecar_segmented(
+                    root,
+                    ZONEMAP_FILE,
+                    zm_head,
+                    {final_rel(r): e for r, e in new_zm["files"].items()},
+                    tag,
                 )
-                ztmp = os.path.join(root, ZONEMAP_FILE + f".tmp-{tag}")
-                with open(ztmp, "w") as f:
-                    json.dump(zm, f)
-                os.replace(ztmp, os.path.join(root, ZONEMAP_FILE))
-            if new_bm is not None:
-                # O(batch) manifest I/O at any corpus size: the batch's
-                # entries land as one immutable SEGMENT file and the
-                # head (params + segment list) is rewritten — never the
-                # full entry set (at 100 TB that inline rewrite is an
-                # O(corpus-files) JSON dump per sync). A head still
-                # carrying inline entries (the overwrite-time build)
-                # spills them to a base segment once, so every later
-                # append rewrites only the tiny head. Crash anywhere
-                # before the head replace leaves the previous head
-                # intact → stale-and-refused, the same contract as the
-                # old inline rewrite.
-                head = bloom_head
-                p_head = os.path.join(root, BLOOM_FILE)
-                if head is not None:
-                    segs = list(head.get("segments") or [])
-                    if head.get("files"):
-                        base_name = self._bloom_seg_name(tag, "-base")
-                        self._write_bloom_segment(
-                            root, base_name, head["files"]
-                        )
-                        segs.insert(0, base_name)
-                        head["files"] = {}
-                    seg_name = self._bloom_seg_name(tag)
-                    self._write_bloom_segment(
-                        root,
-                        seg_name,
-                        {final_rel(r): e for r, e in new_bm["files"].items()},
-                    )
-                    head["segments"] = [*segs, seg_name]
-                    btmp = os.path.join(root, BLOOM_FILE + f".tmp-{tag}")
-                    with open(btmp, "w") as f:
-                        json.dump(head, f)
-                    os.replace(btmp, p_head)
+            if new_bm is not None and bloom_head is not None:
+                self._extend_sidecar_segmented(
+                    root,
+                    BLOOM_FILE,
+                    bloom_head,
+                    {final_rel(r): e for r, e in new_bm["files"].items()},
+                    tag,
+                )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         if bspec is not None:

@@ -412,10 +412,46 @@ def test_bloom_point_lookup_exact_across_segments(spark, wh):
         wh.read_bloom_keys(spark, "o", "o_orderkey", [-12345]).count() == 0
     )
     # cache: second probe reuses the parsed manifest (same signature)
-    base = wh.path("o")
-    sig1 = wh._bloom_cache[base]["sig"]
+    from example_dms_dataexport_spark.sources.warehouse import BLOOM_FILE
+
+    key = (wh.path("o"), BLOOM_FILE)
+    sig1 = wh._sidecar_cache[key]["sig"]
     wh.bloom("o")
-    assert wh._bloom_cache[base]["sig"] == sig1
+    assert wh._sidecar_cache[key]["sig"] == sig1
     wh.append_files(spark, df.limit(0).unionByName(df.limit(1)), "o")
     wh.bloom("o")
-    assert wh._bloom_cache[base]["sig"] != sig1
+    assert wh._sidecar_cache[key]["sig"] != sig1
+
+
+def test_append_zonemap_io_is_o_batch_segments(spark, wh):
+    """r19: the zone map takes the same segment-list treatment as the
+    bloom manifest — each append lands one immutable segment, the head
+    stays O(segment-list), and pruned reads + metadata_stats see the
+    merged view unchanged."""
+    import json
+
+    from example_dms_dataexport_spark.sources.warehouse import ZONEMAP_FILE
+
+    df = _orders(spark)
+    wh.overwrite(
+        df.filter("o_orderkey % 3 = 0"), "z",
+        cluster_by=["o_orderkey"], stat_cols=["o_orderkey"],
+    )
+    for i in (1, 2):
+        wh.append_files(spark, df.filter(f"o_orderkey % 3 = {i}"), "z")
+    with open(os.path.join(wh.path("z"), ZONEMAP_FILE)) as f:
+        head = json.load(f)
+    assert head["files"] == {} and len(head["segments"]) == 3
+    st = wh.metadata_stats("z")
+    assert st["rows"] == df.count()
+    # zoned read over the full range returns every row (merged map)
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert wh.read_zoned(spark, "z", "o_orderkey", lo, hi).count() == df.count()
+    # write_zonemap re-inlines and clears segments
+    zm = wh.write_zonemap(spark, "z", ["o_orderkey"])
+    assert set(zm["files"]) == set(wh.zonemap("z")["files"])
+    assert not [
+        n
+        for n in os.listdir(wh.path("z"))
+        if n.startswith("_zonemap.seg-")
+    ]
