@@ -1194,7 +1194,17 @@ class ParquetWarehouse:
             src = cached["merged"]["files"]
         else:
             slot, src = None, merged["files"]
-        rels = sorted(src)
+        got = self._decode_bitmaps(src, list(src), col)
+        if slot is not None:
+            slot[col] = got
+        return got
+
+    @staticmethod
+    def _decode_bitmaps(src: dict, rels: list, col: str):
+        import base64
+
+        import numpy as np
+
         ms, chunks, sizes = [], [], []
         for rel in rels:
             e = src[rel][col]
@@ -1207,10 +1217,28 @@ class ParquetWarehouse:
         if len(rels) > 1:
             offsets[1:] = np.cumsum(sizes[:-1])
         flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
-        got = (rels, m_arr, offsets, flat)
-        if slot is not None:
-            slot[col] = got
-        return got
+        return (rels, m_arr, offsets, flat)
+
+    @classmethod
+    def _extend_decoded(cls, cached: dict, fresh: dict) -> None:
+        """Append ``fresh`` entries' bitmaps to every decoded slot of a
+        cache entry being incrementally extended (segment append) —
+        decode cost O(batch), one concat per col."""
+        import numpy as np
+
+        for col, (rels, m_arr, offsets, flat) in list(
+            cached["decoded"].items()
+        ):
+            add_rels = list(fresh)
+            a_rels, a_m, a_off, a_flat = cls._decode_bitmaps(
+                fresh, add_rels, col
+            )
+            cached["decoded"][col] = (
+                [*rels, *a_rels],
+                np.concatenate([m_arr, a_m]),
+                np.concatenate([offsets, a_off + len(flat)]),
+                np.concatenate([flat, a_flat]),
+            )
 
     @staticmethod
     def _bloom_vec_contains(decoded, hashes: list[list[int]]):
@@ -1638,21 +1666,57 @@ class ParquetWarehouse:
         if cached is None or cached["sig"] != sig:
             with open(p) as f:
                 head = json.load(f)
-            files = dict(head.get("files") or {})
-            for seg in head.get("segments") or []:
-                sp = os.path.join(base, seg)
+            segs = list(head.get("segments") or [])
+            inline = head.get("files") or {}
+
+            def _seg_files(seg: str) -> dict:
                 try:
-                    with open(sp) as f:
-                        files.update(json.load(f)["files"])
+                    with open(os.path.join(base, seg)) as f:
+                        return json.load(f)["files"]
                 except FileNotFoundError:
                     raise ValueError(
                         f"{filename} of {table!r} references a missing "
                         f"segment {seg!r} — rebuild the manifest"
                     ) from None
-            merged = {k: v for k, v in head.items() if k != "segments"}
-            merged["files"] = files
-            cached = {"sig": sig, "merged": merged, "decoded": {}}
-            self._sidecar_cache[key] = cached
+
+            n_old = len(cached["segments"]) if cached else 0
+            if (
+                cached is not None
+                and len(segs) > n_old
+                and segs[:n_old] == cached["segments"]
+                and inline == cached["inline"]
+            ):
+                # an append only ADDED segments (immutable, unique
+                # names): parse just the new ones and extend the cached
+                # merged view + decoded bitmaps in place — per-sync
+                # manifest READ cost stays O(batch), like the write side
+                fresh: dict = {}
+                for seg in segs[n_old:]:
+                    fresh.update(_seg_files(seg))
+                files = cached["merged"]["files"]
+                if any(rel in files for rel in fresh):
+                    cached = None  # overlap: not a pure extension
+                else:
+                    files.update(fresh)
+                    self._extend_decoded(cached, fresh)
+                    cached["sig"] = sig
+                    cached["segments"] = segs
+            else:
+                cached = None
+            if cached is None:
+                files = dict(inline)
+                for seg in segs:
+                    files.update(_seg_files(seg))
+                merged = {k: v for k, v in head.items() if k != "segments"}
+                merged["files"] = files
+                cached = {
+                    "sig": sig,
+                    "merged": merged,
+                    "decoded": {},
+                    "segments": segs,
+                    "inline": inline,
+                }
+                self._sidecar_cache[key] = cached
         # fresh top-level + files dict per call: heal/extend callers
         # mutate the returned mapping, and the cache must only ever
         # reflect what is ON DISK (per-file entries are shared — they

@@ -455,3 +455,44 @@ def test_append_zonemap_io_is_o_batch_segments(spark, wh):
         for n in os.listdir(wh.path("z"))
         if n.startswith("_zonemap.seg-")
     ]
+
+
+def test_manifest_cache_extends_incrementally_per_append(spark, wh, monkeypatch):
+    """r19: a warm manifest cache absorbs an append by parsing/decoding
+    ONLY the new segment's entries — per-sync manifest READ cost is
+    O(batch), matching the write side (a naive cache would re-parse
+    every segment on each version bump)."""
+    from example_dms_dataexport_spark.sources.warehouse import (
+        ParquetWarehouse as PW,
+    )
+
+    df = _orders(spark)
+    wh.overwrite(df.filter("o_orderkey % 3 = 0"), "o", bloom_cols=["o_orderkey"])
+    wh.append_files(spark, df.filter("o_orderkey % 3 = 1"), "o")
+    key0 = df.agg(F.min("o_orderkey")).first()[0]
+    wh.bloom_hit_split(spark, "o", "o_orderkey", [key0])  # warm cache
+    n_before = len(wh.bloom("o")["files"])
+
+    decoded_sizes = []
+    orig = PW._decode_bitmaps
+
+    def spy(src, rels, col):
+        decoded_sizes.append(len(rels))
+        return orig(src, rels, col)
+
+    monkeypatch.setattr(PW, "_decode_bitmaps", staticmethod(spy))
+    wh.append_files(spark, df.filter("o_orderkey % 3 = 2"), "o")
+    n_added = len(wh.bloom("o")["files"]) - n_before
+    assert n_added >= 1
+    split = wh.bloom_hit_split(spark, "o", "o_orderkey", [key0])
+    assert split is not None
+    # the only decode after the append covers exactly the new files
+    assert decoded_sizes == [n_added]
+    # and the extended cache still answers lookups exactly
+    got = sorted(
+        r["o_orderkey"]
+        for r in wh.read_bloom_keys(
+            spark, "o", "o_orderkey", [key0]
+        ).collect()
+    )
+    assert got == [key0]
