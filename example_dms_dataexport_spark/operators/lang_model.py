@@ -174,15 +174,23 @@ def classify_lang(
     per-doc score array instead of running a corpus-wide window."""
     spark = df.sparkSession
     n = int(model["n"])
+
     # (logp - floor) folds in driver-side: the model dict is bounded
-    # (top-V per lang), so the scoring plan needs no langs join at all
-    floors = {lg: p["floor"] for lg, p in model["langs"].items()}
-    mdl = F.broadcast(
-        spark.createDataFrame(
+    # (top-V per lang), so the scoring plan needs no langs join at all.
+    # The vocabulary-sized relation ships to the JVM ONCE per (model,
+    # session) — an ingest stream scoring every micro-batch was
+    # re-paying the createDataFrame conversion per sync (relcache,
+    # guide §4.5: frozen side inputs initialize once).
+    def _build() -> DataFrame:
+        floors = {lg: p["floor"] for lg, p in model["langs"].items()}
+        return spark.createDataFrame(
             [(tri, lg, logp - floors[lg]) for tri, lg, logp in model["table"]],
             "tri string, lang string, delta long",
         )
-    )
+
+    from ..functions.relcache import frozen_relation
+
+    mdl = F.broadcast(frozen_relation(spark, model, "nb_delta", _build))
     # bounded literal: one struct per modeled language, lex-sorted
     langs_arr = F.array(
         *[

@@ -633,9 +633,20 @@ def unigram_logprob_frozen(
     unseen tokens take the model's floor, and the integer micro-unit
     sums keep the score exact under any partitioning."""
     spark = df.sparkSession
+    # vocabulary-sized model relation: built once per (lm, session) and
+    # reused across scoring calls — the ingest stream's perplexity gate
+    # was re-shipping the whole LM vocabulary to the JVM every
+    # micro-batch (relcache, guide §4.5)
+    from ..functions.relcache import frozen_relation
+
     mdl = F.broadcast(
-        spark.createDataFrame(
-            list(lm["lp"].items()), "tok string, _lp long"
+        frozen_relation(
+            spark,
+            lm,
+            "unigram_lp",
+            lambda: spark.createDataFrame(
+                list(lm["lp"].items()), "tok string, _lp long"
+            ),
         )
     )
     stream = df.select(
