@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-coalesce CACHED plans too (off by default): a
+        # persisted micro-batch otherwise pins the full static shuffle
+        # partition count, so every ingest-stream append staged one tiny
+        # file per static partition (~24x the files per sync at bench
+        # scale) — small-file accretion plus bloated per-file manifests.
+        # Size-adaptive at any scale; values are unaffected (layout only).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR job scheduling: the runner's N loader threads submit
         # concurrent jobs; FAIR keeps one giant table's load from starving

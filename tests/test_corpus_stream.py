@@ -79,6 +79,35 @@ def test_stream_builds_the_cleaned_deduped_corpus(spark, docs, tmp_path):
     assert tbl.select(FP_COL).distinct().count() == len(got)
 
 
+def test_appends_stage_coalesced_files(spark, docs, tmp_path):
+    """A micro-batch append lands O(1) files, not one per static
+    shuffle partition: the persisted batch keeps AQE's coalesced
+    partitioning (canChangeCachedPlanOutputPartitioning=true, r19) so
+    minute-grain ingest cannot accrete tiny files — and the per-file
+    bloom manifest stays O(batches), not O(batches x partitions)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    _land(spark, docs, landing)
+
+    q = start_corpus_ingest_stream(
+        spark, landing + "/*", wh, "corpus", SPEC, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    data_files = [
+        fn
+        for dp, _, fns in os.walk(wh.path("corpus"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    # 3 batches, each small enough for AQE to coalesce to one
+    # partition: a couple of files of slack, never the 8-per-batch the
+    # static shuffle partitioning would stage
+    assert len(data_files) <= 5, data_files
+    bm = wh.bloom("corpus")
+    assert bm is not None and len(bm["files"]) == len(data_files)
+
+
 def test_replay_and_restart_are_no_ops(spark, docs, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     landing = str(tmp_path / "landing")
