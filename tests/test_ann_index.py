@@ -54,6 +54,16 @@ def test_build_layout_and_descriptor(wh, emb, desc, spark):
     # every non-zero corpus vector is indexed exactly once
     assert tbl.count() == emb.count()
     assert tbl.select("vec_id").distinct().count() == emb.count()
+    # the encode REBALANCEs on list_id before the hive-partitioned
+    # write (r19): O(1) files per list, never one per encode task per
+    # list (256 tiny files for the bench fixture pre-fix)
+    n_files = sum(
+        1
+        for _, _, fns in os.walk(root)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    assert n_files <= 2 * N_LISTS, n_files
 
 
 def test_full_nprobe_equals_pq_search(wh, emb, desc, probes, spark):
