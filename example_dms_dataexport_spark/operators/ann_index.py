@@ -57,14 +57,14 @@ def _encode_with_lists(
     """(vec_id, code, vnorm, list_id) in ONE projection pass: both
     codebooks' assigners run over the same scan (ONE ArrowEvalPython
     node — Spark ships ``_v`` across the Python boundary once and runs
-    both assigners in the same worker pass), then an AQE REBALANCE on
-    ``list_id`` clusters rows by their target partition dir before the
-    hive-partitioned write. Without it every encode task fanned a file
-    into every list dir (tasks x n_lists tiny files — 256 for the
-    sentinel's 2000 rows); the rebalance shuffles only the 32x-
-    compressed codes, never the float vectors, and AQE splits hot lists
-    / coalesces small ones to advisory-sized output files at any scale
-    (guide §6 file sizing, §8 shuffle-the-proxy)."""
+    both assigners in the same worker pass) — encoding the corpus
+    never joins two derivations of itself. The warehouse's
+    partitioned-write REBALANCE (``_cluster_for_partitioned_write``)
+    then clusters the rows by coarse list at the commit boundary;
+    without it every encode task fanned a file into every list dir
+    (tasks x n_lists tiny files — 256 for the sentinel's 2000 rows).
+    That shuffle moves only the 32x-compressed codes, never the float
+    vectors (guide §6 file sizing, §8 shuffle-the-proxy)."""
     a_book, a_coarse = assign_udf(book), assign_udf(coarse)
     dim = int(book["dim"])
     v = as_double(vec_col)
@@ -80,7 +80,6 @@ def _encode_with_lists(
             "vnorm",
             F.element_at(a_coarse(F.col("_v")), 1).alias("list_id"),
         )
-        .hint("rebalance", "list_id")
     )
 
 

@@ -262,7 +262,15 @@ class ParquetWarehouse:
             with open(os.path.join(tmp, BUCKET_SPEC_FILE), "w") as f:
                 json.dump(bspec, f)
         else:
-            w = df.write.mode("overwrite")
+            # rebalance only when no explicit layout shaped the frame:
+            # cluster_by/zorder_by already range-partitioned it, and a
+            # rebalance here would undo that banding
+            out = (
+                df
+                if (cluster_by or zorder_by)
+                else self._cluster_for_partitioned_write(df, partition_by)
+            )
+            w = out.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
@@ -298,6 +306,22 @@ class ParquetWarehouse:
         self._commit_swap(tmp, final, table)
         if bspec is not None:
             self._refresh_bucketed_catalog(df.sparkSession, table)
+
+    @staticmethod
+    def _cluster_for_partitioned_write(
+        df: DataFrame, partition_by: list[str] | None
+    ) -> DataFrame:
+        """REBALANCE the frame on its hive-partition columns right
+        before a ``partitionBy`` write (guide §6): without it every
+        write task fans one file into every partition dir it holds rows
+        for — tasks x partitions tiny files. The AQE rebalance clusters
+        rows by target dir, splits skewed partitions and coalesces
+        small ones to advisory-sized output files at any scale; with
+        AQE off the hint is a no-op. Layout-only: row sets are
+        unchanged."""
+        if partition_by:
+            return df.hint("rebalance", *partition_by)
+        return df
 
     @staticmethod
     def _apply_layout(
@@ -756,6 +780,12 @@ class ParquetWarehouse:
             if bucket_spec is not None:
                 self._stage_bucketed(df, tmp_new, bucket_spec)
             else:
+                # NO rebalance here: replace_files callers (the CDC
+                # merges) pre-shape the staged frame deliberately —
+                # each staged file is a replacement band whose narrow
+                # zone/bloom footprint the next merge's pruning needs;
+                # a rebalance would smear the bands back to whole-leaf
+                # coverage (caught by the hybrid-merge inode-carry pin)
                 w = df.write.mode("overwrite")
                 if partition_by:
                     w = w.partitionBy(*partition_by)
@@ -2608,7 +2638,8 @@ class ParquetWarehouse:
     ) -> None:
         self._drop_zonemap(table)
         (
-            df.write.mode("overwrite")
+            self._cluster_for_partitioned_write(df, partition_by)
+            .write.mode("overwrite")
             .partitionBy(*partition_by)
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(table))
@@ -2760,7 +2791,7 @@ class ParquetWarehouse:
             if bspec is not None:
                 self._stage_bucketed(df, staging, bspec)
             else:
-                w = df.write
+                w = self._cluster_for_partitioned_write(df, partition_by).write
                 if partition_by:
                     w = w.partitionBy(*partition_by)
                 w.parquet(staging)
