@@ -126,8 +126,16 @@ def build_ann_index(
         "dim": dim,
         "id_col": id_col,
     }
+    # opt-in dir-clustering rebalance (overwrite never rebalances
+    # implicitly): without it every encode task fans a file into every
+    # list dir — tasks x n_lists tiny files (256 for the sentinel's
+    # 2000 rows); the shuffle moves only the 32x-compressed codes
+    # (guide §6 file sizing, §8 shuffle-the-proxy). The extend path
+    # gets the same clustering from append_files' staging rebalance.
     wh.overwrite(
-        _encode_with_lists(vectors, book, coarse, vec_col, id_col),
+        _encode_with_lists(vectors, book, coarse, vec_col, id_col).hint(
+            "rebalance", "list_id"
+        ),
         name,
         partition_by=["list_id"],
         meta={ANN_META_KEY: desc},

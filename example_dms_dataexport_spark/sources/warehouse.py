@@ -262,15 +262,13 @@ class ParquetWarehouse:
             with open(os.path.join(tmp, BUCKET_SPEC_FILE), "w") as f:
                 json.dump(bspec, f)
         else:
-            # rebalance only when no explicit layout shaped the frame:
-            # cluster_by/zorder_by already range-partitioned it, and a
-            # rebalance here would undo that banding
-            out = (
-                df
-                if (cluster_by or zorder_by)
-                else self._cluster_for_partitioned_write(df, partition_by)
-            )
-            w = out.write.mode("overwrite")
+            # NO implicit rebalance: overwrite callers own the frame's
+            # layout (cluster_by/zorder_by here, or a deliberate
+            # pre-repartition like q139's subject-key hash slices, the
+            # file-grain-pruning fixture shape); callers that want
+            # dir-clustered advisory-sized files opt in with a
+            # ``hint("rebalance", *partition_by)`` (build_ann_index does)
+            w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
@@ -318,7 +316,13 @@ class ParquetWarehouse:
         rows by target dir, splits skewed partitions and coalesces
         small ones to advisory-sized output files at any scale; with
         AQE off the hint is a no-op. Layout-only: row sets are
-        unchanged."""
+        unchanged.
+
+        Applied ONLY on the ``append_files`` staging write — the one
+        write path with no caller-layout contract (ingest batches).
+        ``overwrite``/``replace_files`` callers own their frame's
+        layout (cluster_by bands, subject-key hash slices, CDC
+        replacement bands) and opt in explicitly where wanted."""
         if partition_by:
             return df.hint("rebalance", *partition_by)
         return df
@@ -2638,8 +2642,7 @@ class ParquetWarehouse:
     ) -> None:
         self._drop_zonemap(table)
         (
-            self._cluster_for_partitioned_write(df, partition_by)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy(*partition_by)
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(table))

@@ -33,24 +33,6 @@ def _rows(spark, n=2000, files=4):
     )
 
 
-def _overwrite_fragmented(wh, spark, table, n=2000, files=4, **kw):
-    """Land ~``files`` hash-sliced files per partition dir THROUGH the
-    append channel. Partitioned overwrites rebalance to advisory-sized
-    files since r19, so a single overwrite no longer fans tiny files —
-    repeated appends are the at-scale source of the leaf fragmentation
-    the compaction/bloom passes exist to manage, and each append's
-    slice keeps any one pk in exactly one file."""
-    df = _rows(spark, n)
-    wh.overwrite(df.filter(F.col("pk") % files == 0), table, **kw)
-    for i in range(1, files):
-        wh.append_files(
-            spark,
-            df.filter(F.col("pk") % files == i),
-            table,
-            partition_by=kw.get("partition_by"),
-        )
-
-
 def test_compact_sort_by_restores_partition_bands(spark, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     # each partition dir gets ~4 files, each spanning ~the full pk range
@@ -79,7 +61,7 @@ def test_compact_sort_by_restores_partition_bands(spark, tmp_path):
 
 def test_plain_compact_still_idempotent(spark, tmp_path):
     wh = ParquetWarehouse(str(tmp_path / "wh"))
-    _overwrite_fragmented(wh, spark, "t", partition_by=["bucket"])
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
     assert wh.compact(spark, "t") == 5  # tiny files bin-pack to 1/dir
     assert wh.compact(spark, "t") == 0  # second pass is a no-op
 
@@ -229,7 +211,7 @@ def test_compaction_debt_advisor(spark, tmp_path):
     """Metadata-only small-file debt: counts match what compact then
     actually rewrites, and a compacted table reports zero debt."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
-    _overwrite_fragmented(wh, spark, "t", partition_by=["bucket"])
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
     debt = wh.compaction_debt("t", target_file_bytes=1 << 30)
     assert debt["leaves"] == 5 and debt["leaves_over_target"] == 5
     assert debt["files"] == debt["excess_files"] + 5  # ideal is 1/leaf
@@ -434,7 +416,7 @@ def test_run_maintenance_rebuilds_dropped_zonemap(spark, tmp_path):
     )
 
     wh = ParquetWarehouse(str(tmp_path / "wh"))
-    _overwrite_fragmented(wh, spark, "t", partition_by=["bucket"])
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
     wh.write_zonemap(spark, "t", ["pk"])
     wh._drop_zonemap("t")  # what replace_partitions does mid-sync
     assert wh.zonemap("t") is None
@@ -579,7 +561,7 @@ def test_run_maintenance_rebuilds_dropped_bloom(spark, tmp_path):
     # ~4 hash-sliced files per bucket partition dir: a single subject
     # key lives in ONE file of ONE partition; everything else is
     # bloom-prunable
-    _overwrite_fragmented(wh, spark, "t", n=4000, files=4, partition_by=["bucket"])
+    wh.overwrite(_rows(spark, n=4000, files=4), "t", partition_by=["bucket"])
     wh.write_bloom(spark, "t", ["pk"])
     wh._drop_zonemap("t")  # what replace_partitions does mid-sync
     assert wh.bloom("t") is None
@@ -658,7 +640,7 @@ def test_compact_parallel_matches_serial(spark, tmp_path):
     same content, same zone-map rebuild, and the second pass is still
     an idempotent no-op."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
-    _overwrite_fragmented(wh, spark, "t", partition_by=["bucket"])
+    wh.overwrite(_rows(spark), "t", partition_by=["bucket"])
     wh.write_zonemap(spark, "t", ["pk"])
     content = {(r.pk, r.bucket, r.name) for r in wh.read(spark, "t").collect()}
     rewritten = wh.compact(spark, "t", parallelism=4)
