@@ -114,7 +114,18 @@ def _collect_sample(
 ) -> "np.ndarray":
     """The deterministic hash-ordered training sample as one (n, dim)
     float64 array — factored out so composite trainers (the IVF-PQ
-    index builds TWO codebooks) scan and collect the corpus ONCE."""
+    index builds TWO codebooks) scan and collect the corpus ONCE.
+
+    The ``localCheckpoint`` before the collect is driver protection
+    (r19): collecting ``TakeOrderedAndProject`` directly takes the
+    ``executeCollect`` shortcut, which merges every scan partition's
+    local top-cap ON THE DRIVER — up to partitions x cap vector rows
+    through one process at 100 TB scan-task counts. Materializing the
+    node first runs its ``doExecute`` shape instead: per-partition
+    top-cap, ONE single-partition shuffle, final top-cap in an executor
+    task — the driver then fetches exactly ``cap`` rows. The sample is
+    bit-identical (same multiset, same ``_h`` sort; ties only between
+    identical vectors)."""
     v = as_double(vec_col)
     rows = (
         df.select(v.alias("_v"))
@@ -126,6 +137,7 @@ def _collect_sample(
         .orderBy("_h")
         .limit(int(sample_cap))
         .select("_v")
+        .localCheckpoint(eager=True)
         .collect()
     )
     return np.asarray([r["_v"] for r in rows], dtype=np.float64)

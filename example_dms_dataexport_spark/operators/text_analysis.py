@@ -232,10 +232,14 @@ def tfidf_top_terms(
     integer products — so ranking and values are engine-exact (ties break
     on the term string).
 
-    Plan shape: one shuffle to count (doc, term) pairs, a vocabulary-sized
-    document-frequency aggregation joined back (AQE broadcast), one
-    per-doc window for the top-k.  The corpus-size scalar N rides a
-    1-row broadcast join, not a driver collect.
+    Plan shape (r19): one shuffle to count (doc, term) pairs; the
+    document frequency attaches as a WINDOW COUNT over the term
+    partition of that same relation (the former ``groupBy(tok)`` +
+    join-back re-executed the corpus explode+aggregate subtree per
+    reference — three tokenize passes where one suffices), one per-doc
+    window for the top-k.  The corpus-size scalar N rides a 1-row
+    broadcast join over a single narrow id-column scan, not a driver
+    collect.
     """
     from pyspark.sql import Window as W
 
@@ -246,22 +250,26 @@ def tfidf_top_terms(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "tok",
-        F.floor(
-            F.log10(F.col("_n").cast("double") / F.col("_df")) * LP_SCALE
-            + F.lit(0.5)
+    # df(tok) == count of (doc, tok) rows per tok: a window count over
+    # the tf relation — identical integers to the aggregate+inner-join,
+    # with no second derivation of tf
+    scored = (
+        tf.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("tok")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log10(F.col("_n").cast("double") / F.col("_df"))
+                    * LP_SCALE
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("_score_scaled"),
         )
-        .cast("long")
-        .alias("_idf"),
-    )
-    scored = tf.join(idf, "tok").select(
-        id_col,
-        "tok",
-        "tf",
-        (F.col("tf") * F.col("_idf")).alias("_score_scaled"),
     )
     w = W.partitionBy(id_col).orderBy(
         F.desc("_score_scaled"), F.asc("tok")

@@ -164,10 +164,13 @@ def skew_report(
 ) -> DataFrame:
     """Top-``top`` heaviest key values with their row share — the
     pre-join skew diagnostic (a key holding >~20% of rows is a salting /
-    AQE-skew-join candidate). One groupBy shuffle; the global total rides
-    a single-partition aggregate of the (already small) key counts."""
+    AQE-skew-join candidate). One groupBy shuffle; the global total is
+    ``count(*)`` of the input itself (identical to summing the per-key
+    counts) — a column-less scan, where aggregating the counts relation
+    re-executed the fact groupBy shuffle a second time (r19; runtime
+    exchange reuse was not firing for it)."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = counts.agg(F.sum("n_rows").alias("_t"))
+    total = df.agg(F.count(F.lit(1)).alias("_t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(

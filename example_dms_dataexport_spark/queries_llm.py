@@ -2958,10 +2958,17 @@ def q116_source_kl_divergence(spark, sf_dir):
     diversity. Per-token log-ratio terms are fixed-pointed (LP_SCALE,
     the q48/q95 pattern) and weighted by exact integer counts in decimal
     arithmetic, so the order-nondeterministic sum is engine-identical.
-    Shape: one shuffle to the vocabulary-sized (source, token) counts;
-    the global distribution is a second aggregation OVER that small
-    relation (the fact stream is touched once), its total attached as a
-    1-row broadcast."""
+    Shape (r19): one shuffle to the vocabulary-sized (source, token)
+    counts; the per-source totals _n and global per-token counts _cg
+    ATTACH AS WINDOW SUMS over that one relation instead of re-derived
+    join relations (each extra reference re-executed the corpus
+    explode+aggregate subtree — the executed r18 plan scanned the
+    corpus 4x where 1 suffices; runtime ReuseExchange recovered only
+    part of it). Window order matters: the ``tok`` window runs first so
+    the trailing ``source`` window leaves the relation hash(source)-
+    partitioned and the final groupBy reuses that exchange. The global
+    total stays a 1-row broadcast; its lineage shares the c exchange,
+    which runtime reuse dedupes (verified in the executed plan)."""
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -2969,9 +2976,10 @@ def q116_source_kl_divergence(spark, sf_dir):
         "source", F.explode(TH.tokens(F.col("text"))).alias("tok")
     )
     c = stream.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("_c"))
-    withn = c.withColumn("_n", F.sum("_c").over(W.partitionBy("source")))
-    g = c.groupBy("tok").agg(F.sum("_c").alias("_cg"))
-    tot = g.agg(F.sum("_cg").alias("_ng"))
+    withn = c.withColumn(
+        "_cg", F.sum("_c").over(W.partitionBy("tok"))
+    ).withColumn("_n", F.sum("_c").over(W.partitionBy("source")))
+    tot = c.agg(F.sum("_c").alias("_ng"))
     lr = F.floor(
         (
             F.log10(F.col("_c").cast("double") / F.col("_n"))
@@ -2981,8 +2989,7 @@ def q116_source_kl_divergence(spark, sf_dir):
         + F.lit(0.5)
     ).cast("long")
     return (
-        withn.join(g, "tok")
-        .join(F.broadcast(tot))
+        withn.join(F.broadcast(tot))
         .select(
             "source",
             "_n",
@@ -3542,11 +3549,19 @@ def q148_dsir_importance_weights(spark, sf_dir):
     Cross-engine exactness follows the q88/q95 pattern: the MODEL is
     tiny (256 rows), so its per-bucket log-ratios are computed once as
     fixed-point int64 (identical doubles -> identical floor), and every
-    per-document score is then an order-free INTEGER sum. Scale shape:
-    one explode + two bucket-sized aggregations build the model, the
-    model broadcasts (256 rows), and the per-document fold is one
-    map-side-combined aggregation — the fact stream is touched once, no
-    shuffle keyed on anything wider than doc_id."""
+    per-document score is then an order-free INTEGER sum. Scale shape
+    (r19): ONE bucket-sized aggregation builds the whole model — the
+    raw count q and the target count t come out of the same
+    ``groupBy(f)`` pass (t as a conditional count, integer-identical to
+    the oracle's filtered aggregate + left join + coalesce), and the
+    smoothing totals qq/tt are unbounded-window sums OVER the 256-row
+    bucket relation rather than separate re-tokenizations of the
+    corpus. The naive composition re-executed the explode+hash subtree
+    once per derived relation — five corpus tokenize passes where two
+    suffice (model build + per-document fold); the model then
+    broadcasts (256 rows) and the per-document fold is one
+    map-side-combined aggregation — no shuffle keyed on anything wider
+    than doc_id."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     lp = text_analysis.LP_SCALE
     B = _DSIR_BUCKETS
@@ -3562,34 +3577,36 @@ def q148_dsir_importance_weights(spark, sf_dir):
         # bucket features do not need full-token fidelity
         (TH.poly_hash_short(F.substring("tok", 1, 8), 8) % B).alias("f"),
     )
-    rawc = feats.groupBy("f").agg(F.count(F.lit(1)).alias("q"))
-    tgtc = (
-        feats.filter(F.col("source").isin("src1", "src2", "src3"))
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("t"))
+    # q and t in ONE pass over the token stream: t counts only target-
+    # domain tokens (count of a non-NULL WHEN = the filtered count; a
+    # bucket with no target tokens gets 0, exactly the oracle's
+    # coalesce(t, 0) after its left join)
+    bucket = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("q"),
+        F.count(
+            F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(1))
+        ).alias("t"),
     )
-    qq = rawc.agg(F.sum("q").alias("qq"))
-    tt = tgtc.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
-    model = (
-        rawc.join(tgtc, "f", "left")
-        .crossJoin(F.broadcast(qq))  # 1-row totals attach
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "f",
-            F.floor(
-                F.log10(
-                    (
-                        (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("tt") + F.lit(B))
-                    )
-                    / ((F.col("q") + F.lit(1.0)) / (F.col("qq") + F.lit(B)))
-                )
-                * lp
-                + F.lit(0.5)
+    # smoothing totals: integer sums over the 256-row bucket relation
+    # (sum of per-bucket counts == the direct global counts), attached
+    # with one unbounded window instead of re-aggregating the corpus
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    model = bucket.select(
+        "f",
+        F.floor(
+            F.log10(
+                ((F.col("t") + F.lit(1.0)) / (F.sum("t").over(tot) + F.lit(B)))
+                / ((F.col("q") + F.lit(1.0)) / (F.sum("q").over(tot) + F.lit(B)))
             )
-            .cast("long")
-            .alias("lr"),
+            * lp
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("lr"),
     )
     return (
         feats.join(F.broadcast(model), "f")
@@ -3659,7 +3676,18 @@ def q149_mixture_temperature(spark, sf_dir):
     Cross-engine exactness: the only irrational step (power) runs on
     the SOURCE-level relation (~20 rows, identical doubles -> identical
     fixed-point int64); the normalization and boost are then pure
-    BIGINT arithmetic — no order-dependent double sums anywhere."""
+    BIGINT arithmetic — no order-dependent double sums anywhere.
+
+    Shape (r19): the normalization totals attach as UNBOUNDED WINDOW
+    SUMS over the ~20-row source relation — the former 1-row
+    ``agg`` + ``crossJoin(broadcast)`` attach re-executed the corpus
+    token-count pass a second time (its lineage includes the full
+    aggregation subtree); the window computes the identical integer
+    sums in place, so the corpus is scanned exactly once. The single-
+    partition window frame is over the source-cardinality relation
+    (low tens of rows at any corpus size), never the fact stream."""
+    from pyspark.sql import Window as W
+
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3677,13 +3705,16 @@ def q149_mixture_temperature(spark, sf_dir):
         .cast("long")
         .alias("pfix"),
     )
-    tot = p.agg(
-        F.sum("pfix").alias("psum"), F.sum("n_tokens").alias("toksum")
+    tot = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    p = p.withColumn("psum", F.sum("pfix").over(tot)).withColumn(
+        "toksum", F.sum("n_tokens").over(tot)
     )
     # INTEGER division on both engines (Spark `div`, DuckDB `//`):
     # double division + cast disagrees across engines (DuckDB's
     # double->BIGINT cast rounds, Spark's truncates — a one-ppm skew)
-    return p.crossJoin(F.broadcast(tot)).selectExpr(
+    return p.selectExpr(
         "source",
         "n_docs",
         "n_tokens",

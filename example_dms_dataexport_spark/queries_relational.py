@@ -2068,34 +2068,49 @@ def q93_rolling_active_users(spark, sf_dir):
     finishes the job — the scale-safe shape for any trailing-window
     distinct count. Days past the data's max are trimmed on both
     engines; leading days (first week) naturally report partial
-    windows, same as the oracle."""
+    windows, same as the oracle.
+
+    Shape (r19): DAU folds into the SAME day aggregation as WAU — a
+    (user, day) activity row covers report day ``day`` at offset 0
+    exactly when it IS that day's activity, so ``count(aday = day)``
+    over the exploded cover relation equals the old per-day distinct
+    count, and the max-day trim bound attaches as an unbounded window
+    max over the day-cardinality result (dau > 0 marks real activity
+    days). The old composition referenced the distinct user-day
+    relation three times (cover, dau, hi) and re-executed its
+    fact-table distinct per reference — one pass over events now."""
+    from pyspark.sql import Window as W
+
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    hi = ud.agg(F.max("day").alias("_hi"))
+    ud = ev.select("user_id", F.to_date("ts").alias("aday")).distinct()
     cover = ud.select(
         "user_id",
+        "aday",
         F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            F.sequence(F.col("aday"), F.date_add(F.col("aday"), 6))
         ).alias("day"),
     )
-    wau = cover.groupBy("day").agg(
-        F.count_distinct("user_id").alias("wau")
+    agg = cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count(
+            F.when(F.col("aday") == F.col("day"), F.lit(1))
+        ).alias("dau"),
     )
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    whole = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     return (
-        wau.join(dau, "day", "left")
-        .join(F.broadcast(hi), F.col("day") <= F.col("_hi"))
+        agg.withColumn(
+            "_hi",
+            F.max(F.when(F.col("dau") > 0, F.col("day"))).over(whole),
+        )
+        .filter(F.col("day") <= F.col("_hi"))
         .select(
             "day",
-            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("dau").cast("long").alias("dau"),
             "wau",
             (
-                F.floor(
-                    F.coalesce(F.col("dau"), F.lit(0))
-                    / F.col("wau")
-                    * 1e4
-                    + F.lit(0.5)
-                )
+                F.floor(F.col("dau") / F.col("wau") * 1e4 + F.lit(0.5))
                 / 1e4
             ).alias("stickiness"),
         )

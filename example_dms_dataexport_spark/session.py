@@ -18,6 +18,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The package's parent dir. Local-mode Python WORKERS are forked with the
+# driver process's PYTHONPATH environment — a driver that found this
+# package via sys.path manipulation (or its cwd) would still fail every
+# pandas-UDF task with ModuleNotFoundError when launched from another
+# directory, because pickled-by-reference UDFs re-import their module on
+# the worker. Exporting the path before the JVM starts makes the engine
+# cwd-independent (r19; on a real cluster --py-files/spark.submit.pyFiles
+# plays this role).
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    cur = os.environ.get("PYTHONPATH", "")
+    parts = cur.split(os.pathsep) if cur else []
+    if _PKG_PARENT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_PARENT, *parts])
+
 
 def get_spark(
     app_name: str = "example-dms-dataexport-spark",
@@ -31,6 +48,7 @@ def get_spark(
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _ensure_worker_pythonpath()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

@@ -350,18 +350,15 @@ def test_q93_shapes(spark):
     # (q92's merged-sketch shape folded into q87's test above, r18)
     df = _q(spark, "q93_rolling_active_users")
     plan = physical_plan(df)
-    # the 7x fan-out runs on the DISTINCT (user, day) relation; the only
-    # joins are day-keyed or the 1-row max-day bound (broadcast BNLJ)
+    # r19 one-pass shape: the 7x fan-out runs on the DISTINCT (user, day)
+    # relation, dau folds into the SAME day aggregation as wau, and the
+    # max-day trim is an unbounded window over the day-cardinality result
+    # — NO joins of any kind remain (the old shape re-derived the distinct
+    # relation three times and attached the bound via a 1-row BNLJ)
     assert "CartesianProduct" not in plan
-    # wau-dau stays a day-keyed EQUI join (hash or sort-merge); the only
-    # non-equi join allowed is the single 1-row max-day range bound, and
-    # the only forced broadcast is that 1-row relation (formatted explain
-    # names each node twice — count the numbered detail headers)
-    import re
-
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
-    assert broadcast_hint_count(df) == 1
+    assert "Join" not in plan, plan
+    assert broadcast_hint_count(df) == 0
+    assert "Window" in plan
 
 
 def test_q94_q95_shapes(spark):
