@@ -54,16 +54,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-coalesce CACHED plans too (off by default): a
-        # persisted micro-batch otherwise pins the full static shuffle
-        # partition count, so every ingest-stream append staged one tiny
-        # file per static partition (~24x the files per sync at bench
-        # scale) — small-file accretion plus bloated per-file manifests.
-        # Size-adaptive at any scale; values are unaffected (layout only).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # canChangeCachedPlanOutputPartitioning stays at its DEFAULT
+        # (false). The r19 mid-round sessions set it true to stop
+        # ingest appends staging one tiny file per static shuffle
+        # partition, but globally it lets AQE coalesce every persisted
+        # relation to advisory-SIZE partitions — and the engine's
+        # persisted relations (shingle sets, signatures, band keys) are
+        # small-byte/large-CPU, so compute downstream of a cache
+        # serialized onto 1-2 partitions (measured 2x on q24/q43/q111
+        # at sf0.1; the same wrong trade at any scale where bytes-per-
+        # partition undercounts CPU). The small-file fix lives where
+        # the problem is instead: append_files' staging write
+        # rebalances unpartitioned batches too (warehouse.py
+        # _cluster_for_partitioned_write), and the ingest streams'
+        # first commit opts into the same rebalance at the call site.
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR job scheduling: the runner's N loader threads submit
         # concurrent jobs; FAIR keeps one giant table's load from starving

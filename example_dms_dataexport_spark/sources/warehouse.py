@@ -322,10 +322,19 @@ class ParquetWarehouse:
         write path with no caller-layout contract (ingest batches).
         ``overwrite``/``replace_files`` callers own their frame's
         layout (cluster_by bands, subject-key hash slices, CDC
-        replacement bands) and opt in explicitly where wanted."""
+        replacement bands) and opt in explicitly where wanted.
+
+        UNPARTITIONED appends rebalance too (no-column REBALANCE,
+        r19): a micro-batch staged from a persisted plan inherits the
+        static shuffle partition count — one tiny file per partition
+        per sync, O(batches x partitions) manifest growth. The no-key
+        AQE rebalance coalesces the batch to advisory-sized files at
+        any scale, scoped to this write instead of the session-wide
+        cached-plan flag (which serialized every persist-heavy
+        operator's downstream compute onto byte-sized partitions)."""
         if partition_by:
             return df.hint("rebalance", *partition_by)
-        return df
+        return df.hint("rebalance")
 
     @staticmethod
     def _apply_layout(

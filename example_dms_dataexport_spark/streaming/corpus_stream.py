@@ -189,8 +189,16 @@ def start_corpus_ingest_stream(
         )
         if not os.path.isdir(warehouse.path(table)):
             # first commit carries the reconciliation manifest from
-            # birth; every later append extends it in O(batch)
-            warehouse.overwrite(kept, table, bloom_cols=[id_col, FP_COL])
+            # birth; every later append extends it in O(batch). The
+            # rebalance opt-in (overwrite never rebalances implicitly)
+            # coalesces the batch-sized frame to O(1) advisory-sized
+            # files — an ingest batch carries no layout contract, and
+            # without it the first commit fans one tiny file per
+            # static shuffle partition (r19; appends get the same
+            # clustering from the staging rebalance).
+            warehouse.overwrite(
+                kept.hint("rebalance"), table, bloom_cols=[id_col, FP_COL]
+            )
             return
         corpus_cols = warehouse.read(spark, table).columns
         # one evaluation of the cleaned batch serves the probe

@@ -81,10 +81,11 @@ def test_stream_builds_the_cleaned_deduped_corpus(spark, docs, tmp_path):
 
 def test_appends_stage_coalesced_files(spark, docs, tmp_path):
     """A micro-batch append lands O(1) files, not one per static
-    shuffle partition: the persisted batch keeps AQE's coalesced
-    partitioning (canChangeCachedPlanOutputPartitioning=true, r19) so
-    minute-grain ingest cannot accrete tiny files — and the per-file
-    bloom manifest stays O(batches), not O(batches x partitions)."""
+    shuffle partition: the staging write's no-key AQE rebalance (and
+    the first commit's rebalance opt-in) coalesce each batch to
+    advisory-sized files, so minute-grain ingest cannot accrete tiny
+    files — and the per-file bloom manifest stays O(batches), not
+    O(batches x partitions)."""
     wh = ParquetWarehouse(str(tmp_path / "wh"))
     landing = str(tmp_path / "landing")
     _land(spark, docs, landing)
