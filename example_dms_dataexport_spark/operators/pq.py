@@ -58,6 +58,19 @@ from .simsearch import EMBED_DIM, as_double, cosine, dot_any, norm
 # saturated thousands of times over, small enough to collect anywhere
 PQ_TRAIN_SAMPLE_CAP = 65536
 
+# Merge fan-in bound for the exact TakeOrdered sample (r19, §2.2/§5):
+# every scan partition forwards up to sample_cap candidate rows into ONE
+# merge task, so a corpus-scale scan (10^5+ splits at 100 TB) funnels
+# partitions x cap vector rows — terabytes — through a single fetch.
+# Scans wider than this prefilter by a hash threshold first (see
+# ``_prefilter_sample_scan``); the bound is partition-count-adaptive,
+# not a local[32] tune (local scans stay under it and keep the
+# single-pass exact path).
+SAMPLE_FANIN_MAX = 64
+# threshold oversampling margin: survivors ~= margin * cap under the
+# uniform-hash estimate, verified exactly before use
+SAMPLE_MARGIN = 4
+
 
 def _norm(c, dim: int):
     """The unrolled codegen norm at the table's native width; the
@@ -110,7 +123,11 @@ def pq_train(
 
 
 def _collect_sample(
-    df: DataFrame, vec_col: str, dim: int, sample_cap: int
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    sample_cap: int,
+    fanin_max: int | None = None,
 ) -> "np.ndarray":
     """The deterministic hash-ordered training sample as one (n, dim)
     float64 array — factored out so composite trainers (the IVF-PQ
@@ -125,22 +142,70 @@ def _collect_sample(
     top-cap, ONE single-partition shuffle, final top-cap in an executor
     task — the driver then fetches exactly ``cap`` rows. The sample is
     bit-identical (same multiset, same ``_h`` sort; ties only between
-    identical vectors)."""
+    identical vectors).
+
+    Scans wider than ``fanin_max`` partitions (default
+    ``SAMPLE_FANIN_MAX``) additionally prefilter by a hash threshold
+    (``_prefilter_sample_scan``) so the single merge task above
+    receives O(cap) rows instead of partitions x cap — the sample stays
+    exactly the global top-cap either way (the prefilter is verified
+    before use and falls back to the unfiltered scan)."""
     v = as_double(vec_col)
-    rows = (
+    base = (
         df.select(v.alias("_v"))
         .filter(F.size("_v") == dim)
         .filter(_norm(F.col("_v"), dim) > 0)
         # hash the array value directly — stringifying 64 doubles per
         # row just to hash it would dominate the sampling scan at scale
         .withColumn("_h", F.xxhash64(F.col("_v")))
-        .orderBy("_h")
-        .limit(int(sample_cap))
+    )
+    cap = int(sample_cap)
+    limit = SAMPLE_FANIN_MAX if fanin_max is None else fanin_max
+    if base.rdd.getNumPartitions() > limit:  # metadata-only check
+        base = _prefilter_sample_scan(base, cap)
+    rows = (
+        base.orderBy("_h")
+        .limit(cap)
         .select("_v")
         .localCheckpoint(eager=True)
         .collect()
     )
     return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
+def _prefilter_sample_scan(base: DataFrame, cap: int) -> DataFrame:
+    """Bound the TakeOrdered merge fan-in on wide scans (§2.2, §5):
+    drop rows that provably cannot reach the top-cap BEFORE the
+    per-partition top-cap runs, so the single merge task receives
+    ~``SAMPLE_MARGIN * cap`` rows instead of partitions x cap.
+
+    ``xxhash64`` is uniform over int64, so the rank-(margin*cap) hash
+    sits near ``int64_min + 2^64 * margin*cap/n``. The threshold only
+    PREFILTERS: the exact TakeOrdered in the caller still picks the
+    true top-cap from the survivors, so an estimation miss (e.g. hash
+    mass concentrated by duplicate vectors) can only trigger the
+    fallback below, never change the sample. Costs one extra
+    column-pruned count pass over the scan — at corpus scale a fully
+    parallel scan trades against a partitions x cap single-task fetch.
+    """
+    n = base.count()
+    if n <= cap * SAMPLE_MARGIN:
+        # whole relation is merge-sized (covers n < cap, where a
+        # prefilter could drop rows the sample must keep)
+        return base
+    thr = min(
+        -(1 << 63) + ((1 << 64) * SAMPLE_MARGIN * cap) // n,
+        (1 << 63) - 1,
+    )
+    survivors = base.filter(F.col("_h") <= F.lit(thr)).localCheckpoint(
+        eager=True
+    )
+    if survivors.count() >= cap:
+        # >= cap rows hash at or below thr, so the global top-cap all
+        # survive: exact-equivalence holds
+        return survivors
+    # duplicates skewed the hash mass past the margin: exact fallback
+    return base
 
 
 def _lloyd_from_sample(

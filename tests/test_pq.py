@@ -234,3 +234,44 @@ def test_rerank_respects_non_default_dim(spark):
     want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert math.isfinite(r0["score"])
     assert r0["score"] == pytest.approx(want, rel=1e-9)
+
+
+# --- sample prefilter (r19: TakeOrdered merge fan-in bound) -----------------
+
+
+def test_collect_sample_prefilter_matches_exact(spark, emb):
+    """Forced prefilter path == plain exact path, bit-for-bit, on a
+    wide scan with duplicate vectors straddling hash ties."""
+    wide = emb.unionByName(emb.limit(64)).repartition(96)
+    plain = pq._collect_sample(wide, "embedding", 64, 200, fanin_max=1 << 30)
+    pref = pq._collect_sample(wide, "embedding", 64, 200, fanin_max=0)
+    assert plain.shape == pref.shape
+    assert np.array_equal(plain, pref)
+
+
+def test_collect_sample_prefilter_fallback(spark, emb, monkeypatch):
+    """A threshold that underestimates (margin forced to 0 -> zero
+    survivors) must fall back to the exact unfiltered scan."""
+    monkeypatch.setattr(pq, "SAMPLE_MARGIN", 0)
+    wide = emb.repartition(96)
+    plain = pq._collect_sample(wide, "embedding", 64, 150, fanin_max=1 << 30)
+    pref = pq._collect_sample(wide, "embedding", 64, 150, fanin_max=0)
+    assert np.array_equal(plain, pref)
+
+
+def test_collect_sample_prefilter_small_n_guard(spark, emb):
+    """n <= margin*cap (including n < cap, where a prefilter could drop
+    sample members): the relation passes through unfiltered."""
+    few = emb.limit(120).repartition(70)
+    plain = pq._collect_sample(few, "embedding", 64, 100, fanin_max=1 << 30)
+    pref = pq._collect_sample(few, "embedding", 64, 100, fanin_max=0)
+    assert np.array_equal(plain, pref)
+
+
+def test_collect_sample_default_gate_uses_partition_count(spark, emb):
+    """Default fan-in gate: a narrow scan keeps the single-pass exact
+    path (prefilter only engages past SAMPLE_FANIN_MAX partitions)."""
+    narrow = emb.coalesce(4)
+    got = pq._collect_sample(narrow, "embedding", 64, 200)
+    plain = pq._collect_sample(narrow, "embedding", 64, 200, fanin_max=1 << 30)
+    assert np.array_equal(got, plain)
