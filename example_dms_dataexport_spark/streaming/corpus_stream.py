@@ -201,13 +201,25 @@ def start_corpus_ingest_stream(
             )
             return
         corpus_cols = warehouse.read(spark, table).columns
-        # one evaluation of the cleaned batch serves the probe
-        # collects, the anti-joins, and the append
+        # ONE evaluation of the cleaned batch serves the probe
+        # collects, the anti-joins, and the append — via localCheckpoint
+        # rather than persist (r19): the spec chain's semi-join-on-self
+        # stages give ``kept`` a logical tree with ~2^stages copies of
+        # the batch subtree, and with persist() every later query in
+        # the sync (probe collect, anti-joins, staging write) re-pays
+        # full analysis over that tree before the cache substitutes
+        # (measured 1.7-2.9 s of pure driver planning per pass at
+        # bench scale — fixed per-SYNC cost, the minute-grain killer).
+        # The checkpoint truncates lineage, so every downstream pass
+        # plans over a row-sized LogicalRDD instead. Not cross-run
+        # caching: the checkpoint lives and dies inside this sync. On
+        # executor loss the batch fails and foreachBatch replays it —
+        # the same retry path persist() relies on for lost blocks.
         import time as _time
 
         _t0 = _time.monotonic()
         _bt = {"batch_id": batch_id}
-        kept = kept.persist()
+        kept = kept.localCheckpoint(eager=True)
         try:
             probes = [
                 (r[0], r[1])
@@ -224,9 +236,9 @@ def start_corpus_ingest_stream(
                     f"batch carries a NULL {id_col!r} — ids key the "
                     "exactly-once reconciliation and must be non-NULL"
                 )
-            # the probe collect is the first ACTION: it evaluates the
-            # whole spec + within-batch dedup into the persisted batch,
-            # so this span IS the spec stage's wall
+            # the eager checkpoint evaluated the whole spec +
+            # within-batch dedup; with the probe collect on top this
+            # span IS the spec stage's wall
             _bt["spec_s"] = round(_time.monotonic() - _t0, 4)
             _t0 = _time.monotonic()
             # an OVERSIZED batch (> probe cap) and a STALE/MISSING
@@ -284,6 +296,10 @@ def start_corpus_ingest_stream(
                 except Exception:  # noqa: BLE001 — never fails a batch
                     pass
         finally:
+            # checkpoint blocks free when the RDD is GC'd (the
+            # ContextCleaner path every localCheckpoint in the engine
+            # relies on); unpersist() on a non-persisted frame is a
+            # harmless no-op kept for the persist()-rollback case
             kept.unpersist()
         if (
             compact_every is not None
