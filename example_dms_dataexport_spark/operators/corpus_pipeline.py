@@ -336,6 +336,24 @@ def validate_spec(stages: list[dict]) -> None:
             )
 
 
+def apply_stage(
+    df: DataFrame,
+    stage: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ONE already-validated spec stage. The ingest stream's
+    per-stage composition hook: the stream truncates lineage between
+    stages (each model stage references its input several times — score
+    relation plus semi-join back — so a fully composed spec tree holds
+    ~k^stages copies of the batch subtree, and every Catalyst pass over
+    it pays for all of them). The batch runner keeps the one-DAG fold
+    below; callers here must have run ``validate_spec`` on the full
+    spec first."""
+    ctx = {"id_col": id_col, "text_col": text_col}
+    return _STAGES[stage["op"]][0](df, stage, ctx)
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     docs: DataFrame,

