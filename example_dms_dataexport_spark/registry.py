@@ -85,68 +85,68 @@ MERGED: dict[str, str] = {
 # registration order). load_all() therefore emits the maps in an explicit
 # priority order, rotated each round so every query accumulates a recent
 # green driver row on record (README "Driver correctness window").
-# Round 19 window: the 45 faces check_freshness.py forces (the r16
-# cohort, 50 before the r19 MERGED folds above retired five of its
-# members — q19/q23/q25/q46/q132 — whose absorbers sit in their seats),
-# plus the TWO promoted r18-staged faces (q159/q160, emptying
-# registry.STAGED), plus three spare-slot pre-refreshes from the r17
-# cohort (q08/q09/q15) to flatten the r20 forced set. Registry count
-# lands at 143 = 50*3 - 7 slack (seven r19 folds incl. q112->q99):
-# >=2 spare slots per round in steady state instead of r18's zero.
+# Round 20 window: the 43 faces check_freshness.py forces (the r17
+# cohort — latest green row r17, which would age past the N-2 floor
+# after r20 lands), including the three r19 single-pass rewrites the
+# r19 verdict asked the ground-truth gate to re-confirm (q69/q93/q116
+# — Next-round item 6), plus SEVEN spare-slot pre-refreshes from the
+# r18 cohort chosen to re-attest the paths this optimization round
+# touches: q18 (CDC merge internals), q119/q123/q147 (erasure-stream
+# replay guard), q38 (corpus-pipeline apply_stage guard), q24
+# (persist-face watch), q157 (lang-model relcache).
 PRIORITY = [
-    # --- forced r16 cohort (45) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_priority_counts",
-    "q05_forecast_revenue",
-    "q06_distinct_segments",
-    "q07_union_nation_keys",
-    "q10_top_orders_per_customer",
-    "q11_latest_event_per_user",
-    "q17_load_plan",
-    "q20_corpus_profile",
-    "q34_sessionize",
-    "q39_asof_attribution",
-    "q42_event_gaps",
-    "q47_line_dedup",
-    "q48_unigram_logprob",
-    "q50_pack_chunks",
-    "q51_duplicate_spans",
-    "q52_tfidf_top_terms",
-    "q55_bpe_pair_counts",
-    "q56_mixture_sample",
-    "q57_kmeans_assign",
-    "q58_embedding_decontam",
-    "q67_incremental_neardup",
-    "q70_knn_quantized",
-    "q71_distinct_sketch_rollup",
-    "q72_exact_stratified_sample",
-    "q73_corpus_build",
-    "q78_inverted_index",
-    "q82_semantic_dedup",
-    "q83_bm25_rank",
-    "q84_quality_percentile",
-    "q85_mixture_weights",
-    "q86_leakage_safe_split",
-    "q99_quantile_sketch_accuracy",
-    "q100_heavy_hitters",
-    "q101_token_budget_shards",
-    "q102_audio_decode",
-    "q103_cms_accuracy",
-    "q104_domain_cap",
-    "q105_global_shuffle_index",
-    "q106_bpe_encode",
-    "q107_embedding_moments",
-    "q131_zone_merge_prune",
-    "q134_jpeg_color_decode",
-    # --- promoted r18-staged faces (2) ---
-    "q159_decontam_indexed",
-    "q160_append_bucketed_insert",
-    # --- spare-slot pre-refreshes from the r17 cohort (3) ---
-    "q08_customers_without_orders",
-    "q09_active_customers",
-    "q15_orders_by_month",
+    # --- forced r17 cohort (43) ---
+    "q12_part_name_parsing",
+    "q13_file_prefix_grouping",
+    "q14_json_props",
+    "q49_incremental_rollup",
+    "q53_range_join_windows",
+    "q62_funnel_stages",
+    "q64_resample_ffill",
+    "q65_trailing_hour_avg",
+    "q68_quality_audit",
+    "q69_skew_report",
+    "q74_scd2_history",
+    "q75_scd2_point_in_time",
+    "q76_snapshot_diff",
+    "q79_event_debounce",
+    "q80_bloom_semi_join",
+    "q81_bpe_merges",
+    "q87_sketch_accuracy",
+    "q89_retention_cohorts",
+    "q90_value_deciles",
+    "q91_event_path_patterns",
+    "q93_rolling_active_users",
+    "q94_value_trend_regression",
+    "q95_source_token_entropy",
+    "q96_value_outliers",
+    "q97_weekly_value_wow",
+    "q98_cross_source_dup_matrix",
+    "q108_image_decode",
+    "q109_salted_join_revenue",
+    "q111_cluster_canonical",
+    "q113_jdbc_roundtrip",
+    "q115_hybrid_retrieval",
+    "q116_source_kl_divergence",
+    "q133_group_cycle_consistency",
+    "q135_stream_group_cycle",
+    "q136_bloom_point_lookup",
+    "q137_hybrid_merge_prune",
+    "q138_pps_sample",
+    "q139_bloom_partitioned_erase",
+    "q140_scan_scoped_merge",
+    "q141_recluster_merge_prune",
+    "q142_delete_vectors",
+    "q143_repetition_filter",
+    "q150_wordpiece_merges",
+    # --- spare-slot re-attestations of r20-touched paths (7) ---
+    "q18_cdc_merge",
+    "q119_user_erasure_audit",
+    "q123_erasure_execution",
+    "q147_group_snapshot_mask",
+    "q38_cleaning_pipeline",
+    "q24_minhash_dedup_pairs",
+    "q157_lang_model_id",
 ]
 
 
