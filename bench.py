@@ -132,6 +132,44 @@ HEADLINE = [
 ]
 
 
+def compact_line(result: dict) -> str:
+    """The tail-insurance FINAL stdout line (r20 — the r19 verdict's
+    "harden the bench artifact contract" item): the driver archives only
+    the LAST 2000 chars of stdout, and the r18 round lost every
+    per-query round-over-round comparison when the live parse of the
+    8.7k-char verbose line failed and the tail alone could not
+    reconstruct the medians map.
+
+    This line is a compact SUPERSET of the driver contract — it carries
+    every contract field ({metric, value, unit, queries, sf}) so a
+    last-line parser sees a complete result — with keys ordered so that
+    the trailing ~600 chars are self-sufficient: ``qv`` is the medians
+    VALUES in sorted-name order (names are recoverable from the repo's
+    HEADLINE list, any BENCH_LOCAL artifact, or this line's own
+    ``queries`` map), followed by the calibration/noise scalars and
+    ``value``. A full-names medians map cannot fit the 2000-char tail
+    (the 77 query names alone are ~1.5k chars), so the guaranteed-
+    surviving suffix is the values array: tail-only recovery is
+    ``dict(zip(sorted(names), qv))``. tests/test_bench_contract.py pins
+    the suffix budget and the qv ordering."""
+    names = sorted(result["queries"])
+    compact = {
+        "metric": result["metric"],
+        "unit": result["unit"],
+        "method": result["method"],
+        "sf": result["sf"],
+        "queries": {n: round(result["queries"][n], 2) for n in names},
+        # ---- everything from here on fits the 2000-char tail ----
+        "qv": [round(result["queries"][n], 2) for n in names],
+        "cal": round(result["calibration"]["median_sec"], 3),
+        "cal_min": round(result["calibration"]["min_sec"], 3),
+        "noise": round(result["noise"]["max_median_over_min"], 3),
+        "n_queries": len(names),
+        "value": result["value"],
+    }
+    return json.dumps(compact, separators=(",", ":"))
+
+
 def materialize(df) -> None:
     """Force full computation of every output column (defeats count()'s
     column pruning) while returning a single row to the driver."""
@@ -549,6 +587,8 @@ def main() -> None:
         ParquetWarehouse as _PW,
     )
 
+    ann_info: dict = {}
+
     def run_ann() -> None:
         td = tempfile.mkdtemp(prefix="bench-ann-")
         try:
@@ -556,7 +596,11 @@ def main() -> None:
             emb = spark.read.parquet(
                 os.path.join(sf_dir, "embeddings.parquet")
             ).select("vec_id", "embedding")
-            _AI.build_ann_index(wh, emb, "idx", n_lists=8, m=8, k=64)
+            spans: dict = {}
+            _AI.build_ann_index(
+                wh, emb, "idx", n_lists=8, m=8, k=64, span_sink=spans
+            )
+            t0 = time.perf_counter()
             probes = emb.filter(F.col("vec_id") % 50 == 0)
             materialize(
                 _AI.ann_query(
@@ -564,6 +608,12 @@ def main() -> None:
                     shortlist=40, rerank_with=emb,
                 )
             )
+            spans["query_s"] = round(time.perf_counter() - t0, 3)
+            # per-span wall split (r20, the corpus_ingest.per_batch
+            # pattern): train-sample / Lloyd / encode+commit / query,
+            # so the sentinel's next mover localizes without a rerun.
+            # Observability only — the timed actions are unchanged.
+            ann_info.setdefault("spans", []).append(spans)
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
@@ -600,6 +650,7 @@ def main() -> None:
         "mor_delete": mor_info,
         "fold_cdc": fold_info,
         "corpus_ingest": ci_info,
+        "ann_build_query": ann_info,
         "queries": times,
         "queries_min": times_min,
         # per-query ambient-speed samples taken interleaved with the
@@ -664,6 +715,12 @@ def main() -> None:
     except OSError:
         pass  # persistence is best-effort; stdout remains the contract
     print(json.dumps(result))
+    # tail insurance (r20): a compact contract-superset line LAST, so
+    # the driver's 2000-char stdout tail always reconstructs the full
+    # medians map even if a live parse of the verbose line fails again
+    # (the r18 failure mode). ADDITIVE: the verbose line above is
+    # unchanged, no timed action moved.
+    print(compact_line(result))
 
 
 if __name__ == "__main__":
