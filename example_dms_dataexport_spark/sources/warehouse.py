@@ -4914,8 +4914,18 @@ class ParquetWarehouse:
         safe = re.sub(r"[^A-Za-z0-9_]", "_", group)
         return os.path.join(self.root, f"_group_{safe}")
 
+    def group_meta(self, group: str) -> dict:
+        """Small marker map carried by the group pointer (empty for a
+        group without one). Written atomically WITH a
+        ``commit_group_linked(..., meta=...)`` pointer flip, so unlike
+        a table's ``_meta.json`` it can never lag or lead the commit it
+        describes — the group-stream replay guard reads it with one
+        JSON load and no data I/O."""
+        return self._load_group(group).get("meta", {})
+
     def commit_group_linked(
-        self, tables: list[str], group: str, retain: int = 2
+        self, tables: list[str], group: str, retain: int = 2,
+        meta: dict | None = None,
     ) -> int:
         """Publish a CONSISTENT multi-table snapshot of the members'
         CURRENT committed states via HARD LINKS — zero data I/O, so a
@@ -5016,6 +5026,11 @@ class ParquetWarehouse:
             keep = sorted(state["commits"])[-retain:]
             state["commits"] = {v: state["commits"][v] for v in keep}
             state["current"] = commit
+            if meta:
+                # merged like update_meta, but atomic WITH the flip:
+                # readers of group_meta() see a marker only once the
+                # commit it describes is the current one
+                state["meta"] = {**state.get("meta", {}), **meta}
             ptmp = self._group_pointer(group) + f".tmp-{uuid.uuid4().hex}"
             with open(ptmp, "w") as f:
                 json.dump(state, f)

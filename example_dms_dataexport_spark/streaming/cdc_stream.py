@@ -28,6 +28,8 @@ regardless of backlog depth; the merge cost per batch is join-on-PK of
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -437,8 +439,26 @@ def start_cdc_group_stream(
         )
     stream = reduce(DataFrame.unionByName, streams)
 
+    lineage = os.path.realpath(checkpoint_dir)
+
     def merge_epoch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
+            return
+        gm = warehouse.group_meta(group)
+        if (
+            gm.get("checkpoint") is not None
+            and gm.get("last_batch_id") is not None
+            and os.path.realpath(gm["checkpoint"]) == lineage
+            and batch_id <= gm["last_batch_id"]
+        ):
+            # re-delivered epoch (crash between the group flip and the
+            # streaming checkpoint advance): every member merge already
+            # committed AND the group pointer already advanced — skip
+            # with one JSON read, zero data I/O, and no double bump of
+            # the group commit number (the marker commits atomically
+            # WITH the flip, so it can never claim an unpublished
+            # epoch). The pre-guard replay path — re-merge idempotently
+            # and re-snapshot — remains for crashes BEFORE the flip.
             return
         batch = batch.persist()
         try:
@@ -475,7 +495,12 @@ def start_cdc_group_stream(
                     version_cols=["_dms_filename", "_dms_rownum"],
                     partition_by=spec.get("partition_by"),
                 )
-            warehouse.commit_group_linked(member_names, group, retain=retain)
+            warehouse.commit_group_linked(
+                member_names,
+                group,
+                retain=retain,
+                meta={"checkpoint": lineage, "last_batch_id": batch_id},
+            )
             if maintenance is not None and batch_id % maintenance_every == 0:
                 # bounded advisor pass over the members AFTER the epoch
                 # commit (same contract as start_cdc_stream's hook and

@@ -5,16 +5,24 @@ requests trickle in, each batch's subjects are deleted from the target
 with partition-scoped rewrites, and the compliance audit (q119/q123) can
 run at any point.
 
-Exactly-once note: unlike the rollup/SCD2 folds, erasure needs NO
-batch-id guard — deleting an already-deleted subject is a natural no-op,
-so an at-least-once replay after a crash converges to the identical
-state (the same argument as cdc_stream's idempotent merge). What a
-replay DOES repeat is the rewrite I/O of the touched partitions; a
-deployment processing heavy request volume can still wrap the callback
-in ``guarded_fold`` if that cost matters more than simplicity.
+Exactly-once note: erasure needs no batch-id guard for CORRECTNESS —
+deleting an already-deleted subject is a natural no-op, so an
+at-least-once replay after a crash converges to the identical state
+(the same argument as cdc_stream's idempotent merge). What a replay
+would repeat is the rewrite I/O of the touched partitions, so the
+stream records the last committed (checkpoint lineage, batch_id) in
+the table's meta sidecar — the CDC loader's ``last_merged_file``
+zero-I/O re-delivery early-exit (r19/r20, guide §6) — and a
+re-delivered window skips the erase with ONE JSON read, no data-file
+opens. The marker is written strictly AFTER the erase commits
+(``update_meta``'s documented ordering), so it can lag the data but
+never lead it: the crash window between commit and marker replays one
+idempotent erase, exactly the pre-guard behavior.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -60,19 +68,41 @@ def start_erasure_stream(
             "materialize_deletes instead"
         )
     subj = subject_col or key_col
+    lineage = os.path.realpath(checkpoint_dir)
 
     def erase_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        meta = warehouse.read_meta(table)
+        stored = meta.get("erasure_checkpoint")
+        last = meta.get("last_erasure_batch")
+        if (
+            stored is not None
+            and last is not None
+            and os.path.realpath(stored) == lineage
+            and batch_id <= last
+        ):
+            # re-delivered window (crash between the erase commit and
+            # the streaming checkpoint advance): the subjects are
+            # already gone — skip with zero data-file I/O. Lineage is
+            # the realpath'd checkpoint dir so a fresh checkpoint
+            # (batch ids restart at 0) never matches a stale marker.
+            return
         if mode == "defer":
             warehouse.delete_keys(spark, table, key_col, batch.select(subj))
-            return
-        warehouse.erase_subjects(
-            spark,
+        else:
+            warehouse.erase_subjects(
+                spark,
+                table,
+                key_col,
+                batch.select(subj),
+                partition_by=partition_by,
+            )
+        # strictly AFTER the commit: the marker may lag the data (one
+        # idempotent re-erase on replay) but never lead it
+        warehouse.update_meta(
             table,
-            key_col,
-            batch.select(subj),
-            partition_by=partition_by,
+            {"erasure_checkpoint": lineage, "last_erasure_batch": batch_id},
         )
 
     writer = (

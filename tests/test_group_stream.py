@@ -346,3 +346,83 @@ def test_group_stream_maintenance_hook(spark, tmp_path):
     snap = wh.read_group(spark, "sync")
     snap_ids = {r.id for r in snap["cust"].collect()}
     assert 10 in snap_ids and 20 not in snap_ids
+
+
+def test_group_stream_replayed_epoch_skips_with_zero_io(spark, tmp_path):
+    """The zero-I/O re-delivery early-exit on the group-commit path
+    (r20, the CDC loader's last_merged_file pattern): a crash between
+    the group flip and the streaming checkpoint commit re-delivers the
+    epoch, and the guard — the (lineage, batch_id) marker committed
+    atomically WITH the flip — skips every member merge AND the
+    snapshot: merge_and_write is never invoked and the group commit
+    number does not double-bump."""
+    import os
+
+    from example_dms_dataexport_spark.streaming import cdc_stream as CS
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cust_landing, ord_landing, members = _seed(spark, wh, tmp_path)
+    _write_csv(
+        cust_landing / "20240101-000000001.csv", [("U", 1, "alice2", 11.0)]
+    )
+    _write_parquet(
+        ord_landing / "20240101-000000001.parquet", [("U", 1, 101)]
+    )
+
+    calls = []
+    real_merge = CS.merge_and_write
+
+    def counting_merge(*a, **kw):
+        calls.append(1)
+        return real_merge(*a, **kw)
+
+    CS.merge_and_write = counting_merge
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        q = start_cdc_group_stream(
+            spark, members, wh, group="sync", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(180)
+        n_calls = len(calls)
+        assert n_calls == 2  # one merge per member
+        commit_before = wh._load_group("sync")["current"]
+        gm = wh.group_meta("sync")
+        assert gm["last_batch_id"] == 0
+        assert os.path.realpath(gm["checkpoint"]) == os.path.realpath(ckpt)
+        state_cust = {
+            r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+        }
+
+        # crash AFTER the flip, BEFORE the checkpoint commit: the epoch
+        # re-delivers, the guard skips it entirely
+        commits = os.path.join(ckpt, "commits")
+        latest = sorted(
+            f for f in os.listdir(commits) if not f.startswith(".")
+        )[-1]
+        os.remove(os.path.join(commits, latest))
+        crc = os.path.join(commits, f".{latest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        q2 = start_cdc_group_stream(
+            spark, members, wh, group="sync", checkpoint_dir=ckpt
+        )
+        q2.awaitTermination(180)
+        assert len(calls) == n_calls  # no member merge re-ran
+        assert wh._load_group("sync")["current"] == commit_before  # no bump
+        assert {
+            r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+        } == state_cust
+
+        # fresh lineage: batch ids restart at 0 — the marker must NOT
+        # match and the epoch replays (idempotent) instead of skipping
+        q3 = start_cdc_group_stream(
+            spark, members, wh, group="sync",
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q3.awaitTermination(180)
+        assert len(calls) == n_calls + 2
+        assert {
+            r.id: (r.name, r.val) for r in wh.read(spark, "cust").collect()
+        } == state_cust
+    finally:
+        CS.merge_and_write = real_merge

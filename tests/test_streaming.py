@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 import pyspark.sql.functions as F
 
 from example_dms_dataexport_spark.merge import apply_changes
@@ -298,12 +302,14 @@ def test_cdc_stream_crash_recovery_parquet(spark, tmp_path):
     _cdc_crash_recovery_scenario(spark, tmp_path, "parquet")
 
 
+@pytest.mark.slow
 def test_cdc_stream_crash_recovery_orc(spark, tmp_path):
     """ORC stage through the stream: positional cast + the
     (blockstart, mono-id) rownum window, across a checkpoint crash."""
     _cdc_crash_recovery_scenario(spark, tmp_path, "orc")
 
 
+@pytest.mark.slow
 def test_cdc_stream_crash_recovery_xml(spark, tmp_path):
     """XML stage through the stream: NAMED schema-driven parse + the
     (blockstart, mono-id) rownum window, across a checkpoint crash."""
@@ -324,6 +330,7 @@ def _write_cdc_avro(path, rows):
     )
 
 
+@pytest.mark.slow
 def test_cdc_stream_crash_recovery_avro(spark, tmp_path):
     """Avro stage through the stream across a checkpoint crash. With
     spark-avro absent (this env) the stdlib OCF fallback runs: a
@@ -973,6 +980,85 @@ def test_erasure_stream_executes_requests_and_replays_idempotently(
     run(ckpt)
     back2 = wh.read(spark, "t")
     assert {r["user_id"] for r in back2.collect()} == set(range(20)) - erased
+
+
+def test_erasure_stream_replayed_window_skips_with_zero_data_io(
+    spark, tmp_path
+):
+    """The zero-I/O re-delivery early-exit (r20, the CDC loader's
+    last_merged_file pattern): a crash-replayed erasure batch whose
+    erase already committed is SKIPPED — erase_subjects is never
+    invoked, so no partition rewrite repeats — while a FRESH checkpoint
+    lineage (batch ids restart at 0) never matches the stale marker and
+    erases normally."""
+    import time
+
+    from example_dms_dataexport_spark.streaming.erasure_stream import (
+        start_erasure_stream,
+    )
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    rows = [(u, f"v{u}", u % 4) for u in range(20)]
+    wh.overwrite(
+        spark.createDataFrame(rows, ["user_id", "val", "b"]),
+        "t",
+        partition_by=["b"],
+    )
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(1,), (5,)], "user_id int").coalesce(
+        1
+    ).write.parquet(str(req / "r0"))
+
+    calls = []
+    real = wh.erase_subjects
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    wh.erase_subjects = counting
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("user_id int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(req / "*"))
+        )
+        q = start_erasure_stream(
+            spark, stream, wh, "t", "user_id",
+            checkpoint_dir=ckpt, partition_by=["b"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    assert len(calls) == 1
+    meta = wh.read_meta("t")
+    assert meta["last_erasure_batch"] == 0
+    assert os.path.realpath(meta["erasure_checkpoint"]) == os.path.realpath(
+        ckpt
+    )
+    survivors = {r["user_id"] for r in wh.read(spark, "t").collect()}
+    assert survivors == set(range(20)) - {1, 5}
+
+    # crash-replay of the committed window: the guard skips the erase
+    # entirely — zero data-file I/O, state unchanged
+    _drop_latest_commit(ckpt)
+    run(ckpt)
+    assert len(calls) == 1  # erase_subjects NOT re-invoked
+    assert {r["user_id"] for r in wh.read(spark, "t").collect()} == survivors
+
+    # fresh lineage: batch ids restart at 0, marker must not match —
+    # the erase runs (idempotent) instead of being wrongly skipped
+    run(str(tmp_path / "ckpt2"))
+    assert len(calls) == 2
+    assert {r["user_id"] for r in wh.read(spark, "t").collect()} == survivors
 
 
 def _rollup_env(spark, tmp_path):
