@@ -350,6 +350,14 @@ def apply_stage(
     it pays for all of them). The batch runner keeps the one-DAG fold
     below; callers here must have run ``validate_spec`` on the full
     spec first."""
+    if stage.get("op") not in _STAGES:
+        # mirror validate_spec's fail-fast message for callers that
+        # skipped it — a bare KeyError here broke the module's
+        # descriptive-ValueError discipline (r19 advisor)
+        raise ValueError(
+            f"unknown stage op {stage.get('op')!r}; "
+            f"supported: {sorted(_STAGES)}"
+        )
     ctx = {"id_col": id_col, "text_col": text_col}
     return _STAGES[stage["op"]][0](df, stage, ctx)
 

@@ -90,6 +90,25 @@ def _existing_keys(
     except ValueError:
         return None
 
+
+def _release_local_checkpoints(frames: list[DataFrame]) -> None:
+    """Best-effort EAGER release of localCheckpoint storage blocks.
+
+    ``DataFrame.unpersist`` goes through the CacheManager and does not
+    touch RDD-level persistence, and the blocks otherwise wait for the
+    driver to GC the py4j handles plus the ContextCleaner to notice —
+    on a quiet driver heap that lag can span many syncs. A
+    localCheckpoint'ed frame's analyzed plan is a ``LogicalRDD`` whose
+    internal RDD holds the blocks; unpersist it directly. Wrapped
+    per-frame: if a Spark release changes the plan shape this silently
+    degrades to the ContextCleaner path (the engine's documented
+    fallback), never fails a batch."""
+    for df in frames:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — GC fallback, see docstring
+            pass
+
 # stages whose per-batch application equals their batch-pipeline
 # semantics (per-document, given frozen side inputs)
 STREAMABLE_STAGES = {
@@ -190,10 +209,12 @@ def start_corpus_ingest_stream(
         # checkpoint below: on executor loss the batch fails and
         # foreachBatch retries.
         kept = batch
+        stage_frames: list[DataFrame] = []
         for st in spec:
             kept = apply_stage(
                 kept, st, id_col=id_col, text_col=text_col
             ).localCheckpoint(eager=False)
+            stage_frames.append(kept)
         # within-batch exact dedup (min-id per content hash — the
         # batch-pipeline tie rule; a NULL md5 key is one group, like
         # exact_dedup), then the fingerprint column the corpus
@@ -224,6 +245,7 @@ def start_corpus_ingest_stream(
             warehouse.overwrite(
                 kept.hint("rebalance"), table, bloom_cols=[id_col, FP_COL]
             )
+            _release_local_checkpoints(stage_frames)
             return
         corpus_cols = warehouse.read(spark, table).columns
         # ONE evaluation of the cleaned batch serves the probe
@@ -321,6 +343,17 @@ def start_corpus_ingest_stream(
             # relies on); unpersist() on a non-persisted frame is a
             # harmless no-op kept for the persist()-rollback case
             kept.unpersist()
+            # Per-stage lazy-checkpoint blocks (stage-count copies of
+            # the batch per sync) would otherwise wait for driver GC +
+            # ContextCleaner — on a long-running stream with large
+            # batches and a quiet driver heap that lag accumulates
+            # executor storage across many syncs (r19 advisor). Release
+            # them eagerly once the sync's work is done: the final
+            # eager checkpoint (or the first-commit overwrite) no
+            # longer reads them, and a lost-block retry replays the
+            # whole batch anyway (localCheckpoint's documented
+            # non-fault-tolerance).
+            _release_local_checkpoints(stage_frames)
         if (
             compact_every is not None
             and batch_id > 0

@@ -43,9 +43,23 @@ def test_equals_the_handwritten_q38_chain(spark, docs):
 def test_apply_stage_fold_equals_composed_runner(spark, docs):
     """The ingest stream's per-stage composition (apply_stage + lazy
     localCheckpoint between stages — the r19 lineage-truncation path)
-    keeps exactly the rows the one-DAG composed runner keeps."""
+    keeps exactly the rows the one-DAG composed runner keeps. The spec
+    includes a frozen model_quality stage (r19 advisor): the
+    semi-join-on-self shape — score relation + join back — is the
+    ~k^stages tree the truncation exists for, so the pin must cover it
+    directly, not only one join-back gate."""
+    from example_dms_dataexport_spark.operators import quality_model as QM
+
+    gib = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(F.split("text", " "), F.reverse), " "
+        ).alias("text"),
+    )
+    clf = QM.train_quality_classifier(docs, gib)
     spec = [
         {"op": "quality", "min_quality": 0.4},
+        {"op": "model_quality", "classifier": clf, "min_prob": 0.5},
         {"op": "repetition"},
         {"op": "sample", "rate": 0.9},
     ]
@@ -58,6 +72,15 @@ def test_apply_stage_fold_equals_composed_runner(spark, docs):
     want = {tuple(r) for r in composed.collect()}
     assert got == want and len(got) > 0
     assert staged.columns == composed.columns
+
+
+def test_apply_stage_unknown_op_fails_with_value_error(spark, docs):
+    """apply_stage mirrors validate_spec's descriptive fail-fast for a
+    caller that skipped validation (r19 advisor — was a bare KeyError)."""
+    with pytest.raises(ValueError, match="unknown stage op"):
+        CP.apply_stage(docs, {"op": "nope"})
+    with pytest.raises(ValueError, match="unknown stage op"):
+        CP.apply_stage(docs, {})
 
 
 def test_report_counts_are_monotone_filters(spark, docs):
