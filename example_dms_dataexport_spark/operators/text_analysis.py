@@ -327,11 +327,20 @@ def bm25_scores(
         # two-parameter lambda as (element, index)
         return F.size(F.filter(toks, lambda t: t == F.lit(word)))
 
-    proj = df.select(
+    # spread: a small corpus arrives as ONE scan split and the
+    # tokenizing projection would run single-task (§2.5 input skew);
+    # no-op at scale where the scan already has >= cores splits. The
+    # LAZY localCheckpoint runs that projection ONCE: both consumers
+    # (the stats aggregate and the scoring projection) referenced proj,
+    # and each reference re-executed the whole tokenize subtree — the
+    # before-plan shows two corpus scans (r20, §2.4; the checkpointed
+    # relation is id + a handful of ints, ~1/1000th of the text bytes
+    # it replaces re-deriving). Identity transform: values unchanged.
+    proj = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.size(toks).alias("_dl"),
         *[_tf(w).alias(f"_tf{i}") for i, w in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = proj.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_dl").alias("_sumdl"),
