@@ -337,13 +337,21 @@ def merge_and_write(
     # hard links (or a whole-table rewrite) for a no-op. full_rewrite is
     # exempt: an evolution batch may be empty yet must still rewrite
     # every file to the evolved layout.
-    if not full_rewrite and changes.isEmpty():
+    if not full_rewrite and not partition_by and changes.isEmpty():
         return 0
     if partition_by and not full_rewrite:
+        # the touched-partition collect below doubles as the empty-batch
+        # probe (zero distinct tuples <=> zero rows), so the partitioned
+        # path skips the separate isEmpty() pass — one fewer full
+        # evaluation of the change-batch subtree per merge (r20, §1.2
+        # "don't compute things you throw away"; the zone/scan paths
+        # keep the cheap isEmpty gate above)
         touched = [
             tuple(r[c] for c in partition_by)
             for r in changes.select(*partition_by).distinct().collect()
         ]
+        if not touched:
+            return 0
         if prune_files is not False:
             # HYBRID scope: partition pruning picks the dirs, the zone
             # map picks the files inside them — the partition-scoped
@@ -405,8 +413,21 @@ def merge_and_write(
         )
         merged = merged.persist()
         n = merged.count()  # materialize before overwriting what we read
+        # AQE rebalance on the partition columns at THIS call site (r20,
+        # §6): the persisted merge result pins its pre-AQE pk-hash
+        # partitioning, so the dynamic overwrite fanned one file per
+        # cached partition per touched value (measured: 32 files per
+        # touched partition for a 3k-row merge; at cluster scale,
+        # shuffle-partitions x touched tiny files per merge). The
+        # rebalance shuffles only the batch-sized merge output and AQE
+        # sizes the files; replace_partitions itself stays
+        # no-implicit-rebalance (erase_subjects and the ANN extend own
+        # their layouts — the r19 scoping rule). No file-grain pruning
+        # contract exists on this path: replace_partitions drops the
+        # zone map and partition pruning is directory-grain.
         warehouse.replace_partitions(
-            merged, target_table, partition_by, touched,
+            merged.hint("rebalance", *partition_by),
+            target_table, partition_by, touched,
             carry_deletes_minus=fold_minus,
         )
         merged.unpersist()
