@@ -95,6 +95,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     dim: int = EMBED_DIM,
     sample_cap: int | None = None,
+    span_sink: dict | None = None,
 ) -> dict:
     """Train, encode, and commit the index table ``name``; returns the
     index descriptor (also persisted in the table's ``meta`` sidecar).
@@ -105,20 +106,40 @@ def build_ann_index(
     corpus. The codes table is (vec_id, code, vnorm, list_id),
     partitioned by list_id; rebuilding is one more ``overwrite`` — the
     swap replaces data and descriptor atomically.
+
+    ``span_sink``: optional dict that receives the build's wall-time
+    decomposition (``train_sample_s`` — distributed scan + driver
+    fetch of the capped sample; ``lloyd_coarse_s`` / ``lloyd_pq_s`` —
+    driver-side numpy Lloyd; ``encode_commit_s`` — the distributed
+    encode + partitioned write, the only span that scales with corpus
+    size). Observability only (the r19 verdict's sentinel-split ask);
+    the timed work is identical with or without it.
     """
+    import time as _time
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     # ONE corpus scan + sample collect trains BOTH codebooks (they use
     # the identical deterministic sample; scanning twice doubled the
     # most expensive phase of the build)
+    _t = _time.monotonic()
     x = _collect_sample(
         vectors,
         vec_col,
         dim,
         sample_cap if sample_cap is not None else PQ_TRAIN_SAMPLE_CAP,
     )
+    if span_sink is not None:
+        span_sink["train_sample_s"] = round(_time.monotonic() - _t, 3)
+        _t = _time.monotonic()
     coarse = _lloyd_from_sample(x, 1, n_lists, iters, dim)
+    if span_sink is not None:
+        span_sink["lloyd_coarse_s"] = round(_time.monotonic() - _t, 3)
+        _t = _time.monotonic()
     book = _lloyd_from_sample(x, m, k, iters, dim)
+    if span_sink is not None:
+        span_sink["lloyd_pq_s"] = round(_time.monotonic() - _t, 3)
+        _t = _time.monotonic()
     desc = {
         "n_lists": n_lists,
         "coarse": coarse,
@@ -140,6 +161,8 @@ def build_ann_index(
         partition_by=["list_id"],
         meta={ANN_META_KEY: desc},
     )
+    if span_sink is not None:
+        span_sink["encode_commit_s"] = round(_time.monotonic() - _t, 3)
     return desc
 
 
