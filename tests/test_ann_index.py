@@ -355,6 +355,7 @@ def test_distributed_probe_partition_filter_reaches_the_scan(
     )
 
 
+@pytest.mark.slow
 def test_semantic_dedup_via_index_matches_the_lsh_path(
     spark, emb, tmp_path_factory
 ):

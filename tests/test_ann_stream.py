@@ -56,6 +56,7 @@ def _part_inodes(root):
     return out
 
 
+@pytest.mark.slow
 def test_stream_extends_to_the_union_and_replays_idempotently(
     spark, emb, tmp_path
 ):

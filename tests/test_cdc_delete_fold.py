@@ -403,7 +403,12 @@ def test_defer_erasure_stream_then_cdc_stream_coexist(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "layout",
-    ["flat", "zoned", "partitioned", "hybrid"],
+    [
+        "flat",
+        pytest.param("zoned", marks=pytest.mark.slow),
+        pytest.param("partitioned", marks=pytest.mark.slow),
+        pytest.param("hybrid", marks=pytest.mark.slow),
+    ],
     ids=["scan-scope", "zone-scope", "partition-scope", "hybrid-scope"],
 )
 def test_fold_equals_materialize_then_merge(spark, tmp_path, layout):
@@ -598,7 +603,12 @@ def test_fold_mismatched_key_partition_crash_window(
 
 @pytest.mark.parametrize(
     "layout",
-    ["flat", "zoned", "partitioned", "hybrid"],
+    [
+        "flat",
+        pytest.param("zoned", marks=pytest.mark.slow),
+        pytest.param("partitioned", marks=pytest.mark.slow),
+        pytest.param("hybrid", marks=pytest.mark.slow),
+    ],
     ids=["scan-scope", "zone-scope", "partition-scope", "hybrid-scope"],
 )
 def test_mismatched_fold_equals_masked_merge(spark, tmp_path, layout):

@@ -295,6 +295,7 @@ def test_null_text_reconciles_like_batch_exact_dedup(spark, tmp_path):
     ).count() == 1
 
 
+@pytest.mark.slow
 def test_stale_manifest_falls_back_and_heals(spark, docs, tmp_path):
     """A crashed append leaves the corpus without its bloom manifest;
     the next batch must reconcile through the full-anti-join fallback
@@ -344,6 +345,7 @@ def test_stale_manifest_falls_back_and_heals(spark, docs, tmp_path):
     assert {r["doc_id"] for r in hit.select("doc_id").collect()} == set(some)
 
 
+@pytest.mark.slow
 def test_stream_appends_into_a_declared_bucketed_corpus(
     spark, docs, tmp_path
 ):
@@ -444,6 +446,7 @@ def test_oversized_batch_falls_back_without_o_corpus_heal(
     assert {r["doc_id"] for r in hit.select("doc_id").collect()} == set(some)
 
 
+@pytest.mark.slow
 def test_defer_erasure_composes_with_continuous_ingest(spark, docs, tmp_path):
     """r19 (verdict task 4): defer-mode GDPR on a continuously-ingested
     corpus must not stall the stream — appends mask the batch against

@@ -368,6 +368,7 @@ def test_lossy_dataframe_keys_refused(spark, tmp_path):
     assert 7 not in {r.pk for r in wh.read(spark, "t").collect()}
 
 
+@pytest.mark.slow
 def test_legacy_fixed_sidecar_is_migrated_and_vacuumable(spark, tmp_path):
     """A pre-versioned manifest (no 'dir' key) + fixed '_deletes' dir:
     reads work, the next delete_keys unions and migrates it, and vacuum

@@ -217,6 +217,7 @@ def _py_nb_reference(train_rows, test_rows, n=3, top_per_lang=2000):
     return out
 
 
+@pytest.mark.slow
 def test_property_distributed_equals_pure_python(spark):
     """Randomized corpora (hypothesis): the distributed train+classify
     pipeline is EXACTLY the pure-Python NB — every prediction and every

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -48,6 +50,7 @@ def model_replay(initial: dict[int, int], seq) -> dict[int, int]:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(seq=st.lists(change, min_size=0, max_size=25), data=st.data())
+@pytest.mark.slow
 def test_apply_changes_equals_model_replay(spark, seq, data):
     initial = {k: -k for k in KEYS[::2]}  # target starts with even keys
     target = spark.createDataFrame(
@@ -107,6 +110,7 @@ fact_row = st.tuples(
     facts=st.lists(fact_row, min_size=0, max_size=15),
     data=st.data(),
 )
+@pytest.mark.slow
 def test_update_rollup_equals_full_recompute(spark, facts, data):
     """For ANY base facts and ANY consistent I/U/D change-set (including
     group-moving updates and group-emptying deletes), folding the deltas

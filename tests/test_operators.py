@@ -143,6 +143,7 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup.dedup_clusters(pairs).count() == 0
 
 
+@pytest.mark.slow
 def test_dedup_clusters_nonconvergence_raises(spark):
     # diameter 5 > max_iter 2: returning the partial labels would silently
     # split the component — must raise instead
@@ -216,6 +217,7 @@ def test_knn_brute_rank_is_total_order(spark):
     assert all(r["vec_id"] != 0 for r in out)  # self excluded
 
 
+@pytest.mark.slow
 def test_media_decode_roundtrip(spark):
     df = spark.createDataFrame([(5, "abcd", 4)], ["doc_id", "text", "n_chars"])
     out = multimodal.decode_media(multimodal.media_from_documents(df)).collect()[0]
@@ -1194,6 +1196,7 @@ def test_scd2_collapses_noops_and_closes_intervals(spark):
         scd2_from_changes(df, [], "ts", ["tier"])
 
 
+@pytest.mark.slow
 def test_scd2_apply_delta_equals_full_rebuild(spark):
     """Delta maintenance owes an equivalence proof: folding any suffix
     batch into the prefix-built history must be row-identical to
@@ -2286,6 +2289,7 @@ def test_dedup_clusters_local_and_distributed_paths_identical(spark):
     assert local.schema == dist.schema
 
 
+@pytest.mark.slow
 def test_dedup_clusters_paths_identical_on_random_graphs(spark):
     import random
 

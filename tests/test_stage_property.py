@@ -18,6 +18,8 @@ Deliberate strategy bounds (documented format semantics, not bugs):
 from __future__ import annotations
 
 import os
+
+import pytest
 import shutil
 import tempfile
 
@@ -85,6 +87,7 @@ def _roundtrip_xml(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=st.lists(_row, min_size=1, max_size=10))
+@pytest.mark.slow
 def test_xml_roundtrip_exact(spark, rows):
     got = _roundtrip_xml(spark, rows)
     assert sorted(got, key=repr) == sorted(rows, key=repr)
